@@ -1,0 +1,164 @@
+"""Table IO: explicit schemas (FIXTURES.md), parquet loaders, view registration.
+
+Schemas are declared (not inferred) so the engine's contract with the DuckDB
+oracle views is pinned: same names, same types, across every scale factor.
+Reads go through Spark's vectorized parquet reader; filters/projections the
+query builders apply are pushed into the scan by Catalyst (SURVEY §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+    TimestampType,
+)
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+def _f(name: str, typ) -> StructField:
+    return StructField(name, typ, nullable=True)
+
+SCHEMAS: dict[str, StructType] = {
+    "region": StructType([_f("r_regionkey", IntegerType()), _f("r_name", StringType())]),
+    "nation": StructType(
+        [
+            _f("n_nationkey", IntegerType()),
+            _f("n_name", StringType()),
+            _f("n_regionkey", IntegerType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            _f("s_suppkey", LongType()),
+            _f("s_name", StringType()),
+            _f("s_nationkey", IntegerType()),
+            _f("s_acctbal", DoubleType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            _f("c_custkey", LongType()),
+            _f("c_name", StringType()),
+            _f("c_nationkey", IntegerType()),
+            _f("c_acctbal", DoubleType()),
+            _f("c_mktsegment", StringType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            _f("p_partkey", LongType()),
+            _f("p_name", StringType()),
+            _f("p_brand", StringType()),
+            _f("p_type", StringType()),
+            _f("p_size", IntegerType()),
+            _f("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            _f("o_orderkey", LongType()),
+            _f("o_custkey", LongType()),
+            _f("o_orderstatus", StringType()),
+            _f("o_totalprice", DoubleType()),
+            _f("o_orderdate", TimestampNTZType()),
+            _f("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": StructType(
+        [
+            _f("l_orderkey", LongType()),
+            _f("l_partkey", LongType()),
+            _f("l_suppkey", LongType()),
+            _f("l_linenumber", IntegerType()),
+            _f("l_quantity", DoubleType()),
+            _f("l_extendedprice", DoubleType()),
+            _f("l_discount", DoubleType()),
+            _f("l_tax", DoubleType()),
+            _f("l_returnflag", StringType()),
+            _f("l_linestatus", StringType()),
+            _f("l_shipdate", TimestampNTZType()),
+        ]
+    ),
+    "events": StructType(
+        [
+            _f("event_id", LongType()),
+            _f("ts", TimestampType()),
+            _f("user_id", LongType()),
+            _f("event_type", StringType()),
+            _f("value", DoubleType()),
+            _f("props", StringType()),
+        ]
+    ),
+    "documents": StructType(
+        [
+            _f("doc_id", LongType()),
+            _f("text", StringType()),
+            _f("lang", StringType()),
+            _f("source", StringType()),
+            _f("n_chars", LongType()),
+        ]
+    ),
+    "embeddings": StructType(
+        [
+            _f("vec_id", LongType()),
+            _f("embedding", ArrayType(FloatType())),
+            _f("label", IntegerType()),
+        ]
+    ),
+}
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. The parquet footer schema already matches SCHEMAS
+    (verified in tests); reading natively keeps predicate pushdown and
+    vectorization on the default fast path.
+
+    events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos (legacy conf) and
+    floor-divide to microseconds — exactly the ns->us truncation DuckDB
+    applies when it materializes TIMESTAMP_NS to Python datetimes, so both
+    engines see identical values.
+    """
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views (for spark.sql query builders)."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,74 @@
+"""As-of (point-in-time) join — the one relational operator the Spark
+DataFrame API lacks natively (SURVEY §7.4).
+
+Strategy: union-and-window, not a join. Both sides are unioned on the
+(by, on) ordering, then ``last(<right payload>, ignorenulls=True)`` over a
+running window carries the most recent right-side row forward onto each left
+row. This is shuffle-friendly at 100 TB: ONE shuffle on the `by` key
+(window partitioning), no range-join explosion, no per-key collect. Skewed
+`by` keys are handled by AQE; an extremely hot key can be salted upstream.
+
+Semantics match DuckDB ``ASOF LEFT JOIN ... ON l.by = r.by AND l.on >= r.on``
+(backward search, exact matches allowed): for equal timestamps the right row
+sorts before the left row, so an exact-ts right row is visible to the left
+row. Ties among right rows at the same timestamp are broken by ``tiebreak``
+(latest wins) to stay deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+    allow_exact_matches: bool = True,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row with the
+    greatest ``on`` <= (or < if not allow_exact_matches) the left ``on``,
+    matching on ``by``. Right payload columns come back suffixed ``_matched``.
+    """
+    payload = F.struct(*[F.col(c) for c in right_payload])
+    l_tag = left.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__left"),
+        F.lit(None).cast(
+            right.select(payload.alias("p")).schema["p"].dataType
+        ).alias("__right"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
+    )
+    r_tag = right.select(
+        F.col(by).alias("__by"),
+        F.col(on).alias("__on"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("p")
+            ).schema["p"].dataType
+        ).alias("__left"),
+        payload.alias("__right"),
+        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
+    )
+    # Exact matches allowed: right rows at equal __on sort BEFORE left rows
+    # (is_left ascending); strict: after.
+    left_order: Column = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    w = (
+        Window.partitionBy("__by")
+        .orderBy(F.col("__on").asc(), left_order, F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).withColumn(
+        "__matched", F.last(F.col("__right"), ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    cols = [F.col(f"__left.{c}").alias(c) for c in left.columns]
+    cols += [F.col(f"__matched.{c}").alias(f"{c}_matched") for c in right_payload]
+    return out.select(*cols)

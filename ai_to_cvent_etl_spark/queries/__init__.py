@@ -1,0 +1,8 @@
+"""Query inventory (SURVEY §2). Importing this package registers every
+declared query into ai_to_cvent_etl_spark.registry."""
+
+from ai_to_cvent_etl_spark.queries import (  # noqa: F401
+    filters,
+    joins,
+    scans,
+)

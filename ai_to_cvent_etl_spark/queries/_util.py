@@ -1,0 +1,42 @@
+"""Shared helpers enforcing the SURVEY §5.3 determinism rules."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+
+def dec2(c: Column) -> Column:
+    """Cast a 2dp money-like double to DECIMAL(18,2) — lossless for this data
+    (probed: every money column is exactly 2dp), making downstream sums exact
+    and order-insensitive."""
+    return c.cast(DecimalType(18, 2))
+
+
+def money_sum(c: Column) -> Column:
+    """Order-insensitive SUM of a money double: decimal-sum then back to
+    DOUBLE (a decimal->double conversion is deterministic)."""
+    return F.sum(dec2(c)).cast("double")
+
+
+def money_avg(c: Column) -> Column:
+    """Deterministic AVG of a money double: exact decimal sum cast to double,
+    divided by count — IEEE division of identical operands is bit-stable on
+    both Spark and DuckDB."""
+    return F.sum(dec2(c)).cast("double") / F.count(c)
+
+
+ORACLE_MONEY_SUM = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE)"
+ORACLE_MONEY_AVG = "CAST(SUM(CAST({col} AS DECIMAL(18,2))) AS DOUBLE) / COUNT({col})"
+
+
+def disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount) as an exact DECIMAL product
+    (both factors are exactly 2dp), for aggregation contexts."""
+    return dec2(F.col("l_extendedprice")) * dec2(F.lit(1.0) - F.col("l_discount"))
+
+
+ORACLE_DISC_PRICE = (
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
+)

@@ -1,0 +1,64 @@
+"""BENCH harness: run every declared query at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is materialized through the noop sink (full computation, no
+collect-to-driver cost, no count()-only plan pruning). A warmup query runs
+first so JVM/codegen startup is not attributed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from ai_to_cvent_etl_spark.registry import load_registry
+    from ai_to_cvent_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = load_registry()
+
+    # Warmup: JVM, codegen, parquet footer caches.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    t_suite = time.perf_counter()
+    for key in sorted(registry):
+        spec = registry[key]
+        t0 = time.perf_counter()
+        try:
+            spec.builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[key] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failing query shows as -1, never crashes BENCH
+            timings[key] = -1.0
+            print(f"bench: {key} failed: {exc}", file=sys.stderr)
+    total = round(time.perf_counter() - t_suite, 3)
+
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    print(
+        json.dumps(
+            {
+                "metric": "declared_suite_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
