@@ -2,7 +2,9 @@
 declared query into ai_to_cvent_etl_spark.registry."""
 
 from ai_to_cvent_etl_spark.queries import (  # noqa: F401
+    aggregates,
     filters,
     joins,
     scans,
+    windows,
 )
