@@ -4,7 +4,9 @@ declared query into ai_to_cvent_etl_spark.registry."""
 from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     aggregates,
     filters,
+    functions,
     joins,
     scans,
+    setops,
     windows,
 )
