@@ -8,5 +8,9 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     joins,
     scans,
     setops,
+    streaming_batch,
+    text,
+    udfs,
+    vectors,
     windows,
 )

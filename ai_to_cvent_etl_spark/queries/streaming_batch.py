@@ -1,0 +1,124 @@
+"""SURVEY §2.11 — streaming operators in batch-equivalent form (ST1-ST3).
+
+The driver's oracle is batch DuckDB SQL, so the declared forms compute the
+same windowing semantics on the static events table. The true readStream
+twins live in ai_to_cvent_etl_spark/streaming/ and are asserted equal to
+these batch results in tests (stream-table duality).
+
+Both engines align tumbling/sliding buckets to the epoch grid (probe-pinned
+by the parity tests). Session windows (ST3) are gaps-and-islands: one lag +
+one running sum + one group-by — identical SQL semantics on both engines,
+exact because timestamps are integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.registry import register
+
+
+@register(
+    "q_stream_tumbling",
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    section="ST1",
+    doc="1-hour tumbling window counts + decimal-exact value sums per event type.",
+)
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DecimalType(12, 2))).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_stream_sliding",
+    oracle="""
+        SELECT CAST(u AS TIMESTAMP) AS window_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (
+            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS u
+            FROM events
+        )
+        GROUP BY 1
+    """,
+    section="ST2",
+    doc="1-hour windows sliding 30 min: each event lands in exactly 2 windows.",
+)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "q_stream_session",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 600000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sessions AS (
+            SELECT user_id, ts, event_id,
+                   SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM gaps
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    section="ST3",
+    doc="Per-user session windows with 10-minute gap (gaps-and-islands; "
+    "streaming twin uses session_window in streaming/jobs.py).",
+)
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(gap_us.isNull() | (gap_us > 600_000_000), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        events.withColumn("is_new", is_new)
+        .withColumn("session_id", F.sum("is_new").over(run).cast("bigint"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
