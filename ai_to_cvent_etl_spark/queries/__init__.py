@@ -6,6 +6,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     filters,
     functions,
     joins,
+    llm_text,
     scans,
     setops,
     streaming_batch,
