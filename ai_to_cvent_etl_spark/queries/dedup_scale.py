@@ -1,0 +1,313 @@
+"""Scale-path deduplication + ANN operators (north-star extension).
+
+D1 MinHash+LSH near-dedup, D2 SimHash fingerprint dedup, D3 embedding-cosine
+near-dup, D4 bucket-pruned approximate nearest neighbors.
+
+100 TB design notes:
+  * D1 (MinHash-LSH) is THE scale path for near-dedup: signatures and band
+    keys are computed row-locally (one map stage, no shuffle); the only
+    shuffle is the band-key self-join, whose buckets are tiny by construction
+    (band collision probability ~ j^r). The brute-force token self-join
+    (q_dedup_near_jaccard) explodes on hot tokens; this doesn't. The final
+    exact-Jaccard verify joins candidate PAIRS (few) against per-doc token
+    arrays and evaluates row-locally via array_intersect.
+  * D2 (SimHash) is fully row-local until a single groupBy on the 16-bit
+    fingerprint — a near-free shuffle (at most 65536 distinct keys, hit by
+    AQE coalescing). Token hashes are computed ONCE per doc into an array,
+    then each bit's vote is an array filter over the precomputed hashes.
+  * D3 blocks the O(n^2) pair space by `label` (at 100 TB: by an IVF coarse
+    cluster id) so the self-join shuffles on the block key and each block's
+    pairs are generated locally.
+  * D4 is the IVF idea itself: a deterministic coarse quantizer (sign bits of
+    the leading dimensions = 8 cells) prunes the search space 8x; queries are
+    broadcast, so the big side never shuffles. Swap the quantizer for learned
+    centroids at scale — the plan shape is identical.
+
+All hashing is md5-based (identical in Spark and DuckDB, probed), all float
+math is widened to DOUBLE with left-to-right folds on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.registry import register
+
+_N_PERM = 8   # minhash permutations
+_N_BANDS = 4  # LSH bands (2 rows each): P(candidate | j=0.8) = 1-(1-0.64)^4 ≈ 0.983
+
+
+def _mh_spark(i: int) -> str:
+    return f"array_min(transform(ts, t -> substr(md5(concat('{i}:', t)), 1, 16)))"
+
+
+def _mh_duck(i: int) -> str:
+    return f"list_min(list_transform(ts, t -> substr(md5('{i}:' || t), 1, 16)))"
+
+
+@register(
+    "q_dedup_minhash_lsh",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts FROM documents
+        ),
+        sig AS (
+            SELECT doc_id,
+                   {', '.join(f'{_mh_duck(i)} AS mh{i}' for i in range(_N_PERM))}
+            FROM toks
+        ),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1}) AS bkey FROM sig"
+                for b in range(_N_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        )
+        SELECT doc_lo, doc_hi,
+               ROUND(CAST(len(list_filter(ta.ts, x -> list_contains(tb.ts, x))) AS DOUBLE)
+                     / (len(ta.ts) + len(tb.ts)
+                        - len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))), 4) AS jaccard
+        FROM cand
+        JOIN toks ta ON ta.doc_id = cand.doc_lo
+        JOIN toks tb ON tb.doc_id = cand.doc_hi
+        WHERE CAST(len(list_filter(ta.ts, x -> list_contains(tb.ts, x))) AS DOUBLE)
+              / (len(ta.ts) + len(tb.ts)
+                 - len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))) >= 0.8
+    """,
+    section="D1",
+    doc="MinHash(8 perms) + LSH(4 bands x 2) candidate generation, exact "
+    "Jaccard >= 0.8 verify. Row-local signatures; shuffle only on band keys.",
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    sig = toks.select(
+        "doc_id", *[F.expr(_mh_spark(i)).alias(f"mh{i}") for i in range(_N_PERM)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
+                    "bkey"
+                ),
+            )
+            for b in range(_N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_lo"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_hi"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    jac = inter.cast("double") / (
+        F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    )
+    return (
+        cand.join(ta, "doc_lo")
+        .join(tb, "doc_hi")
+        .filter(jac >= 0.8)
+        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_N_BITS = 16  # simhash width
+
+
+@register(
+    "q_dedup_simhash",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ' '),
+                       t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hs
+            FROM documents
+        ),
+        fp AS (
+            SELECT doc_id,
+                   CAST({' + '.join(
+                       f"(CASE WHEN 2 * len(list_filter(hs, v -> ((v >> {i}) & 1) = 1))"
+                       f" >= len(hs) THEN {1 << i} ELSE 0 END)"
+                       for i in range(_N_BITS))} AS BIGINT) AS simhash
+            FROM h
+        )
+        SELECT doc_id, simhash,
+               MIN(doc_id) OVER (PARTITION BY simhash) AS group_rep
+        FROM fp
+    """,
+    section="D2",
+    doc="16-bit SimHash fingerprint (majority vote per bit over md5 token "
+    "hashes, hashed once per doc) + dup-group representative by fingerprint.",
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.expr(
+            "transform(split(text, ' '),"
+            " t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"
+        ).alias("hs"),
+    )
+    bit_terms = " + ".join(
+        f"(case when 2 * size(filter(hs, v -> (shiftright(v, {i}) & 1) = 1))"
+        f" >= size(hs) then {1 << i} else 0 end)"
+        for i in range(_N_BITS)
+    )
+    fp = h.select("doc_id", F.expr(f"cast({bit_terms} as bigint)").alias("simhash"))
+    return fp.select(
+        "doc_id",
+        "simhash",
+        F.min("doc_id").over(Window.partitionBy("simhash")).alias("group_rep"),
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" k -> CAST({a}.embedding[k] AS DOUBLE) * CAST({b}.embedding[k] AS DOUBLE)))"
+    )
+
+
+def _nsq_duck(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+def _dot_col(a: str, b: str) -> Column:
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm_col(a: str) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(F.col(a), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+@register(
+    "q_dedup_embedding_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS vec_lo, b.vec_id AS vec_hi, a.label AS label,
+               ROUND({_dot_duck('a', 'b')} / ({_nsq_duck('a')} * {_nsq_duck('b')}), 4)
+                   AS cosine
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE ROUND({_dot_duck('a', 'b')} / ({_nsq_duck('a')} * {_nsq_duck('b')}), 4)
+              >= 0.3
+    """,
+    section="D3",
+    doc="Embedding-cosine near-duplicate pairs, label-blocked (the block key "
+    "is an IVF coarse-cluster id at scale): pairs generated within blocks "
+    "only, cosine in DOUBLE with left-to-right folds, threshold on the "
+    "rounded value (drift-safe).",
+)
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_lo"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_hi"),
+        F.col("label").alias("label_b"),
+        F.col("embedding").alias("eb"),
+    )
+    cos = F.round(
+        _dot_col("ea", "eb") / (_norm_col("ea") * _norm_col("eb")), 4
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b")) & (F.col("vec_lo") < F.col("vec_hi")),
+        )
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.3)
+        .select("vec_lo", "vec_hi", "label", "cosine")
+    )
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=f"""
+        WITH cells AS (
+            SELECT vec_id, embedding,
+                   4 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                 +     (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS cell
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY a.vec_id
+                        ORDER BY {_dot_duck('a', 'b')}
+                                 / ({_nsq_duck('a')} * {_nsq_duck('b')}) DESC,
+                                 b.vec_id
+                   ) AS BIGINT) AS rank
+            FROM (SELECT * FROM cells WHERE vec_id < 10) a
+            JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+        ) WHERE rank <= 3
+    """,
+    section="D4",
+    doc="IVF-style bucket-pruned approximate k-NN: deterministic coarse "
+    "quantizer (sign bits of dims 1-3 = 8 cells) prunes the candidate space; "
+    "top-3 per query within the query's cell. Output ids+rank only "
+    "(float-drift-immune). Queries broadcast; corpus side never shuffles.",
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = (
+        (F.element_at("embedding", 1) >= 0).cast("int") * 4
+        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
+        + (F.element_at("embedding", 3) >= 0).cast("int")
+    )
+    cells = emb.select("vec_id", "embedding", cell.alias("cell"))
+    q = cells.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    n = cells.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("cell").alias("ncell"),
+    )
+    sim = _dot_col("qe", "ne") / (_norm_col("qe") * _norm_col("ne"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(n, (F.col("qcell") == F.col("ncell")) & (F.col("neighbor_id") != F.col("query_id")))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
