@@ -145,6 +145,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     applies when it materializes TIMESTAMP_NS to Python datetimes, so both
     engines see identical values.
     """
+    from ai_to_cvent_etl_spark.session import ensure_worker_imports
+
+    ensure_worker_imports(spark)
     if name == "events":
         from pyspark.sql import functions as F
 

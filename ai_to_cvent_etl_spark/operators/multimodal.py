@@ -1,0 +1,131 @@
+"""Multimodal column support: opaque binary payloads + typed metadata.
+
+The engine treats images/audio/video as `binary` columns accompanied by a
+typed metadata struct, processed with Arrow-batched `mapInPandas` — the
+decode step itself is pluggable. In this environment no media libraries are
+installed, so the real decoders are import-gated stubs raising
+``NotImplementedError``; the Spark-side plumbing (schemas, batch iteration,
+partitioning, UDF signatures) is real and tested with a deterministic fake
+(byte-bucket histogram "features").
+
+100 TB design notes:
+  * Payloads stay opaque bytes end-to-end: no shuffle ever moves decoded
+    frames, only compact feature vectors. Feature extraction is a map-only
+    stage — scale by adding executors; `spark.sql.files.maxPartitionBytes`
+    bounds per-task memory since payloads ride in the scanned row group.
+  * `mapInPandas` streams Arrow record batches; peak executor memory is one
+    batch of payloads + one batch of features, independent of partition size.
+  * Metadata (media_type, n_bytes, dims) is columnar and filterable WITHOUT
+    touching payload bytes — predicate pushdown on metadata prunes row
+    groups before any byte is read (parquet column chunks are lazy).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Callable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+N_FEATURE_BUCKETS = 8  # byte-value buckets of width 32 (0..255)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(LongType())),
+        StructField("top_bucket", LongType()),
+    ]
+)
+
+PAYLOAD_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Attach a deterministic binary payload column to the documents table.
+
+    In a real pipeline the payload is read from the source system (S3 object,
+    BLOB column, tar shard); here the utf-8 encoding of ``text`` stands in —
+    byte-exact and reproducible, so every downstream op is oracle-checkable.
+    """
+    return docs.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub by design
+    """Decode an image payload to HxWxC pixels. Requires a real image
+    library (PIL/opencv), not installed in this environment."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv; wire a decoder via extract_features(decoder=...)"
+    )
+
+
+def decode_audio(payload: bytes):  # pragma: no cover - stub by design
+    """Decode audio to a waveform array. Requires librosa/soundfile."""
+    raise NotImplementedError("audio decode requires librosa/soundfile")
+
+
+def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
+    """Sample every-nth frame from a video payload. Requires ffmpeg/opencv."""
+    raise NotImplementedError("frame sampling requires ffmpeg/opencv")
+
+
+def _byte_histogram(payload: bytes) -> list[int]:
+    """Deterministic fake 'feature extractor': 8-bucket byte-value histogram.
+    Stands in for an embedding model; same shape (fixed-length vector)."""
+    counts = [0] * N_FEATURE_BUCKETS
+    for b in payload:
+        counts[b // 32] += 1
+    return counts
+
+
+def extract_features(
+    with_payload: DataFrame,
+    decoder: Callable[[bytes], list[int]] = _byte_histogram,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas.
+
+    ``decoder`` maps payload bytes -> fixed-length int vector; the default is
+    the deterministic byte-histogram fake. Swap in a real model/decoder at
+    deployment — the plumbing (batch iteration, schema, memory shape) is
+    identical.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf["payload"].map(lambda p: decoder(bytes(p)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["payload"].map(len).astype("int64"),
+                    "features": feats,
+                    "top_bucket": feats.map(
+                        # argmax with lowest-index tie-break — deterministic
+                        lambda v: max(range(len(v)), key=lambda i: (v[i], -i))
+                    ).astype("int64"),
+                }
+            )
+
+    return with_payload.mapInPandas(_extract, FEATURE_SCHEMA)

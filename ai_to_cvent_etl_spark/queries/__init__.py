@@ -8,6 +8,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     functions,
     joins,
     llm_text,
+    multimodal,
     scans,
     setops,
     streaming_batch,

@@ -1,0 +1,80 @@
+"""Multimodal column queries (north-star extension, M1-M2).
+
+M1 pins the opaque-binary + typed-metadata data model (payload bytes never
+interpreted, metadata computed engine-side). M2 pins the Arrow-batched
+`mapInPandas` feature-extraction path end-to-end against a SQL oracle — the
+deterministic byte-histogram fake stands in for a real decoder/model
+(operators/multimodal.py), so the whole Python boundary (batch iteration,
+schema, arrow round-trip) is hash-checked, not just smoke-tested.
+
+Oracle note: document text is pure 7-bit ASCII (probed at every sf), so the
+char-codepoint histogram DuckDB computes equals the byte histogram the
+extractor computes over the utf-8 payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.operators.multimodal import attach_payload, extract_features
+from ai_to_cvent_etl_spark.registry import register
+
+
+@register(
+    "q_multimodal_meta",
+    oracle="""
+        SELECT doc_id,
+               'text/plain' AS media_type,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS payload_md5
+        FROM documents
+    """,
+    section="M1",
+    doc="Binary payload metadata: byte length + md5 digest computed on the "
+    "opaque payload column; payload bytes never decoded. Row-local.",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = attach_payload(docs)
+    return p.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+
+
+@register(
+    "q_multimodal_features",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id, n_bytes,
+                   list_transform(range(0, 8),
+                       b -> CAST(len(list_filter(cs, v -> v // 32 = b)) AS BIGINT))
+                       AS features
+            FROM chars
+        )
+        SELECT doc_id,
+               'text/plain' AS media_type,
+               CAST(n_bytes AS BIGINT) AS n_bytes,
+               features,
+               CAST(list_position(features, list_max(features)) - 1 AS BIGINT)
+                   AS top_bucket
+        FROM h
+    """,
+    section="M2",
+    doc="Arrow-batched mapInPandas feature extraction over binary payloads "
+    "(deterministic byte-histogram fake decoder); map-only stage, oracle-"
+    "checked through the full Python/Arrow boundary.",
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_payload(docs))

@@ -10,8 +10,38 @@ default dominates wall-time; on a real cluster this is overridden per-job).
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Declared queries carry Python UD*F / mapInPandas closures that cloudpickle
+    serializes BY REFERENCE (they are module-level objects of an importable
+    package), so every worker must be able to ``import ai_to_cvent_etl_spark``.
+    The driver that invokes ``__spark_entry__`` owns the SparkSession and may
+    run from any cwd, so we distribute a zip of the package exactly as a real
+    cluster deployment would (``spark-submit --py-files``). Idempotent per
+    application."""
+    ctx = spark.sparkContext
+    app_id = ctx.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    tmp = tempfile.mkdtemp(prefix="ai_to_cvent_etl_spark_pyfiles_")
+    zip_path = shutil.make_archive(
+        os.path.join(tmp, "ai_to_cvent_etl_spark"),
+        "zip",
+        root_dir=os.path.dirname(pkg_dir),
+        base_dir=os.path.basename(pkg_dir),
+    )
+    ctx.addPyFile(zip_path)
+    _SHIPPED_APPS.add(app_id)
 
 
 def get_spark(
