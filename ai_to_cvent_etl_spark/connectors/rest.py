@@ -1,0 +1,114 @@
+"""REST batch sink: load records into an HTTP API from the executors (S7).
+
+The "load into a SaaS API" leg of the reference ETL, Spark-first:
+``foreachPartition`` posts fixed-size JSON batches directly from executor
+tasks — the driver never materializes the data, so throughput scales with
+executor count and the API's rate limit, not driver memory.
+
+The transport is injectable. Production wires an HTTP client with retry/
+backoff; this environment has no network, so ``LocalFileTransport`` (append
+batches to local JSON-lines files) stands in and the batching logic is fully
+tested offline.
+
+Scale notes:
+  * batch_size bounds per-request payload; one partition = one connection —
+    repartition upstream to match the API's concurrency budget.
+  * Transports receive an explicit flush per partition end, so partial
+    batches are never lost.
+  * Idempotency: batches carry (partition_id, batch_index) so a retried task
+    (Spark re-runs failed tasks) can be deduplicated server-side.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Callable
+
+from pyspark.sql import DataFrame
+
+
+class LocalFileTransport:
+    """Network-free transport fake: appends each batch as one JSON line to a
+    per-partition file under ``out_dir``. Deterministic and inspectable."""
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+
+    def send(self, partition_id: int, batch_index: int, records: list[dict]) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        path = os.path.join(self.out_dir, f"partition_{partition_id:05d}.jsonl")
+        with open(path, "a", encoding="utf-8") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "partition_id": partition_id,
+                        "batch_index": batch_index,
+                        "n_records": len(records),
+                        "records": records,
+                    },
+                    sort_keys=True,
+                    default=str,
+                )
+                + "\n"
+            )
+
+
+class RestBatchSink:
+    """Batched executor-side sink over an injectable transport."""
+
+    def __init__(
+        self,
+        transport_factory: Callable[[], object],
+        batch_size: int = 100,
+    ):
+        self.transport_factory = transport_factory
+        self.batch_size = batch_size
+
+    def write(self, df: DataFrame) -> None:
+        batch_size = self.batch_size
+        factory = self.transport_factory
+        columns = df.columns
+
+        def _send_partition(it):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            transport = factory()
+            buf: list[dict] = []
+            batch_index = 0
+            for row in it:
+                buf.append(dict(zip(columns, row)))
+                if len(buf) >= batch_size:
+                    transport.send(pid, batch_index, buf)
+                    batch_index += 1
+                    buf = []
+            if buf:  # explicit final flush — partial batches are never lost
+                transport.send(pid, batch_index, buf)
+
+        df.foreachPartition(_send_partition)
+
+
+def run_events_to_rest_pipeline(
+    spark, sf_dir: str, out_dir: str | None = None, batch_size: int = 100
+) -> str:
+    """End-to-end ETL demo: extract events, normalize, load via REST sink.
+    Returns the transport output dir for inspection."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    out = out_dir or os.path.join("/tmp", f"rest_sink_{uuid.uuid4().hex[:8]}")
+    events = load_table(spark, sf_dir, "events")
+    normalized = events.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        F.upper("event_type").alias("event_type"),
+        F.round(F.col("value"), 2).alias("value"),
+    )
+    RestBatchSink(lambda: LocalFileTransport(out), batch_size=batch_size).write(
+        normalized
+    )
+    return out

@@ -1,0 +1,131 @@
+"""Streaming jobs: the readStream twins of the declared batch queries.
+
+Stream-table duality (SURVEY §2.11): each transformation here computes the
+same result as its batch twin when the stream is a bounded file replay; the
+tests assert set-equality against the batch builders.
+
+100 TB / production design notes:
+  * Sources: file replay here; in production the same transformations bind to
+    Kafka/Kinesis sources — the logical plan is source-agnostic.
+  * Watermarks bound state: every aggregation carries `withWatermark` so the
+    state store evicts closed windows; without it state grows unboundedly.
+  * `availableNow` trigger = incremental batch: replays the backlog through
+    the streaming engine with bounded per-trigger work, then stops — the
+    idiomatic pattern for periodic ETL over an append-only table.
+  * State store: RocksDB-backed in production (config, not code); per-key
+    state for sessionization/dedup shuffles on the key exactly once.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ai_to_cvent_etl_spark.io import SCHEMAS, load_table
+
+
+def replay_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Materialize the events table as ``n_chunks`` parquet files in a temp
+    dir — a deterministic replayable stream source."""
+    out = tempfile.mkdtemp(prefix=f"events_replay_{uuid.uuid4().hex[:8]}_")
+    events = load_table(spark, sf_dir, "events")
+    events.repartition(n_chunks).write.mode("overwrite").parquet(out)
+    return out
+
+
+def read_events_stream(
+    spark: SparkSession, src_dir: str, files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source readStream over a replay dir, micro-batching
+    ``files_per_trigger`` files at a time."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", files_per_trigger)
+        .parquet(src_dir)
+    )
+
+
+def tumbling_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_stream_tumbling (ST1)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DecimalType(12, 2)))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value"
+        )
+    )
+
+
+def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_stream_sliding (ST2)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_windows(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Streaming sessionization via session_window (ST3's streaming twin).
+
+    Semantics note: session_window merges events whose gaps are < gap, as
+    does the batch gaps-and-islands form (strict > gap starts a new session);
+    the duality test compares (user_id, session_start, session_end, n_events)
+    sets."""
+    return (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """ST5: streaming exact dedup on event_id, state bounded by the watermark."""
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    table_suffix: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Drive a bounded streaming query to completion through the memory sink
+    and return the materialized result table.
+
+    Pass the same ``checkpoint_dir`` across calls for incremental runs: the
+    second run resumes source offsets AND watermark state from the
+    checkpoint — the availableNow incremental-ETL pattern."""
+    name = f"stream_out_{table_suffix or uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint_dir or tempfile.mkdtemp(prefix=f"ckpt_{name}_"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return sdf.sparkSession.table(name)

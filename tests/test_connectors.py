@@ -1,0 +1,120 @@
+"""Connector tier tests: S4 CSV round-trip, S5 JSON round-trip, S6 partitioned
+parquet sink + partition pruning, S7 REST batch sink (file-transport fake) and
+JDBC config wrappers."""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from tests.conftest import SF0001
+
+
+def _events(spark, n=200):
+    from ai_to_cvent_etl_spark.io import load_table
+
+    return load_table(spark, SF0001, "events").orderBy("event_id").limit(n)
+
+
+def _as_set(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_s4_csv_roundtrip(spark, tmp_path):
+    from ai_to_cvent_etl_spark.connectors import read_csv, write_csv
+
+    df = _events(spark)
+    path = str(tmp_path / "events_csv")
+    write_csv(df, path)
+    back = read_csv(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert _as_set(back) == _as_set(df)
+
+
+def test_s5_json_roundtrip(spark, tmp_path):
+    from ai_to_cvent_etl_spark.connectors import read_json, write_json
+
+    df = _events(spark)
+    path = str(tmp_path / "events_json")
+    write_json(df, path)
+    back = read_json(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert _as_set(back) == _as_set(df)
+
+
+def test_s6_partitioned_parquet_sink_prunes(spark, tmp_path):
+    from ai_to_cvent_etl_spark.connectors import read_parquet, write_parquet
+    from ai_to_cvent_etl_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    path = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, path, partition_by=["lang"])
+
+    # hive-style layout exists
+    langs = {os.path.basename(p) for p in glob.glob(os.path.join(path, "lang=*"))}
+    assert langs == {f"lang={l}" for l in ("de", "en", "es", "fr", "zh")}
+
+    back = read_parquet(spark, path)
+    pruned = back.filter(back.lang == "en")
+    # partition filter prunes directories: the physical plan carries it as a
+    # partition filter, not a data filter
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert pruned.count() == docs.filter(docs.lang == "en").count()
+    # round-trip values (column order changes under partitionBy; realign)
+    cols = docs.columns
+    assert _as_set(back.select(*cols)) == _as_set(docs)
+
+
+def test_s7_rest_sink_batches(spark, tmp_path):
+    from ai_to_cvent_etl_spark.connectors.rest import run_events_to_rest_pipeline
+
+    out = str(tmp_path / "rest_out")
+    run_events_to_rest_pipeline(spark, SF0001, out_dir=out, batch_size=64)
+
+    batches = []
+    for path in glob.glob(os.path.join(out, "partition_*.jsonl")):
+        with open(path, encoding="utf-8") as f:
+            batches.extend(json.loads(line) for line in f)
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    n_events = load_table(spark, SF0001, "events").count()
+    assert sum(b["n_records"] for b in batches) == n_events
+    assert all(b["n_records"] <= 64 for b in batches)
+    # batch indices are contiguous per partition (flush logic is ordered)
+    by_pid: dict[int, list[int]] = {}
+    for b in batches:
+        by_pid.setdefault(b["partition_id"], []).append(b["batch_index"])
+    for idxs in by_pid.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+    # records carry the normalized shape
+    rec = batches[0]["records"][0]
+    assert set(rec) == {"event_id", "ts", "user_id", "event_type", "value"}
+    assert rec["event_type"].isupper()
+
+
+def test_s7_jdbc_wrappers_configure(spark):
+    from ai_to_cvent_etl_spark.connectors import jdbc_reader, jdbc_writer
+    from ai_to_cvent_etl_spark.io import load_table
+
+    r = jdbc_reader(
+        spark,
+        url="jdbc:postgresql://db.example/warehouse",
+        table="public.orders",
+        partition_column="o_orderkey",
+        lower_bound=0,
+        upper_bound=1_000_000,
+        num_partitions=16,
+    )
+    # reader is configured and loadable-shaped; no database to .load() here
+    assert r is not None
+
+    w = jdbc_writer(
+        load_table(spark, SF0001, "orders").limit(1),
+        url="jdbc:postgresql://db.example/warehouse",
+        table="public.orders_out",
+        batch_size=500,
+    )
+    assert w is not None

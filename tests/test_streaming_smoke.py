@@ -1,0 +1,222 @@
+"""Streaming smoke tier (SURVEY §2.11 ST1-ST6).
+
+ST1-ST3: stream-table duality — the readStream twins replayed from files must
+equal the declared batch forms. ST4: watermark drops late data. ST5:
+streaming dedup within watermark. ST6: stateful per-key running aggregate
+via applyInPandasWithState.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pandas as pd
+import pytest
+
+from tests.conftest import SF0001
+
+GAP_US = 600_000_000  # 10 minutes
+
+
+@pytest.fixture(scope="module")
+def replay(spark):
+    from ai_to_cvent_etl_spark.streaming.jobs import replay_dir
+
+    return replay_dir(spark, SF0001, n_chunks=4)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_st1_tumbling_duality(spark, replay, registry):
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        tumbling_counts,
+    )
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2)
+    got = run_available_now(
+        tumbling_counts(stream), output_mode="complete", table_suffix="st1"
+    )
+    want = registry["q_stream_tumbling"].builder(spark, SF0001)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_st2_sliding_duality(spark, replay, registry):
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        sliding_counts,
+    )
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2)
+    got = run_available_now(
+        sliding_counts(stream), output_mode="complete", table_suffix="st2"
+    )
+    want = registry["q_stream_sliding"].builder(spark, SF0001)
+    cols = ["window_start", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_st3_session_duality(spark, replay, registry):
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        session_windows,
+    )
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2)
+    got = run_available_now(
+        session_windows(stream), output_mode="complete", table_suffix="st3"
+    )
+    want = registry["q_stream_session"].builder(spark, SF0001)
+    # streaming session_window end = last event + gap; batch end = last event
+    got_rows = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in got.collect()
+    )
+    want_rows = sorted(
+        (r["user_id"], r["session_start"], r["n_events"]) for r in want.collect()
+    )
+    assert got_rows == want_rows
+
+
+def _write_event_file(path: str, rows: list[tuple]) -> None:
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(path)
+    time.sleep(1.1)  # distinct mtimes => deterministic file-source order
+
+
+def test_st4_watermark_drops_late_rows(spark, tmp_path):
+    """Two incremental availableNow runs over one checkpoint: run 1 ingests
+    the on-time data and persists watermark 11:50; run 2 sees only a late row
+    for the already-closed 10:00 window and must drop it."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "replay")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(d)
+    # run 1: five rows in window [10:00, 10:10) + one at 12:00 -> wm = 11:50
+    _write_event_file(
+        os.path.join(d, "a.parquet"),
+        [(i, f"2024-01-01 10:0{i}:00", 1, "a", 1.0, "{}") for i in range(5)],
+    )
+    _write_event_file(
+        os.path.join(d, "b.parquet"), [(6, "2024-01-01 12:00:00", 1, "a", 1.0, "{}")]
+    )
+
+    out = str(tmp_path / "out")
+
+    def run_once():
+        stream = read_events_stream(spark, d, files_per_trigger=1)
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("window_start"), "n")
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+
+    # run 2: a LATE row for the closed window arrives -> dropped; the closed
+    # window is emitted with exactly the 5 on-time rows.
+    _write_event_file(
+        os.path.join(d, "c.parquet"), [(7, "2024-01-01 10:02:30", 1, "a", 1.0, "{}")]
+    )
+    run_once()
+    rows = {
+        r["window_start"].isoformat(): r["n"] for r in spark.read.parquet(out).collect()
+    }
+    assert rows == {"2024-01-01T10:00:00": 5}
+
+
+def test_st5_dedup_within_watermark(spark, tmp_path):
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        dedup_within_watermark,
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = str(tmp_path / "dupes")
+    os.makedirs(d)
+    _write_event_file(
+        os.path.join(d, "a.parquet"),
+        [(i, "2024-01-01 10:00:00", 1, "a", 1.0, "{}") for i in (1, 2, 3)],
+    )
+    _write_event_file(
+        os.path.join(d, "b.parquet"),
+        [(i, "2024-01-01 10:01:00", 1, "a", 1.0, "{}") for i in (2, 3, 4)],
+    )
+    stream = read_events_stream(spark, d, files_per_trigger=1)
+    got = run_available_now(
+        dedup_within_watermark(stream), output_mode="append", table_suffix="st5"
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2, 3, 4]
+
+
+def test_st6_stateful_running_aggregate(spark, replay):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ai_to_cvent_etl_spark.io import load_table
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    def running_count(key, pdfs, state: GroupState):
+        (cnt,) = state.get if state.exists else (0,)
+        for pdf in pdfs:
+            cnt += len(pdf)
+        state.update((cnt,))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [cnt]})
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2).filter(
+        "user_id < 20"
+    )
+    sdf = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        outputStructType="user_id bigint, n_events bigint",
+        stateStructType="cnt bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    got = run_available_now(sdf, output_mode="update", table_suffix="st6")
+    # last emitted running count per user == batch count
+    from pyspark.sql import functions as F
+
+    final = {
+        r["user_id"]: r["n_events"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["cnt"]
+        for r in load_table(spark, SF0001, "events")
+        .filter("user_id < 20")
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "cnt")
+        .collect()
+    }
+    assert final == want
