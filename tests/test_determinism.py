@@ -1,0 +1,58 @@
+"""Determinism under repartitioning (SURVEY §5.2): run order-sensitive
+declared queries with very different shuffle-partition counts and assert
+identical multisets — catches partial-agg-order and window-tie bugs, the #1
+hash-mismatch cause."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from tests.conftest import SF0001
+from tests.harness import _canon
+
+# Queries whose plans involve ordering, ranking, folds, or float aggregation —
+# the ones that could silently depend on partitioning.
+RISKY = [
+    "q_agg_groupby_pricing",
+    "q_agg_stats",
+    "q_agg_collect_sorted",
+    "q_win_topk_per_group",
+    "q_win_running_sum",
+    "q_order_limit_topk",
+    "q_dedup_exact",
+    "q_dedup_near_jaccard",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_ann_ivf_topk",
+    "q_vec_cosine_topk",
+    "q_vec_centroid_norm",
+    "q_join_asof",
+    "q_stream_session",
+    "q_udaf_gmean",
+    "q_multimodal_features",
+    "q_text_fingerprint",
+    "q_text_wordcount",
+]
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    idx = [df.columns.index(c) for c in cols]
+    return Counter(tuple(_canon(row[i]) for i in idx) for row in df.collect())
+
+
+@pytest.mark.parametrize("key", RISKY)
+def test_partitioning_invariance(spark, registry, key):
+    spec = registry[key]
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = _multiset(spec.builder(spark, SF0001))
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = _multiset(spec.builder(spark, SF0001))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
+    assert a == b, f"{key} output depends on partitioning"

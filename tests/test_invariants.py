@@ -1,0 +1,106 @@
+"""Oracle-free algebraic invariants (SURVEY §5.2): relations that must hold
+between operators regardless of data, checked on the fixed sf0.001 tables."""
+
+from __future__ import annotations
+
+from tests.conftest import SF0001
+
+
+def test_union_all_counts_add(spark, registry):
+    from ai_to_cvent_etl_spark.io import load_table
+
+    orders = load_table(spark, SF0001, "orders")
+    a = orders.filter("o_orderstatus = 'F'")
+    b = orders.filter("o_totalprice > 100000")
+    assert a.unionByName(b).count() == a.count() + b.count()
+
+
+def test_semi_plus_anti_partition_customers(spark):
+    from ai_to_cvent_etl_spark.io import load_table
+
+    customer = load_table(spark, SF0001, "customer")
+    orders = load_table(spark, SF0001, "orders")
+    cond = customer.c_custkey == orders.o_custkey
+    semi = customer.join(orders, cond, "left_semi")
+    anti = customer.join(orders, cond, "left_anti")
+    assert semi.count() + anti.count() == customer.count()
+    assert semi.intersect(anti).count() == 0
+
+
+def test_topk_is_prefix_of_full_sort(spark, registry):
+    full = (
+        registry["q_scan_parquet"]
+        .builder(spark, SF0001)
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+    from ai_to_cvent_etl_spark.io import load_table
+
+    orders = load_table(spark, SF0001, "orders")
+    top10 = registry["q_order_limit_topk"].builder(spark, SF0001).collect()
+    full_sorted = orders.orderBy(
+        orders.o_totalprice.desc(), orders.o_orderkey.asc()
+    ).limit(len(top10)).collect()
+    assert [r["o_orderkey"] for r in top10] == [r["o_orderkey"] for r in full_sorted]
+
+
+def test_jaccard_bounds_and_key_order(spark, registry):
+    rows = registry["q_dedup_near_jaccard"].builder(spark, SF0001).collect()
+    assert rows, "expected some near-dup pairs in the synthetic corpus"
+    for r in rows:
+        assert 0.8 <= r["jaccard"] <= 1.0
+        assert r["doc_lo"] < r["doc_hi"]
+
+
+def test_minhash_lsh_candidates_subset_of_bruteforce(spark, registry):
+    """LSH verify-stage output = brute-force pairs ∩ LSH candidates: every
+    emitted pair must appear in the brute-force result with equal jaccard
+    (precision 1.0 by construction; recall < 1 is the LSH trade-off)."""
+    brute = {
+        (r["doc_lo"], r["doc_hi"]): r["jaccard"]
+        for r in registry["q_dedup_near_jaccard"].builder(spark, SF0001).collect()
+    }
+    lsh = {
+        (r["doc_lo"], r["doc_hi"]): r["jaccard"]
+        for r in registry["q_dedup_minhash_lsh"].builder(spark, SF0001).collect()
+    }
+    assert set(lsh).issubset(set(brute))
+    assert all(brute[p] == j for p, j in lsh.items())
+    # and on this corpus recall should be high (>= 90%)
+    assert len(lsh) >= 0.9 * len(brute)
+
+
+def test_ann_matches_bruteforce_within_cell(spark, registry):
+    """Bucketed ANN top-3 must equal the brute-force top-5 restricted to the
+    query's cell, truncated to 3 — for queries whose top-3 stay in-cell the
+    ids must match exactly."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    ann = registry["q_ann_ivf_topk"].builder(spark, SF0001).collect()
+    by_query: dict[int, list[int]] = {}
+    for r in sorted(ann, key=lambda r: (r["query_id"], r["rank"])):
+        by_query.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_query) == set(range(10))
+    assert all(len(v) == 3 for v in by_query.values())
+
+    emb = load_table(spark, SF0001, "embeddings")
+    cell = (
+        (F.element_at("embedding", 1) >= 0).cast("int") * 4
+        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
+        + (F.element_at("embedding", 3) >= 0).cast("int")
+    )
+    cells = {r["vec_id"]: r["c"] for r in emb.select("vec_id", cell.alias("c")).collect()}
+    for q, neighbors in by_query.items():
+        assert all(cells[n] == cells[q] for n in neighbors)
+
+
+def test_simhash_groups_are_consistent(spark, registry):
+    rows = registry["q_dedup_simhash"].builder(spark, SF0001).collect()
+    by_hash: dict[int, list[int]] = {}
+    for r in rows:
+        by_hash.setdefault(r["simhash"], []).append(r["doc_id"])
+        assert 0 <= r["simhash"] < (1 << 16)
+    reps = {r["simhash"]: r["group_rep"] for r in rows}
+    for h, docs in by_hash.items():
+        assert reps[h] == min(docs)
