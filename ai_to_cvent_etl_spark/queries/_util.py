@@ -40,3 +40,17 @@ def disc_price() -> Column:
 ORACLE_DISC_PRICE = (
     "CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))"
 )
+
+
+def fan_out(df):
+    """Spread a small scan across all cores before an explosive operator.
+
+    Parallelism of a stage is bounded by its input partition count. A
+    pair-generating operator (self-join, explode) can multiply a megabyte
+    input by 1000x — but a megabyte input is ONE parquet split, so without
+    this the whole explosion runs on one task. At 100 TB the scan itself
+    yields thousands of splits and Catalyst/AQE handle it; for explode-heavy
+    SMALL inputs the fan-out must be explicit. Sized by cluster config
+    (defaultParallelism), not a constant."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)

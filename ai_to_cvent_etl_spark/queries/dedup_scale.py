@@ -84,48 +84,59 @@ def _mh_duck(i: int) -> str:
     "Jaccard >= 0.8 verify. Row-local signatures; shuffle only on band keys.",
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    toks = fan_out(
+        docs.select(
+            "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+        )
     )
     sig = toks.select(
-        "doc_id", *[F.expr(_mh_spark(i)).alias(f"mh{i}") for i in range(_N_PERM)]
+        "doc_id",
+        "ts",
+        F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        F.expr(_mh_spark(2 * b)), F.expr(_mh_spark(2 * b + 1))
+                    )
+                )
+                for b in range(_N_BANDS)
+            ]
+        ).alias("bks"),
     )
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(F.concat(F.col(f"mh{2 * b}"), F.col(f"mh{2 * b + 1}"))).alias(
-                    "bkey"
-                ),
-            )
-            for b in range(_N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    # token arrays and ALL band keys ride along the explode, so (a) the
+    # verify is row-local (no rejoin) and (b) a pair colliding in several
+    # bands is emitted ONLY from its lowest matching band — no pair-distinct
+    # shuffle. The whole query is shuffle-free after the fan-out.
+    bands = sig.select(
+        "doc_id", "ts", "bks", F.posexplode("bks").alias("band", "bkey")
     )
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    first_collision = F.lit(True)
+    for j in range(_N_BANDS - 1):
+        first_collision = first_collision & (
+            (F.col("a.band") <= j)
+            | (F.element_at(F.col("a.bks"), j + 1) != F.element_at(F.col("b.bks"), j + 1))
         )
-        .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
-        .distinct()
-    )
-    ta = toks.select(F.col("doc_id").alias("doc_lo"), F.col("ts").alias("ts_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_hi"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    jac = inter.cast("double") / (
-        F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - inter
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bkey") == F.col("b.bkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).filter(first_collision)
+    verified = pairs.select(
+        F.col("a.doc_id").alias("doc_lo"),
+        F.col("b.doc_id").alias("doc_hi"),
+        F.col("a.ts").alias("ts_a"),
+        F.col("b.ts").alias("ts_b"),
+    ).withColumn("i", F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))))
+    jac = F.col("i").cast("double") / (
+        F.size(F.col("ts_a")) + F.size(F.col("ts_b")) - F.col("i")
     )
     return (
-        cand.join(ta, "doc_lo")
-        .join(tb, "doc_hi")
-        .filter(jac >= 0.8)
+        verified.filter(jac >= 0.8)
         .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -159,7 +170,9 @@ _N_BITS = 16  # simhash width
     "hashes, hashed once per doc) + dup-group representative by fingerprint.",
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     h = docs.select(
         "doc_id",
         F.expr(
@@ -230,21 +243,27 @@ def _norm_col(a: str) -> Column:
     "rounded value (drift-safe).",
 )
 def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_lo"), F.col("label"), F.col("embedding").alias("ea")
+    # norms computed ONCE per vector before the pair join (not per pair):
+    # O(n) sqrt-folds instead of O(pairs)
+    a = fan_out(
+        emb.select(
+            F.col("vec_id").alias("vec_lo"),
+            F.col("label"),
+            F.col("embedding").alias("ea"),
+        ).withColumn("na", _norm_col("ea"))
     )
     b = emb.select(
         F.col("vec_id").alias("vec_hi"),
         F.col("label").alias("label_b"),
         F.col("embedding").alias("eb"),
-    )
-    cos = F.round(
-        _dot_col("ea", "eb") / (_norm_col("ea") * _norm_col("eb")), 4
-    )
+    ).withColumn("nb", _norm_col("eb"))
+    cos = F.round(_dot_col("ea", "eb") / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("label") == F.col("label_b")) & (F.col("vec_lo") < F.col("vec_hi")),
         )
         .withColumn("cosine", cos)
@@ -288,18 +307,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.element_at("embedding", 2) >= 0).cast("int") * 2
         + (F.element_at("embedding", 3) >= 0).cast("int")
     )
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     cells = emb.select("vec_id", "embedding", cell.alias("cell"))
     q = cells.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("cell").alias("qcell"),
+    ).withColumn("nq", _norm_col("qe"))
+    n = fan_out(
+        cells.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.col("cell").alias("ncell"),
+        ).withColumn("nn", _norm_col("ne"))
     )
-    n = cells.select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("ne"),
-        F.col("cell").alias("ncell"),
-    )
-    sim = _dot_col("qe", "ne") / (_norm_col("qe") * _norm_col("ne"))
+    sim = _dot_col("qe", "ne") / (F.col("nq") * F.col("nn"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )

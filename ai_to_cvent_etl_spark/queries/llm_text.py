@@ -216,7 +216,9 @@ def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "1-permutation MinHash for coarse dedup bucketing at scale.",
 )
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     hashes = F.expr(
         "transform(slice(split(text, ' '), 1, greatest(size(split(text, ' ')) - 2, 1)),"
         " (x, i) -> md5(concat(x, ' ',"

@@ -76,5 +76,9 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "checked through the full Python/Arrow boundary.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberately NO repartition before mapInPandas: that would shuffle the
+    # binary payloads (the heaviest bytes in the pipeline). At scale the
+    # parquet scan's own splits parallelize the map stage; payload bytes
+    # should only ever move scan -> task.
     docs = load_table(spark, sf_dir, "documents")
     return extract_features(attach_payload(docs))

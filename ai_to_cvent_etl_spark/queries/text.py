@@ -155,33 +155,50 @@ def q_text_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE i / (sa.sz + sb.sz - i) >= 0.8
     """,
     section="T5",
-    doc="Near-duplicate pairs by token-set Jaccard >= 0.8 (brute-force truth; "
-    "MinHash-LSH in operators/dedup.py is the 100 TB candidate-pruning path).",
+    doc="Near-duplicate pairs by token-set Jaccard >= 0.8 — exact, with the "
+    "SSJoin/PPJoin prefix-filtering optimization: a pair with J >= t must "
+    "share a token inside both docs' (|x| - ceil(t*|x|) + 1)-length prefixes "
+    "under a global token order, so only prefixes are exploded/joined and "
+    "the verify is a row-local array_intersect. Result provably identical "
+    "to the full brute-force join the oracle runs.",
 )
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split(F.col("text"), " "))).alias("tok")
+    toks = fan_out(
+        docs.select(
+            "doc_id",
+            F.sort_array(F.array_distinct(F.split(F.col("text"), " "))).alias("ts"),
+        )
     )
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.alias("a")
-    b = tok.alias("b")
-    inter = (
+    # prefix-filtering principle (t = 0.8): prefix length |x| - ceil(t|x|) + 1
+    prefix_len = F.size("ts") - F.ceil(F.size("ts") * F.lit(0.8)).cast("int") + 1
+    pref = toks.select(
+        "doc_id", F.explode(F.slice("ts", F.lit(1), prefix_len)).alias("tok")
+    )
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
-            b,
+            F.broadcast(b),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
-        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_lo"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_hi"), F.col("sz").alias("sz_b"))
-    jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    ta = toks.select(F.col("doc_id").alias("doc_lo"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_hi"), F.col("ts").alias("ts_b"))
+    verified = (
+        cand.join(F.broadcast(ta), "doc_lo")
+        .join(F.broadcast(tb), "doc_hi")
+        .withColumn(
+            "i", F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast("double")
+        )
+    )
+    jac = F.col("i") / (F.size("ts_a") + F.size("ts_b") - F.col("i"))
     return (
-        inter.join(sa, "doc_lo")
-        .join(sb, "doc_hi")
-        .filter(jac >= 0.8)
+        verified.filter(jac >= 0.8)
         .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
     )
 

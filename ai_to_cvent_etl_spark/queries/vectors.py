@@ -104,12 +104,19 @@ def q_vec_centroid_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Brute-force cosine k-NN for 10 query vectors; ids+rank output only.",
 )
 def q_vec_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms once per vector (O(n)), not once per pair (O(n*k))
     q = emb.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).withColumn("q_norm", F.sqrt(_sq_norm("q_emb")))
+    n = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb")
+        ).withColumn("n_norm", F.sqrt(_sq_norm("n_emb")))
     )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
-    sim = _dot("q_emb", "n_emb") / (F.sqrt(_sq_norm("q_emb")) * F.sqrt(_sq_norm("n_emb")))
+    sim = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
         F.broadcast(q)
