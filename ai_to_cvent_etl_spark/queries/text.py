@@ -8,7 +8,7 @@ Scale design notes:
   * T4 keyword scoring is a pure row-local array filter (broadcast-free).
   * T5 brute-force Jaccard is the correctness oracle for near-dedup; its
     token self-join explodes on hot tokens at 100 TB — the scale path is
-    MinHash-LSH in operators/dedup.py (same semantics, candidate pruning).
+    MinHash-LSH in queries/dedup_scale.py (same semantics, candidate pruning).
 """
 
 from __future__ import annotations

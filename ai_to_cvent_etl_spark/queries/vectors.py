@@ -8,7 +8,8 @@ left-to-right; irrational outputs are rounded to 4dp (§5.3 rule 2).
 V3's output is ids+rank only — immune to float drift unless two similarities
 are within ~1e-12 of each other (vanishingly unlikely for random vectors).
 At 100 TB the brute-force cross join becomes block-partitioned broadcast k-NN
-(operators/similarity.py); this exact form stays as the correctness oracle.
+(queries/dedup_scale.py q_ann_ivf_topk); this exact form stays as the
+correctness oracle.
 """
 
 from __future__ import annotations
