@@ -43,7 +43,13 @@ def asof_join(
         F.lit(None).cast(
             right.select(payload.alias("p")).schema["p"].dataType
         ).alias("__right"),
-        (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
+        # the tiebreak is a RIGHT-side concern (which right row wins at equal
+        # ts); left rows carry null __right, so their relative order among
+        # peers cannot change the carried value — tie 0 is safe even when the
+        # tiebreak column doesn't exist on the left side.
+        (
+            F.col(tiebreak) if tiebreak and tiebreak in left.columns else F.lit(0)
+        ).cast("long").alias("__tie"),
     )
     r_tag = right.select(
         F.col(by).alias("__by"),

@@ -1,0 +1,92 @@
+"""Physical-plan regression tests: the scale design (SURVEY §4) encoded as
+assertions. A refactor that silently loses pushdown, pruning, a broadcast, or
+re-introduces a shuffle fails HERE, not in a 100 TB incident."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF001
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet(spark, registry):
+    plan = _plan(registry["q_scan_filter_pushdown"].builder(spark, SF001))
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_column_pruning_reaches_parquet(spark, registry):
+    plan = _plan(registry["q_scan_projection_pushdown"].builder(spark, SF001))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_star_join_broadcasts_all_dimensions(spark, registry):
+    """The flagship 5-way star join: every dimension side (orders, customer,
+    nation, region) must come in via broadcast — exactly one shuffle total
+    (the final group-by), never a fact-table join shuffle."""
+    plan = _plan(registry["q_join_star_5way"].builder(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    # the only Exchange is the aggregation's, not a join's
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_broadcast_hint_honored(spark, registry):
+    plan = _plan(registry["q_join_broadcast"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_minhash_has_no_pair_shuffle(spark, registry):
+    """The LSH band join, first-band dedup, and verify are all broadcast/
+    row-local: no Exchange may appear above the band-join subtree (only the
+    fan_out repartition below it)."""
+    plan = _plan(registry["q_dedup_minhash_lsh"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly the fan_out round-robin exchange, no hashpartitioning shuffles
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_topk_uses_take_ordered(spark, registry):
+    plan = _plan(registry["q_order_limit_topk"].builder(spark, SF001))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_whole_stage_codegen_covers_flagship(spark, registry):
+    # codegen spans only materialize in the final (non-adaptive) plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = _plan(registry["q_agg_groupby_pricing"].builder(spark, SF001))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # codegen'd operators print as "*(<stage>) <Op>" in the plan string
+    assert "*(1)" in plan and "*(2) HashAggregate" in plan, plan
+    assert "FileScan" in plan
+
+
+def test_no_python_udfs_in_hot_queries(spark, registry):
+    """Python evaluation nodes (BatchEvalPython / ArrowEvalPython / FlatMap*)
+    may only appear in the declared UD*F/multimodal surface."""
+    allowed = {
+        "q_udf_python",
+        "q_pandas_udf",
+        "q_udaf_gmean",
+        "q_udtf_split",
+        "q_multimodal_features",
+    }
+    offenders = []
+    for key, spec in registry.items():
+        if key in allowed:
+            continue
+        plan = _plan(spec.builder(spark, SF001))
+        if re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|PythonUDTF", plan):
+            offenders.append(key)
+    assert not offenders, offenders
