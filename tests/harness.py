@@ -34,6 +34,7 @@ _TYPE_COMPAT = {
     "array<double>": {"DOUBLE[]"},
     "array<string>": {"VARCHAR[]"},
     "array<bigint>": {"BIGINT[]"},
+    "array<int>": {"INTEGER[]"},
 }
 
 
