@@ -87,24 +87,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_to_cvent_etl_spark.queries._util import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = fan_out(
-        docs.select(
-            "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
-        )
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
     )
-    sig = toks.select(
-        "doc_id",
-        "ts",
-        F.array(
-            *[
-                F.md5(
-                    F.concat(
-                        F.expr(_mh_spark(2 * b)), F.expr(_mh_spark(2 * b + 1))
+    # fan_out AFTER the signature projection: the repartition exchange
+    # materializes the md5 signatures, so Catalyst cannot collapse the
+    # projection into the join and re-evaluate 8 minhash transforms per
+    # join-output row (millions) instead of per doc (thousands).
+    sig = fan_out(
+        toks.select(
+            "doc_id",
+            "ts",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.expr(_mh_spark(2 * b)), F.expr(_mh_spark(2 * b + 1))
+                        )
                     )
-                )
-                for b in range(_N_BANDS)
-            ]
-        ).alias("bks"),
+                    for b in range(_N_BANDS)
+                ]
+            ).alias("bks"),
+        )
     )
     # token arrays and ALL band keys ride along the explode, so (a) the
     # verify is row-local (no rejoin) and (b) a pair colliding in several
