@@ -143,9 +143,11 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc. Two key-shuffles + one broadcast; corpus scanned once.",
 )
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     docs = load_table(spark, sf_dir, "documents")
     tf = (
-        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        fan_out(docs).select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )

@@ -33,7 +33,9 @@ from ai_to_cvent_etl_spark.registry import register
     doc="Corpus word count, top-50 tokens (count desc, token asc tie-break).",
 )
 def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     return (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
         .groupBy("tok")
@@ -61,7 +63,9 @@ def q_text_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Bigram extraction via indexed array transform (no positional self-join).",
 )
 def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
     bigrams = F.expr(
         "transform(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),"
         " (x, i) -> concat(x, ' ', element_at(split(text, ' '), i + 2)))"

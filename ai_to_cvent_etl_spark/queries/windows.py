@@ -188,17 +188,25 @@ def q_win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT o_orderkey, o_totalprice,
                CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                    PARTITION BY o_orderpriority
                     ORDER BY o_totalprice
                     RANGE BETWEEN 1000 PRECEDING AND 1000 FOLLOWING
                ) AS DOUBLE) AS nearby_sum
         FROM orders
     """,
     section="W7",
-    doc="RANGE frame over a numeric ordering key (value-defined peer set).",
+    doc="RANGE frame over a numeric ordering key (value-defined peer set), "
+    "partition-bounded: an unpartitioned numeric range frame degenerates to "
+    "ONE sorted task at any scale (SCALE.md 'Windows'), so the declared form "
+    "carries a partition key like every production range-frame query should.",
 )
 def q_win_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy(F.col("o_totalprice")).rangeBetween(-1000, 1000)
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy(F.col("o_totalprice"))
+        .rangeBetween(-1000, 1000)
+    )
     return orders.select(
         "o_orderkey",
         "o_totalprice",
