@@ -10,8 +10,8 @@ Layout:
     io.py         explicit table schemas + parquet loaders + view registration
     registry.py   QuerySpec registry: every declared query + its DuckDB oracle
     queries/      SURVEY §2 operator inventory, one module per section
-    operators/    reusable engine operators (as-of join, dedup, similarity, ...)
-    sources/      connector surface (JDBC/REST interfaces + local-file fakes)
+    operators/    reusable engine operators (as-of join, skew salting, multimodal)
+    connectors/   CSV/JSON/Parquet + JDBC wrappers + executor-side REST sink
     streaming/    Structured Streaming twins of the batch queries
 """
 
