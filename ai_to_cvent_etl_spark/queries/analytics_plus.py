@@ -47,22 +47,28 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_percent_rank",
     oracle="""
         SELECT p_partkey,
-               ROUND(percent_rank() OVER w, 4) AS pct_rank,
-               ROUND(cume_dist() OVER w, 4) AS cume
+               ROUND(percent_rank() OVER w, 6) AS pct_rank,
+               ROUND(cume_dist() OVER w, 6) AS cume
         FROM part
         WINDOW w AS (ORDER BY p_retailprice, p_partkey)
     """,
     section="W8",
     doc="Distribution window functions percent_rank/cume_dist with a "
-    "unique-key ordering (no peer groups -> deterministic).",
+    "unique-key ordering (no peer groups -> deterministic). Rounded at 6dp, "
+    "NOT 4: cume's value grid k/n lands exactly on 4dp round-half boundaries "
+    "for round row counts (n=20000 at sf0.1 -> 573 rows where Spark's "
+    "shortest-repr BigDecimal rounding and DuckDB's binary rounding "
+    "disagree); at 6dp both grids k/n and k/(n-1) stay >= ~2.5e-11 away "
+    "from every half boundary for all test row counts, far beyond double "
+    "noise.",
 )
 def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     w = Window.orderBy("p_retailprice", "p_partkey")
     return part.select(
         "p_partkey",
-        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 4).alias("cume"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
 
 

@@ -75,13 +75,16 @@ def _gmean(values: pd.Series) -> float:
         SELECT event_type,
                ROUND(exp(AVG(ln(value))), 4) AS gmean_value
         FROM events
+        WHERE value > 0
         GROUP BY event_type
     """,
     section="X3",
-    doc="Pandas UDAF (grouped-agg): geometric mean of event values, rounded 4dp.",
+    doc="Pandas UDAF (grouped-agg): geometric mean of POSITIVE event values "
+    "(zero/negative filtered on both sides — ln(0) is an error in DuckDB and "
+    "-inf in numpy; zeros appear in the data from sf0.1 up), rounded 4dp.",
 )
 def q_udaf_gmean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
+    events = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     return events.groupBy("event_type").agg(
         F.round(_gmean(F.col("value")), 4).alias("gmean_value")
     )
