@@ -338,3 +338,57 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+@register(
+    "q_dedup_components",
+    oracle="""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.95
+        ),
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents WHERE lang = 'de'
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        )
+        SELECT node AS doc_id, MIN(lab) AS component,
+               CAST(COUNT(*) OVER (PARTITION BY MIN(lab)) AS BIGINT) AS cluster_size
+        FROM walk GROUP BY node
+    """,
+    section="D5",
+    doc="Dedup clustering: connected components over the Jaccard>=0.95 "
+    "near-dup graph via iterative min-label propagation with pointer "
+    "doubling (operators/dedup.py connected_components — localCheckpoint-"
+    "truncated lineage, label-sum convergence, O(log diameter) rounds). "
+    "component = min doc_id reachable; the canonical-doc choice every dedup "
+    "pipeline needs after pair-finding. Scoped to one language partition — "
+    "the realistic shape (dedup within partition); this corpus's full "
+    "near-dup graph is adversarially dense (24% of all pairs). Oracle: "
+    "DuckDB recursive CTE computing min reachable label.",
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    pairs = near_dup_pairs(docs, threshold=0.95).select("doc_lo", "doc_hi")
+    comp = connected_components(pairs, docs.select("doc_id"))
+    w = Window.partitionBy("component")
+    return comp.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
+    )

@@ -167,44 +167,10 @@ def q_text_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the full brute-force join the oracle runs.",
 )
 def q_dedup_near_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries._util import fan_out
+    from ai_to_cvent_etl_spark.operators.dedup import near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = fan_out(
-        docs.select(
-            "doc_id",
-            F.sort_array(F.array_distinct(F.split(F.col("text"), " "))).alias("ts"),
-        )
-    )
-    # prefix-filtering principle (t = 0.8): prefix length |x| - ceil(t|x|) + 1
-    prefix_len = F.size("ts") - F.ceil(F.size("ts") * F.lit(0.8)).cast("int") + 1
-    pref = toks.select(
-        "doc_id", F.explode(F.slice("ts", F.lit(1), prefix_len)).alias("tok")
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    cand = (
-        a.join(
-            F.broadcast(b),
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))
-        .distinct()
-    )
-    ta = toks.select(F.col("doc_id").alias("doc_lo"), F.col("ts").alias("ts_a"))
-    tb = toks.select(F.col("doc_id").alias("doc_hi"), F.col("ts").alias("ts_b"))
-    verified = (
-        cand.join(F.broadcast(ta), "doc_lo")
-        .join(F.broadcast(tb), "doc_hi")
-        .withColumn(
-            "i", F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))).cast("double")
-        )
-    )
-    jac = F.col("i") / (F.size("ts_a") + F.size("ts_b") - F.col("i"))
-    return (
-        verified.filter(jac >= 0.8)
-        .select("doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard"))
-    )
+    return near_dup_pairs(docs, threshold=0.8)
 
 
 @register(

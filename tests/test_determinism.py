@@ -24,6 +24,7 @@ RISKY = [
     "q_dedup_exact",
     "q_dedup_near_jaccard",
     "q_dedup_minhash_lsh",
+    "q_dedup_components",
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
     "q_ann_ivf_topk",
