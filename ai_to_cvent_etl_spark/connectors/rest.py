@@ -15,8 +15,10 @@ Scale notes:
     repartition upstream to match the API's concurrency budget.
   * Transports receive an explicit flush per partition end, so partial
     batches are never lost.
-  * Idempotency: batches carry (partition_id, batch_index) so a retried task
-    (Spark re-runs failed tasks) can be deduplicated server-side.
+  * Idempotency: batches carry (partition_id, batch_index, attempt_number)
+    so a retried task (Spark re-runs failed tasks) can be deduplicated
+    server-side; the local file fake additionally keys its files by attempt
+    so retries never double-count even without a server.
 """
 
 from __future__ import annotations
@@ -36,15 +38,29 @@ class LocalFileTransport:
     def __init__(self, out_dir: str):
         self.out_dir = out_dir
 
-    def send(self, partition_id: int, batch_index: int, records: list[dict]) -> None:
+    def send(
+        self,
+        partition_id: int,
+        batch_index: int,
+        records: list[dict],
+        attempt_number: int = 0,
+    ) -> None:
+        # attempt_number in the file name keeps a retried Spark task's
+        # re-appended batches distinguishable from the original attempt's, so
+        # the local fake stays loss- AND duplicate-free: a reader keeps, per
+        # partition, only the highest attempt present (ADVICE r1).
         os.makedirs(self.out_dir, exist_ok=True)
-        path = os.path.join(self.out_dir, f"partition_{partition_id:05d}.jsonl")
+        path = os.path.join(
+            self.out_dir,
+            f"partition_{partition_id:05d}_a{attempt_number:02d}.jsonl",
+        )
         with open(path, "a", encoding="utf-8") as f:
             f.write(
                 json.dumps(
                     {
                         "partition_id": partition_id,
                         "batch_index": batch_index,
+                        "attempt_number": attempt_number,
                         "n_records": len(records),
                         "records": records,
                     },
@@ -72,20 +88,30 @@ class RestBatchSink:
         columns = df.columns
 
         def _send_partition(it):
+            import inspect
+
             from pyspark import TaskContext
 
-            pid = TaskContext.get().partitionId()
+            ctx = TaskContext.get()
+            pid = ctx.partitionId()
+            attempt = ctx.attemptNumber()
             transport = factory()
+            # Pass attempt_number when the transport supports it (keeps the
+            # injectable-transport contract backward compatible).
+            takes_attempt = "attempt_number" in inspect.signature(
+                transport.send
+            ).parameters
+            kw = {"attempt_number": attempt} if takes_attempt else {}
             buf: list[dict] = []
             batch_index = 0
             for row in it:
                 buf.append(dict(zip(columns, row)))
                 if len(buf) >= batch_size:
-                    transport.send(pid, batch_index, buf)
+                    transport.send(pid, batch_index, buf, **kw)
                     batch_index += 1
                     buf = []
             if buf:  # explicit final flush — partial batches are never lost
-                transport.send(pid, batch_index, buf)
+                transport.send(pid, batch_index, buf, **kw)
 
         df.foreachPartition(_send_partition)
 

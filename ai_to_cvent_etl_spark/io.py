@@ -151,9 +151,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # Scope the legacy-conf flip to this read (set -> build -> restore):
+        # Spark snapshots the effective conf into the scan when the DataFrame
+        # is BUILT (probed: execution after restore still returns correct ts),
+        # so later unrelated parquet reads of TIMESTAMP(NANOS) columns fail
+        # loudly instead of silently yielding raw BIGINT nanos (ADVICE r1).
+        # Not thread-safe across concurrent load_table calls on one session.
+        key = "spark.sql.legacy.parquet.nanosAsLong"
+        try:
+            prior = spark.conf.get(key)
+        except Exception:
+            prior = None
+        spark.conf.set(key, "true")
+        try:
+            df = spark.read.parquet(table_path(sf_dir, name))
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            # Force schema resolution while the conf is active.
+            df.schema
+        finally:
+            if prior is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prior)
+        return df
     return spark.read.parquet(table_path(sf_dir, name))
 
 

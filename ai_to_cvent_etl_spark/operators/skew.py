@@ -29,7 +29,20 @@ def salted_join(
     """Equi-join `skewed` ⋈ `other` on columns ``on``, spreading each key of
     the skewed side over ``k`` salted sub-keys. `other` is replicated k×.
     Result columns = skewed's + other's non-key columns (like a plain
-    `.join(on=...)`)."""
+    `.join(on=...)`).
+
+    ``how`` is restricted to {'inner', 'left'}: for 'right'/'full' the k-way
+    exploded `other` side would emit each UNMATCHED other-row k times (one per
+    salt), silently corrupting outer-join results. Preserving right/full
+    semantics under salting needs a post-join dedup of unmatched rows —
+    out of scope; use AQE skew-join splitting for those.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in {{'inner','left'}}, got {how!r}: "
+            "the k-way explode of `other` would duplicate unmatched rows "
+            "k times under 'right'/'full'"
+        )
     salted = skewed.withColumn(
         _SALT,
         F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(k)).cast("int"),

@@ -279,13 +279,18 @@ def q_agg_conditional_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect_sorted",
     oracle="""
         SELECT n.n_name,
-               list_sort(list(c.c_custkey)) AS custkeys,
+               array_to_string(list_sort(list(c.c_custkey)), '|') AS custkeys,
                CAST(COUNT(*) AS BIGINT) AS n_customers
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
     section="A10",
-    doc="Per-group list aggregation, deterministically sorted (never raw collect_list).",
+    doc=(
+        "Per-group list aggregation, deterministically sorted (never raw "
+        "collect_list). The list is serialized to a '|'-joined string: the "
+        "driver's value-hash canonicalizer cannot hash Python lists, so "
+        "array outputs must leave the engine as scalars (ADVICE r1)."
+    ),
 )
 def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -296,7 +301,10 @@ def q_agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.sort_array(F.collect_list("c_custkey")).alias("custkeys"),
+            F.array_join(
+                F.sort_array(F.collect_list("c_custkey")).cast("array<string>"),
+                "|",
+            ).alias("custkeys"),
             F.count(F.lit(1)).alias("n_customers"),
         )
     )

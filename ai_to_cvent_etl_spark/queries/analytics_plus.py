@@ -181,9 +181,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_vec_quantize",
     oracle="""
         SELECT vec_id,
-               list_transform(embedding,
+               array_to_string(list_transform(embedding,
                    x -> CAST(greatest(-127, least(127,
-                        floor(CAST(x AS DOUBLE) * 64 + 0.5))) AS INTEGER))
+                        floor(CAST(x AS DOUBLE) * 64 + 0.5))) AS INTEGER)), '|')
                    AS codes,
                ROUND(sqrt(list_sum(list_transform(embedding,
                    x -> (CAST(x AS DOUBLE)
@@ -199,7 +199,9 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Int8-style scalar quantization (the storage half of IVF-PQ): "
     "codes = clamp(floor(x*64 + 0.5), ±127) — floor(+0.5) instead of round() "
     "sidesteps engine tie-break differences — plus L2 reconstruction error. "
-    "Row-local; 4x memory reduction before any shuffle at scale.",
+    "Row-local; 4x memory reduction before any shuffle at scale. Codes are "
+    "serialized to a '|'-joined string (driver hash cannot handle lists, "
+    "ADVICE r1).",
 )
 def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -208,7 +210,8 @@ def q_vec_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         " floor(cast(x as double) * 64 + 0.5)))"
     )
     codes = F.expr(
-        f"transform(embedding, x -> cast({code} as int))"
+        f"array_join(transform(embedding,"
+        f" x -> cast(cast({code} as int) as string)), '|')"
     )
     err = F.expr(
         f"round(sqrt(aggregate(transform(embedding,"

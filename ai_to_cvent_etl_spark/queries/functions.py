@@ -219,14 +219,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents)
         SELECT doc_id,
                list_contains(arr, 'the') AS has_the,
-               list_slice(arr, 1, 3) AS first3,
-               list_sort(list_distinct(arr)) AS vocab,
+               array_to_string(list_slice(arr, 1, 3), '|') AS first3,
+               array_to_string(list_sort(list_distinct(arr)), '|') AS vocab,
                CAST(len(list_distinct(arr)) AS BIGINT) AS n_distinct
         FROM toks
     """,
     section="F8",
     doc="array_contains/slice/sort/distinct/size over token arrays "
-    "(distinct is order-unstable on both engines — always sorted).",
+    "(distinct is order-unstable on both engines — always sorted; arrays "
+    "serialized to '|'-joined strings because the driver's value-hash "
+    "canonicalizer cannot hash lists, ADVICE r1).",
 )
 def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -234,8 +236,8 @@ def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_contains(arr, "the").alias("has_the"),
-        F.slice(arr, 1, 3).alias("first3"),
-        F.sort_array(F.array_distinct(arr)).alias("vocab"),
+        F.array_join(F.slice(arr, 1, 3), "|").alias("first3"),
+        F.array_join(F.sort_array(F.array_distinct(arr)), "|").alias("vocab"),
         F.size(F.array_distinct(arr)).cast("bigint").alias("n_distinct"),
     )
 

@@ -65,7 +65,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                'text/plain' AS media_type,
                CAST(n_bytes AS BIGINT) AS n_bytes,
-               features,
+               array_to_string(features, '|') AS features,
                CAST(list_position(features, list_max(features)) - 1 AS BIGINT)
                    AS top_bucket
         FROM h
@@ -73,7 +73,10 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="M2",
     doc="Arrow-batched mapInPandas feature extraction over binary payloads "
     "(deterministic byte-histogram fake decoder); map-only stage, oracle-"
-    "checked through the full Python/Arrow boundary.",
+    "checked through the full Python/Arrow boundary. The feature vector is "
+    "serialized to a '|'-joined string at the query boundary (the driver's "
+    "value-hash canonicalizer cannot hash lists, ADVICE r1); the operator "
+    "itself still returns a real array column.",
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Deliberately NO repartition before mapInPandas: that would shuffle the
@@ -81,4 +84,13 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet scan's own splits parallelize the map stage; payload bytes
     # should only ever move scan -> task.
     docs = load_table(spark, sf_dir, "documents")
-    return extract_features(attach_payload(docs))
+    feats = extract_features(attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.array_join(F.col("features").cast("array<string>"), "|").alias(
+            "features"
+        ),
+        "top_bucket",
+    )

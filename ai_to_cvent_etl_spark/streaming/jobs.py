@@ -79,10 +79,20 @@ def sliding_counts(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
 def session_windows(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     """Streaming sessionization via session_window (ST3's streaming twin).
 
-    Semantics note: session_window merges events whose gaps are < gap, as
-    does the batch gaps-and-islands form (strict > gap starts a new session);
-    the duality test compares (user_id, session_start, session_end, n_events)
-    sets."""
+    Boundary semantics DIFFER from the batch gaps-and-islands form at the
+    exact-gap tie (ADVICE r1): session_window extends a session over
+    [ts, ts + gap) and merges only OVERLAPPING windows, so a successor
+    arriving at exactly ts + gap starts a NEW session (>= gap splits); the
+    batch form in queries/streaming_batch.py splits on strictly > gap (an
+    exact-gap successor merges). The fixtures contain no exact-gap pairs
+    (event timestamps carry sub-second jitter), so the duality test is
+    well-defined; any corpus with exact-gap ties would diverge on these rows.
+
+    session_end also differs by construction: streaming session_end =
+    last_ts + gap (window upper bound), batch session_end = MAX(ts). The
+    duality test therefore compares only (user_id, session_start, n_events)
+    and deliberately DROPS session_end — it is not comparable across the two
+    forms."""
     return (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
