@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Full-inventory correctness self-check (driver t2 mirror, no cap).
+
+The round driver's CORRECTNESS_r{N}.json covered only the first 50 queries
+in alphabetical order (observed r1: the file ends at q_regexp, the 50th of
+87 declared keys). This script runs the SAME check — Spark query vs DuckDB
+oracle at sf0.01, row count + schema + order-insensitive value hash — over
+EVERY declared query and writes CORRECTNESS_SELF.json, so the full
+inventory has a committed verification artifact each round.
+
+Usage:  python selfcheck.py [--sf-dir /root/testdata/sf0.01] [--out CORRECTNESS_SELF.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import time
+import traceback
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _canon_rows(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(repr(r[i]) for i in idx) for r in rows)
+
+
+def _hash(rows, cols) -> str:
+    return hashlib.md5(repr(_canon_rows(rows, cols)).encode()).hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_SELF.json"))
+    args = ap.parse_args()
+
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
+        )
+
+    queries = entry.queries()
+    oracles = entry.oracle_sql()
+    report: dict[str, dict] = {}
+    t0 = time.time()
+    for name in sorted(queries):
+        rec: dict = {
+            "rows_match": None, "schema_match": None, "hash_match": None,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
+        try:
+            sdf = queries[name](spark, args.sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
+            if name not in oracles:
+                rec["err"] = "no_oracle"
+            else:
+                orel = con.sql(oracles[name])
+                ocols = orel.columns
+                orows = orel.fetchall()
+                rec["oracle_rows"] = len(orows)
+                rec["rows_match"] = len(srows) == len(orows)
+                rec["schema_match"] = sorted(scols) == sorted(ocols)
+                rec["hash_match"] = (
+                    rec["rows_match"]
+                    and rec["schema_match"]
+                    and _hash(srows, scols) == _hash(orows, ocols)
+                )
+        except Exception:
+            rec["err"] = traceback.format_exc(limit=3)
+        report[name] = rec
+        status = "ok" if rec["hash_match"] else (rec["err"] or "MISMATCH")
+        print(f"{name}: {str(status)[:60]}", file=sys.stderr)
+
+    n_ok = sum(1 for r in report.values() if r["hash_match"])
+    n_rows_only = sum(1 for r in report.values() if r["err"] == "no_oracle")
+    out = {
+        "sf_dir": args.sf_dir,
+        "n_queries": len(report),
+        "n_hash_match": n_ok,
+        "n_rows_only": n_rows_only,
+        "n_fail": len(report) - n_ok - n_rows_only,
+        "wall_s": round(time.time() - t0, 1),
+        "queries": report,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2, sort_keys=True)
+    print(
+        f"{n_ok}/{len(report)} hash-match, {n_rows_only} rows-only, "
+        f"{out['n_fail']} FAIL -> {args.out}"
+    )
+    return 0 if out["n_fail"] == 0 else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
