@@ -104,3 +104,33 @@ def test_simhash_groups_are_consistent(spark, registry):
     reps = {r["simhash"]: r["group_rep"] for r in rows}
     for h, docs in by_hash.items():
         assert reps[h] == min(docs)
+
+
+def test_token_xxhash64_collision_free_on_fixtures(spark):
+    """The dedup verify steps intersect xxhash64(token) arrays instead of
+    string arrays (2x faster). That substitution is exact iff no two distinct
+    corpus tokens share a 64-bit hash — pin it on every fixture sf present.
+    (P(collision) for a v-token vocab ~ v^2/2^65; this guards against an
+    engine changing xxhash64's semantics, not against real collision odds.)"""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        if not os.path.isdir(sf_dir):
+            continue
+        toks = (
+            load_table(spark, sf_dir, "documents")
+            .select(F.explode(F.split("text", " ")).alias("tok"))
+            .distinct()
+        )
+        n_tok, n_hash = toks.agg(
+            F.count("tok"), F.countDistinct(F.xxhash64("tok"))
+        ).first()
+        assert n_tok == n_hash, f"xxhash64 collision in {sf_dir} vocab"
