@@ -4,6 +4,7 @@ declared query into ai_to_cvent_etl_spark.registry."""
 from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     aggregates,
     analytics_plus,
+    analytics_r2,
     dedup_scale,
     etl,
     filters,

@@ -1,0 +1,374 @@
+"""Third-wave analytics / ETL operators (r2): mode+exact-median aggregates,
+SCD2 interval builds, deterministic stratified sampling, time-spine range
+joins, time-RANGE window frames, and token co-occurrence mining.
+
+Scale notes:
+  * A13 mode/median: mode is two hash aggregations (group counts, then
+    argmax-per-group via window over the tiny count table); exact median
+    uses `percentile` (full sort per group partition at scale — swap to
+    approx_percentile's t-digest when exactness isn't contractual).
+  * E3 SCD2: one shuffle on the entity key, then a per-partition sorted
+    window (lead) — the standard validity-interval build. At 100 TB the
+    change log is already bucketed by entity; the window never crosses keys.
+  * E4 stratified sample: pure row-local predicate on a cryptographic hash —
+    zero shuffle, deterministic across engines/runs/retries, and the sample
+    rate is exact-in-expectation per stratum. THE pattern for reproducible
+    training-data subsampling (a seeded rand() is neither portable nor
+    retry-stable on Spark).
+  * J12 time-spine range join: the literal spine is tiny (~120 rows) and
+    broadcast; Spark executes the range predicate as a
+    BroadcastNestedLoopJoin of spine x events — at 100 TB invert it:
+    bucket events row-locally (date_trunc) and group, or pre-bucket the
+    spine per partition. Declared here to pin the generator (sequence/
+    generate_series) + interval-containment surface.
+  * W9 time-RANGE frame: per-user ordered window over microsecond offsets;
+    partition-bounded (never a global RANGE frame — SCALE.md 'Windows').
+  * T7 co-occurrence: per-doc distinct-token pairs via self-join on doc_id;
+    pair volume is sum_d C(|d|,2) — bounded by the per-doc vocab, not the
+    corpus. At 100 TB add a df-threshold prefilter (drop tokens with
+    document frequency < k) before pairing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.registry import register
+
+
+@register(
+    "q_agg_mode_median",
+    oracle="""
+        WITH qty_counts AS (
+            SELECT l_returnflag, l_quantity, CAST(COUNT(*) AS BIGINT) AS n
+            FROM lineitem GROUP BY l_returnflag, l_quantity
+        ),
+        mode_q AS (
+            SELECT l_returnflag, l_quantity AS mode_qty
+            FROM (
+                SELECT l_returnflag, l_quantity,
+                       ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                          ORDER BY n DESC, l_quantity ASC) AS rn
+                FROM qty_counts
+            ) WHERE rn = 1
+        ),
+        med AS (
+            SELECT l_returnflag,
+                   ROUND(median(l_extendedprice), 4) AS median_price,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT m.l_returnflag, mode_q.mode_qty, m.median_price, m.n_rows
+        FROM med m JOIN mode_q ON m.l_returnflag = mode_q.l_returnflag
+    """,
+    section="A13",
+    doc="Mode (most frequent value, lowest-value tie-break — never the "
+    "engine's unspecified-tie mode()) and EXACT interpolated median per "
+    "group. Mode = two hash aggs + a window over the tiny count table; "
+    "median = Spark `percentile` vs DuckDB `median` (both interpolate at "
+    "0.5, verified).",
+)
+def q_agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("n").desc(), F.col("l_quantity").asc()
+    )
+    mode_q = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias(
+            "median_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return med.join(F.broadcast(mode_q), "l_returnflag").select(
+        "l_returnflag", "mode_qty", "median_price", "n_rows"
+    )
+
+
+@register(
+    "q_etl_scd2",
+    oracle="""
+        SELECT user_id,
+               event_id,
+               event_type,
+               ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
+                    AS BOOLEAN) AS is_current
+        FROM events
+    """,
+    section="E3",
+    doc="SCD2 validity-interval build from a change log: each record is "
+    "effective [its ts, next change's ts); the latest per key stays open "
+    "(valid_to NULL, is_current true). One shuffle on the entity key + one "
+    "ordered window — the standard type-2 dimension load.",
+)
+def q_etl_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "q_etl_sample_stratified",
+    oracle="""
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders
+        WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+              % 100
+              < CASE o_orderstatus WHEN 'F' THEN 10
+                                   WHEN 'O' THEN 20
+                                   ELSE 50 END
+    """,
+    section="E4",
+    doc="Deterministic stratified sampling for training-data curation: keep "
+    "a row iff md5(key) mod 100 falls under its stratum's rate (F 10%, O "
+    "20%, P 50%). Row-local, zero shuffle, engine-portable (md5 identical "
+    "in Spark/DuckDB, probed r1), and stable across runs/retries — unlike "
+    "seeded rand(), whose draw depends on partitioning.",
+)
+def q_etl_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10
+    ).cast("bigint") % 100
+    rate = (
+        F.when(F.col("o_orderstatus") == "F", 10)
+        .when(F.col("o_orderstatus") == "O", 20)
+        .otherwise(50)
+    )
+    return orders.filter(bucket < rate).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+@register(
+    "q_join_range_interval",
+    oracle="""
+        WITH spine AS (
+            SELECT ts AS bucket_start
+            FROM generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                 TIMESTAMP '2024-01-31 00:00:00',
+                                 INTERVAL 6 HOUR) t(ts)
+        )
+        SELECT s.bucket_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM spine s
+        JOIN events e ON e.ts >= s.bucket_start
+                     AND e.ts < s.bucket_start + INTERVAL 6 HOUR
+        GROUP BY s.bucket_start
+    """,
+    section="J12",
+    doc="Time-spine interval-containment join: a generated 6-hour spine "
+    "(sequence/explode vs generate_series) joined to events by range "
+    "predicate — Catalyst executes spine-side broadcast nested-loop, "
+    "promoting the J11 BNLJ smoke row to an exact-oracle query. The "
+    "calendar-spine join is the ETL idiom for gap-aware rollups (buckets "
+    "with zero events drop under the inner join on both engines).",
+)
+def q_join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(timestamp'2024-01-01 00:00:00',"
+                " timestamp'2024-01-31 00:00:00', interval 6 hours)"
+            )
+        ).alias("bucket_start")
+    )
+    joined = events.join(
+        F.broadcast(spine),
+        (F.col("ts") >= F.col("bucket_start"))
+        & (F.col("ts") < F.col("bucket_start") + F.expr("interval 6 hours")),
+    )
+    return joined.groupBy("bucket_start").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "q_win_time_range",
+    oracle="""
+        SELECT user_id, event_id, ts,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS hour_sum
+        FROM events
+    """,
+    section="W9",
+    doc="Time-based RANGE frame: per-user rolling 1-hour sum. Spark has no "
+    "interval RANGE frame, so the window orders by unix_micros(ts) with a "
+    "microsecond rangeBetween — exactly DuckDB's RANGE INTERVAL semantics "
+    "(both include ALL peer rows at equal ts). Money summed as DECIMAL "
+    "(§5.3). Partition-bounded by user — never a global RANGE frame.",
+)
+def q_win_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast(DecimalType(12, 2)))
+        .over(w)
+        .cast("double")
+        .alias("hour_sum"),
+    )
+
+
+@register(
+    "q_text_cooccur",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ),
+        pairs AS (
+            SELECT a.tok AS tok1, b.tok AS tok2, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT tok1, tok2, n_docs, CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT tok1, tok2, n_docs,
+                   ROW_NUMBER() OVER (ORDER BY n_docs DESC, tok1, tok2) AS rn
+            FROM pairs
+        ) WHERE rn <= 20
+    """,
+    section="T7",
+    doc="Token co-occurrence mining: count documents containing each "
+    "distinct (tok1 < tok2) pair, top-20 with full tie-break. Pair volume "
+    "is sum over docs of C(|vocab_d|, 2) — bounded per doc, not by corpus "
+    "vocab squared; a document-frequency prefilter bounds it further at "
+    "scale. The association-mining primitive under phrase detection / PMI.",
+)
+def q_text_cooccur(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok1"), F.col("b.tok").alias("tok2"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), "tok1", "tok2")
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("tok1", "tok2", "n_docs", F.col("rn").cast("bigint").alias("rank"))
+    )
+
+
+_KM_DIST = """list_reduce(list_transform(list_zip(e.embedding, c.c),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (acc, v) -> acc + v)"""
+
+
+@register(
+    "q_vec_kmeans_ivf",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+            FROM embeddings ORDER BY vec_id LIMIT 8
+        ),
+        c0 AS (
+            SELECT s.cluster,
+                   list_transform(e.embedding,
+                       x -> floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                            / 1000000.0) AS c
+            FROM seeds s JOIN embeddings e USING (vec_id)
+        ),
+        a1 AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_KM_DIST}, c.cluster) AS rn
+                FROM embeddings e CROSS JOIN c0 c
+            ) WHERE rn = 1
+        ),
+        u1 AS (
+            SELECT a1.cluster, d.i AS dim,
+                   floor(CAST(SUM(CAST(
+                             floor(CAST(e.embedding[d.i] AS DOUBLE)
+                                   * 1000000.0 + 0.5) / 1000000.0
+                         AS DECIMAL(18,6))) AS DOUBLE)
+                         / COUNT(*) * 1000000.0 + 0.5) / 1000000.0 AS v
+            FROM a1 JOIN embeddings e USING (vec_id), range(1, 65) d(i)
+            GROUP BY a1.cluster, d.i
+        ),
+        c1 AS (
+            SELECT cluster, list(v ORDER BY dim) AS c FROM u1 GROUP BY cluster
+        ),
+        a2 AS (
+            SELECT vec_id, cluster, dist2 FROM (
+                SELECT e.vec_id, c.cluster,
+                       {_KM_DIST} AS dist2,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {_KM_DIST}, c.cluster) AS rn
+                FROM embeddings e CROSS JOIN c1 c
+            ) WHERE rn = 1
+        )
+        SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
+               ROUND(dist2, 4) AS dist2
+        FROM a2
+    """,
+    section="V6",
+    doc="Learned-centroid IVF coarse quantizer: 2 deterministic Lloyd "
+    "rounds (k=8) from the k-lowest-vec_id seeds. Cross-engine bit-"
+    "reproducibility engineered via floor(x*1e6+0.5) grid quantization "
+    "(pure double ops — decimal CASTs round half-lattice means "
+    "differently per engine) + exact decimal sums in the centroid "
+    "update and left-to-right distance folds with lowest-cluster "
+    "tie-break (operators/kmeans.py). "
+    "Assignment is map-only over broadcast-literal centroids; the update "
+    "is one (cluster, dim)-keyed shuffle — the IVF training loop at any "
+    "scale. Oracle: DuckDB recomputes both rounds in chained CTEs.",
+)
+def q_vec_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_fit_assign(emb, k=8, iters=2)
+    return out.select(
+        "vec_id", "cluster", F.round("dist2", 4).alias("dist2")
+    )
