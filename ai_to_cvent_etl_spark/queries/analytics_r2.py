@@ -303,11 +303,9 @@ _KM_DIST = """list_reduce(list_transform(list_zip(e.embedding, c.c),
                       * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
                    (acc, v) -> acc + v)"""
 
-
-@register(
-    "q_vec_kmeans_ivf",
-    oracle=f"""
-        WITH seeds AS (
+# The 2-round deterministic Lloyd chain (see q_vec_kmeans_ivf's doc) — shared
+# between V6 (training output) and V7 (search over the trained cells).
+_KM_CTES = f"""seeds AS (
             SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
             FROM embeddings ORDER BY vec_id LIMIT 8
         ),
@@ -347,7 +345,13 @@ _KM_DIST = """list_reduce(list_transform(list_zip(e.embedding, c.c),
                                           ORDER BY {_KM_DIST}, c.cluster) AS rn
                 FROM embeddings e CROSS JOIN c1 c
             ) WHERE rn = 1
-        )
+        )"""
+
+
+@register(
+    "q_vec_kmeans_ivf",
+    oracle=f"""
+        WITH {_KM_CTES}
         SELECT vec_id, CAST(cluster AS BIGINT) AS cluster,
                ROUND(dist2, 4) AS dist2
         FROM a2
@@ -371,4 +375,250 @@ def q_vec_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = kmeans_fit_assign(emb, k=8, iters=2)
     return out.select(
         "vec_id", "cluster", F.round("dist2", 4).alias("dist2")
+    )
+
+
+@register(
+    "q_etl_data_quality",
+    oracle="""
+        SELECT 'o_orderkey' AS col_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_null,
+               CAST(MIN(o_orderkey) AS DOUBLE) AS min_v,
+               CAST(MAX(o_orderkey) AS DOUBLE) AS max_v
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(o_custkey) AS DOUBLE),
+               CAST(MAX(o_custkey) AS DOUBLE)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice_nullif_under_1000',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(DISTINCT NULLIF(LEAST(o_totalprice, 1000.0),
+                                          1000.0)) AS BIGINT),
+               CAST(SUM(CASE WHEN NULLIF(LEAST(o_totalprice, 1000.0), 1000.0)
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MIN(NULLIF(LEAST(o_totalprice, 1000.0), 1000.0)) AS DOUBLE),
+               CAST(MAX(NULLIF(LEAST(o_totalprice, 1000.0), 1000.0)) AS DOUBLE)
+        FROM orders
+    """,
+    section="E5",
+    doc="Data-quality audit profile (the ETL pre-load gate): per-column "
+    "row/distinct/null counts + numeric min/max, one scan per column batch "
+    "via unioned aggregates. The third column manufactures NULLs via "
+    "NULLIF(LEAST(...)) since the fixtures have none — pinning null "
+    "accounting on both engines. At scale: one pass, partial aggs, no "
+    "shuffle beyond the final 1-row-per-column reduce.",
+)
+def q_etl_data_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+
+    def profile(col: F.Column, name: str) -> DataFrame:
+        return orders.agg(
+            F.lit(name).alias("col_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(col).alias("n_distinct"),
+            F.sum(F.when(col.isNull(), 1).otherwise(0)).alias("n_null"),
+            F.min(col).cast("double").alias("min_v"),
+            F.max(col).cast("double").alias("max_v"),
+        )
+
+    nulled = F.nullif(F.least(F.col("o_totalprice"), F.lit(1000.0)), F.lit(1000.0))
+    return (
+        profile(F.col("o_orderkey"), "o_orderkey")
+        .unionByName(profile(F.col("o_custkey"), "o_custkey"))
+        .unionByName(profile(nulled, "o_totalprice_nullif_under_1000"))
+    )
+
+
+@register(
+    "q_text_pmi",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents
+        ),
+        n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM documents),
+        df AS (SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM toks GROUP BY tok),
+        pairs AS (
+            SELECT a.tok AS tok1, b.tok AS tok2, CAST(COUNT(*) AS DOUBLE) AS n_pair
+            FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY a.tok, b.tok
+        )
+        SELECT tok1, tok2, CAST(n_pair AS BIGINT) AS n_docs,
+               ROUND(ln((n_pair / n.n_docs)
+                        / ((d1.df / n.n_docs) * (d2.df / n.n_docs))), 4) AS pmi
+        FROM pairs
+        CROSS JOIN n
+        JOIN df d1 ON d1.tok = pairs.tok1
+        JOIN df d2 ON d2.tok = pairs.tok2
+        WHERE n_pair >= 5
+    """,
+    section="T8",
+    doc="Pointwise mutual information over document-level token "
+    "co-occurrence: pmi = ln(p(t1,t2) / (p(t1) p(t2))) with document "
+    "frequencies, min-support 5, ROUND 4 (log outputs are irrational — "
+    "never on the rounding lattice). The collocation/phrase-detection "
+    "scorer; doc frequencies broadcast back onto the pair table.",
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+        )
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.tok") < F.col("b.tok")),
+        )
+        .groupBy(F.col("a.tok").alias("tok1"), F.col("b.tok").alias("tok2"))
+        .agg(F.count(F.lit(1)).cast("double").alias("n_pair"))
+        .filter(F.col("n_pair") >= 5)
+    )
+    d1 = df.select(F.col("tok").alias("tok1"), F.col("df").alias("df1"))
+    d2 = df.select(F.col("tok").alias("tok2"), F.col("df").alias("df2"))
+    return (
+        pairs.crossJoin(F.broadcast(n_docs))
+        .join(F.broadcast(d1), "tok1")
+        .join(F.broadcast(d2), "tok2")
+        .select(
+            "tok1",
+            "tok2",
+            F.col("n_pair").cast("bigint").alias("n_docs"),
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("n_docs"))
+                    / ((F.col("df1") / F.col("n_docs")) * (F.col("df2") / F.col("n_docs")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
+@register(
+    "q_agg_histogram",
+    oracle="""
+        SELECT CAST(floor(value / 20.0) AS BIGINT) AS bin,
+               CAST(floor(value / 20.0) * 20.0 AS DOUBLE) AS bin_lo,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(MIN(value) AS DOUBLE) AS min_v,
+               CAST(MAX(value) AS DOUBLE) AS max_v,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_v
+        FROM events
+        GROUP BY 1, 2
+    """,
+    section="A14",
+    doc="Fixed-width histogram binning (width_bucket semantics via "
+    "floor(x/w)): bin id, bound, count, min/max, DECIMAL-exact sum per "
+    "bin. The distribution-profiling aggregate; one partial-agg shuffle "
+    "keyed by bin at any scale.",
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bin_ = F.floor(F.col("value") / 20.0)
+    return (
+        events.groupBy(
+            bin_.cast("bigint").alias("bin"),
+            (bin_ * 20.0).cast("double").alias("bin_lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("min_v"),
+            F.max("value").cast("double").alias("max_v"),
+            F.sum(F.col("value").cast(DecimalType(12, 2)))
+            .cast("double")
+            .alias("sum_v"),
+        )
+    )
+
+
+_PAIR_DIST = """list_reduce(list_transform(list_zip(q.embedding, x.embedding),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+                   (acc, v) -> acc + v)"""
+
+
+@register(
+    "q_vec_ivf_search_learned",
+    oracle=f"""
+        WITH {_KM_CTES},
+        knn AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                      ORDER BY {_PAIR_DIST}, x.vec_id) AS rn
+            FROM embeddings q
+            JOIN a2 aq ON aq.vec_id = q.vec_id
+            JOIN a2 ax ON ax.cluster = aq.cluster
+            JOIN embeddings x ON x.vec_id = ax.vec_id
+                             AND x.vec_id <> q.vec_id
+            WHERE q.vec_id < 10
+        )
+        SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank
+        FROM knn WHERE rn <= 3
+    """,
+    section="V7",
+    doc="IVF search over the LEARNED cells (completes the V6 training "
+    "loop): queries (vec_id < 10) probe only their own k-means cell; "
+    "exact L2 top-3 inside the cell, tie-break by neighbor id; ids+rank "
+    "output (fp-drift-immune, like V3). At scale this is THE ANN serving "
+    "plan: corpus partitioned by cell id on disk, queries broadcast to "
+    "their cell's partitions only — a 1/k scan instead of a full sweep "
+    "(nprobe>1 = union over the nearest cells). Oracle: the shared Lloyd "
+    "CTE chain, then cell-constrained brute force.",
+)
+def q_vec_ivf_search_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(emb, k=8, iters=2).select(
+        "vec_id", "cluster", "embedding"
+    )
+    q = assigned.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cluster").alias("q_cluster"),
+        F.col("embedding").alias("q_emb"),
+    )
+    pair_dist = F.aggregate(
+        F.zip_with(
+            F.col("q_emb"),
+            F.col("embedding"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    cand = (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("q_cluster"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            pair_dist.alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", "neighbor_id", F.col("rn").cast("bigint").alias("rank"))
     )
