@@ -90,3 +90,42 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         if re.search(r"BatchEvalPython|ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas|PythonUDTF", plan):
             offenders.append(key)
     assert not offenders, offenders
+
+
+def test_stratified_sample_is_shuffle_free(spark, registry):
+    """E4 is a pure row-local predicate: no Exchange of any kind."""
+    plan = _plan(registry["q_etl_sample_stratified"].builder(spark, SF001))
+    assert "Exchange" not in plan, plan
+
+
+def test_range_interval_join_broadcasts_spine(spark, registry):
+    """J12: the generated spine must be the broadcast side of a nested-loop
+    join (range-only predicate); the events scan never shuffles for the
+    join itself."""
+    plan = _plan(registry["q_join_range_interval"].builder(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_assignment_is_map_only(spark, registry):
+    """V6: the final assignment stage carries centroids as literals — the
+    only exchanges in the output plan are the driver-free scan + one
+    project; no join, no shuffle."""
+    plan = _plan(registry["q_vec_kmeans_ivf"].builder(spark, SF001))
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_ivf_search_broadcasts_queries(spark, registry):
+    """V7: the query side is broadcast; the corpus side never shuffles for
+    the cell-constrained join (only the top-k window partitions by query)."""
+    plan = _plan(registry["q_vec_ivf_search_learned"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_mode_median_broadcasts_mode_side(spark, registry):
+    """A13: the 3-row mode table joins the median aggregate via broadcast."""
+    plan = _plan(registry["q_agg_mode_median"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
