@@ -29,11 +29,22 @@ def asof_join(
     right_payload: list[str],
     tiebreak: str | None = None,
     allow_exact_matches: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for each left row, attach the right row with the
-    greatest ``on`` <= (or < if not allow_exact_matches) the left ``on``,
-    matching on ``by``. Right payload columns come back suffixed ``_matched``.
+    """As-of join: for each left row, attach the right row with the greatest
+    ``on`` <= the left ``on`` (direction='backward', the default) or the
+    SMALLEST ``on`` >= the left ``on`` (direction='forward'), matching on
+    ``by``; strict inequality if not allow_exact_matches. Right payload
+    columns come back suffixed ``_matched``.
+
+    Forward mode traverses the unioned stream in descending ``on``, so the
+    carried right row is the nearest FOLLOWING one; ties among right rows at
+    equal ``on`` resolve to the SMALLEST ``tiebreak`` (backward: largest) —
+    both read as "the closest in traversal order", deterministic either way.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    forward = direction == "forward"
     payload = F.struct(*[F.col(c) for c in right_payload])
     l_tag = left.select(
         F.col(by).alias("__by"),
@@ -64,11 +75,13 @@ def asof_join(
         (F.col(tiebreak) if tiebreak else F.lit(0)).cast("long").alias("__tie"),
     )
     # Exact matches allowed: right rows at equal __on sort BEFORE left rows
-    # (is_left ascending); strict: after.
+    # in traversal order (is_left ascending); strict: after.
     left_order: Column = F.col("__is_left").asc() if allow_exact_matches else F.col("__is_left").desc()
+    on_order: Column = F.col("__on").desc() if forward else F.col("__on").asc()
+    tie_order: Column = F.col("__tie").desc() if forward else F.col("__tie").asc()
     w = (
         Window.partitionBy("__by")
-        .orderBy(F.col("__on").asc(), left_order, F.col("__tie").asc())
+        .orderBy(on_order, left_order, tie_order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = l_tag.unionByName(r_tag).withColumn(

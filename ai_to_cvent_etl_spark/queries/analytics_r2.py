@@ -622,3 +622,114 @@ def q_vec_ivf_search_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("query_id", "neighbor_id", F.col("rn").cast("bigint").alias("rank"))
     )
+
+
+@register(
+    "q_join_asof_fwd",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id, ts FROM events WHERE event_type <> 'purchase'
+        ),
+        ranked AS (
+            SELECT l.event_id, l.user_id, l.ts,
+                   r.event_id AS event_id_matched, r.ts AS ts_matched,
+                   ROW_NUMBER() OVER (PARTITION BY l.event_id
+                                      ORDER BY r.ts ASC, r.event_id ASC) AS rn
+            FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+        )
+        SELECT event_id, user_id, ts, event_id_matched, ts_matched
+        FROM ranked WHERE rn = 1
+    """,
+    section="J13",
+    doc="FORWARD as-of join: earliest following non-purchase event per "
+    "purchase (exact-ts matches allowed; smallest-event_id tie-break). "
+    "Same union+window machinery as J10 run in descending traversal "
+    "(operators/asof.py direction='forward') — one shuffle on the by-key, "
+    "no range-join explosion. Oracle: windowed LEFT JOIN (DuckDB ASOF is "
+    "backward-only).",
+)
+def q_join_asof_fwd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(
+        purchases,
+        others,
+        on="ts",
+        by="user_id",
+        right_payload=["event_id", "ts"],
+        tiebreak="event_id",
+        direction="forward",
+    )
+
+
+@register(
+    "q_join_point_in_time",
+    oracle="""
+        WITH dim AS (
+            SELECT user_id, event_id AS dim_id, event_type AS dim_state,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM events WHERE event_type <> 'purchase'
+        )
+        SELECT f.event_id AS fact_id, f.user_id, f.ts,
+               d.dim_id, d.dim_state, d.valid_from
+        FROM events f
+        JOIN dim d ON f.user_id = d.user_id
+                  AND f.ts >= d.valid_from
+                  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+        WHERE f.event_type = 'purchase'
+    """,
+    section="J14",
+    doc="Point-in-time (temporal) dimension lookup: facts join the SCD2 "
+    "validity interval containing their timestamp — equi-join on the "
+    "entity key with a half-open interval residual. Each fact matches at "
+    "most one interval (intervals partition the timeline). The E3+J14 "
+    "pair is the full SCD2 load-then-lookup cycle; at 100 TB both sides "
+    "bucket on the entity key and the lookup is shuffle-free.",
+)
+def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dim = (
+        events.filter(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("d_user_id"),
+            F.col("event_id").alias("dim_id"),
+            F.col("event_type").alias("dim_state"),
+            F.col("ts").alias("valid_from"),
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("d_user_id").orderBy("valid_from", "dim_id")
+            ),
+        )
+    )
+    facts = events.filter(F.col("event_type") == "purchase")
+    return (
+        facts.join(
+            dim,
+            (F.col("user_id") == F.col("d_user_id"))
+            & (F.col("ts") >= F.col("valid_from"))
+            & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        )
+        .select(
+            F.col("event_id").alias("fact_id"),
+            "user_id",
+            "ts",
+            "dim_id",
+            "dim_state",
+            "valid_from",
+        )
+    )

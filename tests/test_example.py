@@ -29,3 +29,26 @@ def test_etl_pipeline_example_runs_and_is_incremental(spark, tmp_path):
 
     second = run(SF0001, out)
     assert second["pushed_rows"] == 0  # nothing changed -> nothing pushed
+
+
+def test_curation_pipeline_example_runs_and_contracts(spark, tmp_path):
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(__file__))))
+    from examples.curation_pipeline import run
+
+    out = str(tmp_path / "curation")
+    r = run(SF0001, out)
+    # monotone funnel: each stage only removes rows
+    assert (
+        r["input_rows"]
+        >= r["sampled_rows"]
+        >= r["gated_rows"]
+        >= r["exact_unique_rows"]
+        >= r["curated_rows"]
+        > 0
+    )
+    # curated shards are readable and lang-partitioned
+    got = spark.read.parquet(r["curated_dir"])
+    assert got.count() == r["curated_rows"]
+    assert "lang" in got.columns
