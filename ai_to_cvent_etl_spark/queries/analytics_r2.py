@@ -733,3 +733,64 @@ def q_join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+@register(
+    "q_bitwise_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey & 255 AS BIGINT) AS band,
+               CAST(o_orderkey | 16 AS BIGINT) AS bor,
+               CAST(xor(o_orderkey, 85) AS BIGINT) AS bxor,
+               CAST(o_orderkey << 2 AS BIGINT) AS shl,
+               CAST(o_orderkey >> 3 AS BIGINT) AS shr,
+               CAST(bit_count(o_orderkey) AS INTEGER) AS popcount
+        FROM orders
+    """,
+    section="F10",
+    doc="Bitwise operator surface: and/or/xor/shifts/popcount on the key "
+    "column — the hash-partitioning / bloom-filter / bitmask-flag "
+    "primitives. Row-local, codegen'd JVM-side.",
+)
+def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("band"),
+        k.bitwiseOR(F.lit(16)).alias("bor"),
+        k.bitwiseXOR(F.lit(85)).alias("bxor"),
+        F.shiftleft(k, 2).alias("shl"),
+        F.shiftright(k, 3).alias("shr"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@register(
+    "q_udf_arrow",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(lower(text), '[aeiou]', '', 'g') AS fp,
+               CAST(length(regexp_replace(lower(text), '[aeiou]', '', 'g'))
+                    AS INTEGER) AS fp_len
+        FROM documents
+    """,
+    section="X5",
+    doc="Arrow-optimized scalar Python UDF (Spark 4 useArrow=True): the "
+    "same vowel-strip fingerprint as X1/X2, pinning the third Python "
+    "execution path (pickled-batch UDF, pandas UDF, arrow UDF). Arrow "
+    "serialization without the pandas Series wrapper — the recommended "
+    "modern default for row-wise Python logic.",
+)
+def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udf
+
+    @udf("string", useArrow=True)
+    def strip_vowels(s: str) -> str:
+        return "".join(ch for ch in s.lower() if ch not in "aeiou")
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = strip_vowels(F.col("text"))
+    return docs.select(
+        "doc_id", fp.alias("fp"), F.length(fp).cast("int").alias("fp_len")
+    )

@@ -78,6 +78,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
     allowed = {
         "q_udf_python",
         "q_pandas_udf",
+        "q_udf_arrow",
         "q_udaf_gmean",
         "q_udtf_split",
         "q_multimodal_features",
