@@ -794,3 +794,221 @@ def q_udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", fp.alias("fp"), F.length(fp).cast("int").alias("fp_len")
     )
+
+
+@register(
+    "q_win_session_attrib",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id)
+                             > INTERVAL 10 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ),
+        sess AS (
+            SELECT user_id, event_id, event_type, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_seq
+            FROM ordered
+        )
+        SELECT user_id,
+               CAST(session_seq AS BIGINT) AS session_seq,
+               MIN(ts) AS session_start,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               first(event_type ORDER BY ts, event_id) AS first_touch,
+               last(event_type ORDER BY ts, event_id) AS last_touch,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1
+                    AS BOOLEAN) AS converted
+        FROM sess
+        GROUP BY user_id, session_seq
+    """,
+    section="W10",
+    doc="Sessionization with attribution: gaps-and-islands session ids "
+    "(strict >10min gap starts a session), then per-session first-touch / "
+    "last-touch event types and conversion flag — the marketing-"
+    "attribution rollup. DuckDB's order-sensitive first()/last() with the "
+    "ORDER BY modifier mirrors Spark's min_by/max_by on a (ts, event_id) "
+    "struct key (plain MIN(x ORDER BY ...) would still be a value-min). "
+    "The gap compare runs on unix MICROS on both engines — casting ts to "
+    "long truncates to seconds and silently merges 600.x-second gaps.",
+)
+def q_win_session_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_session = F.when(gap > 600_000_000, 1).otherwise(0)
+    sess = events.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ord_key = F.struct(F.col("ts"), F.col("event_id"))
+    return sess.groupBy("user_id", F.col("session_seq").cast("bigint").alias("session_seq")).agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.min_by("event_type", ord_key).alias("first_touch"),
+        F.max_by("event_type", ord_key).alias("last_touch"),
+        (F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) == 1).alias(
+            "converted"
+        ),
+    )
+
+
+@register(
+    "q_win_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS ts_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS ts_click
+            FROM events e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.ts_view
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS ts_purchase
+            FROM events e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.ts_click
+            GROUP BY e.user_id
+        )
+        SELECT u.user_id, v.ts_view, c.ts_click, p.ts_purchase,
+               CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                         WHEN c.user_id IS NOT NULL THEN 2
+                         WHEN v.user_id IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_stage
+        FROM (SELECT DISTINCT user_id FROM events) u
+        LEFT JOIN v ON v.user_id = u.user_id
+        LEFT JOIN c ON c.user_id = u.user_id
+        LEFT JOIN p ON p.user_id = u.user_id
+    """,
+    section="W11",
+    doc="Ordered funnel analysis: per user, the earliest view -> first "
+    "click AT/after it -> first purchase at/after that; funnel_stage "
+    "0-3. Three chained conditional aggregations (each one key-shuffle, "
+    "co-partitioned so AQE collapses the chain) — the product-analytics "
+    "staple that window functions alone cannot express.",
+)
+def q_win_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_view"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("ts_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    stage = (
+        F.when(F.col("ts_purchase").isNotNull(), 3)
+        .when(F.col("ts_click").isNotNull(), 2)
+        .when(F.col("ts_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(v, "user_id", "left")
+        .join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "ts_view",
+            "ts_click",
+            "ts_purchase",
+            stage.cast("int").alias("funnel_stage"),
+        )
+    )
+
+
+@register(
+    "q_agg_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events
+            GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_day,
+                   datediff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+            FROM events e JOIN firsts f ON f.user_id = e.user_id
+        )
+        SELECT cohort_day, CAST(day_offset AS BIGINT) AS day_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM activity
+        GROUP BY cohort_day, day_offset
+    """,
+    section="A15",
+    doc="Cohort retention: users grouped by first-activity day, counted on "
+    "each later active day offset — the retention-curve aggregate. Two "
+    "key-shuffles (first-day, then distinct activity), both partial-agg "
+    "friendly; the cohort join broadcasts at any realistic cohort count.",
+)
+def q_agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort_day")
+    )
+    activity = (
+        events.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        "cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")
+    ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "q_agg_quantiles",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+               ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+               ROUND(quantile_cont(l_extendedprice, 0.75)
+                     - quantile_cont(l_extendedprice, 0.25), 4) AS iqr
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    section="A16",
+    doc="Multi-quantile profile: exact interpolated p25/p50/p75 + IQR per "
+    "group in ONE sort pass (Spark percentile with a fraction array — the "
+    "engine computes all three from a single ordered accumulation, not "
+    "three sorts). Scale path: approx_percentile's t-digest, same call "
+    "shape.",
+)
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs.alias("__q"))
+        .select(
+            "l_returnflag",
+            F.round(F.element_at("__q", 1), 4).alias("p25"),
+            F.round(F.element_at("__q", 2), 4).alias("p50"),
+            F.round(F.element_at("__q", 3), 4).alias("p75"),
+            F.round(
+                F.element_at("__q", 3) - F.element_at("__q", 1), 4
+            ).alias("iqr"),
+        )
+    )
