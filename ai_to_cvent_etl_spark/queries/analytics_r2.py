@@ -1012,3 +1012,99 @@ def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("iqr"),
         )
     )
+
+
+@register(
+    "q_agg_string_bool",
+    oracle="""
+        SELECT n.n_name,
+               string_agg(c.c_mktsegment, '|' ORDER BY c.c_mktsegment, c.c_custkey)
+                   AS segments,
+               bool_and(c.c_acctbal > 0) AS all_positive,
+               bool_or(c.c_acctbal > 9000) AS any_rich,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    section="A17",
+    doc="Order-sensitive string aggregation (listagg/string_agg with full "
+    "tie-broken ORDER BY — the only deterministic way to use it) plus "
+    "bool_and/bool_or group predicates. Spark side: array_join over "
+    "sort_array(collect_list(struct)) — identical ordered concatenation.",
+)
+def q_agg_string_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("c_mktsegment"), F.col("c_custkey")))
+        ),
+        lambda s: s["c_mktsegment"],
+    )
+    return (
+        customer.join(
+            F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.array_join(ordered, "|").alias("segments"),
+            F.bool_and(F.col("c_acctbal") > 0).alias("all_positive"),
+            F.bool_or(F.col("c_acctbal") > 9000).alias("any_rich"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q_etl_gap_fill",
+    oracle="""
+        WITH spine AS (
+            SELECT CAST(d AS DATE) AS day
+            FROM generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                 INTERVAL 1 DAY) t(d)
+        ),
+        daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY 1
+        )
+        SELECT s.day,
+               COALESCE(d.n_events, 0) AS n_events,
+               COALESCE(d.n_users, 0) AS n_users,
+               CAST(d.day IS NULL AS BOOLEAN) AS gap_filled
+        FROM spine s LEFT JOIN daily d ON d.day = s.day
+    """,
+    section="E6",
+    doc="Calendar gap-filling: a generated day spine LEFT-joined to daily "
+    "aggregates, missing days zero-filled and flagged — the reporting-"
+    "table densification every ETL warehouse load needs (downstream "
+    "windows/interpolation break on missing rows). Spine is literal-"
+    "bounded (the fixture's fixed date domain) and broadcast.",
+)
+def q_etl_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr("sequence(date'2024-01-01', date'2024-01-30', interval 1 day)")
+        ).alias("day")
+    )
+    daily = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+    return (
+        F.broadcast(spine)
+        .join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+            F.col("n_events").isNull().alias("gap_filled"),
+        )
+    )

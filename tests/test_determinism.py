@@ -36,6 +36,15 @@ RISKY = [
     "q_multimodal_features",
     "q_text_fingerprint",
     "q_text_wordcount",
+    # r2 additions: float folds, percentile sorts, argmin/min_by ties,
+    # iterative centroid sums — partition-independence is their design claim.
+    "q_vec_kmeans_ivf",
+    "q_vec_ivf_search_learned",
+    "q_win_session_attrib",
+    "q_agg_mode_median",
+    "q_agg_quantiles",
+    "q_text_pmi",
+    "q_join_asof_fwd",
 ]
 
 
