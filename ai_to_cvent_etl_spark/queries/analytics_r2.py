@@ -1108,3 +1108,78 @@ def q_etl_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").isNull().alias("gap_filled"),
         )
     )
+
+
+@register(
+    "q_unpivot_melt",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+               CAST(l_quantity AS DOUBLE) AS value
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+               CAST(l_extendedprice AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'l_discount',
+               CAST(l_discount AS DOUBLE)
+        FROM lineitem
+    """,
+    section="A18",
+    doc="UNPIVOT/melt (the inverse of A9's pivot): wide measure columns to "
+    "long (key, measure, value) rows via df.unpivot — executed as a "
+    "row-local Expand (each input row emits k output rows, no shuffle, no "
+    "k-fold rescan; the oracle's UNION ALL formulation rescans k times, "
+    "which is exactly why the engine-side Expand shape matters at scale).",
+)
+def q_unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("l_quantity"),
+        F.col("l_extendedprice").cast("double").alias("l_extendedprice"),
+        F.col("l_discount").cast("double").alias("l_discount"),
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+
+
+@register(
+    "q_filter_in_subquery",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        )
+        AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09
+        )
+    """,
+    section="P6",
+    doc="IN / NOT IN subquery predicates through the spark.sql entry point "
+    "— Catalyst rewrites them to left-semi / null-aware left-anti joins "
+    "(the NOT IN null-awareness is the classic correctness trap; fixture "
+    "keys are non-null so both engines agree). Pins subquery planning, "
+    "not just the DataFrame semi/anti API (J5/J6).",
+)
+def q_filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+            SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        )
+        AND o_orderkey NOT IN (
+            SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09
+        )
+        """
+    )
