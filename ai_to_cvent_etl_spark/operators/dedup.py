@@ -135,10 +135,13 @@ def connected_components(
         lab_of_lab = labels.select(
             F.col("node").alias("lab"), F.col("lab").alias("lab2")
         )
+        # Lazy checkpoint: the convergence-check action below materializes
+        # it, so each round costs ONE Spark job (eager=True would run a
+        # separate materialization job first — 2x the per-round latency).
         labels = (
             labels.join(lab_of_lab, "lab")
             .select("node", F.least("lab", "lab2").alias("lab"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("lab")).collect()[0][0]
         if new_sum == prev_sum:

@@ -130,3 +130,19 @@ def test_mode_median_broadcasts_mode_side(spark, registry):
     plan = _plan(registry["q_agg_mode_median"].builder(spark, SF001))
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_unpivot_is_expand_not_union_rescan(spark, registry):
+    """A18: df.unpivot must execute as a single-scan Expand, not a k-fold
+    UNION rescan (the oracle's formulation)."""
+    plan = _plan(registry["q_unpivot_melt"].builder(spark, SF001))
+    assert "Expand" in plan, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_in_subquery_rewrites_to_semi_anti_joins(spark, registry):
+    """P6: Catalyst must rewrite IN -> left semi and NOT IN -> null-aware
+    left anti; no cartesian/nested-loop fallback."""
+    plan = _plan(registry["q_filter_in_subquery"].builder(spark, SF001))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
