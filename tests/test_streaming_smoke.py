@@ -220,3 +220,24 @@ def test_st6_stateful_running_aggregate(spark, replay):
         .collect()
     }
     assert final == want
+
+
+def test_foreach_batch_upsert_equals_batch_compaction(spark, replay, registry, tmp_path):
+    """ST7: incremental foreachBatch CDC upsert over the chunked replay must
+    end in exactly the state the one-shot batch compaction (E2) computes —
+    the stream-batch duality for the ETL load path."""
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        foreach_batch_upsert,
+        read_events_stream,
+    )
+
+    target = str(tmp_path / "upsert_target")
+    ckpt = str(tmp_path / "upsert_ckpt")
+    stream = read_events_stream(spark, replay, files_per_trigger=1)
+    foreach_batch_upsert(stream, target, ckpt)
+
+    got = spark.read.parquet(target).select("user_id", "event_id", "ts", "event_type")
+    want = registry["q_etl_latest_by_key"].builder(spark, SF0001)
+    got_rows = sorted(map(tuple, got.collect()))
+    want_rows = sorted(map(tuple, want.collect()))
+    assert got_rows == want_rows
