@@ -1183,3 +1183,41 @@ def q_filter_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q_win_nth_value",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               nth_value(o_totalprice, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_price,
+               CAST(SUM(CASE WHEN o_totalprice > 100000.0 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY o_custkey) AS BIGINT) AS n_big_orders
+        FROM orders
+    """,
+    section="W12",
+    doc="nth_value with an explicit full frame (the default running frame "
+    "silently returns NULL for rows before the nth — the classic trap, "
+    "same family as W6) + count_if as a windowed conditional count "
+    "(DuckDB's count_if is a macro that cannot be windowed — the oracle "
+    "uses SUM(CASE), same semantics). Orders per customer, (date, key)-"
+    "tie-broken.",
+)
+def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_full = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_part = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_totalprice", 2).over(w_full).alias("second_price"),
+        F.count_if(F.col("o_totalprice") > 100000.0)
+        .over(w_part)
+        .alias("n_big_orders"),
+    )
