@@ -1221,3 +1221,76 @@ def q_win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_part)
         .alias("n_big_orders"),
     )
+
+
+@register(
+    "q_str_funcs2",
+    oracle="""
+        SELECT c_custkey,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+               repeat(left(c_name, 3), 2) AS name_rep,
+               reverse(c_name) AS name_rev,
+               CAST(strpos(c_name, '0') AS INTEGER) AS first_zero,
+               right(c_name, 4) AS name_tail,
+               CAST(ascii(c_mktsegment) AS INTEGER) AS seg_ascii,
+               chr(65 + CAST(c_custkey % 26 AS INTEGER)) AS key_chr
+        FROM customer
+    """,
+    section="F11",
+    doc="String surface, wave 2: translate / repeat / reverse / position "
+    "(Spark instr == DuckDB strpos, both 1-based 0-if-absent) / left / "
+    "right / ascii / chr. Row-local, codegen'd.",
+)
+def q_str_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.select(
+        "c_custkey",
+        F.translate("c_mktsegment", "AEIOU", "aeiou").alias("seg_translated"),
+        F.repeat(F.substring("c_name", 1, 3), 2).alias("name_rep"),
+        F.reverse("c_name").alias("name_rev"),
+        F.instr("c_name", "0").cast("int").alias("first_zero"),
+        F.substring("c_name", -4, 4).alias("name_tail"),
+        F.ascii("c_mktsegment").cast("int").alias("seg_ascii"),
+        F.chr(F.lit(65) + (F.col("c_custkey") % 26).cast("int")).alias("key_chr"),
+    )
+
+
+@register(
+    "q_math_funcs2",
+    oracle="""
+        SELECT event_id,
+               ROUND(sin(value), 4) + 0.0 AS sin_v,
+               ROUND(cos(value), 4) + 0.0 AS cos_v,
+               ROUND(atan2(value, 10.0), 4) + 0.0 AS atan2_v,
+               ROUND(log10(value), 4) + 0.0 AS log10_v,
+               ROUND(log2(value), 4) + 0.0 AS log2_v,
+               ROUND(cbrt(value), 4) AS cbrt_v,
+               ROUND(degrees(value), 4) AS deg_v,
+               ROUND(radians(value), 4) AS rad_v
+        FROM events
+        WHERE value > 0
+    """,
+    section="F12",
+    doc="Math surface, wave 2: trig, atan2, log10/log2, cbrt, degrees/"
+    "radians — all irrational outputs ROUND 4 on both engines (§5.3; "
+    "libm implementations may differ in the last ulp, never at 4dp for "
+    "non-lattice inputs). Guarded value > 0 on BOTH sides: events.value "
+    "contains exact 0 from sf0.1 up (DuckDB raises on log(0), Spark "
+    "returns null — the r1 divergence class). Sign-crossing outputs get "
+    "`+ 0.0` in the oracle: DuckDB's ROUND preserves IEEE -0.0 where "
+    "Spark's BigDecimal round normalizes it, and -0.0 + 0.0 == +0.0.",
+)
+def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return events.filter(v > 0).select(
+        "event_id",
+        F.round(F.sin(v), 4).alias("sin_v"),
+        F.round(F.cos(v), 4).alias("cos_v"),
+        F.round(F.atan2(v, F.lit(10.0)), 4).alias("atan2_v"),
+        F.round(F.log10(v), 4).alias("log10_v"),
+        F.round(F.log2(v), 4).alias("log2_v"),
+        F.round(F.cbrt(v), 4).alias("cbrt_v"),
+        F.round(F.degrees(v), 4).alias("deg_v"),
+        F.round(F.radians(v), 4).alias("rad_v"),
+    )
