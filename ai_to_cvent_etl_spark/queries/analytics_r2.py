@@ -1294,3 +1294,39 @@ def q_math_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(v), 4).alias("deg_v"),
         F.round(F.radians(v), 4).alias("rad_v"),
     )
+
+
+@register(
+    "q_agg_skew_kurt",
+    oracle="""
+        WITH mu AS (
+            SELECT l_returnflag, AVG(l_quantity) AS m
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               ROUND(AVG(POW(l.l_quantity - mu.m, 3))
+                     / POW(AVG(POW(l.l_quantity - mu.m, 2)), 1.5), 4) + 0.0
+                   AS skew_qty,
+               ROUND(AVG(POW(l.l_quantity - mu.m, 4))
+                     / POW(AVG(POW(l.l_quantity - mu.m, 2)), 2) - 3.0, 4) + 0.0
+                   AS kurt_qty,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN mu USING (l_returnflag)
+        GROUP BY l.l_returnflag
+    """,
+    section="A19",
+    doc="Higher statistical moments per group: Spark's skewness/kurtosis "
+    "use POPULATION moments (g1 = m3/m2^1.5, excess g2 = m4/m2^2 - 3); "
+    "DuckDB's builtins are SAMPLE-corrected and would diverge, so the "
+    "oracle recomputes Spark's definition from raw moments (two-pass, "
+    "mean in a CTE, `+ 0.0` negative-zero normalization). ROUND 4 "
+    "absorbs the one-pass-vs-two-pass fp summation difference (moments "
+    "are non-lattice). Distribution profiling for feature QA.",
+)
+def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_quantity"), 4).alias("skew_qty"),
+        F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
