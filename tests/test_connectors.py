@@ -118,3 +118,27 @@ def test_s7_jdbc_wrappers_configure(spark):
         batch_size=500,
     )
     assert w is not None
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Scale contract for partitioned sinks: a reader filtering on the
+    partition column must prune directories at PLAN time (PartitionFilters
+    in the scan, only the matching dir's files listed) — at 100 TB this is
+    the difference between listing one lang's files and the whole lake."""
+    from ai_to_cvent_etl_spark.connectors import write_parquet
+    from ai_to_cvent_etl_spark.io import load_table
+
+    out = str(tmp_path / "docs_by_lang")
+    docs = load_table(spark, SF0001, "documents")
+    write_parquet(docs, out, partition_by=["lang"])
+
+    back = spark.read.parquet(out).filter("lang = 'en'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan, plan
+    n_en = docs.filter("lang = 'en'").count()
+    assert back.count() == n_en
+    # physical layout: one subdir per lang value
+    import os
+
+    langs = {d for d in os.listdir(out) if d.startswith("lang=")}
+    assert "lang=en" in langs and len(langs) >= 2
