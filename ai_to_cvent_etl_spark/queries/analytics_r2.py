@@ -1330,3 +1330,38 @@ def q_agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.kurtosis("l_quantity"), 4).alias("kurt_qty"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q_join_salted_skew",
+    oracle="""
+        SELECT p.p_type,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_type
+    """,
+    section="J15",
+    doc="Skew-mitigated salted join (operators/skew.py): the fact side "
+    "carries a deterministic hash salt, the dimension side is exploded "
+    "k=4 ways, the join runs on (key, salt) so one hot key spreads over "
+    "k partitions. Salting must be RESULT-INVARIANT — the oracle is the "
+    "plain join, which is exactly the correctness contract the operator "
+    "must honor (and why how='right'/'full' are rejected). DECIMAL-exact "
+    "revenue per part type.",
+)
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey"), "l_extendedprice"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = salted_join(li, part, on=["p_partkey"], k=4, how="inner")
+    return joined.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast(DecimalType(18, 2)))
+        .cast("double")
+        .alias("revenue"),
+    )
