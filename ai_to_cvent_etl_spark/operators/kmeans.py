@@ -128,16 +128,46 @@ def update_centroids(
     ]
 
 
+# Trained-model memo: (cache_key, k, iters, id_col, vec_col) -> centroids.
+# Training is fully deterministic (module docstring), so a cache hit returns
+# byte-identical centroids to retraining — this is the "train once, serve
+# many" split every IVF deployment has (V6 trains, V7 serves; both declared
+# queries would otherwise re-run the identical Lloyd rounds). Entries are
+# k x dim float lists — negligible memory.
+_MODEL_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cache_key: str | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Run `iters` deterministic Lloyd rounds and return the trained
+    centroids. With ``cache_key`` (e.g. the dataset path), the trained model
+    is memoized — correct because training is bit-reproducible."""
+    memo = (cache_key, k, iters, id_col, vec_col) if cache_key else None
+    if memo is not None and memo in _MODEL_CACHE:
+        return _MODEL_CACHE[memo]
+    centroids = initial_centroids(df, k, id_col, vec_col)
+    for _ in range(iters - 1):
+        centroids = update_centroids(assign(df, centroids, vec_col), vec_col)
+    if memo is not None:
+        _MODEL_CACHE[memo] = centroids
+    return centroids
+
+
 def kmeans_fit_assign(
     df: DataFrame,
     k: int = 8,
     iters: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cache_key: str | None = None,
 ) -> DataFrame:
-    """Run `iters` Lloyd rounds from the deterministic init and return the
-    final assignment (id, cluster, dist2). Empty clusters drop out."""
-    centroids = initial_centroids(df, k, id_col, vec_col)
-    for _ in range(iters - 1):
-        centroids = update_centroids(assign(df, centroids, vec_col), vec_col)
+    """Train (or fetch the memoized model) and return the final assignment
+    (id, cluster, dist2). Empty clusters drop out."""
+    centroids = kmeans_fit(df, k, iters, id_col, vec_col, cache_key)
     return assign(df, centroids, vec_col)

@@ -372,7 +372,7 @@ def q_vec_kmeans_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = kmeans_fit_assign(emb, k=8, iters=2)
+    out = kmeans_fit_assign(emb, k=8, iters=2, cache_key=sf_dir)
     return out.select(
         "vec_id", "cluster", F.round("dist2", 4).alias("dist2")
     )
@@ -586,7 +586,7 @@ def q_vec_ivf_search_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_assign(emb, k=8, iters=2).select(
+    assigned = kmeans_fit_assign(emb, k=8, iters=2, cache_key=sf_dir).select(
         "vec_id", "cluster", "embedding"
     )
     q = assigned.filter(F.col("vec_id") < 10).select(
