@@ -962,20 +962,20 @@ def q_agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     firsts = events.groupBy("user_id").agg(
         F.min(F.col("ts").cast("date")).alias("cohort_day")
     )
-    activity = (
-        events.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_day",
-            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
-                "day_offset"
-            ),
-        )
-        .distinct()
+    activity = events.join(F.broadcast(firsts), "user_id").select(
+        "user_id",
+        "cohort_day",
+        F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+            "day_offset"
+        ),
     )
+    # countDistinct folds the dedup INTO the aggregation (partial aggs both
+    # phases) instead of a standalone .distinct() shuffle + count; the
+    # cohort table broadcasts (one row per user — small even at 100 TB of
+    # events when users are bounded; shuffle-join if not).
     return activity.groupBy(
         "cohort_day", F.col("day_offset").cast("bigint").alias("day_offset")
-    ).agg(F.count(F.lit(1)).alias("n_users"))
+    ).agg(F.countDistinct("user_id").alias("n_users"))
 
 
 @register(
