@@ -1365,3 +1365,47 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "q_win_distinct_running",
+    oracle="""
+        WITH dd AS (
+            SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id
+            FROM events
+        )
+        SELECT DISTINCT event_type, day,
+               CAST(COUNT(DISTINCT user_id) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_users
+        FROM dd
+    """,
+    section="W13",
+    doc="Running DISTINCT count (cumulative unique users per event type by "
+    "day): Spark has no COUNT(DISTINCT) OVER, so the engine side is "
+    "size(collect_set() over a peer-inclusive RANGE frame) — same "
+    "semantics, pinned against DuckDB's native windowed distinct. State "
+    "grows with the distinct-key cardinality per partition; at 100 TB "
+    "swap collect_set for an HLL sketch column (approx running uniques) "
+    "— the exact form is the oracle-checkable twin.",
+)
+def q_win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    dd = events.select(
+        "event_type",
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    ).distinct()
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        dd.withColumn(
+            "cum_users", F.size(F.collect_set("user_id").over(w)).cast("bigint")
+        )
+        .select("event_type", "day", "cum_users")
+        .distinct()
+    )
