@@ -42,6 +42,32 @@ ORACLE_DISC_PRICE = (
 )
 
 
+def corpus_side(df, strategy: str):
+    """SCALE.md join-strategy switch for the corpus-sized side of a
+    pair-generating join (LSH band self-join, blocked cosine self-join,
+    edit-distance block join).
+
+    * ``'auto'`` (default) — no hint: Catalyst's size-based planner picks
+      broadcast only when the side's estimated size fits under
+      ``spark.sql.autoBroadcastJoinThreshold``, and AQE re-checks with the
+      true runtime size. The safe choice at every scale: small corpora still
+      get the broadcast plan, a 100 TB corpus falls back to the shuffle join
+      instead of OOMing an executor (a hardcoded hint would override the
+      planner and AQE cannot undo it).
+    * ``'broadcast'`` — force a broadcast build side (bench / known-small).
+    * ``'bucket'`` — force the shuffle path: shuffle-hash join on the equi
+      key (band key / block key), each bucket's pairs generated locally.
+      The 100 TB shape when the corpus side cannot fit in executor memory.
+    """
+    if strategy == "auto":
+        return df
+    if strategy == "broadcast":
+        return F.broadcast(df)
+    if strategy == "bucket":
+        return df.hint("shuffle_hash")
+    raise ValueError(f"unknown join strategy: {strategy!r}")
+
+
 def fan_out(df):
     """Spread a small scan across all cores before an explosive operator.
 

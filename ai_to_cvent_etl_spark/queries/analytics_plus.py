@@ -81,15 +81,18 @@ def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents a
         JOIN documents b
           ON a.source = b.source AND a.doc_id < b.doc_id AND a.doc_id % 7 = 0
-        WHERE levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) <= 10
+        WHERE levenshtein(substr(a.text, 1, 30), substr(b.text, 1, 30)) <= 20
     """,
     section="L5",
     doc="Edit-distance (levenshtein) near-dup pairs over text prefixes, "
     "source-blocked + sampled query side: the fuzzy-matching ETL primitive "
-    "(same function in both engines).",
+    "(same function in both engines). Threshold 20: non-empty at every "
+    "scale factor (<=10 returned 0 rows below sf0.1 — a vacuous check).",
 )
-def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries._util import fan_out
+def q_text_edit_distance(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 
     docs = load_table(spark, sf_dir, "documents")
     a = fan_out(
@@ -107,12 +110,12 @@ def q_text_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein("pa", "pb")
     return (
         a.join(
-            F.broadcast(b),
+            corpus_side(b, strategy),
             (F.col("source") == F.col("source_b"))
             & (F.col("doc_lo") < F.col("doc_hi")),
         )
         .withColumn("edit_dist", dist.cast("bigint"))
-        .filter(F.col("edit_dist") <= 10)
+        .filter(F.col("edit_dist") <= 20)
         .select("doc_lo", "doc_hi", "edit_dist")
     )
 

@@ -1383,29 +1383,36 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     section="W13",
     doc="Running DISTINCT count (cumulative unique users per event type by "
-    "day): Spark has no COUNT(DISTINCT) OVER, so the engine side is "
-    "size(collect_set() over a peer-inclusive RANGE frame) — same "
-    "semantics, pinned against DuckDB's native windowed distinct. State "
-    "grows with the distinct-key cardinality per partition; at 100 TB "
-    "swap collect_set for an HLL sketch column (approx running uniques) "
-    "— the exact form is the oracle-checkable twin.",
+    "day): Spark has no COUNT(DISTINCT) OVER, and the naive "
+    "size(collect_set) window carries the whole cumulative user set as "
+    "per-row state. The scale-safe same-answer plan: a user contributes to "
+    "the cumulative count from their FIRST active day onward, so min(day) "
+    "per (event_type, user) -> per-day first-seen counts -> running SUM "
+    "over the day spine. Window state is one long per row (constant), "
+    "both shuffles are keyed aggregations with map-side combine.",
 )
 def q_win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    dd = events.select(
-        "event_type",
-        F.col("ts").cast("date").alias("day"),
-        "user_id",
-    ).distinct()
+    base = events.select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    # first day each user is seen per event type (a user's min day is always
+    # a day present in the spine, so the left join below loses nothing)
+    firsts = base.groupBy("event_type", "user_id").agg(F.min("day").alias("day"))
+    new_per_day = firsts.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    days = base.select("event_type", "day").distinct()
     w = (
         Window.partitionBy("event_type")
         .orderBy("day")
-        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        dd.withColumn(
-            "cum_users", F.size(F.collect_set("user_id").over(w)).cast("bigint")
+        days.join(new_per_day, ["event_type", "day"], "left")
+        .withColumn(
+            "cum_users",
+            F.sum(F.coalesce(F.col("new_users"), F.lit(0))).over(w).cast("bigint"),
         )
         .select("event_type", "day", "cum_users")
-        .distinct()
     )

@@ -83,8 +83,10 @@ def _mh_duck(i: int) -> str:
     doc="MinHash(8 perms) + LSH(4 bands x 2) candidate generation, exact "
     "Jaccard >= 0.8 verify. Row-local signatures; shuffle only on band keys.",
 )
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries._util import fan_out
+def q_dedup_minhash_lsh(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
@@ -143,7 +145,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.sz") * F.lit(0.8) <= F.col("a.sz")
     ) & (F.col("a.sz") * F.lit(0.8) <= F.col("b.sz"))
     pairs = a.join(
-        F.broadcast(b),
+        corpus_side(b, strategy),
         (F.col("a.band") == F.col("b.band"))
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -267,8 +269,10 @@ def _norm_col(a: str) -> Column:
     "only, cosine in DOUBLE with left-to-right folds, threshold on the "
     "rounded value (drift-safe).",
 )
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries._util import fan_out
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 
     emb = load_table(spark, sf_dir, "embeddings")
     # norms computed ONCE per vector before the pair join (not per pair):
@@ -288,7 +292,7 @@ def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.round(_dot_col("ea", "eb") / (F.col("na") * F.col("nb")), 4)
     return (
         a.join(
-            F.broadcast(b),
+            corpus_side(b, strategy),
             (F.col("label") == F.col("label_b")) & (F.col("vec_lo") < F.col("vec_hi")),
         )
         .withColumn("cosine", cos)

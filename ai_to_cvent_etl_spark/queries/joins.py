@@ -139,14 +139,23 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle="""
         SELECT c_custkey, c_name FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= '1996-01-01' AND o.o_orderdate < '1997-01-01'
+        )
     """,
     section="J6",
-    doc="Anti join — the ETL missing-rows diff pattern.",
+    doc="Anti join — the ETL missing-rows diff pattern. The right side is a "
+    "filtered orders slice (customers with no 1996 order) so the result is "
+    "non-empty at every scale factor: every customer has >=1 order overall "
+    "in this data, which made the unfiltered form a vacuous 0-row check.",
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
-    orders = load_table(spark, sf_dir, "orders")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
     return customer.join(
         orders, customer.c_custkey == orders.o_custkey, "left_anti"
     ).select("c_custkey", "c_name")

@@ -234,3 +234,29 @@ def q_order_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q_order_offset_page",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 10 OFFSET 10
+    """,
+    section="O2",
+    doc="Offset pagination: page 2 of the O1 total order (rows 11-20). The "
+    "unique-key tie-break makes every page a stable set. Scale note: OFFSET "
+    "is inherently a top-(offset+limit) computation — Spark runs "
+    "GlobalLimit(20) then drops 10, fine for page-sized offsets; deep "
+    "pagination at 100 TB should keyset-paginate (WHERE key > last_seen "
+    "ORDER BY key LIMIT n) instead, which this query's tie-break enables.",
+)
+def q_order_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .offset(10)
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -43,6 +43,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--out", default=os.path.join(REPO, "CORRECTNESS_SELF.json"))
+    ap.add_argument(
+        "--only", default=None,
+        help="comma-separated key list: check only these (writes nowhere "
+        "unless --out is given explicitly)",
+    )
     args = ap.parse_args()
 
     import duckdb
@@ -64,12 +69,22 @@ def main() -> int:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    if args.only:
+        keep = set(args.only.split(","))
+        missing = keep - set(queries)
+        if missing:
+            print(f"unknown keys: {sorted(missing)}", file=sys.stderr)
+            return 2
+        queries = {k: v for k, v in queries.items() if k in keep}
+        if args.out == os.path.join(REPO, "CORRECTNESS_SELF.json"):
+            args.out = "/tmp/correctness_only.json"
     report: dict[str, dict] = {}
     t0 = time.time()
     for name in sorted(queries):
         rec: dict = {
             "rows_match": None, "schema_match": None, "hash_match": None,
             "spark_rows": None, "oracle_rows": None, "err": None,
+            "vacuous": False,
         }
         try:
             sdf = queries[name](spark, args.sf_dir)
@@ -90,19 +105,26 @@ def main() -> int:
                     and rec["schema_match"]
                     and _hash(srows, scols) == _hash(orows, ocols)
                 )
+                # a 0-row exact query hash-matches trivially and proves
+                # nothing about the operator — count it as a failure
+                rec["vacuous"] = len(srows) == 0
         except Exception:
             rec["err"] = traceback.format_exc(limit=3)
         report[name] = rec
         status = "ok" if rec["hash_match"] else (rec["err"] or "MISMATCH")
         print(f"{name}: {str(status)[:60]}", file=sys.stderr)
 
-    n_ok = sum(1 for r in report.values() if r["hash_match"])
+    n_ok = sum(
+        1 for r in report.values() if r["hash_match"] and not r["vacuous"]
+    )
     n_rows_only = sum(1 for r in report.values() if r["err"] == "no_oracle")
+    n_vacuous = sum(1 for r in report.values() if r["vacuous"])
     out = {
         "sf_dir": args.sf_dir,
         "n_queries": len(report),
         "n_hash_match": n_ok,
         "n_rows_only": n_rows_only,
+        "n_vacuous": n_vacuous,
         "n_fail": len(report) - n_ok - n_rows_only,
         "wall_s": round(time.time() - t0, 1),
         "queries": report,

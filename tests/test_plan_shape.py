@@ -44,15 +44,41 @@ def test_broadcast_hint_honored(spark, registry):
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_minhash_has_no_pair_shuffle(spark, registry):
-    """The LSH band join, first-band dedup, and verify are all broadcast/
-    row-local: no Exchange may appear above the band-join subtree (only the
-    fan_out repartition below it)."""
-    plan = _plan(registry["q_dedup_minhash_lsh"].builder(spark, SF001))
+def test_minhash_broadcast_path_has_no_pair_shuffle(spark, registry):
+    """strategy='broadcast': the LSH band join, first-band dedup, and verify
+    are all broadcast/row-local — no Exchange above the band-join subtree
+    (only the fan_out repartition below it)."""
+    plan = _plan(
+        registry["q_dedup_minhash_lsh"].builder(spark, SF001, strategy="broadcast")
+    )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     # exactly the fan_out round-robin exchange, no hashpartitioning shuffles
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+@pytest.mark.parametrize(
+    "key", ["q_dedup_minhash_lsh", "q_dedup_embedding_cosine", "q_text_edit_distance"]
+)
+def test_bucket_strategy_never_broadcasts_corpus_side(spark, registry, key):
+    """strategy='bucket' (the 100 TB path): the corpus side must come in via
+    a hash-partitioned shuffle join, never a BroadcastExchange — a broadcast
+    of the big side is exactly the executor-OOM plan the switch exists to
+    prevent."""
+    plan = _plan(registry[key].builder(spark, SF001, strategy="bucket"))
+    assert "BroadcastExchange" not in plan, plan
+    assert "ShuffledHashJoin" in plan, plan
+
+
+def test_dedup_default_strategy_is_unhinted(registry):
+    """strategy='auto' must leave join-side selection to the size-based
+    planner + AQE: the optimized logical plan carries no join hints."""
+    import inspect
+
+    for key in ("q_dedup_minhash_lsh", "q_dedup_embedding_cosine",
+                "q_text_edit_distance"):
+        sig = inspect.signature(registry[key].builder)
+        assert sig.parameters["strategy"].default == "auto", key
 
 
 def test_topk_uses_take_ordered(spark, registry):
