@@ -71,6 +71,37 @@ class LocalFileTransport:
             )
 
 
+def read_sink_output(out_dir: str) -> list[dict]:
+    """Read a ``LocalFileTransport`` output dir, deduplicating task retries.
+
+    Files are named ``partition_{pid}_a{attempt}.jsonl``; a retried Spark
+    task re-sends its whole partition under a higher attempt number, so the
+    ONLY correct read keeps, per partition, the highest attempt present and
+    ignores the rest. Every consumer of the sink output must go through this
+    helper (ADVICE r2: a naive ``partition_*.jsonl`` glob double-counts
+    retried partitions). Returns the batch dicts ordered by (partition_id,
+    batch_index).
+    """
+    import glob
+    import re
+
+    best: dict[int, tuple[int, str]] = {}  # pid -> (attempt, path)
+    pat = re.compile(r"partition_(\d+)_a(\d+)\.jsonl$")
+    for path in glob.glob(os.path.join(out_dir, "partition_*.jsonl")):
+        m = pat.search(path)
+        if not m:
+            continue
+        pid, attempt = int(m.group(1)), int(m.group(2))
+        if pid not in best or attempt > best[pid][0]:
+            best[pid] = (attempt, path)
+    batches: list[dict] = []
+    for _pid, (_attempt, path) in sorted(best.items()):
+        with open(path, encoding="utf-8") as f:
+            batches.extend(json.loads(line) for line in f)
+    batches.sort(key=lambda b: (b["partition_id"], b["batch_index"]))
+    return batches
+
+
 class RestBatchSink:
     """Batched executor-side sink over an injectable transport."""
 

@@ -9,6 +9,7 @@ query builders apply are pushed into the scan by Catalyst (SURVEY §4).
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import (
@@ -130,6 +131,12 @@ SCHEMAS: dict[str, StructType] = {
 }
 
 
+# Serializes the nanosAsLong set/restore in load_table (events read): two
+# concurrent calls interleaving set and restore could strand the session-wide
+# legacy flag in the flipped state for unrelated parquet reads.
+_NANOS_CONF_LOCK = threading.Lock()
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
@@ -156,25 +163,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # is BUILT (probed: execution after restore still returns correct ts),
         # so later unrelated parquet reads of TIMESTAMP(NANOS) columns fail
         # loudly instead of silently yielding raw BIGINT nanos (ADVICE r1).
-        # Not thread-safe across concurrent load_table calls on one session.
+        # The module-level lock serializes concurrent load_table calls on one
+        # session so an interleaved restore can never leave the flag flipped
+        # for an unrelated read (ADVICE r2).
         key = "spark.sql.legacy.parquet.nanosAsLong"
-        try:
-            prior = spark.conf.get(key)
-        except Exception:
-            prior = None
-        spark.conf.set(key, "true")
-        try:
-            df = spark.read.parquet(table_path(sf_dir, name))
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-            # Force schema resolution while the conf is active.
-            df.schema
-        finally:
-            if prior is None:
-                spark.conf.unset(key)
-            else:
-                spark.conf.set(key, prior)
+        with _NANOS_CONF_LOCK:
+            try:
+                prior = spark.conf.get(key)
+            except Exception:
+                prior = None
+            spark.conf.set(key, "true")
+            try:
+                df = spark.read.parquet(table_path(sf_dir, name))
+                df = df.withColumn(
+                    "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                )
+                # Force schema resolution while the conf is active.
+                df.schema
+            finally:
+                if prior is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prior)
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 

@@ -52,12 +52,15 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # On a small-vocab corpus the shared-prefix-token test alone is weak
     # (everyone shares the globally-frequent first tokens); the size band
     # prunes the bulk of those false candidates before the verify join.
+    # Compared raw (no ceil): ceil over a double product can round UP when
+    # sz*t is exactly integral (fp representation error), pruning a pair
+    # whose Jaccard equals the threshold exactly.
     cand = (
         a.join(
             F.broadcast(b),
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b.sz") >= F.ceil(F.col("a.sz") * F.lit(threshold)))
+            & (F.col("b.sz") >= F.col("a.sz") * F.lit(threshold))
             & (F.col("b.sz") * F.lit(threshold) <= F.col("a.sz")),
         )
         .select(F.col("a.doc_id").alias("doc_lo"), F.col("b.doc_id").alias("doc_hi"))

@@ -128,13 +128,41 @@ def update_centroids(
     ]
 
 
-# Trained-model memo: (cache_key, k, iters, id_col, vec_col) -> centroids.
-# Training is fully deterministic (module docstring), so a cache hit returns
-# byte-identical centroids to retraining — this is the "train once, serve
-# many" split every IVF deployment has (V6 trains, V7 serves; both declared
-# queries would otherwise re-run the identical Lloyd rounds). Entries are
-# k x dim float lists — negligible memory.
+# Trained-model memo: (cache_key, data fingerprint, k, iters, id_col,
+# vec_col) -> centroids. Training is fully deterministic (module docstring),
+# so a cache hit returns byte-identical centroids to retraining — this is
+# the "train once, serve many" split every IVF deployment has (V6 trains,
+# V7 serves; both declared queries would otherwise re-run the identical
+# Lloyd rounds). Entries are k x dim float lists — negligible memory.
+#
+# Staleness contract: when ``cache_key`` is a path that exists on the local
+# filesystem, the memo key includes the (name, mtime_ns, size) of every
+# parquet file directly under it, so rewriting the data invalidates the
+# entry automatically. For a non-path key (or a remote URI the driver can't
+# stat) the caller owns invalidation — call :func:`clear_model_cache` after
+# rewriting the data.
 _MODEL_CACHE: dict[tuple, list[tuple[int, list[float]]]] = {}
+
+
+def clear_model_cache() -> None:
+    """Drop every memoized model (use after rewriting a dataset in place
+    whose cache_key is not a stat-able local path)."""
+    _MODEL_CACHE.clear()
+
+
+def _data_fingerprint(cache_key: str) -> tuple:
+    """(name, mtime_ns, size) per parquet file under a local-path cache_key;
+    () when the key is not a stat-able path."""
+    import glob
+    import os
+
+    if not os.path.isdir(cache_key):
+        return ()
+    out = []
+    for p in sorted(glob.glob(os.path.join(cache_key, "*.parquet"))):
+        st = os.stat(p)
+        out.append((os.path.basename(p), st.st_mtime_ns, st.st_size))
+    return tuple(out)
 
 
 def kmeans_fit(
@@ -148,7 +176,11 @@ def kmeans_fit(
     """Run `iters` deterministic Lloyd rounds and return the trained
     centroids. With ``cache_key`` (e.g. the dataset path), the trained model
     is memoized — correct because training is bit-reproducible."""
-    memo = (cache_key, k, iters, id_col, vec_col) if cache_key else None
+    memo = (
+        (cache_key, _data_fingerprint(cache_key), k, iters, id_col, vec_col)
+        if cache_key
+        else None
+    )
     if memo is not None and memo in _MODEL_CACHE:
         return _MODEL_CACHE[memo]
     centroids = initial_centroids(df, k, id_col, vec_col)

@@ -84,7 +84,10 @@ def _mh_duck(i: int) -> str:
     "Jaccard >= 0.8 verify. Row-local signatures; shuffle only on band keys.",
 )
 def q_dedup_minhash_lsh(
-    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+    spark: SparkSession,
+    sf_dir: str,
+    strategy: str = "auto",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 
@@ -129,6 +132,22 @@ def q_dedup_minhash_lsh(
     bands = sig.select(
         "doc_id", "hs", "sz", "bks", F.posexplode("bks").alias("band", "bkey")
     )
+    if bucket_cap is not None:
+        # Pathological-bucket cap (SCALE.md): boilerplate-heavy corpora
+        # concentrate a large fraction of docs into a single band bucket,
+        # turning the "tiny by construction" bucket join quadratic. Rows in
+        # buckets above the cap are dropped BEFORE the join; a dropped
+        # bucket's pairs can still be found through the pair's other
+        # colliding bands. First-band emission is unsound once a band row
+        # can be pruned (the surviving row would be suppressed by the
+        # pruned lower band), so the capped path deduplicates pairs
+        # explicitly instead.
+        wcap = Window.partitionBy("band", "bkey")
+        bands = (
+            bands.withColumn("bsz", F.count(F.lit(1)).over(wcap))
+            .filter(F.col("bsz") <= bucket_cap)
+            .drop("bsz")
+        )
     a, b = bands.alias("a"), bands.alias("b")
     first_collision = F.lit(True)
     for j in range(_N_BANDS - 1):
@@ -150,15 +169,24 @@ def q_dedup_minhash_lsh(
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & length_ok,
-    ).filter(first_collision)
-    verified = pairs.select(
+    )
+    if bucket_cap is None:
+        pairs = pairs.filter(first_collision)
+    paired = pairs.select(
         F.col("a.doc_id").alias("doc_lo"),
         F.col("b.doc_id").alias("doc_hi"),
         F.col("a.hs").alias("hs_a"),
         F.col("b.hs").alias("hs_b"),
         F.col("a.sz").alias("sz_a"),
         F.col("b.sz").alias("sz_b"),
-    ).withColumn("i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))))
+    )
+    if bucket_cap is not None:
+        # pair-level dedup replaces first-band emission on the capped path;
+        # payload columns are identical per pair, so any surviving row works
+        paired = paired.dropDuplicates(["doc_lo", "doc_hi"])
+    verified = paired.withColumn(
+        "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    )
     jac = F.col("i").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("i")
     )

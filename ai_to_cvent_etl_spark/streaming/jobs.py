@@ -157,10 +157,17 @@ def foreach_batch_upsert(
 
     Production notes: against a real lakehouse table this body is a MERGE
     INTO; against plain parquet we read-union-compact-rewrite, which is
-    correct but O(target) per batch — the pattern to show is the
-    exactly-once contract (foreachBatch may re-run a batch on failure;
-    the merge is idempotent, so replays are safe), not the file format.
+    correct but O(target) per batch. The merge itself is idempotent (a
+    replayed batch re-derives the same latest-per-key rows), and the
+    staged-write-then-swap below makes each rewrite crash-safe: the merged
+    result is durable in a staging dir before the old target is touched, so
+    a failure at any point leaves either the old or the new complete target
+    on disk, never a half-written one. True exactly-once (atomic commit +
+    batch-id tracking) needs a transactional table format, not plain
+    parquet — that is a deliberate scope boundary of this local fake.
     """
+    import os
+    import shutil
     from pyspark.sql import Window
 
     key_cols = list(key_cols)
@@ -183,13 +190,19 @@ def foreach_batch_upsert(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # rewrite atomically-enough for the local fake: stage then move is
-        # what a table format gives you; here overwrite suffices because
-        # foreachBatch serializes batches.
-        compacted.cache()
-        compacted.count()
-        compacted.write.mode("overwrite").parquet(target_dir)
-        compacted.unpersist()
+        # Stage-then-swap: writing the merged result straight over
+        # target_dir would make the rewrite's input depend on files being
+        # deleted (cache() does not survive executor loss — a mid-write
+        # recompute would read a half-deleted target). The staged copy is
+        # fully durable before the old target is touched.
+        staging = f"{target_dir}__staging"
+        retired = f"{target_dir}__retired"
+        compacted.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(retired, ignore_errors=True)
+        if os.path.isdir(target_dir):
+            os.rename(target_dir, retired)
+        os.rename(staging, target_dir)
+        shutil.rmtree(retired, ignore_errors=True)
 
     (
         stream.writeStream.foreachBatch(_merge)

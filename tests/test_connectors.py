@@ -68,15 +68,29 @@ def test_s6_partitioned_parquet_sink_prunes(spark, tmp_path):
 
 
 def test_s7_rest_sink_batches(spark, tmp_path):
-    from ai_to_cvent_etl_spark.connectors.rest import run_events_to_rest_pipeline
+    from ai_to_cvent_etl_spark.connectors.rest import (
+        LocalFileTransport,
+        read_sink_output,
+        run_events_to_rest_pipeline,
+    )
 
     out = str(tmp_path / "rest_out")
     run_events_to_rest_pipeline(spark, SF0001, out_dir=out, batch_size=64)
 
-    batches = []
-    for path in glob.glob(os.path.join(out, "partition_*.jsonl")):
-        with open(path, encoding="utf-8") as f:
-            batches.extend(json.loads(line) for line in f)
+    batches = read_sink_output(out)
+    # simulate a task retry: partition 0 re-sends everything under attempt 1;
+    # the reader must keep only the retry, never both attempts
+    p0 = [b for b in batches if b["partition_id"] == 0]
+    retry = LocalFileTransport(out)
+    for b in p0:
+        retry.send(0, b["batch_index"], b["records"], attempt_number=1)
+    reread = read_sink_output(out)
+    assert sum(b["n_records"] for b in reread) == sum(
+        b["n_records"] for b in batches
+    )
+    assert all(
+        b["attempt_number"] == 1 for b in reread if b["partition_id"] == 0
+    )
 
     from ai_to_cvent_etl_spark.io import load_table
 

@@ -134,3 +134,38 @@ def test_token_xxhash64_collision_free_on_fixtures(spark):
             F.count("tok"), F.countDistinct(F.xxhash64("tok"))
         ).first()
         assert n_tok == n_hash, f"xxhash64 collision in {sf_dir} vocab"
+
+
+def test_minhash_bucket_cap_invariance(spark, registry):
+    """The pathological-bucket cap (SCALE.md): with the cap above the
+    largest fixture bucket (max 394 docs at sf0.001) the capped path must
+    return EXACTLY the uncapped result at t=0.8 — same pairs through the
+    explicit pair-dedup instead of first-band emission. With a cap that
+    does prune buckets, the result must be a strict SUBSET (the cap trades
+    recall, never precision: no pair can appear that the uncapped query
+    lacks). On THIS corpus the giant buckets carry the true near-dup mass
+    (24% of all pairs are dups), so a tight cap costs recall here; on a
+    boilerplate-skewed real corpus the pruned buckets are precisely the
+    non-dup noise."""
+    build = registry["q_dedup_minhash_lsh"].builder
+    full = set(map(tuple, build(spark, SF0001).collect()))
+    capped = set(map(tuple, build(spark, SF0001, bucket_cap=500).collect()))
+    assert capped == full, (
+        f"lossless cap diverged: lost={len(full - capped)} "
+        f"extra={len(capped - full)}"
+    )
+    tight = set(map(tuple, build(spark, SF0001, bucket_cap=390).collect()))
+    assert tight <= full, f"tight cap invented pairs: {len(tight - full)}"
+    assert tight, "tight cap returned nothing"
+
+
+def test_approx_distinct_golden_values(spark, registry):
+    """A4 is rows-only at the driver (Spark HLL++ != DuckDB HLL estimates),
+    so pin Spark's actual estimates on the fixtures as golden values —
+    deterministic per Spark version; a silent estimator change fails here
+    instead of never being noticed."""
+    build = registry["q_agg_approx_distinct"].builder
+    got = sorted(map(tuple, build(spark, SF0001).collect()))
+    assert got == [("F", 146), ("O", 150), ("P", 146)], got
+    got01 = sorted(map(tuple, build(spark, "/root/testdata/sf0.01").collect()))
+    assert got01 == [("F", 1361), ("O", 1369), ("P", 1367)], got01
