@@ -5,6 +5,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     aggregates,
     analytics_plus,
     analytics_r2,
+    analytics_r3,
     dedup_scale,
     etl,
     filters,

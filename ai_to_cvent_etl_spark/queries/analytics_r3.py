@@ -1,0 +1,368 @@
+"""Fourth-wave operators (r3): the remaining brief-named dedup/ANN family
+members plus ETL reconciliation and LM-based quality scoring.
+
+  D6 q_dedup_ngram_jaccard   — character-3-gram (shingle) Jaccard near-dup,
+                               the "n-gram Jaccard" dedup variant
+  D7 q_ann_lsh_cosine        — random-hyperplane LSH-bucketed cosine ANN,
+                               the "LSH-bucketed variant" of similarity search
+  L7 q_text_unigram_logprob  — corpus-unigram-LM negative-log-likelihood
+                               scoring (perplexity-style quality signal)
+  W14 q_win_share_of_total   — per-row share of group total (ratio window)
+  E7 q_etl_checksum          — order-insensitive per-partition content
+                               checksum (cross-system reconciliation)
+
+Scale notes:
+  * D6 shingles are computed row-locally once per doc; the pair join blocks
+    on `source` (an IVF/LSH bucket at 100 TB) and samples the probe side —
+    the same corpus_side() strategy switch as D1/D3 governs the join side.
+  * D7's hyperplane signatures are integer-exact (quantized embedding grid x
+    integer plane vectors), so bucket assignment is bit-reproducible across
+    engines — the same trick V6 uses for learned centroids. Buckets prune
+    the candidate space 16x; queries broadcast, corpus never shuffles.
+  * L7 is two token-key shuffles (doc-term, term-freq) + one broadcast —
+    identical shape to TF-IDF; the LM table is vocabulary-sized.
+  * E7's checksum is an integer SUM of per-row 48-bit md5 prefixes: exact,
+    associative, order-insensitive — safe under any partitioning, which is
+    the entire point of a distributed reconciliation checksum.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.registry import register
+
+# --- D6: character-n-gram Jaccard near-dup ---------------------------------
+
+_PFX = 120  # shingle the first 120 chars: bounds per-doc work, keeps near-dup
+#             prefixes discriminative (docs are space-separated words)
+_NGRAM_T = 0.45
+
+_SH_SPARK = (
+    f"case when length(substr(text, 1, {_PFX})) >= 3 then "
+    f"array_distinct(transform(sequence(1, length(substr(text, 1, {_PFX})) - 2),"
+    f" i -> substring(substr(text, 1, {_PFX}), i, 3))) "
+    f"else array() end"
+)
+_SH_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len(substr(text, 1, {_PFX})) - 2, 0) + 1),"
+    f" i -> substr(substr(text, 1, {_PFX}), i, 3)))"
+)
+
+
+@register(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, source, {_SH_DUCK} AS gs FROM documents
+        )
+        SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+               ROUND(CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS DOUBLE)
+                     / (len(a.gs) + len(b.gs)
+                        - len(list_filter(a.gs, x -> list_contains(b.gs, x)))), 4)
+                   AS jaccard
+        FROM sh a JOIN sh b
+          ON a.source = b.source AND a.doc_id < b.doc_id AND a.doc_id % 3 = 0
+        WHERE CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS DOUBLE)
+              / (len(a.gs) + len(b.gs)
+                 - len(list_filter(a.gs, x -> list_contains(b.gs, x)))) >= {_NGRAM_T}
+    """,
+    section="D6",
+    doc="Character-3-gram (shingle) Jaccard near-duplicate pairs — the "
+    "n-gram dedup variant: robust to word-boundary edits that break "
+    "token-level Jaccard (T5) and the cheap precursor to MinHash over the "
+    "same shingle sets (D1). Shingles row-local over a 120-char prefix; "
+    "pair join blocked by source and probe-side sampled; verify "
+    "intersects xxhash64'd shingle arrays (collision-freedom pinned in "
+    "tests/test_invariants.py).",
+)
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, strategy: str = "auto"
+) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"transform({_SH_SPARK}, g -> xxhash64(g))").alias("hs"),
+        F.expr(f"size({_SH_SPARK})").alias("sz"),
+    )
+    a = fan_out(
+        sh.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("doc_lo"),
+            F.col("source"),
+            F.col("hs").alias("hs_a"),
+            F.col("sz").alias("sz_a"),
+        )
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_hi"),
+        F.col("source").alias("source_b"),
+        F.col("hs").alias("hs_b"),
+        F.col("sz").alias("sz_b"),
+    )
+    # lossless SSJoin size band: J >= t forces t*|a| <= |b| <= |a|/t
+    length_ok = (
+        F.col("sz_b") >= F.col("sz_a") * F.lit(_NGRAM_T)
+    ) & (F.col("sz_b") * F.lit(_NGRAM_T) <= F.col("sz_a"))
+    paired = a.join(
+        corpus_side(b, strategy),
+        (F.col("source") == F.col("source_b"))
+        & (F.col("doc_lo") < F.col("doc_hi"))
+        & length_ok,
+    ).withColumn("i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))))
+    jac = F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    return paired.filter(jac >= _NGRAM_T).select(
+        "doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# --- D7: random-hyperplane LSH-bucketed cosine ANN -------------------------
+
+_N_PLANES = 4  # 16 buckets
+
+
+def _plane_ints(p: int, dim: int = 64) -> list[int]:
+    """Deterministic pseudo-random hyperplane as INTEGER components in
+    [-32768, 32767]: md5-seeded so both engines inline identical literals.
+    Integer components x a quantized embedding grid = exact BIGINT dot
+    products, so the sign (bucket bit) is bit-reproducible cross-engine —
+    a raw float dot product near zero could bucket differently per engine."""
+    out = []
+    for d in range(dim):
+        h = int(hashlib.md5(f"plane{p}:{d}".encode()).hexdigest()[:8], 16)
+        out.append(h % 65536 - 32768)
+    return out
+
+
+_PLANES = [_plane_ints(p) for p in range(_N_PLANES)]
+
+# quantized grid: qx = floor(x*64 + 0.5) as BIGINT (V5's drift-safe rounding)
+_QX_SPARK = "cast(floor(cast(x as double) * 64 + 0.5) as bigint)"
+_QX_DUCK = "CAST(floor(CAST(embedding[i] AS DOUBLE) * 64 + 0.5) AS BIGINT)"
+
+
+def _bucket_spark() -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        arr = f"array({', '.join(f'{v}L' for v in plane)})"
+        proj = (
+            f"aggregate(zip_with(embedding, {arr},"
+            f" (x, y) -> {_QX_SPARK} * y), 0L, (a, v) -> a + v)"
+        )
+        bits.append(f"{1 << p} * (case when {proj} >= 0 then 1 else 0 end)")
+    return " + ".join(bits)
+
+
+def _bucket_duck() -> str:
+    bits = []
+    for p, plane in enumerate(_PLANES):
+        arr = f"[{', '.join(str(v) for v in plane)}]"
+        proj = (
+            f"list_sum(list_transform(range(1, 65),"
+            f" i -> {_QX_DUCK} * ({arr})[i]))"
+        )
+        bits.append(f"{1 << p} * (CASE WHEN {proj} >= 0 THEN 1 ELSE 0 END)")
+    return " + ".join(bits)
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, 65),"
+        f" k -> CAST({a}.embedding[k] AS DOUBLE) * CAST({b}.embedding[k] AS DOUBLE)))"
+    )
+
+
+def _nsq_duck(a: str) -> str:
+    return (
+        f"sqrt(list_sum(list_transform({a}.embedding,"
+        f" x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    )
+
+
+@register(
+    "q_ann_lsh_cosine",
+    oracle=f"""
+        WITH buck AS (
+            SELECT vec_id, embedding, {_bucket_duck()} AS bucket
+            FROM embeddings
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY a.vec_id
+                        ORDER BY {_dot_duck('a', 'b')}
+                                 / ({_nsq_duck('a')} * {_nsq_duck('b')}) DESC,
+                                 b.vec_id
+                   ) AS BIGINT) AS rank
+            FROM (SELECT * FROM buck WHERE vec_id < 10) a
+            JOIN buck b ON a.bucket = b.bucket AND b.vec_id <> a.vec_id
+        ) WHERE rank <= 3
+    """,
+    section="D7",
+    doc="LSH-bucketed approximate nearest neighbors: 4 md5-seeded random "
+    "hyperplanes hash each vector to a 16-bucket signature (integer-exact "
+    "projections — quantized grid x integer planes — so buckets are "
+    "bit-reproducible cross-engine); candidates share the query's bucket, "
+    "exact cosine top-3 within it, ids+rank output. The sign-random-"
+    "projection twin of D4's IVF: same broadcast-queries/corpus-never-"
+    "shuffles plan, quantizer needs no training.",
+)
+def q_ann_lsh_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+    from ai_to_cvent_etl_spark.queries.dedup_scale import _dot_col, _norm_col
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buck = emb.select(
+        "vec_id", "embedding", F.expr(_bucket_spark()).alias("bucket")
+    )
+    q = buck.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    ).withColumn("nq", _norm_col("qe"))
+    n = fan_out(
+        buck.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.col("bucket").alias("nbucket"),
+        ).withColumn("nn", _norm_col("ne"))
+    )
+    sim = _dot_col("qe", "ne") / (F.col("nq") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(
+            n,
+            (F.col("qbucket") == F.col("nbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# --- L7: unigram-LM negative log-likelihood --------------------------------
+
+
+@register(
+    "q_text_unigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        tf AS (
+            SELECT tok, CAST(COUNT(*) AS DOUBLE) AS c FROM toks GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_total FROM toks)
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(-ln(tf.c / n.n_total)), 4) AS avg_nll
+        FROM toks t JOIN tf ON t.tok = tf.tok CROSS JOIN n
+        GROUP BY t.doc_id
+    """,
+    section="L7",
+    doc="Perplexity-style quality scoring against a corpus unigram LM: "
+    "p(tok) = tf/N over the whole corpus, score = mean negative log-prob "
+    "per doc (high = surprising/rare tokens, low = boilerplate). The "
+    "training-data quality signal next to L3's rule-based score. LM table "
+    "is vocabulary-sized and broadcast; ROUND 4 absorbs float-sum order "
+    "drift in the per-doc mean.",
+)
+def q_text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    tf = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("c"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n_total"))
+    return (
+        toks.join(F.broadcast(tf), "tok")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log(F.col("c") / F.col("n_total"))), 4).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+# --- W14: share of group total ---------------------------------------------
+
+
+@register(
+    "q_win_share_of_total",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               ROUND(o_totalprice /
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          OVER (PARTITION BY o_custkey) AS DOUBLE), 6)
+                   AS share
+        FROM orders
+    """,
+    section="W14",
+    doc="Per-row share of group total (ratio_to_report): each order's "
+    "fraction of its customer's lifetime spend. Denominator is the exact "
+    "DECIMAL window sum cast to DOUBLE (order-insensitive), so the IEEE "
+    "division is bit-identical cross-engine; ROUND 6 for output hygiene.",
+)
+def q_win_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    total = F.sum(dec2(F.col("o_totalprice"))).over(w).cast("double")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") / total, 6).alias("share"),
+    )
+
+
+# --- E7: reconciliation checksum -------------------------------------------
+
+
+@register(
+    "q_etl_checksum",
+    oracle="""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(('0x' || substr(md5(concat_ws('|',
+                       CAST(doc_id AS VARCHAR), lang, source,
+                       CAST(n_chars AS VARCHAR), text)), 1, 12)) AS BIGINT))
+                   AS BIGINT) AS checksum
+        FROM documents
+        GROUP BY lang
+    """,
+    section="E7",
+    doc="Cross-system reconciliation checksum — the ETL validation "
+    "primitive the reference's extract/load legs need: per-partition "
+    "(lang) SUM of 48-bit md5 prefixes over canonicalized row content. "
+    "Integer sum = exact, associative, order-insensitive, so the checksum "
+    "is stable under any partitioning/engine; comparing per-partition "
+    "(n_rows, checksum) between source and target detects every changed "
+    "row without moving data.",
+)
+def q_etl_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    row_hash = F.expr(
+        "cast(conv(substr(md5(concat_ws('|', cast(doc_id as string), lang,"
+        " source, cast(n_chars as string), text)), 1, 12), 16, 10) as bigint)"
+    )
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).alias("checksum"),
+    )
