@@ -91,6 +91,56 @@ def sample_frames(payload: bytes, every_n: int = 30):  # pragma: no cover
     raise NotImplementedError("frame sampling requires ffmpeg/opencv")
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", LongType()),
+        StructField("offset", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+FRAME_BYTES = 32   # bytes per "frame" of the stand-in codec
+FRAME_STRIDE = 128  # sample every 4th frame
+
+
+def sample_frame_bytes(with_payload: DataFrame) -> DataFrame:
+    """One-to-many frame sampling over binary payloads via mapInPandas.
+
+    The deterministic stand-in codec treats the payload as fixed-size
+    32-byte frames and samples every 4th one (stride 128 bytes) — the same
+    row-expanding shape as real video frame extraction (``sample_frames``
+    is the ffmpeg-gated hook). Emits (doc_id, frame_no, byte offset, md5 of
+    the frame bytes); payload bytes never leave the map task — only the
+    fixed-width digests shuffle, which is the entire point at 100 TB.
+    """
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_no": [], "offset": [], "frame_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = (
+                    (len(data) - FRAME_BYTES) // FRAME_STRIDE + 1
+                    if len(data) >= FRAME_BYTES
+                    else 0
+                )
+                for i in range(n_frames):
+                    off = i * FRAME_STRIDE
+                    out["doc_id"].append(doc_id)
+                    out["frame_no"].append(i)
+                    out["offset"].append(off)
+                    out["frame_md5"].append(
+                        hashlib.md5(data[off : off + FRAME_BYTES]).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {"doc_id": "int64", "frame_no": "int64", "offset": "int64"}
+            )
+
+    return with_payload.mapInPandas(_sample, FRAME_SCHEMA)
+
+
 def _byte_histogram(payload: bytes) -> list[int]:
     """Deterministic fake 'feature extractor': 8-bucket byte-value histogram.
     Stands in for an embedding model; same shape (fixed-length vector)."""

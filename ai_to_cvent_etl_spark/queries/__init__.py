@@ -10,6 +10,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     etl,
     filters,
     functions,
+    graph,
     joins,
     llm_text,
     multimodal,
@@ -17,6 +18,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     setops,
     streaming_batch,
     text,
+    timeseries,
     udfs,
     vectors,
     windows,

@@ -366,3 +366,107 @@ def q_etl_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).alias("checksum"),
     )
+
+
+# --- E8: PII pseudonymization / masking ------------------------------------
+
+
+@register(
+    "q_etl_pii_mask",
+    oracle="""
+        SELECT substr(sha256('pepper-2026|' || CAST(c_custkey AS VARCHAR)), 1, 16)
+                   AS pseudo_id,
+               substr(c_name, 1, 2) ||
+                   repeat('*', greatest(length(c_name) - 2, 0)) AS name_mask,
+               CAST(floor(c_acctbal / CAST(1000 AS DOUBLE)) AS BIGINT)
+                   AS acct_band,
+               c_mktsegment
+        FROM customer
+    """,
+    section="E8",
+    doc="Deterministic PII pseudonymization — the compliance leg every "
+    "training-data pipeline needs before sharing: salted-sha256 pseudonym "
+    "(stable join key across datasets, irreversible without the pepper), "
+    "prefix-preserving name mask, account balance generalized to 1000-wide "
+    "bands (floor: exactly defined on both engines), quasi-identifier "
+    "(segment) passed through. Row-local — map-only at any scale.",
+)
+def q_etl_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        F.substring(
+            F.sha2(
+                F.concat(F.lit("pepper-2026|"), F.col("c_custkey").cast("string")),
+                256,
+            ),
+            1,
+            16,
+        ).alias("pseudo_id"),
+        F.concat(
+            F.substring("c_name", 1, 2),
+            F.expr("repeat('*', greatest(length(c_name) - 2, 0))"),
+        ).alias("name_mask"),
+        F.floor(F.col("c_acctbal") / F.lit(1000).cast("double"))
+        .cast("bigint")
+        .alias("acct_band"),
+        "c_mktsegment",
+    )
+
+
+# --- J16: interval-overlap self-join ---------------------------------------
+
+
+@register(
+    "q_join_interval_overlap",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, event_type,
+                   MIN(ts) AS t_lo, MAX(ts) AS t_hi
+            FROM events
+            GROUP BY user_id, event_type
+        )
+        SELECT a.user_id,
+               a.event_type AS type_a, b.event_type AS type_b,
+               CAST(epoch_us(least(a.t_hi, b.t_hi))
+                    - epoch_us(greatest(a.t_lo, b.t_lo)) AS BIGINT)
+                   AS overlap_us
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        WHERE least(a.t_hi, b.t_hi) >= greatest(a.t_lo, b.t_lo)
+    """,
+    section="J16",
+    doc="Interval-OVERLAP self-join (the range-join sibling of J12's "
+    "containment and J14's point-in-time): per-(user, event_type) activity "
+    "span [min ts, max ts]; pairs of event types whose spans overlap, with "
+    "the overlap length in exact BIGINT microseconds. Blocked on user_id — "
+    "the pair space is per-user-quadratic only, and the join shuffles once "
+    "on the block key at any scale.",
+)
+def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("t_lo"), F.max("ts").alias("t_hi")
+    )
+    a = iv.alias("a")
+    b = iv.select(
+        F.col("user_id").alias("user_id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("t_lo").alias("t_lo_b"),
+        F.col("t_hi").alias("t_hi_b"),
+    )
+    lo = F.greatest(F.col("a.t_lo"), F.col("t_lo_b"))
+    hi = F.least(F.col("a.t_hi"), F.col("t_hi_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("user_id_b"))
+            & (F.col("a.event_type") < F.col("type_b")),
+        )
+        .filter(hi >= lo)
+        .select(
+            F.col("a.user_id").alias("user_id"),
+            F.col("a.event_type").alias("type_a"),
+            F.col("type_b"),
+            (F.unix_micros(hi) - F.unix_micros(lo)).alias("overlap_us"),
+        )
+    )

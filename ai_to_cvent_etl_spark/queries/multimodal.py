@@ -18,7 +18,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
-from ai_to_cvent_etl_spark.operators.multimodal import attach_payload, extract_features
+from ai_to_cvent_etl_spark.operators.multimodal import (
+    attach_payload,
+    extract_features,
+    sample_frame_bytes,
+)
 from ai_to_cvent_etl_spark.registry import register
 
 
@@ -94,3 +98,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "top_bucket",
     )
+
+
+@register(
+    "q_multimodal_frame_sample",
+    oracle="""
+        SELECT d.doc_id,
+               CAST(t.i AS BIGINT) AS frame_no,
+               CAST(t.i * 128 AS BIGINT) AS offset,
+               md5(substr(d.text, CAST(t.i * 128 + 1 AS INTEGER), 32))
+                   AS frame_md5
+        FROM documents d
+        CROSS JOIN unnest(range(0, CASE
+            WHEN octet_length(encode(d.text)) >= 32
+            THEN (octet_length(encode(d.text)) - 32) // 128 + 1
+            ELSE 0 END)) AS t(i)
+    """,
+    section="M3",
+    doc="One-to-many frame sampling over binary payloads (mapInPandas, "
+    "operators/multimodal.py sample_frame_bytes): payload treated as "
+    "32-byte frames, every 4th sampled (stride 128) — the video "
+    "frame-extraction shape with a deterministic byte-slice codec standing "
+    "in for ffmpeg. Emits (frame_no, offset, frame md5); payloads never "
+    "shuffle, only fixed-width digests leave the map task. Oracle slices "
+    "the same bytes with substr (documents are 7-bit ASCII, probed).",
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frame_bytes(attach_payload(docs))

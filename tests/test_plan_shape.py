@@ -108,6 +108,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udaf_gmean",
         "q_udtf_split",
         "q_multimodal_features",
+        "q_multimodal_frame_sample",
     }
     offenders = []
     for key, spec in registry.items():
@@ -172,3 +173,29 @@ def test_in_subquery_rewrites_to_semi_anti_joins(spark, registry):
     plan = _plan(registry["q_filter_in_subquery"].builder(spark, SF001))
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
+
+
+def test_ohlc_is_single_aggregation_shuffle(spark, registry):
+    """TS1: the OHLC resample is one keyed aggregation — exactly one
+    hash-partitioning exchange (partial agg upstream of it), no join."""
+    plan = _plan(registry["q_ts_resample_ohlc"].builder(spark, SF001))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_frame_sample_is_map_only(spark, registry):
+    """M3: frame sampling never shuffles payload bytes — no exchange at all
+    between the scan and the mapInPandas stage."""
+    plan = _plan(registry["q_multimodal_frame_sample"].builder(spark, SF001))
+    assert "Exchange" not in plan, plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+
+def test_decay_sum_pushes_partial_aggregation(spark, registry):
+    """TS3: the decayed sum must map-side combine (partial HashAggregate
+    below the exchange) — the quantized-DECIMAL sum exists so the
+    aggregation stays associative and partial-aggregable."""
+    plan = _plan(registry["q_ts_decay_sum"].builder(spark, SF001))
+    agg_count = plan.count("HashAggregate")
+    assert agg_count >= 2, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
