@@ -21,5 +21,6 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     timeseries,
     udfs,
     vectors,
+    vectors_pq,
     windows,
 )

@@ -199,3 +199,49 @@ def test_decay_sum_pushes_partial_aggregation(spark, registry):
     agg_count = plan.count("HashAggregate")
     assert agg_count >= 2, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_pq_adc_scan_broadcasts_query_tables(spark, registry):
+    """V8: the ADC scan joins the corpus codes against 4 broadcast query
+    distance tables — the corpus side never sort-merge shuffles."""
+    plan = _plan(registry["q_vec_pq_adc"].builder(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """SCALE.md selective-join path: with AQE's runtime bloom filter
+    enabled, a selective dim filter injects might_contain() pruning into
+    the fact scan — rows that cannot join are dropped BEFORE the shuffle.
+    Local thresholds are tiny, so the confs are scoped here; at cluster
+    scale the defaults (10 MB creation side) trigger on real dims."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF001, "lineitem")
+        orders = load_table(spark, SF001, "orders").filter(
+            F.col("o_orderstatus") == "P"
+        )
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+            "l_orderkey", "l_quantity", "o_totalprice"
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
