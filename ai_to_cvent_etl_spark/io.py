@@ -141,22 +141,53 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _events_ts_unit(path: str) -> str:
+    """Sniff the parquet footer for events.ts time unit ('ns' or 'us').
+
+    The driver has shipped both encodings across rounds (TIMESTAMP(NANOS)
+    in r1-r2 test data, TIMESTAMP(MICROS) in r3), so the loader keys off the
+    footer instead of assuming one. A footer read is a few KB of IO once per
+    load_table call — negligible next to the scan itself.
+    """
+    import pyarrow.parquet as papq
+
+    try:
+        field = papq.read_schema(path).field("ts")
+        return getattr(field.type, "unit", "us")
+    except Exception:
+        return "us"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. The parquet footer schema already matches SCHEMAS
     (verified in tests); reading natively keeps predicate pushdown and
     vectorization on the default fast path.
 
-    events.ts is parquet TIMESTAMP(NANOS), which Spark's reader rejects
-    ([PARQUET_TYPE_ILLEGAL]); we read it as raw nanos (legacy conf) and
-    floor-divide to microseconds — exactly the ns->us truncation DuckDB
-    applies when it materializes TIMESTAMP_NS to Python datetimes, so both
-    engines see identical values.
+    events.ts normalizes to Spark TimestampType (µs) whichever way the file
+    encodes it:
+
+    - parquet TIMESTAMP(NANOS): Spark's reader rejects it
+      ([PARQUET_TYPE_ILLEGAL]), so we read raw nanos (legacy conf) and
+      floor-divide to microseconds — exactly the ns->us truncation DuckDB
+      applies when it materializes TIMESTAMP_NS to Python datetimes.
+    - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads it as
+      TIMESTAMP_NTZ; we cast to TimestampType (identity on wall-clock values
+      under the UTC session timezone the engine pins) so every downstream
+      query sees one ts type across data generations.
     """
     from ai_to_cvent_etl_spark.session import ensure_worker_imports
 
     ensure_worker_imports(spark)
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import TimestampNTZType
+
+        path = table_path(sf_dir, name)
+        if _events_ts_unit(path) != "ns":
+            df = spark.read.parquet(path)
+            if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            return df
 
         # Scope the legacy-conf flip to this read (set -> build -> restore):
         # Spark snapshots the effective conf into the scan when the DataFrame
@@ -174,7 +205,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 prior = None
             spark.conf.set(key, "true")
             try:
-                df = spark.read.parquet(table_path(sf_dir, name))
+                df = spark.read.parquet(path)
                 df = df.withColumn(
                     "ts", F.timestamp_micros(F.expr("ts div 1000"))
                 )
