@@ -6,6 +6,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     analytics_plus,
     analytics_r2,
     analytics_r3,
+    analytics_r3b,
     dedup_scale,
     etl,
     filters,

@@ -1,0 +1,381 @@
+"""Fifth-wave operators (r3 continuation): time-series anomaly detection
+and interpolation, plus degree-bounded graph triangle counting.
+
+  TS4 q_ts_anomaly_zscore — trailing-window z-score outlier detection per
+                            user (the monitoring / data-quality primitive).
+  TS5 q_ts_interpolate    — linear interpolation of missing days in a
+                            sparse daily series (spine + ffill/bfill).
+  G2  q_graph_triangles   — per-node triangle counts over the mutual
+                            top-8 trade-affinity supplier graph.
+
+Determinism notes (SURVEY §5.3):
+  * TS4 quantizes values with floor(value * 1e4) to BIGINT, then takes
+    integer window sums (exact, order-insensitive) and rebuilds
+    mean/variance/z with the identical IEEE double expression on both
+    engines — no rounding of the output is needed. DuckDB SUM(BIGINT)
+    returns HUGEINT, so the oracle casts the sums back to BIGINT before
+    the double arithmetic (values fit: |qv| <= 5e6, qv^2 <= 2.5e13,
+    20-row frame => |s2| <= 5e14 << 2^63).
+  * TS5's series values are exact DECIMAL(12,2) daily sums; the
+    interpolation fraction is an integer-day ratio. double division /
+    multiply / add are correctly-rounded IEEE ops, identical cross-engine,
+    so the interpolated value is bit-deterministic without rounding.
+  * G2 is all-integer (counts + row_number with full tie-break) — exact.
+
+Scale notes:
+  * TS4 is one window sort per user with a bounded 20-row frame —
+    constant per-row state; anomalies stream out map-side after the sort.
+  * TS5's spine is |types| x |days| (tiny, broadcast); the two
+    ignore-nulls window passes are per-type sorts over spine-sized data.
+  * G2 bounds the graph by construction: top-8 partners per node caps
+    degree at 8, so the triangle join touches <= 64 candidate wedges per
+    node regardless of how dense the raw co-supply relation is (at sf0.1
+    the raw supplier co-supply graph is COMPLETE — 499,500 pairs — which
+    is why the affinity-ranked sparsification is the scalable shape; the
+    same trick is how production triangle counts survive power-law
+    degrees: rank/limit neighbors, then count on the bounded graph).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.registry import register
+
+# --- TS4: trailing-window z-score anomaly detection -------------------------
+
+_Z_FRAME = 20  # trailing frame size (rows)
+_Z_MIN_N = 10  # minimum observations before scoring
+_Z_T = 2.5     # |z| threshold
+
+
+@register(
+    "q_ts_anomaly_zscore",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 1e4) AS BIGINT) AS qv
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, qv,
+                   CAST(COUNT(*) OVER f AS BIGINT) AS n,
+                   CAST(SUM(qv) OVER f AS BIGINT) AS s,
+                   CAST(SUM(qv * qv) OVER f AS BIGINT) AS s2
+            FROM q
+            WINDOW f AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {_Z_FRAME - 1} PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT event_id, user_id,
+               (CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                   AS zscore
+        FROM w
+        WHERE n >= {_Z_MIN_N}
+          AND CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+          AND abs((CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                  / sqrt(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+              > {_Z_T}
+    """,
+    section="TS4",
+    doc="Trailing-20-event z-score anomaly detection per user: values "
+    "quantized floor(v*1e4) to BIGINT so the window sums are exact "
+    "integers (order-insensitive), then mean/population-variance/z are "
+    "rebuilt with the identical IEEE double expression on both engines — "
+    "bit-deterministic, no output rounding. Bounded ROWS frame = constant "
+    "per-row state; one window sort per user at any scale.",
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_FRAME - 1), Window.currentRow)
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 1e4) as bigint)").alias("qv"),
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "qv",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("qv").over(f).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(f).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("qv").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= _Z_MIN_N) & (var > 0) & (F.abs(z) > _Z_T))
+        .select("event_id", "user_id", z.alias("zscore"))
+    )
+
+
+# --- TS5: linear interpolation over a daily spine ---------------------------
+
+_TS5_MIN_VALUE = 250.0  # rare high-value slice => genuinely sparse series
+
+
+@register(
+    "q_ts_interpolate",
+    oracle=f"""
+        WITH spine AS (
+            SELECT t.event_type, CAST(d.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                       INTERVAL 1 DAY) d(d)
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+            FROM events WHERE value >= {_TS5_MIN_VALUE}
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT s.event_type, s.day, d.v FROM spine s
+            LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+        ),
+        f AS (
+            SELECT event_type, day, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM j
+        )
+        SELECT event_type, day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv)
+                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                    WHEN pv IS NOT NULL THEN pv
+                    WHEN nv IS NOT NULL THEN nv
+               END AS filled,
+               CASE WHEN v IS NOT NULL THEN 'actual'
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                    WHEN pv IS NOT NULL THEN 'ffill'
+                    WHEN nv IS NOT NULL THEN 'bfill'
+                    ELSE 'empty' END AS fill_kind
+        FROM f
+    """,
+    section="TS5",
+    doc="Linear interpolation of a sparse daily series (per-type sums of "
+    "rare high-value events) over a generated day spine: previous/next "
+    "present values via IGNORE-NULLS windows, gaps filled "
+    "pv + (nv-pv)*(day-pd)/(nd-pd), edges forward/back-filled, each row "
+    "tagged actual/interp/ffill/bfill. Series values are exact DECIMAL "
+    "sums and the fraction is an integer-day ratio, so the IEEE result "
+    "is bit-identical cross-engine — no rounding. Spine is tiny "
+    "(types x 30 days) and broadcast; window passes sort spine-sized "
+    "data per type.",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.expr(
+                        "sequence(date'2024-01-01', date'2024-01-30',"
+                        " interval 1 day)"
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    daily = (
+        ev.filter(F.col("value") >= _TS5_MIN_VALUE)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast(DecimalType(12, 2)))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    j = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_present = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(day_if_present, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(day_if_present, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .when(F.col("nv").isNotNull(), F.col("nv"))
+    )
+    kind = (
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp")
+        )
+        .when(F.col("pv").isNotNull(), F.lit("ffill"))
+        .when(F.col("nv").isNotNull(), F.lit("bfill"))
+        .otherwise(F.lit("empty"))
+    )
+    return f.select(
+        "event_type", "day", filled.alias("filled"), kind.alias("fill_kind")
+    )
+
+
+# --- G2: triangle counting on the mutual top-5 affinity graph ---------------
+
+_TOP_PARTNERS = 8
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ps a JOIN ps b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        dir AS (
+            SELECT s1 AS src, s2 AS dst, cnt FROM pairs
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst, cnt FROM pairs
+        ),
+        top5 AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY cnt DESC, dst
+                       ) AS rn
+                FROM dir
+            ) WHERE rn <= {_TOP_PARTNERS}
+        ),
+        edges AS (
+            SELECT a.src AS lo, a.dst AS hi
+            FROM top5 a JOIN top5 b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        ),
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY node
+    """,
+    section="G2",
+    doc="Per-node triangle counts over the mutual top-8 trade-affinity "
+    "supplier graph (edge iff each supplier ranks the other in its top-8 "
+    "co-supply partners by shared-part count, full tie-break). The raw "
+    "co-supply relation is complete at sf0.1 (499,500 pairs), so the "
+    "rank/limit sparsification is the point: degree <= 8 by construction "
+    "bounds the wedge join to <= 64 candidates per node at any scale — "
+    "the standard defense against power-law hubs in distributed triangle "
+    "counting. All-integer, fully tie-broken => exact.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1")
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        a.join(b, (a.pk == b.pk) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    direct = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "cnt"
+    ).unionByName(
+        pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "cnt")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    )
+    top5 = (
+        direct.withColumn("rn", rn)
+        .filter(F.col("rn") <= _TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    rev = top5.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = (
+        top5.intersect(rev)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
