@@ -17,6 +17,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     multimodal,
     scans,
     setops,
+    sketches,
     streaming_batch,
     text,
     timeseries,

@@ -379,3 +379,140 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+# --- L8: benchmark-contamination check (n-gram decontamination) -------------
+
+_CONTAM_K = 8   # word-n-gram size (GPT-3/Pile-style decontamination uses 8-13)
+_CONTAM_M = 29  # benchmark set = docs with doc_id % 29 == 0 (~3% of corpus)
+
+_CSH_SPARK = (
+    f"case when size(split(text, ' ')) >= {_CONTAM_K} then "
+    f"array_distinct(transform("
+    f"sequence(1, size(split(text, ' ')) - {_CONTAM_K} + 1),"
+    f" i -> array_join(slice(split(text, ' '), i, {_CONTAM_K}), ' '))) "
+    f"else array() end"
+)
+_CSH_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len(string_split(text, ' ')) - {_CONTAM_K} + 1, 0)"
+    f" + 1), i -> array_to_string("
+    f"list_slice(string_split(text, ' '), i, i + {_CONTAM_K} - 1), ' ')))"
+)
+
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_CSH_DUCK} AS gs FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, len(gs) AS n_shingles, unnest(gs) AS g FROM sh
+        ),
+        bench AS (
+            SELECT DISTINCT g FROM ex WHERE doc_id % {_CONTAM_M} = 0
+        )
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(e.n_shingles) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) AS DOUBLE) / MIN(e.n_shingles)
+                   AS contamination_ratio
+        FROM ex e JOIN bench b ON e.g = b.g
+        WHERE e.doc_id % {_CONTAM_M} <> 0
+        GROUP BY e.doc_id
+    """,
+    section="L8",
+    doc="Train/eval contamination check — the GPT-3/Pile-style n-gram "
+    "decontamination pass: flag corpus documents sharing any word-8-gram "
+    "with a held-out benchmark slice (doc_id % 29 == 0 stands in for the "
+    "eval set). Shingles are row-local and distinct per doc; the "
+    "benchmark shingle set is eval-sized (small by definition) and "
+    "broadcast, so the corpus never shuffles — the check is map-side at "
+    "any corpus scale. Ratio is an exact int/int IEEE division — no "
+    "rounding needed.",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(_CSH_SPARK).alias("gs")
+    ).select(
+        "doc_id",
+        F.size("gs").alias("n_shingles"),
+        F.explode("gs").alias("g"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_M == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _CONTAM_M != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("n_shingles").alias("n_shingles"),
+            (
+                F.count(F.lit(1)).cast("double") / F.min("n_shingles")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+# --- T9: BPE merge-candidate pair counts ------------------------------------
+
+
+@register(
+    "q_text_bpe_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, length(t)),
+                          i -> substring(t, i, 2))) AS pair,
+                   c
+            FROM tf WHERE length(t) >= 2
+        )
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS merge_count
+        FROM pairs
+        GROUP BY pair
+        ORDER BY merge_count DESC, pair
+        LIMIT 30
+    """,
+    section="T9",
+    doc="BPE tokenizer-training inner loop, round 1: corpus-weighted "
+    "adjacent-character-pair frequencies (the statistic argmaxed by every "
+    "byte-pair-encoding merge step). Token frequencies are one keyed "
+    "shuffle over exploded tokens; pair extraction then runs on the "
+    "DISTINCT-token table (vocabulary-sized, not corpus-sized) — the same "
+    "work-sharing real BPE trainers use. All-integer counts, fully "
+    "tie-broken top-30 => exact.",
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        tf.filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(30)
+    )
