@@ -6,6 +6,10 @@
                                (reproducible training-subset selection).
   D8  q_dedup_containment    — token-set containment near-dup pairs
                                (doc-inside-doc / quote detection).
+  TS6 q_ts_autocorr          — per-user lag-1 autocorrelation via exact
+                               integer moment sums.
+  V9  q_vec_random_projection — Johnson-Lindenstrauss 64d->8d sketch with
+                               a deterministic md5-parity +/-1 matrix.
 
 Determinism notes (SURVEY §5.3):
   * SK1 buckets are md5-derived (identical string inputs on both engines,
@@ -33,6 +37,8 @@ Scale notes:
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -270,4 +276,151 @@ def q_dedup_containment(
         pairs.withColumn("rn", rn)
         .filter(F.col("rn") <= _CONTAIN_TOPN)
         .select("doc_lo", "doc_hi", "containment")
+    )
+
+
+# --- TS6: per-user lag-1 autocorrelation ------------------------------------
+#
+# Pearson correlation between consecutive event values per user — the
+# seasonality / burstiness signal. Same exactness device as TS4: values are
+# quantized floor(v*1e4) to BIGINT, all five moment sums (n, Sx, Sy, Sxx,
+# Syy, Sxy) are exact integer aggregations (order-insensitive under any
+# partitioning — no window-frame summation order to trust), and the final
+# r = (n*Sxy - Sx*Sy) / sqrt((n*Sxx - Sx^2) * (n*Syy - Sy^2))
+# is rebuilt with the identical IEEE expression on both engines. Products
+# fit: |qv| <= 5e6, Sxy <= 86 * 2.5e13 ~ 2.2e15 << 2^63; n*Sxy <= 1.9e17.
+
+_AC_MIN_N = 10
+
+
+@register(
+    "q_ts_autocorr",
+    oracle=f"""
+        WITH q AS (
+            SELECT user_id,
+                   CAST(floor(value * 1e4) AS BIGINT) AS x,
+                   lag(CAST(floor(value * 1e4) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM q WHERE y IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                      * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))
+                   AS autocorr
+        FROM m
+        WHERE n >= {_AC_MIN_N}
+          AND CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+    section="TS6",
+    doc="Per-user lag-1 autocorrelation of event values (burstiness / "
+    "seasonality signal): one lag window per user, then five exact "
+    "integer moment sums over floor(v*1e4)-quantized values — "
+    "order-insensitive under any partitioning, so unlike a raw-double "
+    "corr() the result is bit-identical cross-engine and cross-run; "
+    "Pearson r rebuilt with the identical IEEE expression. One window "
+    "sort + one keyed aggregation at any scale.",
+)
+def q_ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 1e4) as bigint)").alias("x"),
+    ).withColumn("y", F.lag("x").over(w))
+    m = (
+        q.filter(F.col("y").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("y") * F.col("y")).alias("syy"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(vx * vy)
+    )
+    return m.filter(
+        (F.col("n") >= _AC_MIN_N) & (vx > 0) & (vy > 0)
+    ).select("user_id", "n", r.alias("autocorr"))
+
+
+# --- V9: Johnson-Lindenstrauss random projection ----------------------------
+
+_RP_OUT = 8  # 64-d -> 8-d
+
+
+def _rp_signs(j: int, dim: int = 64) -> list[int]:
+    """Deterministic +/-1 projection row j: md5 parity, identical literal
+    on both engines (same device as D7's hyperplanes)."""
+    out = []
+    for i in range(dim):
+        h = int(hashlib.md5(f"rp{j}:{i}".encode()).hexdigest()[:2], 16)
+        out.append(1 if h % 2 == 0 else -1)
+    return out
+
+
+_RP_ROWS = [_rp_signs(j) for j in range(_RP_OUT)]
+
+
+def _rp_proj_spark(j: int) -> str:
+    arr = f"array({', '.join(f'{v}D' for v in _RP_ROWS[j])})"
+    return (
+        f"round(aggregate(zip_with(embedding, {arr},"
+        f" (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v), 4)"
+    )
+
+
+def _rp_proj_duck(j: int) -> str:
+    arr = f"[{', '.join(str(v) for v in _RP_ROWS[j])}]"
+    return (
+        f"ROUND(list_sum(list_transform(range(1, 65),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), 4)"
+    )
+
+
+@register(
+    "q_vec_random_projection",
+    oracle=(
+        "SELECT vec_id, "
+        + ", ".join(f"{_rp_proj_duck(j)} AS p{j}" for j in range(_RP_OUT))
+        + " FROM embeddings"
+    ),
+    section="V9",
+    doc="Johnson-Lindenstrauss random projection 64-d -> 8-d with a "
+    "deterministic md5-parity +/-1 matrix (Achlioptas-style sparse JL): "
+    "each output dim is a fixed left-to-right higher-order fold over the "
+    "embedding (V1's device) — bit-deterministic before the ROUND 4. "
+    "Row-local, zero shuffle at any scale; the 8-d sketch is the cheap "
+    "distance-preserving key for downstream LSH/clustering passes.",
+)
+def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        *[
+            F.expr(_rp_proj_spark(j)).alias(f"p{j}")
+            for j in range(_RP_OUT)
+        ],
     )

@@ -106,6 +106,46 @@ def session_windows(stream: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def view_purchase_join(
+    views: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """ST8: stream-stream inner join — purchases within ``horizon`` after a
+    view by the same user (the attribution join, streaming form).
+
+    Both sides carry watermarks and the join predicate carries an explicit
+    time bound (purchase.ts in [view.ts, view.ts + horizon]), which is what
+    lets Spark expire join state: a buffered view can be dropped once the
+    purchase-side watermark passes view.ts + horizon. Without the bound the
+    state store grows without limit — the canonical stream-stream join trap.
+    Batch twin: the identical join on the static table (duality test)."""
+    v = (
+        views.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", horizon)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"interval {horizon}")
+        ),
+        "inner",
+    ).select("v_user", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+
 def dedup_within_watermark(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """ST5: streaming exact dedup on event_id, state bounded by the watermark."""
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(

@@ -156,3 +156,32 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
 
     langs = {d for d in os.listdir(out) if d.startswith("lang=")}
     assert "lang=en" in langs and len(langs) >= 2
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema evolution (the ETL reality: a source adds a column mid-history):
+    two parquet batches with divergent schemas read back as one table via
+    mergeSchema — old rows NULL-fill the new column, pruning/pushdown still
+    work on the union schema. mergeSchema is a read-time option, so the
+    historical files are never rewritten (the only sane behavior at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    ev = _events(spark, 100)
+    # batch 1: v1 schema
+    ev.select("event_id", "user_id", "value").write.mode("append").parquet(out)
+    # batch 2: v2 schema adds a column
+    ev.select(
+        "event_id", "user_id", "value", F.lit("v2").alias("pipeline_version")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {
+        "event_id", "user_id", "value", "pipeline_version"
+    }
+    assert merged.count() == 200
+    # old rows NULL-fill; new rows carry the value
+    counts = dict(
+        merged.groupBy("pipeline_version").count().collect()
+    )
+    assert counts == {None: 100, "v2": 100}

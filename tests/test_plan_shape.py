@@ -209,6 +209,47 @@ def test_pq_adc_scan_broadcasts_query_tables(spark, registry):
     assert "SortMergeJoin" not in plan, plan
 
 
+def test_zscore_anomaly_is_single_window_sort(spark, registry):
+    """TS4: one window sort per user — exactly one hash-partitioning
+    exchange (into the per-user window), no join, bounded ROWS frame."""
+    plan = _plan(registry["q_ts_anomaly_zscore"].builder(spark, SF001))
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_contamination_corpus_never_shuffles(spark, registry):
+    """L8: the benchmark shingle set joins via broadcast; the corpus-side
+    shingle stream reaches the join without a hash-partitioning exchange
+    (the only shuffles aggregate the small per-doc hit counts)."""
+    plan = _plan(registry["q_text_contamination"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_countmin_estimates_join_broadcast_cells(spark, registry):
+    """SK1: the 4x256 cell table (bounded by construction) and the d-spine
+    come in via broadcast — the vocabulary side never sort-merge shuffles
+    against them."""
+    plan = _plan(registry["q_sketch_countmin_topk"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_weighted_sample_uses_take_ordered(spark, registry):
+    """E9: selection is per-partition top-k heaps + driver merge, never a
+    global sort of the full table."""
+    plan = _plan(registry["q_etl_sample_weighted"].builder(spark, SF001))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_containment_default_strategy_is_unhinted(registry):
+    """D8 joins under the same corpus_side() contract as D1/D3/D6."""
+    import inspect
+
+    sig = inspect.signature(registry["q_dedup_containment"].builder)
+    assert sig.parameters["strategy"].default == "auto"
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """SCALE.md selective-join path: with AQE's runtime bloom filter
     enabled, a selective dim filter injects might_contain() pruning into

@@ -93,6 +93,55 @@ def _write_event_file(path: str, rows: list[tuple]) -> None:
     time.sleep(1.1)  # distinct mtimes => deterministic file-source order
 
 
+def test_st8_stream_stream_join_duality(spark, replay):
+    """ST8: the time-bounded stream-stream attribution join (views x
+    purchases per user within 1 hour) equals the identical batch join.
+    Watermarks on BOTH sides + the explicit time bound are what make the
+    join state expirable — the scale contract for streaming joins."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+        view_purchase_join,
+    )
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2)
+    got = run_available_now(
+        view_purchase_join(
+            stream.filter(F.col("event_type") == "view"),
+            stream.filter(F.col("event_type") == "purchase"),
+        ),
+        output_mode="append",
+        table_suffix="st8",
+    )
+
+    ev = load_table(spark, SF0001, "events")
+    # batch twin: same predicate on the static table (no watermark needed)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    want = v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("interval 1 hour")),
+    ).select("v_user", "view_id", "purchase_id", "view_ts", "purchase_ts")
+
+    cols = ["v_user", "view_id", "purchase_id", "view_ts", "purchase_ts"]
+    got_rows = _rows(got, cols)
+    assert len(got_rows) > 0
+    assert got_rows == _rows(want, cols)
+
+
 def test_st4_watermark_drops_late_rows(spark, tmp_path):
     """Two incremental availableNow runs over one checkpoint: run 1 ingests
     the on-time data and persists watermark 11:50; run 2 sees only a late row
