@@ -450,7 +450,7 @@ def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_hits"),
-            F.min("n_shingles").alias("n_shingles"),
+            F.min("n_shingles").cast("bigint").alias("n_shingles"),
             (
                 F.count(F.lit(1)).cast("double") / F.min("n_shingles")
             ).alias("contamination_ratio"),

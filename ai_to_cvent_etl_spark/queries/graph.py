@@ -136,3 +136,57 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr
+
+
+@register(
+    "q_graph_degree_dist",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+            SELECT a AS src FROM e UNION ALL SELECT b FROM e
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM und GROUP BY src
+        )
+        SELECT degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes,
+               CAST(substr(src, 1, 1) = 'c' AS BOOLEAN) AS is_customer
+        FROM deg
+        GROUP BY degree, substr(src, 1, 1) = 'c'
+    """,
+    section="G3",
+    doc="Degree distribution of the customer-supplier trade graph, split "
+    "by node class — the skew diagnostic every graph job runs FIRST (it "
+    "is how you decide whether G2-style rank sparsification or salting "
+    "is needed before an expensive traversal). Two keyed aggregations "
+    "(degree per node, nodes per degree), both map-side combinable; the "
+    "second aggregates |V| rows down to the handful of distinct degrees.",
+)
+def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = e.select(F.col("a").alias("src")).unionByName(
+        e.select(F.col("b").alias("src"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy(
+            "degree",
+            (F.substring("src", 1, 1) == "c").alias("is_customer"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .select("degree", "n_nodes", "is_customer")
+    )

@@ -180,7 +180,10 @@ def q_etl_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = pri.orderBy("priority", "o_orderkey").limit(_WS_K)
     rn = F.row_number().over(Window.orderBy("priority", "o_orderkey"))
     return top.select(
-        "o_orderkey", "o_totalprice", "priority", rn.alias("sample_rank")
+        "o_orderkey",
+        "o_totalprice",
+        "priority",
+        rn.cast("bigint").alias("sample_rank"),
     )
 
 

@@ -173,3 +173,54 @@ def q_vec_label_pair_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("centroid_cosine"),
     )
+
+
+@register(
+    "q_vec_mips_topk",
+    oracle="""
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_sum(list_transform(range(1, 65),
+                            k -> CAST(q.embedding[k] AS DOUBLE)
+                                 * CAST(n.embedding[k] AS DOUBLE))) DESC,
+                                 n.vec_id
+                   ) AS BIGINT) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+            JOIN embeddings n ON n.vec_id <> q.vec_id
+        ) WHERE rank <= 5
+    """,
+    section="V10",
+    doc="Brute-force maximum-inner-product search (MIPS) for 10 query "
+    "vectors, top-5 by raw dot product — the retrieval objective for "
+    "learned (non-normalized) embedding spaces, where MIPS and cosine "
+    "rank DIFFERENTLY (norm matters); V3 is the cosine twin. Dot products "
+    "are fixed left-to-right folds (identical on both engines), output "
+    "ids+rank only. Queries broadcast; the corpus side never shuffles — "
+    "same 100 TB shape as V3/V7.",
+)
+def q_vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    n = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ip").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("ip", _dot("q_emb", "n_emb"))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank")
+    )
