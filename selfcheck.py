@@ -30,6 +30,50 @@ TABLES = [
 ]
 
 
+# Loose Spark-dtype -> DuckDB-type compatibility map (mirrors
+# tests/harness.py _TYPE_COMPAT): the strict sf0.1 sweep flags int-vs-BIGINT
+# schema drift that a name-only compare accepts, so the committed artifact
+# must apply the same bar.
+_TYPE_COMPAT = {
+    "bigint": {"BIGINT"},
+    "int": {"INTEGER"},
+    "smallint": {"SMALLINT"},
+    "double": {"DOUBLE"},
+    "float": {"FLOAT"},
+    "string": {"VARCHAR"},
+    "timestamp": {"TIMESTAMP", "TIMESTAMP WITH TIME ZONE", "TIMESTAMP_NS",
+                  "TIMESTAMP_MS"},
+    "date": {"DATE"},
+    "boolean": {"BOOLEAN"},
+    "array<float>": {"FLOAT[]"},
+    "array<double>": {"DOUBLE[]"},
+    "array<string>": {"VARCHAR[]"},
+    "array<bigint>": {"BIGINT[]"},
+    "array<int>": {"INTEGER[]"},
+}
+
+
+def _types_compatible(spark_dtypes, duck_cols, duck_types) -> list[str]:
+    """Mismatch descriptions for Spark dtype vs DuckDB column type."""
+    problems = []
+    dmap = {c.lower(): str(t).upper() for c, t in zip(duck_cols, duck_types)}
+    for name, dtype in spark_dtypes:
+        want = None
+        for prefix, duck_ok in _TYPE_COMPAT.items():
+            if dtype.lower().startswith(prefix):
+                want = duck_ok
+                break
+        dt = dmap.get(name.lower(), "")
+        if (
+            want is not None
+            and dt
+            and dt not in want
+            and not dtype.lower().startswith("decimal")
+        ):
+            problems.append(f"{name}: spark={dtype} duck={dt}")
+    return problems
+
+
 def _canon_rows(rows, cols):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     return sorted(tuple(repr(r[i]) for i in idx) for r in rows)
@@ -96,10 +140,16 @@ def main() -> int:
             else:
                 orel = con.sql(oracles[name])
                 ocols = orel.columns
+                otypes = orel.types
                 orows = orel.fetchall()
                 rec["oracle_rows"] = len(orows)
                 rec["rows_match"] = len(srows) == len(orows)
-                rec["schema_match"] = sorted(scols) == sorted(ocols)
+                type_problems = _types_compatible(sdf.dtypes, ocols, otypes)
+                rec["schema_match"] = (
+                    sorted(scols) == sorted(ocols) and not type_problems
+                )
+                if type_problems:
+                    rec["err"] = "type_mismatch: " + "; ".join(type_problems)
                 rec["hash_match"] = (
                     rec["rows_match"]
                     and rec["schema_match"]
