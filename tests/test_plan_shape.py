@@ -250,6 +250,21 @@ def test_containment_default_strategy_is_unhinted(registry):
     assert sig.parameters["strategy"].default == "auto"
 
 
+def test_mips_broadcasts_queries(spark, registry):
+    """V10: query vectors broadcast; the corpus side never sort-merge
+    shuffles (same contract as V3/V7)."""
+    plan = _plan(registry["q_vec_mips_topk"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_degree_dist_is_two_aggregations_no_join_after_edges(spark, registry):
+    """G3: after the edge build, the degree histogram is two keyed
+    aggregations — no additional join above the edge join."""
+    plan = _plan(registry["q_graph_degree_dist"].builder(spark, SF001))
+    assert plan.count("HashAggregate") >= 4, plan  # partial+final x2
+
+
 def test_runtime_bloom_filter_join_pruning(spark):
     """SCALE.md selective-join path: with AQE's runtime bloom filter
     enabled, a selective dim filter injects might_contain() pruning into
