@@ -329,3 +329,31 @@ def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
     )
+
+
+@register(
+    "q_agg_approx_percentile",
+    oracle=None,  # rows-only: Spark t-digest != DuckDB approx_quantile
+    section="A20",
+    doc="approx_percentile (t-digest sketch) p50/p90/p99 per group — the "
+    "bounded-memory quantile path for 100 TB data where A12/A16's exact "
+    "sort-based percentiles are unaffordable. Sketch estimates are "
+    "engine-specific by construction (same reason as A4's HLL), so this "
+    "is declared rows-only; cross-run determinism within Spark is pinned "
+    "by a golden test (estimates are deterministic per Spark version), "
+    "and the EXACT twin (A12) is the correctness oracle for the metric "
+    "itself. One map-side-combinable keyed aggregation.",
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        )[0].alias("p50"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        )[1].alias("p90"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
+        )[2].alias("p99"),
+    )

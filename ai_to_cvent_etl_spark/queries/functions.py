@@ -273,3 +273,45 @@ def q_map_struct_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.col("s.l"), F.lit("#"), F.col("s.c").cast("string")).alias("meta_key"),
         F.size(F.map_keys(F.col("meta"))).alias("n_keys"),
     )
+
+
+@register(
+    "q_try_cast",
+    oracle="""
+        SELECT c_custkey,
+               TRY_CAST(regexp_extract(c_name, '#(\\d+)', 1) AS BIGINT)
+                   AS id_num,
+               TRY_CAST(c_mktsegment AS BIGINT) AS seg_num,
+               TRY_CAST('2024-01-' || lpad(CAST(c_custkey % 28 + 1 AS VARCHAR),
+                                           2, '0') AS DATE) AS derived_date,
+               TRY_CAST(c_mktsegment AS DATE) AS bad_date,
+               COALESCE(TRY_CAST(c_mktsegment AS BIGINT), -1) AS seg_defaulted
+        FROM customer
+    """,
+    section="F13",
+    doc="Error-safe casting surface (the dirty-data ETL reality): try_cast "
+    "returns NULL instead of failing the job on malformed values — numeric "
+    "id extraction, a guaranteed-invalid cast, a derived date, and a "
+    "COALESCE default. Semantics probed identical on both engines for "
+    "these cases; decimal-string->int deliberately EXCLUDED (Spark "
+    "try_cast('4.5' as int) is NULL, DuckDB TRY_CAST rounds to 5 — a "
+    "documented cross-engine divergence this query pins around). "
+    "Row-local, zero shuffle.",
+)
+def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            r"try_cast(regexp_extract(c_name, '#(\\d+)', 1) as bigint)"
+        ).alias("id_num"),
+        F.expr("try_cast(c_mktsegment as bigint)").alias("seg_num"),
+        F.expr(
+            "try_cast(concat('2024-01-', lpad(cast(c_custkey % 28 + 1 "
+            "as string), 2, '0')) as date)"
+        ).alias("derived_date"),
+        F.expr("try_cast(c_mktsegment as date)").alias("bad_date"),
+        F.expr(
+            "coalesce(try_cast(c_mktsegment as bigint), -1L)"
+        ).alias("seg_defaulted"),
+    )

@@ -142,6 +142,38 @@ def test_st8_stream_stream_join_duality(spark, replay):
     assert got_rows == _rows(want, cols)
 
 
+def test_st9_stream_static_enrichment_join(spark, replay):
+    """ST9: stream-static join — the dimension-enrichment pattern (stream
+    joins a static lookup table with NO watermark and NO join state: the
+    static side is re-broadcast per micro-batch, so this is the cheap,
+    always-safe enrichment shape at any scale). Equals the batch join."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    cust = load_table(spark, SF0001, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_events_stream(spark, replay, files_per_trigger=2)
+    enriched = stream.join(cust, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    got = run_available_now(enriched, output_mode="append", table_suffix="st9")
+
+    ev = load_table(spark, SF0001, "events")
+    want = ev.join(cust, "user_id").select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    cols = ["event_id", "user_id", "c_mktsegment"]
+    got_rows = _rows(got, cols)
+    assert len(got_rows) > 0
+    assert got_rows == _rows(want, cols)
+
+
 def test_st4_watermark_drops_late_rows(spark, tmp_path):
     """Two incremental availableNow runs over one checkpoint: run 1 ingests
     the on-time data and persists watermark 11:50; run 2 sees only a late row
