@@ -266,15 +266,13 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- G2: triangle counting on the mutual top-5 affinity graph ---------------
+# --- G2: triangle counting on the mutual top-8 affinity graph ---------------
 
 _TOP_PARTNERS = 8
 
 
-@register(
-    "q_graph_triangles",
-    oracle=f"""
-        WITH ps AS (
+_EDGE_CTES = f"""
+        ps AS (
             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
         ),
         pairs AS (
@@ -302,32 +300,13 @@ _TOP_PARTNERS = 8
             SELECT a.src AS lo, a.dst AS hi
             FROM top5 a JOIN top5 b ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
-        ),
-        tri AS (
-            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
-            FROM edges e1
-            JOIN edges e2 ON e2.lo = e1.hi
-            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
-        )
-        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
-        FROM (
-            SELECT a AS node FROM tri
-            UNION ALL SELECT b FROM tri
-            UNION ALL SELECT c FROM tri
-        )
-        GROUP BY node
-    """,
-    section="G2",
-    doc="Per-node triangle counts over the mutual top-8 trade-affinity "
-    "supplier graph (edge iff each supplier ranks the other in its top-8 "
-    "co-supply partners by shared-part count, full tie-break). The raw "
-    "co-supply relation is complete at sf0.1 (499,500 pairs), so the "
-    "rank/limit sparsification is the point: degree <= 8 by construction "
-    "bounds the wedge join to <= 64 candidates per node at any scale — "
-    "the standard defense against power-law hubs in distributed triangle "
-    "counting. All-integer, fully tie-broken => exact.",
-)
-def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        )"""
+
+
+def _mutual_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-k trade-affinity supplier edges as (lo, hi), lo < hi —
+    the shared sparsified graph under G2 (triangles) and G4 (link
+    prediction). Degree <= _TOP_PARTNERS by construction."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     a = ps.select(
@@ -355,11 +334,43 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     rev = top5.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    edges = (
+    return (
         top5.intersect(rev)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
     )
+
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY node
+    """,
+    section="G2",
+    doc="Per-node triangle counts over the mutual top-8 trade-affinity "
+    "supplier graph (edge iff each supplier ranks the other in its top-8 "
+    "co-supply partners by shared-part count, full tie-break). The raw "
+    "co-supply relation is complete at sf0.1 (499,500 pairs), so the "
+    "rank/limit sparsification is the point: degree <= 8 by construction "
+    "bounds the wedge join to <= 64 candidates per node at any scale — "
+    "the standard defense against power-law hubs in distributed triangle "
+    "counting. All-integer, fully tie-broken => exact.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
     e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
     e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
     e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
@@ -515,4 +526,174 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("c").alias("merge_count"))
         .orderBy(F.desc("merge_count"), F.asc("pair"))
         .limit(30)
+    )
+
+
+# --- G4: common-neighbor link prediction ------------------------------------
+
+_LP_MIN_SCORE = 2
+
+
+@register(
+    "q_graph_link_predict",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        adj AS (
+            SELECT lo AS x, hi AS n FROM edges
+            UNION ALL
+            SELECT hi AS x, lo AS n FROM edges
+        ),
+        wedge AS (
+            SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS score
+            FROM adj a JOIN adj b ON a.n = b.n AND a.x < b.x
+            GROUP BY a.x, b.x
+        )
+        SELECT w.u, w.v, w.score
+        FROM wedge w
+        LEFT JOIN edges e ON e.lo = w.u AND e.hi = w.v
+        WHERE e.lo IS NULL AND w.score >= {_LP_MIN_SCORE}
+    """,
+    section="G4",
+    doc="Common-neighbor link prediction over the mutual top-8 affinity "
+    "graph: for each NON-adjacent supplier pair, the number of shared "
+    "neighbors (>= 2) — the classic recommendation score (all-integer: "
+    "Adamic-Adar's 1/ln(deg) weighting is deliberately avoided because "
+    "libm ln() is not bit-identical across JVM and C). The wedge join "
+    "inherits G2's degree bound (<= 8), so candidate pairs per node are "
+    "bounded at any scale; one keyed agg + one anti-join.",
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("lo").alias("x"), F.col("hi").alias("n")).unionByName(
+        edges.select(F.col("hi").alias("x"), F.col("lo").alias("n"))
+    )
+    a = adj.select(F.col("x").alias("u"), "n")
+    b = adj.select(F.col("x").alias("v"), F.col("n").alias("n2"))
+    wedge = (
+        a.join(b, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return (
+        wedge.join(
+            edges,
+            (wedge.u == edges.lo) & (wedge.v == edges.hi),
+            "left_anti",
+        )
+        .filter(F.col("score") >= _LP_MIN_SCORE)
+        .select("u", "v", "score")
+    )
+
+
+# --- J17: nearest as-of join -------------------------------------------------
+
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type <> 'purchase'
+        ),
+        bwd AS (
+            SELECT * FROM (
+                SELECT l.event_id, l.user_id, l.ts,
+                       r.event_id AS b_id, r.ts AS b_ts,
+                       ROW_NUMBER() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts
+            ) WHERE rn = 1
+        ),
+        fwd AS (
+            SELECT * FROM (
+                SELECT l.event_id,
+                       r.event_id AS f_id, r.ts AS f_ts,
+                       ROW_NUMBER() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts ASC, r.event_id ASC) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts >= l.ts
+            ) WHERE rn = 1
+        )
+        SELECT b.event_id, b.user_id, b.ts,
+               CASE WHEN f.f_id IS NULL THEN b.b_id
+                    WHEN b.b_id IS NULL THEN f.f_id
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_id
+                    ELSE f.f_id END AS matched_id,
+               CASE WHEN f.f_id IS NULL THEN b.b_ts
+                    WHEN b.b_id IS NULL THEN f.f_ts
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+                    ELSE f.f_ts END AS matched_ts,
+               CASE WHEN f.f_id IS NULL AND b.b_id IS NULL THEN 'none'
+                    WHEN f.f_id IS NULL THEN 'backward'
+                    WHEN b.b_id IS NULL THEN 'forward'
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM bwd b JOIN fwd f ON f.event_id = b.event_id
+    """,
+    section="J17",
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): the "
+    "closest non-purchase event per purchase in either time direction, "
+    "ties preferring backward (pandas semantics). Composed from the "
+    "backward (J10) and forward (J13) union+window as-of operators — two "
+    "by-key window shuffles + one equi-join on the left key; BIGINT-"
+    "microsecond distances, exact. Completes the as-of family: "
+    "backward/forward/nearest.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    bwd = asof_join(
+        purchases, others, on="ts", by="user_id",
+        right_payload=["event_id", "ts"], tiebreak="event_id",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_matched").alias("b_id"),
+        F.col("ts_matched").alias("b_ts"),
+    )
+    fwd = asof_join(
+        purchases, others, on="ts", by="user_id",
+        right_payload=["event_id", "ts"], tiebreak="event_id",
+        direction="forward",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("event_id_matched").alias("f_id"),
+        F.col("ts_matched").alias("f_ts"),
+    )
+    j = bwd.join(fwd, bwd.event_id == fwd.f_event_id)
+    db = F.unix_micros("ts") - F.unix_micros("b_ts")
+    df2 = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (db <= df2)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "matched_id"
+        ),
+        F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "matched_ts"
+        ),
+        F.when(
+            F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit("none")
+        )
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
     )
