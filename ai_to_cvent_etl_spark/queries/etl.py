@@ -110,3 +110,62 @@ def q_etl_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type")
     )
+
+
+@register(
+    "q_etl_scd3",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn,
+                   lead(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS prev_totalprice,
+                   lead(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS prev_orderdate
+            FROM orders
+        )
+        SELECT o_custkey, o_orderkey AS current_orderkey,
+               o_totalprice AS current_totalprice,
+               o_orderdate AS current_orderdate,
+               prev_totalprice, prev_orderdate,
+               prev_totalprice IS NOT NULL AS has_history
+        FROM ranked WHERE rn = 1
+    """,
+    section="E10",
+    doc="SCD Type-3 dimension build: latest row per entity with the "
+    "PREVIOUS value carried in-row (prev_totalprice / prev_orderdate, "
+    "NULL for single-version entities) — the limited-history alternative "
+    "to E3's full SCD2 interval table. One window sort per entity key "
+    "(row_number + lead share the frame), fully tie-broken. NULLs here "
+    "are MEANINGFUL (no history), pinning nullable-column hashing.",
+)
+def q_etl_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderdate",
+        F.row_number().over(w).alias("rn"),
+        F.lead("o_totalprice").over(w).alias("prev_totalprice"),
+        F.lead("o_orderdate").over(w).alias("prev_orderdate"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "o_custkey",
+        F.col("o_orderkey").alias("current_orderkey"),
+        F.col("o_totalprice").alias("current_totalprice"),
+        F.col("o_orderdate").alias("current_orderdate"),
+        "prev_totalprice",
+        "prev_orderdate",
+        F.col("prev_totalprice").isNotNull().alias("has_history"),
+    )

@@ -10,7 +10,7 @@ codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
@@ -229,4 +229,139 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(hashes).alias("fingerprint"),
         F.size(hashes).cast("bigint").alias("n_shingles"),
+    )
+
+
+# --- T10: RAKE keyword extraction -------------------------------------------
+#
+# Rapid Automatic Keyword Extraction: split texts into candidate phrases at
+# stopwords, score each word by degree/frequency over the phrase graph, and
+# score a phrase as the sum of its member word scores. All arithmetic stays
+# INTEGER: word_score_q = (deg * 1e6) DIV freq (integer division, identical
+# on both engines), phrase score = exact BIGINT sum — no float summation
+# order to trust. Phrases of one word are excluded (single words are T1's
+# wordcount); identical phrase text always scores identically (corpus-level
+# word stats), so grouping by phrase text is well-defined.
+
+_RAKE_TOPK = 20
+
+
+@register(
+    "q_text_rake_keywords",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, u.t AS t, u.pos AS pos,
+                   list_contains({_STOPWORDS}, u.t) AS is_stop
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                              (x, i) -> struct_pack(t := x, pos := i))) AS u
+                FROM documents
+            )
+        ),
+        marked AS (
+            SELECT doc_id, t, pos, is_stop,
+                   CAST(SUM(CASE WHEN is_stop THEN 1 ELSE 0 END) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                   ) AS BIGINT) AS pid
+            FROM tok
+        ),
+        members AS (
+            SELECT doc_id, pid, pos, t FROM marked WHERE NOT is_stop
+        ),
+        plen AS (
+            SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS len
+            FROM members GROUP BY doc_id, pid
+        ),
+        wstat AS (
+            SELECT m.t,
+                   CAST(COUNT(*) AS BIGINT) AS freq,
+                   CAST(SUM(p.len) AS BIGINT) AS deg
+            FROM members m
+            JOIN plen p ON p.doc_id = m.doc_id AND p.pid = m.pid
+            GROUP BY m.t
+        ),
+        wscore AS (
+            SELECT t, (deg * 1000000) // freq AS wq FROM wstat
+        ),
+        phrases AS (
+            SELECT m.doc_id, m.pid,
+                   array_to_string(list(m.t ORDER BY m.pos), ' ') AS phrase,
+                   CAST(SUM(w.wq) AS BIGINT) AS score_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_words
+            FROM members m JOIN wscore w ON w.t = m.t
+            GROUP BY m.doc_id, m.pid
+            HAVING COUNT(*) >= 2
+        )
+        SELECT phrase,
+               CAST(MIN(score_q) AS BIGINT) AS score_q,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM phrases
+        GROUP BY phrase
+        ORDER BY score_q DESC, phrase
+        LIMIT {_RAKE_TOPK}
+    """,
+    section="T10",
+    doc="RAKE keyword extraction: candidate phrases split at stopwords "
+    "(gaps-and-islands over token positions), word score = degree/freq "
+    "over the phrase co-occurrence graph, phrase score = sum of member "
+    "word scores — the classic unsupervised keyphrase extractor. All "
+    "arithmetic is INTEGER ((deg*1e6) DIV freq; exact BIGINT sums), so "
+    "the ranking is bit-deterministic cross-engine with no float "
+    "summation order to trust. Two keyed shuffles over exploded tokens "
+    "(phrase stats, word stats) + one vocabulary-sized join, then a "
+    "fully tie-broken top-20.",
+)
+def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "t"),
+    ).withColumn("is_stop", F.col("t").isin(_STOPWORDS))
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    marked = tok.withColumn(
+        "pid",
+        F.sum(F.col("is_stop").cast("int")).over(w_run).cast("bigint"),
+    )
+    members = marked.filter(~F.col("is_stop")).select(
+        "doc_id", "pid", "pos", "t"
+    )
+    plen = members.groupBy("doc_id", "pid").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    wstat = (
+        members.join(plen, ["doc_id", "pid"])
+        .groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("len").alias("deg"),
+        )
+    )
+    wscore = wstat.select(
+        "t", F.expr("(deg * 1000000) div freq").alias("wq")
+    )
+    phrases = (
+        members.join(F.broadcast(wscore), "t")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "t"))),
+                    lambda s: s.t,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wq").alias("score_q"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .filter(F.col("n_words") >= 2)
+    )
+    return (
+        phrases.groupBy("phrase")
+        .agg(
+            F.min("score_q").alias("score_q"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy(F.desc("score_q"), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
     )
