@@ -126,3 +126,54 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_frame_bytes(attach_payload(docs))
+
+
+@register(
+    "q_multimodal_feature_dedup",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id,
+                   list_transform(string_split(text, ''), c -> ascii(c)) AS cs
+            FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   array_to_string(list_transform(range(0, 8),
+                       b -> CAST(len(list_filter(cs, v -> v // 32 = b))
+                                 AS BIGINT)), '|') AS fkey
+            FROM chars
+        )
+        SELECT fkey,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(COUNT(*) AS BIGINT) AS n_payloads
+        FROM h
+        GROUP BY fkey
+        HAVING COUNT(*) >= 2
+    """,
+    section="M4",
+    doc="Multimodal content dedup by DECODED-feature fingerprint: payloads "
+    "whose extracted feature vectors (M2's Arrow mapInPandas byte-"
+    "histogram extractor) are identical collapse to one canonical doc — "
+    "the image/audio dedup shape where raw bytes differ (re-encodes, "
+    "reorders) but decoded content matches; this corpus's token-shuffled "
+    "near-dups have identical histograms, so groups are non-trivial at "
+    "every SF. Payloads never shuffle: only the fixed-width feature key "
+    "leaves the map task, then one keyed aggregation.",
+)
+def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(attach_payload(docs))
+    keyed = feats.select(
+        "doc_id",
+        F.array_join(F.col("features").cast("array<string>"), "|").alias(
+            "fkey"
+        ),
+    )
+    return (
+        keyed.groupBy("fkey")
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("n_payloads"),
+        )
+        .filter(F.col("n_payloads") >= 2)
+    )

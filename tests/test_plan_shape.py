@@ -109,6 +109,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udtf_split",
         "q_multimodal_features",
         "q_multimodal_frame_sample",
+        "q_multimodal_feature_dedup",
     }
     offenders = []
     for key, spec in registry.items():
