@@ -1,5 +1,6 @@
 """Fifth-wave operators (r3 continuation): time-series anomaly detection
-and interpolation, plus degree-bounded graph triangle counting.
+and interpolation, degree-bounded graph analytics, contamination
+checking, BPE statistics, and the nearest as-of join.
 
   TS4 q_ts_anomaly_zscore — trailing-window z-score outlier detection per
                             user (the monitoring / data-quality primitive).
@@ -7,6 +8,13 @@ and interpolation, plus degree-bounded graph triangle counting.
                             sparse daily series (spine + ffill/bfill).
   G2  q_graph_triangles   — per-node triangle counts over the mutual
                             top-8 trade-affinity supplier graph.
+  L8  q_text_contamination — GPT-3/Pile-style train/eval n-gram
+                            decontamination check.
+  T9  q_text_bpe_pairs    — BPE-trainer round-1 merge statistics.
+  G4  q_graph_link_predict — common-neighbor link prediction over the
+                            G2 graph (all-integer Adamic-Adar variant).
+  J17 q_join_asof_nearest — pandas merge_asof direction='nearest',
+                            composed from the J10/J13 as-of operators.
 
 Determinism notes (SURVEY §5.3):
   * TS4 quantizes values with floor(value * 1e4) to BIGINT, then takes
