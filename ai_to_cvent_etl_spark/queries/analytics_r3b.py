@@ -705,3 +705,168 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("forward"))
         .alias("direction"),
     )
+
+
+# --- W15: longest activity streak (gaps-and-islands) ------------------------
+
+
+@register(
+    "q_win_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        marked AS (
+            SELECT user_id, day,
+                   CASE WHEN date_diff('day',
+                            lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                            day) = 1
+                        THEN 0 ELSE 1 END AS brk
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS BIGINT) AS streak_id
+            FROM marked
+        ),
+        streaks AS (
+            SELECT user_id, streak_id,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(day) AS streak_start
+            FROM islands GROUP BY user_id, streak_id
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               MIN(CASE WHEN len = ml THEN streak_start END) AS best_start
+        FROM (
+            SELECT s.*, MAX(len) OVER (PARTITION BY user_id) AS ml
+            FROM streaks s
+        )
+        GROUP BY user_id
+    """,
+    section="W15",
+    doc="Longest consecutive-active-day streak per user (gaps-and-islands "
+    "over distinct activity days): break flags from lag(day), running sum "
+    "as island id, two keyed aggregations — the engagement-streak metric "
+    "every product-analytics warehouse computes. best_start disambiguates "
+    "equal-length streaks by earliest start (deterministic). All-integer "
+    "+ dates => exact. One window sort + two aggs per user at any scale.",
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.withColumn(
+        "brk",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = marked.withColumn(
+        "streak_id", F.sum("brk").over(w).cast("bigint")
+    )
+    streaks = islands.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wml = Window.partitionBy("user_id")
+    s2 = streaks.withColumn("ml", F.max("len").over(wml))
+    return s2.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+        F.min(
+            F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+        ).alias("best_start"),
+    )
+
+
+# --- E11: referential-integrity (FK orphan) audit ---------------------------
+
+
+@register(
+    "q_etl_fk_audit",
+    oracle="""
+        WITH t1 AS (
+            SELECT 'lineitem->orders_open' AS relationship,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM lineitem l
+            LEFT JOIN (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus = 'O') o
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        t2 AS (
+            SELECT 'orders->customer_positive' AS relationship,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM orders o
+            LEFT JOIN (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 0) c
+              ON o.o_custkey = c.c_custkey
+        )
+        SELECT relationship, n_rows, n_orphans,
+               CAST(n_orphans AS DOUBLE) / n_rows AS orphan_ratio
+        FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    """,
+    section="E11",
+    doc="Referential-integrity audit: orphan counts per FK relationship "
+    "against CONSTRAINED target slices (open orders / positive-balance "
+    "customers) so drift is non-trivially exercised — the DQ gate an ETL "
+    "load runs before publishing. Each relationship is one broadcast-or-"
+    "shuffle left join + conditional count (map-side combinable); ratio "
+    "is int/int IEEE division, exact. At 100 TB the dim key-sets "
+    "broadcast (keys only, not rows) or the joins bucket on the FK.",
+)
+def q_etl_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+    pos_cust = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    t1 = (
+        li.join(open_orders, li.l_orderkey == open_orders.o_orderkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("lineitem->orders_open").alias("relationship"),
+            "n_rows",
+            "n_orphans",
+        )
+    )
+    t2 = (
+        orders.join(pos_cust, orders.o_custkey == pos_cust.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders->customer_positive").alias("relationship"),
+            "n_rows",
+            "n_orphans",
+        )
+    )
+    return t1.unionByName(t2).select(
+        "relationship",
+        "n_rows",
+        "n_orphans",
+        (F.col("n_orphans").cast("double") / F.col("n_rows")).alias(
+            "orphan_ratio"
+        ),
+    )

@@ -45,6 +45,27 @@ RISKY = [
     "q_agg_quantiles",
     "q_text_pmi",
     "q_join_asof_fwd",
+    # r3 additions: integer-quantized moment sums, graph rank/limit
+    # sparsification, CMS cell sums, md5-priority ordering, RAKE integer
+    # scoring, nearest-asof composition — each claims partition
+    # independence by construction; pin it.
+    "q_ts_anomaly_zscore",
+    "q_ts_autocorr",
+    "q_ts_ewma",
+    "q_ts_decay_sum",
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_graph_link_predict",
+    "q_sketch_countmin_topk",
+    "q_etl_sample_weighted",
+    "q_text_rake_keywords",
+    "q_text_bpe_pairs",
+    "q_text_contamination",
+    "q_join_asof_nearest",
+    "q_vec_mips_topk",
+    "q_vec_pq_adc",
+    "q_dedup_containment",
+    "q_win_streak",
 ]
 
 
