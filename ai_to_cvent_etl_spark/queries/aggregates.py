@@ -357,3 +357,38 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 1000)"
         )[2].alias("p99"),
     )
+
+
+@register(
+    "q_agg_weighted_avg",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS wavg_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    section="A21",
+    doc="Quantity-weighted average price per return flag (the VWAP shape): "
+    "both the weighted numerator and the weight denominator are EXACT "
+    "DECIMAL sums (order-insensitive under any partitioning), divided "
+    "once in double — bit-deterministic without rounding, unlike a raw "
+    "avg(price*qty) whose float partial sums depend on partitioning. "
+    "One map-side-combinable keyed aggregation.",
+)
+def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        (
+            F.sum(dec2(F.col("l_extendedprice")) * dec2(F.col("l_quantity")))
+            .cast("double")
+            / F.sum(dec2(F.col("l_quantity"))).cast("double")
+        ).alias("wavg_price"),
+        F.sum(dec2(F.col("l_quantity"))).cast("double").alias("total_qty"),
+    )

@@ -260,3 +260,69 @@ def q_order_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q_win_pareto",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS s
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT o_custkey, s,
+                   CAST(ROW_NUMBER() OVER (ORDER BY s DESC, o_custkey)
+                        AS BIGINT) AS rnk,
+                   SUM(s) OVER (ORDER BY s DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum,
+                   SUM(s) OVER () AS total
+            FROM spend
+        )
+        SELECT o_custkey, rnk,
+               CAST(s AS DOUBLE) AS spend,
+               CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+        FROM ranked
+        WHERE rnk <= 100
+    """,
+    section="W16",
+    doc="Pareto concentration curve: customers ranked by total spend, "
+    "cumulative share of global revenue at each rank (the 80/20 "
+    "diagnostic). Per-customer sums, running sum, and the global total "
+    "are all EXACT DECIMAL (order-insensitive); the single double "
+    "division is bit-deterministic. Output truncated at rank 100 with a "
+    "unique-key tie-break. The ranking is one global sort of the "
+    "CUSTOMER aggregate (not the orders table) — entity-level "
+    "cardinality, fine to sort at any scale; the running sum rides the "
+    "same sorted window.",
+)
+def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(dec2(F.col("o_totalprice"))).alias("s")
+    )
+    w = Window.orderBy(F.desc("s"), F.asc("o_custkey"))
+    ranked = spend.select(
+        "o_custkey",
+        "s",
+        F.row_number().over(w).cast("bigint").alias("rnk"),
+        F.sum("s")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+        F.sum("s").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    return ranked.filter(F.col("rnk") <= 100).select(
+        "o_custkey",
+        "rnk",
+        F.col("s").cast("double").alias("spend"),
+        (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
+            "cum_share"
+        ),
+    )
