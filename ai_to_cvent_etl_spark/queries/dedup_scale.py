@@ -445,3 +445,67 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comp.withColumn(
         "cluster_size", F.count(F.lit(1)).over(w).cast("bigint")
     )
+
+
+@register(
+    "q_dedup_cluster_stats",
+    oracle="""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.95
+        ),
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents WHERE lang = 'de'
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lab) AS component
+            FROM walk GROUP BY node
+        ),
+        clusters AS (
+            SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+            FROM comp GROUP BY component
+        )
+        SELECT cluster_size,
+               CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(COUNT(*) * cluster_size AS BIGINT) AS n_docs
+        FROM clusters
+        GROUP BY cluster_size
+    """,
+    section="D9",
+    doc="Dedup-pipeline QA: duplicate-cluster size distribution over D5's "
+    "connected components (how much of the corpus collapses, and into "
+    "what shapes — the acceptance report run after every dedup pass; a "
+    "sudden giant cluster means the threshold or blocking broke). Two "
+    "keyed aggregations on top of the iterative components operator; "
+    "all-integer, exact.",
+)
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    pairs = near_dup_pairs(docs, threshold=0.95).select("doc_lo", "doc_hi")
+    comp = connected_components(pairs, docs.select("doc_id"))
+    clusters = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )

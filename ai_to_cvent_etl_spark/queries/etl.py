@@ -169,3 +169,68 @@ def q_etl_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_orderdate",
         F.col("prev_totalprice").isNotNull().alias("has_history"),
     )
+
+
+@register(
+    "q_etl_key_skew_stats",
+    oracle="""
+        WITH k1 AS (
+            SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        k2 AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY o_custkey
+        ),
+        s1 AS (
+            SELECT 'lineitem.l_suppkey' AS join_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_rows,
+                   CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_rows,
+                   CAST(MAX(c) AS DOUBLE)
+                   / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_factor
+            FROM k1
+        ),
+        s2 AS (
+            SELECT 'orders.o_custkey' AS join_key,
+                   CAST(COUNT(*) AS BIGINT) AS n_keys,
+                   CAST(MAX(c) AS BIGINT) AS max_rows,
+                   CAST(SUM(c) AS DOUBLE) / COUNT(*) AS avg_rows,
+                   CAST(MAX(c) AS DOUBLE)
+                   / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_factor
+            FROM k2
+        )
+        SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    """,
+    section="E12",
+    doc="Join-key skew diagnostic: per-key row-count distribution "
+    "(n_keys, max, avg, max/avg skew factor) for the two hottest join "
+    "keys — the measurement that decides whether a join needs J15's "
+    "salting or AQE skew handling BEFORE it runs (measure, don't guess). "
+    "Integer counts + one IEEE division => exact. Two keyed partial "
+    "aggregations collapsing to per-key counts, then single-row "
+    "summaries.",
+)
+def q_etl_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def stats(df, col, label):
+        per_key = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        avg = F.sum("c").cast("double") / F.count(F.lit(1))
+        return per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("c").alias("max_rows"),
+            avg.alias("avg_rows"),
+            (F.max("c").cast("double") / avg).alias("skew_factor"),
+        ).select(
+            F.lit(label).alias("join_key"),
+            "n_keys",
+            "max_rows",
+            "avg_rows",
+            "skew_factor",
+        )
+
+    return stats(li, "l_suppkey", "lineitem.l_suppkey").unionByName(
+        stats(orders, "o_custkey", "orders.o_custkey")
+    )
