@@ -392,3 +392,72 @@ def q_agg_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("wavg_price"),
         F.sum(dec2(F.col("l_quantity"))).cast("double").alias("total_qty"),
     )
+
+
+_ENTROPY_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _entropy_expr_spark() -> str:
+    # fixed left-to-right sum over the 5 known types => deterministic fold
+    terms = " + ".join(
+        f"(case when n_{t} = 0 then 0.0D else "
+        f"-(cast(n_{t} as double) / n_total)"
+        f" * log2(cast(n_{t} as double) / n_total) end)"
+        for t in _ENTROPY_TYPES
+    )
+    return f"round({terms}, 4)"
+
+
+def _entropy_expr_duck() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN n_{t} = 0 THEN 0.0 ELSE "
+        f"-(CAST(n_{t} AS DOUBLE) / n_total)"
+        f" * log2(CAST(n_{t} AS DOUBLE) / n_total) END)"
+        for t in _ENTROPY_TYPES
+    )
+    return f"ROUND({terms}, 4)"
+
+
+@register(
+    "q_agg_entropy",
+    oracle=f"""
+        WITH c AS (
+            SELECT user_id,
+                   {', '.join(
+                       f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+                       for t in _ENTROPY_TYPES)},
+                   CAST(COUNT(*) AS BIGINT) AS n_total
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, n_total, {_entropy_expr_duck()} AS entropy_bits
+        FROM c
+    """,
+    section="A22",
+    doc="Per-user behavioral diversity: Shannon entropy (bits) of the "
+    "event-type distribution. The distribution is pivoted into one row "
+    "of exact integer counts per user (conditional aggregation over the "
+    "5 known types — explicit value list, A9's device), so the entropy "
+    "is a ROW-LOCAL expression with a FIXED left-to-right float fold — "
+    "no aggregation-order nondeterminism; ROUND 4 absorbs libm log2 "
+    "last-ulp differences (L6/L7 precedent). One map-side-combinable "
+    "keyed aggregation at any scale.",
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.io import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        *[
+            F.sum(
+                F.when(F.col("event_type") == t, 1).otherwise(0)
+            ).alias(f"n_{t}")
+            for t in _ENTROPY_TYPES
+        ],
+        F.count(F.lit(1)).alias("n_total"),
+    )
+    return counts.select(
+        "user_id",
+        "n_total",
+        F.expr(_entropy_expr_spark()).alias("entropy_bits"),
+    )
