@@ -311,10 +311,25 @@ _EDGE_CTES = f"""
         )"""
 
 
+# Checkpointed edge lists memoized per (Spark app, dataset): the graph is
+# shared by G2/G4/G5/G6, and rebuilding it costs a lineitem self-join each
+# time. Staleness contract (same as operators/kmeans.py _MODEL_CACHE): the
+# cache assumes the parquet under sf_dir is immutable for the process
+# lifetime — true for the read-only /root/testdata fixtures; call
+# _EDGE_CACHE.clear() if a dataset is ever rewritten in-process.
+_EDGE_CACHE: dict = {}
+
+
 def _mutual_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual top-k trade-affinity supplier edges as (lo, hi), lo < hi —
-    the shared sparsified graph under G2 (triangles) and G4 (link
-    prediction). Degree <= _TOP_PARTNERS by construction."""
+    the shared sparsified graph under G2 (triangles), G4 (link
+    prediction), G5 (k-core) and G6 (BFS). Degree <= _TOP_PARTNERS by
+    construction. The result is localCheckpoint-truncated and memoized
+    per (Spark app, dataset) so the four graph queries build it once."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     li = load_table(spark, sf_dir, "lineitem")
     ps = li.select("l_partkey", "l_suppkey").distinct()
     a = ps.select(
@@ -342,11 +357,14 @@ def _mutual_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     rev = top5.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    return (
+    edges = (
         top5.intersect(rev)
         .filter(F.col("src") < F.col("dst"))
         .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+        .localCheckpoint(eager=False)
     )
+    _EDGE_CACHE[cache_key] = edges
+    return edges
 
 
 @register(
