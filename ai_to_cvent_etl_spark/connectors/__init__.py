@@ -16,9 +16,11 @@ live business systems. This package expresses that surface Spark-first:
 from ai_to_cvent_etl_spark.connectors.files import (  # noqa: F401
     read_csv,
     read_json,
+    read_orc,
     read_parquet,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )
 from ai_to_cvent_etl_spark.connectors.jdbc import jdbc_reader, jdbc_writer  # noqa: F401

@@ -63,3 +63,25 @@ def write_parquet(
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    """ORC sink (the other columnar interchange format a warehouse hands
+    over): same predicate-pushdown / partition-pruning contract as the
+    parquet sink — ORC carries min/max stride indexes Spark's reader
+    pushes filters into."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)

@@ -185,3 +185,33 @@ def test_schema_evolution_merge_on_read(spark, tmp_path):
         merged.groupBy("pipeline_version").count().collect()
     )
     assert counts == {None: 100, "v2": 100}
+
+
+def test_s8_orc_roundtrip(spark, tmp_path):
+    from ai_to_cvent_etl_spark.connectors import read_orc, write_orc
+
+    df = _events(spark)
+    path = str(tmp_path / "events_orc")
+    write_orc(df, path)
+    back = read_orc(spark, path, df.schema)
+    assert back.schema == df.schema
+    assert _as_set(back) == _as_set(df)
+
+
+def test_s8_partitioned_orc_sink_prunes(spark, tmp_path):
+    """ORC honors the same hive-layout partition-pruning contract as S6's
+    parquet sink: a partition predicate must prune to one directory."""
+    from ai_to_cvent_etl_spark.connectors import read_orc, write_orc
+    from ai_to_cvent_etl_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path).filter("lang = 'de'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # same assertion as the S6 parquet test: pruning shows as
+    # PartitionFilters in the scan at PLAN time
+    assert "PartitionFilters" in plan and "lang" in plan, plan
+    assert back.count() == docs.filter("lang = 'de'").count()
+    langs = {d for d in os.listdir(path) if d.startswith("lang=")}
+    assert "lang=de" in langs and len(langs) >= 2
