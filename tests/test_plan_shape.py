@@ -302,3 +302,50 @@ def test_runtime_bloom_filter_join_pruning(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_corr_matrix_single_scan(spark, registry):
+    """A26's contract: the whole correlation matrix comes from ONE scan of
+    lineitem (a single moment aggregation + row-local stack), never one
+    scan per column pair like the naive UNION formulation."""
+    plan = _plan(registry["q_agg_corr_matrix"].builder(spark, SF001))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate stack" in plan, plan
+
+
+def test_column_profile_single_scan(spark, registry):
+    """E13: all per-column profile metrics from a single scan + one
+    aggregate (Catalyst Expand handles the multi-count-distinct), pivoted
+    with a row-local stack."""
+    plan = _plan(registry["q_etl_column_profile"].builder(spark, SF001))
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "Generate stack" in plan, plan
+
+
+def test_zorder_layout_no_global_sort(spark, registry):
+    """E15's point: file assignment is map-only Morton-range DIV — the plan
+    must contain no Sort/Window (a row_number binning would be a
+    single-task global sort) and only the final aggregation exchange."""
+    plan = _plan(registry["q_etl_zorder_layout"].builder(spark, SF001))
+    assert "Window" not in plan, plan
+    assert "rangepartitioning" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_cogroup_pandas_plan(spark, registry):
+    """X6: the cogrouped Arrow map must plan as FlatMapCoGroupsInPandas
+    with exactly the two cogroup shuffles (one per side) — no extra
+    exchange, no fallback join."""
+    plan = _plan(registry["q_cogroup_pandas"].builder(spark, SF001))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_lateral_topk_rewrites_to_window(spark, registry):
+    """J20: Catalyst must rewrite the correlated LATERAL LIMIT to a
+    partitioned window/rank over orders + a broadcast join — never a
+    per-row subquery or cartesian product."""
+    plan = _plan(registry["q_join_lateral_topk"].builder(spark, SF001))
+    assert "Window" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
