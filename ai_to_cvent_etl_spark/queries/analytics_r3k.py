@@ -21,8 +21,9 @@ concentration, null-safe join, rolling correlation, k-anonymity audit.
 Determinism notes (SURVEY §5.3):
   * E16's update arm is one IEEE addition per row (+10.0 — no decimal
     rounding ties); the verification aggregate is an exact DECIMAL sum.
-  * A29 keeps revenue in DECIMAL(18,2) through both moment sums (the
-    square widens to DECIMAL(37,4)); HHI is one IEEE expression over
+  * A29 keeps revenue in exact decimals through both moment sums
+    (squares taken at width 19 so both engines stay inside decimal-38
+    on an int128 path); HHI is one rounded IEEE expression over
     identical decimal->double conversions. Output doubles only.
   * J18's group revenue is an exact decimal sum; the join key NULLs are
     produced by the same NULLIF on both engines.
@@ -156,7 +157,7 @@ _HHI_ORACLE = """
         SELECT segment,
                CAST(COUNT(*) AS BIGINT) AS n_customers,
                CAST(SUM(r) AS DOUBLE) AS tot,
-               CAST(SUM(CAST(r AS DECIMAL(18,2)) * CAST(r AS DECIMAL(18,2)))
+               CAST(SUM(CAST(r AS DECIMAL(19,2)) * CAST(r AS DECIMAL(19,2)))
                     AS DOUBLE) AS sumsq
         FROM rev GROUP BY segment
     )
@@ -188,10 +189,11 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"), "o_custkey")
         .agg(F.sum(dec2(F.col("o_totalprice"))).alias("r"))
     )
-    # Per-customer revenue fits DECIMAL(18,2) comfortably at every SF;
-    # narrowing before the square keeps BOTH engines inside decimal-38
-    # (DuckDB refuses to multiply two sum-widened DECIMAL(38,2) values).
-    r18 = dec2(F.col("r"))
+    # Per-customer revenue fits DECIMAL(19,2) comfortably at every SF;
+    # narrowing before the square keeps BOTH engines inside decimal-38,
+    # and width 19 keeps DuckDB off its overflow-prone int64 multiply
+    # path (width<=18 factors multiply in int64).
+    r18 = F.col("r").cast("decimal(19,2)")
     m = rev.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         F.sum("r").cast("double").alias("tot"),
@@ -271,7 +273,7 @@ _ROLLCORR_ORACLE = """
     filled AS (
         SELECT s.day,
                COALESCE(d.x, 0) AS x,
-               CAST(COALESCE(d.y, 0) AS DECIMAL(18,2)) AS y
+               CAST(COALESCE(d.y, 0) AS DECIMAL(19,2)) AS y
         FROM spine s LEFT JOIN daily d ON s.day = d.day
     ),
     mom AS (
@@ -279,7 +281,7 @@ _ROLLCORR_ORACLE = """
                CAST(COUNT(*) OVER w AS BIGINT) AS n,
                CAST(SUM(x) OVER w AS BIGINT) AS sx,
                CAST(SUM(CAST(y AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sy,
-               CAST(SUM(CAST(x AS DECIMAL(18,2)) * y) OVER w AS DOUBLE)
+               CAST(SUM(CAST(x AS DECIMAL(19,2)) * y) OVER w AS DOUBLE)
                    AS sxy,
                CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
                CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
@@ -324,13 +326,15 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     spine = bounds.select(
         F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
     )
-    # Narrow the sum-widened daily revenue back to DECIMAL(18,2) (lossless:
-    # a day's revenue fits at every SF) so the squared moment stays inside
-    # decimal-38 on both engines.
+    # Narrow the sum-widened daily revenue to DECIMAL(19,2) (lossless: a
+    # day's revenue fits at every SF). Width 19 keeps the squared moment
+    # inside decimal-38 on both engines AND forces DuckDB off its
+    # overflow-prone int64 multiply path (width<=18 factors multiply in
+    # int64 and 1.5e9-cent days overflow it).
     filled = spine.join(daily, "day", "left").select(
         "day",
         F.coalesce(F.col("x"), F.lit(0)).alias("x"),
-        dec2(F.coalesce(F.col("y"), F.lit(0))).alias("y"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("decimal(19,2)").alias("y"),
     )
     w = Window.orderBy("day").rowsBetween(-13, 0)
     mom = filled.select(
@@ -338,7 +342,8 @@ def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
         F.sum("x").over(w).alias("sx"),
         F.sum(F.col("y").cast("decimal(38,4)")).over(w).cast("double").alias("sy"),
-        F.sum(dec2(F.col("x")) * F.col("y")).over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("y"))
+        .over(w).cast("double").alias("sxy"),
         F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
     ).where(F.col("n") == 14)
