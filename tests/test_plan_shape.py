@@ -349,3 +349,47 @@ def test_lateral_topk_rewrites_to_window(spark, registry):
     assert "Window" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_null_safe_join_is_hash_join(spark, registry):
+    """J18: Spark plans EqualNullSafe as a hash-join key — the 3-row
+    per-status build side must come in as a BroadcastHashJoin, never a
+    nested-loop/cartesian fallback (which is what a naive theta-join
+    formulation of null-safe equality would produce)."""
+    plan = _plan(registry["q_join_null_safe"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_merge_upsert_single_join(spark, registry):
+    """E16: the MERGE resolves as ONE outer join between target and change
+    feed plus the insert-arm union — a second join (e.g. separate delete
+    and update joins) would double-shuffle the 100 TB target."""
+    plan = _plan(registry["q_etl_merge_upsert"].builder(spark, SF001))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    assert "Union" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_hhi_two_keyed_reductions(spark, registry):
+    """A29: customer revenue then segment moments — two partial-agg
+    reductions with the dimension join broadcast; no window, no extra
+    shuffle beyond the two aggregation exchanges."""
+    plan = _plan(registry["q_agg_hhi"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_rolling_corr_windows_run_on_spine(spark, registry):
+    """TS7: the corpus must collapse to the |days| spine via a keyed
+    aggregation BEFORE the moment windows run — the plan has the daily
+    HashAggregate below the Window, and no rangepartitioning (the
+    bounded spine runs single-partition by design)."""
+    plan = _plan(registry["q_ts_rolling_corr"].builder(spark, SF001))
+    assert "Window" in plan, plan
+    assert "HashAggregate" in plan, plan
+    assert "rangepartitioning" not in plan, plan
