@@ -94,8 +94,10 @@ from ai_to_cvent_etl_spark.registry import register
                ROUND(CAST(n AS DOUBLE)
                      / SUM(CAST(n AS DOUBLE)) OVER (), 6) AS observed,
                ROUND(log10(1.0 + 1.0 / digit), 6) AS expected,
-               ROUND(pow(CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER ()
-                         - log10(1.0 + 1.0 / digit), 2)
+               ROUND((CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER ()
+                      - log10(1.0 + 1.0 / digit))
+                     * (CAST(n AS DOUBLE) / SUM(CAST(n AS DOUBLE)) OVER ()
+                        - log10(1.0 + 1.0 / digit))
                      / log10(1.0 + 1.0 / digit), 6) AS chi_term
         FROM c
     """,
@@ -124,7 +126,7 @@ def q_agg_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(observed, 6).alias("observed"),
         F.round(expected, 6).alias("expected"),
-        F.round(F.pow(observed - expected, F.lit(2)) / expected, 6).alias(
+        F.round((observed - expected) * (observed - expected) / expected, 6).alias(
             "chi_term"
         ),
     )
