@@ -393,3 +393,94 @@ def test_rolling_corr_windows_run_on_spine(spark, registry):
     assert "Window" in plan, plan
     assert "HashAggregate" in plan, plan
     assert "rangepartitioning" not in plan, plan
+
+
+# --- waves 14-16 -------------------------------------------------------------
+
+
+def test_map_in_arrow_is_map_only(spark, registry):
+    """X7: zero-copy Arrow transform — a MapInArrow node and NO exchange
+    of any kind (the Python boundary must never induce a shuffle)."""
+    plan = _plan(registry["q_map_in_arrow"].builder(spark, SF001))
+    assert "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_higher_order_funcs_stay_in_codegen(spark, registry):
+    """F14: the lambda HOF family runs entirely inside whole-stage codegen
+    — no Python eval node, no exchange."""
+    plan = _plan(registry["q_higher_order_funcs"].builder(spark, SF001))
+    assert "BatchEvalPython" not in plan, plan
+    assert "ArrowEvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_merkle_diff_single_reduction(spark, registry):
+    """E21: both replica fingerprints ride ONE keyed reduction (partial
+    XOR map-side) — one hashpartitioning exchange, no join."""
+    plan = _plan(registry["q_etl_merkle_diff"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+
+
+def test_survivorship_union_single_shuffle(spark, registry):
+    """E20: three versioned feeds union below ONE keyed aggregation —
+    never a join per field (one hashpartitioning exchange total)."""
+    plan = _plan(registry["q_etl_survivorship"].builder(spark, SF001))
+    assert "Union" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+
+
+def test_mix_shift_collapses_before_share_windows(spark, registry):
+    """A32: the dim join broadcasts, the corpus collapses to |segments|
+    rows in one keyed reduction, and the share windows run over the
+    collapsed single-partition relation."""
+    plan = _plan(registry["q_agg_mix_shift"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+
+
+def test_outlier_iqr_bounds_broadcast(spark, registry):
+    """W23: the <=3-row fences side must come back to orders via a
+    size-based broadcast — never a shuffle join of the scan."""
+    plan = _plan(registry["q_win_outlier_iqr"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_bm25_no_pairwise_shuffle(spark, registry):
+    """T14: terms/df/avgdl all broadcast (the 3-row cross join is a
+    BroadcastNestedLoopJoin by design); the corpus never shuffles into
+    a join — only the df aggregation and the per-term rank window
+    exchange."""
+    plan = _plan(registry["q_text_bm25"].builder(spark, SF001))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_changepoint_single_window_pass(spark, registry):
+    """TS11: daily aggregation collapses the corpus BEFORE the cumulative
+    window (one hashpartitioning exchange), and the argmin is a
+    TakeOrdered — never a global sort of candidates."""
+    plan = _plan(registry["q_ts_changepoint"].builder(spark, SF001))
+    assert "TakeOrdered" in plan, plan
+    assert "Window" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_distribution_audits_collapse_first(spark, registry):
+    """A30/E19: one keyed reduction each; the share windows run over the
+    collapsed band/digit relation (SinglePartition exchange of <=12
+    rows), never over the scan."""
+    for key in ("q_agg_benford", "q_etl_psi_drift"):
+        plan = _plan(registry[key].builder(spark, SF001))
+        assert plan.count("Exchange hashpartitioning") == 1, (key, plan)
+        for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+            assert j not in plan, (key, plan)
