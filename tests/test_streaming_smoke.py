@@ -383,3 +383,94 @@ def test_foreach_batch_upsert_equals_batch_compaction(spark, replay, registry, t
     got_rows = sorted(map(tuple, got.collect()))
     want_rows = sorted(map(tuple, want.collect()))
     assert got_rows == want_rows
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python worker requires google.protobuf "
+    "(not installed in this container); the API wiring below is still "
+    "the real usage and runs wherever protobuf exists",
+)
+def test_st11_transform_with_state_running_max(spark, replay):
+    """ST11: the Spark 4 transformWithStateInPandas API (the successor to
+    applyInPandasWithState): a StatefulProcessor holding a per-user
+    running max of `value` in a ValueState. Final emitted max per user
+    must equal the batch max — stream/batch duality for the newest
+    stateful operator surface."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from ai_to_cvent_etl_spark.io import load_table
+    from ai_to_cvent_etl_spark.streaming.jobs import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    class RunningMax(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("mx", "mx double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            mx = self._state.get()[0] if self._state.exists() else float("-inf")
+            for pdf in rows:
+                m = float(pdf["value"].max())
+                if m > mx:
+                    mx = m
+            self._state.update((mx,))
+            yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx]})
+
+        def close(self) -> None:
+            pass
+
+    stream = read_events_stream(spark, replay, files_per_trigger=2).filter(
+        "user_id < 20"
+    )
+    sdf = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningMax(),
+        outputStructType="user_id bigint, max_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+    # transformWithState requires the RocksDB state store provider
+    # (documented constraint); scope it to this query and restore.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        got = run_available_now(sdf, output_mode="update", table_suffix="st11")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    final = {
+        r["user_id"]: r["max_value"]
+        for r in got.groupBy("user_id")
+        .agg(F.max("max_value").alias("max_value"))
+        .collect()
+    }
+    want = {
+        r["user_id"]: r["mx"]
+        for r in load_table(spark, SF0001, "events")
+        .filter("user_id < 20")
+        .groupBy("user_id")
+        .agg(F.max("value").alias("mx"))
+        .collect()
+    }
+    assert final == want
