@@ -215,3 +215,29 @@ def test_s8_partitioned_orc_sink_prunes(spark, tmp_path):
     assert back.count() == docs.filter("lang = 'de'").count()
     langs = {d for d in os.listdir(path) if d.startswith("lang=")}
     assert "lang=de" in langs and len(langs) >= 2
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A fact table partitioned on the join key must be pruned at RUNTIME
+    by the dim-side filter (dynamic partition pruning) — the scan's plan
+    carries a dynamicpruning subquery instead of reading every
+    partition. The layout half of the SCALE.md scan story (static
+    pruning is covered by the partitioned-sink tests)."""
+    from ai_to_cvent_etl_spark.io import load_table
+    from tests.conftest import SF0001
+
+    fact_dir = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, SF0001, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(
+        fact_dir
+    )
+    dim = spark.createDataFrame(
+        [("F", "final"), ("O", "open"), ("P", "pending")],
+        "st string, label string",
+    ).where("label = 'final'")
+    fact = spark.read.parquet(fact_dir)
+    joined = fact.join(dim, fact.o_orderstatus == dim.st)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    # and the result is exactly the F partition
+    assert joined.count() == orders.where("o_orderstatus = 'F'").count()
