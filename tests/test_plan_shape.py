@@ -107,6 +107,9 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udf_arrow",
         "q_udaf_gmean",
         "q_udtf_split",
+        "q_udtf_table_arg",
+        "q_cogroup_pandas",
+        "q_map_in_arrow",
         "q_multimodal_features",
         "q_multimodal_frame_sample",
         "q_multimodal_feature_dedup",
