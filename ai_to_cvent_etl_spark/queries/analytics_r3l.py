@@ -358,20 +358,9 @@ _LP_IT_DUCK = """
     "and all rounds reuse its partitioning.",
 )
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-    )
-    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionAll(
-        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
-    )
-    und = und.localCheckpoint(eager=False)
+    from ai_to_cvent_etl_spark.queries.graph import trade_graph_edges
+
+    und = trade_graph_edges(spark, sf_dir)
     labels = und.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )

@@ -32,6 +32,39 @@ from ai_to_cvent_etl_spark.registry import register
 _DAMP = 0.85
 _ROUNDS = 3
 
+# Checkpointed undirected trade-graph edges (customer c* <-> supplier s*)
+# memoized per (Spark app, dataset): shared by G1 PageRank and G10 label
+# propagation, each of which otherwise pays the orders><lineitem distinct
+# build. Staleness contract identical to analytics_r3b._EDGE_CACHE /
+# operators/kmeans._MODEL_CACHE: fixtures are immutable per process.
+_TRADE_EDGE_CACHE: dict = {}
+
+
+def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (src, dst) string-node edges of the customer-supplier
+    trade graph, localCheckpoint-truncated and memoized per app+dataset."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TRADE_EDGE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+        )
+        .distinct()
+    )
+    und = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    _TRADE_EDGE_CACHE[cache_key] = und
+    return und
+
 _IT_DUCK = """
         c{i} AS (
             SELECT u.dst AS node,
@@ -88,21 +121,7 @@ _IT_DUCK = """
     "iteration, checkpointed edge list, zero per-round driver traffic.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        orders.join(li, orders.o_orderkey == li.l_orderkey)
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("a"),
-            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-        )
-        .distinct()
-    )
-    und = (
-        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=False)
-    )
+    und = trade_graph_edges(spark, sf_dir)
     deg = (
         und.groupBy("src")
         .agg(F.count(F.lit(1)).cast("double").alias("deg"))
