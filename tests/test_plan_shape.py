@@ -487,3 +487,81 @@ def test_distribution_audits_collapse_first(spark, registry):
         assert plan.count("Exchange hashpartitioning") == 1, (key, plan)
         for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
             assert j not in plan, (key, plan)
+
+
+# --- waves 17-23 -------------------------------------------------------------
+
+
+def test_maxsim_broadcasts_queries_no_pair_shuffle(spark, registry):
+    """V18: the multi-vector query side broadcasts (nested-loop by
+    design); the corpus never shuffles into a join — only the two
+    reduction exchanges."""
+    plan = _plan(registry["q_vec_maxsim"].builder(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_hamming_topk_broadcasts_queries(spark, registry):
+    """V17: queries broadcast; the corpus word table never shuffles into
+    a join — one rank-window exchange only."""
+    plan = _plan(registry["q_vec_hamming_topk"].builder(spark, SF001))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_quarantine_single_pass(spark, registry):
+    """E22: rule evaluation is map-only; one signature reduction."""
+    plan = _plan(registry["q_etl_quarantine"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+
+
+def test_cdc_net_no_join(spark, registry):
+    """E25: the net-effect compaction is explode + TWO keyed reductions
+    (per-key netting, then the net-op rollup) — never a join."""
+    plan = _plan(registry["q_etl_cdc_net"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+
+
+def test_bitmap_distinct_two_reductions(spark, registry):
+    """SK6: per-(key,bucket) bitmap build then per-key popcount sum —
+    two partial-agg-friendly exchanges, no join, no window."""
+    plan = _plan(registry["q_sketch_bitmap_distinct"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "Window" not in plan, plan
+
+
+def test_column_diff_single_broadcast_join(spark, registry):
+    """E26: ONE co-keyed join feeds all column comparisons — columns are
+    expressions, not passes; no hashpartitioning exchange at this SF
+    (broadcast + single global reduction)."""
+    plan = _plan(registry["q_etl_column_diff"].builder(spark, SF001))
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_record_link_blocked_join_no_shuffle(spark, registry):
+    """D12: the equality-blocked linkage join broadcasts at this SF and
+    never degenerates to a cartesian verify."""
+    plan = _plan(registry["q_dedup_record_link"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_spine_windows_stay_single_partition(spark, registry):
+    """TS13/TS14/L15/A33: spine-bounded cumulative windows must not
+    range-partition (the spine is bounded by design); the corpus
+    collapses via at most two keyed exchanges first."""
+    for key in ("q_ts_forecast_eval", "q_ts_max_drawdown",
+                "q_text_sequence_pack", "q_agg_survival_km"):
+        plan = _plan(registry[key].builder(spark, SF001))
+        assert "rangepartitioning" not in plan, (key, plan)
+        assert plan.count("Exchange hashpartitioning") <= 2, (key, plan)
