@@ -108,6 +108,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udaf_gmean",
         "q_udtf_split",
         "q_udtf_table_arg",
+        "q_udtf_arrow",
         "q_cogroup_pandas",
         "q_map_in_arrow",
         "q_multimodal_features",
