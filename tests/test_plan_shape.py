@@ -110,6 +110,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udtf_table_arg",
         "q_udtf_arrow",
         "q_cogroup_pandas",
+        "q_apply_in_pandas",
         "q_map_in_arrow",
         "q_multimodal_features",
         "q_multimodal_frame_sample",
