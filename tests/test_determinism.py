@@ -66,6 +66,26 @@ RISKY = [
     "q_vec_pq_adc",
     "q_dedup_containment",
     "q_win_streak",
+    # waves 14-28: quantized-decimal float folds (PCA, HITS, KM survival,
+    # Zipf, Theil, info-gain, decomposition), sorted-sequence aggregation
+    # (event patterns), the grouped-map intra-group-order trap, and
+    # min-label propagation — each claims partition independence; pin it.
+    "q_vec_pca_power",
+    "q_graph_hits",
+    "q_graph_label_prop",
+    "q_agg_survival_km",
+    "q_text_zipf",
+    "q_agg_theil",
+    "q_agg_info_gain",
+    "q_ts_decompose",
+    "q_ts_seasonal_strength",
+    "q_vec_scalar_quantize",
+    "q_vec_maxsim",
+    "q_win_event_pattern",
+    "q_apply_in_pandas",
+    "q_dedup_minhash_est",
+    "q_etl_survivorship",
+    "q_etl_merkle_diff",
 ]
 
 
