@@ -30,10 +30,12 @@ Determinism notes (SURVEY §5.3):
     IEEE formula rounded 4dp (the ±1 continuity correction included).
 
 Scale notes:
-  * D15 keeps D1's shape — band keys shuffle, candidates emit within
-    band buckets — but the bipartite predicate halves the pair space
-    and composes with incremental ingest: band-key tables for the
-    frozen eval set persist, and each new training shard joins
+  * D15 keeps D1's full shape — band keys shuffle, candidates emit
+    within band buckets, and the FIRST-COLLIDING-BAND filter is
+    row-local (no pair-distinct shuffle; the groupBy formulation
+    OOM'd at sf0.1) — while the bipartite predicate halves the pair
+    space and composes with incremental ingest: band-key tables for
+    the frozen eval set persist, and each new training shard joins
     against them (never re-hashing the eval side).
   * A44 is one keyed reduction carrying six moments map-side.
   * TS17's pair join is |months|² — bounded by the spine (TS7's
@@ -146,25 +148,37 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     bands = sig.select(
-        "doc_id", "is_train", "ts", F.posexplode("bks").alias("band", "bkey")
+        "doc_id",
+        "is_train",
+        "ts",
+        "bks",
+        F.posexplode("bks").alias("band", "bkey"),
     )
     a = bands.where("is_train").select(
         F.col("doc_id").alias("train_doc"),
         F.col("ts").alias("ts_a"),
+        F.col("bks").alias("bks_a"),
         "band",
         "bkey",
     )
     b = bands.where(~F.col("is_train")).select(
         F.col("doc_id").alias("eval_doc"),
         F.col("ts").alias("ts_b"),
+        F.col("bks").alias("bks_b"),
         "band",
         "bkey",
     )
-    cand = (
-        a.join(b, ["band", "bkey"])
-        .groupBy("train_doc", "eval_doc")
-        .agg(F.first("ts_a").alias("ts_a"), F.first("ts_b").alias("ts_b"))
+    # D1's first-colliding-band device, bipartite: both sides carry ALL
+    # their band keys, and a pair colliding in several bands is emitted
+    # ONLY from its lowest matching band — a ROW-LOCAL filter, so no
+    # pair-distinct shuffle ever materializes the candidate multiset
+    # (the groupBy formulation carried token arrays through a pair-keyed
+    # exchange and OOM'd the sf0.1 selfcheck session).
+    first_band = F.expr(
+        "size(filter(zip_with(slice(bks_a, 1, band), slice(bks_b, 1, band), "
+        "(x, y) -> x = y), m -> m)) = 0"
     )
+    cand = a.join(b, ["band", "bkey"]).where(first_band)
     inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
     jac = inter.cast("double") / (
         F.size("ts_a") + F.size("ts_b") - inter
