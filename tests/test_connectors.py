@@ -241,3 +241,39 @@ def test_dynamic_partition_pruning(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     # and the result is exactly the F partition
     assert joined.count() == orders.where("o_orderstatus = 'F'").count()
+
+
+def test_s11_csv_corrupt_record_handling(spark, tmp_path):
+    """S11: PERMISSIVE CSV ingestion with a _corrupt_record column — the
+    robustness surface every real feed needs: well-formed rows parse,
+    malformed rows land intact in the corrupt column (never dropped
+    silently), and DROPMALFORMED mode keeps only the clean rows."""
+    p = tmp_path / "feed.csv"
+    p.write_text(
+        "1,alpha,10.5\n"
+        "2,beta,oops_not_a_number\n"
+        "3,gamma,7.25\n"
+        "not,even,close,to,valid\n"
+    )
+    schema = "id INT, name STRING, amount DOUBLE, _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .cache()  # required: corrupt-record queries need the raw row retained
+    )
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[1]["amount"] == 10.5 and rows[1]["_corrupt_record"] is None
+    assert rows[3]["amount"] == 7.25
+    bad = [r for r in df.collect() if r["_corrupt_record"] is not None]
+    assert len(bad) == 2  # the bad-number row and the wrong-arity row
+    assert any("oops_not_a_number" in r["_corrupt_record"] for r in bad)
+    df.unpersist()
+
+    clean = (
+        spark.read.schema("id INT, name STRING, amount DOUBLE")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r["id"] for r in clean.collect()) == [1, 3]
