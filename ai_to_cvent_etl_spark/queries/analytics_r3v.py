@@ -295,8 +295,13 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    # HITS alternates join keys every half-round (edges join scores on c,
+    # then on s). Checkpoint TWO pre-partitioned copies so each half-round
+    # joins an already-co-partitioned edge side instead of re-shuffling the
+    # edge list twice per round — the Pregel partition-reuse discipline.
+    e_by_c = e.repartition("c").localCheckpoint(eager=False)
+    e_by_s = e.repartition("s").localCheckpoint(eager=False)
 
     def qsum(c):
         return (
@@ -310,7 +315,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = None
     for _ in range(_HITS_ROUNDS):
         araw = (
-            e.join(h.withColumnRenamed("node", "c"), "c")
+            e_by_c.join(h.withColumnRenamed("node", "c"), "c")
             .groupBy(F.col("s").alias("node"))
             .agg(qsum(F.col("v")).alias("v"))
         )
@@ -319,7 +324,7 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             "node", (F.col("v") / F.col("nrm")).alias("v")
         )
         hraw = (
-            e.join(a.withColumnRenamed("node", "s"), "s")
+            e_by_s.join(a.withColumnRenamed("node", "s"), "s")
             .groupBy(F.col("c").alias("node"))
             .agg(qsum(F.col("v")).alias("v"))
         )
