@@ -567,3 +567,85 @@ def test_spine_windows_stay_single_partition(spark, registry):
         plan = _plan(registry[key].builder(spark, SF001))
         assert "rangepartitioning" not in plan, (key, plan)
         assert plan.count("Exchange hashpartitioning") <= 2, (key, plan)
+
+
+# --- waves 24-40 -------------------------------------------------------------
+
+
+def test_spatial_grid_blocked_join(spark, registry):
+    """J21: the spatial self-join must be a cell-keyed hash join of the
+    two point projections — never a cartesian pair explosion."""
+    plan = _plan(registry["q_join_spatial_grid"].builder(spark, SF001))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_cross_corpus_no_pair_shuffle(spark, registry):
+    """D15: candidates emit via the row-local first-colliding-band filter
+    — no pair-keyed exchange above the band join (the groupBy
+    formulation OOM'd the sf0.1 sweep; this pins the fix)."""
+    plan = _plan(registry["q_dedup_cross_corpus"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_reconcile_bucket_join(spark, registry):
+    """J23: tolerance matching is a bucket-keyed join — never a range
+    cross join; the probe explode is the only row multiplier."""
+    plan = _plan(registry["q_join_reconcile"].builder(spark, SF001))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Generate" in plan, plan
+
+
+def test_waterfall_broadcasts_rule_tiers(spark, registry):
+    """J22: both rule tiers come in as broadcast joins — the fact side
+    is scanned once, no per-tier rescan union."""
+    plan = _plan(registry["q_join_waterfall"].builder(spark, SF001))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_rls_policy_is_semi_join(spark, registry):
+    """E28: policy enforcement is a broadcast semi-join of the literal
+    policy — never a full join materializing policy columns."""
+    plan = _plan(registry["q_etl_rls_filter"].builder(spark, SF001))
+    assert "LeftSemi" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_shard_manifest_prefix_only(spark, registry):
+    """E29: the manifest comes from ONE cumulative window + one
+    reduction — no join, no extra shuffle."""
+    plan = _plan(registry["q_etl_shard_manifest"].builder(spark, SF001))
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
+    assert "Window" in plan, plan
+
+
+def test_allocate_collapses_before_rank(spark, registry):
+    """A49: allocation ranks run over the |nations|-row collapsed
+    relation — one keyed reduction feeding single-partition windows."""
+    plan = _plan(registry["q_agg_allocate"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "rangepartitioning" not in plan, plan
+
+
+def test_role_playing_broadcasts_both_roles(spark, registry):
+    """J24: both role joins broadcast the same generated date dimension
+    — the fact side never shuffles for either role."""
+    plan = _plan(registry["q_join_role_playing"].builder(spark, SF001))
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_multimodal_route_single_reduction(spark, registry):
+    """M5: sniffing is map-only — one low-cardinality reduction, no
+    join, payloads never decoded into a shuffle."""
+    plan = _plan(registry["q_multimodal_route"].builder(spark, SF001))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert j not in plan, plan
