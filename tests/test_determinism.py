@@ -86,6 +86,20 @@ RISKY = [
     "q_dedup_minhash_est",
     "q_etl_survivorship",
     "q_etl_merkle_diff",
+    # waves 29-41: ordered string aggregation (LISTAGG), ntile scoring
+    # (RFM, lift deciles), quantized entropy sums, largest-remainder
+    # ranks, and the OOD moment pipeline — partition independence is
+    # each one's design claim.
+    "q_agg_listagg",
+    "q_agg_rfm",
+    "q_agg_lift_curve",
+    "q_text_char_entropy",
+    "q_agg_allocate",
+    "q_vec_ood_score",
+    "q_agg_cuped",
+    "q_win_interval_merge",
+    "q_win_max_concurrency",
+    "q_dedup_cross_corpus",
 ]
 
 
