@@ -277,3 +277,58 @@ def test_s11_csv_corrupt_record_handling(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r["id"] for r in clean.collect()) == [1, 3]
+
+
+def test_s12_python_datasource_writer(spark, tmp_path):
+    """S12: the Spark 4 Python DataSource WRITER path — a custom sink
+    whose write(iterator) runs per partition and returns a commit
+    message (the commit/abort protocol is what makes custom sinks
+    idempotent-by-retry, the same discipline as the S7 REST sink's
+    attempt-keyed files)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    out_dir = str(tmp_path / "jl_sink_out")
+    _os.makedirs(out_dir)
+
+    class JLWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options.get("path")
+
+        def write(self, iterator):
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            p = _os.path.join(self.path, f"part-{pid}.jsonl")
+            with open(p, "w") as f:
+                for row in iterator:
+                    f.write(_json.dumps(row.asDict()) + "\n")
+            return WriterCommitMessage()
+
+    class JLSink(DataSource):
+        @classmethod
+        def name(cls):
+            return "jl_sink_test"
+
+        def writer(self, schema, overwrite):
+            return JLWriter(self.options)
+
+    spark.dataSource.register(JLSink)
+    df = spark.range(20).selectExpr("id", "id * 3 AS tripled")
+    df.repartition(4).write.format("jl_sink_test").option(
+        "path", out_dir
+    ).mode("append").save()
+
+    rows = []
+    for fn in sorted(_os.listdir(out_dir)):
+        with open(_os.path.join(out_dir, fn)) as f:
+            rows.extend(_json.loads(line) for line in f)
+    assert len(rows) == 20
+    assert {r["id"] for r in rows} == set(range(20))
+    assert all(r["tripled"] == r["id"] * 3 for r in rows)
