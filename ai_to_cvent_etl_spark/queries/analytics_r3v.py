@@ -122,7 +122,6 @@ def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "x",
         "y",
-        (F.col("x").cast("long") / _CELL).cast("long").alias("bx"),
         F.explode(d).alias("dy"),
         F.col("dx"),
     ).select(

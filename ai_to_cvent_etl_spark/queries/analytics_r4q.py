@@ -89,7 +89,11 @@ _PI2 = 6.283185307179586
     "weekly cadence before any dow decomposition is trusted). Trig "
     "factors are row-local IEEE over exact integer angles; every "
     "projection term quantizes before the exact DECIMAL sums (§5.3 "
-    "rule 10). One spine pass regardless of candidate count.",
+    "rule 10). One spine pass regardless of candidate count. Residual "
+    "flake budget: a 1-ulp cross-engine trig diff landing on a floor "
+    "boundary can flip one 1e-4 quantum (§5.3 rule 10 addendum) — "
+    "never observed in a sweep; treat a one-quantum one-row mismatch "
+    "as that noise, not a regression.",
 )
 def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")

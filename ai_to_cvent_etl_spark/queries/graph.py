@@ -37,7 +37,19 @@ _ROUNDS = 3
 # propagation, each of which otherwise pays the orders><lineitem distinct
 # build. Staleness contract identical to analytics_r3b._EDGE_CACHE /
 # operators/kmeans._MODEL_CACHE: fixtures are immutable per process.
+#
+# Cluster-scale caveat (ADVICE r3): localCheckpoint truncates lineage, so a
+# checkpointed block lost with its executor (dynamic allocation, preemption)
+# is UNRECOVERABLE — G1/G10 would fail instead of recomputing. On a real
+# cluster swap localCheckpoint for either `df.checkpoint()` against a
+# reliable (HDFS/S3) checkpoint dir, or `df.persist(DISK_AND_MEMORY)` +
+# a materializing count, both of which keep lineage or durable copies.
+# local[32] has a single immortal executor, so the fast path is safe here.
+# Eviction: entries for other (app, dataset) keys are dropped on insert so
+# checkpointed blocks for retired SparkSessions / other SF dirs don't stay
+# pinned in executor storage for the process lifetime.
 _TRADE_EDGE_CACHE: dict = {}
+_TRADE_EDGE_CACHE_MAX = 4  # tests touch at most sf0.001/sf0.01/sf0.1 per app
 
 
 def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -62,6 +74,11 @@ def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .localCheckpoint(eager=False)
     )
+    stale = [k for k in _TRADE_EDGE_CACHE if k[0] != cache_key[0]]
+    for k in stale:  # evict entries from dead/previous Spark apps first
+        del _TRADE_EDGE_CACHE[k]
+    while len(_TRADE_EDGE_CACHE) >= _TRADE_EDGE_CACHE_MAX:
+        del _TRADE_EDGE_CACHE[next(iter(_TRADE_EDGE_CACHE))]
     _TRADE_EDGE_CACHE[cache_key] = und
     return und
 
