@@ -1,17 +1,43 @@
-"""SURVEY §2.1 — scans (S1-S3). Declared with exact oracles.
+"""SURVEY §2.1 — scans and text-format round-trips (S1-S5).
 
-S2/S3 pin Catalyst's column pruning and parquet predicate pushdown: the
-physical scan must show ReadSchema with only the selected columns and
-PushedFilters with the ship-date predicate (asserted in tests via explain).
+S1-S3 declared with exact oracles. S2/S3 pin Catalyst's column pruning and
+parquet predicate pushdown: the physical scan must show ReadSchema with only
+the selected columns and PushedFilters with the ship-date predicate
+(asserted in tests via explain).
+
+S4/S5 (promoted from smoke in r4, the O2 recipe): the Spark side writes a
+table through the schema-explicit CSV / JSON-lines connector, reads it BACK,
+and aggregates the re-read rows with exact integer checksums; the oracle
+computes the same aggregates from the original parquet. A hash match
+therefore proves the text round-trip is value-exact for every column type it
+carries (int64, double, string-with-quotes/commas, µs timestamp, and for
+JSON nested struct + array) — any corruption, truncation, or format drift
+changes a checksum. Format pins that make this deterministic: explicit read
+schema (no inference pass), timestampFormat=yyyy-MM-dd HH:mm:ss.SSSSSS (µs,
+lossless both directions), and Spark's shortest-round-trip double printing
+(Java Double.toString), which re-parses to the identical IEEE bits.
 """
 
 from __future__ import annotations
+
+import os
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+
+
+def _rt_dir(sf_dir: str, fmt: str) -> str:
+    """Deterministic per-(dataset, format, process) scratch dir for the
+    round-trip sinks: overwrite-in-place across repeated builds (no leak),
+    pid-suffixed so concurrent harness processes never clobber each other."""
+    base = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_rt_{base}_{fmt}_{os.getpid()}"
+    )
 
 
 @register(
@@ -48,4 +74,113 @@ def q_scan_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
         .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+    )
+
+
+# epoch µs of 2024-01-01T00:00:00Z — the events table's time-domain floor
+# (FIXTURES.md). Offsetting before the sum keeps the per-row term < 2.6e12
+# and the 1e5-row checksum < 2.6e17, comfortably inside BIGINT, so no
+# DECIMAL widening (whose repr differs cross-engine) is ever needed.
+_TS_BASE_US = 1_704_067_200_000_000
+
+
+@register(
+    "q_csv_roundtrip",
+    oracle=f"""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               CAST(SUM(event_id) AS BIGINT) AS id_sum,
+               CAST(SUM(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT)
+                   AS value_q4_sum,
+               CAST(SUM(epoch_us(ts) - {_TS_BASE_US}) AS BIGINT) AS ts_us_sum,
+               MIN(ts) AS ts_min,
+               MAX(ts) AS ts_max,
+               CAST(SUM(length(props)) AS BIGINT) AS props_len_sum
+        FROM events GROUP BY event_type
+    """,
+    section="S4",
+    doc="CSV round-trip, exact: events -> schema-explicit CSV sink -> re-read "
+    "-> per-type integer checksums (row count, distinct users, id sum, "
+    "floor(value*1e4) sum, µs-offset timestamp sum, min/max ts, props "
+    "length sum); oracle computes the same checksums from the parquet "
+    "original, so a hash match proves the text round-trip is value-exact "
+    "for int64 / double / µs-timestamp / quoted-JSON-string columns. "
+    "Pins: explicit read schema, µs timestampFormat, shortest-round-trip "
+    "double printing, default quote+escape handling for the embedded "
+    "quotes and commas in props.",
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.connectors.files import read_csv, write_csv
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    path = _rt_dir(sf_dir, "csv")
+    write_csv(ev, path)
+    back = read_csv(spark, path, ev.schema)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("event_id").alias("id_sum"),
+        F.sum(F.floor(F.col("value") * F.lit(1e4))).alias("value_q4_sum"),
+        F.sum(F.unix_micros("ts") - F.lit(_TS_BASE_US)).alias("ts_us_sum"),
+        F.min("ts").alias("ts_min"),
+        F.max("ts").alias("ts_max"),
+        F.sum(F.length("props")).cast("bigint").alias("props_len_sum"),
+    )
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+        SELECT o_orderstatus AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS price_cents_sum,
+               MIN(o_orderdate) AS date_min,
+               MAX(o_orderdate) AS date_max,
+               CAST(SUM(len(string_split(o_orderpriority, '-')))
+                    AS BIGINT) AS ptok_sum
+        FROM orders GROUP BY o_orderstatus
+    """,
+    section="S5",
+    doc="JSON-lines round-trip, exact: orders (plus a constructed "
+    "struct{status,priority} and a split-token array to exercise the "
+    "nested surface CSV cannot carry) -> schema-explicit JSON sink -> "
+    "re-read -> per-status integer checksums; aggregates read the values "
+    "THROUGH the nested struct/array (meta.status, meta.priority, "
+    "size(ptoks)) so nesting itself is what's verified. Oracle computes "
+    "the same checksums from the parquet original. Money survives as an "
+    "exact DECIMAL(18,2)-cents sum; timestamps as µs min/max.",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.connectors.files import read_json, write_json
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.struct(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        ).alias("meta"),
+        F.split("o_orderpriority", "-").alias("ptoks"),
+    )
+    path = _rt_dir(sf_dir, "json")
+    write_json(o, path)
+    back = read_json(spark, path, o.schema)
+    return back.groupBy(F.col("meta.status").alias("status")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct(F.col("meta.priority")).alias("n_prio"),
+        F.sum("o_custkey").alias("cust_sum"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        ).alias("price_cents_sum"),
+        F.min("o_orderdate").alias("date_min"),
+        F.max("o_orderdate").alias("date_max"),
+        F.sum(F.size("ptoks")).cast("bigint").alias("ptok_sum"),
     )
