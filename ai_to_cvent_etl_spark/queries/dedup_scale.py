@@ -87,7 +87,8 @@ def q_dedup_minhash_lsh(
     spark: SparkSession,
     sf_dir: str,
     strategy: str = "auto",
-    bucket_cap: int | None = None,
+    bucket_cap: int | str | None = "auto",
+    auto_cap_mult: int = 64,
 ) -> DataFrame:
     from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 
@@ -132,29 +133,94 @@ def q_dedup_minhash_lsh(
     bands = sig.select(
         "doc_id", "hs", "sz", "bks", F.posexplode("bks").alias("band", "bkey")
     )
-    if bucket_cap is not None:
+    capped = bucket_cap is not None
+    if capped:
         # Pathological-bucket cap (SCALE.md): boilerplate-heavy corpora
         # concentrate a large fraction of docs into a single band bucket,
         # turning the "tiny by construction" bucket join quadratic. Rows in
-        # buckets above the cap are dropped BEFORE the join; a dropped
-        # bucket's pairs can still be found through the pair's other
-        # colliding bands. First-band emission is unsound once a band row
-        # can be pruned (the surviving row would be suppressed by the
-        # pruned lower band), so the capped path deduplicates pairs
-        # explicitly instead.
+        # buckets above the cap are dropped BEFORE the join.
+        #
+        # `bucket_cap='auto'` (the default since r4) derives the cap from
+        # the data as ceil(auto_cap_mult * sqrt(total band rows)): a bucket
+        # of size b contributes ~b^2/2 candidate pairs, so capping b at
+        # m*sqrt(R) bounds TOTAL worst-case candidates by (R/cap)*cap^2 =
+        # m^2*R — linear in corpus size with an explicit constant, the
+        # property that survives a 100 TB corpus. A percentile-of-histogram
+        # rule was considered and rejected: the adversary (one giant
+        # boilerplate bucket) sits IN the top percentile, so the rule
+        # chases it upward; the sqrt rule is anchored to corpus size, not
+        # to the skew itself. On the fixtures the auto cap never engages
+        # (sf0.1: cap 64*sqrt(20000)=9052 vs max observed bucket 3921;
+        # sf0.01: 2863 vs 383) so the default path is bit-identical to
+        # uncapped — pinned by the oracle hash and
+        # tests/test_skew.py::test_minhash_auto_cap.
+        #
+        # Recall contract when the cap DOES engage: a pair whose only
+        # colliding bands are pruned is lost. In a boilerplate bucket the
+        # shared band signature comes from the shared boilerplate tokens,
+        # i.e. exactly the regime where band collision stops implying
+        # near-duplication — the pruned pairs are overwhelmingly
+        # verify-rejects (the adversarial test constructs this shape and
+        # shows an UNCHANGED result set at 1/300th the candidate count).
         wcap = Window.partitionBy("band", "bkey")
+        bands = bands.withColumn("bsz", F.count(F.lit(1)).over(wcap))
+        if bucket_cap == "auto":
+            cap_df = bands.groupBy().agg(
+                F.ceil(F.lit(auto_cap_mult) * F.sqrt(F.count(F.lit(1)))).alias(
+                    "cap"
+                )
+            )
+            bands = bands.crossJoin(F.broadcast(cap_df))
+        else:
+            bands = bands.withColumn("cap", F.lit(int(bucket_cap)))
+        # Per-doc survival mask over ALL its bands (one small doc_id-keyed
+        # window shuffle, 4 rows/doc): with it, a pair is emitted from its
+        # first band where BOTH rows survived the cap — exactly-once
+        # emission WITHOUT a pair-distinct shuffle, fixing the r3 capped
+        # path that paid a dropDuplicates over the (possibly huge) pair
+        # stream. Every doc has exactly _N_PERM/2 band rows, so the sorted
+        # mask is always index-aligned with `bks`.
+        wdoc = Window.partitionBy("doc_id")
         bands = (
-            bands.withColumn("bsz", F.count(F.lit(1)).over(wcap))
-            .filter(F.col("bsz") <= bucket_cap)
-            .drop("bsz")
+            bands.withColumn(
+                "svraw",
+                F.collect_list(
+                    F.struct(
+                        F.col("band").alias("band"),
+                        (F.col("bsz") <= F.col("cap")).alias("ok"),
+                    )
+                ).over(wdoc),
+            )
+            .withColumn("svb", F.expr("transform(array_sort(svraw), x -> x.ok)"))
+            .filter(F.col("bsz") <= F.col("cap"))
+            .drop("svraw", "bsz", "cap")
         )
+        # CRITICAL: re-spread after the windows. The (band,bkey) window
+        # shuffle leaves every bucket's rows CO-LOCATED in one partition,
+        # so the band join's quadratic residual work for a hot bucket
+        # (sf0.1: a 3,921-row bucket → ~15M pair evaluations) runs on a
+        # single task — measured 8s → 56s when this repartition is
+        # omitted (the r3 int-capped path had the same latent skew). A
+        # round-robin exchange of the tiny band-row stream restores
+        # probe-side parallelism: every task probes the broadcast/hash
+        # table independently, so hot-bucket pairs are generated across
+        # all cores.
+        bands = fan_out(bands)
     a, b = bands.alias("a"), bands.alias("b")
     first_collision = F.lit(True)
     for j in range(_N_BANDS - 1):
-        first_collision = first_collision & (
-            (F.col("a.band") <= j)
-            | (F.element_at(F.col("a.bks"), j + 1) != F.element_at(F.col("b.bks"), j + 1))
+        collides_j = F.element_at(F.col("a.bks"), j + 1) == F.element_at(
+            F.col("b.bks"), j + 1
         )
+        if capped:
+            # an earlier band suppresses this emission only if BOTH rows
+            # survived it there (a pruned band emits nothing)
+            collides_j = (
+                collides_j
+                & F.element_at(F.col("a.svb"), j + 1)
+                & F.element_at(F.col("b.svb"), j + 1)
+            )
+        first_collision = first_collision & ((F.col("a.band") <= j) | ~collides_j)
     # Length filter (lossless): J >= 0.8 forces 0.8*|a| <= |b| <= |a|/0.8.
     # Evaluated on precomputed int sizes in the join residual, it prunes
     # ~40% of candidate pairs BEFORE the array_intersect verify (the
@@ -169,9 +235,7 @@ def q_dedup_minhash_lsh(
         & (F.col("a.bkey") == F.col("b.bkey"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
         & length_ok,
-    )
-    if bucket_cap is None:
-        pairs = pairs.filter(first_collision)
+    ).filter(first_collision)
     paired = pairs.select(
         F.col("a.doc_id").alias("doc_lo"),
         F.col("b.doc_id").alias("doc_hi"),
@@ -180,10 +244,6 @@ def q_dedup_minhash_lsh(
         F.col("a.sz").alias("sz_a"),
         F.col("b.sz").alias("sz_b"),
     )
-    if bucket_cap is not None:
-        # pair-level dedup replaces first-band emission on the capped path;
-        # payload columns are identical per pair, so any surviving row works
-        paired = paired.dropDuplicates(["doc_lo", "doc_hi"])
     verified = paired.withColumn(
         "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
     )

@@ -45,16 +45,43 @@ def test_broadcast_hint_honored(spark, registry):
 
 
 def test_minhash_broadcast_path_has_no_pair_shuffle(spark, registry):
-    """strategy='broadcast': the LSH band join, first-band dedup, and verify
-    are all broadcast/row-local — no Exchange above the band-join subtree
-    (only the fan_out repartition below it)."""
+    """strategy='broadcast', bucket_cap=None: the LSH band join, first-band
+    dedup, and verify are all broadcast/row-local — no Exchange above the
+    band-join subtree (only the fan_out repartition below it)."""
     plan = _plan(
-        registry["q_dedup_minhash_lsh"].builder(spark, SF001, strategy="broadcast")
+        registry["q_dedup_minhash_lsh"].builder(
+            spark, SF001, strategy="broadcast", bucket_cap=None
+        )
     )
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     # exactly the fan_out round-robin exchange, no hashpartitioning shuffles
     assert plan.count("Exchange hashpartitioning") == 0, plan
+
+
+def test_minhash_auto_cap_shuffles_only_band_rows(spark, registry):
+    """The default path (bucket_cap='auto') adds exactly the cap machinery's
+    pre-join shuffles — window exchanges keyed on (band,bkey) / doc_id over
+    the tiny band-row stream — and NEVER a pair-stream shuffle: no
+    hashpartitioning on pair columns, no dropDuplicates aggregate (pair
+    dedup is the first-SURVIVING-band join residual), and the band rows are
+    round-robin re-spread after the windows so a hot bucket's quadratic
+    residual work stays parallel instead of serializing on one task."""
+    import re
+
+    plan = _plan(
+        registry["q_dedup_minhash_lsh"].builder(spark, SF001, strategy="broadcast")
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    for line in re.findall(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert ("band#" in line and "bkey#" in line) or "doc_id#" in line, (
+            line,
+            plan,
+        )
+    assert "dropDuplicates" not in plan, plan
+    # the post-window round-robin re-spread must sit above the doc_id window
+    assert plan.count("Exchange RoundRobinPartitioning") >= 2, plan
 
 
 @pytest.mark.parametrize(
@@ -66,7 +93,11 @@ def test_bucket_strategy_never_broadcasts_corpus_side(spark, registry, key):
     of the big side is exactly the executor-OOM plan the switch exists to
     prevent."""
     plan = _plan(registry[key].builder(spark, SF001, strategy="bucket"))
-    assert "BroadcastExchange" not in plan, plan
+    # The auto bucket-cap scalar legitimately arrives via a 1-row
+    # IdentityBroadcastMode cross join — only HashedRelation broadcasts
+    # (i.e. a corpus-side BroadcastHashJoin build) are the OOM hazard.
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "HashedRelationBroadcastMode" not in plan, plan
     assert "ShuffledHashJoin" in plan, plan
 
 
