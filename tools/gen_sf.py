@@ -1,0 +1,191 @@
+#!/usr/bin/env python3
+"""sf1 fixture generator: tile the driver's sf0.1 tables 10x with key offsets.
+
+The driver generates /root/testdata up to sf0.1 only (TESTDATA.md); the 100 TB
+design claims in SCALE.md need at least one measured decade beyond that
+(r3 VERDICT task 1). This tool builds an sf1 directory (lineitem 6M rows,
+documents 50k, embeddings 20k) from sf0.1 itself so every distribution the
+queries depend on is preserved exactly:
+
+  * Star schema: each replica i offsets every key column by i * (max_key+1)
+    of its table, consistently across fact and dimension FKs, so referential
+    integrity, fan-outs (lines/order, orders/customer), and value
+    distributions are identical per replica. region/nation stay fixed
+    (dimensions don't grow with corpus size). c_name is regenerated from the
+    new key to keep the `Customer#%09d` pattern unique and regex-extractable.
+  * Time columns are kept as-is: the time RANGE stays constant while event
+    density grows 10x — the realistic shape of a bigger corpus over the same
+    collection window, and what keeps per-day/window state constant-factor
+    comparable across SFs.
+  * documents: replica i>0 prefixes every token with `r{i}`, making replica
+    vocabularies DISJOINT. Within a replica, token-overlap structure (and
+    therefore the near-dup pair set) is identical to sf0.1; across replicas
+    every Jaccard is 0. The true output of every dedup operator therefore
+    scales EXACTLY 10x — the property that makes a linearity measurement
+    meaningful (tiling identical texts instead would square the pair count).
+  * embeddings: replica i multiplies each vector elementwise by a
+    deterministic +/-1 sign pattern (seeded by xxhash64(i, dim)). A sign
+    flip per coordinate is an ORTHOGONAL transform: all intra-replica
+    angles, distances, and cluster structure are preserved bit-for-bit,
+    while cross-replica cosines are scrambled to noise — ANN/kmeans work per
+    replica looks exactly like sf0.1, 10x over.
+
+Determinism: no RNG anywhere — offsets, prefixes, and sign patterns are pure
+functions of (replica, row), so the output is bit-reproducible.
+
+Usage: python tools/gen_sf.py [--base /root/testdata/sf0.1] [--out .data/sf1]
+                              [--replicas 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from ai_to_cvent_etl_spark.io import load_table  # noqa: E402
+from ai_to_cvent_etl_spark.session import get_spark  # noqa: E402
+
+
+def _tile(df: DataFrame, replicas: int, build) -> DataFrame:
+    out = build(df, 0)
+    for i in range(1, replicas):
+        out = out.unionByName(build(df, i))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--out", default=os.path.join(REPO, ".data", "sf1"))
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+    R = args.replicas
+
+    spark = get_spark(app_name="gen_sf")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    base = {
+        n: load_table(spark, args.base, n)
+        for n in [
+            "region", "nation", "supplier", "customer", "part",
+            "orders", "lineitem", "events", "documents", "embeddings",
+        ]
+    }
+    # key strides = max+1 per table (collect of 1 scalar each — generator
+    # tool, not a query path)
+    stride = {
+        t: base[t].agg(F.max(k)).collect()[0][0] + 1
+        for t, k in [
+            ("supplier", "s_suppkey"), ("customer", "c_custkey"),
+            ("part", "p_partkey"), ("orders", "o_orderkey"),
+            ("events", "event_id"), ("documents", "doc_id"),
+            ("embeddings", "vec_id"),
+        ]
+    }
+    stride["user"] = base["events"].agg(F.max("user_id")).collect()[0][0] + 1
+
+    def off(col: str, table: str, i: int):
+        return (F.col(col) + F.lit(i * stride[table])).alias(col)
+
+    plans: dict[str, DataFrame] = {}
+    plans["region"] = base["region"]
+    plans["nation"] = base["nation"]
+    plans["supplier"] = _tile(
+        base["supplier"], R,
+        lambda df, i: df.select(
+            off("s_suppkey", "supplier", i), "s_name", "s_nationkey", "s_acctbal"
+        ),
+    )
+    plans["customer"] = _tile(
+        base["customer"], R,
+        lambda df, i: df.select(
+            off("c_custkey", "customer", i),
+            F.format_string(
+                "Customer#%09d", F.col("c_custkey") + F.lit(i * stride["customer"])
+            ).alias("c_name"),
+            "c_nationkey", "c_acctbal", "c_mktsegment",
+        ),
+    )
+    plans["part"] = _tile(
+        base["part"], R,
+        lambda df, i: df.select(
+            off("p_partkey", "part", i),
+            "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+        ),
+    )
+    plans["orders"] = _tile(
+        base["orders"], R,
+        lambda df, i: df.select(
+            off("o_orderkey", "orders", i),
+            off("o_custkey", "customer", i),
+            "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+        ),
+    )
+    plans["lineitem"] = _tile(
+        base["lineitem"], R,
+        lambda df, i: df.select(
+            off("l_orderkey", "orders", i),
+            off("l_partkey", "part", i),
+            off("l_suppkey", "supplier", i),
+            "l_linenumber", "l_quantity", "l_extendedprice", "l_discount",
+            "l_tax", "l_returnflag", "l_linestatus", "l_shipdate",
+        ),
+    )
+    plans["events"] = _tile(
+        base["events"], R,
+        lambda df, i: df.select(
+            off("event_id", "events", i),
+            "ts",
+            off("user_id", "user", i),
+            "event_type", "value", "props",
+        ),
+    )
+
+    def doc_replica(df: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            return df.select("doc_id", "text", "lang", "source", "n_chars")
+        text = F.expr(
+            f"array_join(transform(split(text, ' '), t -> concat('r{i}', t)), ' ')"
+        )
+        return df.select(
+            off("doc_id", "documents", i),
+            text.alias("text"),
+            "lang",
+            "source",
+        ).withColumn("n_chars", F.length("text").cast("long"))
+
+    plans["documents"] = _tile(base["documents"], R, doc_replica)
+
+    def emb_replica(df: DataFrame, i: int) -> DataFrame:
+        if i == 0:
+            return df.select("vec_id", "embedding", "label")
+        sign = (
+            f"transform(embedding, (x, d) -> "
+            f"CAST(x * (1 - 2 * pmod(xxhash64({i}, d), 2)) AS FLOAT))"
+        )
+        return df.select(
+            off("vec_id", "embeddings", i),
+            F.expr(sign).alias("embedding"),
+            "label",
+        )
+
+    plans["embeddings"] = _tile(base["embeddings"], R, emb_replica)
+
+    for name, df in plans.items():
+        t0 = time.perf_counter()
+        path = os.path.join(args.out, f"{name}.parquet")
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"{name}: {n} rows -> {path} ({time.perf_counter() - t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()
