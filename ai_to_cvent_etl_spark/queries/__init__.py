@@ -6,50 +6,6 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     analytics_plus,
     analytics_r2,
     analytics_r3,
-    analytics_r3b,
-    analytics_r3c,
-    analytics_r3d,
-    analytics_r3e,
-    analytics_r3f,
-    analytics_r3g,
-    analytics_r3h,
-    analytics_r3i,
-    analytics_r3j,
-    analytics_r3k,
-    analytics_r3l,
-    analytics_r3m,
-    analytics_r3n,
-    analytics_r3o,
-    analytics_r3p,
-    analytics_r3q,
-    analytics_r3r,
-    analytics_r3s,
-    analytics_r3t,
-    analytics_r3u,
-    analytics_r3v,
-    analytics_r3w,
-    analytics_r3x,
-    analytics_r3y,
-    analytics_r3z,
-    analytics_r4a,
-    analytics_r4b,
-    analytics_r4c,
-    analytics_r4d,
-    analytics_r4e,
-    analytics_r4f,
-    analytics_r4g,
-    analytics_r4h,
-    analytics_r4i,
-    analytics_r4j,
-    analytics_r4k,
-    analytics_r4l,
-    analytics_r4m,
-    analytics_r4n,
-    analytics_r4o,
-    analytics_r4p,
-    analytics_r4q,
-    analytics_r4r,
-    analytics_r4s,
     dedup_scale,
     etl,
     filters,

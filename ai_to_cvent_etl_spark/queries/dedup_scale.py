@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 _N_PERM = 8   # minhash permutations
 _N_BANDS = 4  # LSH bands (2 rows each): P(candidate | j=0.8) = 1-(1-0.64)^4 ≈ 0.983
@@ -611,4 +613,514 @@ def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusters.groupBy("cluster_size").agg(
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+    )
+
+
+# ==== from analytics_r3c ===========================================
+
+_CANON_SPARK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '),"
+    " ' +', ' ')))"
+)
+
+_CANON_DUCK = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ',"
+    " 'g'), ' +', ' ', 'g')))"
+)
+
+@register(
+    "q_dedup_canonicalize",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, n_chars, {_CANON_DUCK} AS ckey
+            FROM documents
+        )
+        SELECT ckey,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM c GROUP BY ckey
+    """,
+    section="D10",
+    doc="Canonicalization dedup (the URL/text-normalization tier that runs "
+    "BEFORE MinHash in a real pipeline): lowercase, strip punctuation, "
+    "collapse whitespace, md5 the canonical form, keep min-doc_id per "
+    "canonical group. Normalization is row-local (map-only); the single "
+    "shuffle is the keyed group on the 16-byte canonical hash — never on "
+    "the text itself. Regexes use the Java/RE2 common subset so both "
+    "engines canonicalize identically.",
+)
+def q_dedup_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", "n_chars", F.expr(_CANON_SPARK).alias("ckey"))
+        .groupBy("ckey")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+# ==== from analytics_r3n ===========================================
+
+_SND_FROM = "BFPVCGJKQSXZDTLMNR"
+
+_SND_TO = "111122222222334556"
+
+@register(
+    "q_dedup_phonetic",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT p_partkey, p_name,
+                   substr(upper(p_name), 1, 1)
+                   || regexp_replace(
+                          translate(upper(substr(p_name, 2)),
+                                    '{_SND_FROM}', '{_SND_TO}'),
+                          '[^0-9]', '', 'g') AS pkey
+            FROM part
+        )
+        SELECT pkey,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(COUNT(DISTINCT p_name) AS BIGINT) AS n_names,
+               MIN(p_partkey) AS canonical_key,
+               string_agg(DISTINCT p_name, '|' ORDER BY p_name) AS names
+        FROM keyed
+        GROUP BY pkey
+    """,
+    section="D11",
+    doc="Entity-resolution BLOCKING via a soundex-class phonetic key "
+    "over part names: first letter + consonant-class digits "
+    "(B/F/P/V→1, C/G/J/K/Q/S/X/Z→2, D/T→3, L→4, M/N→5, R→6; vowels "
+    "and non-mapped chars dropped via regexp), so 'red ring'/'rod "
+    "rang'-style near-spellings collide. Output: block key, member and "
+    "distinct-name counts, the min-key canonical record, and a "
+    "'|'-joined SORTED distinct-name sample (A10's rule — no raw "
+    "collect order). Pure string algebra — float-free. This is the "
+    "blocking half of fuzzy entity resolution: one keyed shuffle; the "
+    "quadratic verify (T5's prefix-filtered SSJoin) then runs within "
+    "blocks only — the same blocked shape as D1/D3.",
+)
+def q_dedup_phonetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pkey = F.concat(
+        F.substring(F.upper("p_name"), 1, 1),
+        F.regexp_replace(
+            F.translate(
+                F.upper(F.expr("substr(p_name, 2)")), _SND_FROM, _SND_TO
+            ),
+            "[^0-9]",
+            "",
+        ),
+    )
+    return (
+        part.select("p_partkey", "p_name", pkey.alias("pkey"))
+        .groupBy("pkey")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.countDistinct("p_name").alias("n_names"),
+            F.min("p_partkey").alias("canonical_key"),
+            F.array_join(F.sort_array(F.collect_set("p_name")), "|").alias(
+                "names"
+            ),
+        )
+    )
+
+# ==== from analytics_r3q ===========================================
+
+@register(
+    "q_dedup_record_link",
+    oracle="""
+        WITH src AS (
+            SELECT c_custkey, c_nationkey, c_acctbal, c_name FROM customer
+        ),
+        replica AS (
+            SELECT c_nationkey, c_acctbal,
+                   substr(c_name, 1,
+                          CAST(c_custkey % length(c_name) AS INT))
+                   || substr(c_name,
+                             CAST(c_custkey % length(c_name) AS INT) + 2)
+                       AS r_name
+            FROM customer
+        )
+        SELECT s.c_custkey,
+               r.r_name,
+               CAST(levenshtein(s.c_name, r.r_name) AS INT) AS lev
+        FROM src s
+        JOIN replica r
+          ON r.c_nationkey = s.c_nationkey AND r.c_acctbal = s.c_acctbal
+        WHERE levenshtein(s.c_name, r.r_name) <= 1
+    """,
+    section="D12",
+    doc="Fuzzy record LINKAGE across sources (master-data join — "
+    "distinct from self-dedup D1-D11): a replica feed whose names "
+    "carry a deterministic one-character deletion (position keyed by "
+    "custkey) and NO shared primary key is re-linked to the source by "
+    "equality BLOCKING on (nationkey, acctbal) with a Levenshtein≤1 "
+    "verify inside blocks. Pure integer/string logic. The blocked-"
+    "linkage shape: candidate pairs exist only within blocks, so the "
+    "quadratic verify is per-block tiny; at scale multiple blocking "
+    "passes (D11's phonetic key, sorted-neighborhood windows) union "
+    "their candidates before one shared verify.",
+)
+def q_dedup_record_link(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    src = c.select("c_custkey", "c_nationkey", "c_acctbal", "c_name")
+    pos = (F.col("c_custkey") % F.length("c_name")).cast("int")
+    replica = c.select(
+        "c_nationkey",
+        "c_acctbal",
+        F.concat(
+            F.expr("substr(c_name, 1, CAST(c_custkey % length(c_name) AS INT))"),
+            F.expr(
+                "substr(c_name, CAST(c_custkey % length(c_name) AS INT) + 2)"
+            ),
+        ).alias("r_name"),
+    )
+    j = src.join(replica, ["c_nationkey", "c_acctbal"])
+    lev = F.levenshtein(F.col("c_name"), F.col("r_name"))
+    return j.where(lev <= 1).select(
+        "c_custkey", "r_name", lev.cast("int").alias("lev")
+    )
+
+# ==== from analytics_r3v ===========================================
+
+_D13_WINDOW = 50
+
+_D13_PERM = 8
+
+@register(
+    "q_dedup_minhash_est",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE doc_id < {_D13_WINDOW}
+        ),
+        sig AS (
+            SELECT doc_id, ts,
+                   [{', '.join(_mh_duck(i) for i in range(_D13_PERM))}] AS mh
+            FROM toks
+        )
+        SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+               CAST(len(list_filter(range(1, {_D13_PERM + 1}),
+                        i -> a.mh[i] = b.mh[i])) AS DOUBLE)
+                   / {_D13_PERM} AS est_jaccard,
+               CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+                   / (len(a.ts) + len(b.ts)
+                      - len(list_intersect(a.ts, b.ts))) AS exact_jaccard
+        FROM sig a JOIN sig b ON b.doc_id > a.doc_id
+        WHERE len(list_intersect(a.ts, b.ts)) > 0
+    """,
+    section="D13",
+    doc=f"Minhash estimator calibration: for every overlapping pair in a "
+    f"bounded doc window (doc_id < {_D13_WINDOW}), the signature-"
+    f"agreement Jaccard estimate (fraction of {_D13_PERM} permutations "
+    "agreeing — D1's exact permutation family) next to the exact "
+    "token-set Jaccard. Estimates are k/8 fractions (exact in binary) "
+    "and exact Jaccards are integer ratios — both bit-deterministic. "
+    "This is how D1's LSH band/threshold parameters get tuned on a "
+    "real corpus: the joint distribution of (estimate, truth) IS the "
+    "collision-probability curve. Production calibration samples "
+    "pairs from LSH candidates (no quadratic anywhere); the explicit "
+    "window here keeps the declared query bounded at every SF.",
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("doc_id") < _D13_WINDOW).select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    sig = toks.select(
+        "doc_id",
+        "ts",
+        F.array(*[F.expr(_mh_spark(i)) for i in range(_D13_PERM)]).alias(
+            "mh"
+        ),
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    j = a.join(F.broadcast(b), F.col("b.doc_id") > F.col("a.doc_id"))
+    inter = F.size(F.array_intersect(F.col("a.ts"), F.col("b.ts")))
+    agree = F.size(
+        F.filter(
+            F.zip_with(
+                F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y
+            ),
+            lambda eq: eq,
+        )
+    )
+    return j.where(inter > 0).select(
+        F.col("a.doc_id").alias("doc_lo"),
+        F.col("b.doc_id").alias("doc_hi"),
+        (agree.cast("double") / _D13_PERM).alias("est_jaccard"),
+        (
+            inter.cast("double")
+            / (F.size(F.col("a.ts")) + F.size(F.col("b.ts")) - inter)
+        ).alias("exact_jaccard"),
+    )
+
+# ==== from analytics_r3w ===========================================
+
+@register(
+    "q_dedup_url_canonical",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'https' END
+                   || '://'
+                   || CASE WHEN doc_id % 4 < 2 THEN 'Example.ORG'
+                           ELSE 'example.org' END
+                   || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+                   || '/page/' || CAST(doc_id // 4 AS VARCHAR)
+                   || CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1'
+                           ELSE '?a=1&b=2' END
+                   || CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END
+                       AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
+                   || lower(regexp_extract(url, '://([^/:?#]+)', 1))
+                   || regexp_extract(url, '://[^/?#]+([^?#]*)', 1)
+                   || '?'
+                   || array_to_string(list_sort(string_split(
+                          regexp_extract(url, '\\?([^#]*)', 1), '&')), '&')
+                       AS curl
+            FROM raw
+        )
+        SELECT curl,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS canonical_doc
+        FROM canon
+        GROUP BY curl
+    """,
+    section="D14",
+    doc="URL canonicalization dedup (the crawl-dedup step BEFORE any "
+    "content hashing): deterministically messy variants — protocol/"
+    "host case, explicit default :443 port, shuffled query-param "
+    "order, fragments — collapse under a canonicalizer built from "
+    "regexp extraction + lowercase + sorted param re-join + fragment "
+    "drop; pages (doc_id÷4 path groups) then collapse to one "
+    "canonical record (min doc_id). Pure string algebra. Map-only "
+    "canonicalization + one keyed reduction; at crawl scale the "
+    "canonical URL is the co-location key that puts every variant of "
+    "a page in one bucket (F17 extracts the parts; this normalizes "
+    "them).",
+)
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, "HTTPS").otherwise("https"),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 4 < 2, "Example.ORG").otherwise(
+            "example.org"
+        ),
+        F.when(F.col("doc_id") % 3 == 0, ":443").otherwise(""),
+        F.lit("/page/"),
+        F.expr("CAST(doc_id DIV 4 AS STRING)"),
+        F.when(F.col("doc_id") % 2 == 0, "?b=2&a=1").otherwise("?a=1&b=2"),
+        F.when(F.col("doc_id") % 5 == 0, "#frag").otherwise(""),
+    )
+    raw = docs.select("doc_id", url.alias("url"))
+    curl = F.concat(
+        F.lower(F.regexp_extract("url", r"^([a-zA-Z]+)://", 1)),
+        F.lit("://"),
+        F.lower(F.regexp_extract("url", r"://([^/:?#]+)", 1)),
+        F.regexp_extract("url", r"://[^/?#]+([^?#]*)", 1),
+        F.lit("?"),
+        F.array_join(
+            F.array_sort(
+                F.split(F.regexp_extract("url", r"\?([^#]*)", 1), "&")
+            ),
+            "&",
+        ),
+    )
+    return (
+        raw.select("doc_id", curl.alias("curl"))
+        .groupBy("curl")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+    )
+
+# ==== from analytics_r4c ===========================================
+
+_D15_T = 0.8
+
+@register(
+    "q_dedup_cross_corpus",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % 2 = 0 AS is_train,
+                   list_distinct(string_split(text, ' ')) AS ts
+            FROM documents
+        ),
+        sig AS (
+            SELECT doc_id, is_train,
+                   {', '.join(f'{_mh_duck(i)} AS mh{i}' for i in range(_N_PERM))}
+            FROM toks
+        ),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, is_train, {b} AS band, "
+                f"md5(mh{2 * b} || mh{2 * b + 1}) AS bkey FROM sig"
+                for b in range(_N_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.is_train AND NOT b.is_train
+        )
+        SELECT train_doc, eval_doc,
+               ROUND(CAST(len(list_filter(ta.ts,
+                              x -> list_contains(tb.ts, x))) AS DOUBLE)
+                     / (len(ta.ts) + len(tb.ts)
+                        - len(list_filter(ta.ts,
+                              x -> list_contains(tb.ts, x)))), 4) AS jaccard
+        FROM cand
+        JOIN toks ta ON ta.doc_id = cand.train_doc
+        JOIN toks tb ON tb.doc_id = cand.eval_doc
+        WHERE CAST(len(list_filter(ta.ts, x -> list_contains(tb.ts, x)))
+                   AS DOUBLE)
+              / (len(ta.ts) + len(tb.ts)
+                 - len(list_filter(ta.ts, x -> list_contains(tb.ts, x))))
+              >= {_D15_T}
+    """,
+    section="D15",
+    doc="Train-vs-eval decontamination at PAIR level: the corpus splits "
+    "into train (even doc_id) and eval (odd), MinHash-LSH candidates "
+    "form only ACROSS the two sides (bipartite band join — no "
+    "self-pairs, half the pair space of D1), and candidates verify "
+    "with exact Jaccard ≥ 0.8. The leakage report L8's containment "
+    "check summarizes; this emits the actual contaminated pairs for "
+    "removal. Incremental shape at scale: the frozen eval side's band "
+    "keys persist, and each new training shard joins against them "
+    "without re-hashing eval — decontamination becomes a per-shard "
+    "lookup, not a corpus-wide rescan.",
+)
+def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.array_distinct(F.split("text", " ")).alias("ts"),
+    )
+    sig = fan_out(
+        toks.select(
+            "doc_id",
+            "is_train",
+            "ts",
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.expr(_mh_spark(2 * b)),
+                            F.expr(_mh_spark(2 * b + 1)),
+                        )
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            ).alias("bks"),
+        )
+    )
+    bands = sig.select(
+        "doc_id",
+        "is_train",
+        "ts",
+        "bks",
+        F.posexplode("bks").alias("band", "bkey"),
+    )
+    a = bands.where("is_train").select(
+        F.col("doc_id").alias("train_doc"),
+        F.col("ts").alias("ts_a"),
+        F.col("bks").alias("bks_a"),
+        "band",
+        "bkey",
+    )
+    b = bands.where(~F.col("is_train")).select(
+        F.col("doc_id").alias("eval_doc"),
+        F.col("ts").alias("ts_b"),
+        F.col("bks").alias("bks_b"),
+        "band",
+        "bkey",
+    )
+    # D1's first-colliding-band device, bipartite: both sides carry ALL
+    # their band keys, and a pair colliding in several bands is emitted
+    # ONLY from its lowest matching band — a ROW-LOCAL filter, so no
+    # pair-distinct shuffle ever materializes the candidate multiset
+    # (the groupBy formulation carried token arrays through a pair-keyed
+    # exchange and OOM'd the sf0.1 selfcheck session).
+    first_band = F.expr(
+        "size(filter(zip_with(slice(bks_a, 1, band), slice(bks_b, 1, band), "
+        "(x, y) -> x = y), m -> m)) = 0"
+    )
+    cand = a.join(b, ["band", "bkey"]).where(first_band)
+    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
+    jac = inter.cast("double") / (
+        F.size("ts_a") + F.size("ts_b") - inter
+    )
+    return cand.where(jac >= _D15_T).select(
+        "train_doc", "eval_doc", F.round(jac, 4).alias("jaccard")
+    )
+
+# ==== from analytics_r4d ===========================================
+
+@register(
+    "q_dedup_normalized",
+    oracle="""
+        WITH norm AS (
+            SELECT doc_id,
+                   md5(regexp_replace(
+                       trim(lower(
+                           CASE WHEN doc_id % 3 = 0 THEN '  ' || upper(text)
+                                WHEN doc_id % 3 = 1
+                                THEN regexp_replace(text, ' ', '   ', 'g')
+                                ELSE text END)),
+                       ' +', ' ', 'g')) AS ckey
+            FROM documents
+        )
+        SELECT ckey,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               MIN(doc_id) AS canonical_doc,
+               COUNT(*) > 1 AS is_dup_group
+        FROM norm
+        GROUP BY ckey
+    """,
+    section="D16",
+    doc="Normalization-tier dedup: documents deterministically reformatted "
+    "(every 3rd uppercased with leading spaces, every 3rd+1 with "
+    "inflated whitespace) collapse under lower + trim + whitespace-"
+    "collapse + md5 — the tier BETWEEN byte-exact dedup (U6, which "
+    "these variants evade) and near-dup LSH (D1, which pays signature "
+    "cost for what a string normalization catches free). Groups by "
+    "canonical hash with min-doc canonical record. One keyed shuffle "
+    "at exact-dedup cost; every pair this tier catches is one the "
+    "quadratic-ish tiers never see — tier ordering IS the dedup "
+    "budget (U6 → D16 → D14 URLs → D1/D3 → T5 verify).",
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    messy = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("  "), F.upper("text")))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace("text", " ", "   "),
+        )
+        .otherwise(F.col("text"))
+    )
+    ckey = F.md5(
+        F.regexp_replace(F.trim(F.lower(messy)), " +", " ")
+    )
+    return (
+        docs.select("doc_id", ckey.alias("ckey"))
+        .groupBy("ckey")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc"),
+            (F.count("*") > 1).alias("is_dup_group"),
+        )
     )

@@ -19,6 +19,9 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql.types import DecimalType
+from ai_to_cvent_etl_spark.queries._util import dec2
+from pyspark.sql import DataFrame, SparkSession
 
 
 @register(
@@ -233,4 +236,1711 @@ def q_etl_key_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return stats(li, "l_suppkey", "lineitem.l_suppkey").unionByName(
         stats(orders, "o_custkey", "orders.o_custkey")
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+@register(
+    "q_etl_fk_audit",
+    oracle="""
+        WITH t1 AS (
+            SELECT 'lineitem->orders_open' AS relationship,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN o.o_orderkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM lineitem l
+            LEFT JOIN (SELECT o_orderkey FROM orders
+                       WHERE o_orderstatus = 'O') o
+              ON l.l_orderkey = o.o_orderkey
+        ),
+        t2 AS (
+            SELECT 'orders->customer_positive' AS relationship,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(CASE WHEN c.c_custkey IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+            FROM orders o
+            LEFT JOIN (SELECT c_custkey FROM customer
+                       WHERE c_acctbal > 0) c
+              ON o.o_custkey = c.c_custkey
+        )
+        SELECT relationship, n_rows, n_orphans,
+               CAST(n_orphans AS DOUBLE) / n_rows AS orphan_ratio
+        FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t2)
+    """,
+    section="E11",
+    doc="Referential-integrity audit: orphan counts per FK relationship "
+    "against CONSTRAINED target slices (open orders / positive-balance "
+    "customers) so drift is non-trivially exercised — the DQ gate an ETL "
+    "load runs before publishing. Each relationship is one broadcast-or-"
+    "shuffle left join + conditional count (map-side combinable); ratio "
+    "is int/int IEEE division, exact. At 100 TB the dim key-sets "
+    "broadcast (keys only, not rows) or the joins bucket on the FK.",
+)
+def q_etl_fk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey"
+    )
+    pos_cust = cust.filter(F.col("c_acctbal") > 0).select("c_custkey")
+    t1 = (
+        li.join(open_orders, li.l_orderkey == open_orders.o_orderkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("lineitem->orders_open").alias("relationship"),
+            "n_rows",
+            "n_orphans",
+        )
+    )
+    t2 = (
+        orders.join(pos_cust, orders.o_custkey == pos_cust.c_custkey, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("c_custkey").isNull(), 1).otherwise(0)
+            ).alias("n_orphans"),
+        )
+        .select(
+            F.lit("orders->customer_positive").alias("relationship"),
+            "n_rows",
+            "n_orphans",
+        )
+    )
+    return t1.unionByName(t2).select(
+        "relationship",
+        "n_rows",
+        "n_orphans",
+        (F.col("n_orphans").cast("double") / F.col("n_rows")).alias(
+            "orphan_ratio"
+        ),
+    )
+
+# ==== from analytics_r3c ===========================================
+
+_PROFILE_COLS = [
+    # (name, numeric-projection Spark, numeric-projection DuckDB)
+    ("o_orderkey", "cast(o_orderkey as double)", "CAST(o_orderkey AS DOUBLE)"),
+    ("o_custkey", "cast(o_custkey as double)", "CAST(o_custkey AS DOUBLE)"),
+    ("o_totalprice", "cast(o_totalprice as double)", "CAST(o_totalprice AS DOUBLE)"),
+    (
+        "o_orderdate",
+        "cast(datediff(cast(o_orderdate as date), date'1970-01-01') as double)",
+        "CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)",
+    ),
+]
+
+def _profile_oracle() -> str:
+    branches = []
+    for name, _, proj in _PROFILE_COLS:
+        branches.append(
+            f"""
+            SELECT '{name}' AS col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+                   CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+                   MIN({proj}) AS min_v,
+                   MAX({proj}) AS max_v
+            FROM orders
+            """
+        )
+    return " UNION ALL ".join(branches)
+
+@register(
+    "q_etl_column_profile",
+    oracle=_profile_oracle(),
+    section="E13",
+    doc="Per-column dataset profile of orders (row/null/distinct counts, "
+    "numeric min/max; dates via tz-immune epoch days) — the pre-ingest DQ "
+    "report. ONE scan: all metrics come from a single multi-count-distinct "
+    "aggregate (Catalyst Expand), pivoted to long form with a row-local "
+    "stack — no per-column rescans, output bounded by column count.",
+)
+def q_etl_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, proj, _ in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(name)).alias(f"{name}__nn"),
+            F.countDistinct(name).alias(f"{name}__nd"),
+            F.min(F.expr(proj)).alias(f"{name}__mn"),
+            F.max(F.expr(proj)).alias(f"{name}__mx"),
+        ]
+    wide = od.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{name}', {name}__nn, {name}__nd, {name}__mn, {name}__mx"
+        for name, _, _ in _PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stack_args})"
+        " as (col_name, n_nulls, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+# ==== from analytics_r3f ===========================================
+
+_COMPACT_TARGET = 3000  # rows per output file
+
+@register(
+    "q_etl_compaction_plan",
+    oracle=f"""
+        WITH manifest AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS file_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY 1
+        ),
+        planned AS (
+            SELECT file_id, n_rows,
+                   CAST(COALESCE(SUM(n_rows) OVER (
+                       ORDER BY file_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) // {_COMPACT_TARGET} AS target_file
+            FROM manifest
+        )
+        SELECT p.file_id, p.n_rows, p.target_file,
+               CAST(SUM(p.n_rows) OVER (PARTITION BY p.target_file)
+                    AS BIGINT) AS target_rows
+        FROM planned p
+    """,
+    section="E14",
+    doc="Small-file compaction planner (the lakehouse OPTIMIZE step): "
+    "month-partition row counts are linearly bin-packed into "
+    f"~{_COMPACT_TARGET}-row output files via an exclusive running sum "
+    "DIV target — deterministic first-fit in file order. Runs entirely "
+    "on the partition manifest (bounded by the calendar), exactly how a "
+    "real compactor plans on file metadata without touching data. "
+    "All-integer.",
+)
+def q_etl_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    manifest = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("file_id")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    excl = Window.orderBy("file_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    planned = manifest.select(
+        "file_id",
+        "n_rows",
+        F.coalesce(F.sum("n_rows").over(excl), F.lit(0))
+        .cast("bigint")
+        .alias("cum"),
+    ).select(
+        "file_id",
+        "n_rows",
+        F.expr(f"cum div {_COMPACT_TARGET}").alias("target_file"),
+    )
+    return planned.select(
+        "*",
+        F.sum("n_rows")
+        .over(Window.partitionBy("target_file"))
+        .alias("target_rows"),
+    )
+
+# ==== from analytics_r3g ===========================================
+
+_Z_BITS = 10          # 10 bits per dimension
+
+_Z_FILE_SPAN = 4096   # Morton values per planned file
+
+def _morton_expr(x: str, y: str, shift_fn) -> str:
+    """Interleave the low _Z_BITS bits of x (odd positions) and y (even):
+    classic Morton code as a pure shift/mask/add expression."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(shift_fn(f"(({x} >> {i}) & 1)", 2 * i + 1))
+        terms.append(shift_fn(f"(({y} >> {i}) & 1)", 2 * i))
+    return " + ".join(terms)
+
+_X_SPARK = "cast(o_custkey % 1024 as bigint)"
+
+_Y_SPARK = "cast(floor(o_totalprice / 1000) as bigint) % 1024"
+
+_X_DUCK = "CAST(o_custkey % 1024 AS BIGINT)"
+
+_Y_DUCK = "CAST(floor(o_totalprice / 1000) AS BIGINT) % 1024"
+
+@register(
+    "q_etl_zorder_layout",
+    oracle=f"""
+        WITH coded AS (
+            SELECT x0 AS x, y0 AS y,
+                   {_morton_expr('x0', 'y0', lambda e, s: f"({e} << {s})")}
+                       AS morton
+            FROM (SELECT {_X_DUCK} AS x0, {_Y_DUCK} AS y0 FROM orders)
+        ),
+        layouts AS (
+            SELECT 'zorder' AS layout,
+                   CAST(morton // {_Z_FILE_SPAN} AS BIGINT) AS file_id,
+                   x, y
+            FROM coded
+            UNION ALL
+            SELECT 'linear' AS layout,
+                   CAST((x * 1024 + y) // {_Z_FILE_SPAN} AS BIGINT) AS file_id,
+                   x, y
+            FROM coded
+        )
+        SELECT layout, file_id,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MAX(x) - MIN(x) AS BIGINT) AS x_span,
+               CAST(MAX(y) - MIN(y) AS BIGINT) AS y_span
+        FROM layouts GROUP BY layout, file_id
+    """,
+    section="E15",
+    doc="Z-order (Morton) vs linear data-layout planning: orders are "
+    "assigned to planned files by Morton-value range (map-only DIV — no "
+    "global sort, unlike a row_number binning) and by the naive "
+    "column-major layout; per-file min/max spans of both dimensions show "
+    "the multi-column pruning win Z-ordering buys (the lakehouse "
+    "OPTIMIZE ZORDER decision metric, computed before any rewrite). "
+    "Morton codes are pure integer shift/mask arithmetic — identical on "
+    "both engines; spans are integer max-min. One keyed agg per layout.",
+)
+def q_etl_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        F.expr(_X_SPARK).alias("x"), F.expr(_Y_SPARK).alias("y")
+    )
+    morton = F.expr(
+        _morton_expr("x", "y", lambda e, s: f"shiftleft({e}, {s})")
+    )
+    coded = base.select("x", "y", morton.alias("morton"))
+    z = coded.select(
+        F.lit("zorder").alias("layout"),
+        F.expr(f"morton div {_Z_FILE_SPAN}").alias("file_id"),
+        "x",
+        "y",
+    )
+    lin = coded.select(
+        F.lit("linear").alias("layout"),
+        F.expr(f"(x * 1024 + y) div {_Z_FILE_SPAN}").alias("file_id"),
+        "x",
+        "y",
+    )
+    return (
+        z.unionByName(lin)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.max("x") - F.min("x")).alias("x_span"),
+            (F.max("y") - F.min("y")).alias("y_span"),
+        )
+    )
+
+# ==== from analytics_r3i ===========================================
+
+@register(
+    "q_etl_freshness_audit",
+    oracle="""
+        WITH s AS (
+            SELECT event_type AS source,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(MAX(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+                   CAST(MIN(epoch_us(ts)) AS BIGINT) AS min_ts_us
+            FROM events GROUP BY event_type
+        ),
+        g AS (SELECT CAST(MAX(max_ts_us) AS BIGINT) AS wm FROM s)
+        SELECT s.source, s.n_rows, s.max_ts_us, s.min_ts_us,
+               CAST(g.wm - s.max_ts_us AS BIGINT) AS lag_us,
+               CAST(g.wm - s.max_ts_us AS BIGINT) > 3600000000 AS is_stale
+        FROM s CROSS JOIN g
+    """,
+    section="E18",
+    doc="Per-source freshness/watermark audit: latest event time and lag "
+    "vs the global high-water mark, with a 1-hour staleness flag — the "
+    "data-SLA gate run before every downstream publish (a stale source "
+    "silently truncates joins and aggregates). One map-side-combinable "
+    "keyed aggregation + a 1-row broadcast; BIGINT-µs arithmetic — exact.",
+)
+def q_etl_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(F.col("event_type").alias("source")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max(F.expr("unix_micros(ts)")).alias("max_ts_us"),
+        F.min(F.expr("unix_micros(ts)")).alias("min_ts_us"),
+    )
+    g = s.agg(F.max("max_ts_us").alias("wm"))
+    lag = F.col("wm") - F.col("max_ts_us")
+    return s.crossJoin(F.broadcast(g)).select(
+        "source",
+        "n_rows",
+        "max_ts_us",
+        "min_ts_us",
+        lag.alias("lag_us"),
+        (lag > 3600000000).alias("is_stale"),
+    )
+
+# ==== from analytics_r3k ===========================================
+
+_MERGE_ORACLE = """
+    WITH changes AS (
+        SELECT o_orderkey AS key,
+               CASE WHEN o_orderkey % 13 = 0 THEN 'U'
+                    WHEN o_orderkey % 13 = 5 THEN 'D'
+                    ELSE 'I' END AS op,
+               o_orderkey + 100000000 AS new_key,
+               o_totalprice + 10.0 AS new_price
+        FROM orders
+        WHERE o_orderkey % 13 IN (0, 5, 7)
+    ),
+    kept AS (
+        SELECT t.o_orderkey,
+               CASE WHEN c.op = 'U' THEN 'P' ELSE t.o_orderstatus END
+                   AS o_orderstatus,
+               CASE WHEN c.op = 'U' THEN c.new_price
+                    ELSE t.o_totalprice END AS o_totalprice
+        FROM orders t
+        LEFT JOIN changes c ON c.key = t.o_orderkey AND c.op IN ('U', 'D')
+        WHERE c.op IS NULL OR c.op <> 'D'
+    ),
+    merged AS (
+        SELECT * FROM kept
+        UNION ALL
+        SELECT new_key, 'N', new_price FROM changes WHERE op = 'I'
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM merged
+    GROUP BY o_orderstatus
+"""
+
+_K_ANON = 5
+
+_KANON_ORACLE = f"""
+    WITH grp AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS group_size
+        FROM customer GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(group_size) AS BIGINT) AS n FROM grp)
+    SELECT g.nationkey, g.segment, g.group_size,
+           CASE WHEN g.group_size < {_K_ANON} THEN 1 ELSE 0 END
+               AS violates_k,
+           1.0 / CAST(g.group_size AS DOUBLE) AS reid_risk,
+           CAST(g.group_size AS DOUBLE) / CAST(t.n AS DOUBLE) AS share
+    FROM grp g CROSS JOIN tot t
+"""
+
+@register(
+    "q_etl_merge_upsert",
+    oracle=_MERGE_ORACLE,
+    section="E16",
+    doc="Full MERGE INTO semantics against the orders target from a "
+    "deterministic synthetic change feed: matched-U rows update (price "
+    "+10.0, status 'P'), matched-D rows delete, unmatched feed rows "
+    "insert under a shifted key. Resolved as ONE left outer join plus a "
+    "union of the insert arm — the CDC-merge shape where the change feed "
+    "is the small side (broadcast or key-co-located at scale; the target "
+    "never shuffles twice). Verified by a per-status count + exact "
+    "decimal price sum over the merged table, so every arm (update, "
+    "delete, insert, untouched) moves the aggregate.",
+)
+def q_etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_table(spark, sf_dir, "orders")
+    changes = (
+        t.where((F.col("o_orderkey") % 13).isin(0, 5, 7))
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.when(F.col("o_orderkey") % 13 == 0, F.lit("U"))
+            .when(F.col("o_orderkey") % 13 == 5, F.lit("D"))
+            .otherwise(F.lit("I"))
+            .alias("op"),
+            (F.col("o_orderkey") + 100000000).alias("new_key"),
+            (F.col("o_totalprice") + F.lit(10.0)).alias("new_price"),
+        )
+    )
+    matched = changes.where(F.col("op").isin("U", "D"))
+    kept = (
+        t.join(matched, t.o_orderkey == matched.key, "left")
+        .where(F.col("op").isNull() | (F.col("op") != "D"))
+        .select(
+            "o_orderkey",
+            F.when(F.col("op") == "U", F.lit("P"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+    )
+    inserts = changes.where(F.col("op") == "I").select(
+        F.col("new_key").alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("new_price").alias("o_totalprice"),
+    )
+    merged = kept.unionByName(inserts)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(dec2(F.col("o_totalprice"))).cast("double").alias("total_price"),
+    )
+
+@register(
+    "q_etl_k_anonymity",
+    oracle=_KANON_ORACLE,
+    section="E17",
+    doc=f"k-anonymity audit (k={_K_ANON}) over the quasi-identifier pair "
+    "(nationkey, mktsegment): per equivalence class, its size, a "
+    "violation flag, the re-identification risk 1/|class|, and its share "
+    "of the population — the governance gate a training-data pipeline "
+    "runs before release (E11's PII mask handles direct identifiers; "
+    "this catches identifying COMBINATIONS). One low-cardinality keyed "
+    "reduction plus a broadcast 1-row total; output is bounded by the "
+    "QI domain (<= 125 classes). Pure integer counts + IEEE divisions.",
+)
+def q_etl_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    grp = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("segment"),
+    ).agg(F.count(F.lit(1)).alias("group_size"))
+    tot = grp.agg(F.sum("group_size").alias("n"))
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "nationkey",
+        "segment",
+        "group_size",
+        F.when(F.col("group_size") < _K_ANON, 1).otherwise(0).alias(
+            "violates_k"
+        ),
+        (F.lit(1.0) / F.col("group_size").cast("double")).alias("reid_risk"),
+        (
+            F.col("group_size").cast("double") / F.col("n").cast("double")
+        ).alias("share"),
+    )
+
+# ==== from analytics_r3l ===========================================
+
+@register(
+    "q_etl_psi_drift",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(floor(o_totalprice / 50000.0) AS INT) AS band,
+                   CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN 1 ELSE 0 END AS is_base
+            FROM orders
+        ),
+        c AS (
+            SELECT band,
+                   CAST(SUM(is_base) AS BIGINT) AS n_base,
+                   CAST(SUM(1 - is_base) AS BIGINT) AS n_cur
+            FROM b GROUP BY band
+        ),
+        s AS (
+            SELECT band, n_base, n_cur,
+                   (CAST(n_base AS DOUBLE) + 1.0)
+                   / (SUM(CAST(n_base AS DOUBLE)) OVER ()
+                      + CAST(COUNT(*) OVER () AS DOUBLE)) AS p,
+                   (CAST(n_cur AS DOUBLE) + 1.0)
+                   / (SUM(CAST(n_cur AS DOUBLE)) OVER ()
+                      + CAST(COUNT(*) OVER () AS DOUBLE)) AS q
+            FROM c
+        )
+        SELECT band, n_base, n_cur,
+               ROUND(p, 6) AS p_base,
+               ROUND(q, 6) AS p_cur,
+               ROUND((p - q) * ln(p / q), 6) AS psi_term
+        FROM s
+    """,
+    section="E19",
+    doc="Population Stability Index between the 1995-97 order era "
+    "(baseline) and 1998+ (current) over fixed 50k price bands — the "
+    "standard model-monitoring drift metric a training-data pipeline "
+    "runs between snapshot and serving distributions. Laplace-smoothed "
+    "((n+1)/(N+B)) so empty bands stay defined on both sides; psi_term "
+    "= (p-q)·ln(p/q) per band, summable to the headline PSI. Two exact "
+    "conditional counts per band in ONE aggregation pass; the share "
+    "windows run over the ~12 collapsed band rows.",
+)
+def q_etl_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("int").alias("band"),
+        F.when(F.col("o_orderdate") < "1998-01-01", 1).otherwise(0).alias(
+            "is_base"
+        ),
+    )
+    c = b.groupBy("band").agg(
+        F.sum("is_base").alias("n_base"),
+        F.sum(F.lit(1) - F.col("is_base")).alias("n_cur"),
+    )
+    w = Window.partitionBy()
+    nb = F.count("*").over(w).cast("double")
+    p = (F.col("n_base").cast("double") + 1.0) / (
+        F.sum(F.col("n_base").cast("double")).over(w) + nb
+    )
+    q = (F.col("n_cur").cast("double") + 1.0) / (
+        F.sum(F.col("n_cur").cast("double")).over(w) + nb
+    )
+    return c.select(
+        "band",
+        "n_base",
+        "n_cur",
+        F.round(p, 6).alias("p_base"),
+        F.round(q, 6).alias("p_cur"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+@register(
+    "q_etl_survivorship",
+    oracle="""
+        WITH feed AS (
+            SELECT c_custkey, c_name, c_acctbal, 1 AS version
+            FROM customer
+            UNION ALL
+            SELECT c_custkey, 'UPD-' || c_name, CAST(NULL AS DOUBLE), 2
+            FROM customer WHERE c_custkey % 3 = 0
+            UNION ALL
+            SELECT c_custkey, CAST(NULL AS VARCHAR), c_acctbal + 1000.0, 3
+            FROM customer WHERE c_custkey % 5 = 0
+        )
+        SELECT c_custkey,
+               arg_max(c_name,
+                       CASE WHEN c_name IS NOT NULL THEN version END)
+                   AS name,
+               arg_max(c_acctbal,
+                       CASE WHEN c_acctbal IS NOT NULL THEN version END)
+                   AS acctbal,
+               CAST(COUNT(*) AS BIGINT) AS n_versions
+        FROM feed
+        GROUP BY c_custkey
+    """,
+    section="E20",
+    doc="Golden-record survivorship (master-data merge): three versioned "
+    "customer feeds — the base record, a name-only update (custkey%3), "
+    "and an acctbal-only update (custkey%5) — merged per key by "
+    "FIELD-WISE latest-non-null: max_by(field, version) with the version "
+    "key NULL-masked on missing fields, which both engines skip "
+    "identically (probed: Spark max_by == DuckDB arg_max under NULL "
+    "ordering keys). Distinct integer versions — no ties. One union of "
+    "scan projections + one keyed aggregation; partial agg resolves "
+    "survivorship map-side, so the merge is a single shuffle at any "
+    "scale.",
+)
+def q_etl_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.col("c_name"),
+        F.col("c_acctbal"),
+        F.lit(1).alias("version"),
+    )
+    phone_upd = c.where(F.col("c_custkey") % 3 == 0).select(
+        "c_custkey",
+        F.concat(F.lit("UPD-"), F.col("c_name")).alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(2).alias("version"),
+    )
+    bal_upd = c.where(F.col("c_custkey") % 5 == 0).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_name"),
+        (F.col("c_acctbal") + 1000.0).alias("c_acctbal"),
+        F.lit(3).alias("version"),
+    )
+    feed = base.unionAll(phone_upd).unionAll(bal_upd)
+    return feed.groupBy("c_custkey").agg(
+        F.max_by(
+            "c_name",
+            F.when(F.col("c_name").isNotNull(), F.col("version")),
+        ).alias("name"),
+        F.max_by(
+            "c_acctbal",
+            F.when(F.col("c_acctbal").isNotNull(), F.col("version")),
+        ).alias("acctbal"),
+        F.count("*").alias("n_versions"),
+    )
+
+# ==== from analytics_r3n ===========================================
+
+_MERKLE_BUCKETS = 256
+
+@register(
+    "q_etl_merkle_diff",
+    oracle=f"""
+        WITH rows_ AS (
+            SELECT o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents_a,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT)
+                   + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END
+                       AS cents_b,
+                   o_orderkey AS k
+            FROM orders
+        ),
+        fp AS (
+            SELECT bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   bit_xor(CAST(('0x' || substr(md5(
+                       CAST(k AS VARCHAR) || ':' || CAST(cents_a AS VARCHAR)
+                   ), 1, 12)) AS BIGINT)) AS xor_a,
+                   bit_xor(CAST(('0x' || substr(md5(
+                       CAST(k AS VARCHAR) || ':' || CAST(cents_b AS VARCHAR)
+                   ), 1, 12)) AS BIGINT)) AS xor_b
+            FROM rows_ GROUP BY bucket
+        )
+        SELECT bucket, n_rows, xor_a = xor_b AS in_sync
+        FROM fp
+    """,
+    section="E21",
+    doc="Anti-entropy replica comparison (the Merkle-tree leaf level): "
+    "two replicas of orders — B carries a deterministic drift (+$1.00 "
+    f"on every 97th key) — collapse to {_MERKLE_BUCKETS} bucket "
+    "fingerprints each: per-bucket XOR of 48-bit md5 row hashes over "
+    "canonical 'key:cents' strings. XOR aggregation is exact, "
+    "associative, order-insensitive AND subtractive (a changed row "
+    "flips its bucket with probability 1-2^-48) — the whole query is "
+    "float-free. Buckets with unequal fingerprints are the out-of-sync "
+    "set. THE pattern for reconciling 100 TB replicas: each side "
+    "reduces locally to |buckets| rows (partial XOR map-side), "
+    "comparison moves KBs, and mismatched buckets re-split recursively "
+    "(Merkle descent) — never ship or sort-merge the rows themselves.",
+)
+def q_etl_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    rows_ = orders.select(
+        (F.col("o_orderkey") % _MERKLE_BUCKETS).alias("bucket"),
+        F.col("o_orderkey").alias("k"),
+        cents.alias("cents_a"),
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 97 == 0, 100).otherwise(0)
+        ).alias("cents_b"),
+    )
+
+    def h48(cents_col: str):
+        return F.expr(
+            "cast(conv(substr(md5(concat(cast(k as string), ':', "
+            f"cast({cents_col} as string))), 1, 12), 16, 10) as bigint)"
+        )
+
+    return rows_.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.bit_xor(h48("cents_a")).alias("xor_a"),
+        F.bit_xor(h48("cents_b")).alias("xor_b"),
+    ).select(
+        "bucket",
+        "n_rows",
+        (F.col("xor_a") == F.col("xor_b")).alias("in_sync"),
+    )
+
+# ==== from analytics_r3o ===========================================
+
+@register(
+    "q_etl_quarantine",
+    oracle="""
+        WITH checked AS (
+            SELECT o_orderkey,
+                   concat_ws('|',
+                       CASE WHEN o_totalprice > 500000
+                            THEN 'price_out_of_range' END,
+                       CASE WHEN o_orderstatus = 'P'
+                                 AND o_orderdate < TIMESTAMP '1996-01-01'
+                            THEN 'stale_pending' END,
+                       CASE WHEN o_orderkey % 101 = 0
+                            THEN 'key_checksum' END) AS failed_rules
+            FROM orders
+        )
+        SELECT failed_rules,
+               failed_rules = '' AS is_clean,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(o_orderkey) AS first_key,
+               MAX(o_orderkey) AS last_key
+        FROM checked
+        GROUP BY failed_rules
+    """,
+    section="E22",
+    doc="Rule-based dead-letter routing (the quality gate's disposition "
+    "report): three named validation rules — price out of range, "
+    "stale pending status, synthetic key-checksum failure — evaluated "
+    "per row in one map pass; rows grouped by their failed-rule "
+    "SIGNATURE ('' = clean, 'a|b' = failed both) with counts and "
+    "boundary keys. concat_ws skips NULLs identically on both engines, "
+    "and the rule order is fixed, so the signature needs no sorting. "
+    "Map-only evaluation + one low-cardinality reduction: adding rules "
+    "adds expressions, not passes. In production the quarantine arm "
+    "writes to a dead-letter sink partitioned by signature; E5's "
+    "metrics and this router are the two halves of the gate.",
+)
+def q_etl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    failed = F.concat_ws(
+        "|",
+        F.when(F.col("o_totalprice") > 500000, "price_out_of_range"),
+        F.when(
+            (F.col("o_orderstatus") == "P")
+            & (F.col("o_orderdate") < "1996-01-01"),
+            "stale_pending",
+        ),
+        F.when(F.col("o_orderkey") % 101 == 0, "key_checksum"),
+    )
+    return (
+        orders.select("o_orderkey", failed.alias("failed_rules"))
+        .groupBy("failed_rules")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        )
+        .select(
+            "failed_rules",
+            (F.col("failed_rules") == "").alias("is_clean"),
+            "n_rows",
+            "first_key",
+            "last_key",
+        )
+    )
+
+# ==== from analytics_r3p ===========================================
+
+@register(
+    "q_etl_key_gaps",
+    oracle="""
+        WITH keys AS (
+            SELECT o_orderkey AS k FROM orders WHERE o_orderkey % 7 <> 3
+        ),
+        nxt AS (
+            SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM keys
+        )
+        SELECT k + 1 AS gap_lo,
+               nk - 1 AS gap_hi,
+               nk - k - 1 AS gap_len
+        FROM nxt
+        WHERE nk - k > 1
+    """,
+    section="E23",
+    doc="Sequence-gap audit (ingest completeness check for monotonic-id "
+    "feeds): the missing [lo, hi] ranges of a key sequence via the "
+    "lead-diff islands device — one ordered window, gaps where "
+    "next-key − key > 1, output one row per HOLE (bounded by the gap "
+    "count, not the row count). Audited over a deterministic subset "
+    "(every key ≡3 mod 7 removed) so the operator is exercised "
+    "non-vacuously at every SF. Pure integer logic. At 100 TB the "
+    "global order comes from range partitioning (AQE's ordered "
+    "exchange); per-shard audits merge by checking shard boundaries.",
+)
+def q_etl_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keys = orders.where(F.col("o_orderkey") % 7 != 3).select(
+        F.col("o_orderkey").alias("k")
+    )
+    nxt = keys.select(
+        "k", F.lead("k").over(Window.orderBy("k")).alias("nk")
+    )
+    return nxt.where(F.col("nk") - F.col("k") > 1).select(
+        (F.col("k") + 1).alias("gap_lo"),
+        (F.col("nk") - 1).alias("gap_hi"),
+        (F.col("nk") - F.col("k") - 1).alias("gap_len"),
+    )
+
+# ==== from analytics_r3r ===========================================
+
+_H48_SPARK_DOC = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+)
+
+_H48_DUCK_DOC = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+@register(
+    "q_etl_train_test_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN {_H48_DUCK_DOC} % 10 < 8 THEN 'train'
+                        WHEN {_H48_DUCK_DOC} % 10 = 8 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT split,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+                   AS doc_share
+        FROM assigned
+        GROUP BY split
+    """,
+    section="E24",
+    doc="Deterministic 80/10/10 train/val/test split on the 48-bit md5 "
+    "hash of doc_id (SK4's hash device) — the reproducible-split "
+    "primitive: membership is a pure function of the id, stable across "
+    "runs, machines, and engine versions, so no split manifest is ever "
+    "stored or joined. Output: per-split doc counts, char volume, and "
+    "shares. Map-only assignment + a 3-group reduction; the same hash "
+    "expression is the partitionBy column when writing the split "
+    "shards, and new arriving docs self-assign without rebalancing "
+    "(unlike a row_number split, which reshuffles membership on every "
+    "insert).",
+)
+def q_etl_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_H48_SPARK_DOC) % 10
+    split = (
+        F.when(h < 8, "train").when(h == 8, "val").otherwise("test")
+    )
+    a = docs.select(split.alias("split"), "n_chars")
+    w = Window.partitionBy()
+    return a.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    ).select(
+        "split",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("doc_share"),
+    )
+
+# ==== from analytics_r3s ===========================================
+
+@register(
+    "q_etl_cdc_net",
+    oracle="""
+        WITH feed AS (
+            SELECT o_orderkey AS key, u.seq AS seq, u.op AS op,
+                   CAST(o_totalprice AS DECIMAL(18,2)) + u.seq AS val
+            FROM orders,
+                 unnest(CASE o_orderkey % 5
+                        WHEN 0 THEN [struct_pack(seq := 1, op := 'I'),
+                                     struct_pack(seq := 2, op := 'U')]
+                        WHEN 1 THEN [struct_pack(seq := 1, op := 'I'),
+                                     struct_pack(seq := 2, op := 'D')]
+                        WHEN 2 THEN [struct_pack(seq := 1, op := 'U'),
+                                     struct_pack(seq := 2, op := 'U'),
+                                     struct_pack(seq := 3, op := 'U')]
+                        WHEN 3 THEN [struct_pack(seq := 1, op := 'U'),
+                                     struct_pack(seq := 2, op := 'D')]
+                        ELSE [struct_pack(seq := 1, op := 'I')]
+                        END) AS u(u)
+                 , LATERAL (SELECT u.u.seq AS seq, u.u.op AS op) AS x
+        ),
+        net AS (
+            SELECT key,
+                   arg_min(op, seq) AS first_op,
+                   arg_max(op, seq) AS last_op,
+                   arg_max(val, seq) AS final_val,
+                   CAST(COUNT(*) AS BIGINT) AS n_ops
+            FROM feed GROUP BY key
+        )
+        SELECT CASE WHEN first_op = 'I' AND last_op = 'D' THEN 'noop'
+                    WHEN last_op = 'D' THEN 'delete'
+                    WHEN first_op = 'I' THEN 'insert'
+                    ELSE 'update' END AS net_op,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n_ops) AS BIGINT) AS n_raw_ops,
+               CAST(SUM(CASE WHEN last_op <> 'D'
+                        THEN CAST(final_val AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS surviving_value
+        FROM net
+        GROUP BY 1
+    """,
+    section="E25",
+    doc="CDC net-effect compaction: a deterministic I/U/D change stream "
+    "per order key (sequence shape keyed by o_orderkey%5) collapses to "
+    "its NET effect — insert-then-delete nets to NOTHING, "
+    "insert-then-updates net to one insert with the final value, "
+    "updates-then-delete nets to one delete — via min_by/max_by on the "
+    "exact sequence number (one keyed reduction, partials map-side). "
+    "Output: per net-op key counts, raw-op volume (the compaction "
+    "ratio), and the exact surviving value mass. This is the "
+    "net-changes half of CDC consumption; E16's single-join MERGE then "
+    "applies the netted batch — netting first keeps a chatty key from "
+    "becoming a thousand merge probes.",
+)
+def q_etl_cdc_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    ops = F.expr(
+        """
+        CASE CAST(o_orderkey % 5 AS INT)
+          WHEN 0 THEN array(struct(1 AS seq, 'I' AS op),
+                            struct(2 AS seq, 'U' AS op))
+          WHEN 1 THEN array(struct(1 AS seq, 'I' AS op),
+                            struct(2 AS seq, 'D' AS op))
+          WHEN 2 THEN array(struct(1 AS seq, 'U' AS op),
+                            struct(2 AS seq, 'U' AS op),
+                            struct(3 AS seq, 'U' AS op))
+          WHEN 3 THEN array(struct(1 AS seq, 'U' AS op),
+                            struct(2 AS seq, 'D' AS op))
+          ELSE array(struct(1 AS seq, 'I' AS op))
+        END
+        """
+    )
+    feed = (
+        orders.select(
+            F.col("o_orderkey").alias("key"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("base"),
+            F.explode(ops).alias("u"),
+        )
+        .select(
+            "key",
+            F.col("u.seq").alias("seq"),
+            F.col("u.op").alias("op"),
+            (F.col("base") + F.col("u.seq")).alias("val"),
+        )
+    )
+    net = feed.groupBy("key").agg(
+        F.min_by("op", "seq").alias("first_op"),
+        F.max_by("op", "seq").alias("last_op"),
+        F.max_by("val", "seq").alias("final_val"),
+        F.count("*").alias("n_ops"),
+    )
+    net_op = (
+        F.when(
+            (F.col("first_op") == "I") & (F.col("last_op") == "D"), "noop"
+        )
+        .when(F.col("last_op") == "D", "delete")
+        .when(F.col("first_op") == "I", "insert")
+        .otherwise("update")
+    )
+    z = F.lit(0).cast("decimal(18,2)")
+    return net.groupBy(net_op.alias("net_op")).agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n_ops").alias("n_raw_ops"),
+        F.sum(
+            F.when(
+                F.col("last_op") != "D",
+                F.col("final_val").cast("decimal(18,2)"),
+            ).otherwise(z)
+        )
+        .cast("double")
+        .alias("surviving_value"),
+    )
+
+# ==== from analytics_r3u ===========================================
+
+@register(
+    "q_etl_column_diff",
+    oracle="""
+        WITH replica AS (
+            SELECT o_orderkey,
+                   o_totalprice
+                   + CASE WHEN o_orderkey % 11 = 0 THEN 1.0 ELSE 0.0 END
+                       AS r_price,
+                   CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS r_status,
+                   o_orderdate
+                   + CASE WHEN o_orderkey % 17 = 0 THEN INTERVAL 1 DAY
+                          ELSE INTERVAL 0 DAY END AS r_date
+            FROM orders
+        ),
+        j AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o.o_totalprice <> r.r_price
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d_price,
+                   CAST(SUM(CASE WHEN o.o_orderstatus <> r.r_status
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d_status,
+                   CAST(SUM(CASE WHEN o.o_orderdate <> r.r_date
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d_date
+            FROM orders o JOIN replica r ON r.o_orderkey = o.o_orderkey
+        )
+        SELECT col_name, n_changed, n_rows,
+               ROUND(CAST(n_changed AS DOUBLE) / n_rows, 6) AS change_rate
+        FROM (
+            SELECT 'o_totalprice' AS col_name, d_price AS n_changed,
+                   n AS n_rows FROM j
+            UNION ALL
+            SELECT 'o_orderstatus', d_status, n FROM j
+            UNION ALL
+            SELECT 'o_orderdate', d_date, n FROM j
+        )
+    """,
+    section="E26",
+    doc="Snapshot column-level drift report: a deterministically mutated "
+    "replica (price bump %11, status flip %13, date shift %17) joined "
+    "back on the key, per-column changed-row counts and rates unpivoted "
+    "to one row per column — the schema-aware complement to E1's "
+    "row-level incremental diff (E1 says WHICH rows changed; this says "
+    "WHICH COLUMNS churn, the signal that drives partial re-exports "
+    "and CDC column filters). One co-keyed join (bucketed at scale, "
+    "E1's layout) + conditional counts in a single reduction; columns "
+    "are expressions, not passes.",
+)
+def q_etl_column_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    replica = orders.select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 11 == 0, 1.0).otherwise(0.0)
+        ).alias("r_price"),
+        F.when(F.col("o_orderkey") % 13 == 0, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("r_status"),
+        F.when(
+            F.col("o_orderkey") % 17 == 0,
+            F.col("o_orderdate") + F.expr("INTERVAL 1 DAY"),
+        )
+        .otherwise(F.col("o_orderdate"))
+        .alias("r_date"),
+    )
+    j = orders.join(replica, "o_orderkey").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.when(F.col("o_totalprice") != F.col("r_price"), 1).otherwise(0)
+        ).alias("d_price"),
+        F.sum(
+            F.when(F.col("o_orderstatus") != F.col("r_status"), 1).otherwise(0)
+        ).alias("d_status"),
+        F.sum(
+            F.when(F.col("o_orderdate") != F.col("r_date"), 1).otherwise(0)
+        ).alias("d_date"),
+    )
+    long = j.selectExpr(
+        """stack(3,
+            'o_totalprice', d_price, n,
+            'o_orderstatus', d_status, n,
+            'o_orderdate', d_date, n
+        ) AS (col_name, n_changed, n_rows)"""
+    )
+    return long.select(
+        "col_name",
+        "n_changed",
+        "n_rows",
+        F.round(
+            F.col("n_changed").cast("double") / F.col("n_rows"), 6
+        ).alias("change_rate"),
+    )
+
+# ==== from analytics_r3w ===========================================
+
+_WM_DELAY_US = 120_000_000   # 2-minute watermark
+
+_WIN_US = 60_000_000         # 1-minute tumbling windows
+
+@register(
+    "q_etl_lateness_audit",
+    oracle=f"""
+        WITH arr AS (
+            SELECT event_id,
+                   epoch_us(ts) AS ev_us,
+                   epoch_us(ts) + (event_id % 600) * 1000000 AS arr_us
+            FROM events
+        ),
+        wm AS (
+            SELECT event_id, ev_us, arr_us,
+                   MAX(ev_us) OVER (
+                       ORDER BY arr_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS max_seen_us
+            FROM arr
+        )
+        SELECT (ev_us // {_WIN_US}) * {_WIN_US} AS window_start_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN max_seen_us - {_WM_DELAY_US}
+                                  > (ev_us // {_WIN_US}) * {_WIN_US}
+                                    + {_WIN_US}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_late_dropped
+        FROM wm
+        GROUP BY 1
+    """,
+    section="E27",
+    doc="Batch replay of streaming watermark semantics (the offline twin "
+    "of ST4's live test): each event gets a deterministic arrival "
+    "delay (event_id-keyed, up to 10 min), the event-time WATERMARK is "
+    "the running max event time over everything that arrived STRICTLY "
+    "BEFORE it (arrival order, event_id tie-break) minus a 2-minute "
+    "allowance, and an event counts as late-dropped when the watermark "
+    "already passed the end of its 1-minute tumbling window — exactly "
+    "Spark's drop rule. Output per window: totals and would-be-dropped "
+    "counts — the audit that sizes a watermark BEFORE deploying the "
+    "stream. Pure integer microsecond arithmetic. The running max is "
+    "per-source-partition in production (Spark's watermark is the min "
+    "across partitions), which partitions the window.",
+)
+def q_etl_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        F.unix_micros("ts").alias("ev_us"),
+        (F.unix_micros("ts") + (F.col("event_id") % 600) * 1_000_000).alias(
+            "arr_us"
+        ),
+    )
+    w = Window.orderBy("arr_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = arr.select(
+        "ev_us", F.max("ev_us").over(w).alias("max_seen_us")
+    )
+    win_start = (F.col("ev_us") / _WIN_US).cast("long") * _WIN_US
+    late = (
+        F.col("max_seen_us") - _WM_DELAY_US > win_start + _WIN_US
+    )
+    return (
+        wm.select(
+            F.expr(f"(ev_us DIV {_WIN_US}) * {_WIN_US}").alias(
+                "window_start_us"
+            ),
+            late.alias("late"),
+        )
+        .groupBy("window_start_us")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.when(F.col("late"), 1).otherwise(0)).alias(
+                "n_late_dropped"
+            ),
+        )
+    )
+
+# ==== from analytics_r4b ===========================================
+
+_POLICY = [
+    # (nationkey, allowed market segment)
+    (0, "BUILDING"), (0, "MACHINERY"),
+    (1, "AUTOMOBILE"),
+    (2, "HOUSEHOLD"), (2, "FURNITURE"), (2, "BUILDING"),
+    (3, "MACHINERY"),
+]
+
+@register(
+    "q_etl_rls_filter",
+    oracle=f"""
+        WITH policy AS (
+            SELECT * FROM (VALUES
+                {', '.join(f"({n}, '{s}')" for n, s in _POLICY)}
+            ) t(p_nation, p_segment)
+        ),
+        visible AS (
+            SELECT c.c_nationkey, c.c_custkey
+            FROM customer c
+            WHERE EXISTS (
+                SELECT 1 FROM policy p
+                WHERE p.p_nation = c.c_nationkey
+                  AND p.p_segment = c.c_mktsegment
+            )
+        )
+        SELECT c.c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(COUNT(v.c_custkey) AS BIGINT) AS n_visible,
+               CAST(COUNT(*) - COUNT(v.c_custkey) AS BIGINT) AS n_hidden
+        FROM customer c
+        LEFT JOIN visible v ON v.c_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    section="E28",
+    doc="Row-level security as POLICY DATA: a (nation → allowed market "
+    "segment) policy table enforced with a semi-join filter, plus the "
+    "per-nation visible/hidden accounting an auditor asks for. "
+    "Policy-as-data beats per-tenant query templating: ONE plan "
+    "serves every tenant, the policy side broadcasts, and at scale "
+    "the semi-join compiles to a runtime/Bloom filter that prunes "
+    "BEFORE expensive operators (the same mechanism as the "
+    "dynamic-pruning test). Exact counting; nations absent from the "
+    "policy show 100% hidden — deny-by-default.",
+)
+def q_etl_rls_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    policy = c.sparkSession.createDataFrame(
+        _POLICY, "p_nation int, p_segment string"
+    )
+    visible = c.join(
+        F.broadcast(policy),
+        (F.col("c_nationkey") == F.col("p_nation"))
+        & (F.col("c_mktsegment") == F.col("p_segment")),
+        "left_semi",
+    ).select(F.col("c_custkey").alias("v_key"))
+    j = c.join(visible, c.c_custkey == F.col("v_key"), "left")
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        F.count("v_key").alias("n_visible"),
+        (F.count("*") - F.count("v_key")).alias("n_hidden"),
+    )
+
+# ==== from analytics_r4e ===========================================
+
+_SHARD_BYTES = 20_000
+
+@register(
+    "q_etl_shard_manifest",
+    oracle=f"""
+        WITH c AS (
+            SELECT doc_id, n_chars,
+                   CAST(SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM documents
+        ),
+        assigned AS (
+            SELECT doc_id, n_chars,
+                   (cum - n_chars) // {_SHARD_BYTES} AS shard
+            FROM c
+        )
+        SELECT shard AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+               MIN(doc_id) AS first_doc,
+               MAX(doc_id) AS last_doc
+        FROM assigned
+        GROUP BY shard
+    """,
+    section="E29",
+    doc=f"Training-shard manifest: documents packed into ~{_SHARD_BYTES}"
+    "-byte shards by cumulative size (shard = prefix-bytes DIV target "
+    "— L15's prefix device on bytes, so shards are contiguous in "
+    "doc_id order and sizes land within one document of the target); "
+    "per shard: doc counts, byte totals, and the id range — exactly "
+    "the manifest a dataloader or resumable exporter consumes. Pure "
+    "integer prefix math. The shard id doubles as the writer's "
+    "partitionBy key, so packing and writing are ONE pass; at 100 TB "
+    "the prefix sum is the two-pass per-partition-offset pattern and "
+    "the manifest stays ≤|shards| rows.",
+)
+def q_etl_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = docs.select(
+        "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    )
+    assigned = c.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"(cum - n_chars) DIV {_SHARD_BYTES}").alias("shard"),
+    )
+    return assigned.groupBy(F.col("shard").alias("shard_id")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+# ==== from analytics_r4f ===========================================
+
+@register(
+    "q_etl_backfill_plan",
+    oracle="""
+        WITH present AS (
+            SELECT (date_part('year', o_orderdate) - 1995) * 12
+                   + date_part('month', o_orderdate) - 1 AS m,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders
+            WHERE ((date_part('year', o_orderdate) - 1995) * 12
+                   + date_part('month', o_orderdate) - 1) % 7 <> 3
+            GROUP BY 1
+        ),
+        spine AS (
+            SELECT unnest(generate_series(
+                       (SELECT CAST(MIN(m) AS INT) FROM present),
+                       (SELECT CAST(MAX(m) AS INT) FROM present)))
+                   AS m
+        ),
+        joined AS (
+            SELECT s.m, p.n_rows,
+                   (SELECT pp.n_rows FROM present pp WHERE pp.m < s.m
+                    ORDER BY pp.m DESC LIMIT 1) AS prev_rows,
+                   (SELECT pn.n_rows FROM present pn WHERE pn.m > s.m
+                    ORDER BY pn.m LIMIT 1) AS next_rows
+            FROM spine s LEFT JOIN present p ON p.m = s.m
+        )
+        SELECT CAST(m AS BIGINT) AS missing_month,
+               ROUND((CAST(coalesce(prev_rows, next_rows) AS DOUBLE)
+                      + CAST(coalesce(next_rows, prev_rows) AS DOUBLE))
+                     / 2.0, 2) AS est_rows
+        FROM joined
+        WHERE n_rows IS NULL
+    """,
+    section="E30",
+    doc="Partition backfill planner: the expected month spine "
+    "(generated from the observed min/max — F22's generator rule) "
+    "LEFT-joined with the months actually present (every month ≡3 mod 7 "
+    "is deterministically dropped so the planner is exercised "
+    "non-vacuously at every SF); missing months carry a "
+    "neighbor-interpolated "
+    "row estimate (IGNORE NULLS lag/lead, edge months fall back to "
+    "their single neighbor). The worklist an orchestrator turns into "
+    "backfill jobs. Spine and anti-join are month-cardinality — "
+    "metadata-scale regardless of row count.",
+)
+def q_etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    present = (
+        orders.where(mo % 7 != 3)
+        .groupBy(mo.alias("m"))
+        .agg(F.count("*").alias("n_rows"))
+    )
+    bounds = present.agg(
+        F.min("m").alias("lo"), F.max("m").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("m")
+    )
+    j = spine.join(present, "m", "left")
+    joined = j.select(
+        "m",
+        "n_rows",
+        F.expr("lag(n_rows) IGNORE NULLS OVER (ORDER BY m)").alias(
+            "prev_rows"
+        ),
+        F.expr("lead(n_rows) IGNORE NULLS OVER (ORDER BY m)").alias(
+            "next_rows"
+        ),
+    )
+    return joined.where(F.col("n_rows").isNull()).select(
+        F.col("m").cast("long").alias("missing_month"),
+        F.round(
+            (
+                F.coalesce(F.col("prev_rows"), F.col("next_rows")).cast(
+                    "double"
+                )
+                + F.coalesce(F.col("next_rows"), F.col("prev_rows")).cast(
+                    "double"
+                )
+            )
+            / 2.0,
+            2,
+        ).alias("est_rows"),
+    )
+
+# ==== from analytics_r4i ===========================================
+
+@register(
+    "q_etl_bitemporal",
+    oracle="""
+        WITH versions AS (
+            -- version 1: original price, recorded at order date,
+            --            valid from order date
+            SELECT o_orderkey AS k, 1 AS ver,
+                   o_orderdate AS valid_from,
+                   o_orderdate AS recorded_at,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+            UNION ALL
+            -- version 2 (every 4th key): a RETROACTIVE correction —
+            -- recorded 30 days later, but valid from the original date
+            SELECT o_orderkey, 2,
+                   o_orderdate,
+                   o_orderdate + INTERVAL 30 DAY,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(5 AS DECIMAL(18,2))
+            FROM orders WHERE o_orderkey % 4 = 0
+            UNION ALL
+            -- version 3 (every 6th key): a FUTURE-dated change —
+            -- recorded 10 days after the order, valid from +60 days
+            SELECT o_orderkey, 3,
+                   o_orderdate + INTERVAL 60 DAY,
+                   o_orderdate + INTERVAL 10 DAY,
+                   CAST(o_totalprice AS DECIMAL(18,2))
+                   + CAST(9 AS DECIMAL(18,2))
+            FROM orders WHERE o_orderkey % 6 = 0
+        ),
+        visible AS (
+            -- belief as of T = order date + 20 days,
+            -- about validity date V = order date + 90 days
+            SELECT v.k, v.ver, v.price,
+                   row_number() OVER (
+                       PARTITION BY v.k
+                       ORDER BY v.valid_from DESC, v.ver DESC
+                   ) AS rn
+            FROM versions v
+            JOIN orders o ON o.o_orderkey = v.k
+            WHERE v.recorded_at <= o.o_orderdate + INTERVAL 20 DAY
+              AND v.valid_from <= o.o_orderdate + INTERVAL 90 DAY
+        )
+        SELECT k AS o_orderkey,
+               CAST(ver AS INT) AS believed_version,
+               CAST(price AS DOUBLE) AS believed_price
+        FROM visible WHERE rn = 1
+    """,
+    section="E31",
+    doc="Bitemporal reconstruction — the two-axis as-of a warehouse "
+    "needs for audits and restatements: an append-only version store "
+    "carries (valid_from, recorded_at) per version (original record; "
+    "a RETROACTIVE correction recorded 30 days later but valid from "
+    "the start; a FUTURE-dated change recorded early but valid from "
+    "+60 days), and the query answers 'what did we BELIEVE at T=+20d "
+    "about the state valid at V=+90d': filter recorded_at ≤ T (the "
+    "knowledge axis — the retro fix is visible, version 3 is too), "
+    "then latest valid_from ≤ V wins (the validity axis — so the "
+    "future-dated change applies at V=+90d where J14's single-axis "
+    "PIT would miss the knowledge cut entirely). One keyed rank per "
+    "probe; at scale both axes ride J14's backward-asof machinery "
+    "co-keyed — no new shuffle class.",
+)
+def q_etl_bitemporal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(1).alias("ver"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.col("o_orderdate").alias("recorded_at"),
+        p.alias("price"),
+    )
+    v2 = orders.where(F.col("o_orderkey") % 4 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(2).alias("ver"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.expr("o_orderdate + INTERVAL 30 DAY").alias("recorded_at"),
+        (p + F.lit(5).cast("decimal(18,2)")).alias("price"),
+    )
+    v3 = orders.where(F.col("o_orderkey") % 6 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.lit(3).alias("ver"),
+        F.expr("o_orderdate + INTERVAL 60 DAY").alias("valid_from"),
+        F.expr("o_orderdate + INTERVAL 10 DAY").alias("recorded_at"),
+        (p + F.lit(9).cast("decimal(18,2)")).alias("price"),
+    )
+    versions = v1.unionAll(v2).unionAll(v3)
+    probes = orders.select(
+        F.col("o_orderkey").alias("pk"),
+        F.expr("o_orderdate + INTERVAL 20 DAY").alias("t_axis"),
+        F.expr("o_orderdate + INTERVAL 90 DAY").alias("v_axis"),
+    )
+    j = versions.join(probes, versions.k == probes.pk).where(
+        (F.col("recorded_at") <= F.col("t_axis"))
+        & (F.col("valid_from") <= F.col("v_axis"))
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("k").orderBy(
+            F.desc("valid_from"), F.desc("ver")
+        )
+    )
+    return (
+        j.withColumn("rn", rn)
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("k").alias("o_orderkey"),
+            F.col("ver").cast("int").alias("believed_version"),
+            F.col("price").cast("double").alias("believed_price"),
+        )
+    )
+
+# ==== from analytics_r4m ===========================================
+
+_TTL_POLICY = [
+    # (event_type, ttl_days) — retention policy as data
+    ("view", 365),
+    ("click", 548),
+    ("error", 90),
+    ("signup", 1825),
+    ("purchase", 1825),
+]
+
+_AS_OF = "2001-06-01"
+
+@register(
+    "q_etl_ttl_audit",
+    oracle=f"""
+        WITH policy AS (
+            SELECT * FROM (VALUES
+                {', '.join(f"('{t}', {d})" for t, d in _TTL_POLICY)}
+            ) p(p_type, ttl_days)
+        )
+        SELECT e.event_type,
+               p.ttl_days,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN e.ts < TIMESTAMP '{_AS_OF}'
+                                  - to_days(p.ttl_days)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+               ROUND(CAST(SUM(CASE WHEN e.ts < TIMESTAMP '{_AS_OF}'
+                                        - to_days(p.ttl_days)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS expired_share
+        FROM events e JOIN policy p ON p.p_type = e.event_type
+        GROUP BY e.event_type, p.ttl_days
+    """,
+    section="E32",
+    doc="Retention-policy (TTL) audit: per-event-type TTLs as POLICY "
+    f"DATA (errors 90 days, views 1 year, purchases 5 years), rows "
+    f"classified against the {_AS_OF} as-of date, expired counts and "
+    "shares per type — what a deletion sweep WOULD remove, reviewed "
+    "before it runs (the governance counterpart of E22's quarantine "
+    "and E17's k-anonymity). Exact timestamp arithmetic; the policy "
+    "broadcasts. The audit is the deletion plan: with event-date "
+    "partition layouts the sweep becomes partition drops, and the "
+    "audit's per-type counts are the expected drop sizes — "
+    "reconciled after the sweep with E7's checksums.",
+)
+def q_etl_ttl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    policy = ev.sparkSession.createDataFrame(
+        _TTL_POLICY, "p_type string, ttl_days int"
+    )
+    j = ev.join(F.broadcast(policy), ev.event_type == F.col("p_type"))
+    expired = F.col("ts") < F.expr(
+        f"TIMESTAMP '{_AS_OF}' - make_dt_interval(ttl_days)"
+    )
+    return j.groupBy("event_type", "ttl_days").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(expired, 1).otherwise(0)).alias("n_expired"),
+        F.round(
+            F.sum(F.when(expired, 1).otherwise(0)).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("expired_share"),
+    )
+
+# ==== from analytics_r4p ===========================================
+
+_KEEP_N = 3
+
+@register(
+    "q_etl_version_prune",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate DESC, o_orderkey DESC
+                   ) AS rn
+            FROM orders
+        )
+        SELECT o_custkey,
+               CAST(COUNT(*) AS BIGINT) AS n_versions,
+               CAST(SUM(CASE WHEN rn > {_KEEP_N} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purge,
+               MIN(CASE WHEN rn > {_KEEP_N} THEN o_orderkey END)
+                   AS oldest_purged_key,
+               CAST(SUM(CASE WHEN rn > {_KEEP_N}
+                        THEN CAST(o_totalprice AS DECIMAL(18,2))
+                        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+                   AS purged_value
+        FROM ranked
+        GROUP BY o_custkey
+        HAVING SUM(CASE WHEN rn > {_KEEP_N} THEN 1 ELSE 0 END) > 0
+    """,
+    section="E33",
+    doc=f"Keep-last-{_KEEP_N} version retention: each customer's orders "
+    "ranked newest-first (unique (date, key) tie-break), everything "
+    "beyond the retention depth becomes the PURGE PLAN — per-customer "
+    "purge counts, the oldest purged key, and the exact reclaimable "
+    "value, emitted for review before any delete executes (E16's "
+    "MERGE-delete applies it; E7's checksums reconcile it; E32's TTL "
+    "is the time-based sibling and the two compose as an OR of "
+    "plans). One keyed rank window — per-task state is one "
+    "customer's versions.",
+)
+def q_etl_version_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rn = F.row_number().over(
+        Window.partitionBy("o_custkey").orderBy(
+            F.desc("o_orderdate"), F.desc("o_orderkey")
+        )
+    )
+    ranked = orders.select(
+        "o_custkey", "o_orderkey", "o_totalprice", rn.alias("rn")
+    )
+    purged = F.col("rn") > _KEEP_N
+    z = F.lit(0).cast("decimal(18,2)")
+    out = ranked.groupBy("o_custkey").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.when(purged, 1).otherwise(0)).alias("n_purge"),
+        F.min(F.when(purged, F.col("o_orderkey"))).alias(
+            "oldest_purged_key"
+        ),
+        F.sum(
+            F.when(purged, F.col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(z)
+        )
+        .cast("double")
+        .alias("purged_value"),
+    )
+    return out.where(F.col("n_purge") > 0)
+
+# ==== from analytics_r4r ===========================================
+
+@register(
+    "q_etl_header_detail",
+    oracle="""
+        WITH line_totals AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_lines,
+                   CAST(SUM(
+                       (CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)
+                        * CAST(CAST(1 - l_discount AS DECIMAL(18,2)) * 100
+                               AS BIGINT)
+                        * CAST(CAST(1 + l_tax AS DECIMAL(18,2)) * 100
+                               AS BIGINT)) // 10000
+                   ) AS BIGINT) AS line_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        gaps AS (
+            SELECT o.o_orderkey, lt.n_lines,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) - lt.line_cents AS gap_cents
+            FROM orders o JOIN line_totals lt
+              ON lt.l_orderkey = o.o_orderkey
+        )
+        SELECT CASE WHEN gap_cents = 0 THEN 'exact'
+                    WHEN abs(gap_cents) <= 100 THEN 'within_1_dollar'
+                    WHEN abs(gap_cents) <= 10000 THEN 'within_100'
+                    ELSE 'material' END AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(abs(gap_cents)) AS BIGINT) AS total_abs_gap_cents,
+               MIN(o_orderkey) AS sample_key
+        FROM gaps
+        GROUP BY 1
+    """,
+    section="E34",
+    doc="Header/detail integrity audit: each order's header total vs "
+    "its recomputed line total Σ price·(1−disc)·(1+tax) — both exact "
+    "integer cents: the line term is a PURE-INTEGER product "
+    "(price-cents × discount-bps × tax-bps, floor-divided back to "
+    "cents) because chained wide-DECIMAL multiplies round at "
+    "different intermediate scales on the two engines (observed) — "
+    "with "
+    "gaps classified into tolerance bands (exact / ≤$1 / ≤$100 / "
+    "material), counts, total absolute drift, and a sample key per "
+    "band. The order-book consistency check every billing ETL runs "
+    "on every load (the synthetic fixture's headers are independent "
+    "of its lines, so the bands are well-populated — the audit is "
+    "exercised, not vacuous). One co-keyed reduction (lineitem "
+    "collapses per order) + a 4-band rollup; J23's reconciliation at "
+    "the header/detail grain.",
+)
+def q_etl_header_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    line_term = F.expr(
+        "(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "* CAST(CAST(1 - l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) "
+        "* CAST(CAST(1 + l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)) "
+        "DIV 10000"
+    )
+    line_totals = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(line_term).cast("long").alias("line_cents"),
+    )
+    gaps = orders.join(
+        line_totals, orders.o_orderkey == line_totals.l_orderkey
+    ).select(
+        "o_orderkey",
+        "n_lines",
+        (
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+            - F.col("line_cents")
+        ).alias("gap_cents"),
+    )
+    band = (
+        F.when(F.col("gap_cents") == 0, "exact")
+        .when(F.abs(F.col("gap_cents")) <= 100, "within_1_dollar")
+        .when(F.abs(F.col("gap_cents")) <= 10000, "within_100")
+        .otherwise("material")
+    )
+    return gaps.groupBy(band.alias("band")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.abs(F.col("gap_cents"))).alias("total_abs_gap_cents"),
+        F.min("o_orderkey").alias("sample_key"),
     )

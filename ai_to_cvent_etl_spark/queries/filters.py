@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 @register(
@@ -135,3 +136,32 @@ def q_filter_compound_null(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("bucket"),
         )
     )
+
+
+# ==== from analytics_r4f ===========================================
+
+@register(
+    "q_filter_like_any_all",
+    oracle="""
+        SELECT p_partkey, p_name, p_type
+        FROM part
+        WHERE (p_name LIKE '%re%' OR p_name LIKE '%bl%')
+          AND p_type LIKE '%M%' AND p_type LIKE '%A%'
+          AND NOT (p_name LIKE '%gear%' AND p_name LIKE '%red%')
+    """,
+    section="P7",
+    doc="Multi-pattern predicates: p_name LIKE ANY ('%re%', '%bl%'), "
+    "p_type LIKE ALL ('%M%', '%A%'), and NOT LIKE ALL — the "
+    "multi-pattern filter surface, verified against the expanded "
+    "disjunction/conjunction forms (the oracle — expansion IS the "
+    "semantics). Multi-pattern LIKEs stay inside codegen as fused "
+    "substring scans; conjunct order is preserved into the scan "
+    "filter, so the cheapest/most-selective pattern belongs first.",
+)
+def q_filter_like_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    return part.where(
+        F.expr("p_name LIKE ANY ('%re%', '%bl%')")
+        & F.expr("p_type LIKE ALL ('%M%', '%A%')")
+        & ~F.expr("p_name LIKE ALL ('%gear%', '%red%')")
+    ).select("p_partkey", "p_name", "p_type")

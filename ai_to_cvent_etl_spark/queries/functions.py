@@ -16,6 +16,9 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from ai_to_cvent_etl_spark.queries._util import dec2
+from ai_to_cvent_etl_spark.queries._util import ORACLE_MONEY_SUM
 
 
 @register(
@@ -314,4 +317,605 @@ def q_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "coalesce(try_cast(c_mktsegment as bigint), -1L)"
         ).alias("seg_defaulted"),
+    )
+
+
+# ==== from analytics_r3m ===========================================
+
+@register(
+    "q_higher_order_funcs",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        )
+        SELECT doc_id,
+               CAST(list_sum(list_transform(sp, x -> length(x)))
+                    AS BIGINT) AS total_chars,
+               len(list_filter(sp, x -> length(x) > 7)) > 0 AS has_long,
+               len(list_filter(sp, x -> length(x) >= 20)) = 0 AS all_short,
+               sp[1] || '~' || list_reverse(sp)[1] AS first_pair,
+               CAST(len(list_filter(sp, (x, i) -> i % 2 = 1)) AS INT)
+                   AS n_odd_pos
+        FROM t
+    """,
+    section="F14",
+    doc="The lambda higher-order-function family over token arrays — "
+    "transform (per-token lengths), aggregate (integer fold to total "
+    "chars), exists/forall (length predicates), zip_with (pair tokens "
+    "with the reversed array), and INDEXED filter (odd positions; "
+    "Spark's lambda index is 0-based, DuckDB's 1-based — the parity "
+    "masks differ by one on purpose). All integer/string/boolean logic "
+    "— no floats. Map-only at any scale: lambdas run inside "
+    "whole-stage codegen, never in Python.",
+)
+def q_higher_order_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sp = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(sp, lambda x: F.length(x)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists(sp, lambda x: F.length(x) > 7).alias("has_long"),
+        F.forall(sp, lambda x: F.length(x) < 20).alias("all_short"),
+        F.element_at(
+            F.zip_with(sp, F.reverse(sp), lambda x, y: F.concat_ws("~", x, y)),
+            1,
+        ).alias("first_pair"),
+        F.size(F.filter(sp, lambda x, i: i % 2 == 0)).alias("n_odd_pos"),
+    )
+
+# ==== from analytics_r3n ===========================================
+
+@register(
+    "q_json_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(
+                   '{"u":' || CAST(user_id AS VARCHAR) || ',"p":' || props
+                   || '}', '$.u') AS BIGINT) AS u_long,
+               CAST(json_extract_string(
+                   '{"u":' || CAST(user_id AS VARCHAR) || ',"p":' || props
+                   || '}', '$.p.k') AS INT) AS k_int,
+               json_extract_string(props, '$.k') AS k_str,
+               json_extract_string(props, '$.missing') IS NULL AS miss_is_null
+        FROM events
+    """,
+    section="F15",
+    doc="The Spark 4 VariantType path (semi-structured without schema "
+    "declaration): a nested document constructed from columns is "
+    "parse_json'd to VARIANT once, then variant_get extracts typed "
+    "scalars by path ('$.u' as BIGINT, '$.p.k' as INT), plus a string "
+    "extraction and a try_variant_get miss returning NULL. Only typed "
+    "scalars cross the output boundary — Variant's binary encoding "
+    "never hash-compares. Mirrored by DuckDB json_extract_string + "
+    "casts. Map-only columnar extraction; at scale Variant exists "
+    "precisely so repeated path access doesn't re-parse text (F7's "
+    "get_json_object does — this is its indexed successor).",
+)
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"u":'),
+        F.col("user_id").cast("string"),
+        F.lit(',"p":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(j)
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.u", "bigint").alias("u_long"),
+        F.variant_get(v, "$.p.k", "int").alias("k_int"),
+        F.variant_get(F.parse_json(F.col("props")), "$.k", "string").alias(
+            "k_str"
+        ),
+        F.try_variant_get(v, "$.missing", "int").isNull().alias(
+            "miss_is_null"
+        ),
+    )
+
+# ==== from analytics_r3p ===========================================
+
+@register(
+    "q_date_funcs2",
+    oracle="""
+        SELECT o_orderkey,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE)
+                   AS plus_2mo,
+               (date_part('year', o_orderdate) - 1995) * 12
+               + date_part('month', o_orderdate) - 1 AS age_months,
+               CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+               CAST(weekofyear(o_orderdate) AS BIGINT) AS iso_week,
+               CAST(date_trunc('quarter', o_orderdate) AS DATE)
+                   AS quarter_start
+        FROM orders
+    """,
+    section="F16",
+    doc="Calendar arithmetic wave 2: last_day (month end), add_months "
+    "(+2), whole-month age since 1995-01 as an EXPLICIT year*12+month "
+    "difference (months_between is fractional with engine-specific "
+    "day/time handling — the F5-class trap), day-of-year, ISO week "
+    "number, and quarter truncation — all as DATE/BIGINT outputs. "
+    "Map-only; these normalizations are the partition-key builders for "
+    "time-partitioned layouts (month/quarter directories).",
+)
+def q_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 2).alias("plus_2mo"),
+        ((F.year(d) - 1995) * 12 + F.month(d) - 1)
+        .cast("long")
+        .alias("age_months"),
+        F.dayofyear(d).cast("long").alias("doy"),
+        F.weekofyear(d).cast("long").alias("iso_week"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    )
+
+# ==== from analytics_r3q ===========================================
+
+@register(
+    "q_url_funcs",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id,
+                   'https://corpus.example.org/' || lang || '/doc/'
+                   || CAST(doc_id AS VARCHAR) || '?src=' || source
+                   || '&n=' || CAST(n_chars AS VARCHAR) AS url
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '[?&]src=([^&#]*)', 1) AS src_param,
+               regexp_extract(url, '^([a-z]+):', 1) AS protocol
+        FROM u
+    """,
+    section="F17",
+    doc="URL parsing (the web-corpus normalization family): URLs "
+    "constructed from table columns, then host / path / single query "
+    "parameter / protocol extracted with parse_url — mirrored by "
+    "anchored regexes in DuckDB (which has no URL parser). Map-only; "
+    "at crawl scale host and registered-domain become the partition "
+    "and dedup keys (per-domain curation, crawl-politeness "
+    "accounting), which is why extraction must be a cheap columnar "
+    "op, not a Python parser.",
+)
+def q_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://corpus.example.org/"),
+        F.col("lang"),
+        F.lit("/doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?src="),
+        F.col("source"),
+        F.lit("&n="),
+        F.col("n_chars").cast("string"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("src")).alias(
+            "src_param"
+        ),
+        F.parse_url(F.col("url"), F.lit("PROTOCOL")).alias("protocol"),
+    )
+
+# ==== from analytics_r3u ===========================================
+
+@register(
+    "q_comparator_sort",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_sort(list_transform(
+                       string_split(text, ' '),
+                       x -> lpad(CAST(length(x) AS VARCHAR), 3, '0')
+                            || '|' || x)) AS keyed
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(list_transform(
+                   list_slice(keyed, 1, 5), k -> substr(k, 5)), ',')
+                   AS first5,
+               substr(keyed[len(keyed)], 5) AS longest_last
+        FROM t
+    """,
+    section="F18",
+    doc="array_sort with a CUSTOM COMPARATOR lambda — tokens ordered by "
+    "(length, then value), the Spark lambda-comparator surface no "
+    "other declared query touches. DuckDB has no comparator sort, so "
+    "the oracle constructs an equivalent total order by sort-key "
+    "('<zero-padded length>|<token>') — identical ordering for token "
+    "lengths < 1000. Output: first five tokens and the last (longest) "
+    "token, strings only. Map-only; comparator sorts run inside "
+    "codegen like every other HOF (F14).",
+)
+def q_comparator_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sp = F.split("text", " ")
+    cmp_sorted = F.array_sort(
+        sp,
+        lambda l, r: F.when(F.length(l) < F.length(r), -1)
+        .when(F.length(l) > F.length(r), 1)
+        .when(l < r, -1)
+        .when(l > r, 1)
+        .otherwise(0),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(cmp_sorted, 1, 5), ",").alias("first5"),
+        F.element_at(cmp_sorted, -1).alias("longest_last"),
+    )
+
+# ==== from analytics_r3x ===========================================
+
+_AES_KEY = "0123456789abcdef"
+
+@register(
+    "q_crypto_funcs",
+    oracle="""
+        SELECT doc_id,
+               md5(text) AS md5_hex,
+               sha256(text) AS sha256_hex,
+               TRUE AS aes_roundtrip,
+               CAST((octet_length(encode(text)) // 16 + 1) * 16 AS BIGINT)
+                   AS ct_bytes
+        FROM documents
+    """,
+    section="F19",
+    doc="Cryptographic function family: md5 and SHA-256 digests (exact "
+    "cross-engine), an AES-128-ECB encrypt→decrypt round-trip with a "
+    "fixed key (asserted equal to the plaintext — ECB is the "
+    "deterministic mode that makes the round-trip testable; real "
+    "column encryption uses GCM, whose random IV is exactly why "
+    "ciphertext never hash-compares), and the PKCS7 ciphertext size "
+    "from the closed form (len/16 + 1)·16, which the oracle computes "
+    "without any crypto. Map-only; digests at ingest feed the E7/E21 "
+    "fingerprint machinery, and deterministic ciphertext sizing is "
+    "the storage-budget input for encrypted columns.",
+)
+def q_crypto_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rt = F.expr(
+        f"CAST(aes_decrypt(aes_encrypt(text, '{_AES_KEY}', 'ECB'), "
+        f"'{_AES_KEY}', 'ECB') AS STRING)"
+    )
+    ct = F.expr(f"aes_encrypt(text, '{_AES_KEY}', 'ECB')")
+    return docs.select(
+        "doc_id",
+        F.md5("text").alias("md5_hex"),
+        F.sha2(F.col("text"), 256).alias("sha256_hex"),
+        (rt == F.col("text")).alias("aes_roundtrip"),
+        F.octet_length(ct).cast("long").alias("ct_bytes"),
+    )
+
+# ==== from analytics_r4a ===========================================
+
+@register(
+    "q_sql_pipe_syntax",
+    oracle=f"""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               {ORACLE_MONEY_SUM.format(col='o_totalprice')} AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        GROUP BY o_orderstatus
+    """,
+    section="F20",
+    doc="The Spark 4 SQL pipe syntax: FROM orders |> WHERE ... |> "
+    "AGGREGATE ... GROUP BY ... — the linear data-flow form of a "
+    "filter-aggregate query, verified equal to the classic form "
+    "(which IS the oracle). Pipe stages compile to the identical "
+    "Catalyst plan — the surface exists for composability and "
+    "readability, not new semantics; pinning it guarantees users can "
+    "migrate query text without behavior change. Exact-decimal "
+    "revenue per the money-sum rule.",
+)
+def q_sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "f20_orders"
+    )
+    return spark.sql(
+        """
+        FROM f20_orders
+        |> WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                          AS DOUBLE) AS revenue
+           GROUP BY o_orderstatus
+        |> SELECT o_orderstatus, n_orders, revenue
+        """
+    )
+
+@register(
+    "q_lateral_alias",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS gross,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax)
+               - l_extendedprice * (1 - l_discount) AS tax_amount
+        FROM lineitem
+    """,
+    section="F21",
+    doc="Lateral column alias references: net, gross, and tax_amount "
+    "each reuse EARLIER aliases in the same SELECT list (gross = net·"
+    "(1+tax), tax_amount = gross − net) — no subquery nesting. Pinned "
+    "because the analyzer's rewrite substitutes the alias expression "
+    "textually, and the oracle (fully-expanded expressions) proves "
+    "the substitution neither double-evaluates differently nor "
+    "reorders the IEEE arithmetic. Row-local double math — exact "
+    "cross-engine (§5.3: raw row-level arithmetic is bit-stable).",
+)
+def q_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "f21_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) AS net,
+               net * (1 + l_tax) AS gross,
+               gross - net AS tax_amount
+        FROM f21_lineitem
+        """
+    )
+
+# ==== from analytics_r4d ===========================================
+
+@register(
+    "q_generator_funcs",
+    oracle="""
+        WITH months AS (
+            SELECT o_orderkey,
+                   unnest(generate_series(
+                       CAST(date_trunc('month', o_orderdate) AS DATE),
+                       CAST(date_trunc('month', o_orderdate) AS DATE)
+                       + INTERVAL 2 MONTH,
+                       INTERVAL 1 MONTH)) AS bill_month
+            FROM orders WHERE o_orderkey % 50 = 0
+        )
+        SELECT o_orderkey,
+               CAST(bill_month AS DATE) AS bill_month,
+               CAST(row_number() OVER (
+                   PARTITION BY o_orderkey ORDER BY bill_month
+               ) AS INT) AS installment
+        FROM months
+    """,
+    section="F22",
+    doc="Generator expressions: sequence(month_start, +2 months, 1 "
+    "month) exploded into a 3-installment billing schedule per "
+    "sampled order — the row-GENERATING family (sequence/explode; "
+    "posexplode and inline are the indexed/struct variants, "
+    "explode_outer the null-preserving one) vs DuckDB "
+    "generate_series+unnest. Exact date arithmetic; installment "
+    "numbers by an ordered window. Map-side fan-out — the idiom "
+    "behind date spines (E6), billing schedules, and slot expansion; "
+    "generation parallelizes with its parent row, no driver "
+    "sequence.",
+)
+def q_generator_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sampled = orders.where(F.col("o_orderkey") % 50 == 0)
+    months = sampled.select(
+        "o_orderkey",
+        F.explode(
+            F.sequence(
+                F.date_trunc("month", "o_orderdate").cast("date"),
+                F.add_months(
+                    F.date_trunc("month", "o_orderdate").cast("date"), 2
+                ),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("bill_month"),
+    )
+    return months.select(
+        "o_orderkey",
+        F.col("bill_month").cast("date").alias("bill_month"),
+        F.row_number()
+        .over(Window.partitionBy("o_orderkey").orderBy("bill_month"))
+        .cast("int")
+        .alias("installment"),
+    )
+
+# ==== from analytics_r4e ===========================================
+
+@register(
+    "q_struct_surgery",
+    oracle="""
+        SELECT doc_id,
+               lang AS meta_lang,
+               n_chars * 2 AS meta_weight,
+               'v2' AS meta_version,
+               CAST(3 AS INT) AS n_fields_after_drop
+        FROM documents
+    """,
+    section="F23",
+    doc="Struct-column surgery — the nested-schema evolution surface: "
+    "build meta = struct(lang, chars), ADD a version field and "
+    "OVERWRITE chars with a derived weight via Column.withField, "
+    "remove the original chars via dropFields, then extract typed "
+    "scalars (structs never cross the hash boundary — F9's rule; the "
+    "field count via json_object_keys(to_json(meta)) pins that the "
+    "drop actually happened — 3 fields survive, not 4). withField/"
+    "dropFields rewrite one field without re-projecting the rest of "
+    "the struct — the cheap path for evolving deeply nested event "
+    "schemas in place (vs exploding and rebuilding whole rows). "
+    "Map-only.",
+)
+def q_struct_surgery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    meta = F.struct(
+        F.col("lang").alias("lang"), F.col("n_chars").alias("chars")
+    )
+    evolved = (
+        meta.withField("version", F.lit("v2"))
+        .withField("weight", F.col("n_chars") * 2)
+        .dropFields("chars")
+    )
+    d = docs.select("doc_id", evolved.alias("meta"))
+    return d.select(
+        "doc_id",
+        F.col("meta.lang").alias("meta_lang"),
+        F.col("meta.weight").alias("meta_weight"),
+        F.col("meta.version").alias("meta_version"),
+        F.expr("size(json_object_keys(to_json(meta)))")
+        .cast("int")
+        .alias("n_fields_after_drop"),
+    )
+
+# ==== from analytics_r4h ===========================================
+
+@register(
+    "q_timezone_funcs",
+    oracle="""
+        SELECT event_id,
+               CAST(timezone('America/New_York', ts) AS TIMESTAMP)
+                   AS utc_if_ny,
+               CAST(timezone('Asia/Tokyo', timezone('UTC', ts))
+                    AS TIMESTAMP) AS tokyo_local,
+               CAST(date_part('hour', timezone('Asia/Tokyo',
+                    timezone('UTC', ts))) AS INT) AS tokyo_hour
+        FROM events
+    """,
+    section="F24",
+    doc="Timezone conversion surface: to_utc_timestamp(ts, NY) — the "
+    "instant this wall-clock reading denotes in New York, expressed "
+    "in UTC — and from_utc_timestamp(ts, Tokyo) — the Tokyo wall "
+    "clock for this UTC instant — plus the derived local hour, "
+    "verified against DuckDB's timezone() (both resolve IANA rules; "
+    "outputs are naive TIMESTAMPs so the hash boundary sees wall "
+    "clocks, not zoned types). The operational rule this query "
+    "documents: store UTC at ingest, convert at the reporting edge — "
+    "local wall-clock storage is unrecoverable across DST folds. "
+    "Map-only.",
+)
+def q_timezone_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_utc_timestamp("ts", "America/New_York").alias("utc_if_ny"),
+        F.from_utc_timestamp("ts", "Asia/Tokyo").alias("tokyo_local"),
+        F.hour(F.from_utc_timestamp("ts", "Asia/Tokyo"))
+        .cast("int")
+        .alias("tokyo_hour"),
+    )
+
+# ==== from analytics_r4r ===========================================
+
+@register(
+    "q_xml_funcs",
+    oracle="""
+        WITH x AS (
+            SELECT doc_id,
+                   '<doc id="' || CAST(doc_id AS VARCHAR) || '"><lang>'
+                   || lang || '</lang><chars>' || CAST(n_chars AS VARCHAR)
+                   || '</chars><src>' || source || '</src></doc>' AS xml
+            FROM documents
+        )
+        SELECT doc_id,
+               regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS xml_lang,
+               CAST(regexp_extract(xml, '<chars>([^<]*)</chars>', 1)
+                    AS BIGINT) AS xml_chars,
+               regexp_extract(xml, '<src>([^<]*)</src>', 1) AS xml_src,
+               regexp_extract(xml, '<lang>([^<]*)</lang>', 1) = 'en'
+                   AS is_english
+        FROM x
+    """,
+    section="F25",
+    doc="The XPath extraction surface: XML documents constructed from "
+    "columns, then xpath_string (lang, source), xpath_long (chars — "
+    "typed extraction, not string-then-cast), and xpath_boolean (an "
+    "equality predicate evaluated INSIDE the XPath) — the legacy-"
+    "system ingestion surface a SOAP-era association-management feed "
+    "actually presents, mirrored by anchored regexes in DuckDB. The "
+    "operational rule this query documents: XPath per analytical "
+    "query is the anti-pattern — parse once into typed columns at "
+    "ingest (F15's Variant rule applied to XML) and keep XPath at "
+    "the ingest edge. Map-only.",
+)
+def q_xml_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit('<doc id="'),
+        F.col("doc_id").cast("string"),
+        F.lit('"><lang>'),
+        F.col("lang"),
+        F.lit("</lang><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars><src>"),
+        F.col("source"),
+        F.lit("</src></doc>"),
+    )
+    x = docs.select("doc_id", xml.alias("xml"))
+    return x.select(
+        "doc_id",
+        F.expr("xpath_string(xml, '/doc/lang')").alias("xml_lang"),
+        F.expr("xpath_long(xml, '/doc/chars')").alias("xml_chars"),
+        F.expr("xpath_string(xml, '/doc/src')").alias("xml_src"),
+        F.expr("xpath_boolean(xml, \"/doc/lang='en'\")").alias(
+            "is_english"
+        ),
+    )
+
+# ==== from analytics_r4s ===========================================
+
+_BIG = 9_000_000_000_000_000  # keys above 2^63/9e15 = 1024 overflow
+
+@register(
+    "q_try_arithmetic",
+    oracle=f"""
+        WITH t AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey <= 9223372036854775807 // {_BIG}
+                        THEN o_orderkey * {_BIG} END AS big_product
+            FROM orders
+        )
+        SELECT o_orderkey,
+               big_product,
+               CASE WHEN big_product IS NOT NULL
+                         AND big_product <= 9223372036854775807 - {_BIG}
+                    THEN big_product + {_BIG} END AS big_sum,
+               o_orderkey > 9223372036854775807 // {_BIG} AS overflowed
+        FROM t
+    """,
+    section="F26",
+    doc="The try_* arithmetic family: try_multiply and try_add on "
+    "deliberately overflow-prone BIGINT expressions (keys scaled by "
+    "9e15 — keys ≤ 1024 survive, larger keys overflow int64, both "
+    "branches populated at every SF; the composed try_add overflows "
+    "a further band near the boundary) return NULL where the plain "
+    "operators would "
+    "ANSI-fail the whole job — the per-column overflow tolerance for "
+    "untrusted numeric feeds (F13's try_cast sibling; the alternative "
+    "is flipping spark.sql.ansi.enabled off globally, which silently "
+    "WRAPS every overflow everywhere). The overflowed flag makes the "
+    "NULL rows auditable (E22's quarantine consumes it). DuckDB has "
+    "no try_* — the oracle guards with the identical exact bound "
+    "|a| ≤ ⌊2⁶³−1 / b⌋. Map-only; non-vacuous at every SF (both "
+    "branches populated).",
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bp = F.expr(f"try_multiply(o_orderkey, CAST({_BIG} AS BIGINT))")
+    return orders.select(
+        "o_orderkey",
+        bp.alias("big_product"),
+        F.expr(
+            f"try_add(try_multiply(o_orderkey, CAST({_BIG} AS BIGINT)), "
+            f"CAST({_BIG} AS BIGINT))"
+        ).alias("big_sum"),
+        (F.col("o_orderkey") > 9223372036854775807 // _BIG).alias(
+            "overflowed"
+        ),
     )

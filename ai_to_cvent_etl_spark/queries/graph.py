@@ -28,6 +28,8 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
 
 _DAMP = 0.85
 _ROUNDS = 3
@@ -35,7 +37,7 @@ _ROUNDS = 3
 # Checkpointed undirected trade-graph edges (customer c* <-> supplier s*)
 # memoized per (Spark app, dataset): shared by G1 PageRank and G10 label
 # propagation, each of which otherwise pays the orders><lineitem distinct
-# build. Staleness contract identical to analytics_r3b._EDGE_CACHE /
+# build. Staleness contract identical to graph._EDGE_CACHE (below) /
 # operators/kmeans._MODEL_CACHE: fixtures are immutable per process.
 #
 # Cluster-scale caveat (ADVICE r3): localCheckpoint truncates lineage, so a
@@ -225,4 +227,825 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .select("degree", "n_nodes", "is_customer")
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+_TOP_PARTNERS = 8
+
+_EDGE_CTES = f"""
+        ps AS (
+            SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        ),
+        pairs AS (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM ps a JOIN ps b
+              ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        dir AS (
+            SELECT s1 AS src, s2 AS dst, cnt FROM pairs
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst, cnt FROM pairs
+        ),
+        top5 AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY cnt DESC, dst
+                       ) AS rn
+                FROM dir
+            ) WHERE rn <= {_TOP_PARTNERS}
+        ),
+        edges AS (
+            SELECT a.src AS lo, a.dst AS hi
+            FROM top5 a JOIN top5 b ON a.src = b.dst AND a.dst = b.src
+            WHERE a.src < a.dst
+        )"""
+
+# Checkpointed edge lists memoized per (Spark app, dataset): the graph is
+# shared by G2/G4/G5/G6, and rebuilding it costs a lineitem self-join each
+# time. Staleness contract (same as operators/kmeans.py _MODEL_CACHE): the
+# cache assumes the parquet under sf_dir is immutable for the process
+# lifetime — true for the read-only /root/testdata fixtures; call
+# _EDGE_CACHE.clear() if a dataset is ever rewritten in-process.
+_EDGE_CACHE: dict = {}
+
+def _mutual_affinity_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual top-k trade-affinity supplier edges as (lo, hi), lo < hi —
+    the shared sparsified graph under G2 (triangles), G4 (link
+    prediction), G5 (k-core) and G6 (BFS). Degree <= _TOP_PARTNERS by
+    construction. The result is localCheckpoint-truncated and memoized
+    per (Spark app, dataset) so the four graph queries build it once."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EDGE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    a = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s1")
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("s2")
+    )
+    pairs = (
+        a.join(b, (a.pk == b.pk) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    direct = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "cnt"
+    ).unionByName(
+        pairs.select(F.col("s2").alias("src"), F.col("s1").alias("dst"), "cnt")
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    )
+    top5 = (
+        direct.withColumn("rn", rn)
+        .filter(F.col("rn") <= _TOP_PARTNERS)
+        .select("src", "dst")
+    )
+    rev = top5.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    edges = (
+        top5.intersect(rev)
+        .filter(F.col("src") < F.col("dst"))
+        .select(F.col("src").alias("lo"), F.col("dst").alias("hi"))
+        .localCheckpoint(eager=False)
+    )
+    _EDGE_CACHE[cache_key] = edges
+    return edges
+
+_LP_MIN_SCORE = 2
+
+@register(
+    "q_graph_triangles",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        )
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        )
+        GROUP BY node
+    """,
+    section="G2",
+    doc="Per-node triangle counts over the mutual top-8 trade-affinity "
+    "supplier graph (edge iff each supplier ranks the other in its top-8 "
+    "co-supply partners by shared-part count, full tie-break). The raw "
+    "co-supply relation is complete at sf0.1 (499,500 pairs), so the "
+    "rank/limit sparsification is the point: degree <= 8 by construction "
+    "bounds the wedge join to <= 64 candidates per node at any scale — "
+    "the standard defense against power-law hubs in distributed triangle "
+    "counting. All-integer, fully tie-broken => exact.",
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+@register(
+    "q_graph_link_predict",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        adj AS (
+            SELECT lo AS x, hi AS n FROM edges
+            UNION ALL
+            SELECT hi AS x, lo AS n FROM edges
+        ),
+        wedge AS (
+            SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS score
+            FROM adj a JOIN adj b ON a.n = b.n AND a.x < b.x
+            GROUP BY a.x, b.x
+        )
+        SELECT w.u, w.v, w.score
+        FROM wedge w
+        LEFT JOIN edges e ON e.lo = w.u AND e.hi = w.v
+        WHERE e.lo IS NULL AND w.score >= {_LP_MIN_SCORE}
+    """,
+    section="G4",
+    doc="Common-neighbor link prediction over the mutual top-8 affinity "
+    "graph: for each NON-adjacent supplier pair, the number of shared "
+    "neighbors (>= 2) — the classic recommendation score (all-integer: "
+    "Adamic-Adar's 1/ln(deg) weighting is deliberately avoided because "
+    "libm ln() is not bit-identical across JVM and C). The wedge join "
+    "inherits G2's degree bound (<= 8), so candidate pairs per node are "
+    "bounded at any scale; one keyed agg + one anti-join.",
+)
+def q_graph_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("lo").alias("x"), F.col("hi").alias("n")).unionByName(
+        edges.select(F.col("hi").alias("x"), F.col("lo").alias("n"))
+    )
+    a = adj.select(F.col("x").alias("u"), "n")
+    b = adj.select(F.col("x").alias("v"), F.col("n").alias("n2"))
+    wedge = (
+        a.join(b, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("score"))
+    )
+    return (
+        wedge.join(
+            edges,
+            (wedge.u == edges.lo) & (wedge.v == edges.hi),
+            "left_anti",
+        )
+        .filter(F.col("score") >= _LP_MIN_SCORE)
+        .select("u", "v", "score")
+    )
+
+# ==== from analytics_r3c ===========================================
+
+_KCORE_K = 3
+
+_KCORE_ROUNDS = 3
+
+def _kcore_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.graph import _EDGE_CTES
+
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and each peel round references the previous round ~5
+    # times — without materialization the (join-heavy) edge CTEs are
+    # re-evaluated 5^rounds times and the oracle runs for minutes at
+    # sf0.1 instead of seconds.
+    ctes = [
+        f"WITH {_EDGE_CTES}",
+        "e0 AS MATERIALIZED (SELECT lo, hi FROM edges)",
+    ]
+    for r in range(_KCORE_ROUNDS):
+        ctes.append(
+            f"""
+        d{r} AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+                SELECT lo AS node FROM e{r}
+                UNION ALL SELECT hi FROM e{r}
+            ) GROUP BY node
+        ),
+        a{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= {_KCORE_K}),
+        e{r + 1} AS MATERIALIZED (
+            SELECT e.lo, e.hi FROM e{r} e
+            JOIN a{r} x ON e.lo = x.node
+            JOIN a{r} y ON e.hi = y.node
+        )"""
+        )
+    r = _KCORE_ROUNDS
+    final = f"""
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT lo AS node FROM e{r}
+            UNION ALL SELECT hi FROM e{r}
+        ) GROUP BY node
+    """
+    return ",\n".join(ctes) + final
+
+@register(
+    "q_graph_kcore",
+    oracle=_kcore_oracle(),
+    section="G5",
+    doc=f"Bounded k-core peeling (k={_KCORE_K}, {_KCORE_ROUNDS} rounds) "
+    "over the mutual top-8 trade-affinity supplier graph shared with "
+    "G2/G4: each round drops nodes of degree < k and their incident "
+    "edges — the standard dense-community extraction / graph-cleaning "
+    "pass. Rounds are FIXED (not run-to-fixpoint) so the oracle is "
+    "expressible as chained CTEs and the Spark plan has a static depth; "
+    "each round is one keyed degree aggregation + two semi-joins on the "
+    "degree-bounded (<= 8 per node) edge list. All-integer — exact.",
+)
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import (
+        _mutual_affinity_edges,
+    )
+
+    # Each peel round references the previous round's edge list ~5 times
+    # (degree union + two semi-joins), so without lineage truncation the
+    # logical plan grows 5^rounds copies of the (already join-heavy)
+    # mutual-edges plan — localCheckpoint bounds the plan at every round
+    # (same device as G1 PageRank / D5 connected components). The shared
+    # edge list arrives already checkpointed+memoized from
+    # _mutual_affinity_edges; each round re-truncates its own output.
+    edges = _mutual_affinity_edges(spark, sf_dir)
+
+    def degrees(e: DataFrame) -> DataFrame:
+        nodes = e.select(F.col("lo").alias("node")).unionByName(
+            e.select(F.col("hi").alias("node"))
+        )
+        return nodes.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+
+    for _ in range(_KCORE_ROUNDS):
+        alive = degrees(edges).where(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(
+                alive.select(F.col("node").alias("lo")), "lo", "left_semi"
+            )
+            .join(alive.select(F.col("node").alias("hi")), "hi", "left_semi")
+            .select("lo", "hi")
+            .localCheckpoint(eager=False)
+        )
+    return degrees(edges)
+
+# ==== from analytics_r3d ===========================================
+
+_BFS_HOPS = 3
+
+_BFS_SEED_MOD = 7
+
+def _bfs_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.graph import _EDGE_CTES
+
+    # AS MATERIALIZED: DuckDB inlines plain CTEs per reference; adj is
+    # referenced once per hop, so without it the join-heavy edge CTEs
+    # would be re-evaluated every round (G5's lesson).
+    parts = [
+        f"WITH {_EDGE_CTES}",
+        """
+        adj AS MATERIALIZED (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL SELECT hi, lo FROM edges
+        ),
+        v0 AS MATERIALIZED (
+            SELECT s_suppkey AS node FROM supplier
+            WHERE s_suppkey % {mod} = 0
+        )""".format(mod=_BFS_SEED_MOD),
+    ]
+    prev = "v0"
+    for r in range(1, _BFS_HOPS + 1):
+        parts.append(
+            f"""
+        v{r} AS MATERIALIZED (
+            SELECT DISTINCT adj.dst AS node
+            FROM adj JOIN {prev} ON adj.src = {prev}.node
+        )"""
+        )
+        prev = f"v{r}"
+    union = " UNION ALL ".join(
+        f"SELECT node, {r} AS d FROM v{r}" for r in range(_BFS_HOPS + 1)
+    )
+    parts.append(
+        f"""
+        lv AS ({union})"""
+    )
+    return (
+        ",".join(parts)
+        + """
+        SELECT node, CAST(MIN(d) AS INTEGER) AS dist
+        FROM lv GROUP BY node
+    """
+    )
+
+@register(
+    "q_graph_bfs_khop",
+    oracle=_bfs_oracle(),
+    section="G6",
+    doc=f"{_BFS_HOPS}-hop BFS distances from a seed set (every "
+    f"{_BFS_SEED_MOD}th supplier) over the mutual top-8 trade-affinity "
+    "graph shared with G2/G4/G5 — the reachability / blast-radius "
+    "primitive. Fixed rounds keep the oracle expressible as chained CTEs "
+    "and the Spark plan depth static; each round joins the frontier to "
+    "the degree-bounded adjacency (<= 8 per node) and takes a keyed min; "
+    "lineage is localCheckpoint-truncated per round (G1/G5's device). "
+    "All-integer — exact.",
+)
+def q_graph_bfs_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import (
+        _mutual_affinity_edges,
+    )
+
+    sup = load_table(spark, sf_dir, "supplier")
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    adj = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    seeds = sup.where(F.col("s_suppkey") % _BFS_SEED_MOD == 0).select(
+        F.col("s_suppkey").alias("node")
+    )
+    levels = seeds.select("node", F.lit(0).alias("d"))
+    frontier = seeds
+    for r in range(1, _BFS_HOPS + 1):
+        frontier = (
+            adj.join(
+                frontier.select(F.col("node").alias("src")), "src", "left_semi"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        levels = levels.unionByName(frontier.select("node", F.lit(r).alias("d")))
+    return levels.groupBy("node").agg(F.min("d").cast("int").alias("dist"))
+
+# ==== from analytics_r3g ===========================================
+
+def _edge_jaccard_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.graph import _EDGE_CTES
+
+    return f"""
+        WITH {_EDGE_CTES},
+        adj AS MATERIALIZED (
+            SELECT lo AS a, hi AS b FROM edges
+            UNION ALL SELECT hi, lo FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY a
+        ),
+        common AS MATERIALIZED (
+            SELECT e.lo, e.hi, CAST(COUNT(*) AS BIGINT) AS c
+            FROM edges e
+            JOIN adj x ON x.a = e.lo
+            JOIN adj y ON y.a = e.hi AND y.b = x.b
+            GROUP BY e.lo, e.hi
+        )
+        SELECT e.lo, e.hi,
+               COALESCE(c.c, 0) AS n_common,
+               da.d AS deg_lo, db.d AS deg_hi,
+               CAST(COALESCE(c.c, 0) AS DOUBLE)
+                   / (da.d + db.d - COALESCE(c.c, 0)) AS edge_jaccard
+        FROM edges e
+        JOIN deg da ON da.node = e.lo
+        JOIN deg db ON db.node = e.hi
+        LEFT JOIN common c ON c.lo = e.lo AND c.hi = e.hi
+    """
+
+@register(
+    "q_graph_edge_jaccard",
+    oracle=_edge_jaccard_oracle(),
+    section="G7",
+    doc="Neighborhood-Jaccard scoring of EXISTING edges (embeddedness): "
+    "|N(a) n N(b)| / |N(a) u N(b)| per edge of the shared mutual top-8 "
+    "graph — the tie-strength / graph-denoising metric (low-embeddedness "
+    "edges are bridges or noise; G4 scores non-edges, this scores "
+    "edges). The wedge join inherits the degree-<=8 bound (<= 64 "
+    "candidates per node); integer counts + one IEEE division — exact. "
+    "Oracle CTEs MATERIALIZED (G5's lesson).",
+)
+def q_graph_edge_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import (
+        _mutual_affinity_edges,
+    )
+
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    adj = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionByName(
+        edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    x = adj.select(F.col("a").alias("lo"), F.col("b").alias("nb1"))
+    y = adj.select(F.col("a").alias("hi2"), F.col("b").alias("nb2"))
+    common = (
+        edges.join(x, "lo")
+        .join(
+            y,
+            (F.col("hi") == F.col("hi2")) & (F.col("nb1") == F.col("nb2")),
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    da = deg.select(F.col("node").alias("lo"), F.col("d").alias("deg_lo"))
+    db = deg.select(F.col("node").alias("hi"), F.col("d").alias("deg_hi"))
+    j = (
+        edges.join(da, "lo")
+        .join(db, "hi")
+        .join(common, ["lo", "hi"], "left")
+        .select(
+            "lo",
+            "hi",
+            F.coalesce(F.col("c"), F.lit(0)).alias("n_common"),
+            "deg_lo",
+            "deg_hi",
+        )
+    )
+    return j.select(
+        "*",
+        (
+            F.col("n_common").cast("double")
+            / (F.col("deg_lo") + F.col("deg_hi") - F.col("n_common"))
+        ).alias("edge_jaccard"),
+    )
+
+# ==== from analytics_r3i ===========================================
+
+def _clustering_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.graph import _EDGE_CTES
+
+    return f"""
+        WITH {_EDGE_CTES},
+        adj AS MATERIALIZED (
+            SELECT lo AS a, hi AS b FROM edges
+            UNION ALL SELECT hi, lo FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY a
+        ),
+        tri AS MATERIALIZED (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        ),
+        tcount AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+                SELECT a AS node FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri
+            ) GROUP BY node
+        )
+        SELECT deg.node, deg.d AS degree,
+               COALESCE(tcount.n_tri, 0) AS n_triangles,
+               CASE WHEN deg.d >= 2
+                    THEN CAST(2 * COALESCE(tcount.n_tri, 0) AS DOUBLE)
+                         / (deg.d * (deg.d - 1))
+               END AS clustering_coeff
+        FROM deg LEFT JOIN tcount ON deg.node = tcount.node
+    """
+
+@register(
+    "q_graph_clustering_coeff",
+    oracle=_clustering_oracle(),
+    section="G8",
+    doc="Per-node local clustering coefficient 2T/(d(d-1)) over the "
+    "shared mutual top-8 graph — how tightly each supplier's partners "
+    "trade among themselves (community density; composes G2's triangle "
+    "count with G3's degrees). Inherits the degree-8 wedge bound; "
+    "integer counts + one IEEE division; degree<2 nodes yield NULL on "
+    "both engines. Oracle CTEs MATERIALIZED (G5's lesson).",
+)
+def q_graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import (
+        _mutual_affinity_edges,
+    )
+
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    adj = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionByName(
+        edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    tcount = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    j = deg.join(tcount, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_triangles"),
+    )
+    return j.select(
+        "*",
+        F.when(
+            F.col("degree") >= 2,
+            (2 * F.col("n_triangles")).cast("double")
+            / (F.col("degree") * (F.col("degree") - 1)),
+        ).alias("clustering_coeff"),
+    ).select("node", "degree", "n_triangles", "clustering_coeff")
+
+# ==== from analytics_r3j ===========================================
+
+def _assortativity_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.graph import _EDGE_CTES
+
+    return f"""
+        WITH {_EDGE_CTES},
+        adj AS MATERIALIZED (
+            SELECT lo AS a, hi AS b FROM edges
+            UNION ALL SELECT hi, lo FROM edges
+        ),
+        deg AS MATERIALIZED (
+            SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY a
+        ),
+        ed AS MATERIALIZED (
+            SELECT da.d AS dx, db.d AS dy
+            FROM adj j
+            JOIN deg da ON da.node = j.a
+            JOIN deg db ON db.node = j.b
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM ed
+        )
+        SELECT n,
+               (CAST(n AS DOUBLE) * sxy
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (sqrt(CAST(n AS DOUBLE) * sxx
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * sqrt(CAST(n AS DOUBLE) * syy
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS assortativity
+        FROM m
+    """
+
+@register(
+    "q_graph_assortativity",
+    oracle=_assortativity_oracle(),
+    section="G9",
+    doc="Degree assortativity of the shared trade graph: Pearson "
+    "correlation of endpoint degrees over the DIRECTED edge incidence "
+    "(both orientations — the standard Newman formulation), telling "
+    "whether well-connected suppliers trade with each other or with the "
+    "periphery. Uses A26's exact-integer-moment Pearson device; degrees "
+    "are <= 8 by the shared bound so every sum is tiny BIGINT. One "
+    "bounded moment aggregation; a 1-row output.",
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import (
+        _mutual_affinity_edges,
+    )
+
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    adj = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b")).unionByName(
+        edges.select(F.col("hi").alias("a"), F.col("lo").alias("b"))
+    )
+    deg = adj.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("dx"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("dy"))
+    ed = adj.join(da, "a").join(db, "b").select("dx", "dy")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    return m.select(
+        "n",
+        (
+            (nd * F.col("sxy") - sx * sy)
+            / (
+                F.sqrt(nd * F.col("sxx") - sx * sx)
+                * F.sqrt(nd * F.col("syy") - sy * sy)
+            )
+        ).alias("assortativity"),
+    )
+
+# ==== from analytics_r3l ===========================================
+
+_LP_ROUNDS = 3
+
+_LP_IT_DUCK = """
+        l{i} AS (
+            SELECT l.node,
+                   least(l.label, min(nl.label)) AS label
+            FROM l{j} l
+            JOIN und u ON u.dst = l.node
+            JOIN l{j} nl ON nl.node = u.src
+            GROUP BY l.node, l.label
+        )"""
+
+@register(
+    "q_graph_label_prop",
+    oracle=(
+        """
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL
+            SELECT b AS src, a AS dst FROM e
+        ),
+        l0 AS (
+            SELECT DISTINCT dst AS node, dst AS label FROM und
+        ),"""
+        + ",".join(
+            _LP_IT_DUCK.format(i=i, j=i - 1) for i in range(1, _LP_ROUNDS + 1)
+        )
+        + f"""
+        SELECT label AS community,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM l{_LP_ROUNDS}
+        GROUP BY label
+    """
+    ),
+    section="G10",
+    doc="Community detection by three SYNCHRONOUS min-label-propagation "
+    "rounds over the customer–supplier trade graph (same edge builder as "
+    "G1 PageRank): every node adopts the minimum of its own label and "
+    "its neighbors' previous-round labels, then communities are the "
+    "surviving labels with their sizes. Labels are node-id strings and "
+    "min is lexicographic VARCHAR order — identical on both engines "
+    "(probed), so the whole query is float-free. Per round: one "
+    "edges⋈labels join co-keyed on node + one min-reduce — the Pregel "
+    "message-passing shape; at 100 TB the edge list checkpoints once "
+    "and all rounds reuse its partitioning.",
+)
+def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.graph import trade_graph_edges
+
+    und = trade_graph_edges(spark, sf_dir)
+    labels = und.select(F.col("dst").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LP_ROUNDS):
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = (
+            labels.join(nbr, "node")
+            .select(
+                "node", F.least("label", F.col("nbr_label")).alias("label")
+            )
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_nodes")
+    )
+
+# ==== from analytics_r3v ===========================================
+
+_HITS_ROUNDS = 2
+
+_QS_DUCK = "CAST(SUM(CAST(floor(({x}) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+
+_HITS_IT_DUCK = """
+        a{i}raw AS (
+            SELECT e.s AS node, {qa} AS v
+            FROM e JOIN h{j} h ON h.node = e.c GROUP BY e.s
+        ),
+        a{i}n AS (SELECT sqrt({qn}) AS nrm FROM a{i}raw),
+        a{i} AS (SELECT node, v / nrm AS v FROM a{i}raw CROSS JOIN a{i}n),
+        h{i}raw AS (
+            SELECT e.c AS node, {qh} AS v
+            FROM e JOIN a{i} a ON a.node = e.s GROUP BY e.c
+        ),
+        h{i}n AS (SELECT sqrt({qn2}) AS nrm FROM h{i}raw),
+        h{i} AS (SELECT node, v / nrm AS v FROM h{i}raw CROSS JOIN h{i}n)""".format(
+    i="{i}",
+    j="{j}",
+    qa=_QS_DUCK.format(x="h.v"),
+    qh=_QS_DUCK.format(x="a.v"),
+    qn=_QS_DUCK.format(x="v * v"),
+    qn2=_QS_DUCK.format(x="v * v"),
+)
+
+@register(
+    "q_graph_hits",
+    oracle=(
+        """
+        WITH e AS (
+            SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        h0 AS (
+            SELECT DISTINCT c AS node, CAST(1.0 AS DOUBLE) AS v FROM e
+        ),"""
+        + ",".join(
+            _HITS_IT_DUCK.format(i=i, j=i - 1)
+            for i in range(1, _HITS_ROUNDS + 1)
+        )
+        + f"""
+        SELECT node AS suppkey, ROUND(v, 6) AS authority
+        FROM a{_HITS_ROUNDS}
+    """
+    ),
+    section="G11",
+    doc="HITS hubs & authorities on the DIRECTED customer→supplier "
+    "trade graph (customers are hubs, suppliers authorities): "
+    f"{_HITS_ROUNDS} synchronized rounds of authority = Aᵀ·hub and "
+    "hub = A·authority, each L2-normalized — every reduction and norm "
+    "through the floor(x·1e12) DECIMAL quantization (G1's device), so "
+    "rounds are bit-identical cross-engine; supplier authority scores "
+    "out, rounded 6dp. The bipartite companion to G1 PageRank: "
+    "PageRank ranks by random-surfer mass, HITS separates 'buys "
+    "broadly' from 'supplies the important buyers'. Pregel shape: one "
+    "edges⋈scores join + keyed reduce per side per round.",
+)
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    # HITS alternates join keys every half-round (edges join scores on c,
+    # then on s). Checkpoint TWO pre-partitioned copies so each half-round
+    # joins an already-co-partitioned edge side instead of re-shuffling the
+    # edge list twice per round — the Pregel partition-reuse discipline.
+    e_by_c = e.repartition("c").localCheckpoint(eager=False)
+    e_by_s = e.repartition("s").localCheckpoint(eager=False)
+
+    def qsum(c):
+        return (
+            F.sum(F.floor(c * 1e12).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        )
+
+    h = e.select("c").distinct().select(
+        F.col("c").alias("node"), F.lit(1.0).alias("v")
+    )
+    a = None
+    for _ in range(_HITS_ROUNDS):
+        araw = (
+            e_by_c.join(h.withColumnRenamed("node", "c"), "c")
+            .groupBy(F.col("s").alias("node"))
+            .agg(qsum(F.col("v")).alias("v"))
+        )
+        an = araw.agg(F.sqrt(qsum(F.col("v") * F.col("v"))).alias("nrm"))
+        a = araw.crossJoin(F.broadcast(an)).select(
+            "node", (F.col("v") / F.col("nrm")).alias("v")
+        )
+        hraw = (
+            e_by_s.join(a.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("c").alias("node"))
+            .agg(qsum(F.col("v")).alias("v"))
+        )
+        hn = hraw.agg(F.sqrt(qsum(F.col("v") * F.col("v"))).alias("nrm"))
+        h = hraw.crossJoin(F.broadcast(hn)).select(
+            "node", (F.col("v") / F.col("nrm")).alias("v")
+        )
+    return a.select(
+        F.col("node").alias("suppkey"), F.round("v", 6).alias("authority")
     )

@@ -16,6 +16,10 @@ from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.operators.asof import asof_join
 from ai_to_cvent_etl_spark.queries._util import disc_price, ORACLE_DISC_PRICE
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
+import pandas as pd
+from ai_to_cvent_etl_spark.queries._util import dec2
 
 
 @register(
@@ -247,4 +251,686 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         by="user_id",
         right_payload=["event_id", "ts"],
         tiebreak="event_id",
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+@register(
+    "q_join_asof_nearest",
+    oracle="""
+        WITH l AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        ),
+        r AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type <> 'purchase'
+        ),
+        bwd AS (
+            SELECT * FROM (
+                SELECT l.event_id, l.user_id, l.ts,
+                       r.event_id AS b_id, r.ts AS b_ts,
+                       ROW_NUMBER() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts <= l.ts
+            ) WHERE rn = 1
+        ),
+        fwd AS (
+            SELECT * FROM (
+                SELECT l.event_id,
+                       r.event_id AS f_id, r.ts AS f_ts,
+                       ROW_NUMBER() OVER (PARTITION BY l.event_id
+                           ORDER BY r.ts ASC, r.event_id ASC) AS rn
+                FROM l LEFT JOIN r
+                  ON l.user_id = r.user_id AND r.ts >= l.ts
+            ) WHERE rn = 1
+        )
+        SELECT b.event_id, b.user_id, b.ts,
+               CASE WHEN f.f_id IS NULL THEN b.b_id
+                    WHEN b.b_id IS NULL THEN f.f_id
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_id
+                    ELSE f.f_id END AS matched_id,
+               CASE WHEN f.f_id IS NULL THEN b.b_ts
+                    WHEN b.b_id IS NULL THEN f.f_ts
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+                    ELSE f.f_ts END AS matched_ts,
+               CASE WHEN f.f_id IS NULL AND b.b_id IS NULL THEN 'none'
+                    WHEN f.f_id IS NULL THEN 'backward'
+                    WHEN b.b_id IS NULL THEN 'forward'
+                    WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                         <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM bwd b JOIN fwd f ON f.event_id = b.event_id
+    """,
+    section="J17",
+    doc="NEAREST as-of join (pandas merge_asof direction='nearest'): the "
+    "closest non-purchase event per purchase in either time direction, "
+    "ties preferring backward (pandas semantics). Composed from the "
+    "backward (J10) and forward (J13) union+window as-of operators — two "
+    "by-key window shuffles + one equi-join on the left key; BIGINT-"
+    "microsecond distances, exact. Completes the as-of family: "
+    "backward/forward/nearest.",
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.asof import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    others = events.filter(F.col("event_type") != "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    bwd = asof_join(
+        purchases, others, on="ts", by="user_id",
+        right_payload=["event_id", "ts"], tiebreak="event_id",
+    ).select(
+        "event_id", "user_id", "ts",
+        F.col("event_id_matched").alias("b_id"),
+        F.col("ts_matched").alias("b_ts"),
+    )
+    fwd = asof_join(
+        purchases, others, on="ts", by="user_id",
+        right_payload=["event_id", "ts"], tiebreak="event_id",
+        direction="forward",
+    ).select(
+        F.col("event_id").alias("f_event_id"),
+        F.col("event_id_matched").alias("f_id"),
+        F.col("ts_matched").alias("f_ts"),
+    )
+    j = bwd.join(fwd, bwd.event_id == fwd.f_event_id)
+    db = F.unix_micros("ts") - F.unix_micros("b_ts")
+    df2 = F.unix_micros("f_ts") - F.unix_micros("ts")
+    pick_b = F.col("f_id").isNull() | (
+        F.col("b_id").isNotNull() & (db <= df2)
+    )
+    return j.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(pick_b, F.col("b_id")).otherwise(F.col("f_id")).alias(
+            "matched_id"
+        ),
+        F.when(pick_b, F.col("b_ts")).otherwise(F.col("f_ts")).alias(
+            "matched_ts"
+        ),
+        F.when(
+            F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit("none")
+        )
+        .when(pick_b, F.lit("backward"))
+        .otherwise(F.lit("forward"))
+        .alias("direction"),
+    )
+
+# ==== from analytics_r3g ===========================================
+
+_EXISTS_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O'
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+          AND o.o_orderpriority = '5-LOW'
+    )
+"""
+
+@register(
+    "q_join_exists_correlated",
+    oracle=_EXISTS_SQL,
+    section="J19",
+    doc="Correlated EXISTS + NOT EXISTS subqueries run through "
+    "spark.sql: customers with an open urgent order and no low-priority "
+    "order. Catalyst rewrites the pair to a semi join + anti join on the "
+    "filtered orders slices — the correlated-subquery planning path that "
+    "P6's (NOT) IN rewrite does not cover (EXISTS has no null-aware "
+    "special case). The identical ANSI text runs verbatim on DuckDB.",
+)
+def q_join_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_EXISTS_SQL)
+
+# ==== from analytics_r3h ===========================================
+
+_LATERAL_SQL = """
+    SELECT c.c_custkey, c.c_mktsegment,
+           l.o_orderkey, l.o_orderdate, l.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_orderdate, o_totalprice
+        FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_orderdate DESC, o_orderkey DESC
+        LIMIT 2
+    ) l
+    WHERE c.c_mktsegment = 'AUTOMOBILE'
+"""
+
+@register(
+    "q_join_lateral_topk",
+    oracle=_LATERAL_SQL,
+    section="J20",
+    doc="Correlated LATERAL subquery with ORDER BY ... LIMIT: the two "
+    "latest orders per AUTOMOBILE customer — the lateral-join planning "
+    "path (Catalyst rewrites the correlated limit to a partitioned "
+    "window/rank over the orders side: one keyed shuffle, never a "
+    "per-row subquery execution). Identical ANSI text on both engines; "
+    "the per-customer order ends in the unique order key.",
+)
+def q_join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+# ==== from analytics_r3k ===========================================
+
+_NULL_SAFE_ORACLE = """
+    WITH grp AS (
+        SELECT NULLIF(o_orderstatus, 'O') AS nk,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS grp_rev,
+               CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderkey, NULLIF(o.o_orderstatus, 'O') AS nk,
+           g.grp_rev, g.grp_n
+    FROM orders o
+    JOIN grp g ON NULLIF(o.o_orderstatus, 'O') IS NOT DISTINCT FROM g.nk
+    WHERE o.o_orderkey % 100 = 0
+"""
+
+@register(
+    "q_join_null_safe",
+    oracle=_NULL_SAFE_ORACLE,
+    section="J18",
+    doc="Null-safe equi-join (Spark <=> / SQL IS NOT DISTINCT FROM): the "
+    "dominant 'O' status is NULLIF'd to NULL on both sides, so a plain "
+    "equi-join would silently drop every such row while the null-safe "
+    "variant matches them to the NULL group — a real physical-join "
+    "variant (Spark plans EqualNullSafe as a hash join key, not a theta "
+    "join). Probe side is a 1-percent keyed sample; build side is a 3-row "
+    "per-status aggregate the size-based planner broadcasts unhinted.",
+)
+def q_join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    nk = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    grp = o.groupBy(nk.alias("nk")).agg(
+        F.sum(dec2(F.col("o_totalprice"))).cast("double").alias("grp_rev"),
+        F.count(F.lit(1)).alias("grp_n"),
+    )
+    probe = o.where(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey", nk.alias("nk")
+    )
+    return probe.join(grp, probe.nk.eqNullSafe(grp.nk)).select(
+        probe.o_orderkey, probe.nk, grp.grp_rev, grp.grp_n
+    )
+
+# ==== from analytics_r3v ===========================================
+
+_GRID = 200     # coordinate domain [0, _GRID)
+
+_CELL = 4       # cell edge; 3x3 neighborhood covers Chebyshev radius <= 4
+
+_RADIUS = 3
+
+@register(
+    "q_join_spatial_grid",
+    oracle=f"""
+        WITH pts AS (
+            SELECT c_custkey AS k,
+                   (c_custkey * 37) % {_GRID} AS x,
+                   (c_custkey * 91) % {_GRID} AS y
+            FROM customer
+        ),
+        probe AS (
+            SELECT k, x, y,
+                   (x // {_CELL} + dx.d) AS cx,
+                   (y // {_CELL} + dy.d) AS cy
+            FROM pts,
+                 (SELECT unnest([-1, 0, 1]) AS d) dx,
+                 (SELECT unnest([-1, 0, 1]) AS d) dy
+        ),
+        build AS (
+            SELECT k, x, y, x // {_CELL} AS cx, y // {_CELL} AS cy
+            FROM pts
+        )
+        SELECT p.k AS k_lo, b.k AS k_hi,
+               CAST(greatest(abs(p.x - b.x), abs(p.y - b.y)) AS BIGINT)
+                   AS cheb
+        FROM probe p
+        JOIN build b ON b.cx = p.cx AND b.cy = p.cy AND b.k > p.k
+        WHERE abs(p.x - b.x) <= {_RADIUS} AND abs(p.y - b.y) <= {_RADIUS}
+    """,
+    section="J21",
+    doc="Grid-blocked spatial self-join: customers placed on a "
+    f"{_GRID}×{_GRID} plane by deterministic coordinates, all pairs "
+    f"within Chebyshev distance {_RADIUS} found by joining each "
+    "point's 3×3 neighbor-cell keys against the build side's unique "
+    "cell — each qualifying pair emitted EXACTLY once (only the probe "
+    "side explodes, the build cell is unique), no pair-distinct pass. "
+    "The distributed spatial-join pattern: one keyed shuffle on cell "
+    "id, quadratic work confined to (cell, neighbor) buckets — never "
+    "an unblocked cross join; at 100 TB hot cells take D1's bucket "
+    "cap or J15's salting, and cell size trades the ×9 probe "
+    "replication against per-cell pair cost.",
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("k"),
+        ((F.col("c_custkey") * 37) % _GRID).alias("x"),
+        ((F.col("c_custkey") * 91) % _GRID).alias("y"),
+    )
+    d = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    probe = pts.select(
+        "k",
+        "x",
+        "y",
+        F.explode(d).alias("dx"),
+    ).select(
+        "k",
+        "x",
+        "y",
+        F.explode(d).alias("dy"),
+        F.col("dx"),
+    ).select(
+        "k",
+        "x",
+        "y",
+        (F.expr(f"x DIV {_CELL}") + F.col("dx")).alias("cx"),
+        (F.expr(f"y DIV {_CELL}") + F.col("dy")).alias("cy"),
+    )
+    build = pts.select(
+        F.col("k").alias("bk"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.expr(f"x DIV {_CELL}").alias("cx"),
+        F.expr(f"y DIV {_CELL}").alias("cy"),
+    )
+    j = probe.join(build, ["cx", "cy"]).where(F.col("bk") > F.col("k"))
+    dx = F.abs(F.col("x") - F.col("bx"))
+    dy = F.abs(F.col("y") - F.col("by"))
+    return j.where((dx <= _RADIUS) & (dy <= _RADIUS)).select(
+        F.col("k").alias("k_lo"),
+        F.col("bk").alias("k_hi"),
+        F.greatest(dx, dy).cast("long").alias("cheb"),
+    )
+
+# ==== from analytics_r3y ===========================================
+
+_RATES = [
+    # (status, year, fee_bps) — specific rules
+    ("F", 1996, 25),
+    ("F", 1997, 30),
+    ("O", 1996, 40),
+    ("P", 1995, 10),
+]
+
+_DEFAULTS = [("F", 20), ("O", 35), ("P", 15)]  # status-level fallback
+
+@register(
+    "q_join_waterfall",
+    oracle=f"""
+        WITH rates AS (
+            SELECT * FROM (VALUES
+                {', '.join(f"('{s}', {y}, {b})" for s, y, b in _RATES)}
+            ) t(st, yr, fee_bps)
+        ),
+        defaults AS (
+            SELECT * FROM (VALUES
+                {', '.join(f"('{s}', {b})" for s, b in _DEFAULTS)}
+            ) t(st, fee_bps)
+        )
+        , resolved AS (
+            SELECT o.o_orderstatus,
+                   CAST(date_part('year', o.o_orderdate) AS INT) AS yr,
+                   CAST(o.o_totalprice AS DECIMAL(18,2)) AS price,
+                   coalesce(r.fee_bps, d.fee_bps) AS fee
+            FROM orders o
+            LEFT JOIN rates r
+                   ON r.st = o.o_orderstatus
+                  AND r.yr = CAST(date_part('year', o.o_orderdate) AS INT)
+            LEFT JOIN defaults d ON d.st = o.o_orderstatus
+        )
+        SELECT o_orderstatus, yr,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(MIN(fee) AS INT) AS fee_bps,
+               CAST(SUM(price * fee) AS DOUBLE) / 10000.0 AS fee_total
+        FROM resolved
+        GROUP BY o_orderstatus, yr
+    """,
+    section="J22",
+    doc="Waterfall (hierarchical fallback) join — the pricing/MDM match "
+    "pattern: each order takes the most specific matching rate, "
+    "(status, year) first, falling back to the status-level default "
+    "via coalesce over two LEFT joins; per (status, year): order "
+    "counts, the resolved rate, and the exact decimal fee total. Both "
+    "rule tables are literals (broadcast by construction); the fact "
+    "side is scanned ONCE and never rescanned per tier — the fallback "
+    "hierarchy is joins + coalesce, not a UNION of filtered rescans. "
+    "Rates are unique per key, so MIN() inside the group is exact "
+    "passthrough.",
+)
+def q_join_waterfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    rates = orders.sparkSession.createDataFrame(
+        _RATES, "r_st string, r_yr int, r_fee int"
+    )
+    defaults = orders.sparkSession.createDataFrame(
+        _DEFAULTS, "d_st string, d_fee int"
+    )
+    o = orders.withColumn("yr", F.year("o_orderdate").cast("int"))
+    j = (
+        o.join(
+            F.broadcast(rates),
+            (F.col("o_orderstatus") == F.col("r_st"))
+            & (F.col("yr") == F.col("r_yr")),
+            "left",
+        )
+        .join(
+            F.broadcast(defaults),
+            F.col("o_orderstatus") == F.col("d_st"),
+            "left",
+        )
+    )
+    fee = F.min(F.coalesce(F.col("r_fee"), F.col("d_fee")))
+    return j.groupBy("o_orderstatus", "yr").agg(
+        F.count("*").alias("n_orders"),
+        fee.cast("int").alias("fee_bps"),
+        (
+            F.sum(
+                F.col("o_totalprice").cast("decimal(18,2)")
+                * F.coalesce(F.col("r_fee"), F.col("d_fee"))
+            ).cast("double")
+            / 10000.0
+        ).alias("fee_total"),
+    )
+
+# ==== from analytics_r4g ===========================================
+
+_REC_TOL = 2      # cents
+
+_REC_BUCKET = 10  # cents per block
+
+@register(
+    "q_join_reconcile",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_orderkey AS k,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        pay AS (
+            SELECT k AS pay_id,
+                   cents + (k % 5) - 2 AS pay_cents
+            FROM o WHERE k % 3 <> 0
+        ),
+        probe AS (
+            SELECT k, cents,
+                   cents // {_REC_BUCKET} + d.d AS bkt
+            FROM o, (SELECT unnest([-1, 0, 1]) AS d) d
+        ),
+        build AS (
+            SELECT pay_id, pay_cents,
+                   pay_cents // {_REC_BUCKET} AS bkt
+            FROM pay
+        )
+        SELECT p.k AS order_key, b.pay_id,
+               CAST(abs(p.cents - b.pay_cents) AS BIGINT) AS diff_cents
+        FROM probe p
+        JOIN build b ON b.bkt = p.bkt
+        WHERE abs(p.cents - b.pay_cents) <= {_REC_TOL}
+    """,
+    section="J23",
+    doc="Finance reconciliation: orders matched to a payment feed (a "
+    "deterministic subset carrying ±2-cent jitter and missing every "
+    f"3rd order) within a {_REC_TOL}-cent tolerance, via 1-D amount "
+    f"blocking — {_REC_BUCKET}-cent buckets, probe side exploded ±1 "
+    "bucket (J21's grid device in one dimension), each candidate "
+    "emitted exactly once (build buckets unique). Exact integer cent "
+    "arithmetic; the unmatched remainder (anti-join of this result) "
+    "is the break report. One keyed shuffle on the bucket — the fuzzy-"
+    "amount match that closes the books without a cross join; at "
+    "scale tolerance/bucket-size trade the ×3 replication against "
+    "bucket width.",
+)
+def q_join_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    pay = o.where(F.col("k") % 3 != 0).select(
+        F.col("k").alias("pay_id"),
+        (F.col("cents") + (F.col("k") % 5) - 2).alias("pay_cents"),
+    )
+    probe = o.select(
+        "k",
+        "cents",
+        F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("d"),
+    ).select(
+        "k",
+        "cents",
+        (F.expr(f"cents DIV {_REC_BUCKET}") + F.col("d")).alias("bkt"),
+    )
+    build = pay.select(
+        "pay_id",
+        "pay_cents",
+        F.expr(f"pay_cents DIV {_REC_BUCKET}").alias("bkt"),
+    )
+    j = probe.join(build, "bkt")
+    diff = F.abs(F.col("cents") - F.col("pay_cents"))
+    return j.where(diff <= _REC_TOL).select(
+        F.col("k").alias("order_key"),
+        "pay_id",
+        diff.cast("long").alias("diff_cents"),
+    )
+
+# ==== from analytics_r4k ===========================================
+
+@register(
+    "q_join_role_playing",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                   CAST(MAX(o_orderdate) AS DATE) + 45 AS hi
+            FROM orders
+        ),
+        date_dim AS (
+            SELECT CAST(d.d AS DATE) AS dkey,
+                   CAST(date_part('year', d.d) AS INT) AS yr,
+                   CAST(date_part('quarter', d.d) AS INT) AS qtr,
+                   monthname(CAST(d.d AS DATE)) AS month_name
+            FROM bounds, unnest(generate_series(
+                 bounds.lo, bounds.hi, INTERVAL 1 DAY)) AS d(d)
+        )
+        SELECT o.o_orderkey,
+               od.yr AS order_year,
+               od.month_name AS order_month,
+               dd.qtr AS due_quarter,
+               dd.month_name AS due_month,
+               od.yr = dd.yr AS same_year
+        FROM orders o
+        JOIN date_dim od ON od.dkey = CAST(o.o_orderdate AS DATE)
+        JOIN date_dim dd
+          ON dd.dkey = CAST(o.o_orderdate AS DATE) + 45
+    """,
+    section="J24",
+    doc="The role-playing dimension pattern: ONE date dimension "
+    "(generated from the data's own bounds — F22's rule) joined TWICE "
+    "in different roles — order date and the +45-day due date — with "
+    "per-role aliased attributes (order_year/order_month vs "
+    "due_quarter/due_month; without the aliases the role columns "
+    "silently collide, the classic star-schema modeling bug). Both "
+    "role joins broadcast the same ~2.5k-row dimension — N roles cost "
+    "N broadcast joins of one physical table, zero extra storage, at "
+    "any fact scale.",
+)
+def q_join_role_playing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.date_add(F.max(F.col("o_orderdate").cast("date")), 45).alias("hi"),
+    )
+    date_dim = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 DAY"))
+        ).alias("dkey")
+    ).select(
+        "dkey",
+        F.year("dkey").cast("int").alias("yr"),
+        F.quarter("dkey").cast("int").alias("qtr"),
+        F.date_format("dkey", "MMMM").alias("month_name"),
+    )
+    od = date_dim.select(
+        F.col("dkey").alias("od_key"),
+        F.col("yr").alias("order_year"),
+        F.col("month_name").alias("order_month"),
+    )
+    dd = date_dim.select(
+        F.col("dkey").alias("dd_key"),
+        F.col("yr").alias("due_yr"),
+        F.col("qtr").alias("due_quarter"),
+        F.col("month_name").alias("due_month"),
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("odate"),
+        F.date_add(F.col("o_orderdate").cast("date"), 45).alias("ddate"),
+    )
+    return (
+        o.join(F.broadcast(od), o.odate == F.col("od_key"))
+        .join(F.broadcast(dd), o.ddate == F.col("dd_key"))
+        .select(
+            "o_orderkey",
+            "order_year",
+            "order_month",
+            "due_quarter",
+            "due_month",
+            (F.col("order_year") == F.col("due_yr")).alias("same_year"),
+        )
+    )
+
+# ==== from analytics_r4n ===========================================
+
+@register(
+    "q_join_allocate_lines",
+    oracle="""
+        WITH fees AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS fee_cents
+            FROM orders WHERE o_orderkey % 20 = 0
+        ),
+        lines AS (
+            SELECT l.l_orderkey, l.l_linenumber, f.fee_cents,
+                   CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS line_cents,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT))
+                        OVER (PARTITION BY l.l_orderkey) AS BIGINT)
+                       AS order_cents
+            FROM lineitem l JOIN fees f ON f.o_orderkey = l.l_orderkey
+        ),
+        based AS (
+            SELECT l_orderkey, l_linenumber, fee_cents,
+                   CAST(floor(CAST(line_cents AS DOUBLE) / order_cents
+                              * fee_cents) AS BIGINT) AS base,
+                   CAST(line_cents AS DOUBLE) / order_cents * fee_cents
+                   - floor(CAST(line_cents AS DOUBLE) / order_cents
+                           * fee_cents) AS rem
+            FROM lines
+        ),
+        ranked AS (
+            SELECT l_orderkey, l_linenumber, base,
+                   row_number() OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY rem DESC, l_linenumber
+                   ) AS rnk,
+                   CAST(fee_cents - SUM(base) OVER (PARTITION BY l_orderkey)
+                        AS BIGINT) AS shortfall
+            FROM based
+        )
+        SELECT l_orderkey, l_linenumber,
+               CAST(base + CASE WHEN rnk <= shortfall THEN 1 ELSE 0 END
+                    AS BIGINT) AS line_fee_cents
+        FROM ranked
+    """,
+    section="J25",
+    doc="Grain-spreading allocation: each sampled order's 1% fee (exact "
+    "integer cents) spread across its OWN lineitems proportional to "
+    "extended price, with PER-ORDER largest-remainder rounding "
+    "(Hamilton's method, A49's device applied per group): floor "
+    "bases, then the order's shortfall cents to its largest "
+    "fractional remainders (line-number tie-break) — so every order's "
+    "line fees sum EXACTLY to its fee and reconciliation (J23) closes "
+    "without tolerances. The header-to-line allocation every billing "
+    "ETL performs; naive per-line rounding leaves per-order drift "
+    "that compounds forever. One co-keyed join + per-order windows — "
+    "the allocation never shuffles twice.",
+)
+def q_join_allocate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    fees = orders.where(F.col("o_orderkey") % 20 == 0).select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            " DIV 100"
+        ).alias("fee_cents"),
+    )
+    lines = li.join(fees, li.l_orderkey == fees.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_cents",
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("line_cents"),
+    )
+    wo = Window.partitionBy("l_orderkey")
+    lines = lines.withColumn("order_cents", F.sum("line_cents").over(wo))
+    raw = (
+        F.col("line_cents").cast("double")
+        / F.col("order_cents")
+        * F.col("fee_cents")
+    )
+    based = lines.select(
+        "l_orderkey",
+        "l_linenumber",
+        "fee_cents",
+        F.floor(raw).cast("long").alias("base"),
+        (raw - F.floor(raw)).alias("rem"),
+    )
+    ranked = based.select(
+        "l_orderkey",
+        "l_linenumber",
+        "base",
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                F.desc("rem"), F.asc("l_linenumber")
+            )
+        )
+        .alias("rnk"),
+        (F.col("fee_cents") - F.sum("base").over(wo)).alias("shortfall"),
+    )
+    return ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("base")
+            + F.when(F.col("rnk") <= F.col("shortfall"), 1).otherwise(0)
+        ).cast("long").alias("line_fee_cents"),
     )

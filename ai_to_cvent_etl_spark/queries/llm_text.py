@@ -15,6 +15,10 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 
 # Per-language marker lexicons for the n-gram-heuristic language classifier.
 # Disjoint token sets; a real deployment swaps in character-n-gram profiles —
@@ -364,4 +368,867 @@ def q_text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("score_q"), F.asc("phrase"))
         .limit(_RAKE_TOPK)
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+_CONTAM_K = 8   # word-n-gram size (GPT-3/Pile-style decontamination uses 8-13)
+
+_CONTAM_M = 29  # benchmark set = docs with doc_id % 29 == 0 (~3% of corpus)
+
+_CSH_SPARK = (
+    f"case when size(split(text, ' ')) >= {_CONTAM_K} then "
+    f"array_distinct(transform("
+    f"sequence(1, size(split(text, ' ')) - {_CONTAM_K} + 1),"
+    f" i -> array_join(slice(split(text, ' '), i, {_CONTAM_K}), ' '))) "
+    f"else array() end"
+)
+
+_CSH_DUCK = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len(string_split(text, ' ')) - {_CONTAM_K} + 1, 0)"
+    f" + 1), i -> array_to_string("
+    f"list_slice(string_split(text, ' '), i, i + {_CONTAM_K} - 1), ' ')))"
+)
+
+@register(
+    "q_text_contamination",
+    oracle=f"""
+        WITH sh AS (
+            SELECT doc_id, {_CSH_DUCK} AS gs FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, len(gs) AS n_shingles, unnest(gs) AS g FROM sh
+        ),
+        bench AS (
+            SELECT DISTINCT g FROM ex WHERE doc_id % {_CONTAM_M} = 0
+        )
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_hits,
+               CAST(MIN(e.n_shingles) AS BIGINT) AS n_shingles,
+               CAST(COUNT(*) AS DOUBLE) / MIN(e.n_shingles)
+                   AS contamination_ratio
+        FROM ex e JOIN bench b ON e.g = b.g
+        WHERE e.doc_id % {_CONTAM_M} <> 0
+        GROUP BY e.doc_id
+    """,
+    section="L8",
+    doc="Train/eval contamination check — the GPT-3/Pile-style n-gram "
+    "decontamination pass: flag corpus documents sharing any word-8-gram "
+    "with a held-out benchmark slice (doc_id % 29 == 0 stands in for the "
+    "eval set). Shingles are row-local and distinct per doc; the "
+    "benchmark shingle set is eval-sized (small by definition) and "
+    "broadcast, so the corpus never shuffles — the check is map-side at "
+    "any corpus scale. Ratio is an exact int/int IEEE division — no "
+    "rounding needed.",
+)
+def q_text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.expr(_CSH_SPARK).alias("gs")
+    ).select(
+        "doc_id",
+        F.size("gs").alias("n_shingles"),
+        F.explode("gs").alias("g"),
+    )
+    bench = (
+        sh.filter(F.col("doc_id") % _CONTAM_M == 0).select("g").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") % _CONTAM_M != 0)
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("n_shingles").cast("bigint").alias("n_shingles"),
+            (
+                F.count(F.lit(1)).cast("double") / F.min("n_shingles")
+            ).alias("contamination_ratio"),
+        )
+    )
+
+# ==== from analytics_r3d ===========================================
+
+_TFIDF_LANG = "de"
+
+_TFIDF_TOPK = 3
+
+_IDF_SCALE = 1000
+
+_MIN_CHARS = 100
+
+_MAX_REP_RATIO = 0.15
+
+_MIN_DIVERSITY = 0.45
+
+@register(
+    "q_text_tfidf_cosine",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, text FROM documents WHERE lang = '{_TFIDF_LANG}'
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM d),
+        tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM d
+        ),
+        tf AS (
+            SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM tok GROUP BY doc_id, token
+        ),
+        idf AS (
+            SELECT token,
+                   (SELECT n_docs FROM n) * {_IDF_SCALE}
+                       // CAST(COUNT(*) AS BIGINT) AS idf_q
+            FROM tf GROUP BY token
+        ),
+        w AS (
+            SELECT tf.doc_id, tf.token,
+                   CAST(tf.tf * idf.idf_q AS BIGINT) AS qw
+            FROM tf JOIN idf USING (token)
+        ),
+        nrm AS (
+            SELECT doc_id, CAST(SUM(qw * qw) AS BIGINT) AS n2
+            FROM w GROUP BY doc_id
+        ),
+        dot AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+                   CAST(SUM(a.qw * b.qw) AS BIGINT) AS dp
+            FROM w a JOIN w b
+              ON a.token = b.token AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        cosed AS (
+            SELECT doc_lo, doc_hi,
+                   CAST(dp AS DOUBLE)
+                   / (sqrt(CAST(na.n2 AS DOUBLE))
+                      * sqrt(CAST(nb.n2 AS DOUBLE))) AS cos_sim
+            FROM dot
+            JOIN nrm na ON dot.doc_lo = na.doc_id
+            JOIN nrm nb ON dot.doc_hi = nb.doc_id
+        )
+        SELECT doc_lo, doc_hi, cos_sim,
+               CAST(rnk AS INTEGER) AS rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_lo ORDER BY cos_sim DESC, doc_hi
+            ) AS rnk
+            FROM cosed
+        ) WHERE rnk <= {_TFIDF_TOPK}
+    """,
+    section="L9",
+    doc="TF-IDF-weighted cosine document similarity, top-3 neighbors per "
+    "doc (the weighted upgrade of T5/D6's set-overlap joins). Weights are "
+    f"ALL-INTEGER rational TF-IDF (tf * (N*{_IDF_SCALE} DIV df)) — no "
+    "libm log so no quantization drift; dot products and norms are exact "
+    "BIGINT sums; cosine is one fixed IEEE expression. Token-blocked "
+    "sparse join scoped to one language partition (this corpus's 31-token "
+    "vocabulary makes df-pruning degenerate — see module docstring); "
+    "map-side partial aggs; output bounded at top-3 rows per doc.",
+)
+def q_text_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang") == _TFIDF_LANG
+    )
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("token")
+    )
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            F.expr(f"(n_docs * {_IDF_SCALE}) div df").alias("idf_q"),
+        )
+    )
+    w = tf.join(idf, "token").select(
+        "doc_id", "token", (F.col("tf") * F.col("idf_q")).alias("qw")
+    )
+    nrm = w.groupBy("doc_id").agg(F.sum(F.col("qw") * F.col("qw")).alias("n2"))
+    a = w.select(
+        F.col("doc_id").alias("doc_lo"), "token", F.col("qw").alias("qa")
+    )
+    b = w.select(
+        F.col("doc_id").alias("doc_hi"), "token", F.col("qw").alias("qb")
+    )
+    dot = (
+        a.join(b, (a.token == b.token) & (F.col("doc_lo") < F.col("doc_hi")))
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.sum(F.col("qa") * F.col("qb")).alias("dp"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_lo"), F.col("n2").alias("na2"))
+    nb = nrm.select(F.col("doc_id").alias("doc_hi"), F.col("n2").alias("nb2"))
+    cosed = (
+        dot.join(na, "doc_lo")
+        .join(nb, "doc_hi")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            (
+                F.col("dp").cast("double")
+                / (
+                    F.sqrt(F.col("na2").cast("double"))
+                    * F.sqrt(F.col("nb2").cast("double"))
+                )
+            ).alias("cos_sim"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("doc_lo").orderBy(F.desc("cos_sim"), F.asc("doc_hi"))
+    )
+    return (
+        cosed.withColumn("rank", rnk)
+        .where(F.col("rank") <= _TFIDF_TOPK)
+        .select("doc_lo", "doc_hi", "cos_sim", F.col("rank").cast("int"))
+    )
+
+@register(
+    "q_text_filter_chain",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tok GROUP BY doc_id, t
+        ),
+        st AS (
+            SELECT doc_id,
+                   CAST(MAX(c) AS BIGINT) AS max_tf,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM tf GROUP BY doc_id
+        )
+        SELECT d.doc_id, d.n_chars, st.n_tokens,
+               CASE
+                   WHEN d.n_chars < {_MIN_CHARS} THEN 'too_short'
+                   WHEN CAST(st.max_tf AS DOUBLE) / st.n_tokens
+                        > {_MAX_REP_RATIO} THEN 'repetitive'
+                   WHEN CAST(st.n_distinct AS DOUBLE) / st.n_tokens
+                        < {_MIN_DIVERSITY} THEN 'low_diversity'
+                   ELSE 'pass'
+               END AS verdict
+        FROM documents d JOIN st ON d.doc_id = st.doc_id
+    """,
+    section="L10",
+    doc="Ordered quality-filter chain with first-failure attribution "
+    "(C4/Gopher-style cleaning telemetry: WHICH rule dropped each doc, "
+    "not just that it dropped): too-short -> max-token-repetition -> "
+    "type/token diversity, evaluated as one fixed CASE chain so rule "
+    "precedence is part of the contract. Per-doc stats come from one "
+    "keyed token aggregation; the verdict itself is map-only. Ratios are "
+    "single int/int IEEE divisions against literal thresholds — exact.",
+)
+def q_text_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("t")
+    )
+    st = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("max_tf"),
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+    )
+    j = docs.select("doc_id", "n_chars").join(st, "doc_id")
+    verdict = (
+        F.when(F.col("n_chars") < _MIN_CHARS, "too_short")
+        .when(
+            F.col("max_tf").cast("double") / F.col("n_tokens") > _MAX_REP_RATIO,
+            "repetitive",
+        )
+        .when(
+            F.col("n_distinct").cast("double") / F.col("n_tokens")
+            < _MIN_DIVERSITY,
+            "low_diversity",
+        )
+        .otherwise("pass")
+    )
+    return j.select("doc_id", "n_chars", "n_tokens", verdict.alias("verdict"))
+
+# ==== from analytics_r3e ===========================================
+
+_CHUNK_TOKENS = 10
+
+@register(
+    "q_text_chunk_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(tk) / {_CHUNK_TOKENS}.0)
+                                     AS BIGINT)),
+                       i -> md5(array_to_string(
+                                list_slice(tk, i * {_CHUNK_TOKENS} + 1,
+                                           i * {_CHUNK_TOKENS}
+                                           + {_CHUNK_TOKENS}), ' '))
+                   )) AS chash
+            FROM toks
+        ),
+        freq AS (
+            SELECT chash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+            FROM chunks GROUP BY chash
+        )
+        SELECT c.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_dup_chunks,
+               CAST(SUM(CASE WHEN f.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS dup_ratio
+        FROM chunks c JOIN freq f ON c.chash = f.chash
+        GROUP BY c.doc_id
+    """,
+    section="L12",
+    doc=f"Chunk-level cross-document dedup (the C4 line-dedup shape): "
+    f"each doc is cut into consecutive {_CHUNK_TOKENS}-token chunks "
+    "(row-local index arithmetic — Spark slice(start,len) == DuckDB "
+    "list_slice(begin,end), both end-clamped, probed), chunks are "
+    "identified by md5, and each doc reports how much of it appears in "
+    "OTHER documents (boilerplate/quotation mass). Shuffles only on the "
+    "16-byte chunk hash (frequency) and doc_id (re-aggregation) — the "
+    "text itself never shuffles. Counts + one division — exact.",
+)
+def q_text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(lower(text),"
+                f" ' ')) / {_CHUNK_TOKENS}.0) as int) - 1),"
+                f" i -> md5(array_join(slice(split(lower(text), ' '),"
+                f" i * {_CHUNK_TOKENS} + 1, {_CHUNK_TOKENS}), ' ')))"
+            )
+        ).alias("chash"),
+    )
+    freq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    j = chunks.join(freq, "chash")
+    dup = F.when(F.col("n_docs") > 1, 1).otherwise(0)
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(dup).alias("n_dup_chunks"),
+        (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_ratio"),
+    )
+
+# ==== from analytics_r3f ===========================================
+
+@register(
+    "q_text_bigram_logprob",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS tk
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, len(tk)),
+                       i -> tk[i] || ' ' || tk[i + 1]
+                   )) AS bigram
+            FROM toks WHERE len(tk) >= 2
+        ),
+        cb AS (
+            SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c2
+            FROM bg GROUP BY bigram
+        ),
+        cu AS (
+            SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM (
+                SELECT string_split(bigram, ' ')[1] AS w1, c2 FROM cb
+            ) GROUP BY w1
+        )
+        SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(AVG(-ln(CAST(cb.c2 AS DOUBLE) / cu.c1)), 4) AS avg_nll
+        FROM bg
+        JOIN cb USING (bigram)
+        JOIN cu ON string_split(bg.bigram, ' ')[1] = cu.w1
+        GROUP BY bg.doc_id
+    """,
+    section="L13",
+    doc="Bigram-LM quality scoring: mean negative conditional log-prob "
+    "-ln(c(w1 w2)/c(w1-as-history)) per doc against the corpus bigram "
+    "model — the n-gram upgrade of L7's unigram perplexity signal "
+    "(catches scrambled-word docs a unigram LM scores as normal). LM "
+    "tables are vocabulary-sized (<= |V|^2) and broadcast; the corpus "
+    "contributes two token-keyed shuffles. ROUND 4 absorbs libm/fold "
+    "drift (L7's accepted device); p itself is one exact division.",
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    # fan_out: 5000 docs is ONE parquet split — without it the whole
+    # bigram explosion runs on a single task (see _util.fan_out).
+    # zip_with over two slices tokenizes each doc once per use instead of
+    # once per bigram; the size>=2 guard matters because Spark's
+    # sequence(1, n-1) DESCENDS when n-1 < 1 (would fabricate bigrams).
+    bg = fan_out(docs).select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("tk")
+    ).where(F.expr("size(tk) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(tk, 1, size(tk) - 1),"
+                " slice(tk, 2, size(tk) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bigram"),
+    )
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    cu = (
+        cb.select(
+            F.expr("element_at(split(bigram, ' '), 1)").alias("w1"), "c2"
+        )
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    j = (
+        bg.join(F.broadcast(cb), "bigram")
+        .join(
+            F.broadcast(cu),
+            F.expr("element_at(split(bigram, ' '), 1)") == F.col("w1"),
+        )
+    )
+    nll = -F.log(F.col("c2").cast("double") / F.col("c1"))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg(nll), 4).alias("avg_nll"),
+    )
+
+# ==== from analytics_r3h ===========================================
+
+def _confusion_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.llm_text import _LANG_MARKERS
+
+    scored = ", ".join(
+        f"CAST(len(list_filter(string_split(text, ' '), "
+        f"x -> list_contains({m}, x))) AS BIGINT) AS s_{lg}"
+        for lg, m in _LANG_MARKERS.items()
+    )
+    pred = """
+               CASE
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+                   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+                   WHEN s_fr >= s_zh THEN 'fr'
+                   ELSE 'zh'
+               END"""
+    return f"""
+        WITH scored AS (
+            SELECT doc_id, lang, {scored} FROM documents
+        ),
+        p AS (
+            SELECT lang, {pred} AS pred_lang FROM scored
+        ),
+        cm AS (
+            SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+            FROM p GROUP BY lang, pred_lang
+        )
+        SELECT lang, pred_lang, n,
+               CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT) AS n_gold,
+               CAST(CASE WHEN lang = pred_lang THEN n ELSE 0 END AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY lang) AS BIGINT)
+                   AS recall_if_diag
+        FROM cm
+    """
+
+@register(
+    "q_text_langid_confusion",
+    oracle=_confusion_oracle(),
+    section="L14",
+    doc="Confusion matrix + per-class recall for the L1 language "
+    "classifier against the gold lang labels — the evaluation loop every "
+    "in-pipeline classifier needs (which languages leak into which). "
+    "Scoring is L1's row-local integer marker voting; the matrix is "
+    "|langs|^2 rows, so the recall window runs on a bounded table. "
+    "Counts + one division — exact.",
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.llm_text import _LANG_MARKERS, _hits
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "lang",
+        *[_hits(toks, m).alias(f"s_{lg}") for lg, m in _LANG_MARKERS.items()],
+    )
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_MARKERS}
+    pred = (
+        F.when(
+            (s["de"] >= s["en"])
+            & (s["de"] >= s["es"])
+            & (s["de"] >= s["fr"])
+            & (s["de"] >= s["zh"]),
+            "de",
+        )
+        .when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["zh"]),
+            "en",
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["zh"]), "es")
+        .when(s["fr"] >= s["zh"], "fr")
+        .otherwise("zh")
+    )
+    cm = (
+        scored.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wl = Window.partitionBy("lang")
+    return cm.select(
+        "lang",
+        "pred_lang",
+        "n",
+        F.sum("n").over(wl).alias("n_gold"),
+        (
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+            .cast("double")
+            / F.sum("n").over(wl)
+        ).alias("recall_if_diag"),
+    )
+
+# ==== from analytics_r3r ===========================================
+
+_PACK_BUDGET = 512
+
+@register(
+    "q_text_sequence_pack",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_tok,
+                   CAST(SUM(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT doc_id, n_tok,
+               (cum - n_tok) // {_PACK_BUDGET} AS start_chunk,
+               (cum - 1) // {_PACK_BUDGET} AS end_chunk,
+               (cum - 1) // {_PACK_BUDGET}
+               - (cum - n_tok) // {_PACK_BUDGET} + 1 AS n_chunks
+        FROM c
+    """,
+    section="L15",
+    doc="Pretraining sequence-packing math (concat-and-chunk): documents "
+    "concatenate in doc_id order into one token stream cut into fixed "
+    f"{_PACK_BUDGET}-token context windows; each doc's start/end chunk "
+    "and span count come from ONE cumulative token count and integer "
+    "division — no bin-packing search. Pure integer window logic. The "
+    "span count is the cross-boundary diagnostic (n_chunks > 1 docs "
+    "get split across contexts — the quantity attention-masking "
+    "policies care about). At 100 TB the global cumsum is a two-pass "
+    "prefix sum: per-partition totals broadcast as offsets, then "
+    "partition-local arithmetic — the packing stays map-side.",
+)
+def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    c = t.select("doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    start = F.expr(f"(cum - n_tok) DIV {_PACK_BUDGET}")
+    end = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
+    return c.select(
+        "doc_id",
+        "n_tok",
+        start.alias("start_chunk"),
+        end.alias("end_chunk"),
+        (end - start + 1).alias("n_chunks"),
+    )
+
+# ==== from analytics_r3v ===========================================
+
+_MIX_SHARES = {"en": 0.5, "de": 0.15, "fr": 0.15, "es": 0.1, "zh": 0.1}
+
+_MIX_BUDGET_FRAC = 0.5  # token budget = 50% of the corpus
+
+@register(
+    "q_text_domain_mixture",
+    oracle=f"""
+        WITH toks AS (
+            SELECT lang,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                       AS n_tokens
+            FROM documents GROUP BY lang
+        ),
+        planned AS (
+            SELECT lang, n_tokens,
+                   CAST(CASE lang
+                     {' '.join(f"WHEN '{k}' THEN {v}" for k, v in _MIX_SHARES.items())}
+                   END AS DOUBLE) AS target_share,
+                   CAST(SUM(n_tokens) OVER () AS DOUBLE)
+                       * {_MIX_BUDGET_FRAC} AS budget
+            FROM toks
+        )
+        SELECT lang, n_tokens,
+               target_share,
+               ROUND(least(1.0, budget * target_share / n_tokens), 6)
+                   AS sample_rate,
+               CAST(floor(least(1.0, budget * target_share / n_tokens)
+                          * n_tokens) AS BIGINT) AS effective_tokens
+        FROM planned
+    """,
+    section="L16",
+    doc="Pretraining data-mixture planning: per-language token counts, "
+    f"target mixture shares ({_MIX_SHARES}), and a token budget of "
+    f"{_MIX_BUDGET_FRAC:.0%} of the corpus → per-language sampling "
+    "rate min(1, budget·share/available) and effective token yield. "
+    "A rate pinned at 1.0 means the language is UNDER-REPRESENTED "
+    "relative to its target (the budget wants more than exists) — the "
+    "signal that drives up-weighting or extra sourcing. Exact token "
+    "counts; rates are IEEE with literal weights; floor() on the "
+    "yield. Collapses to |languages| rows; the plan feeds E9's "
+    "weighted sampler to write the mixed corpus.",
+)
+def q_text_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.groupBy("lang").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    share = F.create_map(
+        *[F.lit(x) for kv in _MIX_SHARES.items() for x in kv]
+    )[F.col("lang")]
+    budget = (
+        F.sum("n_tokens").over(Window.partitionBy()).cast("double")
+        * _MIX_BUDGET_FRAC
+    )
+    planned = toks.select(
+        "lang",
+        "n_tokens",
+        share.alias("target_share"),
+        budget.alias("budget"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        F.col("budget") * F.col("target_share") / F.col("n_tokens"),
+    )
+    return planned.select(
+        "lang",
+        "n_tokens",
+        "target_share",
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(rate * F.col("n_tokens")).cast("long").alias(
+            "effective_tokens"
+        ),
+    )
+
+# ==== from analytics_r3x ===========================================
+
+@register(
+    "q_text_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, u.tok AS tok, u.pos AS pos,
+                   len(string_split(text, ' ')) AS n_tok
+            FROM (
+                SELECT doc_id, text,
+                       unnest(list_transform(string_split(text, ' '),
+                              (x, i) -> struct_pack(tok := x, pos := i)))
+                           AS u
+                FROM documents
+            )
+        ),
+        runs AS (
+            SELECT doc_id, tok,
+                   pos - row_number() OVER (
+                       PARTITION BY doc_id, tok ORDER BY pos
+                   ) AS grp
+            FROM toks
+        ),
+        run_len AS (
+            SELECT doc_id, CAST(MAX(n) AS BIGINT) AS max_run
+            FROM (
+                SELECT doc_id, COUNT(*) AS n
+                FROM runs GROUP BY doc_id, tok, grp
+            ) GROUP BY doc_id
+        ),
+        big AS (
+            SELECT doc_id, g, COUNT(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           list_slice(string_split(text, ' '), 1,
+                                      len(string_split(text, ' ')) - 1),
+                           (x, i) -> x || ' '
+                                     || string_split(text, ' ')[i + 1]))
+                           AS g
+                FROM documents
+            ) GROUP BY doc_id, g
+        ),
+        top_big AS (
+            SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram,
+                   CAST(SUM(c) AS BIGINT) AS n_bigrams
+            FROM big GROUP BY doc_id
+        ),
+        base AS (
+            SELECT doc_id,
+                   CAST(MAX(n_tok) AS BIGINT) AS n_tok,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+            FROM toks GROUP BY doc_id
+        )
+        SELECT b.doc_id, b.n_tok,
+               ROUND(CAST(b.n_distinct AS DOUBLE) / b.n_tok, 6)
+                   AS distinct_ratio,
+               ROUND(CAST(t.top_bigram AS DOUBLE) / t.n_bigrams, 6)
+                   AS top_bigram_share,
+               r.max_run
+        FROM base b
+        JOIN top_big t ON t.doc_id = b.doc_id
+        JOIN run_len r ON r.doc_id = b.doc_id
+    """,
+    section="L17",
+    doc="Gopher-style within-document repetition filters: distinct-token "
+    "ratio, top-bigram share (the boilerplate signal), and the longest "
+    "run of one repeated token (gaps-and-islands on pos − row_number) "
+    "— the degenerate-text gates that pairwise dedup (D1/T5) never "
+    "sees because a looping document is only similar to ITSELF. Exact "
+    "integer counting; ratios rounded on output. One explode + keyed "
+    "per-doc reductions, all co-partitioned on doc_id — run this gate "
+    "BEFORE corpus-wide dedup so degenerate docs never enter LSH.",
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sp = F.split("text", " ")
+    toks = docs.select(
+        "doc_id",
+        F.size(sp).alias("n_tok"),
+        F.posexplode(sp).alias("pos", "tok"),
+    )
+    runs = toks.select(
+        "doc_id",
+        "tok",
+        (
+            F.col("pos")
+            - F.row_number().over(
+                Window.partitionBy("doc_id", "tok").orderBy("pos")
+            )
+        ).alias("grp"),
+    )
+    run_len = (
+        runs.groupBy("doc_id", "tok", "grp")
+        .agg(F.count("*").alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("max_run"))
+    )
+    bi = F.transform(
+        F.slice(sp, 1, F.size(sp) - 1),
+        lambda x, i: F.concat_ws(" ", x, F.element_at(sp, i + 2)),
+    )
+    big = (
+        docs.select("doc_id", F.explode(bi).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    top_big = big.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram"), F.sum("c").alias("n_bigrams")
+    )
+    base = toks.groupBy("doc_id").agg(
+        F.max("n_tok").cast("long").alias("n_tok"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    return (
+        base.join(top_big, "doc_id")
+        .join(run_len, "doc_id")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_tok"), 6
+            ).alias("distinct_ratio"),
+            F.round(
+                F.col("top_bigram").cast("double") / F.col("n_bigrams"), 6
+            ).alias("top_bigram_share"),
+            "max_run",
+        )
+    )
+
+# ==== from analytics_r4i ===========================================
+
+@register(
+    "q_text_char_entropy",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT doc_id, unnest(string_split_regex(text, '')) AS c
+                FROM documents
+            )
+            WHERE c <> ''
+            GROUP BY doc_id, c
+        ),
+        tot AS (
+            SELECT doc_id, CAST(SUM(n) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct
+            FROM chars GROUP BY doc_id
+        )
+        SELECT c.doc_id, t.total AS n_chars, t.n_distinct,
+               ROUND(CAST(SUM(CAST(floor(
+                   -(CAST(c.n AS DOUBLE) / t.total)
+                   * ln(CAST(c.n AS DOUBLE) / t.total) * 1e12)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6) AS entropy_nats
+        FROM chars c JOIN tot t ON t.doc_id = c.doc_id
+        GROUP BY c.doc_id, t.total, t.n_distinct
+    """,
+    section="L18",
+    doc="Character-level Shannon entropy per document (nats): per-char "
+    "counts, −Σ p·ln p with each term quantized floor(x·1e12) before "
+    "the exact per-doc DECIMAL sum — the gibberish detector in the "
+    "quality-gate family: random strings score near ln(alphabet) "
+    "(~maximal), single-char floods near 0, natural text in a narrow "
+    "band between — catching base64 blobs, minified code, and "
+    "key-mashing that word-level gates (L3 length/stopwords, L17 "
+    "repetition) miss entirely. One char-explode + two keyed per-doc "
+    "reductions — linear in corpus bytes.",
+)
+def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    chars = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", "")).alias("c")
+        )
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = chars.groupBy("doc_id").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_distinct")
+    )
+    j = chars.join(tot, "doc_id")
+    p = F.col("n").cast("double") / F.col("total")
+    term = -p * F.log(p)
+    return j.groupBy("doc_id", "total", "n_distinct").agg(
+        F.round(
+            F.sum(F.floor(term * 1e12).cast("decimal(38,0)")).cast("double")
+            / 1e12,
+            6,
+        ).alias("entropy_nats")
+    ).select(
+        "doc_id",
+        F.col("total").alias("n_chars"),
+        "n_distinct",
+        "entropy_nats",
     )

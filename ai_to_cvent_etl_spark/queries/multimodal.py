@@ -24,6 +24,7 @@ from ai_to_cvent_etl_spark.operators.multimodal import (
     sample_frame_bytes,
 )
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 @register(
@@ -176,4 +177,70 @@ def q_multimodal_feature_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_payloads"),
         )
         .filter(F.col("n_payloads") >= 2)
+    )
+
+
+# ==== from analytics_r4l ===========================================
+
+@register(
+    "q_multimodal_route",
+    oracle="""
+        WITH payloads AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'PNG!' || text
+                        WHEN doc_id % 3 = 1 THEN 'RIFF' || text
+                        ELSE text END AS payload
+            FROM documents
+        ),
+        routed AS (
+            SELECT doc_id,
+                   CASE WHEN substr(payload, 1, 4) = 'PNG!' THEN 'image'
+                        WHEN substr(payload, 1, 4) = 'RIFF' THEN 'audio'
+                        ELSE 'text' END AS modality,
+                   octet_length(encode(payload)) AS n_bytes
+            FROM payloads
+        )
+        SELECT modality,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+               CAST(MIN(n_bytes) AS BIGINT) AS min_bytes,
+               CAST(MAX(n_bytes) AS BIGINT) AS max_bytes,
+               MIN(doc_id) AS first_doc
+        FROM routed
+        GROUP BY modality
+    """,
+    section="M5",
+    doc="Modality dispatch by MAGIC-BYTE sniffing: mixed payloads (a "
+    "deterministic third carry a PNG-style magic, a third a RIFF/WAV "
+    "magic, the rest plain text) routed on their first four bytes — "
+    "never decoded — with per-modality doc counts and byte "
+    "statistics. This is the ingest fan-out in front of M2's "
+    "per-modality mapInPandas decoders: sniff cheap, partition by "
+    "modality on write, and each decoder then streams a HOMOGENEOUS "
+    "partition (mixed batches waste decoder setup per row). Pure "
+    "byte/string logic; map-only + one 3-group reduction.",
+)
+def q_multimodal_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("PNG!"), F.col("text")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("RIFF"), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    routed = docs.select(
+        "doc_id",
+        F.when(F.substring(payload, 1, 4) == "PNG!", "image")
+        .when(F.substring(payload, 1, 4) == "RIFF", "audio")
+        .otherwise("text")
+        .alias("modality"),
+        F.octet_length(F.encode(payload, "UTF-8")).cast("long").alias(
+            "n_bytes"
+        ),
+    )
+    return routed.groupBy("modality").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.min("n_bytes").alias("min_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.min("doc_id").alias("first_doc"),
     )

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def _rt_dir(sf_dir: str, fmt: str) -> str:
@@ -183,4 +184,76 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderdate").alias("date_min"),
         F.max("o_orderdate").alias("date_max"),
         F.sum(F.size("ptoks")).cast("bigint").alias("ptok_sum"),
+    )
+
+
+# ==== from analytics_r3w ===========================================
+
+_PDS_ROWS_PER_PART = 250
+
+_PDS_PARTS = 4
+
+def _make_feed_source():
+    """Build the DataSource class lazily (import needs a live pyspark).
+    Cited API: pyspark.sql.datasource.DataSource (public since Spark 4.0)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    class FeedReader(DataSourceReader):
+        def __init__(self, options):
+            self.rows = int(options.get("rows_per_part", _PDS_ROWS_PER_PART))
+            self.parts = int(options.get("parts", _PDS_PARTS))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.parts)]
+
+        def read(self, partition):
+            base = partition.value * self.rows
+            for i in range(self.rows):
+                rid = base + i
+                yield (rid, partition.value, (rid * 2654435761) % 1000003)
+
+    class FeedSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_feed"
+
+        def schema(self):
+            return "rec_id bigint, part int, payload bigint"
+
+        def reader(self, schema):
+            return FeedReader(self.options)
+
+    return FeedSource
+
+@register(
+    "q_python_datasource",
+    oracle=f"""
+        SELECT g.g AS rec_id,
+               CAST(g.g // {_PDS_ROWS_PER_PART} AS INT) AS part,
+               (g.g * 2654435761) % 1000003 AS payload
+        FROM generate_series(0, {_PDS_PARTS * _PDS_ROWS_PER_PART - 1}) g(g)
+    """,
+    section="S9",
+    doc="The Spark 4 Python DataSource API (user-defined connector "
+    "surface): a custom partitioned batch source — partitions() "
+    "declares 4 independent InputPartitions, read(partition) yields "
+    "that shard's rows — registered via spark.dataSource.register and "
+    "consumed with spark.read.format('synthetic_feed'). The emitted "
+    "feed is a closed-form integer sequence (Knuth-hash payload), so "
+    "the oracle is a generate_series expression. This is how a REST/"
+    "API/queue source that has no JVM connector plugs into the engine: "
+    "partitions map to page ranges or topic partitions, and the "
+    "Python boundary is paid per partition batch, not per row.",
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.dataSource.register(_make_feed_source())
+    return (
+        spark.read.format("synthetic_feed")
+        .option("rows_per_part", _PDS_ROWS_PER_PART)
+        .option("parts", _PDS_PARTS)
+        .load()
     )

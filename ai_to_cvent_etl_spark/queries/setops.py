@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
 
 
 def _slice_f(spark, sf_dir):
@@ -124,3 +125,99 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+# ==== from analytics_r3o ===========================================
+
+@register(
+    "q_union_by_name",
+    oracle="""
+        (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_orderkey % 3 = 0)
+        UNION ALL BY NAME
+        (SELECT o_orderstatus, o_orderkey FROM orders
+         WHERE o_orderkey % 3 = 1)
+    """,
+    section="U7",
+    doc="Schema-drift union: two heterogeneous projections of orders "
+    "(different column sets AND different column order) aligned by "
+    "NAME with missing columns NULL-filled — Spark "
+    "unionByName(allowMissingColumns=True) vs DuckDB UNION ALL BY "
+    "NAME. The ETL shape for unioning feed versions across a schema "
+    "change without positional bugs (a positional UNION would pair "
+    "o_orderstatus with o_orderkey silently). Metadata-only alignment "
+    "— map-side, no shuffle.",
+)
+def q_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.where(F.col("o_orderkey") % 3 == 1).select(
+        "o_orderstatus", "o_orderkey"
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+# ==== from analytics_r4g ===========================================
+
+@register(
+    "q_setops_all",
+    oracle="""
+        WITH a AS (
+            SELECT o_orderstatus AS st,
+                   CAST(date_part('year', o_orderdate) AS INT) AS yr
+            FROM orders WHERE o_orderkey % 4 IN (0, 1)
+        ),
+        b AS (
+            SELECT o_orderstatus AS st,
+                   CAST(date_part('year', o_orderdate) AS INT) AS yr
+            FROM orders WHERE o_orderkey % 4 IN (1, 2)
+        ),
+        ex AS (
+            SELECT st, yr FROM a EXCEPT ALL SELECT st, yr FROM b
+        ),
+        ix AS (
+            SELECT st, yr FROM a INTERSECT ALL SELECT st, yr FROM b
+        )
+        SELECT 'except_all' AS op, st, yr,
+               CAST(COUNT(*) AS BIGINT) AS multiplicity
+        FROM ex GROUP BY st, yr
+        UNION ALL
+        SELECT 'intersect_all', st, yr, CAST(COUNT(*) AS BIGINT)
+        FROM ix GROUP BY st, yr
+    """,
+    section="U8",
+    doc="Bag-semantics set operations: EXCEPT ALL and INTERSECT ALL "
+    "over two overlapping low-cardinality projections (status, year) "
+    "— multiplicity-aware differences that the set forms (U3/U4) "
+    "silently collapse to 0-or-1, summarized as per-value "
+    "multiplicities. Pinned because volume accounting (how many MORE "
+    "rows does feed A have per key) is a bag question: EXCEPT ALL's "
+    "answer is max(count_a − count_b, 0) per value, which Spark plans "
+    "as a signed-count aggregation — one keyed shuffle, no row-by-row "
+    "matching.",
+)
+def q_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    proj = lambda mods: orders.where(
+        (F.col("o_orderkey") % 4).isin(mods)
+    ).select(
+        F.col("o_orderstatus").alias("st"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+    )
+    a, b = proj([0, 1]), proj([1, 2])
+    ex = (
+        a.exceptAll(b)
+        .groupBy("st", "yr")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "st", "yr", "multiplicity")
+    )
+    ix = (
+        a.intersectAll(b)
+        .groupBy("st", "yr")
+        .agg(F.count("*").alias("multiplicity"))
+        .select(
+            F.lit("intersect_all").alias("op"), "st", "yr", "multiplicity"
+        )
+    )
+    return ex.unionAll(ix)

@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql.types import DecimalType
+from ai_to_cvent_etl_spark.queries._util import dec2
 
 # --- SK1: Count-Min sketch heavy hitters ------------------------------------
 
@@ -426,4 +428,412 @@ def q_vec_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_rp_proj_spark(j)).alias(f"p{j}")
             for j in range(_RP_OUT)
         ],
+    )
+
+
+# ==== from analytics_r3c ===========================================
+
+_BLOOM_M = 4096  # bits
+
+_BLOOM_K = 3     # hash functions
+
+_BLOOM_POS_SPARK = (
+    "cast(conv(substr(md5(concat('bf', cast(seed as string), ':',"
+    " cast(k as string))), 1, 4), 16, 10) as bigint) % {m}"
+)
+
+_BLOOM_POS_DUCK = (
+    "CAST(('0x' || substr(md5('bf' || CAST(seed AS VARCHAR) || ':' ||"
+    " CAST(k AS VARCHAR)), 1, 4)) AS BIGINT) % {m}"
+)
+
+@register(
+    "q_sketch_bloom",
+    oracle=f"""
+        WITH seeds AS (SELECT unnest([0, 1, 2]) AS seed),
+        build AS (
+            SELECT DISTINCT c_custkey AS k FROM customer
+            WHERE c_mktsegment = 'BUILDING'
+        ),
+        bits AS (
+            SELECT DISTINCT {_BLOOM_POS_DUCK.format(m=_BLOOM_M)} AS pos
+            FROM build CROSS JOIN seeds
+        ),
+        probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        probe_pos AS (
+            SELECT k, {_BLOOM_POS_DUCK.format(m=_BLOOM_M)} AS pos
+            FROM probe CROSS JOIN seeds
+        ),
+        hits AS (
+            SELECT p.k, CAST(COUNT(b.pos) AS BIGINT) AS n_hit
+            FROM probe_pos p LEFT JOIN bits b ON p.pos = b.pos
+            GROUP BY p.k
+        ),
+        flagged AS (
+            SELECT h.k,
+                   CASE WHEN h.n_hit = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_pass,
+                   CASE WHEN bu.k IS NOT NULL THEN 1 ELSE 0 END AS truth
+            FROM hits h LEFT JOIN build bu ON h.k = bu.k
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+               CAST(SUM(bloom_pass) AS BIGINT) AS n_pass,
+               CAST(SUM(truth) AS BIGINT) AS n_true,
+               CAST(SUM(CASE WHEN bloom_pass = 1 AND truth = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(SUM(CASE WHEN bloom_pass = 0 AND truth = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg,
+               CAST(SUM(CASE WHEN bloom_pass = 1 AND truth = 0
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS BIGINT) AS fp_rate
+        FROM flagged
+    """,
+    section="SK2",
+    doc=f"Bloom-filter semi-join pre-filter, measured: an m={_BLOOM_M}-bit "
+    f"k={_BLOOM_K}-hash filter is built from the BUILDING-segment customer "
+    "keys (md5-derived positions — identical bits cross-engine) and probed "
+    "with every ordering customer; output = pass/true/false-positive "
+    "counts and the FP rate (the always-zero false-negative column pins "
+    "the no-false-negative Bloom invariant). This is the runtime-filter "
+    "pattern Spark itself uses for join pruning: the bit set is bounded "
+    f"({_BLOOM_M} rows max) and broadcast, the probe side never shuffles; "
+    "all counts are integers, fp_rate is one IEEE division.",
+)
+def q_sketch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    seeds = spark.range(_BLOOM_K).select(F.col("id").cast("int").alias("seed"))
+    build = (
+        cu.where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+    pos_expr = F.expr(_BLOOM_POS_SPARK.format(m=_BLOOM_M))
+    bits = (
+        build.crossJoin(F.broadcast(seeds)).select(pos_expr.alias("pos")).distinct()
+    )
+    probe = od.select(F.col("o_custkey").alias("k")).distinct()
+    probe_pos = probe.crossJoin(F.broadcast(seeds)).select(
+        "k", pos_expr.alias("pos")
+    )
+    hits = (
+        probe_pos.join(
+            F.broadcast(bits.select(F.col("pos").alias("bpos"))),
+            F.col("pos") == F.col("bpos"),
+            "left",
+        )
+        .groupBy("k")
+        .agg(F.count("bpos").alias("n_hit"))
+    )
+    flagged = hits.join(
+        build.select(F.col("k").alias("bk")), F.col("k") == F.col("bk"), "left"
+    ).select(
+        F.when(F.col("n_hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_pass"),
+        F.when(F.col("bk").isNotNull(), 1).otherwise(0).alias("truth"),
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum("bloom_pass").alias("n_pass"),
+        F.sum("truth").alias("n_true"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 1) & (F.col("truth") == 0), 1).otherwise(0)
+        ).alias("n_false_pos"),
+        F.sum(
+            F.when((F.col("bloom_pass") == 0) & (F.col("truth") == 1), 1).otherwise(0)
+        ).alias("n_false_neg"),
+        (
+            F.sum(
+                F.when(
+                    (F.col("bloom_pass") == 1) & (F.col("truth") == 0), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("fp_rate"),
+    )
+
+# ==== from analytics_r3e ===========================================
+
+@register(
+    "q_sketch_hll_union",
+    oracle=None,  # rows-only BY DESIGN: HLL estimates are engine-specific
+    # (A4/A20's reason); tests/golden pins within-Spark determinism.
+    section="SK3",
+    doc="HyperLogLog partial-sketch workflow: per-event-type user "
+    "sketches (hll_sketch_agg, lgK=12 => ~4 KB bounded state each), "
+    "per-type estimates, PLUS the union-merged overall estimate "
+    "(hll_union_agg) — the mergeable-aggregate pattern that computes "
+    "group-level AND total distincts in ONE corpus pass at 100 TB "
+    "(re-aggregating sketches instead of re-shuffling raw keys). "
+    "Exact twin A3 is the semantics oracle; estimates are rows-only "
+    "by design with a golden test (A4/A20 precedent).",
+)
+def q_sketch_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    per_type = sk.select(
+        "event_type",
+        F.hll_sketch_estimate("sketch").alias("approx_users"),
+        "exact_users",
+    )
+    overall = sk.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("approx_users"),
+        F.sum(F.lit(0)).cast("bigint").alias("_z"),
+    ).select(
+        F.lit("__all__").alias("event_type"),
+        "approx_users",
+        F.lit(None).cast("bigint").alias("exact_users"),
+    )
+    return per_type.unionByName(overall)
+
+# ==== from analytics_r3i ===========================================
+
+# k=8, not the textbook 64+: the smallest fixture (sf0.001) has only 15
+# distinct users per type, and a k above the true cardinality yields no
+# k-th order statistic at all (vacuous 0-row result, which the selfcheck
+# forbids). Accuracy scales with k in production; the machinery is
+# k-independent.
+_KMV_K = 8
+
+_H48_SPARK = (
+    "cast(conv(substr(md5(cast(user_id as string)), 1, 12), 16, 10)"
+    " as bigint)"
+)
+
+_H48_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+@register(
+    "q_sketch_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type, {_H48_DUCK} AS h48
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, h48,
+                   row_number() OVER (
+                       PARTITION BY event_type ORDER BY h48
+                   ) AS rnk
+            FROM h
+        ),
+        kth AS (
+            SELECT event_type, h48 AS hk,
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM events e
+                         WHERE e.event_type = ranked.event_type) AS BIGINT)
+                       AS exact_users
+            FROM ranked WHERE rnk = {_KMV_K}
+        )
+        SELECT event_type,
+               CAST({_KMV_K - 1} AS DOUBLE) * 281474976710656.0
+                   / CAST(hk AS DOUBLE) AS kmv_estimate,
+               exact_users
+        FROM kth
+    """,
+    section="SK4",
+    doc=f"K-Minimum-Values distinct-count sketch (k={_KMV_K}) per event "
+    "type over a 48-bit md5 hash: estimate = (k-1)*2^48 / h_(k) — and "
+    "because the hash and the order statistic are deterministic, the "
+    "ESTIMATE itself is exactly reproducible cross-engine (unlike HLL "
+    "A4/SK3, which are rows-only): a sketch with an exact oracle. "
+    "Per-group state is the k smallest hashes (rank-k keyed window on "
+    "the DISTINCT hash table) — bounded memory at any cardinality, and "
+    "sketches union by re-ranking (mergeable, like SK3). Exact distinct "
+    "count carried alongside as the accuracy reference.",
+)
+def q_sketch_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select("event_type", F.expr(_H48_SPARK).alias("h48")).distinct()
+    rnk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("h48")
+    )
+    kth = h.withColumn("rnk", rnk).where(F.col("rnk") == _KMV_K)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return (
+        kth.join(exact, "event_type")
+        .select(
+            "event_type",
+            (
+                F.lit(float(_KMV_K - 1))
+                * F.lit(281474976710656.0)
+                / F.col("h48").cast("double")
+            ).alias("kmv_estimate"),
+            "exact_users",
+        )
+    )
+
+# ==== from analytics_r3m ===========================================
+
+_KMVJ_K = 16
+
+@register(
+    "q_sketch_kmv_jaccard",
+    oracle=f"""
+        WITH h AS (
+            SELECT {_H48_DUCK} AS h48,
+                   MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                       AS in_a,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM events
+            WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        ),
+        ranked AS (
+            SELECT h48, in_a, in_b,
+                   row_number() OVER (ORDER BY h48) AS rnk
+            FROM h
+        ),
+        sk AS (
+            SELECT CAST(SUM(in_a * in_b) AS DOUBLE) / {_KMVJ_K}
+                       AS jaccard_est
+            FROM ranked WHERE rnk <= {_KMVJ_K}
+        ),
+        ex AS (
+            SELECT CAST(SUM(in_a * in_b) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS jaccard_exact,
+                   CAST(COUNT(*) AS BIGINT) AS n_union
+            FROM h
+        )
+        SELECT CAST({_KMVJ_K} AS INT) AS k,
+               sk.jaccard_est, ex.jaccard_exact, ex.n_union
+        FROM sk CROSS JOIN ex
+    """,
+    section="SK5",
+    doc=f"KMV set-similarity sketch: the Jaccard similarity between the "
+    "'click' and 'purchase' user sets estimated from the k={_KMVJ_K} "
+    "minimum 48-bit hashes of the UNION (the fraction of the k-min "
+    "sample lying in the intersection — the classic bottom-k estimator), "
+    "with the exact Jaccard and union size alongside. Pure hash/integer "
+    "logic over SK4's md5 hash: the estimate is a ratio of exact "
+    "integers, so — like SK4 and unlike HLL — the sketch output itself "
+    "hash-matches cross-engine. Per-side state is the k smallest "
+    "hashes; sketches merge by re-ranking (mergeable across partitions "
+    "and time windows).",
+)
+def q_sketch_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "click", 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("in_b"),
+        )
+        .select(F.expr(_H48_SPARK).alias("h48"), "in_a", "in_b")
+    )
+    ranked = h.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("h48"))
+    )
+    sk = ranked.where(F.col("rnk") <= _KMVJ_K).agg(
+        (F.sum(F.col("in_a") * F.col("in_b")).cast("double") / _KMVJ_K).alias(
+            "jaccard_est"
+        )
+    )
+    ex = h.agg(
+        (
+            F.sum(F.col("in_a") * F.col("in_b")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("jaccard_exact"),
+        F.count("*").alias("n_union"),
+    )
+    return sk.crossJoin(ex).select(
+        F.lit(_KMVJ_K).alias("k"), "jaccard_est", "jaccard_exact", "n_union"
+    )
+
+# ==== from analytics_r3t ===========================================
+
+@register(
+    "q_sketch_bitmap_distinct",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+    section="SK6",
+    doc="Exact distinct counting via Spark's bitmap aggregate family: "
+    "user ids split into (bucket, bit position), per-bucket bitmaps "
+    "built with bitmap_construct_agg, popcounts summed — equals "
+    "COUNT(DISTINCT) bit-for-bit, which IS the oracle. The dense-id "
+    "sketch: bitmaps OR-combine map-side and across time windows "
+    "(mergeable like SK3/SK4 HLL/KMV but EXACT), memory |id-range|/8 "
+    "bits per key split across fixed-size buckets — the right tool "
+    "when ids are dense integers (user ids, row ids); for sparse "
+    "64-bit keys fall back to SK4's KMV or A4's HLL. Two keyed "
+    "reductions, both partial-agg friendly.",
+)
+def q_sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_bucket = (
+        ev.select(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("bkt"),
+            F.expr("bitmap_bit_position(user_id)").alias("pos"),
+        )
+        .groupBy("event_type", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return per_bucket.groupBy("event_type").agg(
+        F.expr("CAST(sum(bitmap_count(bm)) AS BIGINT)").alias("n_users")
+    )
+
+# ==== from analytics_r3y ===========================================
+
+_SK7_K = 10
+
+_H48_DOC = (
+    "cast(conv(substr(md5(cast(doc_id as string)), 1, 12), 16, 10) as bigint)"
+)
+
+_H48_DOC_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)"
+)
+
+@register(
+    "q_sketch_consistent_sample",
+    oracle=f"""
+        WITH h AS (
+            SELECT lang, doc_id, n_chars, {_H48_DOC_DUCK} AS h48
+            FROM documents
+        ),
+        r AS (
+            SELECT lang, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY lang ORDER BY h48, doc_id
+                   ) AS rnk
+            FROM h
+        )
+        SELECT lang, doc_id, n_chars, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= {_SK7_K}
+    """,
+    section="SK7",
+    doc=f"Consistent bottom-k-by-hash sample: the {_SK7_K} documents with "
+    "the smallest id-hashes per language — because selection depends "
+    "only on the key's hash, ANY snapshot, replica, or engine picks "
+    "the SAME documents (minus deletions), so samples of two datasets "
+    "are directly comparable row-by-row: the cross-snapshot QA "
+    "primitive (eyeball the same docs before/after a pipeline change; "
+    "diff their bytes with E21). Contrast E4/E9: those sample "
+    "proportions, this samples IDENTITIES. Bottom-k per group is "
+    "SK4's rank window; two-level heads merge at scale.",
+)
+def q_sketch_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select("lang", "doc_id", "n_chars", F.expr(_H48_DOC).alias("h48"))
+    rnk = F.row_number().over(
+        Window.partitionBy("lang").orderBy("h48", "doc_id")
+    )
+    return (
+        h.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _SK7_K)
+        .select("lang", "doc_id", "n_chars", F.col("rnk").cast("int"))
     )

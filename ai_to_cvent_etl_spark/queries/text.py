@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
 
 
 @register(
@@ -195,4 +197,532 @@ def q_text_lang_filter_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.trim(F.col("text"))).cast("bigint").alias("clean_len"),
         F.size(F.split(F.trim(F.col("text")), " ")).cast("bigint").alias("n_tokens"),
         "source",
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+@register(
+    "q_text_bpe_pairs",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ),
+        pairs AS (
+            SELECT unnest(list_transform(range(1, length(t)),
+                          i -> substring(t, i, 2))) AS pair,
+                   c
+            FROM tf WHERE length(t) >= 2
+        )
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS merge_count
+        FROM pairs
+        GROUP BY pair
+        ORDER BY merge_count DESC, pair
+        LIMIT 30
+    """,
+    section="T9",
+    doc="BPE tokenizer-training inner loop, round 1: corpus-weighted "
+    "adjacent-character-pair frequencies (the statistic argmaxed by every "
+    "byte-pair-encoding merge step). Token frequencies are one keyed "
+    "shuffle over exploded tokens; pair extraction then runs on the "
+    "DISTINCT-token table (vocabulary-sized, not corpus-sized) — the same "
+    "work-sharing real BPE trainers use. All-integer counts, fully "
+    "tie-broken top-30 => exact.",
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = (
+        tf.filter(F.length("t") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(t) - 1),"
+                    " i -> substring(t, i, 2))"
+                )
+            ).alias("pair"),
+            "c",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(30)
+    )
+
+# ==== from analytics_r3c ===========================================
+
+_POSTINGS_CAP = 20
+
+@register(
+    "q_text_markov_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ),
+        pair AS (
+            SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seq WHERE to_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+        FROM pair
+    """,
+    section="T12",
+    doc="First-order Markov next-event transition matrix over per-user "
+    "event sequences: lead() window (constant state) -> pair counts -> "
+    "row-normalized probabilities. p is one int/int IEEE division — exact "
+    "cross-engine. The matrix is |event_types|^2 rows, so every step after "
+    "the lead window runs on a bounded table.",
+)
+def q_text_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pair = (
+        ev.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("from_type")
+    return pair.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.sum("n").over(wf).alias("n_from"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(wf).cast("double")
+        ).alias("p"),
+    )
+
+@register(
+    "q_text_inverted_index",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+            FROM documents
+        ),
+        tf AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS tf_total
+            FROM tok GROUP BY token
+        ),
+        d AS (SELECT DISTINCT token, doc_id FROM tok),
+        dfreq AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs
+            FROM d GROUP BY token
+        ),
+        ranked AS (
+            SELECT token, doc_id,
+                   row_number() OVER (
+                       PARTITION BY token ORDER BY doc_id
+                   ) AS rn
+            FROM d
+        ),
+        post AS (
+            SELECT token, list(doc_id ORDER BY doc_id) AS postings
+            FROM ranked WHERE rn <= {_POSTINGS_CAP}
+            GROUP BY token
+        )
+        SELECT tf.token, tf.tf_total, dfreq.df_docs, post.postings
+        FROM tf JOIN dfreq USING (token) JOIN post USING (token)
+    """,
+    section="T11",
+    doc="Inverted index build: token -> document frequency, total term "
+    "frequency, and a CAPPED sorted posting-list head (first "
+    f"{_POSTINGS_CAP} doc_ids). The cap is the scalable shape: a "
+    "stop-token's full posting list is corpus-sized, so the head is "
+    "selected by row_number over the DISTINCT (token, doc_id) relation "
+    "(bounded per-group output), never by collecting an unbounded set. "
+    "Two keyed shuffles (distinct + counts) over the token stream; the "
+    "final join runs on vocabulary-sized tables.",
+)
+def q_text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), " ")).alias("token"),
+    )
+    tf = tok.groupBy("token").agg(F.count(F.lit(1)).alias("tf_total"))
+    d = tok.distinct()
+    dfreq = d.groupBy("token").agg(F.count(F.lit(1)).alias("df_docs"))
+    rn = F.row_number().over(Window.partitionBy("token").orderBy("doc_id"))
+    post = (
+        d.withColumn("rn", rn)
+        .filter(F.col("rn") <= _POSTINGS_CAP)
+        .groupBy("token")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    )
+    return tf.join(dfreq, "token").join(post, "token")
+
+# ==== from analytics_r3l ===========================================
+
+_ZIPF_TOP = 100
+
+@register(
+    "q_text_zipf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+        ),
+        cnt AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM tok WHERE tok <> '' GROUP BY tok
+        ),
+        ranked AS (
+            SELECT tok, n,
+                   row_number() OVER (ORDER BY n DESC, tok) AS rnk
+            FROM cnt
+        ),
+        head AS (
+            SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(28,15)) AS x,
+                   CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(28,15)) AS y,
+                   CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE))
+                        AS DECIMAL(28,15)) AS xx,
+                   CAST(ln(CAST(rnk AS DOUBLE)) * ln(CAST(n AS DOUBLE))
+                        AS DECIMAL(28,15)) AS xy
+            FROM ranked WHERE rnk <= {_ZIPF_TOP}
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS cnt,
+                   CAST(SUM(x) AS DOUBLE) AS sx,
+                   CAST(SUM(y) AS DOUBLE) AS sy,
+                   CAST(SUM(xx) AS DOUBLE) AS sxx,
+                   CAST(SUM(xy) AS DOUBLE) AS sxy
+            FROM head
+        )
+        SELECT CAST(cnt AS BIGINT) AS n_tokens,
+               ROUND((cnt * sxy - sx * sy) / (cnt * sxx - sx * sx), 6)
+                   AS zipf_slope,
+               ROUND((sy - (cnt * sxy - sx * sy) / (cnt * sxx - sx * sx)
+                           * sx) / cnt, 6) AS zipf_intercept
+        FROM m
+    """,
+    section="T13",
+    doc=f"Zipf's-law fit over the corpus: token frequencies, deterministic "
+    f"rank (count desc, token asc), and an OLS fit of ln(freq) on "
+    f"ln(rank) over the top-{_ZIPF_TOP} tokens. Per-row ln() is IEEE "
+    "row-local (last-ulp libm noise only); every moment term is "
+    "quantized to DECIMAL(28,15) and summed exactly, so the only float "
+    "reductions are over already-exact decimals; slope/intercept are "
+    "one IEEE formula each, rounded at 6dp. A natural-text corpus fits "
+    "slope ≈ -1; the synthetic 31-token corpus fits much shallower — "
+    "the fit IS the diagnostic. Corpus collapses to a 100-row head "
+    "before any float math.",
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("n"))
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("n"), F.asc("tok")))
+    head = (
+        cnt.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _ZIPF_TOP)
+        .select(
+            F.log(F.col("rnk").cast("double")).alias("lx"),
+            F.log(F.col("n").cast("double")).alias("ly"),
+        )
+        .select(
+            F.col("lx").cast("decimal(28,15)").alias("x"),
+            F.col("ly").cast("decimal(28,15)").alias("y"),
+            (F.col("lx") * F.col("lx")).cast("decimal(28,15)").alias("xx"),
+            (F.col("lx") * F.col("ly")).cast("decimal(28,15)").alias("xy"),
+        )
+    )
+    m = head.agg(
+        F.count("*").cast("double").alias("cnt"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+    )
+    slope = (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("cnt").cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("cnt"), 6).alias(
+            "zipf_intercept"
+        ),
+    )
+
+# ==== from analytics_r3n ===========================================
+
+_BM25_TERMS = ("join", "scan", "table")
+
+_BM25_K1 = 1.2
+
+_BM25_B = 0.75
+
+_BM25_TOPK = 20
+
+@register(
+    "q_text_bm25",
+    oracle=f"""
+        WITH docs AS (
+            SELECT doc_id, string_split(text, ' ') AS sp,
+                   len(string_split(text, ' ')) AS dl
+            FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+            FROM docs
+        ),
+        terms AS (
+            SELECT unnest(['join', 'scan', 'table']) AS term
+        ),
+        tf AS (
+            SELECT d.doc_id, t.term, d.dl,
+                   CAST(len(list_filter(d.sp, x -> x = t.term)) AS BIGINT)
+                       AS tf
+            FROM docs d CROSS JOIN terms t
+        ),
+        df AS (
+            SELECT term, CAST(SUM(CASE WHEN tf > 0 THEN 1 ELSE 0 END)
+                              AS DOUBLE) AS df
+            FROM tf GROUP BY term
+        ),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {_BM25_K1} * (1.0 - {_BM25_B}
+                                      + {_BM25_B} * tf.dl / s.avgdl))
+                       AS score
+            FROM tf JOIN df ON df.term = tf.term CROSS JOIN stats s
+            WHERE tf.tf > 0
+        ),
+        ranked AS (
+            SELECT doc_id, term, score,
+                   row_number() OVER (
+                       PARTITION BY term ORDER BY score DESC, doc_id
+                   ) AS rnk
+            FROM scored
+        )
+        SELECT term, doc_id, CAST(rnk AS INT) AS rnk,
+               ROUND(score, 6) AS bm25
+        FROM ranked WHERE rnk <= {_BM25_TOPK}
+    """,
+    section="T14",
+    doc=f"BM25 relevance ranking of the corpus against the fixed query "
+    f"terms {_BM25_TERMS} (k1={_BM25_K1}, b={_BM25_B}; the Lucene-style "
+    "+1 idf floor): term frequencies via a codegen'd array filter, "
+    "document frequencies and avgdl as broadcast-size aggregates, "
+    "top-20 docs per term by a rank window. Every input to the score "
+    "is an exact integer, so the IEEE score bits are identical "
+    "cross-engine and the ranking is deterministic (doc_id tie-break) "
+    "with rounding applied only on output. The search-engine scoring "
+    "primitive for retrieval-based training-data curation.",
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split("text", " ").alias("sp"),
+        F.size(F.split("text", " ")).alias("dl"),
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    terms = docs.sparkSession.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    tf = docs.crossJoin(F.broadcast(terms)).select(
+        "doc_id",
+        "term",
+        "dl",
+        F.size(
+            F.filter(F.col("sp"), lambda x: x == F.col("term"))
+        ).cast("long").alias("tf"),
+    )
+    df_ = tf.groupBy("term").agg(
+        F.sum(F.when(F.col("tf") > 0, 1).otherwise(0))
+        .cast("double")
+        .alias("df")
+    )
+    t = F.col("tf").cast("double")
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = idf * (t * (_BM25_K1 + 1.0)) / (
+        t + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.where(F.col("tf") > 0)
+        .join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", score.alias("score"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("term").orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+    return (
+        scored.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _BM25_TOPK)
+        .select("term", "doc_id", F.col("rnk").cast("int"), F.round("score", 6).alias("bm25"))
+    )
+
+# ==== from analytics_r3t ===========================================
+
+@register(
+    "q_text_novelty",
+    oracle="""
+        WITH grams AS (
+            SELECT DISTINCT doc_id, g
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           list_slice(string_split(text, ' '), 1,
+                                      len(string_split(text, ' ')) - 2),
+                           (x, i) -> x || ' '
+                                     || string_split(text, ' ')[i + 1]
+                                     || ' '
+                                     || string_split(text, ' ')[i + 2]))
+                           AS g
+                FROM documents
+            )
+        ),
+        first_seen AS (
+            SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT gr.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS novelty
+        FROM grams gr JOIN first_seen fs ON fs.g = gr.g
+        GROUP BY gr.doc_id
+    """,
+    section="T15",
+    doc="Per-document n-gram novelty: the fraction of a doc's DISTINCT "
+    "word 3-grams that appear in no earlier document (first occurrence "
+    "by doc_id order) — the marginal-contribution score a curation "
+    "pipeline uses to rank near-redundant documents beyond pairwise "
+    "dedup (a doc can evade every pairwise threshold yet contribute "
+    "nothing new). Integer counting + one IEEE ratio. The n-gram "
+    "explode is the heavy step (fan_out rule); first-occurrence is a "
+    "keyed min with map-side partials; the per-doc ratio joins on the "
+    "gram key. In streaming ingest the first_seen table is the "
+    "accumulating state (ST5's dedup shape over grams).",
+)
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = F.transform(
+        F.slice(toks, 1, F.size(toks) - 2),
+        lambda x, i: F.concat_ws(
+            " ",
+            x,
+            F.element_at(toks, i + 2),
+            F.element_at(toks, i + 3),
+        ),
+    )
+    grams = (
+        docs.select("doc_id", F.explode(tri).alias("g")).distinct()
+    )
+    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    j = grams.join(first_seen, "g")
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_grams"),
+        novel.alias("n_novel"),
+        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+    )
+
+# ==== from analytics_r4n ===========================================
+
+_KWIC_TERM = "join"
+
+@register(
+    "q_text_kwic",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS sp FROM documents
+        ),
+        occ AS (
+            SELECT doc_id, sp, u.pos AS pos
+            FROM (
+                SELECT doc_id, sp,
+                       unnest(list_transform(sp,
+                              (x, i) -> struct_pack(tok := x, pos := i)))
+                           AS u
+                FROM toks
+            )
+            WHERE u.tok = '{_KWIC_TERM}'
+        )
+        SELECT doc_id, CAST(pos AS INT) AS pos,
+               coalesce(array_to_string(
+                   list_slice(sp, greatest(1, pos - 2), pos - 1), ' '), '')
+                   AS left_ctx,
+               coalesce(array_to_string(
+                   list_slice(sp, pos + 1,
+                              least(len(sp), pos + 2)), ' '), '')
+                   AS right_ctx
+        FROM occ
+    """,
+    section="T16",
+    doc=f"Keyword-in-context (KWIC) concordance: every occurrence of "
+    f"'{_KWIC_TERM}' with its two tokens of left and right context "
+    "(document-boundary clamped) — the corpus-inspection primitive "
+    "behind search snippets, annotation review, and contamination "
+    "spot checks (pair with SK7's consistent sample to review the "
+    "SAME occurrences across snapshots). Positions are 1-based array "
+    "indices — exact, and (doc_id, pos) is a unique key. Row-local "
+    "slicing on the tokenization explode; no join, no shuffle beyond "
+    "the explode fan-out.",
+)
+def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sp = F.split("text", " ")
+    occ = docs.select(
+        "doc_id",
+        sp.alias("sp"),
+        F.posexplode(sp).alias("pos0", "tok"),
+    ).where(F.col("tok") == _KWIC_TERM).select(
+        "doc_id", "sp", (F.col("pos0") + 1).alias("pos")
+    )
+    left = F.array_join(
+        F.expr("slice(sp, greatest(1, pos - 2), "
+               "pos - greatest(1, pos - 2))"),
+        " ",
+    )
+    right = F.array_join(
+        F.expr("slice(sp, pos + 1, least(size(sp), pos + 2) - pos)"), " "
+    )
+    return occ.select(
+        "doc_id",
+        F.col("pos").cast("int").alias("pos"),
+        left.alias("left_ctx"),
+        right.alias("right_ctx"),
     )

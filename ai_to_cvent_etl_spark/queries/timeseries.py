@@ -36,6 +36,9 @@ from pyspark.sql.types import DecimalType
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from ai_to_cvent_etl_spark.queries._util import dec2
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
 
 # zero-padded total-order key over (unix_micros, event_id): cross-engine
 # comparable as a plain VARCHAR
@@ -189,4 +192,1473 @@ def q_ts_decay_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "decayed_value"
             )
         )
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+_Z_FRAME = 20  # trailing frame size (rows)
+
+_Z_MIN_N = 10  # minimum observations before scoring
+
+_Z_T = 2.5     # |z| threshold
+
+_TS5_MIN_VALUE = 250.0  # rare high-value slice => genuinely sparse series
+
+@register(
+    "q_ts_anomaly_zscore",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 1e4) AS BIGINT) AS qv
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, qv,
+                   CAST(COUNT(*) OVER f AS BIGINT) AS n,
+                   CAST(SUM(qv) OVER f AS BIGINT) AS s,
+                   CAST(SUM(qv * qv) OVER f AS BIGINT) AS s2
+            FROM q
+            WINDOW f AS (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN {_Z_FRAME - 1} PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT event_id, user_id,
+               (CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+               / sqrt(CAST(s2 AS DOUBLE) / n
+                      - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                   AS zscore
+        FROM w
+        WHERE n >= {_Z_MIN_N}
+          AND CAST(s2 AS DOUBLE) / n
+              - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n) > 0
+          AND abs((CAST(qv AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                  / sqrt(CAST(s2 AS DOUBLE) / n
+                         - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)))
+              > {_Z_T}
+    """,
+    section="TS4",
+    doc="Trailing-20-event z-score anomaly detection per user: values "
+    "quantized floor(v*1e4) to BIGINT so the window sums are exact "
+    "integers (order-insensitive), then mean/population-variance/z are "
+    "rebuilt with the identical IEEE double expression on both engines — "
+    "bit-deterministic, no output rounding. Bounded ROWS frame = constant "
+    "per-row state; one window sort per user at any scale.",
+)
+def q_ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_Z_FRAME - 1), Window.currentRow)
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 1e4) as bigint)").alias("qv"),
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "qv",
+        F.count(F.lit(1)).over(f).alias("n"),
+        F.sum("qv").over(f).alias("s"),
+        F.sum(F.col("qv") * F.col("qv")).over(f).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = (F.col("qv").cast("double") - mean) / F.sqrt(var)
+    return (
+        w.filter((F.col("n") >= _Z_MIN_N) & (var > 0) & (F.abs(z) > _Z_T))
+        .select("event_id", "user_id", z.alias("zscore"))
+    )
+
+@register(
+    "q_ts_interpolate",
+    oracle=f"""
+        WITH spine AS (
+            SELECT t.event_type, CAST(d.d AS DATE) AS day
+            FROM (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                       INTERVAL 1 DAY) d(d)
+        ),
+        daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS v
+            FROM events WHERE value >= {_TS5_MIN_VALUE}
+            GROUP BY 1, 2
+        ),
+        j AS (
+            SELECT s.event_type, s.day, d.v FROM spine s
+            LEFT JOIN daily d ON d.event_type = s.event_type AND d.day = s.day
+        ),
+        f AS (
+            SELECT event_type, day, v,
+                   last_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pv,
+                   last_value(CASE WHEN v IS NOT NULL THEN day END
+                              IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pd,
+                   first_value(v IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   first_value(CASE WHEN v IS NOT NULL THEN day END
+                               IGNORE NULLS) OVER (
+                       PARTITION BY event_type ORDER BY day
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS nd
+            FROM j
+        )
+        SELECT event_type, day,
+               CASE WHEN v IS NOT NULL THEN v
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv)
+                        * (CAST(date_diff('day', pd, day) AS DOUBLE)
+                           / CAST(date_diff('day', pd, nd) AS DOUBLE))
+                    WHEN pv IS NOT NULL THEN pv
+                    WHEN nv IS NOT NULL THEN nv
+               END AS filled,
+               CASE WHEN v IS NOT NULL THEN 'actual'
+                    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                    WHEN pv IS NOT NULL THEN 'ffill'
+                    WHEN nv IS NOT NULL THEN 'bfill'
+                    ELSE 'empty' END AS fill_kind
+        FROM f
+    """,
+    section="TS5",
+    doc="Linear interpolation of a sparse daily series (per-type sums of "
+    "rare high-value events) over a generated day spine: previous/next "
+    "present values via IGNORE-NULLS windows, gaps filled "
+    "pv + (nv-pv)*(day-pd)/(nd-pd), edges forward/back-filled, each row "
+    "tagged actual/interp/ffill/bfill. Series values are exact DECIMAL "
+    "sums and the fraction is an integer-day ratio, so the IEEE result "
+    "is bit-identical cross-engine — no rounding. Spine is tiny "
+    "(types x 30 days) and broadcast; window passes sort spine-sized "
+    "data per type.",
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(1).select(
+                F.explode(
+                    F.expr(
+                        "sequence(date'2024-01-01', date'2024-01-30',"
+                        " interval 1 day)"
+                    )
+                ).alias("day")
+            )
+        )
+    )
+    daily = (
+        ev.filter(F.col("value") >= _TS5_MIN_VALUE)
+        .groupBy("event_type", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast(DecimalType(12, 2)))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    j = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    day_if_present = F.when(F.col("v").isNotNull(), F.col("day"))
+    f = j.select(
+        "event_type",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(day_if_present, ignorenulls=True).over(wb).alias("pd"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(day_if_present, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.datediff(F.col("day"), F.col("pd")).cast("double")
+        / F.datediff(F.col("nd"), F.col("pd")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .when(F.col("nv").isNotNull(), F.col("nv"))
+    )
+    kind = (
+        F.when(F.col("v").isNotNull(), F.lit("actual"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(), F.lit("interp")
+        )
+        .when(F.col("pv").isNotNull(), F.lit("ffill"))
+        .when(F.col("nv").isNotNull(), F.lit("bfill"))
+        .otherwise(F.lit("empty"))
+    )
+    return f.select(
+        "event_type", "day", filled.alias("filled"), kind.alias("fill_kind")
+    )
+
+# ==== from analytics_r3d ===========================================
+
+_WAU_DAYS = 7
+
+@register(
+    "q_ts_active_users",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ),
+        dau AS (
+            SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM du GROUP BY day
+        ),
+        expanded AS (
+            SELECT du.day + CAST(o.off AS INTEGER) AS wday, du.user_id
+            FROM du CROSS JOIN (
+                SELECT unnest(range(0, {_WAU_DAYS})) AS off
+            ) o
+        ),
+        wau AS (
+            SELECT wday AS day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+            FROM expanded GROUP BY wday
+        )
+        SELECT dau.day, dau.dau, wau.wau,
+               CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE)
+                   AS stickiness
+        FROM dau JOIN wau USING (day)
+    """,
+    section="TS8",
+    doc="Daily active users, trailing-7-day weekly active users, and "
+    "DAU/WAU stickiness — the product-engagement headline metrics. The "
+    "sliding COUNT DISTINCT uses bounded day-expansion: each distinct "
+    "(day, user) observation emits exactly 7 window-membership rows, then "
+    "one keyed distinct-count per window day — constant fan-out, no "
+    "per-window unbounded state (the scalable alternative W13 "
+    "documented). All-integer; stickiness is one IEEE division.",
+)
+def q_ts_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = du.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    expanded = du.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_WAU_DAYS - 1))).alias("off"),
+        "day",
+        "user_id",
+    ).select(F.expr("date_add(day, off)").alias("wday"), "user_id")
+    wau = expanded.groupBy(F.col("wday").alias("day")).agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+# ==== from analytics_r3e ===========================================
+
+@register(
+    "q_ts_dow_seasonality",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   CAST(isodow(ts) AS INTEGER) AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(value AS DECIMAL(12,2))) AS sv
+            FROM events GROUP BY event_type, isodow(ts)
+        )
+        SELECT event_type, dow, n,
+               CAST(sv AS DOUBLE) AS sum_value,
+               CAST(sv AS DOUBLE) / n AS avg_value,
+               CAST(n AS DOUBLE)
+                   / CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+                   AS share_of_type
+        FROM d
+    """,
+    section="TS9",
+    doc="Day-of-week seasonality profile per event type: event share and "
+    "value stats by ISO weekday (Spark weekday()+1 == DuckDB isodow, "
+    "probed) — the weekly-pattern extraction behind staffing/capacity "
+    "models. One map-side-combinable aggregation collapses the corpus to "
+    "a |types| x 7 table; the share window runs on that bounded table. "
+    "DECIMAL sums; share/avg are fixed IEEE expressions — exact.",
+)
+def q_ts_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type",
+        (F.expr("weekday(ts)") + 1).cast("int").alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DecimalType(12, 2))).alias("sv"),
+    )
+    wt = Window.partitionBy("event_type")
+    return d.select(
+        "event_type",
+        "dow",
+        "n",
+        F.col("sv").cast("double").alias("sum_value"),
+        (F.col("sv").cast("double") / F.col("n")).alias("avg_value"),
+        (
+            F.col("n").cast("double") / F.sum("n").over(wt)
+        ).alias("share_of_type"),
+    )
+
+@register(
+    "q_ts_cusum",
+    oracle="""
+        WITH q AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 1e4) AS BIGINT) AS qv
+            FROM events
+        ),
+        t AS (
+            SELECT event_id, user_id, ts, qv,
+                   CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+                   CAST(SUM(qv) OVER (PARTITION BY user_id) AS BIGINT) AS s
+            FROM q
+        ),
+        r AS (
+            SELECT user_id, n,
+                   CAST(SUM(qv * n - s) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cusum
+            FROM t
+        )
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(MAX(cusum) AS BIGINT) AS max_cusum,
+               CAST(MIN(cusum) AS BIGINT) AS min_cusum,
+               CAST(MAX(cusum) - MIN(cusum) AS BIGINT) AS cusum_range
+        FROM r GROUP BY user_id
+    """,
+    section="TS10",
+    doc="CUSUM change detection per user: cumulative deviation of "
+    "quantized values from the user's own mean, kept ALL-INTEGER by "
+    "scaling the deviation with the user's event count (dev = qv*n - s) "
+    "instead of forming a fractional mean — the running sum is exact "
+    "under any partitioning, no rounding anywhere. max/min/range of the "
+    "CUSUM path are the standard level-shift signals. Two window passes "
+    "per user partition (totals, then ordered running sum) — constant "
+    "per-row state.",
+)
+def q_ts_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 1e4) as bigint)").alias("qv"),
+    )
+    wu = Window.partitionBy("user_id")
+    t = q.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "qv",
+        F.count(F.lit(1)).over(wu).alias("n"),
+        F.sum("qv").over(wu).alias("s"),
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    r = t.select(
+        "user_id",
+        "n",
+        F.sum(F.col("qv") * F.col("n") - F.col("s")).over(run).alias("cusum"),
+    )
+    return r.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.max("cusum").alias("max_cusum"),
+        F.min("cusum").alias("min_cusum"),
+        (F.max("cusum") - F.min("cusum")).alias("cusum_range"),
+    )
+
+# ==== from analytics_r3k ===========================================
+
+_ROLLCORR_ORACLE = """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS x,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+                   AS day
+        FROM bounds
+    ),
+    filled AS (
+        SELECT s.day,
+               COALESCE(d.x, 0) AS x,
+               CAST(COALESCE(d.y, 0) AS DECIMAL(19,2)) AS y
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ),
+    mom AS (
+        SELECT day,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n,
+               CAST(SUM(x) OVER w AS BIGINT) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(19,2)) * y) OVER w AS DOUBLE)
+                   AS sxy,
+               CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+               CAST(SUM(y * y) OVER w AS DOUBLE) AS syy
+        FROM filled
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT day,
+           CASE WHEN (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE) * syy - sy * sy) > 0
+                THEN ROUND(
+                     (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+           END AS rolling_corr
+    FROM mom
+    WHERE n = 14
+"""
+
+@register(
+    "q_ts_rolling_corr",
+    oracle=_ROLLCORR_ORACLE,
+    section="TS7",
+    doc="14-day rolling Pearson correlation between daily order count and "
+    "daily revenue on a gap-free day spine (gap days contribute exact "
+    "zeros). Built from exact sliding MOMENTS — integer counts and "
+    "DECIMAL sums over a ROWS frame — with r as one IEEE formula at the "
+    "end, instead of a native corr() window whose internal accumulation "
+    "order differs across engines. Warmup rows (frame < 14 days) are "
+    "excluded; zero-variance windows yield NULL identically. The corpus "
+    "collapses to |days| rows before any window runs.",
+)
+def q_ts_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(dec2(F.col("o_totalprice"))).alias("y"),
+    )
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    # Narrow the sum-widened daily revenue to DECIMAL(19,2) (lossless: a
+    # day's revenue fits at every SF). Width 19 keeps the squared moment
+    # inside decimal-38 on both engines AND forces DuckDB off its
+    # overflow-prone int64 multiply path (width<=18 factors multiply in
+    # int64 and 1.5e9-cent days overflow it).
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("x"), F.lit(0)).alias("x"),
+        F.coalesce(F.col("y"), F.lit(0)).cast("decimal(19,2)").alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    mom = filled.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,4)")).over(w).cast("double").alias("sy"),
+        F.sum(F.col("x").cast("decimal(19,2)") * F.col("y"))
+        .over(w).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("double").alias("syy"),
+    ).where(F.col("n") == 14)
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    varx = nd * F.col("sxx") - sx * sx
+    vary = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        "day",
+        F.when(
+            (varx > 0) & (vary > 0),
+            F.round(
+                (nd * F.col("sxy") - sx * F.col("sy"))
+                / (F.sqrt(varx) * F.sqrt(vary)),
+                6,
+            ),
+        ).alias("rolling_corr"),
+    )
+
+# ==== from analytics_r3m ===========================================
+
+_CP_MINSEG = 7
+
+@register(
+    "q_ts_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        cum AS (
+            SELECT day, v,
+                   row_number() OVER w AS t,
+                   COUNT(*) OVER () AS n,
+                   CAST(SUM(v) OVER w AS BIGINT) AS cs,
+                   CAST(SUM(v * v) OVER w AS BIGINT) AS cq,
+                   CAST(SUM(v) OVER () AS BIGINT) AS ts,
+                   CAST(SUM(v * v) OVER () AS BIGINT) AS tq
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        cost AS (
+            SELECT day, t, n,
+                   CAST(cq AS DOUBLE)
+                   - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / t
+                   + (CAST(tq AS DOUBLE) - CAST(cq AS DOUBLE))
+                   - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                     * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                     / (n - t) AS sse,
+                   CAST(cs AS DOUBLE) / t AS mean_left,
+                   (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE)) / (n - t)
+                       AS mean_right
+            FROM cum
+            WHERE t >= {_CP_MINSEG} AND t <= n - {_CP_MINSEG}
+        )
+        SELECT day AS split_day,
+               CAST(t AS BIGINT) AS n_left,
+               CAST(n - t AS BIGINT) AS n_right,
+               ROUND(mean_left, 4) AS mean_left,
+               ROUND(mean_right, 4) AS mean_right,
+               ROUND(sse, 4) AS sse
+        FROM cost
+        ORDER BY sse, day
+        LIMIT 1
+    """,
+    section="TS11",
+    doc="Single change-point detection on the daily revenue series: the "
+    "split minimizing total two-segment SSE, scanned via exact "
+    "cumulative moments — SSE_left(k) + SSE_right(k) come from "
+    "prefix/total moment algebra (Q - S²/n per segment), so the whole "
+    "candidate scan is ONE cumulative window pass, not n² segment "
+    "aggregations. The series is the daily revenue in WHOLE k$ (exact "
+    "decimal cents, integer-divided by 1e5), which keeps every moment "
+    "an exact BIGINT far below 2^53 at all test SFs: integer→double "
+    "casts are exact on both engines, sidestepping the int128/hugeint "
+    "decimal→double conversion path, whose last-ulp rounding differs "
+    "between Spark's BigDecimal and DuckDB's hugeint at ≥19 "
+    "significant digits (observed at sf0.01 — the reason this query "
+    "does NOT use wide-decimal moments). Cost bits are then identical "
+    "cross-engine, so the argmin needs no pre-rounding; ties break on "
+    f"the earlier day. Segments shorter than {_CP_MINSEG} days are "
+    "excluded. Aggregates to the day grain first (TS7's "
+    "window-on-spine rule): the window runs on |days| rows, constant "
+    "memory at any corpus scale.",
+)
+def q_ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v").over(w).alias("cs"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("cq"),
+        F.sum("v").over(wall).alias("ts"),
+        F.sum(F.col("v") * F.col("v")).over(wall).alias("tq"),
+    )
+    t = F.col("t").cast("double")
+    nt = (F.col("n") - F.col("t")).cast("double")
+    cs, cq = F.col("cs").cast("double"), F.col("cq").cast("double")
+    ts_, tq = F.col("ts").cast("double"), F.col("tq").cast("double")
+    cost = cum.where(
+        (F.col("t") >= _CP_MINSEG) & (F.col("t") <= F.col("n") - _CP_MINSEG)
+    ).select(
+        "day",
+        "t",
+        "n",
+        (cq - cs * cs / t + (tq - cq) - (ts_ - cs) * (ts_ - cs) / nt).alias(
+            "sse"
+        ),
+        (cs / t).alias("mean_left"),
+        ((ts_ - cs) / nt).alias("mean_right"),
+    )
+    return (
+        cost.orderBy("sse", "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("split_day"),
+            F.col("t").cast("long").alias("n_left"),
+            (F.col("n") - F.col("t")).cast("long").alias("n_right"),
+            F.round("mean_left", 4).alias("mean_left"),
+            F.round("mean_right", 4).alias("mean_right"),
+            F.round("sse", 4).alias("sse"),
+        )
+    )
+
+# ==== from analytics_r3n ===========================================
+
+_TS12_HALF = 14  # centered window: 14 before + current + 14 after
+
+_TS12_QS = 1e4
+
+@register(
+    "q_ts_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-02',
+                                  o_orderdate) AS BIGINT) % 7 AS dow
+            FROM orders GROUP BY o_orderdate
+        ),
+        tr AS (
+            SELECT day, dow, CAST(rev AS DOUBLE) AS v,
+                   CAST(SUM(rev) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {_TS12_HALF} PRECEDING
+                         AND {_TS12_HALF} FOLLOWING)
+        ),
+        det AS (
+            SELECT day, dow, v, trend, v - trend AS d FROM tr
+        ),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(CAST(floor(d * {_TS12_QS}) AS DECIMAL(38,0)))
+                        AS DOUBLE) / {_TS12_QS} / COUNT(*) AS seasonal
+            FROM det GROUP BY dow
+        )
+        SELECT det.day,
+               ROUND(det.trend, 4) AS trend,
+               ROUND(seas.seasonal, 4) AS seasonal,
+               ROUND(det.d - seas.seasonal, 4) AS residual
+        FROM det JOIN seas ON seas.dow = det.dow
+    """,
+    section="TS12",
+    doc="Classical (moving-average) decomposition of the daily revenue "
+    f"series: trend = centered {2 * _TS12_HALF + 1}-OBSERVATION moving "
+    "average (exact DECIMAL window sum / window count — partial edge "
+    "windows included, deterministically); seasonal = day-of-week mean "
+    "of the detrended series, with each detrended value quantized "
+    "floor(x·1e4) before the exact DECIMAL sum (§5.3 rule 10 keeps the "
+    "backing integer ≪ 2^53); residual = detrended − seasonal. "
+    "Day-of-week is datediff-mod-7 from a fixed Monday — NOT engine "
+    "dayofweek numbering (the F5 trap). Aggregates to the day grain "
+    "first (TS7's rule): every component runs on the |days| spine; the "
+    "7-row seasonal side broadcasts.",
+)
+def q_ts_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1995-01-02")).cast("long")) % 7,
+    )
+    w = Window.orderBy("day").rowsBetween(-_TS12_HALF, _TS12_HALF)
+    tr = daily.select(
+        "day",
+        "dow",
+        F.col("rev").cast("double").alias("v"),
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "day", "dow", "trend", (F.col("v") - F.col("trend")).alias("d")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(
+                F.floor(F.col("d") * _TS12_QS).cast("decimal(38,0)")
+            ).cast("double")
+            / _TS12_QS
+            / F.count("*")
+        ).alias("seasonal")
+    )
+    return det.join(seas, "dow").select(
+        "day",
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("d") - F.col("seasonal"), 4).alias("residual"),
+    )
+
+# ==== from analytics_r3r ===========================================
+
+_FC_LAG = 7
+
+@register(
+    "q_ts_forecast_eval",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        ),
+        fc AS (
+            SELECT day, cents,
+                   lag(cents, {_FC_LAG}) OVER (ORDER BY day) AS pred
+            FROM daily
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               ROUND(CAST(SUM(abs(cents - pred)) AS DOUBLE)
+                     / COUNT(*) / 100.0, 4) AS mae_dollars,
+               ROUND(CAST(SUM(abs(cents - pred)) AS DOUBLE)
+                     / CAST(SUM(cents) AS DOUBLE), 6) AS wape,
+               ROUND(CAST(SUM(cents - pred) AS DOUBLE)
+                     / CAST(SUM(cents) AS DOUBLE), 6) AS bias
+        FROM fc WHERE pred IS NOT NULL
+    """,
+    section="TS13",
+    doc="Forecast evaluation against the seasonal-naive baseline "
+    f"(prediction = revenue {_FC_LAG} OBSERVATIONS prior on the day "
+    "spine): MAE (dollars), WAPE (the scale-free accuracy metric "
+    "operations teams actually track), and bias — all ratios of exact "
+    "BIGINT cent errors (int64-backed daily sums, §5.3 rule 10), "
+    "rounded on output. The eval harness for any forecasting job: swap "
+    "the lag column for a model's prediction column and the metrics "
+    "are unchanged. Runs on the |days| spine (TS7's rule) — one "
+    "aggregation, one lag window, one reduction.",
+)
+def q_ts_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    fc = daily.select(
+        "cents",
+        F.lag("cents", _FC_LAG).over(Window.orderBy("day")).alias("pred"),
+    ).where(F.col("pred").isNotNull())
+    err = F.col("cents") - F.col("pred")
+    return fc.agg(
+        F.count("*").alias("n_days"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.count("*") / 100.0, 4
+        ).alias("mae_dollars"),
+        F.round(
+            F.sum(F.abs(err)).cast("double") / F.sum("cents").cast("double"),
+            6,
+        ).alias("wape"),
+        F.round(
+            F.sum(err).cast("double") / F.sum("cents").cast("double"), 6
+        ).alias("bias"),
+    )
+
+# ==== from analytics_r3t ===========================================
+
+@register(
+    "q_ts_max_drawdown",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY o_orderdate
+        ),
+        cs AS (
+            SELECT day,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS c
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        cum AS (
+            SELECT day, c,
+                   CAST(MAX(c) OVER w AS BIGINT) AS peak
+            FROM cs
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT day AS trough_day,
+               ROUND(CAST(peak - c AS DOUBLE) / 100.0, 2) AS drawdown,
+               ROUND(CAST(peak AS DOUBLE) / 100.0, 2) AS peak_value,
+               ROUND(CAST(c AS DOUBLE) / 100.0, 2) AS trough_value
+        FROM cum
+        ORDER BY peak - c DESC, day
+        LIMIT 1
+    """,
+    section="TS14",
+    doc="Maximum drawdown of the cumulative daily revenue curve: running "
+    "sum (exact cents), running peak (cummax of the cumsum), drawdown "
+    "= peak − current, argmax with earlier-day tie-break — the "
+    "canonical path-dependent risk/regression metric (for a metric "
+    "time series: the worst peak-to-trough regression). Pure integer "
+    "window algebra until the final dollar formatting, so the argmax "
+    "is exactly deterministic. Runs on the |days| spine; the TakeOrdered "
+    "argmax never sorts more than the spine.",
+)
+def q_ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "day",
+        F.sum("cents").over(w).alias("c"),
+    ).select(
+        "day", "c", F.max("c").over(w).alias("peak")
+    )
+    return (
+        cum.orderBy(F.desc(F.col("peak") - F.col("c")), F.asc("day"))
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.round((F.col("peak") - F.col("c")).cast("double") / 100.0, 2)
+            .alias("drawdown"),
+            F.round(F.col("peak").cast("double") / 100.0, 2).alias(
+                "peak_value"
+            ),
+            F.round(F.col("c").cast("double") / 100.0, 2).alias(
+                "trough_value"
+            ),
+        )
+    )
+
+# ==== from analytics_r3x ===========================================
+
+_TS15_HALF = 14
+
+@register(
+    "q_ts_seasonal_strength",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-02',
+                                  o_orderdate) AS BIGINT) % 7 AS dow
+            FROM orders GROUP BY o_orderdate
+        ),
+        tr AS (
+            SELECT day, dow, CAST(rev AS DOUBLE) AS v,
+                   CAST(SUM(rev) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {_TS15_HALF} PRECEDING
+                         AND {_TS15_HALF} FOLLOWING)
+        ),
+        det AS (SELECT day, dow, v, trend, v - trend AS d FROM tr),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(CAST(floor(d * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 / COUNT(*) AS s
+            FROM det GROUP BY dow
+        ),
+        comp AS (
+            SELECT CAST(floor((det.d - seas.s) / 1000.0) AS BIGINT) AS r_k,
+                   CAST(floor(det.d / 1000.0) AS BIGINT) AS dr_k,
+                   CAST(floor(det.trend / 1000.0) AS BIGINT) AS t_k,
+                   CAST(floor((det.trend + det.d - seas.s) / 1000.0)
+                        AS BIGINT) AS tr_k
+            FROM det JOIN seas ON seas.dow = det.dow
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(r_k) AS DOUBLE) AS sr,
+                   CAST(SUM(r_k * r_k) AS DOUBLE) AS srr,
+                   CAST(SUM(dr_k) AS DOUBLE) AS sd,
+                   CAST(SUM(dr_k * dr_k) AS DOUBLE) AS sdd,
+                   CAST(SUM(tr_k) AS DOUBLE) AS st,
+                   CAST(SUM(tr_k * tr_k) AS DOUBLE) AS stt
+            FROM comp
+        )
+        SELECT ROUND(greatest(0.0,
+                   1.0 - (srr / n - (sr / n) * (sr / n))
+                         / (sdd / n - (sd / n) * (sd / n))), 6)
+                   AS seasonal_strength,
+               ROUND(greatest(0.0,
+                   1.0 - (srr / n - (sr / n) * (sr / n))
+                         / (stt / n - (st / n) * (st / n))), 6)
+                   AS trend_strength
+        FROM m
+    """,
+    section="TS15",
+    doc="STL-style strength of seasonality and trend over the TS12 "
+    "decomposition: seasonal strength = max(0, 1 − Var(remainder)/"
+    "Var(detrended)) and trend strength = max(0, 1 − Var(remainder)/"
+    "Var(trend + remainder)) — the scalar that says whether the "
+    "day-of-week pattern or the trend is signal or noise. Component "
+    "values are quantized to whole k$ BEFORE the moment sums, making "
+    "every variance moment an exact BIGINT (§5.3 rule 10) and both "
+    "ratios single IEEE formulas. Runs on the |days| spine with a "
+    "7-row seasonal broadcast.",
+)
+def q_ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1995-01-02")).cast("long")) % 7,
+    )
+    w = Window.orderBy("day").rowsBetween(-_TS15_HALF, _TS15_HALF)
+    tr = daily.select(
+        "day",
+        "dow",
+        F.col("rev").cast("double").alias("v"),
+        (
+            F.sum("rev").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("trend"),
+    )
+    det = tr.select(
+        "dow", "trend", (F.col("v") - F.col("trend")).alias("d")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.floor(F.col("d") * 1e4).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e4
+            / F.count("*")
+        ).alias("s")
+    )
+    comp = det.join(seas, "dow").select(
+        F.floor((F.col("d") - F.col("s")) / 1000.0).cast("long").alias("r_k"),
+        F.floor(F.col("d") / 1000.0).cast("long").alias("dr_k"),
+        F.floor((F.col("trend") + F.col("d") - F.col("s")) / 1000.0)
+        .cast("long")
+        .alias("tr_k"),
+    )
+    m = comp.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("r_k").cast("double").alias("sr"),
+        F.sum(F.col("r_k") * F.col("r_k")).cast("double").alias("srr"),
+        F.sum("dr_k").cast("double").alias("sd"),
+        F.sum(F.col("dr_k") * F.col("dr_k")).cast("double").alias("sdd"),
+        F.sum("tr_k").cast("double").alias("st"),
+        F.sum(F.col("tr_k") * F.col("tr_k")).cast("double").alias("stt"),
+    )
+    vr = F.col("srr") / F.col("n") - (F.col("sr") / F.col("n")) * (
+        F.col("sr") / F.col("n")
+    )
+    vd = F.col("sdd") / F.col("n") - (F.col("sd") / F.col("n")) * (
+        F.col("sd") / F.col("n")
+    )
+    vt = F.col("stt") / F.col("n") - (F.col("st") / F.col("n")) * (
+        F.col("st") / F.col("n")
+    )
+    return m.select(
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vd), 6).alias(
+            "seasonal_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1.0 - vr / vt), 6).alias(
+            "trend_strength"
+        ),
+    )
+
+# ==== from analytics_r3z ===========================================
+
+_TS16_HALF = 14
+
+_TS16_K = 5.0  # MAD multiplier
+
+@register(
+    "q_ts_anomaly_residual",
+    oracle=f"""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-02',
+                                  o_orderdate) AS BIGINT) % 7 AS dow
+            FROM orders GROUP BY o_orderdate
+        ),
+        tr AS (
+            SELECT day, dow, CAST(rev AS DOUBLE) AS v,
+                   CAST(SUM(rev) OVER w AS DOUBLE)
+                   / CAST(COUNT(*) OVER w AS DOUBLE) AS trend
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN {_TS16_HALF} PRECEDING
+                         AND {_TS16_HALF} FOLLOWING)
+        ),
+        det AS (SELECT day, dow, v - trend AS d FROM tr),
+        seas AS (
+            SELECT dow,
+                   CAST(SUM(CAST(floor(d * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 / COUNT(*) AS s
+            FROM det GROUP BY dow
+        ),
+        res AS (
+            SELECT det.day,
+                   CAST(floor(abs(det.d - seas.s)) AS BIGINT) AS ar
+            FROM det JOIN seas ON seas.dow = det.dow
+        ),
+        mad AS (
+            SELECT ar AS m FROM (
+                SELECT ar, row_number() OVER (ORDER BY ar, day) AS rn,
+                       COUNT(*) OVER () AS n
+                FROM res
+            ) WHERE rn = CAST(ceil(n * 0.5) AS BIGINT)
+        )
+        SELECT r.day, r.ar AS abs_residual,
+               m.m AS mad,
+               r.ar > {_TS16_K} * m.m AS is_anomaly
+        FROM res r CROSS JOIN mad m
+    """,
+    section="TS16",
+    doc="Decomposition-residual anomaly detection: TS12's residuals "
+    "(daily revenue minus centered-MA trend minus day-of-week "
+    "seasonal), floor-quantized to whole dollars, scored against a "
+    f"{_TS16_K}× nearest-rank median-absolute-residual threshold — the "
+    "detector that ignores trend and weekday shape BY CONSTRUCTION, "
+    "where raw z-scores (TS4) fire on every Monday. Pure integer "
+    "threshold logic after the decomposition (nearest-rank median, "
+    "W23's device), so the flag comparison is exact. Runs on the "
+    "|days| spine; the 1-row MAD broadcasts.",
+)
+def q_ts_anomaly_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+    ).withColumn(
+        "dow",
+        (F.datediff(F.col("day"), F.lit("1995-01-02")).cast("long")) % 7,
+    )
+    w = Window.orderBy("day").rowsBetween(-_TS16_HALF, _TS16_HALF)
+    tr = daily.select(
+        "day",
+        "dow",
+        (
+            F.col("rev").cast("double")
+            - F.sum("rev").over(w).cast("double")
+            / F.count("*").over(w).cast("double")
+        ).alias("d"),
+    )
+    seas = tr.groupBy("dow").agg(
+        (
+            F.sum(F.floor(F.col("d") * 1e4).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e4
+            / F.count("*")
+        ).alias("s")
+    )
+    res = tr.join(seas, "dow").select(
+        "day",
+        F.floor(F.abs(F.col("d") - F.col("s"))).cast("long").alias("ar"),
+    )
+    rn = F.row_number().over(Window.orderBy("ar", "day"))
+    n = F.count("*").over(Window.partitionBy())
+    mad = (
+        res.select("ar", rn.alias("rn"), n.alias("n"))
+        .where(F.col("rn") == F.ceil(F.col("n") * 0.5).cast("long"))
+        .select(F.col("ar").alias("m"))
+    )
+    return res.crossJoin(F.broadcast(mad)).select(
+        "day",
+        F.col("ar").alias("abs_residual"),
+        F.col("m").alias("mad"),
+        (F.col("ar") > _TS16_K * F.col("m")).alias("is_anomaly"),
+    )
+
+# ==== from analytics_r4c ===========================================
+
+@register(
+    "q_ts_mann_kendall",
+    oracle="""
+        WITH monthly AS (
+            SELECT (date_part('year', o_orderdate) - 1995) * 12
+                   + date_part('month', o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                 WHEN b.cents < a.cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM monthly a JOIN monthly b ON b.m > a.m
+        ),
+        t AS (
+            SELECT CAST(SUM(c * (c - 1) * (2 * c + 5)) AS BIGINT) AS tie_term
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c
+                  FROM monthly GROUP BY cents)
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM monthly)
+        SELECT nn.n, s.s_stat,
+               ROUND((CAST(s.s_stat AS DOUBLE)
+                      - CAST(sign(s.s_stat) AS DOUBLE))
+                     / sqrt((CAST(nn.n AS DOUBLE) * (nn.n - 1)
+                             * (2 * nn.n + 5)
+                             - CAST(t.tie_term AS DOUBLE)) / 18.0), 4) AS z
+        FROM s CROSS JOIN t CROSS JOIN nn
+    """,
+    section="TS17",
+    doc="Mann-Kendall nonparametric trend test on monthly revenue: "
+    "S = Σ sign(x_j − x_i) over all month pairs (j > i), tie-corrected "
+    "variance n(n−1)(2n+5)/18 − Σ t(t−1)(2t+5)/18, and the continuity-"
+    "corrected z — monotone-trend significance with NO linearity "
+    "assumption (A31's OLS slope assumes one; Mann-Kendall survives "
+    "level shifts and outliers). All-integer S on exact BIGINT-cent "
+    "monthly sums; z is one IEEE formula. The pair join is |months|² "
+    "— spine-bounded; at long horizons the O(n log n) inversion-count "
+    "form computes the same S.",
+)
+def q_ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    monthly = orders.groupBy(mo.alias("m")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    a = monthly.alias("a")
+    b = monthly.alias("b")
+    s = (
+        a.join(b, F.col("b.m") > F.col("a.m"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.cents") > F.col("a.cents"), 1)
+                .when(F.col("b.cents") < F.col("a.cents"), -1)
+                .otherwise(0)
+            ).alias("s_stat")
+        )
+    )
+    t = (
+        monthly.groupBy("cents")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie_term")
+        )
+    )
+    nn = monthly.agg(F.count("*").alias("n"))
+    joined = s.crossJoin(F.broadcast(t)).crossJoin(F.broadcast(nn))
+    nd = F.col("n").cast("double")
+    var = (nd * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col(
+        "tie_term"
+    ).cast("double")) / 18.0
+    z = (
+        F.col("s_stat").cast("double")
+        - F.signum(F.col("s_stat").cast("double"))
+    ) / F.sqrt(var)
+    return joined.select("n", "s_stat", F.round(z, 4).alias("z"))
+
+# ==== from analytics_r4g ===========================================
+
+@register(
+    "q_ts_activity_heatmap",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '1995-01-02',
+                                  date_trunc('day', ts)) AS BIGINT) % 7
+                       AS dow,
+                   CAST(date_part('hour', ts) AS INT) AS hour,
+                   value
+            FROM events
+        )
+        SELECT dow, hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(CAST(COUNT(*) AS DOUBLE)
+                     / CAST(SUM(COUNT(*)) OVER () AS DOUBLE), 6)
+                   AS share
+        FROM c
+        GROUP BY dow, hour
+    """,
+    section="TS18",
+    doc="Day-of-week × hour activity heatmap with traffic shares — the "
+    "load-shaping profile behind capacity scheduling, maintenance "
+    "windows, and batch-slot placement. Day-of-week is datediff-mod-7 "
+    "from a fixed Monday on the TRUNCATED day (the F5 numbering trap, "
+    "avoided the same way as TS12); hour is a direct extraction. "
+    "Collapses to ≤168 cells in one reduction; the share window runs "
+    "over the collapsed cells.",
+)
+def q_ts_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.select(
+        (
+            F.datediff(
+                F.date_trunc("day", "ts"), F.lit("1995-01-02")
+            ).cast("long")
+            % 7
+        ).alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    g = c.groupBy("dow", "hour").agg(F.count("*").alias("n_events"))
+    w = Window.partitionBy()
+    return g.select(
+        "dow",
+        "hour",
+        "n_events",
+        F.round(
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(w).cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+# ==== from analytics_r4k ===========================================
+
+# dow (0=Mon..6=Sun) -> calendar days until the 5th business day
+_BD5 = [(0, 7), (1, 7), (2, 7), (3, 7), (4, 7), (5, 6), (6, 5)]
+
+@register(
+    "q_ts_business_days",
+    oracle=f"""
+        WITH m AS (
+            SELECT * FROM (VALUES
+                {', '.join(f'({d}, {c})' for d, c in _BD5)}
+            ) t(dow, cal_days)
+        ),
+        o AS (
+            SELECT o_orderkey,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-02',
+                                  o_orderdate) AS BIGINT) % 7 AS dow,
+                   o_orderdate
+            FROM orders
+        )
+        SELECT o.o_orderkey,
+               CAST(o.dow AS INT) AS order_dow,
+               CAST(o.o_orderdate + to_days(m.cal_days) AS DATE)
+                   AS due_date,
+               o.dow >= 5 AS weekend_start
+        FROM o JOIN m ON m.dow = o.dow
+    """,
+    section="TS19",
+    doc="Business-day arithmetic as POLICY DATA: the +5-business-day "
+    "deadline per order via a 7-row (day-of-week → calendar days) "
+    "mapping table — a weekday start lands on the same weekday next "
+    "week (7 calendar days), Saturday needs 6, Sunday 5 — joined "
+    "broadcast-side, with the weekend-start flag. Day-of-week is "
+    "datediff-mod-7 from a fixed Monday (the F5 numbering trap). "
+    "Policy-as-data is the point: holiday calendars append rows "
+    "(date-specific overrides) and regional calendars key the table "
+    "by region — nested CASE logic can do neither. Map-only plus one "
+    "7-row broadcast.",
+)
+def q_ts_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.sparkSession.createDataFrame(_BD5, "dow long, cal_days int")
+    o = orders.select(
+        "o_orderkey",
+        (
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-02")).cast("long")
+            % 7
+        ).alias("dow"),
+        "o_orderdate",
+    )
+    return o.join(F.broadcast(m), "dow").select(
+        "o_orderkey",
+        F.col("dow").cast("int").alias("order_dow"),
+        F.expr("CAST(o_orderdate + make_dt_interval(cal_days) AS DATE)")
+        .alias("due_date"),
+        (F.col("dow") >= 5).alias("weekend_start"),
+    )
+
+# ==== from analytics_r4o ===========================================
+
+_TW_SESS_US = 300_000_000  # 5-minute sessions (W27's interval model)
+
+@register(
+    "q_ts_time_weighted_avg",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+            UNION ALL
+            SELECT epoch_us(ts) + {_TW_SESS_US}, -1, event_id FROM events
+        ),
+        sweep AS (
+            SELECT t,
+                   CAST(SUM(delta) OVER (
+                       ORDER BY t, delta, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS level,
+                   lead(t) OVER (ORDER BY t, delta, event_id) AS t_next
+            FROM b
+        ),
+        seg AS (
+            SELECT level, t_next - t AS dur
+            FROM sweep WHERE t_next IS NOT NULL
+        )
+        SELECT CAST(SUM(dur) AS BIGINT) AS horizon_us,
+               CAST(MAX(level) AS BIGINT) AS peak,
+               ROUND(CAST(SUM(level * dur) AS DOUBLE)
+                     / CAST(SUM(dur) AS DOUBLE), 4)
+                   AS time_weighted_avg
+        FROM seg
+    """,
+    section="TS20",
+    doc="Time-weighted average concurrency: the W27 boundary sweep "
+    "integrated over time — each constant-level segment (level, "
+    "duration to the next boundary) contributes level·duration, and "
+    "the average divides by the active horizon; peak rides along. "
+    "THIS is the number occupancy, billing, and capacity baselines "
+    "follow — an event-weighted mean over-counts bursty periods "
+    "(many short segments) and under-counts quiet sustained load. "
+    "All-integer sweep and weighted sums (exact BIGINTs, §5.3 rule "
+    "10); one IEEE division. Adds one lead() to W27's sort — no new "
+    "shuffle; range-partitioned with offsets at scale.",
+)
+def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.unix_micros("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.unix_micros("ts") + _TW_SESS_US).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionAll(ends)
+    order = Window.orderBy("t", "delta", "event_id")
+    sweep = b.select(
+        "t",
+        F.sum("delta")
+        .over(order.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("level"),
+        F.lead("t").over(order).alias("t_next"),
+    )
+    seg = sweep.where(F.col("t_next").isNotNull()).select(
+        "level", (F.col("t_next") - F.col("t")).alias("dur")
+    )
+    return seg.agg(
+        F.sum("dur").alias("horizon_us"),
+        F.max("level").alias("peak"),
+        F.round(
+            F.sum(F.col("level") * F.col("dur")).cast("double")
+            / F.sum("dur").cast("double"),
+            4,
+        ).alias("time_weighted_avg"),
+    )
+
+# ==== from analytics_r4q ===========================================
+
+_PERIODS = (7, 14, 30)
+
+_PI2 = 6.283185307179586
+
+@register(
+    "q_ts_periodogram",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                                  o_orderdate) AS BIGINT) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        cent AS (
+            SELECT t,
+                   CAST(v AS DOUBLE)
+                   - CAST(SUM(v) OVER () AS DOUBLE)
+                     / CAST(COUNT(*) OVER () AS DOUBLE) AS x
+            FROM daily
+        ),
+        freqs AS (SELECT unnest([{', '.join(str(p) for p in _PERIODS)}]) AS period),
+        proj AS (
+            SELECT f.period,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(floor(c.x * cos({_PI2} * (c.t % f.period) / f.period)
+                                       * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 AS sc,
+                   CAST(SUM(CAST(floor(c.x * sin({_PI2} * (c.t % f.period) / f.period)
+                                       * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 AS ss,
+                   CAST(SUM(CAST(floor(c.x * c.x * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 AS sxx
+            FROM cent c CROSS JOIN freqs f
+            GROUP BY f.period
+        )
+        SELECT CAST(period AS INT) AS period_days,
+               ROUND((sc * sc + ss * ss) * 2.0 / n, 4) AS power,
+               ROUND((sc * sc + ss * ss) * 2.0 / n / sxx, 6)
+                   AS variance_share
+        FROM proj
+    """,
+    section="TS21",
+    doc="Fixed-frequency periodogram of daily revenue: DFT power at "
+    f"candidate periods {_PERIODS} days over the mean-centered "
+    "whole-k$ series — power = (Σx·cos + i·Σx·sin) magnitude scaled "
+    "2/n, and the variance share says how much of the series each "
+    "cadence explains. The frequency-domain complement of TS9/TS12: "
+    "calendar-keyed seasonality must GUESS the period; the "
+    "periodogram FINDS it (the 7-day line dominating confirms the "
+    "weekly cadence before any dow decomposition is trusted). Trig "
+    "factors are row-local IEEE over exact integer angles; every "
+    "projection term quantizes before the exact DECIMAL sums (§5.3 "
+    "rule 10). One spine pass regardless of candidate count. Residual "
+    "flake budget: a 1-ulp cross-engine trig diff landing on a floor "
+    "boundary can flip one 1e-4 quantum (§5.3 rule 10 addendum) — "
+    "never observed in a sweep; treat a one-quantum one-row mismatch "
+    "as that noise, not a regression.",
+)
+def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy("o_orderdate").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("v")
+    ).select(
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01"))
+        .cast("long")
+        .alias("t"),
+        "v",
+    )
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
+    cent = daily.select(
+        "t",
+        (
+            F.col("v").cast("double")
+            - F.sum("v").over(wall).cast("double")
+            / F.count("*").over(wall).cast("double")
+        ).alias("x"),
+    )
+    freqs = orders.sparkSession.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+
+    def qsum4(c):
+        return (
+            F.sum(F.floor(c * 1e4).cast("decimal(38,0)")).cast("double")
+            / 1e4
+        )
+
+    ang = F.lit(_PI2) * (F.col("t") % F.col("period")) / F.col("period")
+    proj = cent.crossJoin(F.broadcast(freqs)).groupBy("period").agg(
+        F.count("*").cast("double").alias("n"),
+        qsum4(F.col("x") * F.cos(ang)).alias("sc"),
+        qsum4(F.col("x") * F.sin(ang)).alias("ss"),
+        qsum4(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    power = (
+        F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")
+    ) * 2.0 / F.col("n")
+    return proj.select(
+        F.col("period").cast("int").alias("period_days"),
+        F.round(power, 4).alias("power"),
+        F.round(power / F.col("sxx"), 6).alias("variance_share"),
     )

@@ -19,6 +19,8 @@ from pyspark.sql.types import DoubleType, StringType
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from ai_to_cvent_etl_spark.queries._util import dec2
 
 
 @udf(StringType())
@@ -121,5 +123,370 @@ def q_udtf_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT d.doc_id, s.token, s.pos
         FROM _udtf_docs d, LATERAL split_tokens_udtf(d.text) s
+        """
+    )
+
+
+# ==== from analytics_r3h ===========================================
+
+_COGROUP_SCHEMA = (
+    "k bigint, n_events bigint, sum_qv bigint, n_orders bigint, "
+    "sum_cents bigint"
+)
+
+_COGROUP_BUCKETS = 64
+
+def _merge_bucket(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
+    """Per-BUCKET two-sided merge with a vectorized per-user groupby
+    inside pandas. Cogrouping on a bucket key instead of the raw user key
+    is the load-bearing choice: per-key cogroup would pay one Python call
+    per user (~15k calls at sf0.1, 10+ s); 64 buckets amortize the
+    Python/Arrow boundary to 64 calls while the merge itself stays
+    columnar. All aggregates are int64 (order-insensitive in the batch):
+    event values floored to 1e-4 units, money rounded to exact cents (2dp
+    doubles sit within 1 ulp of the true cent value, never near .5, so
+    numpy round == the SQL DECIMAL cast)."""
+    import numpy as np
+
+    if len(ev):
+        e = pd.DataFrame(
+            {
+                "k": ev["user_id"].astype("int64"),
+                "qv": np.floor(ev["value"].to_numpy() * 1e4).astype("int64"),
+            }
+        )
+        ge = e.groupby("k")["qv"].agg(["size", "sum"])
+        ge.columns = ["n_events", "sum_qv"]
+    else:
+        ge = pd.DataFrame(columns=["n_events", "sum_qv"], dtype="int64")
+    if len(od):
+        o = pd.DataFrame(
+            {
+                "k": od["o_custkey"].astype("int64"),
+                "c": np.round(od["o_totalprice"].to_numpy() * 100).astype(
+                    "int64"
+                ),
+            }
+        )
+        go = o.groupby("k")["c"].agg(["size", "sum"])
+        go.columns = ["n_orders", "sum_cents"]
+    else:
+        go = pd.DataFrame(columns=["n_orders", "sum_cents"], dtype="int64")
+    m = ge.join(go, how="outer").fillna(0).astype("int64").reset_index()
+    m = m.rename(columns={"index": "k"})
+    return m[["k", "n_events", "sum_qv", "n_orders", "sum_cents"]]
+
+@register(
+    "q_cogroup_pandas",
+    oracle="""
+        WITH e AS (
+            SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(floor(value * 1e4) AS BIGINT)) AS BIGINT)
+                       AS sum_qv
+            FROM events GROUP BY user_id
+        ),
+        o AS (
+            SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                                 AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT COALESCE(e.k, o.k) AS k,
+               COALESCE(e.n_events, 0) AS n_events,
+               COALESCE(e.sum_qv, 0) AS sum_qv,
+               COALESCE(o.n_orders, 0) AS n_orders,
+               COALESCE(o.sum_cents, 0) AS sum_cents
+        FROM e FULL OUTER JOIN o ON e.k = o.k
+    """,
+    section="X6",
+    doc="Two-sided cogrouped Arrow map (groupBy().cogroup()."
+    "applyInPandas): per-user merge of the events and orders groups in "
+    "one pandas function — the cogroup API surface X1-X5's one-sided "
+    "UD*Fs don't pin. Cogrouped on a 64-way BUCKET key (per-user keys "
+    "would pay one Python call per user — 10+ s at sf0.1; buckets "
+    "amortize the Arrow boundary while the in-pandas merge stays "
+    "columnar). Both sides hash-partition once; all pandas aggregates "
+    "are int64 — order-insensitive — so batch order cannot leak into "
+    "results; oracle = the equivalent FULL OUTER JOIN of grouped "
+    "aggregates.",
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % _COGROUP_BUCKETS).alias("bkt"), "user_id", "value"
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % _COGROUP_BUCKETS).alias("bkt"),
+        "o_custkey",
+        "o_totalprice",
+    )
+    return (
+        ev.groupBy("bkt")
+        .cogroup(od.groupBy("bkt"))
+        .applyInPandas(_merge_bucket, schema=_COGROUP_SCHEMA)
+    )
+
+# ==== from analytics_r3m ===========================================
+
+def _arrow_reverse_batches(it):
+    """RecordBatch -> RecordBatch using pyarrow.compute kernels only:
+    no pandas, no per-row Python. Cited API: pyspark DataFrame.mapInArrow
+    (public since Spark 3.3)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        text = batch.column(batch.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column(batch.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int32()),
+                pc.utf8_slice_codeunits(pc.utf8_reverse(text), 0, 12),
+            ],
+            names=["doc_id", "n_chars_arrow", "rev_prefix"],
+        )
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_arrow,
+               substr(reverse(text), 1, 12) AS rev_prefix
+        FROM documents
+    """,
+    section="X7",
+    doc="df.mapInArrow zero-copy batch transform: the Python boundary at "
+    "its cheapest — Arrow RecordBatches in, pyarrow.compute kernels "
+    "(utf8_length / utf8_reverse / utf8_slice_codeunits), RecordBatches "
+    "out; no pandas materialization, no per-row Python, columnar on "
+    "both sides of the FFI. The corpus is ASCII (probed r1), so "
+    "codeunit slicing equals character slicing and the DuckDB mirror "
+    "is plain length/reverse/substr. Map-only — no shuffle at any "
+    "scale; the X1-X7 family pins every tier of the Python boundary "
+    "(row UDF, pandas UDF, Arrow UDF, UDTF, cogroup, mapInArrow).",
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_reverse_batches,
+        "doc_id long, n_chars_arrow int, rev_prefix string",
+    )
+
+# ==== from analytics_r3p ===========================================
+
+def _make_status_summary_udtf():
+    """Build the UDTF class lazily so importing this module never needs a
+    SparkSession. Cited API: pyspark.sql.functions.udtf + TABLE(...)
+    PARTITION BY (public since Spark 3.5, polymorphic in 4.x)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="o_orderstatus string, n_rows bigint, total_cents bigint")
+    class StatusSummary:
+        def __init__(self) -> None:
+            self.key = None
+            self.n = 0
+            self.cents = 0
+
+        def eval(self, row):
+            self.key = row["o_orderstatus"]
+            self.n += 1
+            self.cents += int(row["cents"])
+
+        def terminate(self):
+            if self.key is not None:
+                yield self.key, self.n, self.cents
+
+    return StatusSummary
+
+@register(
+    "q_udtf_table_arg",
+    oracle="""
+        SELECT o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS total_cents
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    section="X8",
+    doc="Python UDTF invoked with a TABLE(...) argument and PARTITION BY "
+    "o_orderstatus — the Spark 4 polymorphic-table-function surface: "
+    "each partition streams through eval() (accumulating an exact cent "
+    "total), terminate() emits one summary row per group. The cents are "
+    "computed JVM-side (decimal*100 → BIGINT) so the Python side only "
+    "adds exact integers. Verified against a plain GROUP BY — the UDTF "
+    "must see every row of its partition exactly once regardless of "
+    "physical partitioning. Per-group state is O(1); the TABLE argument "
+    "is how user-defined relational operators compose with SQL at "
+    "scale (vs X4's lateral-join UDTF).",
+)
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    orders.createOrReplaceTempView("x8_orders_cents")
+    spark.udtf.register("x8_status_summary", _make_status_summary_udtf())
+    return spark.sql(
+        "SELECT * FROM x8_status_summary(TABLE(x8_orders_cents) "
+        "PARTITION BY o_orderstatus)"
+    )
+
+# ==== from analytics_r3x ===========================================
+
+_X9_DOCS = 50
+
+def _make_arrow_split_udtf():
+    """Arrow-optimized UDTF (useArrow=True): rows cross the boundary as
+    Arrow batches instead of pickled tuples. Cited API:
+    pyspark.sql.functions.udtf(useArrow=True) (Spark 4)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int", useArrow=True)
+    class ArrowSplit:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split(" ")):
+                yield (w, i)
+
+    return ArrowSplit
+
+@register(
+    "q_udtf_arrow",
+    oracle=f"""
+        SELECT doc_id, u.tok AS tok, u.pos AS pos
+        FROM (
+            SELECT doc_id,
+                   unnest(list_transform(string_split(text, ' '),
+                          (x, i) -> struct_pack(tok := x,
+                                                pos := CAST(i - 1 AS INT))))
+                       AS u
+            FROM documents WHERE doc_id < {_X9_DOCS}
+        )
+    """,
+    section="X9",
+    doc="Arrow-optimized Python UDTF (useArrow=True) in a LATERAL join: "
+    "tokenize with positions over a bounded doc window — the Arrow "
+    "batch path for table functions, pinned next to X4's pickled-row "
+    "UDTF and X8's TABLE-argument form (the full UDTF ladder). Exact "
+    "string splitting, 0-based positions. Arrow batching is the right "
+    "default for high-fanout UDTFs (one batch out per batch in, not "
+    "one pickle per emitted row) — still Python, still out of hot "
+    "relational paths.",
+)
+def q_udtf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("doc_id") < _X9_DOCS
+    )
+    docs.createOrReplaceTempView("x9_docs")
+    spark.udtf.register("x9_arrow_split", _make_arrow_split_udtf())
+    return spark.sql(
+        "SELECT d.doc_id, s.tok, s.pos "
+        "FROM x9_docs d, LATERAL x9_arrow_split(d.text) s"
+    )
+
+# ==== from analytics_r3z ===========================================
+
+def _center_on_median(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Nearest-rank median centering, SORT-based so the result does not
+    depend on Spark's arbitrary intra-group row order."""
+    s = pdf.sort_values(["o_totalprice", "o_orderkey"]).reset_index(drop=True)
+    med = float(s["o_totalprice"].iloc[(len(s) - 1) // 2])
+    return pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "o_orderstatus": pdf["o_orderstatus"],
+            "group_median": med,
+            "centered": pdf["o_totalprice"] - med,
+        }
+    )
+
+@register(
+    "q_apply_in_pandas",
+    oracle="""
+        WITH med AS (
+            SELECT o_orderstatus,
+                   MAX(CASE WHEN rn = (n - 1) // 2 + 1
+                            THEN o_totalprice END) AS m
+            FROM (
+                SELECT o_orderstatus, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_orderstatus
+                           ORDER BY o_totalprice, o_orderkey
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+                FROM orders
+            ) GROUP BY o_orderstatus
+        )
+        SELECT o.o_orderkey, o.o_orderstatus,
+               med.m AS group_median,
+               o.o_totalprice - med.m AS centered
+        FROM orders o JOIN med ON med.o_orderstatus = o.o_orderstatus
+    """,
+    section="X10",
+    doc="Grouped-map applyInPandas — the per-group pandas rung of the "
+    "Python ladder (X2 scalar, X3 grouped-agg, X6 cogroup, M2 "
+    "mapInPandas): each status group streams to one pandas call that "
+    "computes the NEAREST-RANK median (sorting first, so the result "
+    "is independent of Spark's arbitrary intra-group order — the "
+    "grouped-map determinism trap) and centers every order on it. "
+    "Mirrored by a rank-window median + join in SQL. One keyed "
+    "shuffle; group size is the pandas memory bound, which is why "
+    "grouped-map fits per-entity logic and never whole-table "
+    "transforms.",
+)
+def q_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    return orders.groupBy("o_orderstatus").applyInPandas(
+        _center_on_median,
+        schema="o_orderkey long, o_orderstatus string, "
+        "group_median double, centered double",
+    )
+
+# ==== from analytics_r4d ===========================================
+
+@register(
+    "q_sql_udf",
+    oracle="""
+        WITH tiers AS (
+            SELECT CAST(g.g AS INT) AS tier FROM generate_series(1, 3) g(g)
+        )
+        SELECT l_orderkey, l_linenumber, t.tier,
+               l_extendedprice * (1 - l_discount) * t.tier AS tiered_net
+        FROM lineitem CROSS JOIN tiers t
+        WHERE l_quantity > 45
+    """,
+    section="X11",
+    doc="Spark 4 SQL-defined functions: a scalar CREATE FUNCTION "
+    "net(p, d) RETURN p*(1-d) and a table-valued RETURNS TABLE tier "
+    "generator, composed in one query (each high-quantity lineitem "
+    "fanned across the generated tiers with the scalar applied). SQL "
+    "UDFs INLINE into the Catalyst plan — predicates through them "
+    "still push down and codegen still fuses, making this the only "
+    "zero-boundary-cost user-function tier (the X1-X10 Python ladder "
+    "all pay a process hop); shared business logic belongs here "
+    "first. The oracle inlines both bodies — inlining IS the "
+    "semantics.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "x11_lineitem"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION x11_net(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION x11_tiers(n INT) "
+        "RETURNS TABLE (tier INT) RETURN SELECT explode(sequence(1, n))"
+    )
+    return spark.sql(
+        """
+        SELECT l_orderkey, l_linenumber, t.tier,
+               x11_net(l_extendedprice, l_discount) * t.tier AS tiered_net
+        FROM x11_lineitem CROSS JOIN x11_tiers(3) t
+        WHERE l_quantity > 45
         """
     )

@@ -19,6 +19,11 @@ from pyspark.sql import functions as F
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import DecimalType
+import pandas as pd
+from ai_to_cvent_etl_spark.queries._util import dec2
+from pyspark.sql import DataFrame, SparkSession
 
 
 def _sq_norm(col: str) -> Column:
@@ -223,4 +228,882 @@ def q_vec_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# ==== from analytics_r3d ===========================================
+
+_SCALE_DIMS = 8  # emit the first k dims long-form (output stays bounded)
+
+@register(
+    "q_vec_minmax_scale",
+    oracle=f"""
+        WITH x AS (
+            SELECT vec_id, u.pos AS pos, u.val AS x
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(val := x, pos := i))) AS u
+                FROM embeddings
+            )
+            WHERE u.pos <= {_SCALE_DIMS}
+        ),
+        st AS (
+            SELECT pos, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY pos
+        )
+        SELECT x.vec_id, CAST(x.pos AS INTEGER) AS pos, x.x,
+               (CAST(x.x AS DOUBLE) - CAST(st.mn AS DOUBLE))
+               / (CAST(st.mx AS DOUBLE) - CAST(st.mn AS DOUBLE)) AS scaled
+        FROM x JOIN st USING (pos)
+        WHERE st.mx > st.mn
+    """,
+    section="V11",
+    doc="Per-dimension min-max feature scaling (the fit+transform ML-prep "
+    f"pass), first {_SCALE_DIMS} dims long-form: posexplode -> exact FLOAT "
+    "order statistics per dimension -> broadcast the |dims|-row stats "
+    "table back over the corpus (map-only transform; the corpus never "
+    "shuffles for the transform, only the tiny stats aggregation "
+    "shuffles). The scale expression is a fixed IEEE tree over exact "
+    "float->double conversions — bit-deterministic; degenerate dims "
+    "(mx == mn) are excluded on both engines.",
+)
+def q_vec_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos0", "x")
+    ).select(
+        "vec_id", (F.col("pos0") + 1).alias("pos"), "x"
+    ).where(F.col("pos") <= _SCALE_DIMS)
+    st = x.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    return (
+        x.join(F.broadcast(st), "pos")
+        .where(F.col("mx") > F.col("mn"))
+        .select(
+            "vec_id",
+            F.col("pos").cast("int"),
+            "x",
+            (
+                (F.col("x").cast("double") - F.col("mn").cast("double"))
+                / (F.col("mx").cast("double") - F.col("mn").cast("double"))
+            ).alias("scaled"),
+        )
+    )
+
+# ==== from analytics_r3e ===========================================
+
+def _recall_oracle() -> str:
+    from ai_to_cvent_etl_spark.queries.dedup_scale import _dot_duck, _nsq_duck
+
+    return f"""
+        WITH exact3 AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                         q.embedding, n.embedding) DESC,
+                                     n.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+                JOIN embeddings n ON n.vec_id <> q.vec_id
+            ) WHERE rank <= 3
+        ),
+        cells AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   4 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                 +     (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END) AS cell
+            FROM embeddings
+        ),
+        approx3 AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY a.vec_id
+                            ORDER BY {_dot_duck('a', 'b')}
+                                     / ({_nsq_duck('a')} * {_nsq_duck('b')})
+                                     DESC,
+                                     b.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM cells WHERE vec_id < 10) a
+                JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+            ) WHERE rank <= 3
+        )
+        SELECT e.query_id,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_match,
+               CAST(COUNT(a.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+        FROM exact3 e
+        LEFT JOIN approx3 a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+        GROUP BY e.query_id
+    """
+
+@register(
+    "q_vec_ann_recall",
+    oracle=_recall_oracle(),
+    section="V12",
+    doc="ANN quality gate: recall@3 of the D4 sign-bit IVF index against "
+    "the V3 brute-force cosine ground truth, per query — the measurement "
+    "every approximate index needs before it replaces the exact path "
+    "(bench-vs-baseline for indexes). Composes the two already-gated "
+    "queries and joins their bounded (10 x 3) outputs; recall is one "
+    "IEEE division over integer match counts. The underlying scans "
+    "inherit their own queries' scale shapes (queries broadcast, corpus "
+    "never shuffles).",
+)
+def q_vec_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.dedup_scale import q_ann_ivf_topk
+    from ai_to_cvent_etl_spark.queries.vectors import q_vec_cosine_topk
+
+    exact3 = (
+        q_vec_cosine_topk(spark, sf_dir)
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    approx3 = q_ann_ivf_topk(spark, sf_dir).select(
+        F.col("query_id").alias("aq"), F.col("neighbor_id").alias("an")
+    )
+    j = exact3.join(
+        approx3,
+        (F.col("query_id") == F.col("aq"))
+        & (F.col("neighbor_id") == F.col("an")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("an").alias("n_match"),
+        (F.count("an").cast("double") / F.lit(3.0)).alias("recall_at_3"),
+    )
+
+# ==== from analytics_r3g ===========================================
+
+_PRUNE_KEEP = 8
+
+@register(
+    "q_vec_dim_prune",
+    oracle=f"""
+        WITH x AS (
+            SELECT u.pos AS pos,
+                   CAST(floor(CAST(u.val AS DOUBLE) * 1e6) AS BIGINT) AS qx
+            FROM (
+                SELECT unnest(list_transform(embedding,
+                       (x, i) -> struct_pack(val := x, pos := i))) AS u
+                FROM embeddings
+            )
+        ),
+        m AS (
+            SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS s,
+                   CAST(SUM(qx * qx) AS BIGINT) AS s2
+            FROM x GROUP BY pos
+        ),
+        v AS (
+            SELECT CAST(pos AS INTEGER) AS pos, n,
+                   CAST(s2 AS DOUBLE) / n
+                   - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)
+                       AS variance_q
+            FROM m
+        )
+        SELECT pos, n, variance_q, CAST(rnk AS INTEGER) AS var_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY variance_q DESC, pos
+            ) AS rnk FROM v
+        ) WHERE rnk <= {_PRUNE_KEEP}
+    """,
+    section="V13",
+    doc=f"Variance-based feature selection: keep the top-{_PRUNE_KEEP} "
+    "highest-variance embedding dimensions (the zero-information-dim "
+    "pruning pass before indexing/training). Each float dim is quantized "
+    "floor(x*1e6) to BIGINT (the float->double widening is exact; one "
+    "correctly-rounded multiply on identical operands), variance comes "
+    "from exact integer moment sums, ranking ties break on position. One "
+    "posexplode + keyed agg over the corpus; the rank runs on |dims| "
+    "rows. Population variance in quantized units — the selection "
+    "ordering is what matters.",
+)
+def q_vec_dim_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("pos0", "v")).select(
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(floor(cast(v as double) * 1e6) as bigint)").alias("qx"),
+    )
+    m = x.groupBy("pos").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s"),
+        F.sum(F.col("qx") * F.col("qx")).alias("s2"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    v = m.select(
+        F.col("pos").cast("int"),
+        "n",
+        (F.col("s2").cast("double") / F.col("n") - mean * mean).alias(
+            "variance_q"
+        ),
+    )
+    rnk = F.row_number().over(Window.orderBy(F.desc("variance_q"), F.asc("pos")))
+    return (
+        v.withColumn("var_rank", rnk.cast("int"))
+        .where(F.col("var_rank") <= _PRUNE_KEEP)
+    )
+
+# ==== from analytics_r3h ===========================================
+
+@register(
+    "q_vec_embedding_drift",
+    oracle="""
+        WITH x AS (
+            SELECT vec_id % 2 AS half, u.pos AS pos,
+                   CAST(floor(CAST(u.val AS DOUBLE) * 1e6) AS BIGINT) AS qx
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(val := x, pos := i))) AS u
+                FROM embeddings
+            )
+        ),
+        m AS (
+            SELECT half, pos, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS s
+            FROM x GROUP BY half, pos
+        )
+        SELECT CAST(a.pos AS INTEGER) AS pos,
+               a.n AS n_a, b.n AS n_b,
+               CAST(a.s AS DOUBLE) / a.n AS mean_qa,
+               CAST(b.s AS DOUBLE) / b.n AS mean_qb,
+               abs(CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+                   AS abs_shift
+        FROM m a JOIN m b ON a.pos = b.pos AND a.half = 0 AND b.half = 1
+    """,
+    section="V14",
+    doc="Per-dimension embedding drift monitor: centroid shift between "
+    "two corpus halves (the check run between data/model versions before "
+    "an index rebuild — a large shift invalidates trained centroids like "
+    "V6's). Dims quantized floor(x*1e6) to exact integers; means are "
+    "single divisions of exact moments; the shift is a fixed IEEE tree. "
+    "One posexplode + keyed agg; the halves join on a |dims|-row table.",
+)
+def q_vec_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("pos0", "v"),
+    ).select(
+        "half",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr("cast(floor(cast(v as double) * 1e6) as bigint)").alias("qx"),
+    )
+    m = x.groupBy("half", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qx").alias("s")
+    )
+    a = m.where(F.col("half") == 0).select(
+        "pos", F.col("n").alias("n_a"), F.col("s").alias("s_a")
+    )
+    b = m.where(F.col("half") == 1).select(
+        "pos", F.col("n").alias("n_b"), F.col("s").alias("s_b")
+    )
+    ma = F.col("s_a").cast("double") / F.col("n_a")
+    mb = F.col("s_b").cast("double") / F.col("n_b")
+    return (
+        a.join(b, "pos")
+        .select(
+            F.col("pos").cast("int"),
+            "n_a",
+            "n_b",
+            ma.alias("mean_qa"),
+            mb.alias("mean_qb"),
+            F.abs(ma - mb).alias("abs_shift"),
+        )
+    )
+
+# ==== from analytics_r3j ===========================================
+
+_KNN_K = 5
+
+def _knn_oracle() -> str:
+    return f"""
+        WITH nn AS MATERIALIZED (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                         q.embedding, n.embedding) DESC,
+                                     n.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+                JOIN embeddings n ON n.vec_id <> q.vec_id
+            ) WHERE rank <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT nn.query_id, e.label,
+                   CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM nn JOIN embeddings e ON nn.neighbor_id = e.vec_id
+            GROUP BY nn.query_id, e.label
+        ),
+        pred AS (
+            SELECT query_id, label AS pred_label FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY n_votes DESC, label
+                ) AS rnk FROM votes
+            ) WHERE rnk = 1
+        )
+        SELECT p.query_id, p.pred_label,
+               CAST(g.label AS INTEGER) AS true_label,
+               CASE WHEN p.pred_label = g.label THEN 1 ELSE 0 END AS is_correct
+        FROM pred p JOIN embeddings g ON p.query_id = g.vec_id
+    """
+
+@register(
+    "q_vec_knn_classify",
+    oracle=_knn_oracle(),
+    section="V15",
+    doc=f"k-NN label classification (k={_KNN_K}): majority vote over the "
+    "V3 brute-force cosine neighbors, ties to the smallest label, "
+    "scored against the gold labels — the lazy-classifier evaluation "
+    "loop (the second model-eval op beside L14's confusion matrix). "
+    "Inherits V3's scale shape (queries broadcast, corpus never "
+    "shuffles); voting and scoring run on 10 x k rows. Integer votes, "
+    "fully tie-broken argmax — exact.",
+)
+def q_vec_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.vectors import q_vec_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = q_vec_cosine_topk(spark, sf_dir).where(F.col("rank") <= _KNN_K)
+    votes = (
+        nn.join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n_votes"))
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("query_id").orderBy(
+            F.desc("n_votes"), F.asc("label")
+        )
+    )
+    pred = (
+        votes.withColumn("rnk", rnk)
+        .where(F.col("rnk") == 1)
+        .select("query_id", F.col("label").alias("pred_label"))
+    )
+    gold = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("int").alias("true_label"),
+    )
+    return pred.join(gold, "query_id").select(
+        "query_id",
+        "pred_label",
+        "true_label",
+        F.when(F.col("pred_label") == F.col("true_label"), 1)
+        .otherwise(0)
+        .alias("is_correct"),
+    )
+
+# ==== from analytics_r3m ===========================================
+
+_Q = 1e12
+
+def _qsum(c):
+    """Exact, order-insensitive sum of a double column: quantize with
+    floor(x*1e12) (exactly defined on doubles), sum as DECIMAL(38,0),
+    convert back to double. Bit-identical on Spark and DuckDB."""
+    return (
+        F.sum(F.floor(c * F.lit(_Q)).cast("decimal(38,0)")).cast("double")
+        / F.lit(_Q)
+    )
+
+_QSUM_DUCK = "CAST(SUM(CAST(floor(({x}) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+
+_PCA_ROUNDS = 3
+
+_PCA_IT_DUCK = """
+        mv{i} AS (
+            SELECT c.i AS i,
+                   {qsum} AS s
+            FROM cov c JOIN v{j} v ON v.i = c.j
+            GROUP BY c.i
+        ),
+        nrm{i} AS (
+            SELECT sqrt({qsum2}) AS nrm FROM mv{i}
+        ),
+        v{i} AS (
+            SELECT i, s / nrm AS x FROM mv{i} CROSS JOIN nrm{i}
+        )""".format(
+    i="{i}",
+    j="{j}",
+    qsum=_QSUM_DUCK.format(x="c.c * v.x"),
+    qsum2=_QSUM_DUCK.format(x="s * s"),
+)
+
+@register(
+    "q_vec_pca_power",
+    oracle=(
+        """
+        WITH ex AS (
+            SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM embeddings
+            )
+        ),
+        mean AS (
+            SELECT i, {qmean} / COUNT(*) AS m FROM ex GROUP BY i
+        ),
+        cx AS (
+            SELECT e.vec_id, e.i, e.x - m.m AS cx
+            FROM ex e JOIN mean m ON m.i = e.i
+        ),
+        cov AS (
+            SELECT a.i AS i, b.i AS j,
+                   {qcov} / (COUNT(*) - 1) AS c
+            FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        v0 AS (
+            SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM ex
+        ),""".format(
+            qmean=_QSUM_DUCK.format(x="x"),
+            qcov=_QSUM_DUCK.format(x="a.cx * b.cx"),
+        )
+        + ",".join(
+            _PCA_IT_DUCK.format(i=i, j=i - 1) for i in range(1, _PCA_ROUNDS + 1)
+        )
+        + f"""
+        SELECT v.i AS dim,
+               ROUND(v.x, 6) AS loading,
+               ROUND(n.nrm, 4) AS eigenvalue
+        FROM v{_PCA_ROUNDS} v CROSS JOIN nrm{_PCA_ROUNDS} n
+    """
+    ),
+    section="V16",
+    doc="Top principal component of the embedding cloud: mean-center, "
+    "build the 64x64 covariance as the relational outer product "
+    "(posexplode^2 self-join co-keyed on vec_id), then three unrolled "
+    "power-iteration rounds (matvec -> L2-normalize), starting from the "
+    "exact-in-binary uniform unit vector 1/8. EVERY float reduction — "
+    "dim means, covariance cells, matvec terms, norm squares — goes "
+    "through the floor(x*1e12) DECIMAL quantization (G1's device), so "
+    "the whole iteration is bit-identical cross-engine with no "
+    "intermediate rounding. The eigenvalue is the final matvec norm "
+    "(the Rayleigh estimate under unit input). The matrix and vector "
+    "are bounded 64-row relations — matvecs are broadcast-size joins, "
+    "never driver collects.",
+)
+def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    mean = ex.groupBy("i").agg((_qsum(F.col("x")) / F.count("*")).alias("m"))
+    cx = ex.join(mean, "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
+    )
+    a, b = cx.alias("a"), cx.alias("b")
+    cov = (
+        a.join(b, "vec_id")
+        .select(
+            F.col("a.i").alias("i"),
+            F.col("b.i").alias("j"),
+            (F.col("a.cx") * F.col("b.cx")).alias("p"),
+        )
+        .groupBy("i", "j")
+        .agg((_qsum(F.col("p")) / (F.count("*") - 1)).alias("c"))
+    )
+    cov = cov.localCheckpoint(eager=False)
+    v = ex.select("i").distinct().select("i", F.lit(0.125).alias("x"))
+    nrm = None
+    for _ in range(_PCA_ROUNDS):
+        mv = (
+            cov.join(v.withColumnRenamed("i", "j"), "j")
+            .select("i", (F.col("c") * F.col("x")).alias("p"))
+            .groupBy("i")
+            .agg(_qsum(F.col("p")).alias("s"))
+        )
+        nrm = mv.agg(F.sqrt(_qsum(F.col("s") * F.col("s"))).alias("nrm"))
+        v = mv.crossJoin(nrm).select("i", (F.col("s") / F.col("nrm")).alias("x"))
+    return v.crossJoin(nrm).select(
+        F.col("i").cast("long").alias("dim"),
+        F.round("x", 6).alias("loading"),
+        F.round("nrm", 4).alias("eigenvalue"),
+    )
+
+# ==== from analytics_r3o ===========================================
+
+_HAM_TOPK = 10
+
+_HAM_NQ = 10
+
+def _pack_spark(lo: int) -> str:
+    """Pack 32 sign bits (dims lo..lo+31, 1-based) into one BIGINT; 32-bit
+    halves keep every shift < 63 (a 1<<63 overflows DuckDB's checked
+    BIGINT shift and wraps negative in Spark — word arrays generalize)."""
+    return (
+        f"aggregate(transform(slice(embedding, {lo}, 32), (x, i) -> "
+        "IF(x > CAST(0.0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+
+def _pack_duck(lo: int) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_slice(embedding, {lo}, "
+        f"{lo + 31}), (x, i) -> CASE WHEN x > 0 THEN "
+        "(CAST(1 AS BIGINT) << (i - 1)) ELSE CAST(0 AS BIGINT) END)) "
+        "AS BIGINT)"
+    )
+
+@register(
+    "q_vec_hamming_topk",
+    oracle=f"""
+        WITH words AS (
+            SELECT vec_id, {_pack_duck(1)} AS wlo, {_pack_duck(33)} AS whi
+            FROM embeddings
+        ),
+        q AS (SELECT vec_id AS qid, wlo AS qlo, whi AS qhi FROM words
+              WHERE vec_id < {_HAM_NQ}),
+        d AS (
+            SELECT q.qid, c.vec_id AS nid,
+                   CAST(bit_count(xor(q.qlo, c.wlo))
+                        + bit_count(xor(q.qhi, c.whi)) AS INT) AS hamming
+            FROM q JOIN words c ON c.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, nid, hamming,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY hamming, nid
+                   ) AS rnk
+            FROM d
+        )
+        SELECT qid, nid, hamming, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= {_HAM_TOPK}
+    """,
+    section="V17",
+    doc="Binary-quantized ANN (the modern binary-embedding serving "
+    "path): each 64-dim vector packs its SIGN BITS into two 32-bit "
+    "words via a codegen'd indexed-lambda fold (64x compression, no "
+    "UDF; 32-bit halves keep shifts clear of DuckDB's checked 1<<63), then top-10 neighbors per query (vec_id<10) by Hamming "
+    "distance = popcount(XOR) — integer ops only after the sign test, "
+    "so ranking is exactly deterministic (neighbor-id tie-break). The "
+    "query side broadcasts; the corpus word table is one BIGINT per "
+    "vector and never shuffles. At d>64, pack into a word ARRAY and "
+    "sum popcounts; at 100 TB combine with V7's IVF cells so only "
+    "probed cells pay the XOR scan. Distinct from D2 SimHash (text "
+    "fingerprinting) — this is embedding-space quantized retrieval.",
+)
+def q_vec_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    words = emb.select(
+        "vec_id",
+        F.expr(_pack_spark(1)).alias("wlo"),
+        F.expr(_pack_spark(33)).alias("whi"),
+    )
+    q = words.where(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("wlo").alias("qlo"),
+        F.col("whi").alias("qhi"),
+    )
+    d = (
+        words.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("wlo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("whi")))
+            ).alias("hamming"),
+        )
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy("hamming", "nid")
+    )
+    return (
+        d.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= _HAM_TOPK)
+        .select("qid", "nid", "hamming", F.col("rnk").cast("int").alias("rnk"))
+    )
+
+# ==== from analytics_r3u ===========================================
+
+_MAXSIM_NQ = 8
+
+_COS_DUCK = """
+    list_sum(list_transform(q.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform(q.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       * sqrt(list_sum(list_transform(c.embedding,
+             (x, i) -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+@register(
+    "q_vec_maxsim",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding FROM embeddings
+            WHERE vec_id < {_MAXSIM_NQ}
+        ),
+        c AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id >= {_MAXSIM_NQ}
+        ),
+        sims AS (
+            SELECT q.qid, c.label, {_COS_DUCK} AS cos
+            FROM q CROSS JOIN c
+        ),
+        best AS (
+            SELECT qid, label, MAX(cos) AS m
+            FROM sims GROUP BY qid, label
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_query_vecs,
+               ROUND(CAST(SUM(CAST(floor(m * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12, 4) AS maxsim
+        FROM best GROUP BY label
+    """,
+    section="V18",
+    doc="ColBERT-style late-interaction (MaxSim) scoring: a multi-vector "
+    f"query ({_MAXSIM_NQ} token vectors, vec_id<{_MAXSIM_NQ}) scored "
+    "against each label's vector set as sum-over-query-vectors of the "
+    "maximum cosine — the retrieval primitive that preserves per-token "
+    "matching where single-vector cosine (V3) collapses the query to "
+    "one point. Per-pair cosines are fixed-order HOF folds (identical "
+    "bits cross-engine, V1's rule); per-query maxima compare those "
+    "bits; the per-label sum quantizes each max before an exact "
+    "DECIMAL reduction. Queries broadcast; the corpus scans once "
+    "map-side; both reductions are partial-agg friendly — compose with "
+    "V7's IVF cells at scale exactly like single-vector search.",
+)
+def q_vec_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _MAXSIM_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.where(F.col("vec_id") >= _MAXSIM_NQ).select(
+        "label", F.col("embedding").alias("ce")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "label",
+        (dot / (norm(F.col("qe")) * norm(F.col("ce")))).alias("cos"),
+    )
+    best = sims.groupBy("qid", "label").agg(F.max("cos").alias("m"))
+    return best.groupBy("label").agg(
+        F.count("*").alias("n_query_vecs"),
+        F.round(
+            F.sum(F.floor(F.col("m") * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12,
+            4,
+        ).alias("maxsim"),
+    )
+
+# ==== from analytics_r3y ===========================================
+
+@register(
+    "q_vec_scalar_quantize",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM embeddings
+            )
+        ),
+        rng AS (
+            SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM ex GROUP BY i
+        ),
+        q AS (
+            SELECT e.vec_id, e.i, e.x, r.lo, r.hi,
+                   CASE WHEN r.hi = r.lo THEN 0
+                        ELSE CAST(floor((e.x - r.lo) / (r.hi - r.lo)
+                                        * 255.0) AS BIGINT) END AS code
+            FROM ex e JOIN rng r ON r.i = e.i
+        ),
+        err AS (
+            SELECT i,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(
+                       (x - (lo + (least(code, 255) + 0.5)
+                             * (hi - lo) / 256.0))
+                       * (x - (lo + (least(code, 255) + 0.5)
+                               * (hi - lo) / 256.0)) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS sse
+            FROM q GROUP BY i
+        )
+        SELECT CAST(e.i AS BIGINT) AS dim,
+               ROUND(r.lo, 6) AS lo,
+               ROUND(r.hi, 6) AS hi,
+               ROUND(e.sse / e.n, 12) AS mse
+        FROM err e JOIN rng r ON r.i = e.i
+    """,
+    section="V19",
+    doc="Int8 scalar quantization of embeddings (the standard 4× "
+    "serving compression): per-dimension min/max ranges from one "
+    "posexplode reduction, linear codes floor((x−lo)/(hi−lo)·255), "
+    "mid-rise dequantization lo + (code+0.5)·range/256, and the exact "
+    "per-dimension reconstruction MSE (squared errors quantized "
+    "floor(x·1e12) before the DECIMAL sum) — the measured error "
+    "budget that says whether int8 is safe for this corpus' recall "
+    "target. Quantize/dequantize are IEEE-identical expressions over "
+    "exact ranges; at 100 TB ranges come from a maintained stats "
+    "table and the quantize map is a pure column expression.",
+)
+def q_vec_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    rng = ex.groupBy("i").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long")).otherwise(
+        F.floor(
+            (F.col("x") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 255.0
+        ).cast("long")
+    )
+    q = ex.join(rng, "i").select("i", "x", "lo", "hi", code.alias("code"))
+    deq = F.col("lo") + (
+        F.least(F.col("code"), F.lit(255)) + 0.5
+    ) * (F.col("hi") - F.col("lo")) / 256.0
+    err2 = (F.col("x") - deq) * (F.col("x") - deq)
+    err = q.groupBy("i").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.floor(err2 * 1e12).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        ).alias("sse"),
+    )
+    return err.join(rng, "i").select(
+        F.col("i").cast("long").alias("dim"),
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        F.round(F.col("sse") / F.col("n"), 12).alias("mse"),
+    )
+
+# ==== from analytics_r4j ===========================================
+
+_QS = "CAST(SUM(CAST(floor(({x}) * 1e12) AS DECIMAL(38,0))) AS DOUBLE) / 1e12"
+
+@register(
+    "q_vec_ood_score",
+    oracle=f"""
+        WITH ex AS (
+            SELECT vec_id, label, u.i AS i, CAST(u.x AS DOUBLE) AS x
+            FROM (
+                SELECT vec_id, label,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM embeddings
+            )
+        ),
+        cent AS (
+            SELECT label, i, {_QS.format(x='x')} / COUNT(*) AS c
+            FROM ex GROUP BY label, i
+        ),
+        dist AS (
+            SELECT e.vec_id, e.label,
+                   {_QS.format(x='(e.x - c.c) * (e.x - c.c)')} AS d2
+            FROM ex e JOIN cent c ON c.label = e.label AND c.i = e.i
+            GROUP BY e.vec_id, e.label
+        ),
+        mom AS (
+            SELECT label,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {_QS.format(x='d2')} AS s1,
+                   {_QS.format(x='d2 * d2')} AS s2
+            FROM dist GROUP BY label
+        )
+        SELECT d.vec_id, d.label,
+               ROUND(d.d2, 6) AS dist2,
+               ROUND((d.d2 - m.s1 / m.n)
+                     / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)), 4)
+                   AS z,
+               (d.d2 - m.s1 / m.n)
+               / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)) > 3.0
+                   AS is_ood
+        FROM dist d JOIN mom m ON m.label = d.label
+    """,
+    section="V20",
+    doc="Out-of-distribution scoring for embedding QA: each vector's "
+    "squared distance to its LABEL centroid (quantized-sum exact — "
+    "centroid means, per-vector distances, and the per-label distance "
+    "moments all go through the floor(x·1e12) DECIMAL device), "
+    "z-scored against the label's own distance distribution, flagged "
+    "at z > 3 on identical bits. The embedding-hygiene gate that "
+    "catches mislabeled or corrupt vectors before they poison "
+    "training or skew V6's centroids; labels absent → swap in V6's "
+    "learned cells, same shape. Two keyed reductions + one map-side "
+    "score pass.",
+)
+def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i0", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i0") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+    def qsum(c):
+        return (
+            F.sum(F.floor(c * 1e12).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        )
+
+    cent = ex.groupBy("label", "i").agg(
+        (qsum(F.col("x")) / F.count("*")).alias("c")
+    )
+    dist = (
+        ex.join(cent, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            qsum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias(
+                "d2"
+            )
+        )
+    )
+    mom = dist.groupBy("label").agg(
+        F.count("*").cast("double").alias("n"),
+        qsum(F.col("d2")).alias("s1"),
+        qsum(F.col("d2") * F.col("d2")).alias("s2"),
+    )
+    j = dist.join(mom, "label")
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(F.col("s2") / F.col("n") - mean * mean)
+    z = (F.col("d2") - mean) / sd
+    return j.select(
+        "vec_id",
+        "label",
+        F.round("d2", 6).alias("dist2"),
+        F.round(z, 4).alias("z"),
+        (z > 3.0).alias("is_ood"),
     )

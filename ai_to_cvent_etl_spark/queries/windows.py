@@ -15,6 +15,9 @@ from pyspark.sql.types import DecimalType
 
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from ai_to_cvent_etl_spark.queries._util import ORACLE_MONEY_SUM
 
 
 def _money(c):
@@ -325,4 +328,871 @@ def q_win_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum").cast("double") / F.col("total").cast("double")).alias(
             "cum_share"
         ),
+    )
+
+
+# ==== from analytics_r3b ===========================================
+
+@register(
+    "q_win_streak",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        ),
+        marked AS (
+            SELECT user_id, day,
+                   CASE WHEN date_diff('day',
+                            lag(day) OVER (PARTITION BY user_id ORDER BY day),
+                            day) = 1
+                        THEN 0 ELSE 1 END AS brk
+            FROM days
+        ),
+        islands AS (
+            SELECT user_id, day,
+                   CAST(SUM(brk) OVER (
+                       PARTITION BY user_id ORDER BY day
+                   ) AS BIGINT) AS streak_id
+            FROM marked
+        ),
+        streaks AS (
+            SELECT user_id, streak_id,
+                   CAST(COUNT(*) AS BIGINT) AS len,
+                   MIN(day) AS streak_start
+            FROM islands GROUP BY user_id, streak_id
+        )
+        SELECT user_id,
+               CAST(MAX(len) AS BIGINT) AS longest_streak,
+               CAST(COUNT(*) AS BIGINT) AS n_streaks,
+               CAST(SUM(len) AS BIGINT) AS active_days,
+               MIN(CASE WHEN len = ml THEN streak_start END) AS best_start
+        FROM (
+            SELECT s.*, MAX(len) OVER (PARTITION BY user_id) AS ml
+            FROM streaks s
+        )
+        GROUP BY user_id
+    """,
+    section="W15",
+    doc="Longest consecutive-active-day streak per user (gaps-and-islands "
+    "over distinct activity days): break flags from lag(day), running sum "
+    "as island id, two keyed aggregations — the engagement-streak metric "
+    "every product-analytics warehouse computes. best_start disambiguates "
+    "equal-length streaks by earliest start (deterministic). All-integer "
+    "+ dates => exact. One window sort + two aggs per user at any scale.",
+)
+def q_win_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    marked = days.withColumn(
+        "brk",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w)) == 1, F.lit(0)
+        ).otherwise(F.lit(1)),
+    )
+    islands = marked.withColumn(
+        "streak_id", F.sum("brk").over(w).cast("bigint")
+    )
+    streaks = islands.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("streak_start"),
+    )
+    wml = Window.partitionBy("user_id")
+    s2 = streaks.withColumn("ml", F.max("len").over(wml))
+    return s2.groupBy("user_id").agg(
+        F.max("len").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.sum("len").alias("active_days"),
+        F.min(
+            F.when(F.col("len") == F.col("ml"), F.col("streak_start"))
+        ).alias("best_start"),
+    )
+
+# ==== from analytics_r3c ===========================================
+
+_MED_FRAME = 7
+
+@register(
+    "q_win_rolling_median",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100) AS BIGINT) AS qv
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, qv,
+                   list_sort(list(qv) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_MED_FRAME - 1} PRECEDING AND CURRENT ROW
+                   )) AS arr
+            FROM q
+        )
+        SELECT event_id, user_id, qv,
+               CAST(len(arr) AS INTEGER) AS n_win,
+               CASE WHEN len(arr) % 2 = 1
+                    THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+                    ELSE (CAST(arr[len(arr) // 2] AS DOUBLE)
+                          + CAST(arr[len(arr) // 2 + 1] AS DOUBLE)) / 2.0
+               END AS med7
+        FROM w
+    """,
+    section="W17",
+    doc="Trailing-7 rolling median per user (robust outlier-proof "
+    "smoother). Values quantized floor(v*100) to BIGINT; the median comes "
+    "from a SORTED array built over the bounded ROWS frame — the "
+    "even-count midpoint is (a+b)/2.0 of two exact integers, so the "
+    "result is bit-deterministic. Bounded 7-row frame = constant per-row "
+    "state; one window sort per user at any scale (Spark has no "
+    "median-over-frame builtin — the sorted-frame-array composition IS "
+    "the operator).",
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_FRAME - 1), Window.currentRow)
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100) as bigint)").alias("qv"),
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "qv",
+        F.sort_array(F.collect_list("qv").over(f)).alias("arr"),
+    )
+    n = F.size("arr")
+    return w.select(
+        "event_id",
+        "user_id",
+        "qv",
+        n.cast("int").alias("n_win"),
+        F.when(
+            n % 2 == 1,
+            F.element_at("arr", ((n + 1) / 2).cast("int")).cast("double"),
+        )
+        .otherwise(
+            (
+                F.element_at("arr", (n / 2).cast("int")).cast("double")
+                + F.element_at("arr", (n / 2 + 1).cast("int")).cast("double")
+            )
+            / F.lit(2.0)
+        )
+        .alias("med7"),
+    )
+
+# ==== from analytics_r3f ===========================================
+
+@register(
+    "q_win_cume_dist",
+    oracle="""
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal, c_custkey)
+    """,
+    section="W18",
+    doc="cume_dist + ntile quartiles per market segment (completes the "
+    "ranking-window family beside W2's rank/dense_rank/ntile and W8's "
+    "percent_rank): cume_dist is the exact rational i/n — deterministic "
+    "with the unique-key tie-break. One window sort per segment.",
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cu.select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+# ==== from analytics_r3i ===========================================
+
+_MAD_FRAME = 7
+
+# median*2 of a sorted BIGINT array (sum of the two middle elements, or
+# twice the single middle) — stays integral so downstream |2v - med2| is
+# exact; halved only at the very end.
+_MED2 = (
+    "case when size({a}) % 2 = 1"
+    " then 2 * element_at({a}, cast((size({a}) + 1) div 2 as int))"
+    " else element_at({a}, cast(size({a}) div 2 as int))"
+    "      + element_at({a}, cast(size({a}) div 2 + 1 as int)) end"
+)
+
+_MED2_DUCK = (
+    "CASE WHEN len({a}) % 2 = 1"
+    " THEN 2 * {a}[(len({a}) + 1) // 2]"
+    " ELSE {a}[len({a}) // 2] + {a}[len({a}) // 2 + 1] END"
+)
+
+@register(
+    "q_win_rolling_mad",
+    oracle=f"""
+        WITH q AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100) AS BIGINT) AS qv
+            FROM events
+        ),
+        w AS (
+            SELECT event_id, user_id, qv,
+                   list_sort(list(qv) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {_MAD_FRAME - 1} PRECEDING AND CURRENT ROW
+                   )) AS arr
+            FROM q
+        ),
+        m AS (
+            SELECT event_id, user_id, qv, arr,
+                   {_MED2_DUCK.format(a='arr')} AS med2
+            FROM w
+        ),
+        d AS (
+            SELECT event_id, user_id, qv, med2,
+                   list_sort(list_transform(arr,
+                       v -> abs(2 * v - med2))) AS dev
+            FROM m
+        )
+        SELECT event_id, user_id, qv,
+               CAST(med2 AS DOUBLE) / 2.0 AS med,
+               CAST({_MED2_DUCK.format(a='dev')} AS DOUBLE) / 4.0 AS mad,
+               CASE WHEN {_MED2_DUCK.format(a='dev')} > 0
+                    THEN abs(2 * qv - med2) * 2.0
+                         / CAST({_MED2_DUCK.format(a='dev')} AS DOUBLE)
+               END AS mad_score
+        FROM d
+    """,
+    section="W21",
+    doc=f"Rolling median absolute deviation + robust MAD outlier score "
+    f"over a trailing {_MAD_FRAME}-row frame per user — the "
+    "robust-statistics companion to TS4's mean/σ z-score (immune to the "
+    "outliers it hunts). Every intermediate is integral: values are "
+    "floor(v*100) ints, medians are carried DOUBLED (sum of middle pair) "
+    "and deviations as |2v - med2|, halved only in the final projection "
+    "— bit-exact, no rounding. One window sort per user; the MAD is "
+    "row-local arithmetic on the bounded sorted frame array.",
+)
+def q_win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MAD_FRAME - 1), Window.currentRow)
+    )
+    q = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.expr("cast(floor(value * 100) as bigint)").alias("qv"),
+    )
+    w = q.select(
+        "event_id",
+        "user_id",
+        "qv",
+        F.sort_array(F.collect_list("qv").over(f)).alias("arr"),
+    )
+    m = w.withColumn("med2", F.expr(_MED2.format(a="arr")))
+    d = m.withColumn(
+        "dev",
+        F.expr("array_sort(transform(arr, v -> abs(2 * v - med2)))"),
+    )
+    dev_med2 = F.expr(_MED2.format(a="dev"))
+    return d.select(
+        "event_id",
+        "user_id",
+        "qv",
+        (F.col("med2").cast("double") / F.lit(2.0)).alias("med"),
+        (dev_med2.cast("double") / F.lit(4.0)).alias("mad"),
+        F.when(
+            dev_med2 > 0,
+            F.abs(2 * F.col("qv") - F.col("med2"))
+            * F.lit(2.0)
+            / dev_med2.cast("double"),
+        ).alias("mad_score"),
+    )
+
+# ==== from analytics_r3j ===========================================
+
+@register(
+    "q_win_growth_rates",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+            FROM orders GROUP BY 1
+        ),
+        bounds AS (
+            SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily
+        ),
+        spine AS (
+            SELECT CAST(unnest(generate_series(lo, hi,
+                        INTERVAL 1 DAY)) AS DATE) AS day
+            FROM bounds
+        ),
+        filled AS (
+            SELECT s.day,
+                   COALESCE(CAST(d.rev AS DOUBLE), 0.0) AS revenue
+            FROM spine s LEFT JOIN daily d ON s.day = d.day
+        ),
+        lagged AS (
+            SELECT day, revenue,
+                   lag(revenue, 1) OVER (ORDER BY day) AS prev_day,
+                   lag(revenue, 7) OVER (ORDER BY day) AS prev_week
+            FROM filled
+        )
+        SELECT day, revenue,
+               CASE WHEN prev_day > 0
+                    THEN (revenue - prev_day) / prev_day END AS dod_growth,
+               CASE WHEN prev_week > 0
+                    THEN (revenue - prev_week) / prev_week END AS wow_growth
+        FROM lagged
+    """,
+    section="W22",
+    doc="Day-over-day and week-over-week revenue growth on a gap-free "
+    "generated day spine (the period-over-period BI staple; the spine "
+    "matters — a missing day silently turns lag(7) into lag(7 present "
+    "days)). Revenue is an exact DECIMAL daily sum; growth is one IEEE "
+    "division; zero-revenue baselines yield NULL on both engines. The "
+    "corpus collapses to |days| rows before any window runs. The lag "
+    "window is a single ordered pass over the bounded spine.",
+)
+def q_win_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.col("o_totalprice").cast(DecimalType(18, 2))).alias("rev")
+    )
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    filled = spine.join(daily, "day", "left").select(
+        "day",
+        F.coalesce(F.col("rev").cast("double"), F.lit(0.0)).alias("revenue"),
+    )
+    w = Window.orderBy("day")
+    lagged = filled.select(
+        "day",
+        "revenue",
+        F.lag("revenue", 1).over(w).alias("prev_day"),
+        F.lag("revenue", 7).over(w).alias("prev_week"),
+    )
+    return lagged.select(
+        "day",
+        "revenue",
+        F.when(
+            F.col("prev_day") > 0,
+            (F.col("revenue") - F.col("prev_day")) / F.col("prev_day"),
+        ).alias("dod_growth"),
+        F.when(
+            F.col("prev_week") > 0,
+            (F.col("revenue") - F.col("prev_week")) / F.col("prev_week"),
+        ).alias("wow_growth"),
+    )
+
+# ==== from analytics_r3l ===========================================
+
+@register(
+    "q_win_outlier_iqr",
+    oracle="""
+        WITH r AS (
+            SELECT o_orderstatus, o_totalprice,
+                   row_number() OVER (
+                       PARTITION BY o_orderstatus
+                       ORDER BY o_totalprice, o_orderkey
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+            FROM orders
+        ),
+        q AS (
+            SELECT o_orderstatus,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.25) AS BIGINT)
+                            THEN o_totalprice END) AS q1,
+                   MAX(CASE WHEN rn = CAST(ceil(n * 0.75) AS BIGINT)
+                            THEN o_totalprice END) AS q3,
+                   MAX(n) AS n
+            FROM r GROUP BY o_orderstatus
+        )
+        SELECT q.o_orderstatus,
+               CAST(q.n AS BIGINT) AS n,
+               q.q1, q.q3,
+               q.q1 - 1.5 * (q.q3 - q.q1) AS fence_lo,
+               q.q3 + 1.5 * (q.q3 - q.q1) AS fence_hi,
+               CAST(SUM(CASE WHEN o.o_totalprice
+                                  < q.q1 - 1.5 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo,
+               CAST(SUM(CASE WHEN o.o_totalprice
+                                  > q.q3 + 1.5 * (q.q3 - q.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi
+        FROM q JOIN orders o ON o.o_orderstatus = q.o_orderstatus
+        GROUP BY q.o_orderstatus, q.n, q.q1, q.q3
+    """,
+    section="W23",
+    doc="Tukey-fence outlier audit of o_totalprice per order status: "
+    "Q1/Q3 as NEAREST-RANK order statistics (rank = ceil(0.25·n) — n/4 "
+    "is a power-of-two division, exact in binary; row_number tie-broken "
+    "by o_orderkey), 1.5×IQR fences as one IEEE expression over raw 2dp "
+    "doubles (bit-identical cross-engine, so the fence comparison can "
+    "never flip), and low/high outlier counts from a bounds join back "
+    "to orders. No percentile interpolation anywhere. The ≤3-row bounds "
+    "side broadcasts by the size-based planner.",
+)
+def q_win_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wp = Window.partitionBy("o_orderstatus")
+    r = orders.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+    )
+    q = r.groupBy("o_orderstatus").agg(
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.25).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q1"),
+        F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.col("n") * 0.75).cast("long"),
+                F.col("o_totalprice"),
+            )
+        ).alias("q3"),
+        F.max("n").alias("n"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    bounds = q.select(
+        "o_orderstatus",
+        F.col("n").alias("n"),
+        "q1",
+        "q3",
+        (F.col("q1") - 1.5 * iqr).alias("fence_lo"),
+        (F.col("q3") + 1.5 * iqr).alias("fence_hi"),
+    )
+    joined = orders.select("o_orderstatus", "o_totalprice").join(
+        bounds, "o_orderstatus"
+    )
+    return joined.groupBy(
+        "o_orderstatus", "n", "q1", "q3", "fence_lo", "fence_hi"
+    ).agg(
+        F.sum(
+            F.when(F.col("o_totalprice") < F.col("fence_lo"), 1).otherwise(0)
+        ).alias("n_out_lo"),
+        F.sum(
+            F.when(F.col("o_totalprice") > F.col("fence_hi"), 1).otherwise(0)
+        ).alias("n_out_hi"),
+    )
+
+# ==== from analytics_r3q ===========================================
+
+_PATTERN = "v[ces]*p"  # a view converting to purchase without another view
+
+@register(
+    "q_win_event_pattern",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS s
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(s) AS INT) AS seq_len,
+               CAST(len(regexp_extract_all(s, '{_PATTERN}')) AS INT)
+                   AS n_conversions,
+               len(regexp_extract_all(s, '{_PATTERN}')) > 0 AS converted
+        FROM seq
+    """,
+    section="W25",
+    doc="MATCH_RECOGNIZE-style event-sequence pattern matching: each "
+    "user's events collapse to an ordered initial string (c/e/p/s/v, "
+    "sorted by ts with event_id tie-break), scanned with the greedy "
+    f"non-overlapping regex '{_PATTERN}' — a view converting to a "
+    "purchase with no intervening view. Output: sequence length, "
+    "conversion count, converted flag. The sequence-mining primitive "
+    "W11's time-windowed funnel can't express (arbitrary regular "
+    "patterns over order, not fixed stages). Per-user state is the "
+    "user's own events — one keyed sort-agg; streams run the same "
+    "pattern incrementally via transformWithState keeping NFA state "
+    "only.",
+)
+def q_win_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("ts"),
+                            F.col("event_id"),
+                            F.substring("event_type", 1, 1).alias("i"),
+                        )
+                    )
+                ),
+                lambda x: x["i"],
+            ),
+            "",
+        ).alias("s")
+    )
+    n = F.regexp_count(F.col("s"), F.lit(_PATTERN))
+    return seq.select(
+        "user_id",
+        F.length("s").alias("seq_len"),
+        n.cast("int").alias("n_conversions"),
+        (n > 0).alias("converted"),
+    )
+
+# ==== from analytics_r3w ===========================================
+
+@register(
+    "q_win_rank_delta",
+    oracle="""
+        WITH rev AS (
+            SELECT c.c_nationkey AS nation,
+                   SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+                             AND o.o_orderdate < TIMESTAMP '1997-01-01'
+                       THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS r96,
+                   SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1997-01-01'
+                             AND o.o_orderdate < TIMESTAMP '1998-01-01'
+                       THEN CAST(o.o_totalprice AS DECIMAL(18,2))
+                       ELSE CAST(0 AS DECIMAL(18,2)) END) AS r97
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_nationkey
+        )
+        SELECT nation,
+               CAST(r96 AS DOUBLE) AS rev_1996,
+               CAST(r97 AS DOUBLE) AS rev_1997,
+               CAST(row_number() OVER (ORDER BY r96 DESC, nation) AS INT)
+                   AS rank_1996,
+               CAST(row_number() OVER (ORDER BY r97 DESC, nation) AS INT)
+                   AS rank_1997,
+               CAST(row_number() OVER (ORDER BY r96 DESC, nation) AS INT)
+               - CAST(row_number() OVER (ORDER BY r97 DESC, nation) AS INT)
+                   AS rank_gain
+        FROM rev
+    """,
+    section="W26",
+    doc="Period-over-period rank movement ('movers' report): national "
+    "revenue ranked within 1996 and within 1997 (exact DECIMAL sums, "
+    "nation tie-break), with the rank delta (positive = climbed). One "
+    "dim join + one conditional reduction to |nations| rows; both rank "
+    "windows run over the collapsed relation. The standard "
+    "leaderboard-drift query for any (entity, period, metric) triple.",
+)
+def q_win_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    d = F.col("o_totalprice").cast("decimal(18,2)")
+    z = F.lit(0).cast("decimal(18,2)")
+    in96 = (F.col("o_orderdate") >= "1996-01-01") & (
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    in97 = (F.col("o_orderdate") >= "1997-01-01") & (
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    rev = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.sum(F.when(in96, d).otherwise(z)).alias("r96"),
+            F.sum(F.when(in97, d).otherwise(z)).alias("r97"),
+        )
+    )
+    rk96 = F.row_number().over(Window.orderBy(F.desc("r96"), F.asc("nation")))
+    rk97 = F.row_number().over(Window.orderBy(F.desc("r97"), F.asc("nation")))
+    return rev.select(
+        "nation",
+        F.col("r96").cast("double").alias("rev_1996"),
+        F.col("r97").cast("double").alias("rev_1997"),
+        rk96.cast("int").alias("rank_1996"),
+        rk97.cast("int").alias("rank_1997"),
+        (rk96 - rk97).cast("int").alias("rank_gain"),
+    )
+
+# ==== from analytics_r3z ===========================================
+
+_SESS_US = 300_000_000  # each event opens a 5-minute session
+
+@register(
+    "q_win_max_concurrency",
+    oracle=f"""
+        WITH b AS (
+            SELECT epoch_us(ts) AS t, 1 AS delta, event_id FROM events
+            UNION ALL
+            SELECT epoch_us(ts) + {_SESS_US}, -1, event_id FROM events
+        ),
+        sweep AS (
+            SELECT t, delta,
+                   CAST(SUM(delta) OVER (
+                       ORDER BY t, delta, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS conc
+            FROM b
+        )
+        SELECT t AS at_us, conc AS max_concurrent
+        FROM sweep
+        ORDER BY conc DESC, t
+        LIMIT 1
+    """,
+    section="W27",
+    doc="Maximum concurrent sessions via the +1/−1 boundary sweep: every "
+    "event opens a 5-minute session, boundaries sort by (time, delta, "
+    "event_id) — a −1 end sorts before a +1 start at the same "
+    "microsecond (closed-open interval convention, pinned identically "
+    "in both engines) — and the running sum's peak is the answer. "
+    "O(n log n) where the naive interval-overlap formulation (J16's "
+    "join) is quadratic; pure integer logic, argmax tie-broken by "
+    "time. The capacity-planning primitive (peak connections, peak "
+    "GPU jobs, peak staged bytes). At 100 TB the sweep "
+    "range-partitions by time with per-partition offsets (the L15 "
+    "two-pass prefix pattern).",
+)
+def q_win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    starts = ev.select(
+        F.unix_micros("ts").alias("t"), F.lit(1).alias("delta"), "event_id"
+    )
+    ends = ev.select(
+        (F.unix_micros("ts") + _SESS_US).alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    b = starts.unionAll(ends)
+    w = Window.orderBy("t", "delta", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sweep = b.select("t", F.sum("delta").over(w).alias("conc"))
+    return (
+        sweep.orderBy(F.desc("conc"), F.asc("t"))
+        .limit(1)
+        .select(
+            F.col("t").alias("at_us"),
+            F.col("conc").cast("long").alias("max_concurrent"),
+        )
+    )
+
+# ==== from analytics_r4a ===========================================
+
+_W28_GAP = "10 minutes"
+
+_W28_GAP_US = 600_000_000
+
+@register(
+    "q_win_session_window_builtin",
+    oracle=f"""
+        WITH o AS (
+            SELECT user_id, epoch_us(ts) AS t
+            FROM events
+        ),
+        flags AS (
+            SELECT user_id, t,
+                   CASE WHEN t - lag(t) OVER w > {_W28_GAP_US}
+                             OR lag(t) OVER w IS NULL
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM o
+            WINDOW w AS (PARTITION BY user_id ORDER BY t)
+        ),
+        sess AS (
+            SELECT user_id, t,
+                   SUM(new_sess) OVER (
+                       PARTITION BY user_id ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flags
+        )
+        SELECT user_id,
+               MIN(t) AS session_start_us,
+               MAX(t) + {_W28_GAP_US} AS session_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM sess
+        GROUP BY user_id, sid
+    """,
+    section="W28",
+    doc="The BUILT-IN session_window() aggregation in BATCH: 10-minute-"
+    "gap user sessions with start/end/size — verified against manual "
+    "gaps-and-islands sessionization (W10's device), which pins that "
+    "the native operator implements exactly those semantics (session "
+    "end = last event + gap, Spark's definition). Why the built-in "
+    "matters at 100 TB: its partial sessions MERGE across partitions "
+    "in the shuffle, where naive islanding needs each user's full "
+    "sorted history in one task; and in streaming it is the SAME "
+    "operator with state (ST3) — batch/stream session parity for "
+    "free.",
+)
+def q_win_session_window_builtin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", _W28_GAP).alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+        )
+    )
+
+# ==== from analytics_r4b ===========================================
+
+@register(
+    "q_win_topk_ties",
+    oracle="""
+        WITH b AS (
+            SELECT c_custkey, c_nationkey,
+                   nullif(floor(c_acctbal / 1000.0) * 1000.0, 0.0)
+                       AS bal_bucket
+            FROM customer
+        ),
+        r AS (
+            SELECT c_custkey, c_nationkey, bal_bucket,
+                   rank() OVER (
+                       PARTITION BY c_nationkey
+                       ORDER BY bal_bucket DESC NULLS LAST
+                   ) AS rnk
+            FROM b
+        )
+        SELECT c_nationkey, c_custkey, bal_bucket, CAST(rnk AS INT) AS rnk
+        FROM r WHERE rnk <= 3
+    """,
+    section="W29",
+    doc="Top-3 WITH TIES per nation via rank() over a COARSE balance "
+    "bucket (floor to 1000s — ties are real by construction, so the "
+    "result genuinely includes whole tie groups and more than 3 rows "
+    "per nation, which row_number W1 would cut arbitrarily), with the "
+    "bucket NULLified at zero and ordered DESC NULLS LAST explicitly "
+    "on both engines — pinning tie semantics AND null-ordering parity "
+    "(Spark's DESC default is NULLS LAST, DuckDB's is NULLS FIRST: "
+    "relying on either default is the dialect trap). No peer-dependent "
+    "output beyond the tie group itself — rank is deterministic.",
+)
+def q_win_topk_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    bucket = F.nullif(
+        F.floor(F.col("c_acctbal") / 1000.0) * 1000.0, F.lit(0.0)
+    )
+    b = c.select("c_custkey", "c_nationkey", bucket.alias("bal_bucket"))
+    rnk = F.rank().over(
+        Window.partitionBy("c_nationkey").orderBy(
+            F.desc_nulls_last("bal_bucket")
+        )
+    )
+    return (
+        b.withColumn("rnk", rnk)
+        .where(F.col("rnk") <= 3)
+        .select(
+            "c_nationkey", "c_custkey", "bal_bucket",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+# ==== from analytics_r4d ===========================================
+
+_W30_LEN_US = 420_000_000  # each event spans 7 minutes
+
+@register(
+    "q_win_interval_merge",
+    oracle=f"""
+        WITH iv AS (
+            SELECT user_id, epoch_us(ts) AS s,
+                   epoch_us(ts) + {_W30_LEN_US} AS e,
+                   event_id
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING)
+                             OR MAX(e) OVER (
+                            PARTITION BY user_id ORDER BY s, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND 1 PRECEDING) IS NULL
+                        THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   SUM(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island
+            FROM flagged
+        )
+        SELECT user_id, CAST(island AS BIGINT) AS island_id,
+               MIN(s) AS span_start_us,
+               MAX(e) AS span_end_us,
+               CAST(COUNT(*) AS BIGINT) AS n_intervals,
+               MAX(e) - MIN(s) AS covered_us
+        FROM islands
+        GROUP BY user_id, island
+    """,
+    section="W30",
+    doc="Merge overlapping intervals per user (each event spans 7 "
+    "minutes): a new island starts where an interval's start exceeds "
+    "the RUNNING MAX of all previous ends (the correct rule — "
+    "comparing only the previous END mis-merges when an earlier long "
+    "interval still covers the gap), islands numbered by a running "
+    "flag sum, merged spans with counts and covered duration out. "
+    "Pure integer microsecond logic, (start, event_id) tie-break. The "
+    "interval-union primitive behind coverage accounting, on-call "
+    "spans, and GPU-occupancy stitching; one keyed sort window per "
+    "user — W28's sessionization shape with a data-driven merge "
+    "rule.",
+)
+def q_win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + _W30_LEN_US).alias("e"),
+        "event_id",
+    )
+    wprev = Window.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            (F.col("s") > F.max("e").over(wprev))
+            | F.max("e").over(wprev).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("s", "e").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(wrun).alias("island")
+    )
+    return islands.groupBy(
+        "user_id", F.col("island").alias("island_id")
+    ).agg(
+        F.min("s").alias("span_start_us"),
+        F.max("e").alias("span_end_us"),
+        F.count("*").alias("n_intervals"),
+        (F.max("e") - F.min("s")).alias("covered_us"),
     )
