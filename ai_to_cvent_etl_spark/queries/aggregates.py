@@ -3025,3 +3025,289 @@ def q_agg_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(orx) - _Z95 * se), 4).alias("or_lo"),
         F.round(F.exp(F.log(orx) + _Z95 * se), 4).alias("or_hi"),
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+_BH_ALPHA = 0.10
+_LOGI = 1.702  # logistic approximation constant: Phi(z) ~ 1/(1+exp(-1.702 z))
+
+
+@register(
+    "q_agg_fdr_bh",
+    oracle=f"""
+        WITH u AS (
+            SELECT event_type, user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 2 AS arm,
+                   MAX(CASE WHEN value > 150 THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY 1, 2
+        ),
+        seg AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n0,
+                   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+                       AS c0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+                       AS c1
+            FROM u GROUP BY 1
+        ),
+        zt AS (
+            SELECT *,
+                   (c1 / (1.0 * n1) - c0 / (1.0 * n0))
+                   / sqrt((c0 + c1) / (1.0 * (n0 + n1))
+                          * (1 - (c0 + c1) / (1.0 * (n0 + n1)))
+                          * (1.0 / n0 + 1.0 / n1)) AS z
+            FROM seg
+        ),
+        pt AS (
+            SELECT *, 2.0 / (1.0 + exp({_LOGI} * abs(z))) AS p
+            FROM zt
+        ),
+        rk AS (
+            SELECT *,
+                   CAST(ROW_NUMBER() OVER (
+                       ORDER BY CAST(FLOOR(abs(z) * 10000) AS BIGINT) DESC,
+                                event_type) AS BIGINT) AS rnk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pt
+        ),
+        fl AS (
+            SELECT *,
+                   CASE WHEN ROUND(p, 6) <= ROUND(rnk * {_BH_ALPHA} / m, 6)
+                        THEN rnk END AS ok
+            FROM rk
+        )
+        SELECT event_type, n0, c0, n1, c1,
+               ROUND(z, 4) AS z,
+               ROUND(p, 6) AS p_value,
+               rnk AS p_rank,
+               ROUND(rnk * {_BH_ALPHA} / m, 6) AS bh_threshold,
+               rnk <= COALESCE(MAX(ok) OVER (), 0) AS rejected
+        FROM fl
+    """,
+    section="A54",
+    doc="Benjamini-Hochberg FDR correction across the per-event-type "
+    "two-proportion tests (alpha=0.10): per segment a hash-split A/A "
+    "arm assignment (A47/A53's md5 device) and per-user conversion "
+    "give exact integer 2x2 counts and a pooled z; the BH step-up "
+    "orders p ascending (implemented as |z| QUANTIZED at 1e4 "
+    "descending — the monotone-equivalent INTEGER sort key, immune to "
+    "cross-engine exp() ulps), finds the largest rank k with "
+    "p_(k) <= k/m*alpha, and rejects ranks <= k. The p-value is the "
+    "logistic approximation 2/(1+exp(1.702|z|)) (|err| < 0.01 vs the "
+    "normal two-sided p — BH consumes any monotone p-proxy "
+    "identically in both engines; documented, deterministic, no erf "
+    "dependency). The flag compares 6dp-ROUNDED p against the 6dp-"
+    "ROUNDED threshold in both engines; residual boundary-flip risk "
+    "is the documented rule-10 flake budget. On this A/A fixture "
+    "rejections should be (and are) empty — the null-calibration "
+    "self-check. Scale: one keyed agg to per-(segment,user) rows, one "
+    "to per-segment rows (m rows), then windows over m<=5 rows on the "
+    "driver-side-sized tail — the heavy lifting is all map-side "
+    "combinable integer counting.",
+)
+def q_agg_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.expr(
+            "cast(conv(substr(md5(cast(user_id as string)), 1, 12), 16, 10) "
+            "as bigint)"
+        )
+        % 2
+    )
+    u = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.max(F.when(F.col("value") > 150, 1).otherwise(0)).alias("conv"))
+        .select("event_type", arm.alias("arm"), "conv")
+    )
+    seg = u.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("c1"),
+    )
+    pp = (F.col("c0") + F.col("c1")) / (1.0 * (F.col("n0") + F.col("n1")))
+    z = (
+        F.col("c1") / (1.0 * F.col("n1")) - F.col("c0") / (1.0 * F.col("n0"))
+    ) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    zt = seg.withColumn("z", z).withColumn(
+        "p", 2.0 / (1.0 + F.exp(_LOGI * F.abs(F.col("z"))))
+    )
+    wall = Window.partitionBy()
+    rnk = F.row_number().over(
+        wall.orderBy(
+            F.floor(F.abs(F.col("z")) * 10000).cast("bigint").desc(),
+            F.col("event_type").asc(),
+        )
+    ).cast("bigint")
+    rk = zt.withColumn("rnk", rnk).withColumn(
+        "m", F.count(F.lit(1)).over(wall).cast("bigint")
+    )
+    fl = rk.withColumn(
+        "ok",
+        F.when(
+            F.round(F.col("p"), 6)
+            <= F.round(F.col("rnk") * _BH_ALPHA / F.col("m"), 6),
+            F.col("rnk"),
+        ),
+    )
+    return fl.select(
+        "event_type",
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round("z", 4).alias("z"),
+        F.round("p", 6).alias("p_value"),
+        F.col("rnk").alias("p_rank"),
+        F.round(F.col("rnk") * _BH_ALPHA / F.col("m"), 6).alias(
+            "bh_threshold"
+        ),
+        (
+            F.col("rnk")
+            <= F.coalesce(F.max("ok").over(wall), F.lit(0))
+        ).alias("rejected"),
+    )
+
+
+@register(
+    "q_agg_js_divergence",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       // 50000 AS bin,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS c
+            FROM lineitem
+            WHERE l_returnflag IN ('R', 'A')
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(c) AS BIGINT) AS nc,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins
+            FROM b
+        ),
+        terms AS (
+            SELECT n_bins, na, nc,
+                   a / (1.0 * na) AS p, c / (1.0 * nc) AS q
+            FROM b CROSS JOIN tot
+        ),
+        qterms AS (
+            SELECT n_bins, na, nc,
+                   CAST(FLOOR(1e9 * (
+                       (CASE WHEN p > 0
+                             THEN p * ln(2 * p / (p + q)) ELSE 0 END)
+                     + (CASE WHEN q > 0
+                             THEN q * ln(2 * q / (p + q)) ELSE 0 END)
+                   )) AS BIGINT) AS jsq,
+                   CAST(FLOOR(1e9 * sqrt(p * q)) AS BIGINT) AS bcq
+            FROM terms
+        )
+        SELECT n_bins, na AS n_r, nc AS n_a,
+               ROUND(SUM(jsq) / 2e9, 4) AS jsd_nats,
+               ROUND(sqrt(GREATEST(0, 1 - SUM(bcq) / 1e9)), 4) AS hellinger
+        FROM qterms
+        GROUP BY n_bins, na, nc
+    """,
+    section="A55",
+    doc="Jensen-Shannon divergence + Hellinger distance between the "
+    "l_extendedprice distributions of returnflag R vs A, binned on "
+    "exact integer 500-currency-unit cells (cents DIV 50000 — the "
+    "dec2 device makes the bin id exact). Complements PSI (E19, "
+    "unbounded, asymmetric-ish) and binned KS (A28, max-statistic): "
+    "JSD is the bounded symmetric f-divergence LLM data work uses for "
+    "corpus-mixture drift. Per-bin terms are row-local doubles "
+    "QUANTIZED to integer nano-nats (FLOOR at 1e9) and summed as "
+    "BIGINTs — the TS21 device: the cross-row float sum is exact and "
+    "order-free, cross-engine ln/sqrt ulp differences can flip a term "
+    "by 1e-9 at a floor boundary, invisible at the 4dp output "
+    "rounding (documented §5.3 rule-10 flake budget). 0·ln0 handled "
+    "by explicit CASE on exact integer counts. Scale: ONE map-side-"
+    "combinable agg to ~bins rows (bin count is bounded by the value "
+    "domain, not the row count), then scalar arithmetic — the "
+    "statistic collapses before any wide stage.",
+)
+def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = (
+        li.filter(F.col("l_returnflag").isin("R", "A"))
+        .select(
+            F.expr(
+                "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+                " div 50000"
+            ).alias("bin"),
+            "l_returnflag",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("bigint")
+            .alias("a"),
+            F.sum(F.when(F.col("l_returnflag") == "A", 1).otherwise(0))
+            .cast("bigint")
+            .alias("c"),
+        )
+    )
+    tot = b.agg(
+        F.sum("a").cast("bigint").alias("na"),
+        F.sum("c").cast("bigint").alias("nc"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+    )
+    terms = b.crossJoin(F.broadcast(tot)).select(
+        "n_bins",
+        "na",
+        "nc",
+        (F.col("a") / (1.0 * F.col("na"))).alias("p"),
+        (F.col("c") / (1.0 * F.col("nc"))).alias("q"),
+    )
+    qterms = terms.select(
+        "n_bins",
+        "na",
+        "nc",
+        F.floor(
+            1e9
+            * (
+                F.when(
+                    F.col("p") > 0,
+                    F.col("p")
+                    * F.log(2 * F.col("p") / (F.col("p") + F.col("q"))),
+                ).otherwise(0.0)
+                + F.when(
+                    F.col("q") > 0,
+                    F.col("q")
+                    * F.log(2 * F.col("q") / (F.col("p") + F.col("q"))),
+                ).otherwise(0.0)
+            )
+        )
+        .cast("bigint")
+        .alias("jsq"),
+        F.floor(1e9 * F.sqrt(F.col("p") * F.col("q")))
+        .cast("bigint")
+        .alias("bcq"),
+    )
+    return qterms.groupBy("n_bins", "na", "nc").agg(
+        F.round(F.sum("jsq") / 2e9, 4).alias("jsd_nats"),
+        F.round(
+            F.sqrt(F.greatest(F.lit(0.0), 1 - F.sum("bcq") / 1e9)), 4
+        ).alias("hellinger"),
+    ).select(
+        "n_bins",
+        F.col("na").alias("n_r"),
+        F.col("nc").alias("n_a"),
+        "jsd_nats",
+        "hellinger",
+    )

@@ -1049,3 +1049,120 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         F.col("node").alias("suppkey"), F.round("v", 6).alias("authority")
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+
+@register(
+    "q_graph_modularity",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        deg AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT lo AS node FROM edges
+                  UNION ALL SELECT hi AS node FROM edges)
+            GROUP BY node
+        ),
+        nd AS (
+            SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d) AS BIGINT) AS d_sum
+            FROM deg JOIN supplier ON node = s_suppkey
+            GROUP BY 1
+        ),
+        ie AS (
+            SELECT sa.s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS l_intra
+            FROM edges e
+            JOIN supplier sa ON e.lo = sa.s_suppkey
+            JOIN supplier sb ON e.hi = sb.s_suppkey
+            WHERE sa.s_nationkey = sb.s_nationkey
+            GROUP BY 1
+        ),
+        mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM edges)
+        SELECT n_name AS nation, n_nodes,
+               CAST(COALESCE(l_intra, 0) AS BIGINT) AS l_intra, d_sum, m_edges,
+               ROUND((4 * m_edges * COALESCE(l_intra, 0) - d_sum * d_sum)
+                     / (4.0 * m_edges * m_edges), 6) AS q_contrib
+        FROM nd LEFT JOIN ie USING (nk)
+        CROSS JOIN mm
+        JOIN nation ON nk = n_nationkey
+    """,
+    section="G12",
+    doc="Newman modularity of the nation partition over the mutual-affinity "
+    "supplier graph (G2/G4/G5/G6's shared sparsified edge list): per "
+    "community c, Q_c = L_c/m − (d_c/2m)², emitted per nation with the "
+    "exact integer ingredients (intra-edge count L_c, degree sum d_c, "
+    "m) so Q = Σ Q_c is reconstructible. The whole statistic is computed "
+    "as ONE integer numerator (4m·L_c − d_c²; BIGINT — d_sum ≤ 8·|V| by "
+    "the top-k sparsification, so the square is ≤ ~1e9 at sf1) over one "
+    "exact denominator with a single final double division + ROUND 6 — "
+    "no float accumulation anywhere (§5.3 rule 10 by construction). "
+    "Scale: the edge build is the memoized shared one; everything after "
+    "is two broadcast dimension joins and keyed integer aggs over the "
+    "EDGE list (already sparsified to ≤ 8·|V| rows) — map-side "
+    "combinable, no payload shuffle, skew-free (≤ 25 communities only "
+    "in the final agg, but partial aggregation collapses upstream).",
+)
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    nat = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    e2 = (
+        edges.join(
+            sup.select(
+                F.col("s_suppkey").alias("lo"), F.col("s_nationkey").alias("nlo")
+            ),
+            "lo",
+        )
+        .join(
+            sup.select(
+                F.col("s_suppkey").alias("hi"), F.col("s_nationkey").alias("nhi")
+            ),
+            "hi",
+        )
+    )
+    mm = e2.agg(F.count(F.lit(1)).cast("bigint").alias("m_edges"))
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    nd = (
+        deg.join(sup, deg.node == sup.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("d_sum"),
+        )
+    )
+    ie = (
+        e2.filter(F.col("nlo") == F.col("nhi"))
+        .groupBy(F.col("nlo").alias("nk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("l_intra"))
+    )
+    return (
+        nd.join(ie, "nk", "left")
+        .withColumn("l_intra", F.coalesce("l_intra", F.lit(0)).cast("bigint"))
+        .crossJoin(F.broadcast(mm))
+        .join(nat, F.col("nk") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_nodes",
+            "l_intra",
+            "d_sum",
+            "m_edges",
+            F.round(
+                (
+                    4 * F.col("m_edges") * F.col("l_intra")
+                    - F.col("d_sum") * F.col("d_sum")
+                )
+                / (4.0 * F.col("m_edges") * F.col("m_edges")),
+                6,
+            ).alias("q_contrib"),
+        )
+    )

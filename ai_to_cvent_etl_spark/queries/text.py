@@ -726,3 +726,91 @@ def q_text_kwic(spark: SparkSession, sf_dir: str) -> DataFrame:
         left.alias("left_ctx"),
         right.alias("right_ctx"),
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+
+@register(
+    "q_text_complexity",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, doc_id, t.tok AS tok
+            FROM (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents) t
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS total_words,
+                   CAST(SUM(length(tok)) AS BIGINT) AS total_chars,
+                   CAST(SUM(CASE WHEN length(tok) >= 7 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS long_words,
+                   CAST(SUM(length(regexp_extract_all(tok, '[aeiouy]+')))
+                        AS BIGINT) AS total_syll,
+                   CAST(COUNT(DISTINCT tok) AS BIGINT) AS distinct_words
+            FROM toks
+            GROUP BY lang
+        )
+        SELECT lang, n_docs, total_words,
+               ROUND(total_words / (1.0 * n_docs), 4) AS words_per_doc,
+               ROUND(total_chars / (1.0 * total_words), 4) AS avg_word_len,
+               ROUND(long_words / (1.0 * total_words), 6) AS long_word_ratio,
+               ROUND(total_syll / (1.0 * total_words), 4) AS syllables_per_word,
+               ROUND(distinct_words / (1.0 * total_words), 6) AS type_token_ratio
+        FROM s
+    """,
+    section="T17",
+    doc="Lexical-complexity quality signals per language: words/doc, mean "
+    "word length, >=7-char long-word ratio (the LIX ingredient), vowel-"
+    "cluster syllables per word ([aeiouy]+ runs — the standard cheap "
+    "syllable estimator under Flesch-Kincaid), and type-token ratio. "
+    "These are the readability-formula ingredients emitted raw — "
+    "sentence-based formulas (FK/LIX proper) degenerate on this "
+    "punctuation-free synthetic corpus (FIXTURES.md), and raw "
+    "ingredients are what real pretraining quality gates threshold on "
+    "anyway (Gopher/C4-style rules: mean word length bands, symbol "
+    "ratios). Every metric is a ratio of exact BIGINT corpus sums with "
+    "ONE final double division + ROUND — no float accumulation (§5.3 "
+    "rule 10 by construction). Scale: one explode over tokens feeding "
+    "ONE map-side-combinable keyed agg on a 5-value key; the two "
+    "COUNT(DISTINCT)s expand to the standard two-level agg on "
+    "(lang, doc_id)/(lang, tok) — bounded keys, no skew concern.",
+)
+def q_text_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    s = toks.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("total_words"),
+        F.sum(F.length("tok")).cast("bigint").alias("total_chars"),
+        F.sum(
+            F.when(F.length("tok") >= 7, 1).otherwise(0)
+        ).cast("bigint").alias("long_words"),
+        F.sum(
+            F.size(F.expr("regexp_extract_all(tok, '[aeiouy]+', 0)"))
+        ).cast("bigint").alias("total_syll"),
+        F.countDistinct("tok").cast("bigint").alias("distinct_words"),
+    )
+    return s.select(
+        "lang",
+        "n_docs",
+        "total_words",
+        F.round(F.col("total_words") / (1.0 * F.col("n_docs")), 4).alias(
+            "words_per_doc"
+        ),
+        F.round(F.col("total_chars") / (1.0 * F.col("total_words")), 4).alias(
+            "avg_word_len"
+        ),
+        F.round(F.col("long_words") / (1.0 * F.col("total_words")), 6).alias(
+            "long_word_ratio"
+        ),
+        F.round(F.col("total_syll") / (1.0 * F.col("total_words")), 4).alias(
+            "syllables_per_word"
+        ),
+        F.round(
+            F.col("distinct_words") / (1.0 * F.col("total_words")), 6
+        ).alias("type_token_ratio"),
+    )

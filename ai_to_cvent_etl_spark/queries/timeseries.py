@@ -1662,3 +1662,155 @@ def q_ts_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(power, 4).alias("power"),
         F.round(power / F.col("sxx"), 6).alias("variance_share"),
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+_HURST_NS = (8, 16, 32)  # R/S window sizes (hours); 720 hourly buckets total
+
+
+@register(
+    "q_ts_hurst",
+    oracle="""
+        WITH hours AS (
+            SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01',
+                                  date_trunc('hour', ts)) AS BIGINT) AS h,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                       AS x
+            FROM events GROUP BY 1
+        ),
+        e AS (
+            SELECT n.n, h // n.n AS blk, h, x
+            FROM hours, (VALUES (8), (16), (32)) AS n(n)
+        ),
+        rowed AS (
+            SELECT n, blk, x,
+                   CAST(ROW_NUMBER() OVER win AS BIGINT) AS k,
+                   CAST(SUM(x) OVER (PARTITION BY n, blk ORDER BY h
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+                   CAST(SUM(x) OVER (PARTITION BY n, blk) AS BIGINT) AS total
+            FROM e
+            WINDOW win AS (PARTITION BY n, blk ORDER BY h)
+        ),
+        blocks AS (
+            SELECT n, blk,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   MAX(n * prefix - k * total)
+                       - MIN(n * prefix - k * total) AS rn,
+                   n * CAST(SUM(x * x) AS BIGINT)
+                       - MAX(total) * MAX(total) AS varnum
+            FROM rowed GROUP BY n, blk
+        ),
+        rs AS (
+            SELECT n,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks,
+                   ROUND(SUM(CAST(FLOOR(1e6 * rn / sqrt(varnum)) AS BIGINT))
+                         / (COUNT(*) * 1e6), 4) AS rs_mean
+            FROM blocks WHERE cnt = n AND varnum > 0
+            GROUP BY n
+        )
+        SELECT MAX(CASE WHEN n = 8 THEN n_blocks END) AS blocks8,
+               MAX(CASE WHEN n = 16 THEN n_blocks END) AS blocks16,
+               MAX(CASE WHEN n = 32 THEN n_blocks END) AS blocks32,
+               MAX(CASE WHEN n = 8 THEN rs_mean END) AS rs8,
+               MAX(CASE WHEN n = 16 THEN rs_mean END) AS rs16,
+               MAX(CASE WHEN n = 32 THEN rs_mean END) AS rs32,
+               ROUND((ln(MAX(CASE WHEN n = 32 THEN rs_mean END))
+                      - ln(MAX(CASE WHEN n = 8 THEN rs_mean END)))
+                     / (2 * ln(2)), 4) AS hurst
+        FROM rs
+    """,
+    section="TS22",
+    doc="Hurst exponent of the hourly event-value series by rescaled-range "
+    "(R/S) analysis: for window sizes n in {8,16,32} hours, complete "
+    "blocks of n present hours yield R = max-min of the cumulative "
+    "deviate series and S = population std; H = the OLS slope of "
+    "ln(mean R/S) on ln(n) (evenly log-spaced 3-point OLS collapses to "
+    "(ln rs32 - ln rs8)/(2 ln 2)). H~0.5 = random walk, >0.5 = "
+    "long-range persistence — the memory diagnostic for load/telemetry "
+    "series. Determinism by the integer-moments device (TS11/A45): "
+    "hourly sums are exact cents (dec2), the cumulative deviate is "
+    "scaled by n so every block ingredient is an exact BIGINT "
+    "(n*prefix_k - k*total; n*Σx² - total²), leaving ONE sqrt+division "
+    "per block; per-block R/S is floor-quantized at 1e6 and mean'd as "
+    "exact integers (TS21 device, rule-10 flake budget documented); "
+    "the final slope uses the 4dp-ROUNDED means so both engines feed "
+    "ln() bit-identical inputs. Gap hours are absent samples — only "
+    "all-present blocks enter (cnt = n). Scale: one keyed agg to "
+    "~hours rows, then windows partitioned by (n, blk) — thousands of "
+    "small independent groups, no global sort, no skew; block count "
+    "grows linearly with the time range, never with event volume.",
+)
+def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hours = (
+        ev.groupBy(
+            F.expr(
+                "cast(timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', "
+                "date_trunc('hour', ts)) as bigint)"
+            ).alias("h")
+        )
+        .agg(
+            (F.sum(F.col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    e = hours.select(
+        F.explode(
+            F.array(*[F.lit(n) for n in _HURST_NS])
+        ).alias("n"),
+        "h",
+        "x",
+    ).withColumn("blk", F.expr("h div n"))
+    win = Window.partitionBy("n", "blk").orderBy("h")
+    full = Window.partitionBy("n", "blk")
+    rowed = (
+        e.withColumn("k", F.row_number().over(win).cast("bigint"))
+        .withColumn(
+            "prefix",
+            F.sum("x").over(win.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("bigint"),
+        )
+        .withColumn("total", F.sum("x").over(full).cast("bigint"))
+        .withColumn(
+            "ncd", F.col("n") * F.col("prefix") - F.col("k") * F.col("total")
+        )
+    )
+    blocks = rowed.groupBy("n", "blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        (F.max("ncd") - F.min("ncd")).alias("rn"),
+        (
+            F.first("n") * F.sum(F.col("x") * F.col("x")).cast("bigint")
+            - F.max("total") * F.max("total")
+        ).alias("varnum"),
+    )
+    rs = (
+        blocks.filter((F.col("cnt") == F.col("n")) & (F.col("varnum") > 0))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.round(
+                F.sum(
+                    F.floor(1e6 * F.col("rn") / F.sqrt(F.col("varnum")))
+                    .cast("bigint")
+                )
+                / (F.count(F.lit(1)) * 1e6),
+                4,
+            ).alias("rs_mean"),
+        )
+    )
+    pick = lambda n, c: F.max(F.when(F.col("n") == n, F.col(c)))  # noqa: E731
+    return rs.agg(
+        pick(8, "n_blocks").alias("blocks8"),
+        pick(16, "n_blocks").alias("blocks16"),
+        pick(32, "n_blocks").alias("blocks32"),
+        pick(8, "rs_mean").alias("rs8"),
+        pick(16, "rs_mean").alias("rs16"),
+        pick(32, "rs_mean").alias("rs32"),
+        F.round(
+            (F.log(pick(32, "rs_mean")) - F.log(pick(8, "rs_mean")))
+            / (2 * F.log(F.lit(2.0))),
+            4,
+        ).alias("hurst"),
+    )

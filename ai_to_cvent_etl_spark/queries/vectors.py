@@ -1107,3 +1107,127 @@ def q_vec_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (z > 3.0).alias("is_ood"),
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+
+@register(
+    "q_vec_matryoshka_recall",
+    oracle="""
+        WITH sliced AS (
+            SELECT d.dim, vec_id, list_slice(embedding, 1, d.dim) AS v
+            FROM embeddings, (VALUES (8), (16), (32), (64)) AS d(dim)
+        ),
+        ranked AS (
+            SELECT q.dim, q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.dim, q.vec_id
+                       ORDER BY list_cosine_similarity(q.v, n.v) DESC,
+                                n.vec_id
+                   ) AS rn
+            FROM (SELECT * FROM sliced WHERE vec_id < 10) q
+            JOIN sliced n ON n.dim = q.dim AND n.vec_id <> q.vec_id
+        ),
+        top5 AS (SELECT dim, query_id, neighbor_id FROM ranked WHERE rn <= 5),
+        base AS (SELECT query_id, neighbor_id FROM top5 WHERE dim = 64),
+        hits AS (
+            SELECT t.dim, CAST(COUNT(*) AS BIGINT) AS n_hits
+            FROM top5 t JOIN base b
+              ON t.query_id = b.query_id AND t.neighbor_id = b.neighbor_id
+            GROUP BY t.dim
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST((SELECT COUNT(DISTINCT query_id) FROM base) AS BIGINT)
+                   AS n_queries,
+               ROUND(n_hits / (5.0 * (SELECT COUNT(DISTINCT query_id)
+                                      FROM base)), 4) AS recall_at5
+        FROM hits
+    """,
+    section="V21",
+    doc="Matryoshka-style prefix-dimension ANN recall: top-5 cosine "
+    "neighbors computed on the first d ∈ {8,16,32,64} coordinates of "
+    "each embedding (MRL embeddings are trained so prefixes remain "
+    "usable), scored as recall@5 against the full-dimension top-5 — "
+    "the measurement that tells you how far you can truncate stored "
+    "vectors before retrieval degrades (4x-8x memory/IO reduction at "
+    "serving time if recall holds). V3's established parity devices: "
+    "ids+rank output shape, sim ties broken by neighbor id, left-to-"
+    "right double folds matching list_cosine_similarity. Recall itself "
+    "is exact integer counting (hits / 5·queries, one final division). "
+    "Scale: queries are broadcast (10 rows x 4 dims); the corpus side "
+    "is fanned out and NEVER shuffles — each task scans its corpus "
+    "slice once per dim against the broadcast probes; the per-dim "
+    "rank window partitions by (dim, query) = 40 small groups after a "
+    "candidates-only shuffle of (dim, query, neighbor, sim) rows.",
+)
+def q_vec_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim")
+    sliced_q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .select("query_id", dims, "embedding")
+        .select(
+            "dim",
+            "query_id",
+            F.slice("embedding", F.lit(1), F.col("dim")).alias("qv"),
+        )
+    )
+    sliced_n = fan_out(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    ).select(
+        F.explode(F.array(*[F.lit(d) for d in (8, 16, 32, 64)])).alias("dim"),
+        "neighbor_id",
+        "embedding",
+    ).select(
+        "dim",
+        "neighbor_id",
+        F.slice("embedding", F.lit(1), F.col("dim")).alias("nv"),
+    )
+    sim = _dot("qv", "nv") / (
+        F.sqrt(_sq_norm("qv")) * F.sqrt(_sq_norm("nv"))
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    sliced_n = sliced_n.withColumnRenamed("dim", "ndim")
+    top5 = (
+        F.broadcast(sliced_q)
+        .join(
+            sliced_n,
+            (F.col("dim") == F.col("ndim"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    base = top5.filter(F.col("dim") == 64).select(
+        F.col("query_id").alias("bq"), F.col("neighbor_id").alias("bn")
+    )
+    nq = base.agg(
+        F.countDistinct("bq").cast("bigint").alias("n_queries")
+    )
+    hits = (
+        top5.join(
+            base,
+            (F.col("query_id") == F.col("bq"))
+            & (F.col("neighbor_id") == F.col("bn")),
+        )
+        .groupBy("dim")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(nq))
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n_queries",
+            F.round(
+                F.col("n_hits") / (5.0 * F.col("n_queries")), 4
+            ).alias("recall_at5"),
+        )
+    )
