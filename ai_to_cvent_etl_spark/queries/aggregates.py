@@ -3311,3 +3311,133 @@ def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jsd_nats",
         "hellinger",
     )
+
+
+# Poisson(1) CDF thresholds quantized to exact 48-bit integers:
+# t_k = floor(P(Poisson(1) <= k) * 2^48). A 48-bit uniform hash draw u
+# maps to weight w = #{k : u >= t_k} — an EXACT integer comparison chain,
+# so the resample weights are bit-identical on any engine with md5.
+_POIS1_T48 = (
+    103548857136060,
+    207097714272121,
+    258872142840152,
+    276130285696162,
+    280444821410164,
+    281307728552965,
+    281451546410098,
+    281472091818260,
+)
+_BOOT_B = 32
+
+
+def _boot_w(u: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_T48
+    )
+
+
+@register(
+    "q_agg_poisson_bootstrap",
+    oracle=f"""
+        WITH reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range({_BOOT_B}) r),
+        drawn AS (
+            SELECT b,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                       AS cents,
+                   {_boot_w(
+                       "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)"
+                       " || '-' || CAST(l_linenumber AS VARCHAR) || ':'"
+                       " || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)"
+                   )} AS w
+            FROM lineitem CROSS JOIN reps
+        ),
+        means AS (
+            SELECT b, SUM(w * cents) / (1.0 * SUM(w)) AS m
+            FROM drawn GROUP BY b
+        ),
+        ranked AS (
+            SELECT m, ROW_NUMBER() OVER (ORDER BY m, b) AS rk FROM means
+        ),
+        pt AS (
+            SELECT SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                            AS BIGINT)) / (1.0 * COUNT(*)) AS pm
+            FROM lineitem
+        )
+        SELECT CAST({_BOOT_B} AS BIGINT) AS n_boot,
+               ROUND((SELECT pm FROM pt), 4) AS point_mean_cents,
+               ROUND(MAX(CASE WHEN rk = 2 THEN m END), 4) AS ci_lo_cents,
+               ROUND(MAX(CASE WHEN rk = {_BOOT_B - 1} THEN m END), 4)
+                   AS ci_hi_cents
+        FROM ranked
+    """,
+    section="A56",
+    doc="Poisson bootstrap confidence interval for the mean line price: "
+    "each of B=32 resamples assigns every row an INDEPENDENT Poisson(1) "
+    "weight drawn deterministically from a 48-bit md5 hash of "
+    "(row key, replica) against exact integer CDF thresholds — the "
+    "bootstrap formulation that actually works on massive data "
+    "(classical resampling needs n draws WITH replacement = a global "
+    "shuffle per replica; Poisson weights are ROW-LOCAL, one pass for "
+    "all B replicas, which is why it is the standard at web scale). "
+    "CI = 2nd/31st order statistics of the replica means (~93.75% "
+    "coverage, documented). Determinism: weights are exact integer "
+    "hash-threshold comparisons (no float RNG anywhere); each replica "
+    "mean is one BIGINT/BIGINT division; ranking ties break on the "
+    "replica id. Scale: the whole computation is ONE map stage "
+    "(explode B per row, all weights row-local) feeding ONE "
+    "B-key map-side-combinable agg — B·n rows on the wire collapse to "
+    "B partials per task; no resample materialization, no shuffle of "
+    "data rows.",
+)
+def q_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (
+        "cast(conv(substr(md5(concat(cast(l_orderkey as string), '-', "
+        "cast(l_linenumber as string), ':', cast(b as string))), 1, 12), "
+        "16, 10) as bigint)"
+    )
+    w_expr = " + ".join(
+        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_T48
+    )
+    drawn = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        "l_orderkey",
+        "l_linenumber",
+    ).select("b", "cents", F.expr(w_expr).alias("w"))
+    means = drawn.groupBy("b").agg(
+        (F.sum(F.col("w") * F.col("cents")) / (1.0 * F.sum("w"))).alias("m")
+    )
+    ranked = means.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.col("m").asc(), F.col("b").asc()))
+    )
+    pt = li.agg(
+        (
+            F.sum(
+                F.expr(
+                    "cast(cast(l_extendedprice as decimal(18,2)) * 100 "
+                    "as bigint)"
+                )
+            )
+            / (1.0 * F.count(F.lit(1)))
+        ).alias("pm")
+    )
+    return (
+        ranked.agg(
+            F.round(F.max(F.when(F.col("rk") == 2, F.col("m"))), 4).alias(
+                "ci_lo_cents"
+            ),
+            F.round(
+                F.max(F.when(F.col("rk") == _BOOT_B - 1, F.col("m"))), 4
+            ).alias("ci_hi_cents"),
+        )
+        .crossJoin(F.broadcast(pt))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("n_boot"),
+            F.round(F.col("pm"), 4).alias("point_mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )

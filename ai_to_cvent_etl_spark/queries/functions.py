@@ -919,3 +919,55 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overflowed"
         ),
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+
+@register(
+    "q_sql_variables",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_quantity < 30
+        GROUP BY l_returnflag
+    """,
+    section="F27",
+    doc="SQL session variables + EXECUTE IMMEDIATE + IDENTIFIER(): the "
+    "Spark 4 parameterized-SQL surface pinned end-to-end — a DECLAREd "
+    "DOUBLE variable set via SET VAR feeds the predicate, the table "
+    "name arrives as an EXECUTE IMMEDIATE bind parameter through "
+    "IDENTIFIER() (injection-safe dynamic table reference, the "
+    "supported replacement for f-string SQL), and a quantity bound "
+    "arrives as a second named parameter (mixing named and positional "
+    "binds is rejected — probed, documented). The oracle is the same "
+    "query with every parameter inlined as a literal — proving the "
+    "parameterization layer changes BINDING, not semantics, so query "
+    "templates can migrate without behavior drift. Variables are "
+    "session-scoped driver state (bytes, not data) — zero executor "
+    "footprint; the underlying plan is the same pushed-down scan+agg "
+    "as the literal query (predicate pushdown still sees the resolved "
+    "constant).",
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "f27_lineitem"
+    )
+    spark.sql("DECLARE OR REPLACE VARIABLE f27_min_disc DOUBLE DEFAULT 0.0")
+    spark.sql("SET VAR f27_min_disc = 0.05")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+          'SELECT l_returnflag,
+                  CAST(COUNT(*) AS BIGINT) AS n_lines,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                      AS revenue
+           FROM IDENTIFIER(:tbl)
+           WHERE l_discount >= f27_min_disc AND l_quantity < :qty
+           GROUP BY l_returnflag'
+          USING 'f27_lineitem' AS tbl, 30 AS qty
+        """
+    )

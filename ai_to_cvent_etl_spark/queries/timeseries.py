@@ -1814,3 +1814,162 @@ def q_ts_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("hurst"),
     )
+
+
+@register(
+    "q_ts_granger_lite",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                       AS v
+            FROM events WHERE event_type IN ('purchase', 'click')
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT yt.v AS y, yl.v AS yl, xl.v AS xl
+            FROM (SELECT d, v FROM daily WHERE event_type = 'purchase') yt
+            JOIN (SELECT d, v FROM daily WHERE event_type = 'purchase') yl
+              ON yl.d = yt.d - 1
+            JOIN (SELECT d, v FROM daily WHERE event_type = 'click') xl
+              ON xl.d = yt.d - 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(yl) AS BIGINT) AS s1,
+                   CAST(SUM(xl) AS BIGINT) AS s2,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(yl * yl) AS BIGINT) AS s11,
+                   CAST(SUM(xl * xl) AS BIGINT) AS s22,
+                   CAST(SUM(yl * xl) AS BIGINT) AS s12,
+                   CAST(SUM(y * yl) AS BIGINT) AS s1y,
+                   CAST(SUM(y * xl) AS BIGINT) AS s2y
+            FROM pairs
+        ),
+        c AS (
+            SELECT n,
+                   n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy AS cyy,
+                   n * CAST(s11 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 AS c11,
+                   n * CAST(s22 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 AS c22,
+                   n * CAST(s12 AS DOUBLE) - CAST(s1 AS DOUBLE) * s2 AS c12,
+                   n * CAST(s1y AS DOUBLE) - CAST(s1 AS DOUBLE) * sy AS c1y,
+                   n * CAST(s2y AS DOUBLE) - CAST(s2 AS DOUBLE) * sy AS c2y
+            FROM m
+        ),
+        f AS (
+            SELECT n, cyy,
+                   cyy - c1y * c1y / c11 AS sse1,
+                   cyy - ((c1y * c22 - c2y * c12) * c1y
+                          + (c2y * c11 - c1y * c12) * c2y)
+                         / (c11 * c22 - c12 * c12) AS sse2,
+                   (c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12) AS b1,
+                   (c2y * c11 - c1y * c12) / (c11 * c22 - c12 * c12) AS b2
+            FROM c
+        )
+        SELECT n AS n_days,
+               ROUND(b1, 6) AS beta_ylag,
+               ROUND(b2, 6) AS beta_xlag,
+               ROUND(1 - sse1 / cyy, 6) AS r2_ar,
+               ROUND(1 - sse2 / cyy, 6) AS r2_full,
+               ROUND((sse1 - sse2) / (sse2 / (n - 3)), 4) AS f_stat,
+               (sse1 - sse2) / (sse2 / (n - 3)) > 4.21 AS x_helps
+        FROM f
+    """,
+    section="TS23",
+    doc="Granger-style lagged-regression screen: does yesterday's click "
+    "volume improve today's purchase-volume prediction beyond "
+    "yesterday's purchases? Compares SSE of y_t ~ y_{t-1} vs "
+    "y_t ~ y_{t-1} + x_{t-1} via the 2-predictor normal equations in "
+    "closed form; reports both R² and the F(1, n-3) statistic "
+    "(x_helps thresholds at the 5% critical value 4.21 for n=30). "
+    "The lag alignment is an inner join on consecutive day indexes, so "
+    "gap days drop out exactly the same way on both engines. "
+    "Determinism (TS11/A45 integer-moments device): daily sums are "
+    "exact cents; ALL ten raw moments are exact BIGINTs (width holds "
+    "to ~1e8 cents/day — rescale units beyond); the centered-moment "
+    "combinations run in DOUBLE on the exact BIGINT moments (int64 "
+    "would overflow n*Σy² at sf0.1 widths; BIGINT→double conversion "
+    "is identical IEEE rounding on both engines, so the fixed formula "
+    "stays bit-deterministic), ROUND'ed at the end. Scale: one keyed "
+    "agg to ~days rows, a 3-way join on day indexes (tiny), one "
+    "10-moment reduction — collapses before any wide stage; moment "
+    "accumulation is map-side combinable at any volume.",
+)
+def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin("purchase", "click"))
+        .groupBy(
+            "event_type",
+            F.expr(
+                "cast(datediff(cast(date_trunc('day', ts) as date), "
+                "date'2024-01-01') as bigint)"
+            ).alias("d"),
+        )
+        .agg(
+            (F.sum(F.col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("bigint")
+            .alias("v")
+        )
+    )
+    yt = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("dt"), F.col("v").alias("y")
+    )
+    yl = daily.filter(F.col("event_type") == "purchase").select(
+        F.col("d").alias("dl"), F.col("v").alias("ylag")
+    )
+    xl = daily.filter(F.col("event_type") == "click").select(
+        F.col("d").alias("dx"), F.col("v").alias("xlag")
+    )
+    pairs = yt.join(yl, F.col("dl") == F.col("dt") - 1).join(
+        xl, F.col("dx") == F.col("dt") - 1
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("ylag").cast("bigint").alias("s1"),
+        F.sum("xlag").cast("bigint").alias("s2"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("ylag") * F.col("ylag")).cast("bigint").alias("s11"),
+        F.sum(F.col("xlag") * F.col("xlag")).cast("bigint").alias("s22"),
+        F.sum(F.col("ylag") * F.col("xlag")).cast("bigint").alias("s12"),
+        F.sum(F.col("y") * F.col("ylag")).cast("bigint").alias("s1y"),
+        F.sum(F.col("y") * F.col("xlag")).cast("bigint").alias("s2y"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("syy").cast("double")
+         - F.col("sy").cast("double") * F.col("sy")).alias("cyy"),
+        (F.col("n") * F.col("s11").cast("double")
+         - F.col("s1").cast("double") * F.col("s1")).alias("c11"),
+        (F.col("n") * F.col("s22").cast("double")
+         - F.col("s2").cast("double") * F.col("s2")).alias("c22"),
+        (F.col("n") * F.col("s12").cast("double")
+         - F.col("s1").cast("double") * F.col("s2")).alias("c12"),
+        (F.col("n") * F.col("s1y").cast("double")
+         - F.col("s1").cast("double") * F.col("sy")).alias("c1y"),
+        (F.col("n") * F.col("s2y").cast("double")
+         - F.col("s2").cast("double") * F.col("sy")).alias("c2y"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    sse1 = F.col("cyy") - F.col("c1y") * F.col("c1y") / F.col("c11")
+    sse2 = F.col("cyy") - (
+        (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) * F.col("c1y")
+        + (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) * F.col("c2y")
+    ) / det
+    fstat = (sse1 - sse2) / (sse2 / (F.col("n") - 3))
+    return c.select(
+        F.col("n").alias("n_days"),
+        F.round(b1, 6).alias("beta_ylag"),
+        F.round(b2, 6).alias("beta_xlag"),
+        F.round(1 - sse1 / F.col("cyy"), 6).alias("r2_ar"),
+        F.round(1 - sse2 / F.col("cyy"), 6).alias("r2_full"),
+        F.round(fstat, 4).alias("f_stat"),
+        (fstat > 4.21).alias("x_helps"),
+    )
