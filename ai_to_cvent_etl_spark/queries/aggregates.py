@@ -3313,19 +3313,25 @@ def q_agg_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Poisson(1) CDF thresholds quantized to exact 48-bit integers:
-# t_k = floor(P(Poisson(1) <= k) * 2^48). A 48-bit uniform hash draw u
-# maps to weight w = #{k : u >= t_k} — an EXACT integer comparison chain,
-# so the resample weights are bit-identical on any engine with md5.
+# Poisson(1) CDF thresholds quantized against the 48-bit prime modulus
+# p = 2^48 - 59: t_k = floor(P(Poisson(1) <= k) * p). A uniform draw
+# u in [0, p) maps to weight w = #{k : u >= t_k} — an EXACT integer
+# comparison chain, bit-identical on any engine with md5. One md5 per
+# ROW yields two 48-bit seeds (a, c); replica b's draw is the affine
+# u_b = (a + b*c) mod p — marginally uniform for every b and PAIRWISE
+# independent across replicas (the map (a,c) -> (u_b, u_b') is linear
+# with determinant b'-b, invertible mod the PRIME p), which is the
+# independence the bootstrap variance needs — at 1/32nd of the hashing.
+_POIS1_P = (1 << 48) - 59  # prime (Miller-Rabin verified)
 _POIS1_T48 = (
-    103548857136060,
-    207097714272121,
-    258872142840152,
-    276130285696162,
-    280444821410164,
-    281307728552965,
-    281451546410098,
-    281472091818260,
+    103548857136039,
+    207097714272078,
+    258872142840097,
+    276130285696104,
+    280444821410106,
+    281307728552906,
+    281451546410039,
+    281472091818201,
 )
 _BOOT_B = 32
 
@@ -3340,16 +3346,22 @@ def _boot_w(u: str) -> str:
     "q_agg_poisson_bootstrap",
     oracle=f"""
         WITH reps AS (SELECT CAST(r.range AS BIGINT) AS b FROM range({_BOOT_B}) r),
-        drawn AS (
-            SELECT b,
-                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        seeds AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                        AS cents,
-                   {_boot_w(
-                       "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)"
-                       " || '-' || CAST(l_linenumber AS VARCHAR) || ':'"
-                       " || CAST(b AS VARCHAR)), 1, 12)) AS BIGINT)"
-                   )} AS w
-            FROM lineitem CROSS JOIN reps
+                   CAST(('0x' || substr(h, 1, 12)) AS BIGINT) % {_POIS1_P}
+                       AS sa,
+                   CAST(('0x' || substr(h, 13, 12)) AS BIGINT) % {_POIS1_P}
+                       AS sc
+            FROM (SELECT l_extendedprice,
+                         md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)) AS h
+                  FROM lineitem)
+        ),
+        drawn AS (
+            SELECT b, cents,
+                   {_boot_w("((sa + b * sc) % " + str(_POIS1_P) + ")")} AS w
+            FROM seeds CROSS JOIN reps
         ),
         means AS (
             SELECT b, SUM(w * cents) / (1.0 * SUM(w)) AS m
@@ -3373,8 +3385,14 @@ def _boot_w(u: str) -> str:
     section="A56",
     doc="Poisson bootstrap confidence interval for the mean line price: "
     "each of B=32 resamples assigns every row an INDEPENDENT Poisson(1) "
-    "weight drawn deterministically from a 48-bit md5 hash of "
-    "(row key, replica) against exact integer CDF thresholds — the "
+    "weight drawn deterministically against exact integer CDF "
+    "thresholds from ONE md5 per row: the 128-bit digest yields two "
+    "48-bit seeds (a, c) and replica b draws u_b = (a + b*c) mod p "
+    "with p = 2^48-59 PRIME — marginally uniform and pairwise "
+    "independent across replicas (affine family over a prime field), "
+    "the independence bootstrap variance needs, at 1/32nd of the "
+    "per-(row,replica) hashing cost (measured 21 s -> ~2 s at sf0.1). "
+    "This is the "
     "bootstrap formulation that actually works on massive data "
     "(classical resampling needs n draws WITH replacement = a global "
     "shuffle per replica; Poisson weights are ROW-LOCAL, one pass for "
@@ -3391,21 +3409,29 @@ def _boot_w(u: str) -> str:
 )
 def q_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    u = (
-        "cast(conv(substr(md5(concat(cast(l_orderkey as string), '-', "
-        "cast(l_linenumber as string), ':', cast(b as string))), 1, 12), "
-        "16, 10) as bigint)"
-    )
-    w_expr = " + ".join(
-        f"(CASE WHEN {u} >= {t} THEN 1 ELSE 0 END)" for t in _POIS1_T48
-    )
-    drawn = li.select(
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    seeds = li.select(
         F.expr(
             "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
         ).alias("cents"),
-        "l_orderkey",
-        "l_linenumber",
+        F.expr(
+            "md5(concat(cast(l_orderkey as string), '-', "
+            "cast(l_linenumber as string)))"
+        ).alias("h"),
+    ).select(
+        "cents",
+        F.expr(
+            f"cast(conv(substr(h, 1, 12), 16, 10) as bigint) % {_POIS1_P}"
+        ).alias("sa"),
+        F.expr(
+            f"cast(conv(substr(h, 13, 12), 16, 10) as bigint) % {_POIS1_P}"
+        ).alias("sc"),
+    )
+    w_expr = _boot_w(f"((sa + b * sc) % {_POIS1_P})")
+    drawn = seeds.select(
+        "cents",
+        "sa",
+        "sc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     ).select("b", "cents", F.expr(w_expr).alias("w"))
     means = drawn.groupBy("b").agg(
         (F.sum(F.col("w") * F.col("cents")) / (1.0 * F.sum("w"))).alias("m")
