@@ -3467,3 +3467,110 @@ def q_agg_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+@register(
+    "q_agg_mcnemar",
+    oracle="""
+        WITH preds AS (
+            SELECT event_type = 'purchase' AS truth,
+                   value > 150 AS pred_a,
+                   CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 2 = 0 AS pred_b
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(SUM(CASE WHEN (pred_a = truth) AND (pred_b = truth)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS both_right,
+                   CAST(SUM(CASE WHEN (pred_a = truth) AND (pred_b <> truth)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS only_a,
+                   CAST(SUM(CASE WHEN (pred_a <> truth) AND (pred_b = truth)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS only_b,
+                   CAST(SUM(CASE WHEN (pred_a <> truth) AND (pred_b <> truth)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS both_wrong
+            FROM preds
+        )
+        SELECT both_right, only_a, only_b, both_wrong,
+               ROUND((abs(only_a - only_b) - 1)
+                     * (abs(only_a - only_b) - 1)
+                     / (1.0 * (only_a + only_b)), 4) AS mcnemar_chi2,
+               (abs(only_a - only_b) - 1) * (abs(only_a - only_b) - 1)
+                   / (1.0 * (only_a + only_b)) > 3.841 AS significant
+        FROM cells
+    """,
+    section="A57",
+    doc="McNemar's paired test comparing two classifiers on the SAME "
+    "examples — THE test for 'is eval candidate B actually better than "
+    "A' (paired discordant counts, not two independent proportions: "
+    "A19's two-proportion z is WRONG for shared eval sets because the "
+    "per-example outcomes are correlated). Truth = event is a "
+    "purchase; classifier A thresholds value, classifier B is a "
+    "deterministic hash coin (the null baseline). Statistic = "
+    "(|b-c|-1)²/(b+c) with continuity correction on the discordant "
+    "cells, thresholded at the chi-square(1) 5% critical value 3.841. "
+    "Exact integer cells, ONE final division (§5.3 rule 10 by "
+    "construction). Scale: one map-side-combinable 4-cell reduction — "
+    "collapses to a single row before any wide stage.",
+)
+def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    preds = ev.select(
+        (F.col("event_type") == "purchase").alias("truth"),
+        (F.col("value") > 150).alias("pred_a"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(event_id as string)), 1, 12), "
+                "16, 10) as bigint)"
+            )
+            % 2
+            == 0
+        ).alias("pred_b"),
+    )
+    cells = preds.agg(
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_right"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") == F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_a"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") == F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("only_b"),
+        F.sum(
+            F.when(
+                (F.col("pred_a") != F.col("truth"))
+                & (F.col("pred_b") != F.col("truth")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("both_wrong"),
+    )
+    d = F.abs(F.col("only_a") - F.col("only_b")) - 1
+    chi2 = d * d / (1.0 * (F.col("only_a") + F.col("only_b")))
+    return cells.select(
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.round(chi2, 4).alias("mcnemar_chi2"),
+        (chi2 > 3.841).alias("significant"),
+    )

@@ -2057,3 +2057,55 @@ def q_etl_ipf_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_share"
         ),
     )
+
+
+_LDIV_L = 3  # required distinct sensitive values per equivalence class
+
+
+@register(
+    "q_etl_l_diversity",
+    oracle=f"""
+        WITH s AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CASE WHEN c_acctbal < 0 THEN 'debt'
+                        WHEN c_acctbal < 5000 THEN 'low'
+                        ELSE 'high' END AS sens
+            FROM customer
+        )
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_distinct,
+               COUNT(DISTINCT sens) >= {_LDIV_L} AS l_diverse
+        FROM s
+        GROUP BY c_nationkey, c_mktsegment
+    """,
+    section="E36",
+    doc=f"l-diversity audit — the release gate k-anonymity (E17) misses: "
+    "an equivalence class can be k-anonymous yet leak its sensitive "
+    "attribute completely if every member shares the same value "
+    "(homogeneity attack). Classes are the (nation, market segment) "
+    f"quasi-identifier groups; the sensitive attribute is the account-"
+    f"balance band; a class passes iff it contains >= {_LDIV_L} "
+    "DISTINCT sensitive values. Emits every class with its size and "
+    "distinct-l so the suppression decision is auditable (failing "
+    "classes feed E22's quarantine the same way E17's under-k rows "
+    "do). Exact integer counting only. Scale: one keyed agg; "
+    "COUNT(DISTINCT) expands to the standard two-level agg on "
+    "(class, sens) — the sensitive domain is 3 values, so the "
+    "expansion is bounded at 3x class count; no skew concern.",
+)
+def q_etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    s = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+        .alias("sens"),
+    )
+    return s.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("sens").cast("bigint").alias("l_distinct"),
+        (F.countDistinct("sens") >= _LDIV_L).alias("l_diverse"),
+    )

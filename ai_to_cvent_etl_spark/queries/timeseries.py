@@ -1973,3 +1973,121 @@ def q_ts_granger_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(fstat, 4).alias("f_stat"),
         (fstat > 4.21).alias("x_helps"),
     )
+
+
+_HOLT_A = 0.3  # level smoothing
+_HOLT_B = 0.1  # trend smoothing
+
+
+@register(
+    "q_ts_holt_forecast",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                             AS BIGINT) AS DOUBLE) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        series AS (
+            SELECT event_type,
+                   list_transform(
+                       list_sort(list(struct_pack(d := d, v := v))),
+                       x -> x.v) AS vals
+            FROM daily GROUP BY event_type
+        ),
+        folded AS (
+            SELECT event_type, len(vals) AS n_days,
+                   list_reduce(
+                       list_transform(vals,
+                                      v -> [v, CAST('nan' AS DOUBLE)]),
+                       (acc, x) -> CASE WHEN isnan(acc[2])
+                           THEN [x[1], x[1] - acc[1]]
+                           ELSE [{_HOLT_A} * x[1]
+                                 + {1 - _HOLT_A} * (acc[1] + acc[2]),
+                                 {_HOLT_B} * ({_HOLT_A} * x[1]
+                                 + {1 - _HOLT_A} * (acc[1] + acc[2])
+                                 - acc[1]) + {1 - _HOLT_B} * acc[2]]
+                           END) AS st
+            FROM series
+        )
+        SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+               ROUND(st[1], 4) AS level_cents,
+               ROUND(st[2], 4) AS trend_cents,
+               ROUND(st[1] + 1 * st[2], 4) AS forecast_1d,
+               ROUND(st[1] + 2 * st[2], 4) AS forecast_2d,
+               ROUND(st[1] + 3 * st[2], 4) AS forecast_3d
+        FROM folded
+    """,
+    section="TS24",
+    doc=f"Holt linear-trend exponential smoothing (alpha={_HOLT_A}, "
+    f"beta={_HOLT_B}) per event type with 1/2/3-day-ahead forecasts — "
+    "the recursive double-smoothing TS13's forecast-eval consumes, "
+    "expressed WITHOUT recursion machinery: the per-series recurrence "
+    "is a ROW-LOCAL left fold over the day-sorted value array with a "
+    "2-element ARRAY accumulator [level, trend] (trend=NaN marks the "
+    "un-initialized state; the first merge sets l=y2, b=y2-y1). "
+    "Spark's aggregate() folds from an explicit zero over the tail; "
+    "DuckDB's list_reduce seeds from the first element — identical "
+    "IEEE operation sequence (hash-pinned). DISCOVERY (§5.3): DuckDB "
+    "1.0.0's list_reduce updates a STRUCT accumulator field-by-field "
+    "IN PLACE, so a later field's expression reads the NEW value of "
+    "an earlier field (probed: the trend expression saw the updated "
+    "level) — the array accumulator sidesteps the hazard; never use "
+    "struct accumulators with cross-referencing fields in the oracle "
+    "dialect. Daily inputs are exact cents. Scale: one keyed agg to "
+    "~days rows, one sorted-collect per series (arrays bounded by the "
+    "time range, not event volume), O(days) row-local fold, no "
+    "shuffle beyond the two keyed aggs.",
+)
+def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type",
+            F.expr(
+                "cast(datediff(cast(date_trunc('day', ts) as date), "
+                "date'2024-01-01') as bigint)"
+            ).alias("d"),
+        )
+        .agg(
+            F.expr(
+                "cast(cast(sum(cast(value as decimal(12,2))) * 100 "
+                "as bigint) as double)"
+            ).alias("v")
+        )
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, v))), x -> x.v)"
+        ).alias("vals")
+    )
+    a, one_a = _HOLT_A, 1 - _HOLT_A
+    bb, one_b = _HOLT_B, 1 - _HOLT_B
+    fold = (
+        "aggregate("
+        "  slice(vals, 2, size(vals) - 1),"
+        "  array(vals[0], cast('nan' as double)),"
+        "  (acc, x) -> CASE WHEN isnan(acc[1])"
+        "    THEN array(x, x - acc[0])"
+        f"   ELSE array({a} * x + {one_a} * (acc[0] + acc[1]),"
+        f"              {bb} * ({a} * x + {one_a} * (acc[0] + acc[1])"
+        f"              - acc[0]) + {one_b} * acc[1])"
+        "    END)"
+    )
+    folded = series.select(
+        "event_type",
+        F.size("vals").cast("bigint").alias("n_days"),
+        F.expr(fold).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.round(F.expr("st[0]"), 4).alias("level_cents"),
+        F.round(F.expr("st[1]"), 4).alias("trend_cents"),
+        F.round(F.expr("st[0] + 1 * st[1]"), 4).alias("forecast_1d"),
+        F.round(F.expr("st[0] + 2 * st[1]"), 4).alias("forecast_2d"),
+        F.round(F.expr("st[0] + 3 * st[1]"), 4).alias("forecast_3d"),
+    )
