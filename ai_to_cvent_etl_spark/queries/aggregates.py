@@ -3574,3 +3574,197 @@ def q_agg_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 4).alias("mcnemar_chi2"),
         (chi2 > 3.841).alias("significant"),
     )
+
+
+@register(
+    "q_agg_auc_roc",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 0
+                                 ELSE 1 END) AS BIGINT) AS nn
+            FROM events
+            GROUP BY 1
+        ),
+        c AS (
+            SELECT np, nn,
+                   CAST(COALESCE(SUM(nn) OVER (
+                       ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS cum_neg_below
+            FROM s
+        ),
+        t AS (
+            SELECT CAST(SUM(np) AS BIGINT) AS p,
+                   CAST(SUM(nn) AS BIGINT) AS n,
+                   CAST(SUM(np * (2 * cum_neg_below + nn)) AS BIGINT)
+                       AS num2,
+                   CAST(COUNT(*) AS BIGINT) AS n_scores
+            FROM c
+        )
+        SELECT p AS n_pos, n AS n_neg, n_scores,
+               ROUND(num2 / (2.0 * p * n), 6) AS auc
+        FROM t
+    """,
+    section="A58",
+    doc="Exact AUC-ROC of the value score against the purchase label — "
+    "THE ranking metric for scorer/filter evaluation (A37's "
+    "Mann-Whitney U is its test-statistic sibling; this emits the "
+    "metric itself). Computed WITHOUT a global row sort: rows collapse "
+    "to per-distinct-score (pos, neg) counts first, then "
+    "AUC = P(score_pos > score_neg) + 0.5 P(tie) = "
+    "Σ np(s)·(2·cumneg(<s) + nn(s)) / 2PN over the ORDERED DISTINCT "
+    "SCORES — an exact BIGINT numerator (ties handled by the +nn/2 "
+    "term without fractional ranks) and ONE final division. Scale: "
+    "the heavy stage is a map-side-combinable count agg on the score "
+    "key; the ordered cumulative runs over DISTINCT VALUES (bounded "
+    "by the 2dp value domain, ~50k cells, NOT row count) — the "
+    "classic grouped-ROC device that makes AUC computable on "
+    "billions of rows where rank-the-rows would need a global sort.",
+)
+def q_agg_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").alias(
+            "cents"
+        )
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("np"),
+        F.sum(F.when(F.col("event_type") == "purchase", 0).otherwise(1))
+        .cast("bigint")
+        .alias("nn"),
+    )
+    w = (
+        Window.orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = s.withColumn(
+        "cum_neg_below",
+        F.coalesce(F.sum("nn").over(w), F.lit(0)).cast("bigint"),
+    )
+    t = c.agg(
+        F.sum("np").cast("bigint").alias("p"),
+        F.sum("nn").cast("bigint").alias("n"),
+        F.sum(
+            F.col("np") * (2 * F.col("cum_neg_below") + F.col("nn"))
+        )
+        .cast("bigint")
+        .alias("num2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )
+    return t.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        "n_scores",
+        F.round(F.col("num2") / (2.0 * F.col("p") * F.col("n")), 6).alias(
+            "auc"
+        ),
+    )
+
+
+_ECE_CAP = 50000  # cents cap: conf = min(cents, cap)/cap, bins = conf decile
+
+
+@register(
+    "q_agg_ece",
+    oracle=f"""
+        WITH p AS (
+            SELECT LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                         {_ECE_CAP}) AS capped,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS truth
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(capped // {_ECE_CAP // 10}, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(truth) AS BIGINT) AS pos_b,
+                   CAST(SUM(capped) AS BIGINT) AS conf_sum
+            FROM p GROUP BY 1
+        ),
+        e AS (
+            SELECT bin, n_b, pos_b,
+                   pos_b / (1.0 * n_b) AS acc,
+                   conf_sum / ({_ECE_CAP}.0 * n_b) AS conf,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS nn
+            FROM b
+        ),
+        q AS (
+            SELECT bin, n_b, acc, conf,
+                   CAST(FLOOR(1e9 * n_b * abs(acc - conf) / nn) AS BIGINT)
+                       AS term
+            FROM e
+        )
+        SELECT bin, n_b,
+               ROUND(acc, 6) AS accuracy,
+               ROUND(conf, 6) AS confidence,
+               ROUND(SUM(term) OVER () / 1e9, 4) AS ece
+        FROM q
+    """,
+    section="A59",
+    doc=f"Expected calibration error of a score used as a purchase-"
+    "probability estimate: confidence = capped value / {0} (a LINEAR "
+    "deterministic score — an exact rational, so the decile bin id is "
+    "pure integer division, no libm in the binning), per-bin accuracy "
+    "vs mean confidence, ECE = Σ (n_b/N)·|acc_b − conf_b|. THE "
+    "calibration diagnostic for LLM-judge/filter scores — a scorer "
+    "can have good AUC (A58) and terrible calibration, and "
+    "temperature-scaling decisions hang on exactly this table. "
+    "Per-bin ratios are single divisions of exact BIGINTs; the "
+    "cross-bin sum is floor-quantized to nano-units (TS21 device). "
+    "Emits the full reliability-diagram table (bin, n, acc, conf) "
+    "with the scalar ECE repeated per row (G12's device). Scale: one "
+    "map-side-combinable agg onto 10 bins — collapses immediately; "
+    "the window over 10 rows is trivial.".format(_ECE_CAP),
+)
+def q_agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        F.least(
+            F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)"),
+            F.lit(_ECE_CAP),
+        ).alias("capped"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "truth"
+        ),
+    )
+    b = p.groupBy(
+        F.least(
+            F.expr(f"capped div {_ECE_CAP // 10}"), F.lit(9)
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("truth").cast("bigint").alias("pos_b"),
+        F.sum("capped").cast("bigint").alias("conf_sum"),
+    )
+    wall = Window.partitionBy()
+    e = b.select(
+        "bin",
+        "n_b",
+        (F.col("pos_b") / (1.0 * F.col("n_b"))).alias("acc"),
+        (F.col("conf_sum") / (float(_ECE_CAP) * F.col("n_b"))).alias("conf"),
+        F.sum("n_b").over(wall).cast("bigint").alias("nn"),
+    )
+    q = e.select(
+        "bin",
+        "n_b",
+        "acc",
+        "conf",
+        F.floor(
+            1e9 * F.col("n_b") * F.abs(F.col("acc") - F.col("conf")) / F.col("nn")
+        )
+        .cast("bigint")
+        .alias("term"),
+    )
+    return q.select(
+        "bin",
+        "n_b",
+        F.round("acc", 6).alias("accuracy"),
+        F.round("conf", 6).alias("confidence"),
+        F.round(F.sum("term").over(wall) / 1e9, 4).alias("ece"),
+    )

@@ -257,3 +257,61 @@ def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("parts", _PDS_PARTS)
         .load()
     )
+
+
+@register(
+    "q_scan_partition_pruning",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS price_cents_sum
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+    """,
+    section="S13",
+    doc="Hive-style partitioned write + partition-PRUNED read: orders is "
+    "rewritten partitionBy(o_orderstatus) into scratch parquet (3 "
+    "directories), read back, and filtered on the partition column — "
+    "the filter resolves against DIRECTORY NAMES at planning time "
+    "(PartitionFilters in the scan node, pinned by "
+    "tests/test_plan_shape.py), so non-matching partitions are never "
+    "opened. The oracle computes the same aggregate from the "
+    "unpartitioned source, proving the partition round-trip loses "
+    "nothing (the partition column is reconstructed from directory "
+    "names with identical values/types). THE table-layout device at "
+    "100 TB: date/tenant-partitioned facts turn full scans into "
+    "touched-partition scans, complementing pushed-down row-group "
+    "pruning (S2) which still opens every file. Partition count here "
+    "is 3; the docstring contract is the usual one — partition by "
+    "columns whose cardinality is bounded (date, status, tenant), "
+    "never by high-cardinality keys (small-files explosion, E14's "
+    "compaction diagnostic).",
+)
+def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _rt_dir(sf_dir, "part")
+    (
+        orders.write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(path)
+    )
+    back = spark.read.parquet(path)
+    return (
+        back.filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_custkey").cast("bigint").alias("cust_sum"),
+            F.sum(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100 "
+                    "as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("price_cents_sum"),
+        )
+    )

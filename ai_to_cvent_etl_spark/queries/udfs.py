@@ -490,3 +490,95 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE l_quantity > 45
         """
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+
+class _TopWordsUdtf:
+    """UDTF whose OUTPUT SCHEMA is computed at plan time by the static
+    analyze() hook from the literal k argument (w1..wk + n_words) — the
+    Spark 4 dynamic-schema UDTF surface (X4/X8 pin fixed-schema UDTFs).
+    eval ties break (count desc, token asc), matching the oracle."""
+
+    @staticmethod
+    def analyze(text, k):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        n = int(k.value)
+        fields = [StructField(f"w{i + 1}", StringType()) for i in range(n)]
+        return AnalyzeResult(
+            StructType(fields + [StructField("n_words", LongType())])
+        )
+
+    def eval(self, text: str, k: int):
+        from collections import Counter
+
+        toks = text.split()
+        top = [
+            w
+            for w, _ in sorted(
+                Counter(toks).items(), key=lambda t: (-t[1], t[0])
+            )[:k]
+        ]
+        top += [None] * (k - len(top))
+        yield tuple(top) + (len(toks),)
+
+
+@register(
+    "q_udtf_analyze",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE lang = 'en') t
+        ),
+        counts AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c,
+                   CAST(SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_words,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY COUNT(*) DESC, tok) AS rn
+            FROM toks GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               MAX(CASE WHEN rn = 1 THEN tok END) AS w1,
+               MAX(CASE WHEN rn = 2 THEN tok END) AS w2,
+               MAX(CASE WHEN rn = 3 THEN tok END) AS w3,
+               MAX(n_words) AS n_words
+        FROM counts
+        GROUP BY doc_id
+    """,
+    section="X12",
+    doc="Python UDTF with a static analyze() hook: the output schema "
+    "(w1..wk columns + n_words) is COMPUTED AT PLAN TIME from the "
+    "literal k argument — the Spark 4 dynamic-schema UDTF surface "
+    "that lets one table function serve any arity without re-"
+    "registration (X4/X8 pin the fixed-schema and TABLE-argument "
+    "variants; this completes the UDTF API surface). Top-3 tokens per "
+    "English document, ties broken (count desc, token asc) "
+    "identically in eval and the relational oracle. The Python "
+    "boundary is the POINT of the query (an API pin, not a hot path — "
+    "the oracle shows the same result is pure SQL); "
+    "tests/test_plan_shape.py's Python-eval allowlist admits it "
+    "explicitly. Scale: one Python worker call per row with bounded "
+    "row size — Arrow-batched, embarrassingly parallel, no state.",
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    spark.udtf.register("top_words_udtf", udtf(_TopWordsUdtf))
+    docs.createOrReplaceTempView("_udtf_analyze_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.w1, s.w2, s.w3, s.n_words
+        FROM _udtf_analyze_docs d, LATERAL top_words_udtf(d.text, 3) s
+        """
+    )

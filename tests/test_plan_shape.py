@@ -140,6 +140,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udtf_split",
         "q_udtf_table_arg",
         "q_udtf_arrow",
+        "q_udtf_analyze",
         "q_cogroup_pandas",
         "q_apply_in_pandas",
         "q_map_in_arrow",
@@ -680,3 +681,16 @@ def test_multimodal_route_single_reduction(spark, registry):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
         assert j not in plan, plan
+
+
+def test_partition_pruning_reaches_scan(spark, registry):
+    """S13: the partition-column filter must resolve at PLANNING time
+    against directory names (PartitionFilters on the scan node), not as
+    a post-scan row filter — the difference between opening 1/3 of the
+    partitions and opening all of them."""
+    plan = _plan(registry["q_scan_partition_pruning"].builder(spark, SF001))
+    assert "PartitionFilters" in plan, plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
+    assert m and "= O" in m.group(0).replace("'", ""), plan
