@@ -3768,3 +3768,134 @@ def q_agg_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("conf", 6).alias("confidence"),
         F.round(F.sum("term").over(wall) / 1e9, 4).alias("ece"),
     )
+
+
+_TOST_MARGIN = 500  # cents: equivalence margin ±5$ on the mean
+_TOST_Z = 1.645     # one-sided 5% normal critical value
+
+
+@register(
+    "q_agg_tost_equivalence",
+    oracle=f"""
+        WITH r AS (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 2 AS arm,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+            FROM events
+        ),
+        m AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT)
+                       AS s0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT)
+                       AS s1,
+                   CAST(SUM(CASE WHEN arm = 0 THEN x * x ELSE 0 END)
+                        AS BIGINT) AS q0,
+                   CAST(SUM(CASE WHEN arm = 1 THEN x * x ELSE 0 END)
+                        AS BIGINT) AS q1
+            FROM r
+        ),
+        d AS (
+            SELECT n0, n1,
+                   s0 / (1.0 * n0) AS mean0,
+                   s1 / (1.0 * n1) AS mean1,
+                   s1 / (1.0 * n1) - s0 / (1.0 * n0) AS diff,
+                   sqrt((n0 * CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * s0)
+                            / (1.0 * n0 * n0 * (n0 - 1))
+                        + (n1 * CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1)
+                            / (1.0 * n1 * n1 * (n1 - 1))) AS se
+            FROM m
+        )
+        SELECT n0, n1,
+               ROUND(mean0, 4) AS mean0_cents,
+               ROUND(mean1, 4) AS mean1_cents,
+               ROUND(diff, 4) AS diff_cents,
+               ROUND(se, 4) AS se_cents,
+               ROUND((diff + {_TOST_MARGIN}) / se, 4) AS t_lower,
+               ROUND((diff - {_TOST_MARGIN}) / se, 4) AS t_upper,
+               (diff + {_TOST_MARGIN}) / se > {_TOST_Z}
+                   AND (diff - {_TOST_MARGIN}) / se < -{_TOST_Z}
+                   AS equivalent
+        FROM d
+    """,
+    section="A60",
+    doc=f"TOST equivalence test (two one-sided tests) on the hash-split "
+    f"A/A arms: is the mean event value PROVABLY within ±{_TOST_MARGIN} "
+    "cents between arms? A non-significant Welch t (A13) is NOT "
+    "evidence of equivalence — absence of evidence; TOST inverts the "
+    "burden: both one-sided statistics must clear the 5% critical "
+    "value, i.e. the 90% CI must sit inside the margin. The standard "
+    "non-inferiority readout for 'did this infra change alter the "
+    "metric'. On the A/A fixture equivalence must hold — a null-"
+    "calibration self-check. Welch SE from six exact BIGINT moments "
+    "(cents and cents² sums; the variance combination runs in DOUBLE "
+    "per the TS23 width rule), two fixed formulas, ROUND at the end. "
+    "Scale: one map-side-combinable 6-moment reduction; collapses to "
+    "one row before anything wide.",
+)
+def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    r = ev.select(
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)), 1, 12), "
+                "16, 10) as bigint)"
+            )
+            % 2
+        ).alias("arm"),
+        F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)").alias(
+            "x"
+        ),
+    )
+    m = r.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("arm") == 0, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("x") * F.col("x")).otherwise(0))
+        .cast("bigint")
+        .alias("q1"),
+    )
+    mean0 = F.col("s0") / (1.0 * F.col("n0"))
+    mean1 = F.col("s1") / (1.0 * F.col("n1"))
+    diff = mean1 - mean0
+    se = F.sqrt(
+        (
+            F.col("n0") * F.col("q0").cast("double")
+            - F.col("s0").cast("double") * F.col("s0")
+        )
+        / (1.0 * F.col("n0") * F.col("n0") * (F.col("n0") - 1))
+        + (
+            F.col("n1") * F.col("q1").cast("double")
+            - F.col("s1").cast("double") * F.col("s1")
+        )
+        / (1.0 * F.col("n1") * F.col("n1") * (F.col("n1") - 1))
+    )
+    return m.select(
+        "n0",
+        "n1",
+        F.round(mean0, 4).alias("mean0_cents"),
+        F.round(mean1, 4).alias("mean1_cents"),
+        F.round(diff, 4).alias("diff_cents"),
+        F.round(se, 4).alias("se_cents"),
+        F.round((diff + _TOST_MARGIN) / se, 4).alias("t_lower"),
+        F.round((diff - _TOST_MARGIN) / se, 4).alias("t_upper"),
+        (
+            ((diff + _TOST_MARGIN) / se > _TOST_Z)
+            & ((diff - _TOST_MARGIN) / se < -_TOST_Z)
+        ).alias("equivalent"),
+    )

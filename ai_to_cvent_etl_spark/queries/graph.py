@@ -1166,3 +1166,86 @@ def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_contrib"),
         )
     )
+
+
+_WALK_STEPS = 3
+
+
+def _walk_oracle() -> str:
+    ctes = [
+        f"""WITH {_EDGE_CTES},
+        dedges AS (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL SELECT hi AS src, lo AS dst FROM edges
+        ),
+        w0 AS (SELECT DISTINCT src AS start, src AS cur FROM dedges)"""
+    ]
+    prev = "w0"
+    cols = []
+    for t in range(1, _WALK_STEPS + 1):
+        carry = ", ".join(["start"] + cols) if cols else "start"
+        ctes.append(
+            f"""w{t} AS (
+            SELECT {carry},
+                   min_by(dst, substr(md5(CAST(cur AS VARCHAR) || ':'
+                       || CAST(dst AS VARCHAR) || ':{t}'), 1, 16)) AS n{t}
+            FROM {prev} JOIN dedges ON cur = src
+            GROUP BY {carry}, cur
+        ),
+        c{t} AS (SELECT {carry}, n{t}, n{t} AS cur FROM w{t})"""
+        )
+        cols.append(f"n{t}")
+        prev = f"c{t}"
+    sel = ", ".join(["start"] + cols)
+    return ",\n        ".join(ctes) + f"\n        SELECT {sel} FROM {prev}"
+
+
+@register(
+    "q_graph_random_walk",
+    oracle=_walk_oracle(),
+    section="G13",
+    doc=f"Deterministic 'random' walks over the mutual-affinity supplier "
+    f"graph: one {_WALK_STEPS}-step walk per start node, where step t "
+    "moves from u to the neighbor v minimizing "
+    "md5(u:v:t) — a hash argmin replaces the RNG, making the walk "
+    "corpus bit-reproducible (the §5.3 seedless-determinism device) "
+    "while still visiting 'uniformly random' neighbors in "
+    "distribution across steps. This is the DeepWalk/node2vec CORPUS "
+    "GENERATION stage: the emitted (start, n1..n3) sequences are the "
+    "sentences a skip-gram embedding trains on — the graph-to-"
+    "training-data bridge for an LLM-era pipeline. min_by on the "
+    "16-hex-char key (ASCII ordering identical cross-engine; md5 "
+    "collisions at 64 bits are negligible and would need identical "
+    "u:v:t strings). Scale: each step is ONE equi-join of the "
+    "frontier (|V| rows, constant width) against the edge list "
+    "followed by a map-side-combinable argmin agg — L steps = L "
+    "bounded shuffles, the standard distributed-walk shape; the "
+    "frontier never grows (one walk per start; k walks per start "
+    "would just widen the key).",
+)
+def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    dedges = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    cur = dedges.select(F.col("src").alias("start")).distinct().withColumn(
+        "cur", F.col("start")
+    )
+    cols: list = []
+    for t in range(1, _WALK_STEPS + 1):
+        h = F.expr(
+            f"substr(md5(concat(cast(cur as string), ':', "
+            f"cast(dst as string), ':{t}')), 1, 16)"
+        )
+        carry = ["start"] + cols
+        stepped = (
+            cur.join(dedges, F.col("cur") == F.col("src"))
+            .withColumn("h", h)
+            .groupBy(*(carry + ["cur"]))
+            .agg(F.expr("min_by(dst, h)").alias(f"n{t}"))
+            .drop("cur")
+            .withColumn("cur", F.col(f"n{t}"))
+        )
+        cols.append(f"n{t}")
+        cur = stepped
+    return cur.select(*(["start"] + cols))

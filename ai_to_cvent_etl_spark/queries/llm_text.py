@@ -1232,3 +1232,119 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct",
         "entropy_nats",
     )
+
+
+# ==== forty-eighth wave (r4) ==================================================
+
+_KN_D = 0.75  # absolute-discount mass
+
+
+@register(
+    "q_text_kneser_ney",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE lang = 'en'
+        ),
+        bg AS (
+            SELECT doc_id, u.u AS u, u.w AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           range(1, len(ts)),
+                           i -> struct_pack(u := ts[i], w := ts[i + 1]))) AS u
+                FROM toks
+            )
+        ),
+        bc AS (
+            SELECT u, w, CAST(COUNT(*) AS BIGINT) AS cuw
+            FROM bg GROUP BY u, w
+        ),
+        uc AS (
+            SELECT u, CAST(SUM(cuw) AS BIGINT) AS cu,
+                   CAST(COUNT(*) AS BIGINT) AS fanout
+            FROM bc GROUP BY u
+        ),
+        cont AS (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS nleft
+            FROM bc GROUP BY w
+        ),
+        tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM bc),
+        scored AS (
+            SELECT g.doc_id,
+                   CAST(FLOOR(1e6 * log2(
+                       GREATEST(b.cuw - {_KN_D}, 0) / (1.0 * c.cu)
+                       + {_KN_D} * c.fanout / (1.0 * c.cu)
+                         * n.nleft / (1.0 * t.n_types)
+                   )) AS BIGINT) AS term
+            FROM bg g
+            JOIN bc b ON g.u = b.u AND g.w = b.w
+            JOIN uc c ON g.u = c.u
+            JOIN cont n ON g.w = n.w
+            CROSS JOIN tt t
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               ROUND(SUM(term) / (1e6 * COUNT(*)), 4) AS avg_log2_prob
+        FROM scored GROUP BY doc_id
+    """,
+    section="L19",
+    doc=f"Kneser-Ney smoothed bigram language-model scoring of every "
+    f"English document against the corpus-level model: P(w|u) = "
+    f"max(c(uw)-{_KN_D}, 0)/c(u) + {_KN_D}·N1+(u·)/c(u) · "
+    "P_cont(w), with the CONTINUATION probability P_cont(w) = "
+    "N1+(·w)/|bigram types| — the insight that separates KN from L7/"
+    "L13's count smoothing: 'Francisco' is frequent but follows only "
+    "'San', so its continuation mass is tiny; KN is what n-gram "
+    "quality filters actually ship. Every model component is an exact "
+    "integer count; per-bigram log2 terms are floor-quantized to "
+    "micro-bits and summed as BIGINTs (TS21 device), one division at "
+    "the end. No OOV term needed: docs are scored against the corpus "
+    "they're in, so every bigram has c(uw) >= 1. Scale: model tables "
+    "are VOCABULARY-sized (V and V² bounded, broadcast); the doc-side "
+    "bigram explode is the only row-proportional stage and joins "
+    "against broadcast models map-side — one keyed re-aggregation by "
+    "doc_id ends the plan.",
+)
+def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ts) - 1), "
+                "i -> struct(ts[i - 1] as u, ts[i] as w))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.u").alias("u"), F.col("b.w").alias("w"))
+    bc = bg.groupBy("u", "w").agg(F.count(F.lit(1)).cast("bigint").alias("cuw"))
+    uc = bc.groupBy("u").agg(
+        F.sum("cuw").cast("bigint").alias("cu"),
+        F.count(F.lit(1)).cast("bigint").alias("fanout"),
+    )
+    cont = bc.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("nleft"))
+    tt = bc.agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    p = (
+        F.greatest(F.col("cuw") - _KN_D, F.lit(0.0)) / (1.0 * F.col("cu"))
+        + _KN_D
+        * F.col("fanout")
+        / (1.0 * F.col("cu"))
+        * F.col("nleft")
+        / (1.0 * F.col("n_types"))
+    )
+    scored = (
+        bg.join(F.broadcast(bc), ["u", "w"])
+        .join(F.broadcast(uc), "u")
+        .join(F.broadcast(cont), "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.floor(1e6 * F.log2(p)).cast("bigint").alias("term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.sum("term") / (1e6 * F.count(F.lit(1))), 4).alias(
+            "avg_log2_prob"
+        ),
+    )

@@ -2091,3 +2091,79 @@ def q_ts_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("st[0] + 2 * st[1]"), 4).alias("forecast_2d"),
         F.round(F.expr("st[0] + 3 * st[1]"), 4).alias("forecast_3d"),
     )
+
+
+@register(
+    "q_ts_sen_slope",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                       AS x
+            FROM events GROUP BY 1
+        ),
+        slopes AS (
+            SELECT (b.x - a.x) / (1.0 * (b.d - a.d)) AS s
+            FROM daily a JOIN daily b ON b.d > a.d
+        )
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(median(s), 4) AS sen_slope_cents_per_day,
+               ROUND(MIN(s), 4) AS slope_min,
+               ROUND(MAX(s), 4) AS slope_max
+        FROM slopes
+    """,
+    section="TS25",
+    doc="Sen's slope estimator on the daily revenue series: the MEDIAN of "
+    "all pairwise slopes (x_j - x_i)/(j - i) — the robust trend "
+    "magnitude that pairs with TS14's Mann-Kendall direction test "
+    "(MK says IS there a monotone trend; Sen says HOW STEEP, immune "
+    "to the outlier days that wreck an OLS slope). Each pairwise "
+    "slope is one division of exact integers (cents, day indexes); "
+    "the median sorts identical doubles on both engines and the "
+    "even-count interpolation is a single identical IEEE average. "
+    "Scale: pairwise over DAYS, not rows — the O(T²) pair space is "
+    "bounded by the time range (30 days = 435 pairs; ten years of "
+    "daily data = 6.6M pairs, still trivial) after the one "
+    "map-side-combinable daily reduction; never O(rows²).",
+)
+def q_ts_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.expr(
+                "cast(datediff(cast(date_trunc('day', ts) as date), "
+                "date'2024-01-01') as bigint)"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    a = daily.select(F.col("d").alias("da"), F.col("x").alias("xa"))
+    b = daily.select(F.col("d").alias("db"), F.col("x").alias("xb"))
+    slopes = a.join(b, F.col("db") > F.col("da")).select(
+        ((F.col("xb") - F.col("xa")) / (1.0 * (F.col("db") - F.col("da")))).alias(
+            "s"
+        )
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        slopes.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.round(F.expr("percentile(s, 0.5)"), 4).alias(
+                "sen_slope_cents_per_day"
+            ),
+            F.round(F.min("s"), 4).alias("slope_min"),
+            F.round(F.max("s"), 4).alias("slope_max"),
+        )
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "n_days", "n_pairs", "sen_slope_cents_per_day",
+            "slope_min", "slope_max",
+        )
+    )
