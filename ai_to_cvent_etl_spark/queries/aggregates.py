@@ -3899,3 +3899,146 @@ def q_agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((diff - _TOST_MARGIN) / se < -_TOST_Z)
         ).alias("equivalent"),
     )
+
+
+def _delta_arm_sql(arm: int) -> str:
+    """Exact per-arm moment extraction for the delta-method CTE."""
+    return f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(n) AS BIGINT) AS sn,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(n * n) AS BIGINT) AS snn,
+                   CAST(SUM(y * n) AS BIGINT) AS syn
+            FROM u WHERE arm = {arm}"""
+
+
+@register(
+    "q_agg_delta_method_ratio",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 2 AS arm,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                       AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ),
+        a0 AS ({_delta_arm_sql(0)}),
+        a1 AS ({_delta_arm_sql(1)}),
+        d AS (
+            SELECT a0.m AS m0, a1.m AS m1,
+                   CAST(a0.sy AS DOUBLE) / a0.sn AS r0,
+                   CAST(a1.sy AS DOUBLE) / a1.sn AS r1,
+                   ((a0.m * CAST(a0.syy AS DOUBLE) - CAST(a0.sy AS DOUBLE) * a0.sy)
+                    - 2 * (CAST(a0.sy AS DOUBLE) / a0.sn)
+                        * (a0.m * CAST(a0.syn AS DOUBLE) - CAST(a0.sy AS DOUBLE) * a0.sn)
+                    + (CAST(a0.sy AS DOUBLE) / a0.sn) * (CAST(a0.sy AS DOUBLE) / a0.sn)
+                        * (a0.m * CAST(a0.snn AS DOUBLE) - CAST(a0.sn AS DOUBLE) * a0.sn))
+                   / (a0.m * (a0.m - 1.0))
+                   / (a0.m * (CAST(a0.sn AS DOUBLE) / a0.m)
+                      * (CAST(a0.sn AS DOUBLE) / a0.m)) AS v0,
+                   ((a1.m * CAST(a1.syy AS DOUBLE) - CAST(a1.sy AS DOUBLE) * a1.sy)
+                    - 2 * (CAST(a1.sy AS DOUBLE) / a1.sn)
+                        * (a1.m * CAST(a1.syn AS DOUBLE) - CAST(a1.sy AS DOUBLE) * a1.sn)
+                    + (CAST(a1.sy AS DOUBLE) / a1.sn) * (CAST(a1.sy AS DOUBLE) / a1.sn)
+                        * (a1.m * CAST(a1.snn AS DOUBLE) - CAST(a1.sn AS DOUBLE) * a1.sn))
+                   / (a1.m * (a1.m - 1.0))
+                   / (a1.m * (CAST(a1.sn AS DOUBLE) / a1.m)
+                      * (CAST(a1.sn AS DOUBLE) / a1.m)) AS v1
+            FROM a0 CROSS JOIN a1
+        )
+        SELECT m0, m1,
+               ROUND(r0, 4) AS ratio0_cents,
+               ROUND(r1, 4) AS ratio1_cents,
+               ROUND(sqrt(v0), 6) AS se0,
+               ROUND(sqrt(v1), 6) AS se1,
+               ROUND((r1 - r0) / sqrt(v0 + v1), 4) AS z,
+               abs((r1 - r0) / sqrt(v0 + v1)) > 1.96 AS significant
+        FROM d
+    """,
+    section="A61",
+    doc="Delta-method variance for a RATIO metric (revenue per event) "
+    "under user-level randomization — the estimator every large A/B "
+    "platform uses for ratio-of-sums metrics: users are the i.i.d. "
+    "unit, events inside a user are correlated, so the naive "
+    "per-event variance (A13/A19 on events) is WRONG (typically "
+    "2-5x too small); Var(Y̅/N̅) ≈ (s_yy − 2R·s_yn + R²·s_nn)/"
+    "(m·n̄²) from the per-user (y, n) moment matrix. Six exact "
+    "BIGINT moments per arm, DOUBLE combinations per the TS23 width "
+    "rule, fixed formula, ROUND at the end; A/A arms ⇒ "
+    "significant=false is the null calibration. Scale: one keyed agg "
+    "to per-user rows, one 6-moment reduction per arm — collapses "
+    "before anything wide; the per-user stage is the same shuffle "
+    "A47/A53 already pay.",
+)
+def q_agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.sum(F.col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("bigint")
+            .alias("y"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .select(
+            (
+                F.expr(
+                    "cast(conv(substr(md5(cast(user_id as string)), 1, 12), "
+                    "16, 10) as bigint)"
+                )
+                % 2
+            ).alias("arm"),
+            "y",
+            "n",
+        )
+    )
+
+    def arm_moments(a: int):
+        f = u.filter(F.col("arm") == a)
+        return f.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"m{a}"),
+            F.sum("y").cast("bigint").alias(f"sy{a}"),
+            F.sum("n").cast("bigint").alias(f"sn{a}"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias(f"syy{a}"),
+            F.sum(F.col("n") * F.col("n")).cast("bigint").alias(f"snn{a}"),
+            F.sum(F.col("y") * F.col("n")).cast("bigint").alias(f"syn{a}"),
+        )
+
+    d = arm_moments(0).crossJoin(arm_moments(1))
+
+    def ratio(a: int):
+        return F.col(f"sy{a}").cast("double") / F.col(f"sn{a}")
+
+    def var(a: int):
+        m = F.col(f"m{a}")
+        r = ratio(a)
+        cyy = m * F.col(f"syy{a}").cast("double") - F.col(
+            f"sy{a}"
+        ).cast("double") * F.col(f"sy{a}")
+        cnn = m * F.col(f"snn{a}").cast("double") - F.col(
+            f"sn{a}"
+        ).cast("double") * F.col(f"sn{a}")
+        cyn = m * F.col(f"syn{a}").cast("double") - F.col(
+            f"sy{a}"
+        ).cast("double") * F.col(f"sn{a}")
+        nbar = F.col(f"sn{a}").cast("double") / m
+        return (
+            (cyy - 2 * r * cyn + r * r * cnn)
+            / (m * (m - 1.0))
+            / (m * nbar * nbar)
+        )
+
+    z = (ratio(1) - ratio(0)) / F.sqrt(var(0) + var(1))
+    return d.select(
+        "m0",
+        "m1",
+        F.round(ratio(0), 4).alias("ratio0_cents"),
+        F.round(ratio(1), 4).alias("ratio1_cents"),
+        F.round(F.sqrt(var(0)), 6).alias("se0"),
+        F.round(F.sqrt(var(1)), 6).alias("se1"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    )

@@ -971,3 +971,61 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING 'f27_lineitem' AS tbl, 30 AS qty
         """
     )
+
+
+@register(
+    "q_str_collation",
+    oracle="""
+        WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT upper(seg) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT seg) AS BIGINT) AS case_variants,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS balance_sum
+        FROM mixed
+        GROUP BY upper(seg)
+    """,
+    section="F28",
+    doc="Spark 4 string collations: a deterministically case-mangled "
+    "segment column (every even key lowercased) is grouped under "
+    "COLLATE UTF8_LCASE — equality, GROUP BY, and COUNT(DISTINCT) all "
+    "follow the collation, so the five logical segments reassemble "
+    "WITHOUT rewriting values through lower() everywhere (the "
+    "case_variants column counts the case forms each group absorbed, "
+    "under BINARY collation, proving the mangle actually happened — "
+    "non-vacuous at every SF). The oracle is the upper()-normalized "
+    "rewrite — collation changes COMPARISON semantics, not data. "
+    "Pinned because collation-aware grouping pushes the normalization "
+    "into the hash function instead of materializing a derived "
+    "column, and because mixing collated and binary comparisons in "
+    "one query (as here) is exactly where silent drift would live. "
+    "Exact-decimal money sum. Scale: one keyed agg; the collation key "
+    "hashes like any other — no plan-shape change vs a plain GROUP BY.",
+)
+def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "f28_customer"
+    )
+    return spark.sql(
+        """
+        WITH mixed AS (
+            SELECT CASE WHEN c_custkey % 2 = 0 THEN lower(c_mktsegment)
+                        ELSE c_mktsegment END AS seg,
+                   c_acctbal
+            FROM f28_customer
+        )
+        SELECT upper(seg COLLATE UTF8_LCASE) AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT seg COLLATE UTF8_BINARY) AS BIGINT)
+                   AS case_variants,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS balance_sum
+        FROM mixed
+        GROUP BY seg COLLATE UTF8_LCASE
+        """
+    )

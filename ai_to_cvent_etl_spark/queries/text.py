@@ -814,3 +814,79 @@ def q_text_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("distinct_words") / (1.0 * F.col("total_words")), 6
         ).alias("type_token_ratio"),
     )
+
+
+@register(
+    "q_text_burstiness",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, t.tok AS tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents WHERE lang = 'en') t
+        ),
+        dc AS (
+            SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM toks GROUP BY tok, doc_id
+        ),
+        nd AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS d
+            FROM toks
+        ),
+        term AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS tw,
+                   CAST(SUM(c * c) AS BIGINT) AS sq
+            FROM dc GROUP BY tok
+        )
+        SELECT tok AS term, df, tw AS total_count,
+               ROUND((d * sq - tw * tw) / (1.0 * d * tw), 4) AS burstiness
+        FROM term CROSS JOIN nd
+        WHERE df >= 5
+        ORDER BY (d * sq - tw * tw) / (1.0 * d * tw) DESC, tok
+        LIMIT 20
+    """,
+    section="T18",
+    doc="Term burstiness (Church/Gale): the variance-to-mean ratio of "
+    "per-document counts across the English corpus, zeros included — "
+    "VMR 1 means Poisson scatter (function words), VMR >> 1 means the "
+    "term CLUMPS into few documents (topical/boilerplate terms; the "
+    "statistic AI-text detectors and keyword extractors both lean "
+    "on, complementing TF-IDF's df-only view with the within-doc "
+    "clumping signal). Absent-doc zeros contribute nothing to the "
+    "sums, so VMR = (D·Σc² − (Σc)²)/(D·Σc) is ONE exact BIGINT "
+    "numerator over one division — no per-doc zero materialization "
+    "(the corpus-size-free trick that matters at scale: a V×D dense "
+    "grid is never built). Top-20 by QUANTIZED-free exact ordering "
+    "(the sort key is the same exact rational both engines compute "
+    "identically; ties break on the term). Scale: two keyed integer "
+    "aggs ((term, doc) then term — both map-side combinable) and a "
+    "top-k over VOCABULARY-sized rows.",
+)
+def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dc = toks.groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    nd = toks.agg(F.countDistinct("doc_id").cast("bigint").alias("d"))
+    term = dc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("c").cast("bigint").alias("tw"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"),
+    )
+    vmr = (
+        F.col("d") * F.col("sq") - F.col("tw") * F.col("tw")
+    ) / (1.0 * F.col("d") * F.col("tw"))
+    return (
+        term.crossJoin(F.broadcast(nd))
+        .filter(F.col("df") >= 5)
+        .orderBy(vmr.desc(), F.col("tok").asc())
+        .limit(20)
+        .select(
+            F.col("tok").alias("term"),
+            "df",
+            F.col("tw").alias("total_count"),
+            F.round(vmr, 4).alias("burstiness"),
+        )
+    )

@@ -2167,3 +2167,146 @@ def q_ts_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_min", "slope_max",
         )
     )
+
+
+@register(
+    "q_ts_spc_rules",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100 AS BIGINT)
+                       AS x
+            FROM events GROUP BY 1
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+            FROM daily
+        ),
+        z AS (
+            SELECT d, x,
+                   (x - sx / (1.0 * n))
+                   / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                          / (1.0 * n * n)) AS zs
+            FROM daily CROSS JOIN m
+        ),
+        f AS (
+            SELECT d, x, zs,
+                   CAST(FLOOR(zs * 10000) AS BIGINT) AS zq,
+                   CASE WHEN zs > 2 THEN 1 ELSE 0 END AS hi2,
+                   CASE WHEN zs < -2 THEN 1 ELSE 0 END AS lo2,
+                   CASE WHEN zs > 0 THEN 1 ELSE 0 END AS above
+            FROM z
+        ),
+        rules AS (
+            SELECT d, x, zq,
+                   abs(zq) > 30000 AS rule1_beyond_3s,
+                   SUM(hi2) OVER w3 >= 2 OR SUM(lo2) OVER w3 >= 2
+                       AS rule2_two_of_three_2s,
+                   SUM(above) OVER w8 = 8 OR SUM(above) OVER w8 = 0
+                       AS rule3_eight_one_side
+            FROM f
+            WINDOW w3 AS (ORDER BY d ROWS BETWEEN 2 PRECEDING
+                          AND CURRENT ROW),
+                   w8 AS (ORDER BY d ROWS BETWEEN 7 PRECEDING
+                          AND CURRENT ROW)
+        )
+        SELECT d AS day_index, x AS revenue_cents,
+               ROUND(zq / 10000.0, 4) AS z_score,
+               rule1_beyond_3s, rule2_two_of_three_2s, rule3_eight_one_side,
+               rule1_beyond_3s OR rule2_two_of_three_2s
+                   OR rule3_eight_one_side AS out_of_control
+        FROM rules
+    """,
+    section="TS26",
+    doc="Western Electric control-chart rules over the daily revenue "
+    "series: rule 1 (one point beyond 3 sigma), rule 2 (two of three "
+    "consecutive beyond 2 sigma, same side), rule 3 (eight consecutive "
+    "on one side of center) — the SPC rule set that catches drifts and "
+    "shifts a plain threshold (TS4's z-score) misses, emitting the "
+    "full annotated chart (every day with its fired-rule flags — the "
+    "A/A fixture fires none at small SFs, which is itself the null "
+    "calibration). Center/sigma from "
+    "exact BIGINT moments (population sigma, DOUBLE combination per "
+    "the TS23 width rule); the rule-1 comparison runs on the 1e4-"
+    "QUANTIZED z (integer compare — a 1-ulp sigma difference cannot "
+    "flip it except exactly at a quantum boundary, the documented "
+    "rule-10 budget); rules 2/3 count exact integer flags over "
+    "3/8-row windows. Scale: one moment reduction + windows over "
+    "DAYS (time-range bounded); the windows are unpartitioned but "
+    "over ~30 rows — at a 10-year range still only 3650 rows on one "
+    "task, microseconds; per-series partitioning is the obvious "
+    "extension when charting thousands of metrics.",
+)
+def q_ts_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            F.expr(
+                "cast(datediff(cast(date_trunc('day', ts) as date), "
+                "date'2024-01-01') as bigint)"
+            ).alias("d")
+        )
+        .agg(
+            (F.sum(F.col("value").cast(DecimalType(12, 2))) * 100)
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "x",
+        (
+            (F.col("x") - F.col("sx") / (1.0 * F.col("n")))
+            / F.sqrt(
+                (
+                    F.col("n") * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double") * F.col("sx")
+                )
+                / (1.0 * F.col("n") * F.col("n"))
+            )
+        ).alias("zs"),
+    )
+    f = z.select(
+        "d",
+        "x",
+        F.floor(F.col("zs") * 10000).cast("bigint").alias("zq"),
+        F.when(F.col("zs") > 2, 1).otherwise(0).alias("hi2"),
+        F.when(F.col("zs") < -2, 1).otherwise(0).alias("lo2"),
+        F.when(F.col("zs") > 0, 1).otherwise(0).alias("above"),
+    )
+    w3 = Window.orderBy("d").rowsBetween(-2, 0)
+    w8 = Window.orderBy("d").rowsBetween(-7, 0)
+    rules = f.select(
+        "d",
+        "x",
+        "zq",
+        (F.abs(F.col("zq")) > 30000).alias("rule1_beyond_3s"),
+        ((F.sum("hi2").over(w3) >= 2) | (F.sum("lo2").over(w3) >= 2)).alias(
+            "rule2_two_of_three_2s"
+        ),
+        ((F.sum("above").over(w8) == 8) | (F.sum("above").over(w8) == 0)).alias(
+            "rule3_eight_one_side"
+        ),
+    )
+    return rules.select(
+        F.col("d").alias("day_index"),
+        F.col("x").alias("revenue_cents"),
+        F.round(F.col("zq") / 10000.0, 4).alias("z_score"),
+        "rule1_beyond_3s",
+        "rule2_two_of_three_2s",
+        "rule3_eight_one_side",
+        (
+            F.col("rule1_beyond_3s")
+            | F.col("rule2_two_of_three_2s")
+            | F.col("rule3_eight_one_side")
+        ).alias("out_of_control"),
+    )
