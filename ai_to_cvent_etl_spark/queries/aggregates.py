@@ -4042,3 +4042,91 @@ def q_agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "q_agg_bayes_beta",
+    oracle="""
+        WITH u AS (
+            SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))
+                        AS BIGINT) % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv
+            FROM events GROUP BY user_id
+        ),
+        c AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS k
+            FROM u GROUP BY arm
+        ),
+        p AS (
+            SELECT arm, n, k,
+                   CAST(k + 1 AS BIGINT) AS alpha,
+                   CAST(n - k + 1 AS BIGINT) AS beta,
+                   (k + 1) / (n + 2.0) AS post_mean,
+                   (k + 1) * (n - k + 1.0)
+                       / ((n + 2.0) * (n + 2.0) * (n + 3.0)) AS post_var
+            FROM c
+        )
+        SELECT arm, n, k, alpha, beta,
+               ROUND(post_mean, 6) AS posterior_mean,
+               ROUND(post_mean - 1.96 * sqrt(post_var), 6) AS cred_lo,
+               ROUND(post_mean + 1.96 * sqrt(post_var), 6) AS cred_hi
+        FROM p
+    """,
+    section="A62",
+    doc="Beta-Binomial Bayesian conversion readout per arm: with a "
+    "uniform Beta(1,1) prior the posterior is Beta(k+1, n-k+1) in "
+    "CLOSED FORM — exact integer parameters, posterior mean "
+    "(k+1)/(n+2), and a normal-approximation 95% credible interval "
+    "from the exact Beta variance (αβ/((α+β)²(α+β+1))). The Bayesian "
+    "companion to the frequentist A/B family (A19/A47/A53): "
+    "experiment platforms report exactly this posterior table, and "
+    "downstream P(p1>p0) Monte Carlo consumes the (α, β) pairs — "
+    "emitted here as exact integers so that consumer needs no "
+    "re-aggregation. The normal approximation of the interval is the "
+    "documented deterministic stand-in for Beta quantiles (no "
+    "incomplete-beta in either engine's SQL); error < 1e-3 at these "
+    "n. Scale: per-user reduction then a 2-row integer agg — "
+    "collapses immediately, map-side combinable.",
+)
+def q_agg_bayes_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv")
+    ).select(
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(user_id as string)), 1, 12), "
+                "16, 10) as bigint)"
+            )
+            % 2
+        ).alias("arm"),
+        "conv",
+    )
+    c = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+    )
+    post_mean = (F.col("k") + 1) / (F.col("n") + 2.0)
+    post_var = (
+        (F.col("k") + 1)
+        * (F.col("n") - F.col("k") + 1.0)
+        / ((F.col("n") + 2.0) * (F.col("n") + 2.0) * (F.col("n") + 3.0))
+    )
+    return c.select(
+        "arm",
+        "n",
+        "k",
+        (F.col("k") + 1).cast("bigint").alias("alpha"),
+        (F.col("n") - F.col("k") + 1).cast("bigint").alias("beta"),
+        F.round(post_mean, 6).alias("posterior_mean"),
+        F.round(post_mean - 1.96 * F.sqrt(post_var), 6).alias("cred_lo"),
+        F.round(post_mean + 1.96 * F.sqrt(post_var), 6).alias("cred_hi"),
+    )

@@ -315,3 +315,70 @@ def q_scan_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents_sum"),
         )
     )
+
+
+@register(
+    "q_scan_schema_evolution",
+    oracle="""
+        WITH unioned AS (
+            SELECT o_orderkey, o_custkey, o_totalprice,
+                   CAST(NULL AS VARCHAR) AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
+        )
+        SELECT COALESCE(o_orderpriority, '<pre-migration>') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                             AS BIGINT)) AS BIGINT) AS price_cents_sum
+        FROM unioned
+        GROUP BY 1
+    """,
+    section="S14",
+    doc="Parquet schema evolution via mergeSchema: two batches are "
+    "written with DIFFERENT schemas (the 'old' batch lacks "
+    "o_orderpriority — a column added mid-stream, the most common "
+    "lakehouse migration), then read as one dataset with "
+    "mergeSchema=true — the unified schema is the field union and "
+    "old-batch rows surface NULL for the added column (coalesced to a "
+    "sentinel so the pre-migration mass is visible in the output). "
+    "The oracle builds the same union with an explicit NULL column, "
+    "proving merge semantics add no rows, lose no rows, and type the "
+    "missing column correctly. Scale: schema merging reads FOOTERS "
+    "only (one pass over file metadata at planning; "
+    "spark.sql.parquet.mergeSchema stays off globally and is enabled "
+    "per-read here because footer-merging every read of a 10k-file "
+    "table is pure overhead once the schema is settled — the "
+    "documented contract is merge-on-migrate, pin-schema-after).",
+)
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    path = _rt_dir(sf_dir, "evolve")
+    old = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(path + "/batch=0")
+    new.write.mode("overwrite").parquet(path + "/batch=1")
+    back = spark.read.option("mergeSchema", "true").parquet(path)
+    return (
+        back.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-migration>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100 "
+                    "as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("price_cents_sum"),
+        )
+    )

@@ -11,6 +11,7 @@ import math
 import re
 
 import pandas as pd
+from typing import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -581,4 +582,52 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, s.w1, s.w2, s.w3, s.n_words
         FROM _udtf_analyze_docs d, LATERAL top_words_udtf(d.text, 3) s
         """
+    )
+
+
+@register(
+    "q_pandas_udf_iterator",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) - length(replace(text, ' ', '')) + 1
+                    AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents WHERE lang = 'de'
+    """,
+    section="X13",
+    doc="Iterator-of-Series Pandas UDF (SCALAR_ITER): the UDF receives an "
+    "ITERATOR of Arrow batches instead of one Series per call, so "
+    "per-worker setup (the expensive part of real inference UDFs — "
+    "loading a tokenizer/model onto the worker) runs ONCE per "
+    "partition and amortizes across every batch; this is the API "
+    "shape embedding/model-scoring UDFs ship in production, and the "
+    "one X2's plain scalar pandas_udf can't express. The 'model' here "
+    "is a deterministic tokenizer (whitespace count) so the oracle is "
+    "exact SQL; the one-time setup is simulated by constructing the "
+    "counting table once before the batch loop. Scale: Arrow-batched "
+    "columnar transfer, zero per-row Python overhead beyond the "
+    "vectorized ops, setup cost O(partitions) not O(batches) — the "
+    "difference between 10s and 10,000s of model loads on a 100 TB "
+    "scoring run.",
+)
+def q_pandas_udf_iterator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("bigint")
+    def tok_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # one-time per-worker setup (stands in for a model/tokenizer load)
+        splitter = " "
+        for texts in batches:
+            yield texts.str.count(splitter).astype("int64") + 1
+
+    @pandas_udf("bigint")
+    def char_count(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield texts.str.len().astype("int64")
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "de")
+    return docs.select(
+        "doc_id",
+        tok_count(F.col("text")).alias("n_tokens"),
+        char_count(F.col("text")).alias("n_chars"),
     )

@@ -141,6 +141,7 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_udtf_table_arg",
         "q_udtf_arrow",
         "q_udtf_analyze",
+        "q_pandas_udf_iterator",
         "q_cogroup_pandas",
         "q_apply_in_pandas",
         "q_map_in_arrow",
