@@ -1124,3 +1124,127 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") > 1).alias("is_dup_group"),
         )
     )
+
+
+# ==== fifty-fifth wave (r4) ===================================================
+
+_BBIT_K = 16      # permutations for the 1-bit signature
+_BBIT_DOCS = 40   # calibration pair set: all pairs of the first 40 docs
+
+
+def _bbit_sig_spark() -> str:
+    mins = ", ".join(
+        f"conv(substr({_mh_spark(i)}, 16, 1), 16, 10) % 2"
+        for i in range(_BBIT_K)
+    )
+    return f"array({mins})"
+
+
+def _bbit_sig_duck() -> str:
+    mins = ", ".join(
+        f"CAST(('0x' || substr({_mh_duck(i)}, 16, 1)) AS BIGINT) % 2"
+        for i in range(_BBIT_K)
+    )
+    return f"[{mins}]"
+
+
+@register(
+    "q_dedup_bbit_minhash",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, string_split(text, ' ') AS ts
+            FROM documents WHERE doc_id < {_BBIT_DOCS}
+        ),
+        sig AS (
+            SELECT doc_id, ts, {_bbit_sig_duck()} AS bits
+            FROM d
+        ),
+        pairs AS (
+            SELECT a.doc_id AS lo, b.doc_id AS hi,
+                   len(list_intersect(a.ts, b.ts))
+                       / (1.0 * len(list_distinct(a.ts || b.ts))) AS j_exact,
+                   GREATEST(
+                       2.0 * list_sum(list_transform(range(1, {_BBIT_K} + 1),
+                           i -> CASE WHEN a.bits[i] = b.bits[i]
+                                     THEN 1 ELSE 0 END)) / {_BBIT_K} - 1,
+                       0.0) AS j_bbit
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        )
+        SELECT CAST(FLOOR(j_exact * 5) AS BIGINT) AS j_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(SUM(CAST(FLOOR(1e9 * j_exact) AS BIGINT))
+                     / (1e9 * COUNT(*)), 6) AS mean_exact,
+               ROUND(SUM(CAST(FLOOR(1e9 * j_bbit) AS BIGINT))
+                     / (1e9 * COUNT(*)), 6) AS mean_bbit
+        FROM pairs
+        GROUP BY 1
+    """,
+    section="D17",
+    doc=f"b-bit MinHash calibration (Li & Koenig, b=1): keep only the "
+    f"LOWEST BIT of each of {_BBIT_K} minhash values — a {_BBIT_K}-bit "
+    "signature, 32x smaller than D1's full signatures — and estimate "
+    "Jaccard via J = 2·(bit-match fraction) − 1 (for b=1 the match "
+    "probability is (1+J)/2). The calibration table bins exact Jaccard "
+    "and compares the bbit estimate's mean per bin: the storage/"
+    "accuracy tradeoff measurement that justifies (or rejects) "
+    "shipping 1-bit signatures at 100 TB (D13 calibrates the full "
+    "estimator; this prices its compressed form — variance is "
+    f"2x/bit-dropped higher, visible in the wide bins). All "
+    "ingredients exact: bit equality counts are integers, per-pair "
+    "ratios are single divisions, cross-pair means use the "
+    "floor-quantized BIGINT device. The pair set is the bounded "
+    f"{_BBIT_DOCS}-doc calibration block — signature GENERATION is "
+    "the production-scale part (row-local, one pass); all-pairs "
+    "exact Jaccard exists only to measure the estimator, never as a "
+    "corpus-scale path (T5's caveat).",
+)
+def q_dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BBIT_DOCS)
+        .select("doc_id", F.split("text", " ").alias("ts"))
+    )
+    sig = docs.select(
+        "doc_id", "ts", F.expr(_bbit_sig_spark()).alias("bits")
+    )
+    a = sig.select(
+        F.col("doc_id").alias("lo"),
+        F.col("ts").alias("tsa"),
+        F.col("bits").alias("ba"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("hi"),
+        F.col("ts").alias("tsb"),
+        F.col("bits").alias("bb"),
+    )
+    pairs = a.join(b, F.col("lo") < F.col("hi")).select(
+        (
+            F.size(F.array_intersect("tsa", "tsb"))
+            / (1.0 * F.size(F.array_distinct(F.concat("tsa", "tsb"))))
+        ).alias("j_exact"),
+        F.greatest(
+            2.0
+            * F.expr(
+                f"aggregate(zip_with(ba, bb, (x, y) -> "
+                f"if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+            )
+            / _BBIT_K
+            - 1,
+            F.lit(0.0),
+        ).alias("j_bbit"),
+    )
+    return pairs.groupBy(
+        F.floor(F.col("j_exact") * 5).cast("bigint").alias("j_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.floor(1e9 * F.col("j_exact")).cast("bigint"))
+            / (1e9 * F.count(F.lit(1))),
+            6,
+        ).alias("mean_exact"),
+        F.round(
+            F.sum(F.floor(1e9 * F.col("j_bbit")).cast("bigint"))
+            / (1e9 * F.count(F.lit(1))),
+            6,
+        ).alias("mean_bbit"),
+    )

@@ -1249,3 +1249,128 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         cols.append(f"n{t}")
         cur = stepped
     return cur.select(*(["start"] + cols))
+
+
+_PPR_ROUNDS = 3
+_PPR_SEED_MOD = 5  # seeds = supplier nodes with s_suppkey % 5 == 0
+
+
+@register(
+    "q_graph_ppr",
+    oracle=f"""
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL SELECT b AS src, a AS dst FROM e
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg FROM und GROUP BY src
+        ),
+        seeds AS (
+            SELECT DISTINCT 's' || CAST(s_suppkey AS VARCHAR) AS node
+            FROM supplier
+            WHERE s_suppkey % {_PPR_SEED_MOD} = 0
+              AND 's' || CAST(s_suppkey AS VARCHAR) IN (SELECT src FROM deg)
+        ),
+        ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS ns FROM seeds),
+        p0 AS (
+            SELECT node, 1.0 / ns.ns AS pr FROM seeds CROSS JOIN ns
+        ),
+        {', '.join(
+            f'''q{t} AS (
+            SELECT und.dst,
+                   CAST(SUM(CAST(FLOOR(p{t}.pr / deg.deg * 1e12)
+                                 AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s
+            FROM p{t} JOIN deg ON p{t}.node = deg.src
+            JOIN und ON und.src = p{t}.node
+            GROUP BY und.dst
+        ),
+        p{t + 1} AS (
+            SELECT COALESCE(sd.node, q{t}.dst) AS node,
+                   COALESCE(CASE WHEN sd.node IS NOT NULL
+                                 THEN 0.15 / (SELECT ns FROM ns) END, 0.0)
+                   + 0.85 * COALESCE(CAST(q{t}.s AS DOUBLE) / 1e12, 0.0)
+                       AS pr
+            FROM seeds sd FULL OUTER JOIN q{t} ON sd.node = q{t}.dst
+        )'''
+            for t in range(_PPR_ROUNDS)
+        )}
+        SELECT node, ROUND(pr, 9) AS ppr
+        FROM p{_PPR_ROUNDS}
+        WHERE pr > 1e-9
+    """,
+    section="G15",
+    doc=f"Personalized PageRank from a seed set (every {_PPR_SEED_MOD}th "
+    "supplier node): the teleport mass returns to "
+    "the SEEDS instead of everywhere, so rank concentrates in the "
+    "seeds' neighborhood — the recommendation/expansion variant that "
+    "production graph systems actually serve (global G1 ranks "
+    "celebrities; PPR answers 'similar to THESE'). Same relational "
+    "iteration device as G1: per-round contributions quantized at "
+    "1e12 into DECIMAL(38,0) sums (exact, order-free), "
+    f"{_PPR_ROUNDS} unrolled rounds, FULL OUTER join of teleport and "
+    "propagation terms (a seed with no inbound mass keeps its "
+    "teleport share; untouched nodes never materialize — the frontier "
+    "GROWS from |S| instead of starting at |V|, which is the PPR "
+    "scale win: rounds touch only the expanding neighborhood). "
+    "Sub-1e-9 tail pruned for a bounded output.",
+)
+def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = trade_graph_edges(spark, sf_dir)
+    deg = (
+        und.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("double").alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    seeds = (
+        sup.filter(F.col("s_suppkey") % _PPR_SEED_MOD == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias(
+                "node"
+            )
+        )
+        .join(deg.select(F.col("src").alias("node")), "node", "left_semi")
+        .distinct()
+    )
+    ns = seeds.agg(F.count(F.lit(1)).cast("double").alias("ns"))
+    pr = seeds.crossJoin(F.broadcast(ns)).select(
+        "node", (F.lit(1.0) / F.col("ns")).alias("pr")
+    )
+    for _ in range(_PPR_ROUNDS):
+        prd = pr.join(deg, pr.node == deg.src).select(
+            F.col("src"),
+            F.expr(
+                "cast(floor(pr / deg * cast(1e12 as double)) as decimal(38,0))"
+            ).alias("q"),
+        )
+        contrib = (
+            und.join(prd, "src").groupBy("dst").agg(F.sum("q").alias("s"))
+        )
+        pr = (
+            seeds.withColumn("is_seed", F.lit(True))
+            .join(contrib, seeds.node == contrib.dst, "full")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                F.coalesce(F.col("node"), F.col("dst")).alias("node"),
+                (
+                    F.coalesce(
+                        F.when(
+                            F.col("is_seed"), F.lit(0.15) / F.col("ns")
+                        ),
+                        F.lit(0.0),
+                    )
+                    + F.lit(0.85)
+                    * F.coalesce(
+                        F.col("s").cast("double") / F.lit(1e12), F.lit(0.0)
+                    )
+                ).alias("pr"),
+            )
+        )
+    return pr.filter(F.col("pr") > 1e-9).select(
+        "node", F.round("pr", 9).alias("ppr")
+    )
