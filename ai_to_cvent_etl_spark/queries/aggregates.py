@@ -4245,3 +4245,128 @@ def q_agg_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pv, 6).alias("p_value"),
         (pv < 0.05).alias("reject"),
     )
+
+
+@register(
+    "q_agg_spearman",
+    oracle="""
+        WITH rows_kv AS (
+            SELECT l_quantity AS xv,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS yv
+            FROM lineitem
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rows_kv),
+        rx AS (
+            SELECT xv,
+                   CAST(2 * (SUM(COUNT(*)) OVER (ORDER BY xv
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - COUNT(*))
+                        + COUNT(*) + 1 AS BIGINT) AS r2
+            FROM rows_kv GROUP BY xv
+        ),
+        ry AS (
+            SELECT yv,
+                   CAST(2 * (SUM(COUNT(*)) OVER (ORDER BY yv
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - COUNT(*))
+                        + COUNT(*) + 1 AS BIGINT) AS r2
+            FROM rows_kv GROUP BY yv
+        ),
+        q AS (
+            SELECT (rx.r2 * 10000) // (2 * (nn.n + 1)) AS qx,
+                   (ry.r2 * 10000) // (2 * (nn.n + 1)) AS qy
+            FROM rows_kv
+            JOIN rx USING (xv) JOIN ry USING (yv)
+            CROSS JOIN nn
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qx) AS BIGINT) AS sx,
+                   CAST(SUM(qy) AS BIGINT) AS sy,
+                   CAST(SUM(qx * qx) AS BIGINT) AS sxx,
+                   CAST(SUM(qy * qy) AS BIGINT) AS syy,
+                   CAST(SUM(qx * qy) AS BIGINT) AS sxy
+            FROM q
+        )
+        SELECT n,
+               ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (sqrt(n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * sx)
+                        * sqrt(n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * sy)), 4)
+                   AS spearman_rho
+        FROM m
+    """,
+    section="A64",
+    doc="Spearman rank correlation between quantity and price — the "
+    "monotone-association complement to Pearson (A23 family): "
+    "outlier-immune, captures any monotone link. Computed WITHOUT a "
+    "global row sort via the A58 grouped-rank device: average ranks "
+    "come from cumulative counts over the DISTINCT-VALUE tables "
+    "(doubled to stay integer: R2 = 2·cum_below + cnt + 1), joined "
+    "back to rows on the value key. Ranks are then scaled to a 1e4 "
+    "integer grid by PURE INTEGER division ((R2·10⁴) div 2(n+1)) so "
+    "every moment stays an exact BIGINT to ~6 BILLION rows (raw "
+    "integer ranks would overflow Σr² at ~2M) — precision cost is "
+    "the 1e-4 rank grid, absorbed by the 4dp output rounding; "
+    "Pearson's affine invariance makes the scaling exact in "
+    "expectation. Final formula in DOUBLE per the TS23 width rule. "
+    "Scale: two distinct-value rank tables (domain-bounded), two "
+    "value-keyed joins (the only row-proportional shuffles), one "
+    "6-moment reduction.",
+)
+def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_kv = li.select(
+        F.col("l_quantity").alias("xv"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("yv"),
+    )
+    nn = rows_kv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def rank_table(col: str):
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return (
+            rows_kv.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
+            .select(
+                col,
+                (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+                .cast("bigint")
+                .alias("r2"),
+            )
+        )
+
+    rx = rank_table("xv").withColumnRenamed("r2", "r2x")
+    ry = rank_table("yv").withColumnRenamed("r2", "r2y")
+    q = (
+        rows_kv.join(rx, "xv")
+        .join(ry, "yv")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.expr("(r2x * 10000) div (2 * (n + 1))").alias("qx"),
+            F.expr("(r2y * 10000) div (2 * (n + 1))").alias("qy"),
+        )
+    )
+    m = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("qx").cast("bigint").alias("sx"),
+        F.sum("qy").cast("bigint").alias("sy"),
+        F.sum(F.col("qx") * F.col("qx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("qy") * F.col("qy")).cast("bigint").alias("syy"),
+        F.sum(F.col("qx") * F.col("qy")).cast("bigint").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        F.col("n") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    ) * F.sqrt(
+        F.col("n") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy")
+    )
+    return m.select("n", F.round(num / den, 4).alias("spearman_rho"))

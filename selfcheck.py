@@ -103,13 +103,19 @@ def main() -> int:
         SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         .getOrCreate()
     )
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{args.sf_dir}/{t}.parquet'"
-        )
+        # driver fixtures are single files; repo-generated SFs (tools/
+        # gen_sf.py) are Spark directory-parquet — glob the parts then
+        path = os.path.join(args.sf_dir, f"{t}.parquet")
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
