@@ -4370,3 +4370,144 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("sy").cast("double") * F.col("sy")
     )
     return m.select("n", F.round(num / den, 4).alias("spearman_rho"))
+
+
+_KW_PRIORITIES = (
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+)
+
+
+def _kw_pivot_cols_duck() -> str:
+    return ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN r2 ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )
+
+
+@register(
+    "q_agg_kruskal_wallis",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v
+            FROM orders
+        ),
+        rk AS (
+            SELECT v,
+                   CAST(COUNT(*) AS BIGINT) AS t,
+                   CAST(2 * (SUM(COUNT(*)) OVER (ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) - COUNT(*))
+                        + COUNT(*) + 1 AS BIGINT) AS r2
+            FROM rows_kv GROUP BY v
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}}
+            FROM rows_kv JOIN rk USING (v)
+        ),
+        ties AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tie_sum FROM rk
+        )
+        SELECT n, 5 AS k, 4 AS df,
+               ROUND(h_raw, 4) AS h_stat,
+               ROUND(h_raw / (1.0 - CAST(tie_sum AS DOUBLE)
+                              / (CAST(n AS DOUBLE) * n * n - n)), 4)
+                   AS h_corrected
+        FROM (
+            SELECT n, tie_sum,
+                   12.0 / (CAST(n AS DOUBLE) * (n + 1))
+                   * ((((CAST(s_0 AS DOUBLE) * s_0 / (4.0 * n_0)
+                        + CAST(s_1 AS DOUBLE) * s_1 / (4.0 * n_1))
+                        + CAST(s_2 AS DOUBLE) * s_2 / (4.0 * n_2))
+                        + CAST(s_3 AS DOUBLE) * s_3 / (4.0 * n_3))
+                        + CAST(s_4 AS DOUBLE) * s_4 / (4.0 * n_4))
+                   - 3.0 * (n + 1) AS h_raw
+            FROM piv CROSS JOIN ties
+        )
+    """.replace("{pivot}", _kw_pivot_cols_duck()),
+    section="A65",
+    doc="Kruskal-Wallis H test: do order totals differ across the 5 "
+    "priority classes? The k-group generalization of Mann-Whitney "
+    "(A37) — rank-based, so outlier- and distribution-free where "
+    "ANOVA assumes normality. Average ranks come from the A64 "
+    "cumulative-count device over the DISTINCT-VALUE table (doubled "
+    "to stay integer: R2 = 2*cum_below + cnt + 1) — NO global row "
+    "sort; per-group rank sums are pivoted into ONE row via "
+    "conditional aggregation over the explicit 5-value priority list "
+    "(A9/A22 device), so H is a row-local fixed-fold expression — no "
+    "float aggregation-order nondeterminism. Tie correction "
+    "1 - sum(t^3-t)/(n^3-n) summed exactly in BIGINT (bound: t and n "
+    "< ~2e6 rows per distinct value keeps t^3 in int64; at larger "
+    "scale widen the tie sum to DECIMAL(38,0)). S_j = sum of R2 is "
+    "exact BIGINT to n ~ 2e9 rows (S_j <= 2n^2); the final H is "
+    "rebuilt with the identical IEEE expression both engines. Scale: "
+    "one distinct-value rank table (domain-bounded), one value-keyed "
+    "join, one 11-column map-side-combinable global reduction.",
+)
+def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("v"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    rk = (
+        rows_kv.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("cum", F.sum("t").over(w))
+        .select(
+            "v",
+            F.col("t"),
+            (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+            .cast("bigint")
+            .alias("r2"),
+        )
+    )
+    piv = rows_kv.join(rk, "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("r2")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+            )
+        ],
+    )
+    ties = rk.agg(
+        F.sum(
+            F.col("t") * F.col("t") * F.col("t") - F.col("t")
+        ).cast("bigint").alias("tie_sum")
+    )
+    nd = F.col("n").cast("double")
+    term = None
+    for i in range(5):
+        t_i = (
+            F.col(f"s_{i}").cast("double")
+            * F.col(f"s_{i}")
+            / (4.0 * F.col(f"n_{i}"))
+        )
+        term = t_i if term is None else term + t_i
+    h_raw = 12.0 / (nd * (F.col("n") + 1)) * term - 3.0 * (F.col("n") + 1)
+    c = 1.0 - F.col("tie_sum").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return (
+        piv.crossJoin(F.broadcast(ties))
+        .select(
+            "n",
+            F.lit(5).cast("int").alias("k"),
+            F.lit(4).cast("int").alias("df"),
+            F.round(h_raw, 4).alias("h_stat"),
+            F.round(h_raw / c, 4).alias("h_corrected"),
+        )
+    )

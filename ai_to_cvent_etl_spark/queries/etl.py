@@ -2109,3 +2109,72 @@ def q_etl_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("sens").cast("bigint").alias("l_distinct"),
         (F.countDistinct("sens") >= _LDIV_L).alias("l_diverse"),
     )
+
+
+_FD_CANDIDATES = (
+    ("orders", "o_orderkey", "o_custkey"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+    ("events", "user_id", "event_type"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+)
+
+
+@register(
+    "q_etl_fd_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}.{lhs}->{rhs}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_lhs,
+               CAST(SUM(nr) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN nr > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(MAX(nr) AS BIGINT) AS max_rhs_per_lhs,
+               MAX(nr) = 1 AS holds
+        FROM (
+            SELECT {lhs}, CAST(COUNT(DISTINCT {rhs}) AS BIGINT) AS nr
+            FROM {t} GROUP BY {lhs}
+        )
+        """
+        for t, lhs, rhs in _FD_CANDIDATES
+    ),
+    section="E37",
+    doc="Functional-dependency audit: for each declared candidate "
+    "dependency lhs -> rhs, measure whether it HOLDS (every lhs value "
+    "maps to exactly one rhs value), how many lhs keys violate it, "
+    "and the worst fan-out — the constraint-discovery profile a data "
+    "contract needs before declaring a column derivable (FD holds "
+    "iff count(distinct lhs) = count(distinct (lhs,rhs))). Candidates "
+    "span true FDs (orderkey->custkey, nationkey->regionkey) and "
+    "expected violations (partkey->suppkey multi-sourcing, "
+    "user->event_type). Each candidate is ONE map-side-combinable "
+    "two-level aggregation (distinct-pair collapse, then per-lhs "
+    "fan-out stats) — no joins, no windows; the 5 audit rows union at "
+    "the driver. At 100 TB each candidate is a single shuffle on the "
+    "lhs key, and AQE coalesces the tiny result.",
+)
+def q_etl_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, lhs, rhs in _FD_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        per_lhs = tbl.groupBy(lhs).agg(
+            F.countDistinct(rhs).cast("bigint").alias("nr")
+        )
+        row = per_lhs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs"),
+            F.sum("nr").cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("nr") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("nr").cast("bigint").alias("max_rhs_per_lhs"),
+            (F.max("nr") == 1).alias("holds"),
+        ).select(
+            F.lit(f"{t}.{lhs}->{rhs}").alias("candidate"),
+            "n_lhs",
+            "n_pairs",
+            "n_violating",
+            "max_rhs_per_lhs",
+            "holds",
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

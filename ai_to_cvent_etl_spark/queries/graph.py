@@ -235,22 +235,22 @@ def q_graph_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TOP_PARTNERS = 8
 
 _EDGE_CTES = f"""
-        ps AS (
+        ps AS MATERIALIZED (
             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
         ),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
                    CAST(COUNT(*) AS BIGINT) AS cnt
             FROM ps a JOIN ps b
               ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
             GROUP BY 1, 2
         ),
-        dir AS (
+        dir AS MATERIALIZED (
             SELECT s1 AS src, s2 AS dst, cnt FROM pairs
             UNION ALL
             SELECT s2 AS src, s1 AS dst, cnt FROM pairs
         ),
-        top5 AS (
+        top5 AS MATERIALIZED (
             SELECT src, dst FROM (
                 SELECT src, dst,
                        row_number() OVER (
@@ -259,7 +259,7 @@ _EDGE_CTES = f"""
                 FROM dir
             ) WHERE rn <= {_TOP_PARTNERS}
         ),
-        edges AS (
+        edges AS MATERIALIZED (
             SELECT a.src AS lo, a.dst AS hi
             FROM top5 a JOIN top5 b ON a.src = b.dst AND a.dst = b.src
             WHERE a.src < a.dst
@@ -1373,4 +1373,84 @@ def q_graph_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return pr.filter(F.col("pr") > 1e-9).select(
         "node", F.round("pr", 9).alias("ppr")
+    )
+
+
+@register(
+    "q_graph_reciprocity",
+    oracle="""
+        WITH seq AS (
+            SELECT l_orderkey,
+                   l_partkey AS src,
+                   lead(l_partkey) OVER (
+                       PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey
+                   ) AS dst
+            FROM lineitem
+        ),
+        edges AS (
+            SELECT DISTINCT src, dst FROM seq
+            WHERE dst IS NOT NULL AND dst <> src
+        ),
+        recip AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_reciprocal
+            FROM edges e JOIN edges r
+              ON e.src = r.dst AND e.dst = r.src
+        )
+        SELECT t.n_edges, recip.n_reciprocal,
+               ROUND(CAST(recip.n_reciprocal AS DOUBLE) / t.n_edges, 4)
+                   AS reciprocity
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges) t
+        CROSS JOIN recip
+    """,
+    section="G16",
+    doc="Directed-graph reciprocity over the part-sequence graph: within "
+    "each order, consecutive line numbers induce a directed edge "
+    "part_i -> part_{i+1}; reciprocity = fraction of distinct directed "
+    "edges whose reverse edge also exists — the standard directed-"
+    "network symmetry statistic (mutual-link density), complementing "
+    "the undirected G-family (triangles, k-core operate on "
+    "symmetrized edges). The window ORDER BY is (linenumber, partkey) "
+    "— (orderkey, linenumber) alone is NOT unique in the fixture, and "
+    "an ambiguous sort would make the edge set run-dependent (§5.3); "
+    "adding partkey totalizes the projected part SEQUENCE (remaining "
+    "ties are identical parts, which cannot reorder it). Edge "
+    "derivation is one per-order window "
+    "(orders are small groups, max ~13 lines), dedup is one 16-byte-"
+    "key shuffle, and the reverse-edge check is a self-equi-join on "
+    "the swapped key — hash-partitioned on (src,dst) vs (dst,src), "
+    "both sides shuffle once; no payload moves. At 100 TB the edge "
+    "list is a tiny projection of the fact table and the join key is "
+    "two ints — this is shuffle-bound on edge count only.",
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey"
+    )
+    seq = li.select(
+        "l_orderkey",
+        F.col("l_partkey").alias("src"),
+        F.lead("l_partkey").over(w).alias("dst"),
+    )
+    edges = (
+        seq.where(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .select("src", "dst")
+        .distinct()
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    n_recip = edges.join(rev, ["src", "dst"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_reciprocal")
+    )
+    n_edges = edges.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges")
+    )
+    return n_edges.crossJoin(n_recip).select(
+        "n_edges",
+        "n_reciprocal",
+        F.round(
+            F.col("n_reciprocal").cast("double") / F.col("n_edges"), 4
+        ).alias("reciprocity"),
     )

@@ -2310,3 +2310,107 @@ def q_ts_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("rule3_eight_one_side")
         ).alias("out_of_control"),
     )
+
+
+_PE_MIN_WINDOWS = 10
+
+
+@register(
+    "q_ts_permutation_entropy",
+    oracle=f"""
+        WITH q AS (
+            SELECT user_id,
+                   CAST(floor(value * 1e4) AS BIGINT) AS x1,
+                   lead(CAST(floor(value * 1e4) AS BIGINT), 1) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS x2,
+                   lead(CAST(floor(value * 1e4) AS BIGINT), 2) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS x3
+            FROM events
+        ),
+        pat AS (
+            SELECT user_id,
+                   (CAST(sign(x2 - x1) AS BIGINT) + 1) * 9
+                   + (CAST(sign(x3 - x2) AS BIGINT) + 1) * 3
+                   + (CAST(sign(x3 - x1) AS BIGINT) + 1) AS pattern,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM q WHERE x3 IS NOT NULL
+            GROUP BY user_id, pattern
+        ),
+        tot AS (
+            SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_windows,
+                   CAST(COUNT(*) AS BIGINT) AS n_patterns
+            FROM pat GROUP BY user_id
+        )
+        SELECT p.user_id, t.n_windows, t.n_patterns,
+               ROUND(CAST(SUM(CAST(floor(
+                   -(CAST(p.n AS DOUBLE) / t.n_windows)
+                   * ln(CAST(p.n AS DOUBLE) / t.n_windows) * 1e12)
+                   AS DECIMAL(38,0))) AS DOUBLE) / 1e12, 6)
+                   AS perm_entropy_nats
+        FROM pat p JOIN tot t ON t.user_id = p.user_id
+        WHERE t.n_windows >= {_PE_MIN_WINDOWS}
+        GROUP BY p.user_id, t.n_windows, t.n_patterns
+    """,
+    section="TS27",
+    doc="Per-user permutation entropy (order-3 ordinal patterns): slide "
+    "a 3-event window over each user's value sequence, encode the "
+    "ordinal pattern as an exact integer over the three pairwise sign "
+    "comparisons (27 classes incl. tie patterns — ties get their own "
+    "classes instead of an arbitrary tie-break, keeping the encoding "
+    "deterministic), then Shannon entropy (nats) of the per-user "
+    "pattern distribution. The complexity measure of Bandt-Pompe: "
+    "regular/periodic series score near 0, i.i.d. noise near "
+    "ln(6) — complements TS6 autocorrelation (linear memory) with a "
+    "nonlinearity-robust rank-based signal. Values quantized "
+    "floor(v*1e4) (TS6 device); entropy terms quantized floor(x*1e12) "
+    "before the exact per-user DECIMAL sum (L18 device) — no float "
+    "aggregation-order nondeterminism. Scale: one per-user window "
+    "(two leads share one sort), one (user,pattern) keyed count — "
+    "the pattern table is at most 27 rows/user; linear, "
+    "map-side-combinable.",
+)
+def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    q = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("cast(floor(value * 1e4) as bigint)").alias("x1"),
+    ).select(
+        "user_id",
+        "x1",
+        F.lead("x1", 1).over(w).alias("x2"),
+        F.lead("x1", 2).over(w).alias("x3"),
+    )
+    pat = (
+        q.where(F.col("x3").isNotNull())
+        .select(
+            "user_id",
+            (
+                (F.signum(F.col("x2") - F.col("x1")).cast("bigint") + 1) * 9
+                + (F.signum(F.col("x3") - F.col("x2")).cast("bigint") + 1) * 3
+                + (F.signum(F.col("x3") - F.col("x1")).cast("bigint") + 1)
+            ).alias("pattern"),
+        )
+        .groupBy("user_id", "pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = pat.groupBy("user_id").agg(
+        F.sum("n").cast("bigint").alias("n_windows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_patterns"),
+    )
+    p = F.col("n").cast("double") / F.col("n_windows")
+    term = F.floor(-p * F.log(p) * 1e12).cast(DecimalType(38, 0))
+    return (
+        pat.join(tot, "user_id")
+        .where(F.col("n_windows") >= _PE_MIN_WINDOWS)
+        .groupBy("user_id", "n_windows", "n_patterns")
+        .agg(
+            F.round(
+                F.sum(term).cast("double") / 1e12, 6
+            ).alias("perm_entropy_nats")
+        )
+    )
