@@ -4511,3 +4511,176 @@ def q_agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(h_raw / c, 4).alias("h_corrected"),
         )
     )
+
+
+@register(
+    "q_agg_anova_f",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}}
+            FROM rows_kv
+        )
+        SELECT n, 4 AS df_between, n - 5 AS df_within,
+               ROUND((ssb / 4) / ((sst - ssb) / (n - 5)), 4) AS f_stat,
+               ROUND(ssb / sst, 6) AS eta_sq
+        FROM (
+            SELECT n,
+                   ((((CAST(s_0 AS DOUBLE) * s_0 / n_0
+                      + CAST(s_1 AS DOUBLE) * s_1 / n_1)
+                      + CAST(s_2 AS DOUBLE) * s_2 / n_2)
+                      + CAST(s_3 AS DOUBLE) * s_3 / n_3)
+                      + CAST(s_4 AS DOUBLE) * s_4 / n_4)
+                   - CAST(s_all AS DOUBLE) * s_all / n AS ssb,
+                   CAST(q_all AS DOUBLE)
+                   - CAST(s_all AS DOUBLE) * s_all / n AS sst
+            FROM piv
+        )
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    ) + ", CAST(SUM(v) AS BIGINT) AS s_all"
+      ", CAST(SUM(v * v) AS BIGINT) AS q_all"),
+    section="A66",
+    doc="One-way ANOVA F across the 5 priority classes on order totals — "
+    "the parametric sibling of A65's Kruskal-Wallis (same contrast, "
+    "normality assumed instead of ranks; report both, disagree = "
+    "heavy tails). Values quantized to WHOLE DOLLARS (floor cent-div-"
+    "100) so the sum of squares stays an exact BIGINT to ~25M rows "
+    "(cent-squares overflow int64 at ~2.5K rows; at larger scale "
+    "widen q_all to DECIMAL(38,0) and mind §5.3 rule 10). All eight "
+    "moments reduce in ONE pass (conditional aggregation over the "
+    "explicit value list, A9 device — no second grand-mean pass); "
+    "SS_between / SS_total are row-local fixed folds; F and eta^2 "
+    "rebuilt with identical IEEE expressions. Scale: a single "
+    "map-side-combinable global reduction — the cheapest query shape "
+    "there is.",
+)
+def q_agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    piv = rows_kv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+            )
+        ],
+        F.sum("v").cast("bigint").alias("s_all"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_all"),
+    )
+    ssb_terms = None
+    for i in range(5):
+        t_i = (
+            F.col(f"s_{i}").cast("double")
+            * F.col(f"s_{i}")
+            / F.col(f"n_{i}")
+        )
+        ssb_terms = t_i if ssb_terms is None else ssb_terms + t_i
+    grand = F.col("s_all").cast("double") * F.col("s_all") / F.col("n")
+    ssb = ssb_terms - grand
+    sst = F.col("q_all").cast("double") - grand
+    return piv.select(
+        "n",
+        F.lit(4).cast("int").alias("df_between"),
+        (F.col("n") - 5).alias("df_within"),
+        F.round((ssb / 4) / ((sst - ssb) / (F.col("n") - 5)), 4).alias(
+            "f_stat"
+        ),
+        F.round(ssb / sst, 6).alias("eta_sq"),
+    )
+
+
+_CRC_W1 = ("2024-01-01", "2024-01-08")   # [start, end) capture window 1
+_CRC_W2 = ("2024-01-15", "2024-01-22")   # [start, end) capture window 2
+
+
+@register(
+    "q_agg_capture_recapture",
+    oracle=f"""
+        WITH flags AS (
+            SELECT user_id,
+                   CAST(MAX(CASE WHEN ts >= TIMESTAMP '{_CRC_W1[0]}'
+                                  AND ts < TIMESTAMP '{_CRC_W1[1]}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS in1,
+                   CAST(MAX(CASE WHEN ts >= TIMESTAMP '{_CRC_W2[0]}'
+                                  AND ts < TIMESTAMP '{_CRC_W2[1]}'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS in2
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT CAST(SUM(in1) AS BIGINT) AS n1,
+               CAST(SUM(in2) AS BIGINT) AS n2,
+               CAST(SUM(in1 * in2) AS BIGINT) AS m_both,
+               CAST(COUNT(*) AS BIGINT) AS n_true,
+               ROUND((CAST(SUM(in1) AS DOUBLE) + 1)
+                     * (CAST(SUM(in2) AS DOUBLE) + 1)
+                     / (CAST(SUM(in1 * in2) AS DOUBLE) + 1) - 1, 2)
+                   AS chapman_estimate
+        FROM flags
+    """,
+    section="A67",
+    doc="Capture-recapture population estimate (Chapman's bias-corrected "
+    "Lincoln-Petersen): users seen in capture window 1 vs window 2; "
+    "N-hat = (n1+1)(n2+1)/(m+1) - 1 from the overlap m — the ecology "
+    "estimator that data teams reuse to size a population only "
+    "partially observed by any one probe (bot traffic, incident "
+    "blast radius, dedup-rate sizing from two independent crawls). "
+    "n_true (the actually-observed distinct count) sits beside the "
+    "estimate so the readout shows the estimator's bias under "
+    "non-independent captures. ONE pass: per-user window flags via "
+    "conditional MAX, then a 4-column global reduction — no distinct "
+    "sets, no joins; map-side-combinable at any scale.",
+)
+def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def flag(w):
+        return F.max(
+            F.when(
+                (F.col("ts") >= F.lit(w[0]).cast("timestamp"))
+                & (F.col("ts") < F.lit(w[1]).cast("timestamp")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint")
+
+    flags = ev.groupBy("user_id").agg(
+        flag(_CRC_W1).alias("in1"), flag(_CRC_W2).alias("in2")
+    )
+    n1 = F.sum("in1").cast("bigint")
+    n2 = F.sum("in2").cast("bigint")
+    m = F.sum(F.col("in1") * F.col("in2")).cast("bigint")
+    return flags.agg(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        m.alias("m_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_true"),
+        F.round(
+            (n1.cast("double") + 1) * (n2.cast("double") + 1)
+            / (m.cast("double") + 1)
+            - 1,
+            2,
+        ).alias("chapman_estimate"),
+    )

@@ -2414,3 +2414,114 @@ def q_ts_permutation_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("perm_entropy_nats")
         )
     )
+
+
+_XCORR_A = "view"       # leading series
+_XCORR_B = "purchase"   # lagged series
+_XCORR_MAX_LAG = 3
+
+
+@register(
+    "q_ts_cross_correlation",
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+            WHERE event_type IN ('{_XCORR_A}', '{_XCORR_B}')
+            GROUP BY 1, 2
+        ),
+        da AS (SELECT day, n AS x FROM daily
+               WHERE event_type = '{_XCORR_A}'),
+        db AS (SELECT day, n AS y FROM daily
+               WHERE event_type = '{_XCORR_B}'),
+        lags AS (SELECT unnest(range(0, {_XCORR_MAX_LAG + 1})) AS lag),
+        j AS (
+            SELECT l.lag, a.x, b.y
+            FROM lags l
+            JOIN da a ON TRUE
+            JOIN db b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        ),
+        m AS (
+            SELECT lag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+               ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 4) AS xcorr
+        FROM m
+        WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+    section="TS28",
+    doc="Lagged cross-correlation between the daily '"
+    f"{_XCORR_A}' and '{_XCORR_B}"
+    "' count series at lags 0..3 — the lead-lag detector (does "
+    "today's browsing predict purchases k days out?) behind "
+    "attribution windows and TS16's Granger screen (which regresses; "
+    "this reports the raw correlation profile). Daily counts are "
+    "exact integers, so all six moments per lag are exact BIGINTs "
+    "(TS6 device, order-insensitive under any partitioning); Pearson "
+    "r per lag rebuilt with identical IEEE expressions. The lag "
+    "fan-out joins the (tiny, day-grain) aggregated series AFTER "
+    "the row-count collapse — at 100 TB the daily table is a few "
+    "thousand rows regardless of event volume, so the 4-lag join is "
+    "broadcast-trivial; the only row-proportional work is the first "
+    "keyed count.",
+)
+def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("event_type").isin(_XCORR_A, _XCORR_B))
+        .groupBy(
+            F.col("ts").cast("date").alias("day"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    da = daily.where(F.col("event_type") == _XCORR_A).select(
+        "day", F.col("n").alias("x")
+    )
+    db = daily.where(F.col("event_type") == _XCORR_B).select(
+        F.col("day").alias("day_b"), F.col("n").alias("y")
+    )
+    lags = spark.range(_XCORR_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    j = (
+        da.crossJoin(F.broadcast(lags))
+        .join(
+            db,
+            F.col("day_b") == F.date_add(F.col("day"), F.col("lag")),
+        )
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(vx * vy)
+    )
+    return (
+        m.where((vx > 0) & (vy > 0))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").alias("n_days"),
+            F.round(r, 4).alias("xcorr"),
+        )
+    )

@@ -1538,3 +1538,169 @@ def q_vec_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall_at5"
         ),
     )
+
+
+_MMR_QUERY_ID = 0
+_MMR_POOL = 20      # candidate pool: top-20 by relevance
+_MMR_K = 5          # picks
+# lambda = 0.7 — scores are scaled x10 so the MMR objective
+# 0.7*rel - 0.3*maxsim becomes the EXACT integer 7*relq - 3*msimq.
+
+
+def _mmr_sel_ctes() -> str:
+    """sel1..sel5 greedy CTEs + the cumulative selected-set unions."""
+    parts = [
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM cands"
+        " ORDER BY relq DESC, vec_id LIMIT 1)"
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{i}" for i in range(1, r)
+        )
+        parts.append(
+            f"""picked{r} AS MATERIALIZED ({prev}),
+        sc{r} AS MATERIALIZED (
+            SELECT c.vec_id, 7 * c.relq - 3 * MAX(s.simq) AS score
+            FROM cands c
+            JOIN sims s ON s.a = c.vec_id
+                       AND s.b IN (SELECT vec_id FROM picked{r})
+            WHERE c.vec_id NOT IN (SELECT vec_id FROM picked{r})
+            GROUP BY c.vec_id, c.relq
+        ),
+        sel{r} AS MATERIALIZED (
+            SELECT vec_id FROM sc{r} ORDER BY score DESC, vec_id LIMIT 1
+        )"""
+        )
+    return ",\n        ".join(parts)
+
+
+@register(
+    "q_vec_mmr_diverse",
+    oracle=f"""
+        WITH q AS MATERIALIZED (
+            SELECT embedding FROM embeddings WHERE vec_id = {_MMR_QUERY_ID}
+        ),
+        ranked AS MATERIALIZED (
+            SELECT e.vec_id, e.embedding,
+                   CAST(floor(list_cosine_similarity(
+                        e.embedding, q.embedding) * 1e6) AS BIGINT) AS relq
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> {_MMR_QUERY_ID}
+        ),
+        cands AS MATERIALIZED (
+            SELECT vec_id, embedding, relq FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY relq DESC, vec_id) AS rn
+                FROM ranked
+            ) WHERE rn <= {_MMR_POOL}
+        ),
+        sims AS MATERIALIZED (
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   CAST(floor(list_cosine_similarity(
+                        a.embedding, b.embedding) * 1e6) AS BIGINT) AS simq
+            FROM cands a JOIN cands b ON a.vec_id <> b.vec_id
+        ),
+        {{sel}}
+        SELECT * FROM (
+            {" UNION ALL ".join(
+                f"SELECT CAST({r} AS BIGINT) AS pick_rank, vec_id FROM sel{r}"
+                for r in range(1, _MMR_K + 1)
+            )}
+        )
+    """.replace("{sel}", _mmr_sel_ctes()),
+    section="V24",
+    doc="Maximal Marginal Relevance re-ranking: from the top-20 cosine "
+    "candidates for one query vector, greedily pick 5 maximizing "
+    "0.7*relevance - 0.3*max-similarity-to-already-picked — the "
+    "diversity-aware serving layer over V3's raw top-k (RAG context "
+    "assembly, dedup'd search results). Determinism device: both "
+    "relevance and pairwise sims are quantized floor(cos*1e6) to "
+    "BIGINT, and the lambda mix is scaled x10 so every greedy "
+    "comparison is the EXACT integer 7*relq - 3*msimq with a vec_id "
+    "tie-break — the unrolled selection is bit-reproducible (only "
+    "the floor boundary carries the last-ulp tail risk shared with "
+    "V3, SURVEY 5.3). Scale: relevance scan is one broadcast-query "
+    "map pass; the greedy runs on the 20-row pool (broadcast-size "
+    "by construction) — pool size, not corpus size, bounds the "
+    "unrolled joins; the corpus never shuffles.",
+)
+def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    ranked = (
+        emb.where(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            F.floor(
+                _dot("embedding", "q_emb")
+                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("q_emb")))
+                * 1e6
+            ).cast("bigint").alias("relq"),
+        )
+    )
+    wr = Window.orderBy(F.col("relq").desc(), F.col("vec_id"))
+    cands = (
+        ranked.withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") <= _MMR_POOL)
+        .select("vec_id", "embedding", "relq")
+    )
+    ca = cands.select(
+        F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
+    )
+    cb = cands.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb")
+    )
+    sims = (
+        ca.crossJoin(cb)
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.floor(
+                _dot("ea", "eb")
+                / (F.sqrt(_sq_norm("ea")) * F.sqrt(_sq_norm("eb")))
+                * 1e6
+            ).cast("bigint").alias("simq"),
+        )
+    )
+    pool = cands.select("vec_id", "relq")
+    sel = [
+        pool.orderBy(F.col("relq").desc(), "vec_id")
+        .limit(1)
+        .select("vec_id")
+    ]
+    for _ in range(2, _MMR_K + 1):
+        picked = sel[0]
+        for s in sel[1:]:
+            picked = picked.unionAll(s)
+        msim = (
+            sims.join(
+                picked.withColumnRenamed("vec_id", "b"), "b"
+            )
+            .groupBy("a")
+            .agg(F.max("simq").alias("msimq"))
+        )
+        scores = (
+            pool.join(picked, "vec_id", "left_anti")
+            .join(msim, pool.vec_id == F.col("a"))
+            .select(
+                "vec_id",
+                (7 * F.col("relq") - 3 * F.col("msimq")).alias("score"),
+            )
+        )
+        sel.append(
+            scores.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id")
+        )
+    out = None
+    for r, s in enumerate(sel, start=1):
+        row = s.select(
+            F.lit(r).cast("bigint").alias("pick_rank"), "vec_id"
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
