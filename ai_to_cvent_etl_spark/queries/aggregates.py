@@ -4684,3 +4684,141 @@ def q_agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("chapman_estimate"),
     )
+
+
+# Cohen's kappa price-bucket thresholds in cents: low < $50k, mid < $200k.
+_KAPPA_T1 = 50_000_00
+_KAPPA_T2 = 200_000_00
+_KAPPA_CATS = ("low", "mid", "high")
+
+
+def _kappa_bucket_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < {_KAPPA_T1} THEN 'low' "
+        f"WHEN {col} < {_KAPPA_T2} THEN 'mid' ELSE 'high' END"
+    )
+
+
+@register(
+    "q_agg_cohens_kappa",
+    oracle=f"""
+        WITH lines AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS line_cents
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        rated AS (
+            SELECT {_kappa_bucket_sql(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )} AS ra,
+                   {_kappa_bucket_sql("line_cents")} AS rb
+            FROM orders JOIN lines ON l_orderkey = o_orderkey
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN ra = '{c}' AND rb = '{c}'"
+                       f" THEN 1 ELSE 0 END) AS BIGINT) AS d_{c}, "
+                       f"CAST(SUM(CASE WHEN ra = '{c}' THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS a_{c}, "
+                       f"CAST(SUM(CASE WHEN rb = '{c}' THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS b_{c}"
+                       for c in _KAPPA_CATS
+                   )}
+            FROM rated
+        )
+        SELECT n,
+               CAST(d_low + d_mid + d_high AS BIGINT) AS n_agree,
+               ROUND(CAST(d_low + d_mid + d_high AS DOUBLE) / n, 4)
+                   AS po,
+               ROUND(((CAST(a_low AS DOUBLE) * b_low
+                      + CAST(a_mid AS DOUBLE) * b_mid)
+                      + CAST(a_high AS DOUBLE) * b_high)
+                     / (CAST(n AS DOUBLE) * n), 4) AS pe,
+               ROUND((CAST(d_low + d_mid + d_high AS DOUBLE) / n
+                      - ((CAST(a_low AS DOUBLE) * b_low
+                         + CAST(a_mid AS DOUBLE) * b_mid)
+                         + CAST(a_high AS DOUBLE) * b_high)
+                        / (CAST(n AS DOUBLE) * n))
+                     / (1.0 - ((CAST(a_low AS DOUBLE) * b_low
+                               + CAST(a_mid AS DOUBLE) * b_mid)
+                               + CAST(a_high AS DOUBLE) * b_high)
+                              / (CAST(n AS DOUBLE) * n)), 4) AS kappa
+        FROM piv
+    """,
+    section="A68",
+    doc="Cohen's kappa between two 'raters' of order size: the bucket "
+    "(low/mid/high on fixed cent thresholds) assigned from the header "
+    "total vs from the summed line totals — chance-corrected "
+    "agreement, the statistic behind labeler-consistency and "
+    "dual-pipeline-consistency readouts (raw agreement po flatters "
+    "whenever one bucket dominates; kappa subtracts the pe floor). "
+    "Both ratings live in the same explicit 3-category space, so the "
+    "confusion marginals pivot into ONE row (A9 device) of exact "
+    "BIGINT counts: po, pe, kappa are row-local fixed folds over 9 "
+    "integers — bit-deterministic. Scale: one co-keyed lineitem "
+    "collapse (the J23/E34 reconciliation shape), one broadcast-size "
+    "global reduction.",
+)
+def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.groupBy("l_orderkey").agg(
+        F.expr(
+            "cast(sum(cast(l_extendedprice as decimal(18,2)) * 100)"
+            " as bigint)"
+        ).alias("line_cents")
+    )
+
+    def bucket(c):
+        return (
+            F.when(c < _KAPPA_T1, "low")
+            .when(c < _KAPPA_T2, "mid")
+            .otherwise("high")
+        )
+
+    rated = od.join(
+        lines, od.o_orderkey == lines.l_orderkey
+    ).select(
+        bucket(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            )
+        ).alias("ra"),
+        bucket(F.col("line_cents")).alias("rb"),
+    )
+    piv = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for c in _KAPPA_CATS
+            for agg in (
+                F.sum(
+                    F.when((F.col("ra") == c) & (F.col("rb") == c), 1)
+                    .otherwise(0)
+                ).cast("bigint").alias(f"d_{c}"),
+                F.sum(F.when(F.col("ra") == c, 1).otherwise(0))
+                .cast("bigint").alias(f"a_{c}"),
+                F.sum(F.when(F.col("rb") == c, 1).otherwise(0))
+                .cast("bigint").alias(f"b_{c}"),
+            )
+        ],
+    )
+    nd = F.col("n").cast("double")
+    diag = F.col("d_low") + F.col("d_mid") + F.col("d_high")
+    po = diag.cast("double") / F.col("n")
+    pe = (
+        (
+            F.col("a_low").cast("double") * F.col("b_low")
+            + F.col("a_mid").cast("double") * F.col("b_mid")
+        )
+        + F.col("a_high").cast("double") * F.col("b_high")
+    ) / (nd * F.col("n"))
+    return piv.select(
+        "n",
+        diag.cast("bigint").alias("n_agree"),
+        F.round(po, 4).alias("po"),
+        F.round(pe, 4).alias("pe"),
+        F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
+    )

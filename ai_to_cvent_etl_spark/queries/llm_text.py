@@ -1348,3 +1348,65 @@ def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_log2_prob"
         ),
     )
+
+
+_SW_MIN_DF_RATIO = 0.30   # token present in >30% of docs => stopword candidate
+
+
+@register(
+    "q_text_stopword_discovery",
+    oracle=f"""
+        WITH dtok AS (
+            SELECT DISTINCT doc_id, u AS tok
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+                  FROM documents)
+            WHERE u <> ''
+        ),
+        df AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtok
+            GROUP BY tok
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+        SELECT tok, df, n_docs,
+               ROUND(CAST(df AS DOUBLE) / n_docs, 4) AS df_ratio
+        FROM df CROSS JOIN n
+        WHERE CAST(df AS DOUBLE) / n_docs > {_SW_MIN_DF_RATIO}
+    """,
+    section="L20",
+    doc="Corpus-driven stopword discovery: tokens whose DOCUMENT "
+    "frequency exceeds 30% of the corpus — the data-derived stopword "
+    "list every retrieval/quality pipeline should prefer over a "
+    "frozen English list (domain corpora have their own function "
+    "words: boilerplate headers, license lines, markup tokens). "
+    "Emits the evidence (df, ratio) rather than just the list so the "
+    "threshold is auditable. Per-doc DISTINCT collapses before the "
+    "global count (tf weights would inflate repetitive docs), so the "
+    "shuffle carries (doc,token) pairs once; the df table is "
+    "vocabulary-bounded — broadcast-size — and the ratio filter is "
+    "row-local. One explode + two keyed reductions; linear in corpus "
+    "tokens.",
+)
+def q_text_stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    dtok = (
+        fan_out(docs)
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+    )
+    df_ = dtok.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        df_.crossJoin(F.broadcast(n))
+        .where(F.col("df").cast("double") / F.col("n_docs") > _SW_MIN_DF_RATIO)
+        .select(
+            "tok",
+            "df",
+            "n_docs",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs"), 4
+            ).alias("df_ratio"),
+        )
+    )
