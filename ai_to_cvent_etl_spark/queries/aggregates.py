@@ -4822,3 +4822,132 @@ def q_agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 4).alias("pe"),
         F.round((po - pe) / (1.0 - pe), 4).alias("kappa"),
     )
+
+
+@register(
+    "q_agg_brier_decomp",
+    oracle=f"""
+        WITH p AS (
+            SELECT LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                         {_ECE_CAP}) AS c,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(c // {_ECE_CAP // 10}, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(y) AS BIGINT) AS pos_b,
+                   CAST(SUM(c) AS BIGINT) AS conf_sum,
+                   CAST(SUM((c - y * {_ECE_CAP})
+                            * (c - y * {_ECE_CAP})) AS BIGINT) AS sq_sum
+            FROM p GROUP BY 1
+        ),
+        g AS (
+            SELECT bin, n_b, pos_b, conf_sum, sq_sum,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS nn,
+                   CAST(SUM(pos_b) OVER () AS BIGINT) AS pos,
+                   CAST(SUM(sq_sum) OVER () AS BIGINT) AS sq
+            FROM b
+        ),
+        t AS (
+            SELECT nn, pos, sq,
+                   CAST(FLOOR(1e9 * n_b
+                        * ((conf_sum / ({_ECE_CAP}.0 * n_b))
+                           - pos_b / (1.0 * n_b))
+                        * ((conf_sum / ({_ECE_CAP}.0 * n_b))
+                           - pos_b / (1.0 * n_b)) / nn) AS BIGINT)
+                       AS rel_term,
+                   CAST(FLOOR(1e9 * n_b
+                        * (pos_b / (1.0 * n_b) - pos / (1.0 * nn))
+                        * (pos_b / (1.0 * n_b) - pos / (1.0 * nn)) / nn)
+                        AS BIGINT) AS res_term
+            FROM g
+        )
+        SELECT nn AS n,
+               ROUND(MAX(sq) / ({_ECE_CAP}.0 * {_ECE_CAP} * nn), 6)
+                   AS brier,
+               ROUND(SUM(rel_term) / 1e9, 6) AS reliability,
+               ROUND(SUM(res_term) / 1e9, 6) AS resolution,
+               ROUND((MAX(pos) / (1.0 * nn))
+                     * (1.0 - MAX(pos) / (1.0 * nn)), 6) AS uncertainty
+        FROM t GROUP BY nn
+    """,
+    section="A69",
+    doc="Brier score with the Murphy decomposition (reliability / "
+    "resolution / uncertainty over the A59 decile bins) for the same "
+    "purchase-probability score ECE audits: brier = mean((p-y)^2) "
+    "computed as the EXACT integer sum of (c - y*CAP)^2 over capped "
+    "cents (one division at the end — exact to ~3.6M rows in int64; "
+    "widen to DECIMAL beyond), reliability/resolution as per-bin "
+    "rational terms quantized floor(1e9*x) before the exact cross-bin "
+    "sum (A59 device). Identity note: brier = unc - res + rel + "
+    "within-bin conf variance — the within-bin term is NOT emitted, "
+    "so the components are reported, not the identity. ONE pass, one "
+    "10-row bin table, map-side-combinable.",
+)
+def q_agg_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cap = _ECE_CAP
+    p = ev.select(
+        F.least(
+            F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)"),
+            F.lit(cap),
+        ).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = p.groupBy(
+        F.least(F.expr(f"c div {cap // 10}"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+        F.sum("c").cast("bigint").alias("conf_sum"),
+        F.sum(
+            (F.col("c") - F.col("y") * cap)
+            * (F.col("c") - F.col("y") * cap)
+        ).cast("bigint").alias("sq_sum"),
+    )
+    wall = Window.partitionBy()
+    g = b.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        "conf_sum",
+        "sq_sum",
+        F.sum("n_b").over(wall).cast("bigint").alias("nn"),
+        F.sum("pos_b").over(wall).cast("bigint").alias("pos"),
+        F.sum("sq_sum").over(wall).cast("bigint").alias("sq"),
+    )
+    conf_b = F.col("conf_sum") / (float(cap) * F.col("n_b"))
+    acc_b = F.col("pos_b") / (1.0 * F.col("n_b"))
+    ybar = F.col("pos") / (1.0 * F.col("nn"))
+    t = g.select(
+        "nn",
+        "pos",
+        "sq",
+        F.floor(
+            1e9 * F.col("n_b") * (conf_b - acc_b) * (conf_b - acc_b)
+            / F.col("nn")
+        ).cast("bigint").alias("rel_term"),
+        F.floor(
+            1e9 * F.col("n_b") * (acc_b - ybar) * (acc_b - ybar)
+            / F.col("nn")
+        ).cast("bigint").alias("res_term"),
+    )
+    return t.groupBy("nn").agg(
+        F.round(
+            F.max("sq") / (float(cap) * cap * F.col("nn")), 6
+        ).alias("brier"),
+        F.round(F.sum("rel_term") / 1e9, 6).alias("reliability"),
+        F.round(F.sum("res_term") / 1e9, 6).alias("resolution"),
+        F.round(
+            (F.max("pos") / (1.0 * F.col("nn")))
+            * (1.0 - F.max("pos") / (1.0 * F.col("nn"))),
+            6,
+        ).alias("uncertainty"),
+    ).select(
+        F.col("nn").alias("n"),
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+    )

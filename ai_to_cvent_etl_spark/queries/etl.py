@@ -2178,3 +2178,62 @@ def q_etl_fd_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_VOL_Z_MAX = 3.0       # robust-z beyond which a day's volume is anomalous
+_MAD_SCALE = 1.4826    # MAD -> sigma under normality
+
+
+@register(
+    "q_etl_volume_anomaly",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        med AS (SELECT median(n) AS med FROM daily),
+        mad AS (
+            SELECT median(abs(n - med)) AS mad FROM daily CROSS JOIN med
+        )
+        SELECT day, n,
+               ROUND((n - med) / ({_MAD_SCALE} * mad), 4) AS robust_z,
+               abs((n - med) / ({_MAD_SCALE} * mad)) > {_VOL_Z_MAX}
+                   AS is_anomaly
+        FROM daily CROSS JOIN med CROSS JOIN mad
+    """,
+    section="E38",
+    doc="Ingest-volume anomaly monitor: per-day row counts scored with "
+    "the ROBUST z (median/MAD, sigma-scaled 1.4826) — the volume "
+    "alarm every feed needs before freshness (E26) and distribution "
+    "(E19 PSI) checks even run; median/MAD instead of mean/std "
+    "because the anomaly you're hunting corrupts the mean/std "
+    "baseline itself (a 10x backfill day drags the mean, masks "
+    "itself, and flags normal days). Counts are exact integers; "
+    "median = Spark `percentile` vs DuckDB `median` (both "
+    "interpolate at 0.5 — the A13 pairing); robust_z is row-local. "
+    "Scale: one keyed count collapses volume to day grain (a few "
+    "thousand rows at ANY event volume), then two broadcast scalars "
+    "— the monitor costs one scan.",
+)
+def q_etl_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    med = daily.agg(F.expr("percentile(n, 0.5)").alias("med"))
+    mad = (
+        daily.crossJoin(F.broadcast(med))
+        .agg(F.expr("percentile(abs(n - med), 0.5)").alias("mad"))
+    )
+    rz = (F.col("n") - F.col("med")) / (_MAD_SCALE * F.col("mad"))
+    return (
+        daily.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .select(
+            "day",
+            "n",
+            F.round(rz, 4).alias("robust_z"),
+            (F.abs(rz) > _VOL_Z_MAX).alias("is_anomaly"),
+        )
+    )
