@@ -1248,3 +1248,97 @@ def q_dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_bbit"),
     )
+
+
+@register(
+    "q_dedup_cluster_representative",
+    oracle="""
+        WITH RECURSIVE tok AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.ts, x -> list_contains(b.ts, x))) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_filter(a.ts, x -> list_contains(b.ts, x)))) >= 0.95
+        ),
+        edges AS (
+            SELECT doc_lo AS src, doc_hi AS dst FROM pairs
+            UNION ALL
+            SELECT doc_hi AS src, doc_lo AS dst FROM pairs
+        ),
+        walk(node, lab) AS (
+            SELECT doc_id, doc_id FROM documents WHERE lang = 'de'
+            UNION
+            SELECT e.dst, w.lab FROM walk w JOIN edges e ON e.src = w.node
+        ),
+        comp AS (
+            SELECT node AS doc_id, MIN(lab) AS component
+            FROM walk GROUP BY node
+        ),
+        ranked AS (
+            SELECT c.component, c.doc_id, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id
+                   ) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY c.component)
+                        AS BIGINT) AS n_members
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+        )
+        SELECT component, doc_id AS rep_doc_id,
+               CAST(n_chars AS BIGINT) AS rep_n_chars,
+               n_members,
+               CAST(n_members - 1 AS BIGINT) AS n_dropped
+        FROM ranked WHERE rn = 1
+    """,
+    section="D18",
+    doc="Canonical-representative selection per near-dup cluster: after "
+    "D5's connected components over the >=0.95-Jaccard graph, KEEP "
+    "exactly one doc per cluster — the longest (n_chars DESC, doc_id "
+    "tie-break) — and report what got dropped. This is the step that "
+    "turns dedup ANALYSIS into a dedup ACTION: D1/D2 find pairs, D5 "
+    "clusters them, this emits the survivor list a curation pipeline "
+    "joins back to drop duplicates (the document-corpus sibling of "
+    "E20's record survivorship). Deterministic by the total "
+    "(quality, id) order. Scale: adds ONE per-cluster window over "
+    "the component table (labels + a scalar per doc, no payloads) "
+    "on top of the D5 machinery — the rollup is label-keyed and "
+    "map-side combinable.",
+)
+def q_dedup_cluster_representative(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.dedup import (
+        connected_components,
+        near_dup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    pairs = near_dup_pairs(docs, threshold=0.95).select("doc_lo", "doc_hi")
+    comp = connected_components(pairs, docs.select("doc_id"))
+    joined = comp.join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn(
+            "n_members", F.count(F.lit(1)).over(w).cast("bigint")
+        )
+        .withColumn("rn", F.row_number().over(wr))
+        .where(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("n_chars").cast("bigint").alias("rep_n_chars"),
+            "n_members",
+            (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
+        )
+    )

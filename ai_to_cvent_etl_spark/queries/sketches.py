@@ -837,3 +837,78 @@ def q_sketch_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _SK7_K)
         .select("lang", "doc_id", "n_chars", F.col("rnk").cast("int"))
     )
+
+
+_LC_M = 65536  # linear-counting bitmap width
+
+
+@register(
+    "q_sketch_linear_counting",
+    oracle=f"""
+        WITH b AS (
+            SELECT DISTINCT
+                   CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                        1, 12)) AS BIGINT) % {_LC_M}
+                       AS bucket
+            FROM orders
+        ),
+        z AS (
+            SELECT CAST({_LC_M} - COUNT(*) AS BIGINT) AS z_empty FROM b
+        ),
+        x AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact
+            FROM orders
+        )
+        SELECT {_LC_M} AS m, n_exact, z_empty,
+               CASE WHEN z_empty = 0 THEN NULL
+                    ELSE ROUND({_LC_M} * ln({_LC_M} / (1.0 * z_empty)), 4)
+               END AS lc_estimate,
+               z_empty = 0 AS saturated
+        FROM z CROSSJOIN_TOKEN x
+    """.replace("CROSSJOIN_TOKEN", "CROSS JOIN"),
+    section="SK8",
+    doc="Linear counting distinct estimate of active customers: hash "
+    "each key into a 1024-slot bitmap (48-bit md5 device — the SAME "
+    "hash both engines, so unlike HLL (A4/SK3, rows-only) this "
+    "sketch has an EXACT oracle, the SK4-KMV property), count empty "
+    "slots z, estimate = m*ln(m/z). THE low-cardinality-regime "
+    "sketch: below ~m distinct keys its error beats HLL at equal "
+    "memory, which is why production HLLs (and Spark's own) switch "
+    "to linear counting under a fill threshold — this query "
+    "exposes the regime explicitly beside the exact count, and "
+    "reports saturation (z=0, estimate NULL) instead of dividing "
+    "by zero — the documented fallback point where a production "
+    "sketch hands over to HLL. Scale: the bitmap is a 65536-row "
+    "DISTINCT — constant state, map-side combinable, mergeable "
+    "across shards by construction.",
+)
+def q_sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    b = od.select(
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(o_custkey as string)), 1, 12),"
+                " 16, 10) as bigint)"
+            )
+            % _LC_M
+        ).alias("bucket")
+    ).distinct()
+    z = b.agg((_LC_M - F.count(F.lit(1))).cast("bigint").alias("z_empty"))
+    x = od.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_exact")
+    )
+    return z.crossJoin(x).select(
+        F.lit(_LC_M).cast("int").alias("m"),
+        "n_exact",
+        "z_empty",
+        F.when(F.col("z_empty") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.round(
+                _LC_M
+                * F.log(_LC_M / (1.0 * F.col("z_empty"))),
+                4,
+            )
+        )
+        .alias("lc_estimate"),
+        (F.col("z_empty") == 0).alias("saturated"),
+    )
