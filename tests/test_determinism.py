@@ -100,6 +100,19 @@ RISKY = [
     "q_win_interval_merge",
     "q_win_max_concurrency",
     "q_dedup_cross_corpus",
+    # waves 57-61: rank-from-cumulative-count devices (KW), windowed
+    # ordinal patterns and sequence edges (their ORDER BY must totalize),
+    # quantized entropy/Brier term sums, the integer-objective greedy
+    # (MMR), and survivor argmax ties — partition independence is each
+    # one's design claim.
+    "q_agg_kruskal_wallis",
+    "q_graph_reciprocity",
+    "q_ts_permutation_entropy",
+    "q_vec_mmr_diverse",
+    "q_agg_brier_decomp",
+    "q_text_log_odds_monroe",
+    "q_dedup_cluster_representative",
+    "q_graph_harmonic",
 ]
 
 
