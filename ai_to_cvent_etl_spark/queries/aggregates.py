@@ -4951,3 +4951,141 @@ def q_agg_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "resolution",
         "uncertainty",
     )
+
+
+_TUKEY_Q_CRIT = 3.86   # studentized range q(k=5, df=inf, alpha=.05)
+
+
+@register(
+    "q_agg_tukey_hsd",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}}
+            FROM rows_kv
+        ),
+        msw AS (
+            SELECT n,
+                   (((((CAST(q_0 AS DOUBLE)
+                        - CAST(s_0 AS DOUBLE) * s_0 / n_0)
+                      + (CAST(q_1 AS DOUBLE)
+                         - CAST(s_1 AS DOUBLE) * s_1 / n_1))
+                      + (CAST(q_2 AS DOUBLE)
+                         - CAST(s_2 AS DOUBLE) * s_2 / n_2))
+                      + (CAST(q_3 AS DOUBLE)
+                         - CAST(s_3 AS DOUBLE) * s_3 / n_3))
+                      + (CAST(q_4 AS DOUBLE)
+                         - CAST(s_4 AS DOUBLE) * s_4 / n_4))
+                   / (n - 5) AS msw
+            FROM piv
+        ),
+        groups AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(v) AS BIGINT) AS s_j
+            FROM rows_kv GROUP BY grp
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               ROUND(CAST(a.s_j AS DOUBLE) / a.n_j
+                     - CAST(b.s_j AS DOUBLE) / b.n_j, 4) AS mean_diff,
+               ROUND(abs(CAST(a.s_j AS DOUBLE) / a.n_j
+                         - CAST(b.s_j AS DOUBLE) / b.n_j)
+                     / sqrt(msw / 2 * (1.0 / a.n_j + 1.0 / b.n_j)), 4)
+                   AS q_stat,
+               abs(CAST(a.s_j AS DOUBLE) / a.n_j
+                   - CAST(b.s_j AS DOUBLE) / b.n_j)
+               / sqrt(msw / 2 * (1.0 / a.n_j + 1.0 / b.n_j))
+                   > {_TUKEY_Q_CRIT} AS significant
+        FROM groups a JOIN groups b ON a.grp < b.grp
+        CROSS JOIN msw
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v * v ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A70",
+    doc="Tukey HSD post-hoc: all 10 pairwise priority-class contrasts "
+    "after A66's ANOVA, studentized (q = |mean_i - mean_j| / "
+    "sqrt(MSW/2 * (1/n_i + 1/n_j)), Tukey-Kramer unequal-n form) "
+    "against the fixed q(5, inf, .05) = 3.86 critical — the "
+    "which-groups-differ step an omnibus F can't answer, with the "
+    "familywise error control that 10 naive t-tests forfeit. MSW "
+    "comes from the SAME one-row integer-moment pivot as A66 (whole-"
+    "dollar grid, fixed fold over the explicit class list); group "
+    "means are exact-integer ratios; every pair row is arithmetic "
+    "over broadcast scalars. Scale: one conditional-aggregation "
+    "pass + a 5x5 self-join on a 5-row table.",
+)
+def q_agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    piv = rows_kv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint").alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
+                .cast("bigint").alias(f"s_{i}"),
+                F.sum(
+                    F.when(F.col("grp") == p, F.col("v") * F.col("v"))
+                    .otherwise(0)
+                ).cast("bigint").alias(f"q_{i}"),
+            )
+        ],
+    )
+    ssw = None
+    for i in range(5):
+        t_i = F.col(f"q_{i}").cast("double") - F.col(f"s_{i}").cast(
+            "double"
+        ) * F.col(f"s_{i}") / F.col(f"n_{i}")
+        ssw = t_i if ssw is None else ssw + t_i
+    msw = piv.select((ssw / (F.col("n") - 5)).alias("msw"))
+    groups = rows_kv.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("v").cast("bigint").alias("s_j"),
+    )
+    a = groups.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n_j").alias("na"),
+        F.col("s_j").alias("sa"),
+    )
+    b = groups.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n_j").alias("nb"),
+        F.col("s_j").alias("sb"),
+    )
+    diff = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    qs = F.abs(diff) / F.sqrt(
+        F.col("msw") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(diff, 4).alias("mean_diff"),
+            F.round(qs, 4).alias("q_stat"),
+            (qs > _TUKEY_Q_CRIT).alias("significant"),
+        )
+    )

@@ -1704,3 +1704,146 @@ def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+@register(
+    "q_vec_cluster_purity",
+    oracle="""
+        WITH cells AS MATERIALIZED (
+            SELECT (CASE WHEN embedding[1] >= 0 THEN 8 ELSE 0 END
+                    + CASE WHEN embedding[2] >= 0 THEN 4 ELSE 0 END
+                    + CASE WHEN embedding[3] >= 0 THEN 2 ELSE 0 END
+                    + CASE WHEN embedding[4] >= 0 THEN 1 ELSE 0 END)
+                       AS cell,
+                   label
+            FROM embeddings
+        ),
+        joint AS MATERIALIZED (
+            SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n_kl
+            FROM cells GROUP BY cell, label
+        ),
+        mk AS (SELECT cell, CAST(SUM(n_kl) AS BIGINT) AS n_k
+               FROM joint GROUP BY cell),
+        ml AS (SELECT label, CAST(SUM(n_kl) AS BIGINT) AS n_l
+               FROM joint GROUP BY label),
+        nn AS (SELECT CAST(SUM(n_kl) AS BIGINT) AS n FROM joint),
+        pure AS (
+            SELECT CAST(SUM(mx) AS BIGINT) AS agree FROM (
+                SELECT cell, MAX(n_kl) AS mx FROM joint GROUP BY cell
+            )
+        ),
+        mi AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (CAST(j.n_kl AS DOUBLE) / nn.n)
+                       * ln(CAST(nn.n AS DOUBLE) * j.n_kl
+                            / (CAST(mk.n_k AS DOUBLE) * ml.n_l)) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS mi
+            FROM joint j
+            JOIN mk USING (cell) JOIN ml USING (label) CROSS JOIN nn
+        ),
+        hc AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(n_k AS DOUBLE) / nn.n)
+                       * ln(CAST(n_k AS DOUBLE) / nn.n) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS hc
+            FROM mk CROSS JOIN nn
+        ),
+        hl AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(n_l AS DOUBLE) / nn.n)
+                       * ln(CAST(n_l AS DOUBLE) / nn.n) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS hl
+            FROM ml CROSS JOIN nn
+        )
+        SELECT nn.n,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM mk) AS n_clusters,
+               ROUND(CAST(pure.agree AS DOUBLE) / nn.n, 4) AS purity,
+               ROUND(mi.mi / sqrt(hc.hc * hl.hl), 4) AS nmi
+        FROM nn CROSS JOIN pure CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """,
+    section="V25",
+    doc="External clustering evaluation (purity + NMI) of the 4-bit "
+    "sign-LSH cell assignment against the true labels — the quality "
+    "gate for ANY unsupervised index (the same readout evaluates "
+    "IVF cells or kmeans partitions; sign-LSH is the deterministic, "
+    "iteration-free baseline every learned index must beat). Purity "
+    "= exact rational (per-cell max label count / N); NMI = "
+    "MI/sqrt(H_C*H_L) with every entropy/MI term computed from "
+    "exact integer counts and quantized floor(x*1e12) before the "
+    "exact DECIMAL sum (L18 device) — no float aggregation order "
+    "anywhere. Scale: the contingency table is (cells x labels) "
+    "rows — index-size-bounded, not corpus-bounded; one map-only "
+    "sign pass + one keyed count.",
+)
+def q_vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    bit = lambda i, w: F.when(F.col("embedding")[i] >= 0, w).otherwise(0)
+    cells = emb.select(
+        (bit(0, 8) + bit(1, 4) + bit(2, 2) + bit(3, 1)).alias("cell"),
+        "label",
+    )
+    joint = cells.groupBy("cell", "label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kl")
+    )
+    mk = joint.groupBy("cell").agg(
+        F.sum("n_kl").cast("bigint").alias("n_k")
+    )
+    ml = joint.groupBy("label").agg(
+        F.sum("n_kl").cast("bigint").alias("n_l")
+    )
+    nn = joint.agg(F.sum("n_kl").cast("bigint").alias("n"))
+    pure = (
+        joint.groupBy("cell")
+        .agg(F.max("n_kl").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("agree"))
+    )
+
+    def qsum(term):
+        return F.sum(
+            F.floor(term * 1e12).cast(DecimalType(38, 0))
+        ).cast("double") / 1e12
+
+    mi = (
+        joint.join(mk, "cell")
+        .join(ml, "label")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            qsum(
+                (F.col("n_kl").cast("double") / F.col("n"))
+                * F.log(
+                    F.col("n").cast("double") * F.col("n_kl")
+                    / (F.col("n_k").cast("double") * F.col("n_l"))
+                )
+            ).alias("mi")
+        )
+    )
+    hc = mk.crossJoin(F.broadcast(nn)).agg(
+        qsum(
+            -(F.col("n_k").cast("double") / F.col("n"))
+            * F.log(F.col("n_k").cast("double") / F.col("n"))
+        ).alias("hc")
+    )
+    hl = ml.crossJoin(F.broadcast(nn)).agg(
+        qsum(
+            -(F.col("n_l").cast("double") / F.col("n"))
+            * F.log(F.col("n_l").cast("double") / F.col("n"))
+        ).alias("hl")
+    )
+    ncl = mk.agg(F.count(F.lit(1)).cast("bigint").alias("n_clusters"))
+    return (
+        nn.crossJoin(ncl)
+        .crossJoin(pure)
+        .crossJoin(mi)
+        .crossJoin(hc)
+        .crossJoin(hl)
+        .select(
+            "n",
+            "n_clusters",
+            F.round(F.col("agree").cast("double") / F.col("n"), 4).alias(
+                "purity"
+            ),
+            F.round(
+                F.col("mi") / F.sqrt(F.col("hc") * F.col("hl")), 4
+            ).alias("nmi"),
+        )
+    )
