@@ -5089,3 +5089,138 @@ def q_agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             (qs > _TUKEY_Q_CRIT).alias("significant"),
         )
     )
+
+
+# Mantel-Haenszel strata: user activity tiers on fixed event-count cuts.
+_MH_CUTS = (8, 12)   # tier 0: <8 events, tier 1: 8-12, tier 2: >12
+
+
+def _mh_tier_sql(cnt: str) -> str:
+    return (
+        f"CASE WHEN {cnt} < {_MH_CUTS[0]} THEN 0 "
+        f"WHEN {cnt} <= {_MH_CUTS[1]} THEN 1 ELSE 2 END"
+    )
+
+
+@register(
+    "q_agg_mantel_haenszel",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   {_H48_USER_DUCK} % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv,
+                   {_mh_tier_sql("COUNT(*)")} AS tier
+            FROM events GROUP BY user_id
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 0"
+                       f" AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS a_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 0"
+                       f" AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS b_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 1"
+                       f" AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS c_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 1"
+                       f" AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS d_{t}"
+                       for t in (0, 1, 2)
+                   )}
+            FROM u
+        )
+        SELECT n_users,
+               ROUND(((CAST(a_0 + a_1 + a_2 AS DOUBLE) + 0.5)
+                      * (CAST(d_0 + d_1 + d_2 AS DOUBLE) + 0.5))
+                     / ((CAST(b_0 + b_1 + b_2 AS DOUBLE) + 0.5)
+                        * (CAST(c_0 + c_1 + c_2 AS DOUBLE) + 0.5)), 4)
+                   AS crude_or,
+               ROUND(CASE WHEN ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(b_0 AS DOUBLE) * c_0 / (a_0 + b_0 + c_0 + d_0) END
+                        + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(b_1 AS DOUBLE) * c_1 / (a_1 + b_1 + c_1 + d_1) END)
+                        + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(b_2 AS DOUBLE) * c_2 / (a_2 + b_2 + c_2 + d_2) END) > 0 THEN
+                     ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(a_0 AS DOUBLE) * d_0 / (a_0 + b_0 + c_0 + d_0) END
+                      + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(a_1 AS DOUBLE) * d_1 / (a_1 + b_1 + c_1 + d_1) END)
+                      + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(a_2 AS DOUBLE) * d_2 / (a_2 + b_2 + c_2 + d_2) END)
+                     / ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(b_0 AS DOUBLE) * c_0 / (a_0 + b_0 + c_0 + d_0) END
+                        + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(b_1 AS DOUBLE) * c_1 / (a_1 + b_1 + c_1 + d_1) END)
+                        + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(b_2 AS DOUBLE) * c_2 / (a_2 + b_2 + c_2 + d_2) END) END, 4) AS mh_or
+        FROM piv
+    """,
+    section="A71",
+    doc="Mantel-Haenszel pooled odds ratio across activity-tier strata "
+    "for the A47 hash-split A/A arms: the stratified effect estimate "
+    "that defuses Simpson's paradox — a crude OR pools strata with "
+    "different base rates and arm mixes and can point the WRONG WAY; "
+    "MH weights each stratum's OR by b*c/n. Both ORs reported side "
+    "by side (their gap IS the confounding readout; on the A/A "
+    "split both ~1 by construction). All 12 cell counts pivot into "
+    "ONE row over the explicit tier list (A9 device) in a single "
+    "pass; MH numerator/denominator are fixed 3-term folds of exact-"
+    "integer rationals with empty strata contributing 0 (the MH "
+    "convention) and a NULL guard at a zero denominator; "
+    "integer rationals; crude OR Haldane-corrected (A53 rule). "
+    "Scale: one user-collapse + one 13-column global reduction.",
+)
+def q_agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        (F.expr(_H48_USER) % 2).alias("arm"),
+        "conv",
+        F.when(F.col("cnt") < _MH_CUTS[0], 0)
+        .when(F.col("cnt") <= _MH_CUTS[1], 1)
+        .otherwise(2)
+        .alias("tier"),
+    )
+    cells = []
+    for t in (0, 1, 2):
+        for name, arm, conv in (
+            ("a", 0, 1), ("b", 0, 0), ("c", 1, 1), ("d", 1, 0)
+        ):
+            cells.append(
+                F.sum(
+                    F.when(
+                        (F.col("tier") == t)
+                        & (F.col("arm") == arm)
+                        & (F.col("conv") == conv),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias(f"{name}_{t}")
+            )
+    piv = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"), *cells
+    )
+    asum = F.col("a_0") + F.col("a_1") + F.col("a_2")
+    bsum = F.col("b_0") + F.col("b_1") + F.col("b_2")
+    csum = F.col("c_0") + F.col("c_1") + F.col("c_2")
+    dsum = F.col("d_0") + F.col("d_1") + F.col("d_2")
+    crude = ((asum.cast("double") + 0.5) * (dsum.cast("double") + 0.5)) / (
+        (bsum.cast("double") + 0.5) * (csum.cast("double") + 0.5)
+    )
+
+    def term(x, y, t):
+        n_t = (
+            F.col(f"a_{t}") + F.col(f"b_{t}") + F.col(f"c_{t}")
+            + F.col(f"d_{t}")
+        )
+        return F.when(n_t == 0, 0.0).otherwise(
+            F.col(f"{x}_{t}").cast("double") * F.col(f"{y}_{t}") / n_t
+        )
+
+    num = (term("a", "d", 0) + term("a", "d", 1)) + term("a", "d", 2)
+    den = (term("b", "c", 0) + term("b", "c", 1)) + term("b", "c", 2)
+    return piv.select(
+        "n_users",
+        F.round(crude, 4).alias("crude_or"),
+        F.round(F.when(den > 0, num / den), 4).alias("mh_or"),
+    )

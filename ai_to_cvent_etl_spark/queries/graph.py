@@ -1563,3 +1563,78 @@ def q_graph_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (6 * F.col("n1") + 3 * F.col("n2") + 2 * F.col("n3")) / 6.0, 4
         ).alias("harmonic"),
     )
+
+
+_RC_K = 5   # rich-club degree threshold
+
+
+@register(
+    "q_graph_rich_club",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        deg AS MATERIALIZED (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT lo AS node FROM edges
+                  UNION ALL SELECT hi AS node FROM edges)
+            GROUP BY node
+        ),
+        rich AS MATERIALIZED (
+            SELECT node FROM deg WHERE d > {_RC_K}
+        ),
+        re AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS e_rich
+            FROM edges e
+            WHERE EXISTS (SELECT 1 FROM rich r WHERE r.node = e.lo)
+              AND EXISTS (SELECT 1 FROM rich r WHERE r.node = e.hi)
+        ),
+        nr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rich FROM rich)
+        SELECT {_RC_K} AS k, n_rich, e_rich,
+               CASE WHEN n_rich >= 2
+                    THEN ROUND(2.0 * e_rich / (CAST(n_rich AS DOUBLE)
+                                               * (n_rich - 1)), 4)
+               END AS phi
+        FROM nr CROSS JOIN re
+    """,
+    section="G18",
+    doc="Rich-club coefficient phi(k): edge density among nodes of "
+    "degree > 5 in the mutual trade-affinity graph — do the best-"
+    "connected suppliers preferentially trade with EACH OTHER "
+    "(core-forming market) or fan out to the periphery (hub-and-"
+    "spoke)? The structural readout behind interconnection risk and "
+    "hub-concentration audits, complementing G9's assortativity "
+    "(correlation form) with the density form. Exact integer "
+    "edge/degree counts; phi = one rational, NULL-guarded below 2 "
+    "rich nodes. Scale: degree table + one semi-join-filtered edge "
+    "count over the already-sparsified graph — both bounded by the "
+    "top-8 degree cap.",
+)
+def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("lo").alias("node"))
+        .unionByName(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    rich = deg.where(F.col("d") > _RC_K).select("node")
+    e_rich = (
+        edges.join(
+            rich.withColumnRenamed("node", "lo"), "lo", "left_semi"
+        )
+        .join(rich.withColumnRenamed("node", "hi"), "hi", "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_rich"))
+    )
+    nr = rich.agg(F.count(F.lit(1)).cast("bigint").alias("n_rich"))
+    return nr.crossJoin(e_rich).select(
+        F.lit(_RC_K).cast("int").alias("k"),
+        "n_rich",
+        "e_rich",
+        F.when(
+            F.col("n_rich") >= 2,
+            F.round(
+                2.0 * F.col("e_rich")
+                / (F.col("n_rich").cast("double") * (F.col("n_rich") - 1)),
+                4,
+            ),
+        ).alias("phi"),
+    )

@@ -2525,3 +2525,82 @@ def q_ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(r, 4).alias("xcorr"),
         )
     )
+
+
+_ES_WINDOW = 3   # event-study window: relative days -3..+3
+
+
+@register(
+    "q_ts_event_study",
+    oracle=f"""
+        WITH anchors AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS anchor_day
+            FROM events
+            WHERE event_type = 'purchase'
+            GROUP BY user_id
+        ),
+        rel AS (
+            SELECT e.user_id,
+                   date_diff('day', a.anchor_day, CAST(e.ts AS DATE))
+                       AS rel_day,
+                   CAST(e.value AS DECIMAL(12,2)) AS v
+            FROM events e JOIN anchors a ON a.user_id = e.user_id
+            WHERE date_diff('day', a.anchor_day, CAST(e.ts AS DATE))
+                  BETWEEN -{_ES_WINDOW} AND {_ES_WINDOW}
+        ),
+        ud AS (
+            SELECT user_id, rel_day,
+                   CAST(SUM(v) AS DECIMAL(18,2)) AS day_value
+            FROM rel GROUP BY user_id, rel_day
+        )
+        SELECT CAST(rel_day AS BIGINT) AS rel_day,
+               CAST(COUNT(*) AS BIGINT) AS n_users,
+               ROUND(CAST(SUM(day_value) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_day_value
+        FROM ud GROUP BY rel_day
+    """,
+    section="TS29",
+    doc="Event study around each user's FIRST purchase: average per-user "
+    "daily spend at relative days -3..+3 — the before/after readout "
+    "behind launch, promo, and incident impact analyses (the anchor "
+    "is per-entity, so calendar-level confounders cancel in the "
+    "alignment). Contributions are user-day DECIMAL-exact sums "
+    "collapsed BEFORE the cross-user mean (one decimal sum / count "
+    "per relative day — order-insensitive); users lacking events at "
+    "a relative day contribute nothing to that day (documented "
+    "unbalanced-panel contract; n_users per row makes it auditable). "
+    "Scale: one keyed anchor reduction + one user-keyed join + two "
+    "keyed collapses — the window filter prunes to 7 days per user "
+    "before any aggregation.",
+)
+def q_ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchors = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("anchor_day"))
+    )
+    rel = (
+        ev.join(anchors, "user_id")
+        .select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.col("anchor_day")
+            ).alias("rel_day"),
+            F.col("value").cast(DecimalType(12, 2)).alias("v"),
+        )
+        .where(F.col("rel_day").between(-_ES_WINDOW, _ES_WINDOW))
+    )
+    ud = rel.groupBy("user_id", "rel_day").agg(
+        F.sum("v").cast(DecimalType(18, 2)).alias("day_value")
+    )
+    return ud.groupBy("rel_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.round(
+            F.sum("day_value").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_day_value"),
+    ).select(
+        F.col("rel_day").cast("bigint").alias("rel_day"),
+        "n_users",
+        "avg_day_value",
+    )
