@@ -5224,3 +5224,126 @@ def q_agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(crude, 4).alias("crude_or"),
         F.round(F.when(den > 0, num / den), 4).alias("mh_or"),
     )
+
+
+@register(
+    "q_agg_cochran_armitage",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv,
+                   {_mh_tier_sql("COUNT(*)")} AS tier
+            FROM events GROUP BY user_id
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS k,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN tier = {t} THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS n_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} THEN conv ELSE 0 END)"
+                       f" AS BIGINT) AS k_{t}"
+                       for t in (0, 1, 2)
+                   )}
+            FROM u
+        )
+        SELECT n, k,
+               ROUND(((CAST(k_0 AS DOUBLE) * 0 + CAST(k_1 AS DOUBLE) * 1)
+                      + CAST(k_2 AS DOUBLE) * 2)
+                     - (CAST(k AS DOUBLE) / n)
+                       * ((CAST(n_0 AS DOUBLE) * 0
+                          + CAST(n_1 AS DOUBLE) * 1)
+                          + CAST(n_2 AS DOUBLE) * 2), 4) AS trend_num,
+               ROUND(CASE WHEN (CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n)
+                            * (((CAST(n_0 AS DOUBLE) * 0 * 0
+                                + CAST(n_1 AS DOUBLE) * 1 * 1)
+                                + CAST(n_2 AS DOUBLE) * 2 * 2)
+                               - ((CAST(n_0 AS DOUBLE) * 0
+                                  + CAST(n_1 AS DOUBLE) * 1
+                                  + CAST(n_2 AS DOUBLE) * 2)
+                                  * (CAST(n_0 AS DOUBLE) * 0
+                                     + CAST(n_1 AS DOUBLE) * 1
+                                     + CAST(n_2 AS DOUBLE) * 2)) / n) > 0
+                     THEN (((CAST(k_0 AS DOUBLE) * 0
+                            + CAST(k_1 AS DOUBLE) * 1)
+                       + CAST(k_2 AS DOUBLE) * 2)
+                      - (CAST(k AS DOUBLE) / n)
+                        * ((CAST(n_0 AS DOUBLE) * 0
+                           + CAST(n_1 AS DOUBLE) * 1)
+                           + CAST(n_2 AS DOUBLE) * 2))
+                     / sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n)
+                            * (((CAST(n_0 AS DOUBLE) * 0 * 0
+                                + CAST(n_1 AS DOUBLE) * 1 * 1)
+                                + CAST(n_2 AS DOUBLE) * 2 * 2)
+                               - ((CAST(n_0 AS DOUBLE) * 0
+                                  + CAST(n_1 AS DOUBLE) * 1
+                                  + CAST(n_2 AS DOUBLE) * 2)
+                                  * (CAST(n_0 AS DOUBLE) * 0
+                                     + CAST(n_1 AS DOUBLE) * 1
+                                     + CAST(n_2 AS DOUBLE) * 2)) / n))
+                     END, 4) AS z
+        FROM piv
+    """,
+    section="A72",
+    doc="Cochran-Armitage trend test: does conversion rate rise "
+    "MONOTONICALLY with activity tier (scores 0,1,2)? The dose-"
+    "response sibling of the A26 chi-square — chi-square asks 'any "
+    "difference', CA asks 'ordered difference' and buys power "
+    "exactly when tiers are ordinal (engagement bands, price tiers, "
+    "dosage). Same one-pass pivot as A71 (explicit tier list, exact "
+    "BIGINT n_t/k_t); trend numerator and the variance-normalized z "
+    "are row-local fixed folds with the tier scores written out "
+    "literally so both engines fold identically; z NULL-guarded "
+    "at zero variance (single-tier or zero/full conversion "
+    "degeneracy — hit at sf0.001). Scale: one user "
+    "collapse + one 8-column global reduction.",
+)
+def q_agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "conv",
+        F.when(F.col("cnt") < _MH_CUTS[0], 0)
+        .when(F.col("cnt") <= _MH_CUTS[1], 1)
+        .otherwise(2)
+        .alias("tier"),
+    )
+    piv = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+        *[
+            agg
+            for t in (0, 1, 2)
+            for agg in (
+                F.sum(F.when(F.col("tier") == t, 1).otherwise(0))
+                .cast("bigint").alias(f"n_{t}"),
+                F.sum(F.when(F.col("tier") == t, F.col("conv")).otherwise(0))
+                .cast("bigint").alias(f"k_{t}"),
+            )
+        ],
+    )
+    kd = lambda t: F.col(f"k_{t}").cast("double")
+    ndt = lambda t: F.col(f"n_{t}").cast("double")
+    pbar = F.col("k").cast("double") / F.col("n")
+    sk = (kd(0) * 0 + kd(1) * 1) + kd(2) * 2
+    sn = (ndt(0) * 0 + ndt(1) * 1) + ndt(2) * 2
+    sn2 = (ndt(0) * 0 * 0 + ndt(1) * 1 * 1) + ndt(2) * 2 * 2
+    sn_for_var = ndt(0) * 0 + ndt(1) * 1 + ndt(2) * 2
+    num = sk - pbar * sn
+    var = pbar * (1.0 - pbar) * (sn2 - (sn_for_var * sn_for_var) / F.col("n"))
+    return piv.select(
+        "n",
+        "k",
+        F.round(num, 4).alias("trend_num"),
+        F.round(F.when(var > 0, num / F.sqrt(var)), 4).alias("z"),
+    )

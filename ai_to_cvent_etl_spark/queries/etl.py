@@ -2237,3 +2237,66 @@ def q_etl_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(rz) > _VOL_Z_MAX).alias("is_anomaly"),
         )
     )
+
+
+_PK_CANDIDATES = (
+    ("orders", "o_orderkey", None),
+    ("orders", "o_custkey", None),
+    ("lineitem", "l_orderkey", "l_linenumber"),
+    ("lineitem", "l_orderkey", None),
+    ("events", "event_id", None),
+    ("customer", "c_custkey", None),
+)
+
+
+@register(
+    "q_etl_pk_discovery",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}.{c1}{"+" + c2 if c2 else ""}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT ({c1}{", " + c2 if c2 else ""}))
+                    AS BIGINT) AS n_distinct,
+               CAST(COUNT(*) - COUNT(DISTINCT ({c1}{", " + c2 if c2 else ""}))
+                    AS BIGINT) AS n_dup_rows,
+               COUNT(*) = COUNT(DISTINCT ({c1}{", " + c2 if c2 else ""}))
+                   AS is_key
+        FROM {t}
+        """
+        for t, c1, c2 in _PK_CANDIDATES
+    ),
+    section="E40",
+    doc="Primary-key discovery audit: for each declared candidate "
+    "(single columns and the composite (orderkey, linenumber)), "
+    "uniqueness = distinct count vs row count, duplicate-row count, "
+    "and the is_key verdict — E37's FD audit asks 'does lhs "
+    "determine rhs'; this asks 'does the candidate determine the "
+    "ROW', the prerequisite for merge keys (E16), CDC grains (E25), "
+    "and the reconciliation joins. Deliberately includes failing "
+    "candidates (l_orderkey alone, o_custkey) so the report shape "
+    "covers both verdicts at every SF — and the fixture's own "
+    "surprise: (orderkey, linenumber) is NOT unique in this data "
+    "(the G16 discovery), which is exactly what this audit exists "
+    "to catch before a MERGE silently multiplies rows. Scale: one "
+    "distinct-collapse per candidate, map-side combinable.",
+)
+def q_etl_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, c1, c2 in _PK_CANDIDATES:
+        tbl = load_table(spark, sf_dir, t)
+        cols = [c1] + ([c2] if c2 else [])
+        name = f"{t}.{c1}" + (f"+{c2}" if c2 else "")
+        row = tbl.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct(*cols).cast("bigint").alias("n_distinct"),
+        ).select(
+            F.lit(name).alias("candidate"),
+            "n_rows",
+            "n_distinct",
+            (F.col("n_rows") - F.col("n_distinct"))
+            .cast("bigint")
+            .alias("n_dup_rows"),
+            (F.col("n_rows") == F.col("n_distinct")).alias("is_key"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

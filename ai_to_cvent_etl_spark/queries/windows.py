@@ -1196,3 +1196,50 @@ def q_win_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_intervals"),
         (F.max("e") - F.min("s")).alias("covered_us"),
     )
+
+
+@register(
+    "q_win_lead_time",
+    oracle="""
+        WITH lt AS (
+            SELECT date_trunc('month', o_orderdate) AS month,
+                   CAST(date_diff('day', o_orderdate, l_shipdate)
+                        AS BIGINT) AS lead_days
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        )
+        SELECT CAST(month AS DATE) AS month,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(quantile_cont(lead_days, 0.25), 4) AS p25,
+               ROUND(quantile_cont(lead_days, 0.5), 4) AS p50,
+               ROUND(quantile_cont(lead_days, 0.75), 4) AS p75,
+               ROUND(quantile_cont(lead_days, 0.9), 4) AS p90
+        FROM lt GROUP BY month
+    """,
+    section="W31",
+    doc="Order-to-ship lead-time distribution per order month: p25/"
+    "p50/p75/p90 of (shipdate - orderdate) in days — the operational "
+    "SLA readout (tail percentiles, not means, are what fulfillment "
+    "commitments are written against; the p90/p50 gap is the "
+    "variability signal). Lead days are exact integers from date "
+    "arithmetic; percentiles are Spark `percentile` vs DuckDB "
+    "`quantile_cont` (both linear-interpolate — the A13 pairing, "
+    "here verified at 4 quantile points). Scale: one key-collocated "
+    "join (orderkey) + one month-keyed percentile aggregation; "
+    "month grain bounds the output at any volume.",
+)
+def q_win_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lt = od.join(li, od.o_orderkey == li.l_orderkey).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.datediff("l_shipdate", "o_orderdate")
+        .cast("bigint")
+        .alias("lead_days"),
+    )
+    return lt.groupBy("month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.round(F.expr("percentile(lead_days, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(lead_days, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(lead_days, 0.75)"), 4).alias("p75"),
+        F.round(F.expr("percentile(lead_days, 0.9)"), 4).alias("p90"),
+    )
