@@ -1342,3 +1342,106 @@ def q_dedup_cluster_representative(
             (F.col("n_members") - 1).cast("bigint").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "q_dedup_band_histogram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id,
+                   {', '.join(
+                       f"md5({_mh_duck(2 * b)} || {_mh_duck(2 * b + 1)})"
+                       f" AS bk_{b}"
+                       for b in range(_N_BANDS))}
+            FROM toks
+        ),
+        bands AS MATERIALIZED (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band, bk_{b} AS bkey FROM sig"
+                for b in range(_N_BANDS))}
+        ),
+        buckets AS MATERIALIZED (
+            SELECT band, bkey, CAST(COUNT(*) AS BIGINT) AS bsz
+            FROM bands GROUP BY band, bkey
+        ),
+        cap AS (
+            SELECT CAST(ceil(64 * sqrt(COUNT(*))) AS BIGINT) AS auto_cap
+            FROM bands
+        )
+        SELECT CAST(band AS INT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(bsz) AS BIGINT) AS max_bucket,
+               CAST(SUM(bsz * (bsz - 1) / 2) AS BIGINT) AS candidate_pairs,
+               MAX(auto_cap) AS auto_cap,
+               MAX(bsz) > MAX(auto_cap) AS cap_engages
+        FROM buckets CROSS JOIN cap
+        GROUP BY band
+    """,
+    section="D19",
+    doc="LSH band-bucket calibration histogram: per band, the bucket "
+    "count, the largest bucket, the implied candidate-pair mass "
+    "sum(b*(b-1)/2), and D1's auto bucket cap "
+    "ceil(64*sqrt(band rows)) with whether it would engage — the "
+    "auditable readout BEHIND q_dedup_minhash_lsh's self-tuning "
+    "skew guard (SCALE.md): run this BEFORE a 100 TB dedup to see "
+    "whether the corpus is boilerplate-skewed (one giant bucket = "
+    "quadratic candidates) and what the cap will prune. Shares D1's "
+    "exact md5 minhash band keys, so the histogram describes the "
+    "REAL join the dedup will run, not a proxy. Scale: signatures "
+    "are row-local; one (band,bkey)-keyed count — the histogram "
+    "never materializes candidate pairs.",
+)
+def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    sig = toks.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        F.expr(_mh_spark(2 * b)), F.expr(_mh_spark(2 * b + 1))
+                    )
+                )
+                for b in range(_N_BANDS)
+            ]
+        ).alias("bks"),
+    )
+    bands = sig.select(
+        "doc_id", F.posexplode("bks").alias("band", "bkey")
+    )
+    buckets = bands.groupBy("band", "bkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("bsz")
+    )
+    cap = bands.agg(
+        F.ceil(64 * F.sqrt(F.count(F.lit(1)))).cast("bigint").alias(
+            "auto_cap"
+        )
+    )
+    return (
+        buckets.crossJoin(F.broadcast(cap))
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+            F.max("bsz").cast("bigint").alias("max_bucket"),
+            F.sum(
+                F.col("bsz") * (F.col("bsz") - 1) / 2
+            ).cast("bigint").alias("candidate_pairs"),
+            F.max("auto_cap").alias("auto_cap"),
+            (F.max("bsz") > F.max("auto_cap")).alias("cap_engages"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "max_bucket",
+            "candidate_pairs",
+            "auto_cap",
+            "cap_engages",
+        )
+    )

@@ -1029,3 +1029,67 @@ def q_str_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY seg COLLATE UTF8_LCASE
         """
     )
+
+
+@register(
+    "q_array_funcs2",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS arr,
+                   CASE WHEN doc_id % 3 = 0 THEN NULL ELSE 'probe' END
+                       AS maybe
+            FROM documents
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(list_prepend('bos', list_append(arr, 'eos')),
+                               x -> x IS NOT NULL), '|') AS framed,
+               CAST(list_position(arr, 'the') AS BIGINT) AS pos_the,
+               array_to_string(list_filter(arr, x -> x <> 'the'), '|')
+                   AS removed,
+               array_to_string(
+                   list_filter([maybe, 'k'], x -> x IS NOT NULL), '|')
+                   AS compacted,
+               array_to_string(flatten([list_slice(arr, 1, 2),
+                                        list_slice(arr, 3, 4)]), '|')
+                   AS reflat,
+               CAST(len(arr) AS BIGINT) AS n_toks
+        FROM toks
+    """,
+    section="F29",
+    doc="Second array-surface pin (the Spark 3.4/4.x additions a token-"
+    "pipeline leans on): array_prepend/append (BOS/EOS framing — the "
+    "L15 sequence-packing primitive), array_position (0 = absent "
+    "convention on BOTH engines), array_remove, array_compact "
+    "(null-stripping after optional enrichment), flatten over sliced "
+    "sub-arrays (chunk-and-reassemble round trip). DuckDB mirrors "
+    "via list_* equivalents; arrays serialize to '|'-joined strings "
+    "(F8's driver-hash rule); all row-local map-side expressions — "
+    "whole-stage-codegen'd, no shuffle at any scale.",
+)
+def q_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    arr = F.split(F.col("text"), " ")
+    maybe = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+        F.lit("probe")
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.array_compact(
+                F.array_prepend(F.array_append(arr, "eos"), "bos")
+            ),
+            "|",
+        ).alias("framed"),
+        F.array_position(arr, "the").cast("bigint").alias("pos_the"),
+        F.array_join(F.array_remove(arr, "the"), "|").alias("removed"),
+        F.array_join(
+            F.array_compact(F.array(maybe, F.lit("k"))), "|"
+        ).alias("compacted"),
+        F.array_join(
+            F.flatten(F.array(F.slice(arr, 1, 2), F.slice(arr, 3, 2))),
+            "|",
+        ).alias("reflat"),
+        F.size(arr).cast("bigint").alias("n_toks"),
+    )

@@ -1538,3 +1538,125 @@ def _lo_top(scored, asc: bool, side: str):
             F.lit(side).alias("side"),
         )
     )
+
+
+_HEAPS_CKPTS = 5   # vocabulary-growth checkpoints (corpus fifths)
+
+
+@register(
+    "q_text_heaps_law",
+    oracle=f"""
+        WITH ranked_docs AS MATERIALIZED (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) AS rk,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+            FROM documents
+        ),
+        nn AS (SELECT CAST(MAX(rk) AS BIGINT) AS n_docs FROM ranked_docs),
+        firsts AS MATERIALIZED (
+            SELECT tok, CAST(MIN(rk) AS BIGINT) AS first_rk
+            FROM (
+                SELECT r.rk, unnest(string_split(d.text, ' ')) AS tok
+                FROM documents d JOIN ranked_docs r ON r.doc_id = d.doc_id
+            )
+            WHERE tok <> ''
+            GROUP BY tok
+        ),
+        ckpts AS (
+            SELECT k, (n_docs * k) // {_HEAPS_CKPTS} AS rk_cut
+            FROM (SELECT unnest(range(1, {_HEAPS_CKPTS + 1})) AS k)
+            CROSS JOIN nn
+        ),
+        rows_out AS MATERIALIZED (
+            SELECT c.k, c.rk_cut,
+                   (SELECT CAST(SUM(n_toks) AS BIGINT) FROM ranked_docs
+                    WHERE rk <= c.rk_cut) AS tokens_cum,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts
+                    WHERE first_rk <= c.rk_cut) AS vocab_cum
+            FROM ckpts c
+        ),
+        fit AS (
+            SELECT (ln(CAST(l.vocab_cum AS DOUBLE))
+                    - ln(CAST(f.vocab_cum AS DOUBLE)))
+                   / (ln(CAST(l.tokens_cum AS DOUBLE))
+                      - ln(CAST(f.tokens_cum AS DOUBLE))) AS beta
+            FROM (SELECT * FROM rows_out WHERE k = 1) f
+            CROSS JOIN (SELECT * FROM rows_out
+                        WHERE k = {_HEAPS_CKPTS}) l
+        )
+        SELECT CAST(k AS INT) AS ckpt, rk_cut AS n_docs,
+               tokens_cum, vocab_cum,
+               ROUND(beta, 4) AS heaps_beta
+        FROM rows_out CROSS JOIN fit
+    """,
+    section="L22",
+    doc="Heaps'-law vocabulary growth: cumulative token count vs "
+    "cumulative DISTINCT vocabulary at five corpus-order checkpoints "
+    "(doc_id order — deterministic), plus the two-point log-log "
+    "slope beta (V ~ K*T^beta; natural corpora sit near 0.4-0.6, "
+    "synthetic/templated ones much lower) — with T13's Zipf fit, "
+    "the pair of distributional fingerprints that expose templated "
+    "or machine-generated corpora before training on them. First-"
+    "occurrence rank per token = one MIN per token (no running "
+    "windows over the corpus); checkpoint vocab counts are "
+    "threshold counts over the vocabulary-bounded firsts table. "
+    "Scale: one explode + token-keyed MIN + a 5-row checkpoint "
+    "join; the only corpus-proportional work is the token shuffle.",
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    wrk = Window.orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id",
+        F.row_number().over(wrk).alias("rk"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+        "text",
+    )
+    nn = ranked.agg(F.max("rk").cast("bigint").alias("n_docs"))
+    firsts = (
+        fan_out(ranked)
+        .select("rk", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.min("rk").cast("bigint").alias("first_rk"))
+    )
+    ckpts = (
+        spark.range(1, _HEAPS_CKPTS + 1)
+        .select(F.col("id").cast("bigint").alias("k"))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "k", F.expr(f"(n_docs * k) div {_HEAPS_CKPTS}").alias("rk_cut")
+        )
+    )
+    toks_cum = (
+        ckpts.join(ranked, F.col("rk") <= F.col("rk_cut"))
+        .groupBy("k", "rk_cut")
+        .agg(F.sum("n_toks").cast("bigint").alias("tokens_cum"))
+    )
+    vocab_cum = (
+        ckpts.join(firsts, F.col("first_rk") <= F.col("rk_cut"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("vocab_cum"))
+    )
+    rows_out = toks_cum.join(vocab_cum, "k")
+    f_row = rows_out.where(F.col("k") == 1).select(
+        F.col("tokens_cum").alias("t1"), F.col("vocab_cum").alias("v1")
+    )
+    l_row = rows_out.where(F.col("k") == _HEAPS_CKPTS).select(
+        F.col("tokens_cum").alias("t5"), F.col("vocab_cum").alias("v5")
+    )
+    fit = f_row.crossJoin(l_row).select(
+        (
+            (F.log(F.col("v5").cast("double")) - F.log(F.col("v1").cast("double")))
+            / (F.log(F.col("t5").cast("double")) - F.log(F.col("t1").cast("double")))
+        ).alias("beta")
+    )
+    return rows_out.crossJoin(F.broadcast(fit)).select(
+        F.col("k").cast("int").alias("ckpt"),
+        F.col("rk_cut").alias("n_docs"),
+        "tokens_cum",
+        "vocab_cum",
+        F.round("beta", 4).alias("heaps_beta"),
+    )
