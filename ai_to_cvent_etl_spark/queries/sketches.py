@@ -912,3 +912,126 @@ def q_sketch_linear_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lc_estimate"),
         (F.col("z_empty") == 0).alias("saturated"),
     )
+
+
+_CMS_WIDTHS = (64, 256, 1024)
+_CMS_TOP = 5       # audit the top-5 tokens by exact count
+
+
+@register(
+    "q_sketch_cms_width_sweep",
+    oracle=f"""
+        WITH tf AS MATERIALIZED (
+            SELECT u AS tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS u
+                  FROM documents)
+            WHERE u <> ''
+            GROUP BY u
+        ),
+        top AS MATERIALIZED (
+            SELECT tok, n FROM (
+                SELECT tok, n,
+                       row_number() OVER (ORDER BY n DESC, tok) AS rn
+                FROM tf
+            ) WHERE rn <= {_CMS_TOP}
+        ),
+        widths AS (SELECT unnest([{", ".join(map(str, _CMS_WIDTHS))}])
+                       AS w),
+        cells AS MATERIALIZED (
+            SELECT w, r,
+                   CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':'
+                                        || tok), 1, 12)) AS BIGINT)
+                       % w AS cell,
+                   CAST(SUM(n) AS BIGINT) AS cell_n
+            FROM tf CROSS JOIN widths
+            CROSS JOIN (SELECT unnest([0, 1]) AS r)
+            GROUP BY w, r, cell
+        ),
+        est AS (
+            SELECT t.tok, t.n, c.w,
+                   CAST(MIN(c.cell_n) AS BIGINT) AS cms_est
+            FROM top t
+            CROSS JOIN (SELECT unnest([0, 1]) AS r) rr
+            JOIN cells c
+              ON c.w IN ({", ".join(map(str, _CMS_WIDTHS))})
+             AND c.r = rr.r
+             AND c.cell = CAST(('0x' || substr(md5(CAST(rr.r AS VARCHAR)
+                               || ':' || t.tok), 1, 12)) AS BIGINT) % c.w
+            GROUP BY t.tok, t.n, c.w
+        )
+        SELECT CAST(w AS INT) AS width, tok,
+               n AS exact_count, cms_est,
+               CAST(cms_est - n AS BIGINT) AS overestimate
+        FROM est
+    """,
+    section="SK9",
+    doc="Count-Min width calibration sweep: the same depth-2 md5 CMS "
+    "at widths 64/256/1024, audited against exact counts for the "
+    "top-5 tokens — overestimate = collision mass, the number that "
+    "prices sketch memory BEFORE a 100 TB frequency job commits to "
+    "a width (CMS error ~ N/w; tripling the exponent should shrink "
+    "it ~16x per step, visible in the output). SK1's fixed-width "
+    "CMS made the sketch declarable; this makes its ERROR CURVE "
+    "declarable — same hash both engines (48-bit md5 device), so "
+    "estimates are EXACT-oracle, not rows-only. Scale: the sweep "
+    "runs entirely on the vocabulary-bounded token-count table "
+    "(corpus scanned once for tf); cells are (width x 2 x w) rows.",
+)
+def q_sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wt = Window.orderBy(F.col("n").desc(), F.col("tok"))
+    top = (
+        tf.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _CMS_TOP)
+        .select("tok", "n")
+    )
+    widths = spark.createDataFrame(
+        [(w,) for w in _CMS_WIDTHS], "w int"
+    ).select(F.col("w").cast("bigint").alias("w"))
+    rows2 = spark.createDataFrame([(0,), (1,)], "r int").select(
+        F.col("r").cast("bigint").alias("r")
+    )
+
+    def cell_of(tok_col):
+        return (
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(r as string), ':', "
+                f"{tok_col})), 1, 12), 16, 10) as bigint)"
+            )
+            % F.col("w")
+        )
+
+    cells = (
+        tf.crossJoin(F.broadcast(widths))
+        .crossJoin(F.broadcast(rows2))
+        .select("w", "r", cell_of("tok").alias("cell"), "n")
+        .groupBy("w", "r", "cell")
+        .agg(F.sum("n").cast("bigint").alias("cell_n"))
+    )
+    probes = (
+        F.broadcast(top)
+        .crossJoin(F.broadcast(widths))
+        .crossJoin(F.broadcast(rows2))
+        .select("tok", "n", "w", "r", cell_of("tok").alias("cell"))
+    )
+    est = (
+        probes.join(cells, ["w", "r", "cell"])
+        .groupBy("tok", "n", "w")
+        .agg(F.min("cell_n").cast("bigint").alias("cms_est"))
+    )
+    return est.select(
+        F.col("w").cast("int").alias("width"),
+        "tok",
+        F.col("n").alias("exact_count"),
+        "cms_est",
+        (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
+    )

@@ -1243,3 +1243,73 @@ def q_win_lead_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(lead_days, 0.75)"), 4).alias("p75"),
         F.round(F.expr("percentile(lead_days, 0.9)"), 4).alias("p90"),
     )
+
+
+@register(
+    "q_win_backlog",
+    oracle="""
+        WITH placed AS (
+            SELECT o_orderdate AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_placed
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY o_orderdate
+        ),
+        shipped AS (
+            SELECT l_shipdate AS day,
+                   CAST(COUNT(*) AS BIGINT) AS n_shipped
+            FROM lineitem GROUP BY l_shipdate
+        ),
+        spine AS (
+            SELECT day, COALESCE(p.n_placed, 0) AS n_placed,
+                   COALESCE(s.n_shipped, 0) AS n_shipped
+            FROM placed p FULL OUTER JOIN shipped s USING (day)
+        )
+        SELECT day,
+               CAST(SUM(n_placed) OVER w AS BIGINT) AS placed_cum,
+               CAST(SUM(n_shipped) OVER w AS BIGINT) AS shipped_cum,
+               CAST(SUM(n_placed) OVER w - SUM(n_shipped) OVER w
+                    AS BIGINT) AS backlog
+        FROM spine
+        WINDOW w AS (ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    section="W32",
+    doc="Order backlog curve: cumulative lines placed (by order date) "
+    "minus cumulative lines shipped (by ship date) on the merged day "
+    "spine — the operations readout behind capacity planning (a "
+    "rising backlog = demand outpacing fulfillment; its peak dates "
+    "the crunch). Two independent day-grain integer collapses "
+    "full-outer-joined on day (COALESCE 0 for one-sided days), then "
+    "exact running sums over the date-bounded spine. Scale: the "
+    "corpus-proportional work is the two keyed counts; the window "
+    "runs on the few-thousand-row spine regardless of line volume — "
+    "same shape as E38's monitor.",
+)
+def q_win_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    placed = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_placed"))
+    )
+    shipped = li.groupBy(F.col("l_shipdate").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shipped")
+    )
+    spine = (
+        placed.join(shipped, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_placed", F.lit(0)).alias("n_placed"),
+            F.coalesce("n_shipped", F.lit(0)).alias("n_shipped"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return spine.select(
+        "day",
+        F.sum("n_placed").over(w).cast("bigint").alias("placed_cum"),
+        F.sum("n_shipped").over(w).cast("bigint").alias("shipped_cum"),
+        (F.sum("n_placed").over(w) - F.sum("n_shipped").over(w))
+        .cast("bigint")
+        .alias("backlog"),
+    )
