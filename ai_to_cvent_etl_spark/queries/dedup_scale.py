@@ -36,6 +36,7 @@ from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.registry import register
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import DecimalType
 
 _N_PERM = 8   # minhash permutations
 _N_BANDS = 4  # LSH bands (2 rows each): P(candidate | j=0.8) = 1-(1-0.64)^4 ≈ 0.983
@@ -1443,5 +1444,107 @@ def q_dedup_band_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_pairs",
             "auto_cap",
             "cap_engages",
+        )
+    )
+
+
+_YIELD_THRESHOLDS = (0.7, 0.8, 0.9, 0.95)
+_YIELD_CAND = 0.5   # candidate floor: pairs below this never report
+
+
+@register(
+    "q_dedup_yield_curve",
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.doc_id AS lo, b.doc_id AS hi,
+                   CAST(len(list_filter(a.ts,
+                        x -> list_contains(b.ts, x))) AS DOUBLE)
+                   / (len(a.ts) + len(b.ts)
+                      - len(list_filter(a.ts,
+                            x -> list_contains(b.ts, x)))) AS j
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        ),
+        cand AS MATERIALIZED (
+            SELECT lo, hi, j FROM pairs WHERE j >= {_YIELD_CAND}
+        ),
+        th AS (SELECT CAST(unnest([{", ".join(map(str, _YIELD_THRESHOLDS))}])
+                   AS DOUBLE) AS threshold)
+        SELECT threshold,
+               CAST(COUNT(j) AS BIGINT) AS n_pairs,
+               CAST(COUNT(DISTINCT lo) + COUNT(DISTINCT hi)
+                    AS BIGINT) AS n_doc_slots,
+               ROUND(CASE WHEN COUNT(j) > 0 THEN
+                   CAST(SUM(CAST(floor(j * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / COUNT(j) / 1e12 END, 4)
+                   AS mean_jaccard
+        FROM th LEFT JOIN cand ON j >= threshold
+        GROUP BY threshold
+    """,
+    section="D20",
+    doc="Dedup threshold yield curve: near-dup pair count, touched-doc "
+    "mass, and mean similarity at Jaccard thresholds .7/.8/.9/.95 "
+    "from ONE pass over the candidate pairs — the decision artifact "
+    "for CHOOSING the dedup threshold before a 100 TB run (too low "
+    "deletes distinct content, too high ships duplicates; the curve's "
+    "elbow is the answer). Same exact-Jaccard pair semantics as "
+    "T5/D5, scoped to the same language partition; thresholds fan "
+    "out over the already-collapsed candidate table (>=0.5 floor), "
+    "NOT over the corpus. mean_jaccard is AVG over a threshold-"
+    "filtered set computed as a quantized floor(j*1e12) DECIMAL "
+    "sum over n (L18 device — no float fold order). Scale: pair generation is the "
+    "D1-banded path at size; here the partition is small enough for "
+    "the exact join, and the curve itself is 4 threshold counts.",
+)
+def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    a = tok.select(
+        F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    pairs = (
+        a.join(b, F.col("lo") < F.col("hi"))
+        .select(
+            "lo",
+            "hi",
+            (inter.cast("double") / union).alias("j"),
+        )
+    )
+    cand = pairs.where(F.col("j") >= _YIELD_CAND)
+    th = spark.createDataFrame(
+        [(t,) for t in _YIELD_THRESHOLDS], "threshold double"
+    )
+    return (
+        F.broadcast(th)
+        .join(cand, F.col("j") >= F.col("threshold"), "left")
+        .groupBy("threshold")
+        .agg(
+            F.count(F.col("j")).cast("bigint").alias("n_pairs"),
+            (
+                F.countDistinct("lo") + F.countDistinct("hi")
+            ).cast("bigint").alias("n_doc_slots"),
+            F.round(
+                F.when(
+                    F.count(F.col("j")) > 0,
+                    F.sum(
+                        F.floor(F.col("j") * 1e12).cast(DecimalType(38, 0))
+                    ).cast("double")
+                    / F.count(F.col("j"))
+                    / 1e12,
+                ),
+                4,
+            ).alias("mean_jaccard"),
         )
     )

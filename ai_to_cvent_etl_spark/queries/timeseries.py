@@ -2604,3 +2604,84 @@ def q_ts_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         "avg_day_value",
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@register(
+    "q_ts_acf_profile",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest(range(1, {_ACF_MAX_LAG + 1})) AS lag),
+        j AS (
+            SELECT l.lag, a.x, b.x AS y
+            FROM lags l
+            JOIN d a ON TRUE
+            JOIN d b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        ),
+        m AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM j GROUP BY lag
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, n AS n_days,
+               ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 4) AS acf
+        FROM m
+        WHERE CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx > 0
+          AND CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy > 0
+    """,
+    section="TS30",
+    doc="Autocorrelation PROFILE of the daily event-count series at "
+    "lags 1..7 — TS6 gives one lag-1 point per user; the profile is "
+    "how you actually pick a seasonality (the lag-7 spike = weekly "
+    "cycle) and decide differencing before TS17's Holt or TS12's "
+    "decomposition. Same exactness device as TS28: day-grain counts "
+    "are exact integers, per-lag moments exact BIGITs, Pearson "
+    "rebuilt identically; lag fan-out joins AFTER the day collapse "
+    "(broadcast-trivial at any event volume). Degenerate-variance "
+    "lags filtered on both engines.",
+)
+def q_ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    lags = spark.range(1, _ACF_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    db = d.select(F.col("day").alias("day_b"), F.col("x").alias("y"))
+    j = d.crossJoin(F.broadcast(lags)).join(
+        db, F.col("day_b") == F.date_add(F.col("day"), F.col("lag"))
+    )
+    m = j.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    vy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    r = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        F.sqrt(vx * vy)
+    )
+    return m.where((vx > 0) & (vy > 0)).select(
+        F.col("lag").cast("bigint").alias("lag"),
+        F.col("n").alias("n_days"),
+        F.round(r, 4).alias("acf"),
+    )
