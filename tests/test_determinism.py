@@ -113,6 +113,17 @@ RISKY = [
     "q_text_log_odds_monroe",
     "q_dedup_cluster_representative",
     "q_graph_harmonic",
+    # waves 62-67: quantized entropy sums (purity/NMI), user-day decimal
+    # collapses (event study), exact group percentiles (lead time),
+    # first-occurrence checkpoint cumulatives (Heaps), day-spine running
+    # sums (backlog), and the quantized mean-jaccard fold (yield curve) —
+    # partition independence is each one's design claim.
+    "q_vec_cluster_purity",
+    "q_ts_event_study",
+    "q_win_lead_time",
+    "q_text_heaps_law",
+    "q_win_backlog",
+    "q_dedup_yield_curve",
 ]
 
 
