@@ -5347,3 +5347,338 @@ def q_agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num, 4).alias("trend_num"),
         F.round(F.when(var > 0, num / F.sqrt(var)), 4).alias("z"),
     )
+
+
+def _bf_fold_duck() -> str:
+    """Left-fold of the five s_i^2/n_i terms, A66's explicit-nesting device."""
+    t = "CAST(s_0 AS DOUBLE) * s_0 / n_0"
+    for i in range(1, 5):
+        t = f"({t} + CAST(s_{i} AS DOUBLE) * s_{i} / n_{i})"
+    return t
+
+
+@register(
+    "q_agg_brown_forsythe",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        med AS (
+            SELECT grp, CAST(2 * median(v) AS BIGINT) AS m2
+            FROM rows_kv GROUP BY grp
+        ),
+        dev AS (
+            SELECT r.grp, abs(2 * r.v - m.m2) AS a2
+            FROM rows_kv r JOIN med m ON r.grp = m.grp
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}},
+                   CAST(SUM(a2) AS BIGINT) AS s_all,
+                   CAST(SUM(a2 * a2) AS BIGINT) AS q_all
+            FROM dev
+        )
+        SELECT n, 4 AS df_between, n - 5 AS df_within,
+               ROUND(((t - grand) / 4) / ((qd - t) / (n - 5)), 4)
+                   AS bf_stat,
+               ROUND((t - grand) / (qd - grand), 6) AS eta_sq
+        FROM (
+            SELECT n, {_bf_fold_duck()} AS t,
+                   CAST(s_all AS DOUBLE) * s_all / n AS grand,
+                   CAST(q_all AS DOUBLE) AS qd
+            FROM piv
+        )
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN a2 ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN a2 * a2 ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A73",
+    doc="Brown-Forsythe variance-homogeneity test across the 5 priority "
+    "classes on whole-dollar order totals: one-way ANOVA F on absolute "
+    "deviations from the GROUP MEDIAN — the assumption check that "
+    "must pass before trusting A66's ANOVA F (unequal spreads inflate "
+    "its false-positive rate; BF is the robust form of Levene). "
+    "Exactness device: deviations are kept as the exact integer "
+    "|2v - 2*median| (twice the deviation — medians interpolate at "
+    ".5, doubling restores integrality; the factor cancels in F), so "
+    "every moment is an exact BIGINT (a2<=1.2e6, q_all<9.2e18 to "
+    "~4e6 rows; widen to DECIMAL(38,0) past that). The s_i^2/n_i "
+    "fold uses A66's explicit left-nesting so both engines share the "
+    "IEEE op order. Scale: one 5-row median pass (exact percentile "
+    "per group), one broadcast join back, one map-side-combinable "
+    "global reduction.",
+)
+def q_agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    med = rows_kv.groupBy("grp").agg(
+        F.expr("cast(2 * percentile(v, 0.5) as bigint)").alias("m2")
+    )
+    dev = rows_kv.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("a2")
+    )
+    piv = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("a2")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+                F.sum(
+                    F.when(
+                        F.col("grp") == p, F.col("a2") * F.col("a2")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"q_{i}"),
+            )
+        ],
+        F.sum("a2").cast("bigint").alias("s_all"),
+        F.sum(F.col("a2") * F.col("a2")).cast("bigint").alias("q_all"),
+    )
+    t = None
+    for i in range(5):
+        term = (
+            F.col(f"s_{i}").cast("double")
+            * F.col(f"s_{i}")
+            / F.col(f"n_{i}")
+        )
+        t = term if t is None else t + term
+    mid = piv.select(
+        "n",
+        t.alias("t"),
+        (F.col("s_all").cast("double") * F.col("s_all") / F.col("n")).alias(
+            "grand"
+        ),
+        F.col("q_all").cast("double").alias("qd"),
+    )
+    return mid.select(
+        "n",
+        F.lit(4).cast("int").alias("df_between"),
+        (F.col("n") - 5).alias("df_within"),
+        F.round(
+            ((F.col("t") - F.col("grand")) / 4)
+            / ((F.col("qd") - F.col("t")) / (F.col("n") - 5)),
+            4,
+        ).alias("bf_stat"),
+        F.round(
+            (F.col("t") - F.col("grand")) / (F.col("qd") - F.col("grand")),
+            6,
+        ).alias("eta_sq"),
+    )
+
+
+_CRON_ITEMS_DUCK = (
+    "CAST(l_quantity AS BIGINT) AS i1, "
+    "CAST(round(l_discount * 100) AS BIGINT) AS i2, "
+    "CAST(round(l_tax * 100) AS BIGINT) AS i3, "
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100000"
+    " AS i4"
+)
+
+
+@register(
+    "q_agg_cronbach_alpha",
+    oracle=f"""
+        WITH items AS (
+            SELECT {_CRON_ITEMS_DUCK},
+                   CAST(l_quantity AS BIGINT)
+                   + CAST(round(l_discount * 100) AS BIGINT)
+                   + CAST(round(l_tax * 100) AS BIGINT)
+                   + CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) // 100000 AS t
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(i1) AS BIGINT) AS s1,
+                   CAST(SUM(i2) AS BIGINT) AS s2,
+                   CAST(SUM(i3) AS BIGINT) AS s3,
+                   CAST(SUM(i4) AS BIGINT) AS s4,
+                   CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+                   CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+                   CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+                   CAST(SUM(i4 * i4) AS BIGINT) AS q4,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(t * t) AS BIGINT) AS qt
+            FROM items
+        )
+        SELECT n, 4 AS k_items,
+               ROUND((4.0 / 3.0)
+                     * (1 - CAST((((n * q1 - s1 * s1)
+                                   + (n * q2 - s2 * s2))
+                                   + (n * q3 - s3 * s3))
+                                   + (n * q4 - s4 * s4) AS DOUBLE)
+                         / (n * qt - st * st)), 4) AS cronbach_alpha
+        FROM m
+    """,
+    section="A74",
+    doc="Cronbach's alpha internal-consistency coefficient over 4 "
+    "integer-quantized lineitem 'items' (quantity, discount bp, tax "
+    "bp, price thousands) — the reliability gate for any composite "
+    "score (quality scores, rubric sums) before averaging its "
+    "components into one number. Item variances and the total-score "
+    "variance all reduce from exact BIGINT moments in ONE pass; the "
+    "n(n-1) variance denominators cancel in the ratio, so the only "
+    "float op is the final division (rule 10, explicit fold "
+    "nesting). Scale: a single map-side-combinable global reduction "
+    "over 11 int64 moments — A66's shape.",
+)
+def q_agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    i4 = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        " div 100000"
+    )
+    items = li.select(
+        F.col("l_quantity").cast("bigint").alias("i1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("i2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("i3"),
+        i4.alias("i4"),
+    ).withColumn(
+        "t", F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    )
+    m = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i in (1, 2, 3, 4)
+            for agg in (
+                F.sum(f"i{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.col(f"i{i}") * F.col(f"i{i}"))
+                .cast("bigint")
+                .alias(f"q{i}"),
+            )
+        ],
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("qt"),
+    )
+    v = None
+    for i in (1, 2, 3, 4):
+        vi = F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        v = vi if v is None else v + vi
+    vt = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    return m.select(
+        "n",
+        F.lit(4).cast("int").alias("k_items"),
+        F.round(
+            (F.lit(4.0) / 3.0) * (1 - v.cast("double") / vt), 4
+        ).alias("cronbach_alpha"),
+    )
+
+
+@register(
+    "q_agg_kendall_tau",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.x = b.x AND a.y <> b.y
+                        THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y AND a.x <> b.x
+                        THEN 1 ELSE 0 END AS ty
+            FROM d a JOIN d b ON a.day < b.day
+        ),
+        m AS (
+            SELECT CAST(SUM(conc) AS BIGINT) AS c,
+                   CAST(SUM(disc) AS BIGINT) AS dd,
+                   CAST(SUM(tx) AS BIGINT) AS tx,
+                   CAST(SUM(ty) AS BIGINT) AS ty
+            FROM pairs
+        )
+        SELECT c AS concordant, dd AS discordant,
+               tx AS ties_x_only, ty AS ties_y_only,
+               ROUND(CAST(c - dd AS DOUBLE)
+                     / sqrt(CAST((c + dd + tx) AS DOUBLE)
+                            * (c + dd + ty)), 4) AS tau_b
+        FROM m
+    """,
+    section="A75",
+    doc="Kendall tau-b rank correlation between daily view and purchase "
+    "counts — the third correlation beside Pearson (A22) and Spearman "
+    "(A64): tau's pair-concordance form is robust to outliers AND "
+    "handles ties exactly (tau-b's denominator corrects for them), "
+    "which Spearman's midrank device approximates. Computed on the "
+    "DAY-GRAIN collapse first (TS7's rule), then the O(days^2) "
+    "pair join runs on the |days| table — concordant/discordant/tie "
+    "counts are exact integers; one sqrt at the end (rule 10). "
+    "Scale: pair enumeration is bounded by the COLLECTION WINDOW "
+    "(60 days = 1.7k pairs) at any event volume; for year-long "
+    "windows the O(n log n) merge-sort tau applies, documented not "
+    "implemented.",
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = d.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+    )
+    m = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("dd"),
+        F.sum("tx").cast("bigint").alias("tx"),
+        F.sum("ty").cast("bigint").alias("ty"),
+    )
+    return m.select(
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(
+                (F.col("c") + F.col("dd") + F.col("tx")).cast("double")
+                * (F.col("c") + F.col("dd") + F.col("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )

@@ -2685,3 +2685,257 @@ def q_ts_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         F.round(r, 4).alias("acf"),
     )
+
+
+_PACF_R_DUCK = (
+    "(CAST(n_{l} AS DOUBLE) * sxy_{l}"
+    " - CAST(sx_{l} AS DOUBLE) * sy_{l})"
+    " / sqrt((CAST(n_{l} AS DOUBLE) * sxx_{l}"
+    "         - CAST(sx_{l} AS DOUBLE) * sx_{l})"
+    "        * (CAST(n_{l} AS DOUBLE) * syy_{l}"
+    "           - CAST(sy_{l} AS DOUBLE) * sy_{l}))"
+)
+
+
+@register(
+    "q_ts_pacf",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        lags AS (SELECT unnest(range(1, 4)) AS lag),
+        jp AS (
+            SELECT l.lag, a.x, b.x AS y
+            FROM lags l
+            JOIN d a ON TRUE
+            JOIN d b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        ),
+        piv AS (
+            SELECT {{pivot}}
+            FROM jp
+        ),
+        r AS (
+            SELECT {_PACF_R_DUCK.format(l=1)} AS r1,
+                   {_PACF_R_DUCK.format(l=2)} AS r2,
+                   {_PACF_R_DUCK.format(l=3)} AS r3
+            FROM piv
+        ),
+        dl2 AS (
+            SELECT r1, r2, r3,
+                   (r2 - r1 * r1) / (1 - r1 * r1) AS p2
+            FROM r
+        ),
+        dl3 AS (
+            SELECT r1, r2, r3, p2,
+                   r1 - p2 * r1 AS phi21
+            FROM dl2
+        )
+        SELECT ROUND(r1, 4) AS pacf_1,
+               ROUND(p2, 4) AS pacf_2,
+               ROUND((r3 - phi21 * r2 - p2 * r1)
+                     / (1 - phi21 * r1 - p2 * r2), 4) AS pacf_3
+        FROM dl3
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN lag = {l} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{l}, "
+        f"CAST(SUM(CASE WHEN lag = {l} THEN x ELSE 0 END) AS BIGINT)"
+        f" AS sx_{l}, "
+        f"CAST(SUM(CASE WHEN lag = {l} THEN y ELSE 0 END) AS BIGINT)"
+        f" AS sy_{l}, "
+        f"CAST(SUM(CASE WHEN lag = {l} THEN x * x ELSE 0 END) AS BIGINT)"
+        f" AS sxx_{l}, "
+        f"CAST(SUM(CASE WHEN lag = {l} THEN y * y ELSE 0 END) AS BIGINT)"
+        f" AS syy_{l}, "
+        f"CAST(SUM(CASE WHEN lag = {l} THEN x * y ELSE 0 END) AS BIGINT)"
+        f" AS sxy_{l}"
+        for l in (1, 2, 3)
+    )),
+    section="TS31",
+    doc="Partial autocorrelation of the daily event-count series at lags "
+    "1..3 via the Durbin-Levinson recursion on TS30's exact-moment "
+    "autocorrelations — the AR-order selector (PACF cuts off at the "
+    "true AR order; ACF alone can't distinguish AR(1) from AR(2)). "
+    "All six moments per lag reduce in ONE conditional-aggregation "
+    "pass over the day-grain pair table (A9 device); the three "
+    "pairwise-complete r's and the D-L formulas are scalar IEEE "
+    "arithmetic written with identical nesting on both engines "
+    "(SURVEY 5.3 rule 10). Scale: the pair table is |days| x 3 rows "
+    "regardless of event volume — collapse-first, fan-out after.",
+)
+def q_ts_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    lags = spark.range(1, 4).select(F.col("id").cast("int").alias("lag"))
+    db = d.select(F.col("day").alias("day_b"), F.col("x").alias("y"))
+    jp = d.crossJoin(F.broadcast(lags)).join(
+        db, F.col("day_b") == F.date_add(F.col("day"), F.col("lag"))
+    )
+    piv = jp.agg(
+        *[
+            agg
+            for l in (1, 2, 3)
+            for agg in (
+                F.sum(F.when(F.col("lag") == l, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{l}"),
+                F.sum(F.when(F.col("lag") == l, F.col("x")).otherwise(0))
+                .cast("bigint")
+                .alias(f"sx_{l}"),
+                F.sum(F.when(F.col("lag") == l, F.col("y")).otherwise(0))
+                .cast("bigint")
+                .alias(f"sy_{l}"),
+                F.sum(
+                    F.when(F.col("lag") == l, F.col("x") * F.col("x"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"sxx_{l}"),
+                F.sum(
+                    F.when(F.col("lag") == l, F.col("y") * F.col("y"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"syy_{l}"),
+                F.sum(
+                    F.when(F.col("lag") == l, F.col("x") * F.col("y"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"sxy_{l}"),
+            )
+        ]
+    )
+
+    def _r(l: int):
+        nd = F.col(f"n_{l}").cast("double")
+        return (
+            nd * F.col(f"sxy_{l}")
+            - F.col(f"sx_{l}").cast("double") * F.col(f"sy_{l}")
+        ) / F.sqrt(
+            (
+                nd * F.col(f"sxx_{l}")
+                - F.col(f"sx_{l}").cast("double") * F.col(f"sx_{l}")
+            )
+            * (
+                nd * F.col(f"syy_{l}")
+                - F.col(f"sy_{l}").cast("double") * F.col(f"sy_{l}")
+            )
+        )
+
+    r = piv.select(_r(1).alias("r1"), _r(2).alias("r2"), _r(3).alias("r3"))
+    dl2 = r.select(
+        "r1",
+        "r2",
+        "r3",
+        (
+            (F.col("r2") - F.col("r1") * F.col("r1"))
+            / (1 - F.col("r1") * F.col("r1"))
+        ).alias("p2"),
+    )
+    dl3 = dl2.select(
+        "r1",
+        "r2",
+        "r3",
+        "p2",
+        (F.col("r1") - F.col("p2") * F.col("r1")).alias("phi21"),
+    )
+    return dl3.select(
+        F.round("r1", 4).alias("pacf_1"),
+        F.round("p2", 4).alias("pacf_2"),
+        F.round(
+            (
+                F.col("r3")
+                - F.col("phi21") * F.col("r2")
+                - F.col("p2") * F.col("r1")
+            )
+            / (
+                1
+                - F.col("phi21") * F.col("r1")
+                - F.col("p2") * F.col("r2")
+            ),
+            4,
+        ).alias("pacf_3"),
+    )
+
+
+_CROSTON_MAX_PART = 50
+
+
+@register(
+    "q_ts_croston",
+    oracle=f"""
+        WITH demand AS (
+            SELECT l.l_partkey AS part, o.o_orderdate AS day,
+                   CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_partkey < {_CROSTON_MAX_PART}
+            GROUP BY 1, 2
+        ),
+        per_part AS (
+            SELECT part,
+                   CAST(COUNT(*) AS BIGINT) AS n_demand_days,
+                   CAST(SUM(qty) AS BIGINT) AS total_qty,
+                   CAST(date_diff('day', MIN(day), MAX(day)) AS BIGINT)
+                       AS span_days
+            FROM demand GROUP BY part
+        )
+        SELECT part, n_demand_days, total_qty, span_days,
+               ROUND((CAST(total_qty AS DOUBLE) / n_demand_days)
+                     / (CAST(span_days AS DOUBLE)
+                        / (n_demand_days - 1)), 4) AS croston_rate
+        FROM per_part
+        WHERE n_demand_days >= 3
+    """,
+    section="TS32",
+    doc="Croston's intermittent-demand rate per slow-moving part "
+    "(non-smoothed form): mean demand SIZE on demand days divided by "
+    "the mean INTERVAL between demand days — the forecasting method "
+    "for sparse series where TS17's Holt degenerates (most days are "
+    "zero, so level-smoothing collapses toward zero and understates "
+    "demand). Sizes, day counts, and the span are exact integers "
+    "from one (part, day) collapse; the rate is one IEEE division "
+    "chain (rule 10). Parts with <3 demand days are excluded (the "
+    "interval is undefined). Scale: the fact join co-keys on "
+    "l_orderkey (J-family shape), then everything reduces to the "
+    "part grain — rows out track the PART DOMAIN, not order volume.",
+)
+def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_partkey") < _CROSTON_MAX_PART
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    demand = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").alias("day"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"))
+    )
+    per_part = demand.groupBy("part").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_demand_days"),
+        F.sum("qty").cast("bigint").alias("total_qty"),
+        F.datediff(F.max("day"), F.min("day"))
+        .cast("bigint")
+        .alias("span_days"),
+    )
+    return per_part.where(F.col("n_demand_days") >= 3).select(
+        "part",
+        "n_demand_days",
+        "total_qty",
+        "span_days",
+        F.round(
+            (F.col("total_qty").cast("double") / F.col("n_demand_days"))
+            / (
+                F.col("span_days").cast("double")
+                / (F.col("n_demand_days") - 1)
+            ),
+            4,
+        ).alias("croston_rate"),
+    )

@@ -1847,3 +1847,344 @@ def q_vec_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+_SIL_SEEDS = (3, 17, 42, 91)
+
+
+@register(
+    "q_vec_silhouette",
+    oracle=f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT vec_id AS seed_id,
+                   embedding AS s_emb,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS s_n2
+            FROM embeddings
+            WHERE vec_id IN {_SIL_SEEDS}
+        ),
+        base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS e_n2
+            FROM embeddings
+        ),
+        sims AS (
+            SELECT b.vec_id, s.seed_id,
+                   list_sum(list_transform(
+                        list_zip(b.embedding, s.s_emb),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(b.e_n2 * s.s_n2) AS sim
+            FROM base b JOIN seeds s ON TRUE
+        ),
+        ranked AS (
+            SELECT vec_id, seed_id, sim,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY sim DESC, seed_id) AS rk
+            FROM sims
+        ),
+        sil AS (
+            SELECT a.vec_id, a.seed_id AS cluster_seed,
+                   CASE WHEN greatest(1.0 - a.sim, 1.0 - b.sim) > 0
+                        THEN ((1.0 - b.sim) - (1.0 - a.sim))
+                             / greatest(1.0 - a.sim, 1.0 - b.sim)
+                        ELSE 0.0 END AS s
+            FROM (SELECT * FROM ranked WHERE rk = 1) a
+            JOIN (SELECT * FROM ranked WHERE rk = 2) b USING (vec_id)
+        )
+        SELECT CAST(cluster_seed AS BIGINT) AS cluster_seed,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               ROUND(CAST(SUM(CAST(floor(s * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12 / COUNT(*), 4)
+                   AS mean_silhouette
+        FROM sil GROUP BY cluster_seed
+    """,
+    section="V26",
+    doc="Centroid silhouette score per cluster against 4 fixed seed "
+    "vectors: each embedding is assigned to its nearest seed by "
+    "cosine (a = 1-sim to best, b = 1-sim to runner-up, "
+    "s = (b-a)/max(a,b)); per-cluster n + mean s is the separation "
+    "audit run after ANY clustering/IVF build (V13 trains; this "
+    "scores) — low mean s flags clusters to re-train before they "
+    "poison IVF routing. Exactness device: dot products and squared "
+    "norms are per-term floor(x*y*1e12) folds — integer-valued "
+    "doubles < 2^53, so the sums are EXACT and order-free on both "
+    "engines without decimal casts; every downstream sim/s value is "
+    "then bit-identical IEEE arithmetic, and the mean uses the "
+    "quantized DECIMAL fold (rule 10). Scale: seeds broadcast, corpus "
+    "never shuffles (V3's shape); one 16-byte-key agg for the means.",
+)
+def q_vec_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seeds = (
+        emb.filter(F.col("vec_id").isin(*_SIL_SEEDS))
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+        )
+        .withColumn("s_n2", _n2("s_emb"))
+    )
+    base = fan_out(
+        emb.select("vec_id", "embedding").withColumn("e_n2", _n2("embedding"))
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("s_emb"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = base.join(F.broadcast(seeds), F.lit(True)).select(
+        "vec_id",
+        "seed_id",
+        (dotq / F.sqrt(F.col("e_n2") * F.col("s_n2"))).alias("sim"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(
+            F.desc("sim"), F.asc("seed_id")
+        )
+    )
+    ranked = sims.withColumn("rk", rk)
+    a = ranked.where(F.col("rk") == 1).select(
+        "vec_id",
+        F.col("seed_id").alias("cluster_seed"),
+        (1.0 - F.col("sim")).alias("da"),
+    )
+    b = ranked.where(F.col("rk") == 2).select(
+        "vec_id", (1.0 - F.col("sim")).alias("db")
+    )
+    sil = a.join(b, "vec_id").select(
+        "cluster_seed",
+        F.when(
+            F.greatest("da", "db") > 0,
+            (F.col("db") - F.col("da")) / F.greatest("da", "db"),
+        )
+        .otherwise(0.0)
+        .alias("s"),
+    )
+    return sil.groupBy(
+        F.col("cluster_seed").cast("bigint").alias("cluster_seed")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(
+            F.sum(
+                F.floor(F.col("s") * 1e12).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e12
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_silhouette"),
+    )
+
+
+@register(
+    "q_vec_davies_bouldin",
+    oracle=f"""
+        WITH seeds AS MATERIALIZED (
+            SELECT vec_id AS seed_id,
+                   embedding AS s_emb,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS s_n2
+            FROM embeddings
+            WHERE vec_id IN {_SIL_SEEDS}
+        ),
+        base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS e_n2
+            FROM embeddings
+        ),
+        sims AS (
+            SELECT b.vec_id, s.seed_id,
+                   list_sum(list_transform(
+                        list_zip(b.embedding, s.s_emb),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(b.e_n2 * s.s_n2) AS sim
+            FROM base b JOIN seeds s ON TRUE
+        ),
+        assigned AS (
+            SELECT vec_id, seed_id, 1.0 - sim AS dist FROM (
+                SELECT vec_id, seed_id, sim,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, seed_id) AS rk
+                FROM sims
+            ) WHERE rk = 1
+        ),
+        scatter AS (
+            SELECT seed_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_members,
+                   CAST(SUM(CAST(floor(dist * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 / COUNT(*) AS s
+            FROM assigned GROUP BY seed_id
+        ),
+        seed_dist AS (
+            SELECT a.seed_id AS i, b.seed_id AS j,
+                   1.0 - list_sum(list_transform(
+                        list_zip(a.s_emb, b.s_emb),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(a.s_n2 * b.s_n2) AS m
+            FROM seeds a JOIN seeds b ON a.seed_id <> b.seed_id
+        )
+        SELECT CAST(si.seed_id AS BIGINT) AS cluster_seed,
+               si.n_members,
+               ROUND(si.s, 6) AS s_scatter,
+               ROUND(MAX((si.s + sj.s) / sd.m), 4) AS db_component
+        FROM scatter si
+        JOIN seed_dist sd ON sd.i = si.seed_id
+        JOIN scatter sj ON sj.seed_id = sd.j
+        GROUP BY si.seed_id, si.n_members, si.s
+    """,
+    section="V27",
+    doc="Davies-Bouldin separation index per cluster against the V26 "
+    "fixed seeds: worst-case (S_i+S_j)/M_ij ratio over the other "
+    "clusters, where S is the quantized-mean member distance to the "
+    "assigned seed and M the seed-seed cosine distance — the "
+    "clustering quality number that PENALIZES close centroids, "
+    "complementing the silhouette's per-point view (V26 says how "
+    "well points fit; DB says which CLUSTER PAIR to merge or "
+    "re-split before an IVF build). Shares V26's exactness device "
+    "(per-term floor folds -> bit-identical sims; quantized DECIMAL "
+    "scatter means), so the max-ratio argmax is deterministic. "
+    "Scale: corpus touched once (broadcast seeds, no shuffle of "
+    "payloads); everything after the member collapse is k^2 = 16 "
+    "rows of arithmetic.",
+)
+def q_vec_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def _dotq(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(
+                F.col(a),
+                F.col(b),
+                lambda x, y: F.floor(
+                    x.cast("double") * y.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    seeds = (
+        emb.filter(F.col("vec_id").isin(*_SIL_SEEDS))
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("s_emb"),
+        )
+        .withColumn("s_n2", _n2("s_emb"))
+    )
+    base = fan_out(
+        emb.select("vec_id", "embedding").withColumn("e_n2", _n2("embedding"))
+    )
+    sims = base.join(F.broadcast(seeds), F.lit(True)).select(
+        "vec_id",
+        "seed_id",
+        (
+            _dotq("embedding", "s_emb")
+            / F.sqrt(F.col("e_n2") * F.col("s_n2"))
+        ).alias("sim"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("seed_id"))
+    )
+    assigned = (
+        sims.withColumn("rk", rk)
+        .where(F.col("rk") == 1)
+        .select("vec_id", "seed_id", (1.0 - F.col("sim")).alias("dist"))
+    )
+    scatter = assigned.groupBy("seed_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (
+            F.sum(
+                F.floor(F.col("dist") * 1e12).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e12
+            / F.count(F.lit(1))
+        ).alias("s"),
+    )
+    sa = seeds.select("seed_id", "s_emb", "s_n2")
+    sb = sa.select(
+        F.col("seed_id").alias("seed_j"),
+        F.col("s_emb").alias("j_emb"),
+        F.col("s_n2").alias("j_n2"),
+    )
+    seed_dist = (
+        sa.join(sb, F.col("seed_id") != F.col("seed_j"))
+        .select(
+            F.col("seed_id").alias("i"),
+            F.col("seed_j").alias("j"),
+            (
+                1.0
+                - _dotq("s_emb", "j_emb")
+                / F.sqrt(F.col("s_n2") * F.col("j_n2"))
+            ).alias("m"),
+        )
+    )
+    si = scatter.select(
+        F.col("seed_id").alias("i"),
+        "n_members",
+        F.col("s").alias("s_i"),
+    )
+    sj = scatter.select(
+        F.col("seed_id").alias("j"), F.col("s").alias("s_j")
+    )
+    return (
+        si.join(F.broadcast(seed_dist), "i")
+        .join(F.broadcast(sj), "j")
+        .groupBy(
+            F.col("i").cast("bigint").alias("cluster_seed"),
+            "n_members",
+            "s_i",
+        )
+        .agg(
+            F.round(
+                F.max((F.col("s_i") + F.col("s_j")) / F.col("m")), 4
+            ).alias("db_component")
+        )
+        .select(
+            "cluster_seed",
+            "n_members",
+            F.round("s_i", 6).alias("s_scatter"),
+            "db_component",
+        )
+    )
