@@ -382,3 +382,53 @@ def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_cents_sum"),
         )
     )
+
+
+_META_AUDIT_TABLES = ("orders", "lineitem", "part")
+
+
+@register(
+    "q_scan_metadata_audit",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{t}' AS tbl, '{t}.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS row_index_span
+        FROM {t}"""
+        for t in _META_AUDIT_TABLES
+    ),
+    section="S15",
+    doc="Scan-integrity audit via Spark's hidden `_metadata` parquet "
+    "columns: per source FILE, the scanned row count AND "
+    "max(_metadata.row_index)+1 — two independent paths to the same "
+    "number (a mismatch means the scanner dropped or duplicated rows "
+    "within a file; cross-checked against the oracle's own full "
+    "count). Pins the `_metadata.file_name` / `_metadata.row_index` "
+    "API surface (Spark 3.5+) that incremental loaders and CDC "
+    "readers key on. The fixtures are one file per table, so the "
+    "per-file grain equals the table grain here; on a multi-file "
+    "100 TB layout the SAME query audits every file independently "
+    "because row_index resets per file — a map-side count per file, "
+    "no shuffle beyond the tiny per-file rollup.",
+)
+def q_scan_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.io import table_path
+
+    parts = []
+    for t in _META_AUDIT_TABLES:
+        df = spark.read.parquet(table_path(sf_dir, t))
+        parts.append(
+            df.groupBy(
+                F.lit(t).alias("tbl"),
+                F.col("_metadata.file_name").alias("file_name"),
+            ).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                (F.max("_metadata.row_index") + 1)
+                .cast("bigint")
+                .alias("row_index_span"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -2939,3 +2939,95 @@ def q_ts_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("croston_rate"),
     )
+
+
+@register(
+    "q_ts_mase",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagd AS (
+            SELECT event_type, day, x,
+                   lag(x, 7) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x7,
+                   lag(x, 1) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS x1
+            FROM d
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(CASE WHEN x7 IS NOT NULL
+                            THEN abs(x - x7) END) AS BIGINT) AS se7,
+                   CAST(SUM(CASE WHEN x7 IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n7,
+                   CAST(SUM(CASE WHEN x1 IS NOT NULL
+                            THEN abs(x - x1) END) AS BIGINT) AS se1,
+                   CAST(SUM(CASE WHEN x1 IS NOT NULL
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n1
+            FROM lagd GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND((CAST(se7 AS DOUBLE) / n7)
+                     / (CAST(se1 AS DOUBLE) / n1), 4) AS mase_weekly
+        FROM m
+    """,
+    section="TS33",
+    doc="MASE (mean absolute SCALED error) of the seasonal-naive lag-7 "
+    "forecast per event-type daily series, scaled by the naive lag-1 "
+    "in-sample MAE — the ONE forecast metric comparable ACROSS "
+    "series of different volumes (TS13's MAE/WAPE are per-series; "
+    "MASE<1 means the weekly pattern beats naive persistence, the "
+    "go/no-go for shipping a seasonal model per segment). Day-grain "
+    "counts and both error sums are exact integers from one collapse "
+    "+ two lag windows; the scaled ratio is the only float op "
+    "(rule 10). Scale: |types| x |days| table after collapse — "
+    "window state is bounded by the collection window.",
+)
+def q_ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagd = d.select(
+        "event_type",
+        "x",
+        F.lag("x", 7).over(w).alias("x7"),
+        F.lag("x", 1).over(w).alias("x1"),
+    )
+    m = lagd.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(
+            F.when(
+                F.col("x7").isNotNull(), F.abs(F.col("x") - F.col("x7"))
+            )
+        )
+        .cast("bigint")
+        .alias("se7"),
+        F.sum(F.when(F.col("x7").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n7"),
+        F.sum(
+            F.when(
+                F.col("x1").isNotNull(), F.abs(F.col("x") - F.col("x1"))
+            )
+        )
+        .cast("bigint")
+        .alias("se1"),
+        F.sum(F.when(F.col("x1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(
+            (F.col("se7").cast("double") / F.col("n7"))
+            / (F.col("se1").cast("double") / F.col("n1")),
+            4,
+        ).alias("mase_weekly"),
+    )
