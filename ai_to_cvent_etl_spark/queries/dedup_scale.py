@@ -1548,3 +1548,56 @@ def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_jaccard"),
         )
     )
+
+
+_PREFIX_K = 8   # tokens in the template-prefix key
+
+
+@register(
+    "q_dedup_prefix_template",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, lang, source,
+                   md5(array_to_string(
+                        string_split(text, ' ')[1:{_PREFIX_K}], ' ')) AS ph
+            FROM documents
+        )
+        SELECT ph AS prefix_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(MIN(doc_id) AS BIGINT) AS example_doc
+        FROM p
+        GROUP BY ph
+        HAVING COUNT(*) >= 2
+    """,
+    section="D21",
+    doc=f"Template-prefix duplicate detection: documents sharing their "
+    f"first {_PREFIX_K} tokens verbatim (md5 of the joined prefix) are "
+    "boilerplate-template candidates — the cheap screen that catches "
+    "scraped page headers, license preambles, and generation-prompt "
+    "echoes which FULL-document dedup (D1/D2) misses because the "
+    "bodies differ. Cross-lang/cross-source counts per cluster tell "
+    "curators whether the template is a site artifact (1 source) or "
+    "an ecosystem idiom (many). Exact md5 keys both engines. Scale: "
+    "map-only prefix hash + one 16-byte-key count — the D16 "
+    "normalized-dedup shape; no token explode, no pair join.",
+)
+def q_dedup_prefix_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ph = F.md5(
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, _PREFIX_K), " ")
+    )
+    return (
+        docs.select(
+            ph.alias("prefix_hash"), "doc_id", "lang", "source"
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.min("doc_id").cast("bigint").alias("example_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

@@ -1638,3 +1638,136 @@ def q_graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("phi"),
     )
+
+
+@register(
+    "q_graph_scc",
+    oracle="""
+        WITH flow AS (
+            SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM flow
+        ),
+        e AS (
+            SELECT src, dst FROM flow CROSS JOIN tot
+            WHERE cents * np > t
+        ),
+        nodes AS (
+            SELECT src AS v FROM e UNION SELECT dst FROM e
+        ),
+        reach AS (
+            WITH RECURSIVE r(src, dst) AS (
+                SELECT v, v FROM nodes
+                UNION
+                SELECT r.src, e.dst FROM r JOIN e ON r.dst = e.src
+            ) SELECT src, dst FROM r
+        ),
+        scc AS (
+            SELECT f.src AS v, MIN(f.dst) AS scc_id
+            FROM reach f JOIN reach b
+              ON f.src = b.dst AND f.dst = b.src
+            GROUP BY f.src
+        )
+        SELECT CAST(scc_id AS BIGINT) AS scc_id,
+               CAST(COUNT(*) AS BIGINT) AS scc_size
+        FROM scc GROUP BY scc_id
+    """,
+    section="G19",
+    doc="Strongly connected components of the DIRECTED nation-level "
+    "trade-flow graph (edge c_nation -> s_nation kept when its exact "
+    "cent weight is strictly above the mean pair weight — the "
+    "integer comparison cents*n_pairs > total keeps the density "
+    "constant across SFs with no float threshold). SCC = the "
+    "mutual-reachability quotient no undirected device (D5/G10 "
+    "components) can see: a component here is a set of economies "
+    "that all buy from each other transitively — cycle structure, "
+    "not mere contact. Implementation: 5 unrolled pointer-doubling "
+    "closure rounds (paths to 2^5 = 32 > 25 nations) on the "
+    "collapsed 25-node edge table; SCC id = MIN over the "
+    "forward-AND-backward reachable set (exact integer argmin). "
+    "Scale: the fact join collapses to the NATION grain first "
+    "(<= 625 edges at any SF); closure rounds touch only that "
+    "domain-bounded table — same contract as G17's bounded frontier.",
+)
+def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    cents = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+    )
+    flow = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.sum(cents).cast("bigint").alias("cents"))
+    )
+    tot = flow.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    e = (
+        flow.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") * F.col("np") > F.col("t"))
+        .select("src", "dst")
+    )
+    nodes = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    # pointer-doubling closure: r <- r U (r o r), 5 rounds covers 2^5 hops.
+    # The nation-grain table is <= 625 rows, so each round runs single-
+    # partition; localCheckpoint per round stops the doubled self-reference
+    # from exponentiating the plan (the D5/G1 iteration device — without it
+    # round k's plan embeds 2^k copies of round 0 and planning, not data,
+    # dominates).
+    r = (
+        nodes.select(F.col("v").alias("src"), F.col("v").alias("dst"))
+        .unionByName(e)
+        .distinct()
+        .coalesce(1)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(5):
+        step = (
+            r.alias("a")
+            .join(
+                r.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        r = (
+            r.unionByName(step)
+            .distinct()
+            .coalesce(1)
+            .localCheckpoint(eager=True)
+        )
+    fwd = r
+    bwd = r.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    scc = (
+        fwd.intersect(bwd)
+        .groupBy(F.col("src").alias("v"))
+        .agg(F.min("dst").alias("scc_id"))
+    )
+    return scc.groupBy(
+        F.col("scc_id").cast("bigint").alias("scc_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("scc_size"))

@@ -2188,3 +2188,133 @@ def q_vec_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "db_component",
         )
     )
+
+
+_MKNN_CAP = 800   # corpus slice for the exact all-pairs build
+_MKNN_K = 3
+
+
+@register(
+    "q_vec_mutual_knn",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS n2
+            FROM embeddings WHERE vec_id < {_MKNN_CAP}
+        ),
+        sims AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(a.n2 * b.n2) AS sim
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY sim DESC, v) AS rk
+                FROM sims
+            ) WHERE rk <= {_MKNN_K}
+        ),
+        mutual AS (
+            SELECT a.u, a.v FROM topk a
+            JOIN topk b ON a.u = b.v AND a.v = b.u
+        ),
+        deg AS (
+            SELECT n.vec_id,
+                   CAST(COUNT(m.v) AS BIGINT) AS d
+            FROM base n LEFT JOIN mutual m ON m.u = n.vec_id
+            GROUP BY n.vec_id
+        )
+        SELECT d AS mutual_degree,
+               CAST(COUNT(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY d
+    """,
+    section="V28",
+    doc=f"Mutual-kNN graph degree histogram (k={_MKNN_K}, corpus slice "
+    f"vec_id < {_MKNN_CAP}): an edge survives only if BOTH endpoints "
+    "rank each other top-k — the symmetrization every kNN-graph "
+    "clustering / UMAP-style pipeline applies, because one-way "
+    "nearest edges from hubs create false bridges. The degree "
+    "histogram is the graph's health readout: a fat degree-0 bucket "
+    "means the corpus is hub-dominated and k must rise before "
+    "community detection. Exactness: V26's per-term floor dot fold "
+    "makes every sim bit-identical cross-engine, so ranks and the "
+    "mutual intersection are deterministic. Scale: the exact "
+    "all-pairs build is capped to the slice; the full-corpus path is "
+    "the LSH/IVF blocked candidate generation (D7/V6) feeding the "
+    "SAME mutual filter — only candidate pairs, never n^2, shuffle.",
+)
+def q_vec_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MKNN_CAP
+    )
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select("vec_id", "embedding").withColumn(
+        "n2", _n2("embedding")
+    )
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"),
+            F.col("embedding").alias("a_emb"),
+            F.col("n2").alias("a_n2"),
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u",
+        "v",
+        (dotq / F.sqrt(F.col("a_n2") * F.col("b_n2"))).alias("sim"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("sim"), F.asc("v"))
+    )
+    topk = (
+        sims.withColumn("rk", rk).where(F.col("rk") <= _MKNN_K)
+        .select("u", "v")
+    )
+    rev = topk.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mutual = topk.intersect(rev)
+    deg = (
+        base.select(F.col("vec_id").alias("u"))
+        .join(mutual, "u", "left")
+        .groupBy("u")
+        .agg(F.count(F.col("v")).cast("bigint").alias("d"))
+    )
+    return deg.groupBy(F.col("d").alias("mutual_degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
