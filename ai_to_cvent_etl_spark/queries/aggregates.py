@@ -5682,3 +5682,245 @@ def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("tau_b"),
     )
+
+
+@register(
+    "q_agg_runs_test",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        sgn AS (
+            SELECT day,
+                   CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+                        WHEN x < lag(x) OVER (ORDER BY day) THEN -1
+                        ELSE 0 END AS s
+            FROM d
+        ),
+        steps AS (
+            SELECT day, s,
+                   lag(s) OVER (ORDER BY day) AS prev_s
+            FROM sgn WHERE s <> 0
+        ),
+        m AS (
+            SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(SUM(CASE WHEN prev_s IS NULL OR s <> prev_s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM steps
+        )
+        SELECT n_up, n_down, runs,
+               ROUND((runs - (2.0 * n_up * n_down
+                              / (n_up + n_down) + 1))
+                     / sqrt(2.0 * n_up * n_down
+                            * (2.0 * n_up * n_down - n_up - n_down)
+                            / ((CAST(n_up + n_down AS DOUBLE))
+                               * (n_up + n_down)
+                               * (n_up + n_down - 1))), 4) AS z
+        FROM m
+    """,
+    section="A76",
+    doc="Wald-Wolfowitz runs test on the daily event-count UP/DOWN "
+    "direction sequence: counts runs of consecutive same-direction "
+    "moves and standardizes against the exchangeable null — the "
+    "randomness check that catches serial dependence TS6's "
+    "autocorrelation misses when the magnitude is noisy but the "
+    "SIGN streaks aren't (too few runs = trending, too many = "
+    "oscillating feedback). Zero-change days are dropped (the "
+    "standard tie handling, identical both engines); run boundaries "
+    "come from one ordered lag over the day-grain sign sequence, so "
+    "n_up/n_down/runs are exact integers and the z-score is one "
+    "IEEE formula (rule 10). Scale: all windows run on the |days| "
+    "spine after the TS7 collapse.",
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("day")
+    sgn = d.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    steps = sgn.where(F.col("s") != 0).select(
+        "day", "s", F.lag("s").over(w).alias("prev_s")
+    )
+    m = steps.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull()
+                | (F.col("s") != F.col("prev_s")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    nu = F.col("n_up")
+    nd = F.col("n_down")
+    mu = 2.0 * nu * nd / (nu + nd) + 1
+    var = (
+        2.0
+        * nu
+        * nd
+        * (2.0 * nu * nd - nu - nd)
+        / (
+            (nu + nd).cast("double")
+            * (nu + nd)
+            * (nu + nd - 1)
+        )
+    )
+    return m.select(
+        "n_up",
+        "n_down",
+        "runs",
+        F.round((F.col("runs") - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+
+@register(
+    "q_agg_dispersion",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM d GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND(CAST(s AS DOUBLE) / n_days, 4) AS mean_daily,
+               ROUND(CAST(n_days * q - s * s AS DOUBLE)
+                     / (CAST(n_days AS DOUBLE) * (n_days - 1))
+                     / (CAST(s AS DOUBLE) / n_days), 4)
+                   AS dispersion_index,
+               CAST(CAST(n_days * q - s * s AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * (n_days - 1))
+                    > 1.5 * (CAST(s AS DOUBLE) / n_days)
+                    AS BOOLEAN) AS overdispersed
+        FROM m
+    """,
+    section="A77",
+    doc="Variance-to-mean dispersion index of daily counts per event "
+    "type — THE model-choice gate for count data: index ~1 means "
+    "Poisson assumptions (and Poisson-based alert thresholds like "
+    "E38's) are safe; >1.5 flags overdispersion, where a negative-"
+    "binomial model or wider control bands are required and Poisson "
+    "confidence intervals silently over-alert. Sample variance and "
+    "mean rebuilt from exact BIGINT day-grain moments (n*q - s^2 "
+    "device); the 1.5 verdict threshold is applied to the same "
+    "exact-moment expressions on both engines. Scale: one day-grain "
+    "collapse then a 5-row reduction — TS7's rule.",
+)
+def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / (
+        F.col("n_days").cast("double") * (F.col("n_days") - 1)
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        (var > 1.5 * mean).alias("overdispersed"),
+    )
+
+
+@register(
+    "q_agg_mad_robust",
+    oracle="""
+        WITH v AS (
+            SELECT l_returnflag AS grp,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS x
+            FROM lineitem
+        ),
+        med AS (
+            SELECT grp, CAST(2 * median(x) AS BIGINT) AS m2
+            FROM v GROUP BY grp
+        ),
+        dev AS (
+            SELECT v.grp, v.x, abs(2 * v.x - m.m2) AS d2, m.m2
+            FROM v JOIN med m ON v.grp = m.grp
+        )
+        SELECT grp AS l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(MIN(m2) AS DOUBLE) / 2, 1) AS median_dollars,
+               ROUND(CAST(2 * median(d2) AS BIGINT) / 4.0, 2)
+                   AS mad_dollars,
+               ROUND((CAST(2 * median(d2) AS BIGINT) / 4.0)
+                     / (CAST(MIN(m2) AS DOUBLE) / 2), 6) AS robust_cv
+        FROM dev GROUP BY grp
+    """,
+    section="A78",
+    doc="Median absolute deviation (MAD) robust scale per return-flag "
+    "group on whole-dollar prices, with the robust coefficient of "
+    "variation MAD/median — the outlier-immune spread estimate that "
+    "A14's winsorized moments and W-family IQR approximate from "
+    "different angles; MAD is the 50% breakdown-point gold standard "
+    "and what robust z-scores (x-med)/(1.4826*MAD) divide by. "
+    "Exactness: the DOUBLED-value device twice over — group median "
+    "as exact integer 2*median, deviations as exact |2x - m2|, then "
+    "the MAD itself as exact 2*median(d2), so the only floats are "
+    "final display divisions (the .5-interpolated halves are exact "
+    "binary fractions at every doubling level). Scale: two median "
+    "passes (exact percentile per group) + one broadcast join — "
+    "at 100 TB swap exact percentile for the t-digest twin (A20) "
+    "per SCALE.md's quantile rule.",
+)
+def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("x"),
+    )
+    med = v.groupBy("grp").agg(
+        F.expr("cast(2 * percentile(x, 0.5) as bigint)").alias("m2")
+    )
+    dev = v.join(F.broadcast(med), "grp").select(
+        "grp",
+        F.abs(2 * F.col("x") - F.col("m2")).alias("d2"),
+        "m2",
+    )
+    mad2 = F.expr("cast(2 * percentile(d2, 0.5) as bigint)")
+    return dev.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("m2").cast("double") / 2, 1).alias("median_dollars"),
+        F.round(mad2 / 4.0, 2).alias("mad_dollars"),
+        F.round(
+            (mad2 / 4.0) / (F.min("m2").cast("double") / 2), 6
+        ).alias("robust_cv"),
+    )

@@ -1660,3 +1660,82 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vocab_cum",
         F.round("beta", 4).alias("heaps_beta"),
     )
+
+
+@register(
+    "q_text_vocab_overlap",
+    oracle="""
+        WITH tl AS MATERIALIZED (
+            SELECT DISTINCT lang, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        sizes AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS nv
+            FROM tl GROUP BY lang
+        ),
+        inter AS (
+            SELECT a.lang AS lang_a, b.lang AS lang_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_inter
+            FROM tl a JOIN tl b
+              ON a.tok = b.tok AND a.lang < b.lang
+            GROUP BY 1, 2
+        )
+        SELECT i.lang_a, i.lang_b, i.n_inter,
+               sa.nv + sb.nv - i.n_inter AS n_union,
+               ROUND(CAST(i.n_inter AS DOUBLE)
+                     / (sa.nv + sb.nv - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.lang = i.lang_a
+        JOIN sizes sb ON sb.lang = i.lang_b
+    """,
+    section="L23",
+    doc="Pairwise VOCABULARY Jaccard between language partitions — the "
+    "corpus-level mixture audit that catches mislabeled languages "
+    "and cross-lingual contamination at a glance (two 'different' "
+    "langs sharing 90% vocabulary = one mislabeled crawl; L3's "
+    "per-document langid can't see corpus structure). Distinct "
+    "(lang, token) pairs collapse first, so the pair join runs on "
+    "the VOCABULARY grain (types, not tokens — Heaps-bounded, "
+    "~sqrt of corpus size); intersection/union counts are exact "
+    "integers. Scale: one token-key shuffle of the type table; "
+    "payload text never joins. The lang domain is small, so the "
+    "output is a |langs|^2/2 matrix at any SF.",
+)
+def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tl = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .distinct()
+    )
+    sizes = tl.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nv")
+    )
+    a = tl.select(F.col("lang").alias("lang_a"), "tok")
+    b = tl.select(F.col("lang").alias("lang_b"), F.col("tok").alias("tok_b"))
+    inter = (
+        a.join(
+            b,
+            (F.col("tok") == F.col("tok_b"))
+            & (F.col("lang_a") < F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("lang").alias("lang_a"), F.col("nv").alias("nva"))
+    sb = sizes.select(F.col("lang").alias("lang_b"), F.col("nv").alias("nvb"))
+    uni = F.col("nva") + F.col("nvb") - F.col("n_inter")
+    return (
+        inter.join(F.broadcast(sa), "lang_a")
+        .join(F.broadcast(sb), "lang_b")
+        .select(
+            "lang_a",
+            "lang_b",
+            "n_inter",
+            uni.alias("n_union"),
+            F.round(F.col("n_inter").cast("double") / uni, 6).alias(
+                "jaccard"
+            ),
+        )
+    )

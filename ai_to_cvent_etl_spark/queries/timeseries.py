@@ -3031,3 +3031,70 @@ def q_ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mase_weekly"),
     )
+
+
+@register(
+    "q_ts_peak_detect",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        nb AS (
+            SELECT event_type, day, x,
+                   lag(x) OVER (PARTITION BY event_type
+                                ORDER BY day) AS xl,
+                   lead(x) OVER (PARTITION BY event_type
+                                 ORDER BY day) AS xr
+            FROM d
+        )
+        SELECT event_type, day, x AS daily_events,
+               greatest(xl, xr) AS neighbor_max
+        FROM nb
+        WHERE xl IS NOT NULL AND xr IS NOT NULL
+          AND x > xl AND x > xr
+          AND (x - greatest(xl, xr)) * (x - greatest(xl, xr))
+              >= greatest(xl, xr)
+    """,
+    section="TS34",
+    doc="Prominent-peak detection per event-type daily series: strict "
+    "local maxima whose excess over the taller neighbor clears one "
+    "Poisson standard deviation — the spike catalog for incident "
+    "review and campaign attribution, stricter than TS10's z-score "
+    "anomalies (a z-spike on a rising ramp is not a PEAK; the "
+    "neighbor-relative test is shift-invariant and needs no fitted "
+    "variance). The prominence test is the INTEGER comparison "
+    "(x-mn)^2 >= mn — i.e. x-mn >= sqrt(mn), Poisson-scaled so the "
+    "peak yield stays stable as volumes grow 100x (a fixed "
+    "percentage threshold goes vacuous: relative fluctuations "
+    "shrink as 1/sqrt(n)) — and exact on both engines. Scale: two "
+    "adjacent-row windows per type on the day spine after the TS7 "
+    "collapse.",
+)
+def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    nb = d.select(
+        "event_type",
+        "day",
+        "x",
+        F.lag("x").over(w).alias("xl"),
+        F.lead("x").over(w).alias("xr"),
+    )
+    mn = F.greatest("xl", "xr")
+    return nb.where(
+        F.col("xl").isNotNull()
+        & F.col("xr").isNotNull()
+        & (F.col("x") > F.col("xl"))
+        & (F.col("x") > F.col("xr"))
+        & ((F.col("x") - mn) * (F.col("x") - mn) >= mn)
+    ).select(
+        "event_type",
+        "day",
+        F.col("x").alias("daily_events"),
+        mn.alias("neighbor_max"),
+    )

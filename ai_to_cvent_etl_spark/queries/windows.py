@@ -1313,3 +1313,63 @@ def q_win_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("backlog"),
     )
+
+
+@register(
+    "q_win_record_highs",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT day, x,
+                   MAX(x) OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS prior_max
+            FROM d
+        )
+        SELECT day, x AS daily_events,
+               COALESCE(prior_max, 0) AS prior_max,
+               CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT)
+                   AS record_seq
+        FROM r
+        WHERE prior_max IS NULL OR x > prior_max
+    """,
+    section="W33",
+    doc="Record-high detection on the daily event-count series: days "
+    "whose volume strictly exceeds EVERY prior day, with the "
+    "standing record they broke and their sequence number — the "
+    "extremes readout behind 'biggest day ever' alerting and "
+    "capacity high-water-mark tracking (the record CADENCE also "
+    "tests stationarity: under an i.i.d. null the k-th record "
+    "arrives ~e^k days in, so records clustering late = trend, "
+    "matching A76's runs verdict from a different angle). One "
+    "running-max window (ROWS frame, no peer ambiguity) over the "
+    "day spine; exact integers throughout. Scale: |days|-bounded "
+    "after the TS7 collapse, single ordered window.",
+)
+def q_win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    r = d.select(
+        "day", "x", F.max("x").over(w).alias("prior_max")
+    ).where(
+        F.col("prior_max").isNull() | (F.col("x") > F.col("prior_max"))
+    )
+    return r.select(
+        "day",
+        F.col("x").alias("daily_events"),
+        F.coalesce("prior_max", F.lit(0)).cast("bigint").alias("prior_max"),
+        F.row_number()
+        .over(Window.orderBy("day"))
+        .cast("bigint")
+        .alias("record_seq"),
+    )

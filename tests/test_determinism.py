@@ -124,6 +124,21 @@ RISKY = [
     "q_text_heaps_law",
     "q_win_backlog",
     "q_dedup_yield_curve",
+    # waves 68-73: quantized-fold cluster audits and their exact-sim
+    # rankings (silhouette, DB, mutual-kNN), doubled-value median
+    # devices (BF, MAD), ordered sign/lag windows (runs, MASE, peaks,
+    # records), and the distinct-iterated SCC closure — partition
+    # independence is each one's design claim.
+    "q_vec_silhouette",
+    "q_vec_davies_bouldin",
+    "q_vec_mutual_knn",
+    "q_graph_scc",
+    "q_agg_brown_forsythe",
+    "q_agg_mad_robust",
+    "q_agg_runs_test",
+    "q_win_record_highs",
+    "q_ts_mase",
+    "q_ts_peak_detect",
 ]
 
 
