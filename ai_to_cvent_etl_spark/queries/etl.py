@@ -2300,3 +2300,67 @@ def q_etl_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+_BYTE_BUDGET = 3000   # chars per source stratum
+
+
+@register(
+    "q_etl_byte_budget_sample",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   SUM(n_chars) OVER (
+                        PARTITION BY source
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_chars
+            FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_selected,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_selected,
+               CAST(MAX(cum_chars) AS BIGINT) AS cum_at_cut
+        FROM ranked
+        WHERE cum_chars <= {_BYTE_BUDGET}
+        GROUP BY source
+    """,
+    section="E41",
+    doc=f"Byte-budgeted stratified sampling: per source stratum, take "
+    "documents in deterministic md5(doc_id) order until the running "
+    f"character total exceeds {_BYTE_BUDGET} — the TOKEN-BUDGET "
+    "selection every training-mix recipe actually needs (E9's "
+    "stratified sample fixes ROW counts, but mixture specs are "
+    "written in tokens/bytes; row sampling over-weights strata with "
+    "long documents). The hash order makes the draw reproducible "
+    "and refresh-stable (same docs survive a re-run; new docs slot "
+    "into hash order without reshuffling survivors ahead of them). "
+    "One windowed running sum per stratum — exact integers, no "
+    "floats anywhere. Scale: the window partitions by source "
+    "(shuffle on the stratum key only; payload text is not in the "
+    "plan — n_chars rides the manifest), and the cumulative cut "
+    "means each stratum reads only until its budget at execution "
+    "time under a rank-pushdown layout.",
+)
+def q_etl_byte_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.sum("n_chars").over(w).alias("cum_chars"),
+    )
+    return (
+        ranked.where(F.col("cum_chars") <= _BYTE_BUDGET)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+            F.sum("n_chars").cast("bigint").alias("chars_selected"),
+            F.max("cum_chars").cast("bigint").alias("cum_at_cut"),
+        )
+    )

@@ -1036,3 +1036,96 @@ def q_join_grid_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("min_by(nk, d2 * 1000000000 + nk)").alias("nn_k"),
         F.min("d2").alias("dist2"),
     )
+
+
+_ASOF_TOL_HOURS = 24
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle=f"""
+        WITH p AS (
+            SELECT event_id, user_id, ts
+            FROM events WHERE event_type = 'purchase'
+        ),
+        v AS (
+            SELECT user_id, ts FROM events WHERE event_type = 'view'
+        ),
+        matched AS (
+            SELECT p.event_id, p.user_id, p.ts,
+                   MAX(v.ts) AS view_ts
+            FROM p LEFT JOIN v
+              ON v.user_id = p.user_id
+             AND v.ts <= p.ts
+             AND v.ts >= p.ts - INTERVAL {_ASOF_TOL_HOURS} HOUR
+            GROUP BY p.event_id, p.user_id, p.ts
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN view_ts IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(SUM(CASE WHEN view_ts IS NOT NULL THEN
+                    date_diff('second', view_ts, ts) END) AS BIGINT)
+                   AS total_gap_seconds
+        FROM matched GROUP BY user_id
+        HAVING SUM(CASE WHEN view_ts IS NOT NULL
+                   THEN 1 ELSE 0 END) > 0
+    """,
+    section="J27",
+    doc=f"As-of join WITH TOLERANCE: each purchase matches its nearest "
+    f"PRIOR view by the same user only if within {_ASOF_TOL_HOURS} "
+    "hours — the bounded-staleness variant of J3's backward as-of "
+    "(pandas merge_asof's `tolerance`): an unbounded as-of happily "
+    "attributes a purchase to a view from last month, silently "
+    "corrupting attribution; the tolerance bound is the fix, and "
+    "rows that miss it surface in n_purchases - n_matched. "
+    "Expressed as a range-bounded MAX aggregation (nearest = MAX ts "
+    "under the band), which is exact and needs no row_number tie "
+    "device; per-user match counts and exact second gaps reduce on "
+    "top. Scale: the band join co-keys on user_id (both sides "
+    "shuffle once on the same key); the time band bounds the per-"
+    "user fan-out by the tolerance window — the J14 interval "
+    "contract.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    matched = (
+        p.join(
+            v,
+            (F.col("v_user") == F.col("user_id"))
+            & (F.col("v_ts") <= F.col("ts"))
+            & (
+                F.col("v_ts")
+                >= F.col("ts") - F.expr(f"INTERVAL {_ASOF_TOL_HOURS} HOURS")
+            ),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.max("v_ts").alias("view_ts"))
+    )
+    return (
+        matched.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum(
+                F.when(F.col("view_ts").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_matched"),
+            F.sum(
+                F.when(
+                    F.col("view_ts").isNotNull(),
+                    F.col("ts").cast("long") - F.col("view_ts").cast("long"),
+                )
+            )
+            .cast("bigint")
+            .alias("total_gap_seconds"),
+        )
+        .where(F.col("n_matched") > 0)
+    )
