@@ -5924,3 +5924,117 @@ def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             (mad2 / 4.0) / (F.min("m2").cast("double") / 2), 6
         ).alias("robust_cv"),
     )
+
+
+@register(
+    "q_agg_group_jackknife",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS s_g
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM g
+        ),
+        pseudo AS (
+            SELECT g.grp,
+                   CAST(t.s - g.s_g AS DOUBLE) / (t.n - g.n_g) / 100
+                       AS theta_minus,
+                   t.k,
+                   CAST(t.s AS DOUBLE) / t.n / 100 AS theta_hat
+            FROM g CROSS JOIN tot t
+        ),
+        jk AS (
+            SELECT k, theta_hat,
+                   CAST(SUM(CAST(floor(theta_minus * 1e6)
+                            AS DECIMAL(38,0))) AS DOUBLE) / 1e6 / k
+                       AS theta_dot
+            FROM pseudo GROUP BY k, theta_hat
+        )
+        SELECT CAST(p.k AS BIGINT) AS k_groups,
+               ROUND(p.theta_hat, 4) AS mean_price,
+               ROUND((CAST(p.k AS DOUBLE) - 1) / p.k
+                     * (CAST(SUM(CAST(floor((p.theta_minus - j.theta_dot)
+                                      * (p.theta_minus - j.theta_dot)
+                                      * 1e6) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e6), 4) AS jk_variance
+        FROM pseudo p CROSS JOIN jk j
+        GROUP BY p.k, p.theta_hat, j.theta_dot
+    """,
+    section="A79",
+    doc="Delete-one-GROUP jackknife variance of the mean order price "
+    "over the 5 priority strata — the resampling-free uncertainty "
+    "estimate for CLUSTERED data, where A49's Poisson bootstrap "
+    "and IID formulas both understate error because rows within a "
+    "stratum co-vary; delete-a-group is also exactly the recipe "
+    "production pipelines use for error bars over data SHARDS "
+    "(drop shard i, recompute, spread of the k leave-outs). Each "
+    "leave-out mean comes from exact global-minus-group BIGINT cent "
+    "sums (no recomputation pass per group); the two float folds "
+    "(pseudo-value mean, squared deviations) quantize at 1e6 into "
+    "DECIMAL so fold order can't flip the hash (rule 10). Scale: "
+    "one group collapse + k-row arithmetic — adding shards adds "
+    "rows to a 5-row table.",
+)
+def q_agg_group_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+    )
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(cents).cast("bigint").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pseudo = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        (
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+            / 100
+        ).alias("theta_minus"),
+        "k",
+        (F.col("s").cast("double") / F.col("n") / 100).alias("theta_hat"),
+    )
+    jk = pseudo.groupBy("k", "theta_hat").agg(
+        (
+            F.sum(
+                F.floor(F.col("theta_minus") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+            / F.col("k")
+        ).alias("theta_dot")
+    )
+    dev = F.col("theta_minus") - F.col("theta_dot")
+    return (
+        pseudo.crossJoin(F.broadcast(jk.select("theta_dot")))
+        .groupBy(
+            F.col("k").cast("bigint").alias("k_groups"),
+            F.round("theta_hat", 4).alias("mean_price"),
+            "theta_dot",
+        )
+        .agg(
+            F.round(
+                (F.col("k_groups").cast("double") - 1)
+                / F.col("k_groups")
+                * (
+                    F.sum(
+                        F.floor(dev * dev * 1e6).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e6
+                ),
+                4,
+            ).alias("jk_variance")
+        )
+        .select("k_groups", "mean_price", "jk_variance")
+    )

@@ -1373,3 +1373,80 @@ def q_win_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("record_seq"),
     )
+
+
+@register(
+    "q_win_time_to_error",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, ts,
+                   MIN(CASE WHEN event_type = 'error' THEN ts END)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                             AND UNBOUNDED FOLLOWING) AS next_err_ts
+            FROM events
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN next_err_ts IS NOT NULL
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_with_next,
+               CAST(SUM(CASE WHEN next_err_ts IS NOT NULL THEN
+                    date_diff('second', ts, next_err_ts) END) AS BIGINT)
+                   AS total_secs_to_error,
+               ROUND(CAST(SUM(CASE WHEN next_err_ts IS NOT NULL THEN
+                          date_diff('second', ts, next_err_ts) END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN next_err_ts IS NOT NULL
+                           THEN 1 ELSE 0 END), 2) AS mean_secs_to_error
+        FROM e
+        GROUP BY event_type
+    """,
+    section="W34",
+    doc="Time-to-next-failure per event type: for every event, the "
+    "seconds until the SAME user's next 'error' (a conditional "
+    "forward-looking MIN over a 1-FOLLOWING..UNBOUNDED frame — the "
+    "masked-column device turns 'next matching row' into a frame "
+    "aggregate with no self-join), rolled up to exact per-type "
+    "totals — the error-proximity readout behind 'what do users do "
+    "right before things break' triage and MTBF-style monitoring "
+    "(low mean time from 'click' = a breaking interaction; W6's "
+    "funnel looks forward to conversions, this looks forward to "
+    "failures). The frame starts at 1 FOLLOWING so an error's own "
+    "row measures the gap to the NEXT error, not zero. Ordering "
+    "totalized by (ts, event_id); integer epoch-second gaps. Scale: "
+    "one user-key shuffle + one ordered window — W-family standard; "
+    "state per user is O(1) (a running future-min).",
+)
+def q_win_time_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    e = ev.select(
+        "event_type",
+        "ts",
+        F.min(
+            F.when(F.col("event_type") == "error", F.col("ts"))
+        )
+        .over(w)
+        .alias("next_err_ts"),
+    )
+    gap = F.col("next_err_ts").cast("long") - F.col("ts").cast("long")
+    has = F.col("next_err_ts").isNotNull()
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(has, 1).otherwise(0)).cast("bigint").alias(
+            "n_with_next"
+        ),
+        F.sum(F.when(has, gap)).cast("bigint").alias(
+            "total_secs_to_error"
+        ),
+        F.round(
+            F.sum(F.when(has, gap)).cast("double")
+            / F.sum(F.when(has, 1).otherwise(0)),
+            2,
+        ).alias("mean_secs_to_error"),
+    )
