@@ -139,6 +139,12 @@ RISKY = [
     "q_win_record_highs",
     "q_ts_mase",
     "q_ts_peak_detect",
+    # waves 74-75: hash-ordered budget cut (its window order must
+    # totalize), quantized jackknife folds, and the forward-frame
+    # error window — partition independence is each one's design claim.
+    "q_etl_byte_budget_sample",
+    "q_agg_group_jackknife",
+    "q_win_time_to_error",
 ]
 
 
