@@ -6038,3 +6038,112 @@ def q_agg_group_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("k_groups", "mean_price", "jk_variance")
     )
+
+
+@register(
+    "q_agg_cohens_d",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_mktsegment AS seg, {_Q_BAL_DUCK} AS qb FROM customer
+            WHERE c_mktsegment IN ('{_T_A}', '{_T_B}')
+        ),
+        m AS (
+            SELECT
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS na,
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN qb ELSE 0 END)
+                     AS BIGINT) AS sa,
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN qb * qb ELSE 0 END)
+                     AS BIGINT) AS sa2,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nb,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN qb ELSE 0 END)
+                     AS BIGINT) AS sb,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN qb * qb ELSE 0 END)
+                     AS BIGINT) AS sb2
+            FROM q
+        ),
+        d AS (
+            SELECT na, nb,
+                   (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                       AS mean_diff,
+                   ((CAST(sa2 AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                    + (CAST(sb2 AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb))
+                       / (na + nb - 2) AS sp2
+            FROM m
+        )
+        SELECT na, nb,
+               ROUND(mean_diff / sqrt(sp2), 4) AS cohens_d,
+               ROUND(mean_diff / sqrt(sp2)
+                     * (1 - 3.0 / (4 * (na + nb) - 9)), 4) AS hedges_g
+        FROM d
+    """,
+    section="A80",
+    doc=f"Cohen's d (pooled-SD standardized mean difference) + the "
+    f"small-sample Hedges' g correction for account balances, {_T_A} "
+    f"vs {_T_B} — the EFFECT SIZE companion to A28's Welch t: t tells "
+    "you a difference exists, d tells you whether it's big enough to "
+    "act on (the gap between 'significant' and 'matters' that every "
+    "large-n A/B test hits, where t explodes while d stays "
+    "negligible). The pooled sum-of-squares (na-1)va + (nb-1)vb "
+    "simplifies to exact (sa2 - sa^2/na) + (sb2 - sb^2/nb) cent "
+    "moments from A28's ONE conditional pass; d and g are single "
+    "IEEE expression trees over them, rounded 4dp. Scale: one "
+    "map-side-combinable reduction — A66's shape.",
+)
+def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_T_A, _T_B)
+    )
+    qb = F.expr(_Q_BAL_SPARK)
+    is_a = F.col("c_mktsegment") == _T_A
+    is_b = F.col("c_mktsegment") == _T_B
+    m = cu.select(qb.alias("qb"), is_a.alias("ia"), is_b.alias("ib")).agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("ia"), F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("ia"), F.col("qb") * F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sa2"),
+        F.sum(F.when(F.col("ib"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("ib"), F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("ib"), F.col("qb") * F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mean_diff = F.col("sa").cast("double") / na - F.col(
+        "sb"
+    ).cast("double") / nb
+    ssa = (
+        F.col("sa2").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / na
+    )
+    ssb = (
+        F.col("sb2").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nb
+    )
+    d = m.select(
+        "na",
+        "nb",
+        mean_diff.alias("mean_diff"),
+        ((ssa + ssb) / (na + nb - 2)).alias("sp2"),
+    )
+    dd = F.col("mean_diff") / F.sqrt(F.col("sp2"))
+    return d.select(
+        "na",
+        "nb",
+        F.round(dd, 4).alias("cohens_d"),
+        F.round(
+            dd * (1 - 3.0 / (4 * (F.col("na") + F.col("nb")) - 9)), 4
+        ).alias("hedges_g"),
+    )

@@ -1601,3 +1601,143 @@ def q_dedup_prefix_template(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+_RC_KS = (1, 3, 5)
+
+
+@register(
+    "q_vec_recall_curve",
+    oracle=f"""
+        WITH cells AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   4 * (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+                 + 2 * (CASE WHEN embedding[2] >= 0 THEN 1 ELSE 0 END)
+                 +     (CASE WHEN embedding[3] >= 0 THEN 1 ELSE 0 END)
+                       AS cell
+            FROM embeddings
+        ),
+        exact5 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY a.vec_id
+                            ORDER BY {{dot}} / ({{nsqa}} * {{nsqb}}) DESC,
+                                     b.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM cells WHERE vec_id < 10) a
+                JOIN cells b ON b.vec_id <> a.vec_id
+            ) WHERE rank <= 5
+        ),
+        approx5 AS MATERIALIZED (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY a.vec_id
+                            ORDER BY {{dot}} / ({{nsqa}} * {{nsqb}}) DESC,
+                                     b.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM cells WHERE vec_id < 10) a
+                JOIN cells b ON a.cell = b.cell AND b.vec_id <> a.vec_id
+            ) WHERE rank <= 5
+        ),
+        ks AS (SELECT unnest([{", ".join(map(str, _RC_KS))}]) AS k)
+        SELECT CAST(ks.k AS INTEGER) AS k,
+               CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+               CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_matches,
+               ROUND(CAST(COUNT(a.neighbor_id) AS DOUBLE)
+                     / (COUNT(DISTINCT e.query_id) * ks.k), 4)
+                   AS mean_recall
+        FROM ks
+        JOIN exact5 e ON e.rank <= ks.k
+        LEFT JOIN approx5 a
+          ON a.query_id = e.query_id
+         AND a.neighbor_id = e.neighbor_id
+         AND a.rank <= ks.k
+        GROUP BY ks.k
+    """.replace("{dot}", _dot_duck("a", "b"))
+       .replace("{nsqa}", _nsq_duck("a"))
+       .replace("{nsqb}", _nsq_duck("b")),
+    section="V29",
+    doc="ANN recall CURVE: mean recall@k for k=1/3/5 of the D4 sign-bit "
+    "cell index against brute-force cosine ground truth — V12 gives "
+    "the single recall@3 gate; the curve is how you actually CHOOSE "
+    "k and the probe width before serving (recall@1 collapsing "
+    "while recall@5 holds = the index ranks the right neighborhood "
+    "but misorders within it -> raise k, don't retrain; all three "
+    "collapsing = the partitioning is wrong). Same calibration-"
+    "artifact pattern as SK9's width sweep and D20's threshold "
+    "curve. Both rankings share the exact rank device of V3/D4; "
+    "match counts are integers and the mean is one division. "
+    "Scale: queries broadcast, corpus scanned twice (once "
+    "unrestricted, once cell-pruned), never shuffled; the curve "
+    "itself is 3 rows.",
+)
+def q_vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cell = (
+        (F.element_at("embedding", 1) >= 0).cast("int") * 4
+        + (F.element_at("embedding", 2) >= 0).cast("int") * 2
+        + (F.element_at("embedding", 3) >= 0).cast("int")
+    )
+    cells = emb.select("vec_id", "embedding", cell.alias("cell"))
+    q = (
+        cells.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("cell").alias("qcell"),
+        )
+        .withColumn("nq", _norm_col("qe"))
+    )
+    n = fan_out(
+        cells.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("ne"),
+            F.col("cell").alias("ncell"),
+        ).withColumn("nn", _norm_col("ne"))
+    )
+    sim = _dot_col("qe", "ne") / (F.col("nq") * F.col("nn"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+
+    def _ranked(cond):
+        return (
+            F.broadcast(q)
+            .join(n, cond & (F.col("neighbor_id") != F.col("query_id")))
+            .withColumn("sim", sim)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id", "rank")
+        )
+
+    exact5 = _ranked(F.lit(True))
+    approx5 = _ranked(F.col("qcell") == F.col("ncell")).select(
+        F.col("query_id").alias("aq"),
+        F.col("neighbor_id").alias("an"),
+        F.col("rank").alias("arank"),
+    )
+    ks = spark.createDataFrame([(k,) for k in _RC_KS], "k int")
+    j = (
+        F.broadcast(ks)
+        .join(exact5, exact5.rank <= F.col("k"))
+        .join(
+            approx5,
+            (F.col("aq") == F.col("query_id"))
+            & (F.col("an") == F.col("neighbor_id"))
+            & (F.col("arank") <= F.col("k")),
+            "left",
+        )
+    )
+    return j.groupBy("k").agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.count("an").cast("bigint").alias("n_matches"),
+        F.round(
+            F.count("an").cast("double")
+            / (F.countDistinct("query_id") * F.col("k")),
+            4,
+        ).alias("mean_recall"),
+    )
