@@ -6147,3 +6147,189 @@ def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
             dd * (1 - 3.0 / (4 * (F.col("na") + F.col("nb")) - 9)), 4
         ).alias("hedges_g"),
     )
+
+
+def _dl_fold(expr_fmt: str) -> str:
+    """Explicit left-nested 5-term fold over stratum indices (A66 device)."""
+    t = expr_fmt.format(i=0)
+    for i in range(1, 5):
+        t = f"({t} + {expr_fmt.format(i=i)})"
+    return t
+
+
+@register(
+    "q_agg_meta_dl",
+    oracle=f"""
+        WITH piv AS (
+            SELECT {{pivot}}
+            FROM orders
+        ),
+        pv AS (
+            SELECT *,
+                   {", ".join(
+                       f"CAST(k_{i} AS DOUBLE) / n_{i} AS p_{i}, "
+                       f"CAST(k_{i} AS DOUBLE) / n_{i}"
+                       f" * (1 - CAST(k_{i} AS DOUBLE) / n_{i}) / n_{i}"
+                       f" AS v_{i}"
+                       for i in range(5)
+                   )}
+            FROM piv
+        ),
+        wv AS (
+            SELECT *, {", ".join(f"1 / v_{i} AS w_{i}" for i in range(5))}
+            FROM pv
+        ),
+        s1 AS (
+            SELECT *,
+                   {_dl_fold("w_{i}")} AS sw,
+                   {_dl_fold("w_{i} * p_{i}")} AS swp,
+                   {_dl_fold("w_{i} * w_{i}")} AS sw2
+            FROM wv
+        ),
+        s2 AS (
+            SELECT *, swp / sw AS pf, sw - sw2 / sw AS c
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *,
+                   {_dl_fold("w_{i} * (p_{i} - pf) * (p_{i} - pf)")} AS q
+            FROM s2
+        ),
+        s4 AS (
+            SELECT *, greatest(0, (q - 4) / c) AS tau2
+            FROM s3
+        ),
+        s5 AS (
+            SELECT *,
+                   {_dl_fold("1 / (v_{i} + tau2)")} AS sws,
+                   {_dl_fold("p_{i} / (v_{i} + tau2)")} AS swsp
+            FROM s4
+        )
+        SELECT 5 AS k_strata,
+               ROUND(q, 4) AS q_stat,
+               ROUND(tau2, 8) AS tau2,
+               ROUND(pf, 6) AS pooled_fixed,
+               ROUND(swsp / sws, 6) AS pooled_random,
+               ROUND(swsp / sws - 1.96 * sqrt(1 / sws), 6) AS ci_low,
+               ROUND(swsp / sws + 1.96 * sqrt(1 / sws), 6) AS ci_high
+        FROM s5
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{i}, "
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}'"
+        f" AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A81",
+    doc="DerSimonian-Laird random-effects meta-analysis of the "
+    "fulfilled-order rate across the 5 priority strata: fixed-effect "
+    "pooled rate, Cochran's Q heterogeneity, the DL between-stratum "
+    "variance tau^2, and the random-effects pooled rate with 95% CI "
+    "— the stratified-pooling operator that A71's Mantel-Haenszel "
+    "deliberately is NOT (MH assumes one common effect; DL models "
+    "strata drawn from a DISTRIBUTION of effects, and tau^2 > 0 is "
+    "the evidence the common-effect assumption failed — run both, "
+    "report DL when they disagree). All stratum rates come from one "
+    "conditional-aggregation pass of exact integer counts; every "
+    "weighted fold is the explicit left-nested A66 device so both "
+    "engines share the IEEE op order through seven formula layers "
+    "(rule 10). Scale: a single map-side-combinable reduction to a "
+    "1-row table; adding strata widens the pivot, not the data "
+    "path.",
+)
+def q_agg_meta_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    piv = od.agg(
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(
+                    F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(
+                    F.when(
+                        (F.col("o_orderpriority") == p)
+                        & (F.col("o_orderstatus") == "F"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"k_{i}"),
+            )
+        ]
+    )
+    pv = piv.select(
+        "*",
+        *[
+            c
+            for i in range(5)
+            for c in (
+                (F.col(f"k_{i}").cast("double") / F.col(f"n_{i}")).alias(
+                    f"p_{i}"
+                ),
+                (
+                    F.col(f"k_{i}").cast("double")
+                    / F.col(f"n_{i}")
+                    * (
+                        1
+                        - F.col(f"k_{i}").cast("double") / F.col(f"n_{i}")
+                    )
+                    / F.col(f"n_{i}")
+                ).alias(f"v_{i}"),
+            )
+        ],
+    )
+    wv = pv.select(
+        "*", *[(1 / F.col(f"v_{i}")).alias(f"w_{i}") for i in range(5)]
+    )
+
+    def _fold(make):
+        t = make(0)
+        for i in range(1, 5):
+            t = t + make(i)
+        return t
+
+    s1 = wv.select(
+        "*",
+        _fold(lambda i: F.col(f"w_{i}")).alias("sw"),
+        _fold(lambda i: F.col(f"w_{i}") * F.col(f"p_{i}")).alias("swp"),
+        _fold(lambda i: F.col(f"w_{i}") * F.col(f"w_{i}")).alias("sw2"),
+    )
+    s2 = s1.select(
+        "*",
+        (F.col("swp") / F.col("sw")).alias("pf"),
+        (F.col("sw") - F.col("sw2") / F.col("sw")).alias("c"),
+    )
+    s3 = s2.select(
+        "*",
+        _fold(
+            lambda i: F.col(f"w_{i}")
+            * (F.col(f"p_{i}") - F.col("pf"))
+            * (F.col(f"p_{i}") - F.col("pf"))
+        ).alias("q"),
+    )
+    s4 = s3.select(
+        "*",
+        F.greatest(F.lit(0.0), (F.col("q") - 4) / F.col("c")).alias("tau2"),
+    )
+    s5 = s4.select(
+        "*",
+        _fold(lambda i: 1 / (F.col(f"v_{i}") + F.col("tau2"))).alias("sws"),
+        _fold(
+            lambda i: F.col(f"p_{i}") / (F.col(f"v_{i}") + F.col("tau2"))
+        ).alias("swsp"),
+    )
+    pr = F.col("swsp") / F.col("sws")
+    half = 1.96 * F.sqrt(1 / F.col("sws"))
+    return s5.select(
+        F.lit(5).cast("int").alias("k_strata"),
+        F.round("q", 4).alias("q_stat"),
+        F.round("tau2", 8).alias("tau2"),
+        F.round("pf", 6).alias("pooled_fixed"),
+        F.round(pr, 6).alias("pooled_random"),
+        F.round(pr - half, 6).alias("ci_low"),
+        F.round(pr + half, 6).alias("ci_high"),
+    )

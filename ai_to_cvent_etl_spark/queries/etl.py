@@ -2364,3 +2364,57 @@ def q_etl_byte_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cum_chars").cast("bigint").alias("cum_at_cut"),
         )
     )
+
+
+_RANGE_BINS = 8
+
+
+@register(
+    "q_etl_range_split_plan",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        b AS (
+            SELECT cents, ntile({_RANGE_BINS}) OVER (ORDER BY cents) AS bin
+            FROM v
+        )
+        SELECT CAST(bin AS INTEGER) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(MIN(cents) AS BIGINT) AS lo_cents,
+               CAST(MAX(cents) AS BIGINT) AS hi_cents
+        FROM b GROUP BY bin
+    """,
+    section="E42",
+    doc=f"Range-partitioning split plan: equi-depth boundaries for "
+    f"{_RANGE_BINS} output ranges over exact order-price cents — the "
+    "planning artifact behind `repartitionByRange` / sorted-write "
+    "layouts (E23's compaction plan sizes FILES, E28's Z-order "
+    "interleaves two dims; this picks the 1-D RANGE CUTS so every "
+    "output partition carries equal rows, which is what keeps a "
+    "100 TB sorted write skew-free when the value distribution is "
+    "lumpy). ntile's remainder rule (first n%k bins get the extra "
+    "row) is identical on both engines over the totally-ordered "
+    "exact cents, so bin populations and boundaries hash-match. "
+    "Scale note: the global ntile here is the exact small-SF form; "
+    "at 100 TB the SAME plan comes from `approx_percentile` cuts "
+    "(A20's sketch) or Spark's own range-partitioner SAMPLING — "
+    "equal-depth is the contract, the estimator is swappable.",
+)
+def q_etl_range_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = od.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents")
+    )
+    b = v.select(
+        "cents", F.ntile(_RANGE_BINS).over(Window.orderBy("cents")).alias("bin")
+    )
+    return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("cents").cast("bigint").alias("lo_cents"),
+        F.max("cents").cast("bigint").alias("hi_cents"),
+    )

@@ -1739,3 +1739,103 @@ def q_text_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_COV_SIZES = (100, 500, 2000)
+
+
+@register(
+    "q_text_vocab_coverage",
+    oracle=f"""
+        WITH occ AS MATERIALIZED (
+            SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        counts AS (
+            SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM occ GROUP BY tok
+        ),
+        ranked AS (
+            SELECT n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rk,
+                   SUM(n) OVER (ORDER BY n DESC, tok
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum_n
+            FROM counts
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS total_occ,
+                   CAST(COUNT(*) AS BIGINT) AS total_types
+            FROM counts
+        ),
+        sizes AS (SELECT unnest([{", ".join(map(str, _COV_SIZES))}]) AS v)
+        SELECT CAST(s.v AS INTEGER) AS vocab_size,
+               CAST(LEAST(s.v, t.total_types) AS BIGINT) AS n_types_used,
+               CAST(MAX(r.cum_n) AS BIGINT) AS occ_covered,
+               t.total_occ,
+               ROUND(CAST(MAX(r.cum_n) AS DOUBLE) / t.total_occ, 6)
+                   AS coverage
+        FROM sizes s
+        CROSS JOIN tot t
+        JOIN ranked r ON r.rk <= s.v
+        GROUP BY s.v, t.total_types, t.total_occ
+    """,
+    section="L24",
+    doc="Tokenizer vocabulary-coverage curve: the share of all token "
+    "OCCURRENCES covered by the top-100/500/2000 most frequent "
+    "types (frequency-ranked, token tie-break) — the budget chooser "
+    "for vocabulary size before training a tokenizer (L22's Heaps "
+    "curve says how fast types GROW; this says what a fixed budget "
+    "BUYS, and the two disagree exactly when the tail is heavy). "
+    "The elbow of this curve is where added vocab stops paying for "
+    "its embedding rows. One token-key count, one ordered window "
+    "over the TYPE table (Heaps-bounded), checkpoint fan-out joins "
+    "the 3-row size list — exact integers to the final share "
+    "division. Scale: occurrences collapse map-side; everything "
+    "ordered runs on types, never tokens.",
+)
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = counts.select(
+        "n",
+        F.row_number().over(w).alias("rk"),
+        F.sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum_n"),
+    )
+    tot = counts.agg(
+        F.sum("n").cast("bigint").alias("total_occ"),
+        F.count(F.lit(1)).cast("bigint").alias("total_types"),
+    )
+    sizes = spark.createDataFrame([(v,) for v in _COV_SIZES], "v int")
+    return (
+        F.broadcast(sizes)
+        .crossJoin(F.broadcast(tot))
+        .join(ranked, F.col("rk") <= F.col("v"))
+        .groupBy(
+            F.col("v").alias("vocab_size"),
+            "total_types",
+            "total_occ",
+        )
+        .agg(
+            F.max("cum_n").cast("bigint").alias("occ_covered"),
+            F.round(
+                F.max("cum_n").cast("double") / F.col("total_occ"), 6
+            ).alias("coverage"),
+        )
+        .select(
+            "vocab_size",
+            F.least(F.col("vocab_size").cast("bigint"), F.col("total_types"))
+            .cast("bigint")
+            .alias("n_types_used"),
+            "occ_covered",
+            "total_occ",
+            "coverage",
+        )
+    )

@@ -2318,3 +2318,142 @@ def q_vec_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").alias("mutual_degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+_TWONN_CAP = 500
+
+
+@register(
+    "q_vec_intrinsic_dim",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS n2
+            FROM embeddings WHERE vec_id < {_TWONN_CAP}
+        ),
+        sims AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(a.n2 * b.n2) AS sim
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        nn2 AS (
+            SELECT u,
+                   MAX(CASE WHEN rk = 1 THEN 1.0 - sim END) AS d1,
+                   MAX(CASE WHEN rk = 2 THEN 1.0 - sim END) AS d2
+            FROM (
+                SELECT u, sim,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY sim DESC, v) AS rk
+                FROM sims
+            ) WHERE rk <= 2
+            GROUP BY u
+        ),
+        terms AS (
+            SELECT u, ln(d2 / d1) AS lmu
+            FROM nn2 WHERE d1 > 0
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(CAST(SUM(CAST(floor(lmu * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9 / COUNT(*), 6) AS mean_log_mu,
+               ROUND(COUNT(*)
+                     / (CAST(SUM(CAST(floor(lmu * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9), 3) AS intrinsic_dim
+        FROM terms
+    """,
+    section="V30",
+    doc="TwoNN intrinsic-dimension estimate (Facco et al. 2017) of the "
+    "embedding manifold: id = n / sum(ln(d2/d1)) over each point's "
+    "two nearest cosine distances — the diagnostic that tells you "
+    "whether 64 ambient dims hide a ~10-dim manifold (then V16's "
+    "dim-prune and V21's Matryoshka truncation are safe) or the "
+    "data genuinely fills the space (then aggressive PQ will hurt "
+    "recall). Distance ratios d2/d1 need NO density assumptions — "
+    "only that the manifold is locally uniform between the first "
+    "two neighbors. Exactness: V26's quantized-dot sims make "
+    "d1/d2 bit-identical; the ln terms fold through the floor-1e9 "
+    "DECIMAL device so summation order can't flip the hash "
+    "(rule 10; the 4-6dp output rounding absorbs grid-edge ulps). "
+    "Scale: capped exact slice here; at corpus scale the estimator "
+    "needs only each point's top-2 neighbors — exactly what the "
+    "D7/V6 blocked kNN already produces.",
+)
+def q_vec_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _TWONN_CAP
+    )
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select("vec_id", "embedding").withColumn("n2", _n2("embedding"))
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"),
+            F.col("embedding").alias("a_emb"),
+            F.col("n2").alias("a_n2"),
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u",
+        "v",
+        (dotq / F.sqrt(F.col("a_n2") * F.col("b_n2"))).alias("sim"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("sim"), F.asc("v"))
+    )
+    nn2 = (
+        sims.withColumn("rk", rk)
+        .where(F.col("rk") <= 2)
+        .groupBy("u")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, 1.0 - F.col("sim"))).alias("d1"),
+            F.max(F.when(F.col("rk") == 2, 1.0 - F.col("sim"))).alias("d2"),
+        )
+    )
+    terms = nn2.where(F.col("d1") > 0).select(
+        F.log(F.col("d2") / F.col("d1")).alias("lmu")
+    )
+    qsum = (
+        F.sum(F.floor(F.col("lmu") * 1e9).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / 1e9
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(qsum / F.count(F.lit(1)), 6).alias("mean_log_mu"),
+        F.round(F.count(F.lit(1)) / qsum, 3).alias("intrinsic_dim"),
+    )
