@@ -6333,3 +6333,105 @@ def q_agg_meta_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pr - half, 6).alias("ci_low"),
         F.round(pr + half, 6).alias("ci_high"),
     )
+
+
+@register(
+    "q_agg_bland_altman",
+    oracle="""
+        WITH pair AS (
+            SELECT o.o_orderkey,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS header_cents,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS line_cents
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        d AS (
+            SELECT header_cents - line_cents AS diff FROM pair
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(diff) AS BIGINT) AS s,
+                   CAST(SUM(diff * diff) AS DECIMAL(38,0)) AS q
+            FROM d
+        )
+        SELECT n,
+               ROUND(CAST(s AS DOUBLE) / n / 100, 4) AS bias_dollars,
+               ROUND(sqrt((CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                     / 100, 4) AS sd_dollars,
+               ROUND((CAST(s AS DOUBLE) / n
+                      - 1.96 * sqrt((CAST(q AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * s / n)
+                                    / (n - 1))) / 100, 4) AS loa_low,
+               ROUND((CAST(s AS DOUBLE) / n
+                      + 1.96 * sqrt((CAST(q AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * s / n)
+                                    / (n - 1))) / 100, 4) AS loa_high
+        FROM m
+    """,
+    section="A82",
+    doc="Bland-Altman agreement analysis between the two 'measurements' "
+    "of an order's value — the header o_totalprice vs the summed "
+    "line prices: mean bias and the 95% limits of agreement "
+    "(bias +/- 1.96 SD of the per-order differences). E34 CLASSIFIES "
+    "individual gaps into tolerance bands; Bland-Altman is the "
+    "STATISTICAL summary regulators and method-comparison studies "
+    "expect — a tight LoA band certifies the two pipelines agree "
+    "within noise, a wide one quantifies exactly how much slack a "
+    "reconciliation tolerance needs. Per-order cent diffs are exact "
+    "integers from one co-keyed collapse (J23's shape); the diff "
+    "moments use a DECIMAL(38,0) square sum (cent-squares overflow "
+    "int64 past ~2.5k-cent diffs x 1e5 rows); bias/SD/LoA are "
+    "single IEEE trees (rule 10). Scale: one fact-key join + one "
+    "global reduction.",
+)
+def q_agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(cast(l_extendedprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("line_cents")
+        )
+        .select(
+            (
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+                - F.col("line_cents")
+            ).alias("diff")
+        )
+    )
+    m = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("s"),
+        F.sum(F.col("diff").cast("decimal(19,0)") * F.col("diff"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    bias = F.col("s").cast("double") / F.col("n")
+    return m.select(
+        "n",
+        F.round(bias / 100, 4).alias("bias_dollars"),
+        F.round(sd / 100, 4).alias("sd_dollars"),
+        F.round((bias - 1.96 * sd) / 100, 4).alias("loa_low"),
+        F.round((bias + 1.96 * sd) / 100, 4).alias("loa_high"),
+    )

@@ -2457,3 +2457,168 @@ def q_vec_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qsum / F.count(F.lit(1)), 6).alias("mean_log_mu"),
         F.round(F.count(F.lit(1)) / qsum, 3).alias("intrinsic_dim"),
     )
+
+
+_HUB_K = 3
+
+
+@register(
+    "q_vec_hubness",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS n2
+            FROM embeddings WHERE vec_id < {_MKNN_CAP}
+        ),
+        sims AS (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(a.n2 * b.n2) AS sim
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        topk AS (
+            SELECT u, v FROM (
+                SELECT u, v,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY sim DESC, v) AS rk
+                FROM sims
+            ) WHERE rk <= {_HUB_K}
+        ),
+        indeg AS (
+            SELECT b.vec_id,
+                   CAST(COUNT(t.u) AS BIGINT) AS k_occ
+            FROM base b LEFT JOIN topk t ON t.v = b.vec_id
+            GROUP BY b.vec_id
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(k_occ) AS BIGINT) AS s,
+                   CAST(SUM(k_occ * k_occ) AS BIGINT) AS q2,
+                   CAST(SUM(k_occ * k_occ * k_occ) AS BIGINT) AS q3,
+                   CAST(MAX(k_occ) AS BIGINT) AS max_occ,
+                   CAST(SUM(CASE WHEN k_occ = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_antihubs
+            FROM indeg
+        )
+        SELECT n, max_occ, n_antihubs,
+               ROUND((CAST(q3 AS DOUBLE) / n
+                      - 3.0 * (CAST(s AS DOUBLE) / n)
+                        * (CAST(q2 AS DOUBLE) / n)
+                      + 2.0 * (CAST(s AS DOUBLE) / n)
+                        * (CAST(s AS DOUBLE) / n)
+                        * (CAST(s AS DOUBLE) / n))
+                     / pow(CAST(q2 AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n)
+                             * (CAST(s AS DOUBLE) / n), 1.5), 4)
+                   AS k_skewness
+        FROM m
+    """,
+    section="V31",
+    doc=f"Hubness diagnostic of the directed {_HUB_K}-NN graph: the "
+    "k-occurrence distribution (how often each vector appears in "
+    "OTHERS' top-k) summarized as max in-degree, anti-hub count "
+    "(k_occ=0), and the skewness of k_occ — THE high-dimensionality "
+    "pathology metric (Radovanovic et al.): skewness rising with "
+    "dimension means a few hub vectors dominate every neighbor "
+    "list, silently degrading kNN classification, MMR diversity, "
+    "and mutual-kNN graphs (V28 shows the symmetrized aftermath; "
+    "this measures the cause). All in-degree moments are exact "
+    "integers on the bit-identical ranks of the V26 quantized-dot "
+    "device; the population-skewness formula is one IEEE tree "
+    "(rule 10). Scale: same capped-slice contract as V28 — at "
+    "corpus scale the in-degree histogram falls out of the D7/V6 "
+    "blocked kNN's edge list with one 8-byte-key count.",
+)
+def q_vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _MKNN_CAP
+    )
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select("vec_id", "embedding").withColumn("n2", _n2("embedding"))
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"),
+            F.col("embedding").alias("a_emb"),
+            F.col("n2").alias("a_n2"),
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u",
+        "v",
+        (dotq / F.sqrt(F.col("a_n2") * F.col("b_n2"))).alias("sim"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.desc("sim"), F.asc("v"))
+    )
+    topk = (
+        sims.withColumn("rk", rk)
+        .where(F.col("rk") <= _HUB_K)
+        .select("u", "v")
+    )
+    indeg = (
+        base.select(F.col("vec_id").alias("v"))
+        .join(topk, "v", "left")
+        .groupBy("v")
+        .agg(F.count(F.col("u")).cast("bigint").alias("k_occ"))
+    )
+    m = indeg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("k_occ").cast("bigint").alias("s"),
+        F.sum(F.col("k_occ") * F.col("k_occ")).cast("bigint").alias("q2"),
+        F.sum(F.col("k_occ") * F.col("k_occ") * F.col("k_occ"))
+        .cast("bigint")
+        .alias("q3"),
+        F.max("k_occ").cast("bigint").alias("max_occ"),
+        F.sum(F.when(F.col("k_occ") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_antihubs"),
+    )
+    nd = F.col("n")
+    mean = F.col("s").cast("double") / nd
+    m2 = F.col("q2").cast("double") / nd
+    m3 = F.col("q3").cast("double") / nd
+    return m.select(
+        "n",
+        "max_occ",
+        "n_antihubs",
+        F.round(
+            (m3 - 3.0 * mean * m2 + 2.0 * mean * mean * mean)
+            / F.pow(m2 - mean * mean, 1.5),
+            4,
+        ).alias("k_skewness"),
+    )

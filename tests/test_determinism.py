@@ -145,6 +145,16 @@ RISKY = [
     "q_etl_byte_budget_sample",
     "q_agg_group_jackknife",
     "q_win_time_to_error",
+    # waves 76-80: exact-sim rankings (recall curve, hubness), the
+    # global frequency-ordered coverage window, the quantized TwoNN
+    # log fold, the global ntile split plan, and the recursive-CTE
+    # fixpoint — partition independence is each one's design claim.
+    "q_vec_recall_curve",
+    "q_vec_hubness",
+    "q_text_vocab_coverage",
+    "q_vec_intrinsic_dim",
+    "q_etl_range_split_plan",
+    "q_sql_recursive_cte",
 ]
 
 
