@@ -6435,3 +6435,220 @@ def q_agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((bias - 1.96 * sd) / 100, 4).alias("loa_low"),
         F.round((bias + 1.96 * sd) / 100, 4).alias("loa_high"),
     )
+
+
+@register(
+    "q_agg_friedman",
+    oracle="""
+        WITH cell AS (
+            SELECT c.c_nationkey AS blk, o.o_orderpriority AS cond,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        full_blk AS (
+            SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.blk, c.cond,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY c.blk
+                        ORDER BY CAST(c.cents AS DOUBLE) / c.n, c.cond
+                   ) AS BIGINT) AS rk
+            FROM cell c JOIN full_blk f ON c.blk = f.blk
+        ),
+        rsum AS (
+            SELECT cond, CAST(SUM(rk) AS BIGINT) AS r_j,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM ranked GROUP BY cond
+        ),
+        m AS (
+            SELECT CAST(MAX(n_blocks) AS BIGINT) AS nb,
+                   CAST(SUM(r_j * r_j) AS BIGINT) AS sr2
+            FROM rsum
+        )
+        SELECT nb AS n_blocks, 5 AS k_conditions,
+               ROUND(12.0 * sr2 / (nb * 5 * 6) - 3.0 * nb * 6, 4)
+                   AS friedman_chi2
+        FROM m
+    """,
+    section="A83",
+    doc="Friedman blocked rank test: does mean order price differ "
+    "across the 5 priorities when RANKED WITHIN each nation block — "
+    "the repeated-measures completion of the rank-test family (A65 "
+    "Kruskal-Wallis assumes independent groups; Friedman removes "
+    "the between-nation level shift by ranking within block, which "
+    "is exactly the paired design any per-tenant / per-region "
+    "comparison needs). Per-cell means compared as one double "
+    "division over exact cent sums with a condition tie-break, so "
+    "within-block ranks (1..5, no ties by construction) are "
+    "deterministic; rank sums and the chi-square are then pure "
+    "integer arithmetic to one final expression. Blocks missing a "
+    "condition are excluded (the balanced-design contract, "
+    "identical both engines). Scale: one fact collapse to the "
+    "(nation x priority) grain, one 5-row window per block — "
+    "domain-bounded everywhere.",
+)
+def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cell = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.col("o_orderpriority").alias("cond"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    full_blk = cell.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("nc")
+    ).where(F.col("nc") == 5).select("blk")
+    w = Window.partitionBy("blk").orderBy(
+        F.col("cents").cast("double") / F.col("n"), F.col("cond")
+    )
+    ranked = (
+        cell.join(F.broadcast(full_blk), "blk")
+        .select(
+            "blk", "cond", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+    )
+    rsum = ranked.groupBy("cond").agg(
+        F.sum("rk").cast("bigint").alias("r_j"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    m = rsum.agg(
+        F.max("n_blocks").cast("bigint").alias("nb"),
+        F.sum(F.col("r_j") * F.col("r_j")).cast("bigint").alias("sr2"),
+    )
+    return m.select(
+        F.col("nb").alias("n_blocks"),
+        F.lit(5).cast("int").alias("k_conditions"),
+        F.round(
+            12.0 * F.col("sr2") / (F.col("nb") * 5 * 6)
+            - 3.0 * F.col("nb") * 6,
+            4,
+        ).alias("friedman_chi2"),
+    )
+
+@register(
+    "q_agg_wilcoxon_signed_rank",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS diff
+            FROM events GROUP BY 1
+        ),
+        nz AS (SELECT diff, abs(diff) AS ad FROM d WHERE diff <> 0),
+        grp AS (
+            SELECT ad,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM nz GROUP BY ad
+        ),
+        mr AS (
+            SELECT ad, cnt, n_pos,
+                   2 * (CAST(SUM(cnt) OVER (ORDER BY ad
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) - cnt)
+                   + cnt + 1 AS midrank2
+            FROM grp
+        ),
+        m AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(n_pos * midrank2) AS BIGINT) AS w2_plus,
+                   CAST(SUM(cnt * midrank2 * midrank2) AS BIGINT) AS sr2
+            FROM mr
+        )
+        SELECT n,
+               CAST(w2_plus AS DOUBLE) / 2 AS w_plus,
+               ROUND((CAST(w2_plus AS DOUBLE) / 2
+                      - CAST(n AS DOUBLE) * (n + 1) / 4)
+                     / sqrt(CAST(sr2 AS DOUBLE) / 16), 4) AS z
+        FROM m
+    """,
+    section="A84",
+    doc="Wilcoxon signed-rank test on paired daily view-vs-purchase "
+    "counts: midranks of |diff| with exact tie handling, W+ = rank "
+    "sum of the positive side, z standardized with the TIE-EXACT "
+    "variance sum(r_i^2)/4 — the paired-sample completion of the "
+    "rank family (A42 Mann-Whitney = independent two-sample, A65 "
+    "KW = k-sample, A83 Friedman = blocked k-sample; signed rank is "
+    "the workhorse for before/after comparisons where a sign test "
+    "wastes magnitude information). Exactness device: midranks are "
+    "computed on the |diff|-GROUPED table (one row per distinct "
+    "magnitude, so the cumulative window has no within-tie order "
+    "ambiguity — a row-grain cumulative would make each tied row's "
+    "rank depend on physical position), carried as exact DOUBLED "
+    "integers 2*(below) + cnt + 1 (the A64 device); W+ and the "
+    "variance are exact integer sums to the final z. Zero diffs "
+    "dropped (standard Wilcoxon). Scale: day-grain collapse, then "
+    "one window over the MAGNITUDE-domain table.",
+)
+def q_agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            - F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("diff")
+    )
+    nz = d.where(F.col("diff") != 0).select(
+        "diff", F.abs(F.col("diff")).alias("ad")
+    )
+    grp = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mr = grp.select(
+        "cnt",
+        "n_pos",
+        (
+            2 * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        ).alias("midrank2"),
+    )
+    m = mr.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("n_pos") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("w2_plus"),
+        F.sum(F.col("cnt") * F.col("midrank2") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    wp = F.col("w2_plus").cast("double") / 2
+    return m.select(
+        "n",
+        wp.alias("w_plus"),
+        F.round(
+            (wp - F.col("n").cast("double") * (F.col("n") + 1) / 4)
+            / F.sqrt(F.col("sr2").cast("double") / 16),
+            4,
+        ).alias("z"),
+    )

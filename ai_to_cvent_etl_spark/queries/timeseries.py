@@ -3098,3 +3098,118 @@ def q_ts_peak_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("daily_events"),
         mn.alias("neighbor_max"),
     )
+
+
+_LB_MAX_LAG = 7
+
+
+@register(
+    "q_ts_ljung_box",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        n_tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM d),
+        lags AS (SELECT unnest(range(1, {_LB_MAX_LAG + 1})) AS lag),
+        jp AS (
+            SELECT l.lag, a.x, b.x AS y
+            FROM lags l
+            JOIN d a ON TRUE
+            JOIN d b ON b.day = a.day + l.lag * INTERVAL 1 DAY
+        ),
+        m AS (
+            SELECT lag, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM jp GROUP BY lag
+        ),
+        r AS (
+            SELECT lag,
+                   (CAST(n AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * sy)
+                   / sqrt((CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx)
+                          * (CAST(n AS DOUBLE) * syy
+                             - CAST(sy AS DOUBLE) * sy)) AS rk
+            FROM m
+        ),
+        terms AS (
+            SELECT r.lag, t.nd,
+                   rk * rk / (t.nd - r.lag) AS term
+            FROM r CROSS JOIN n_tot t
+        )
+        SELECT CAST(MAX(nd) AS BIGINT) AS n_days,
+               {_LB_MAX_LAG} AS max_lag,
+               ROUND(CAST(MAX(nd) AS DOUBLE) * (MAX(nd) + 2)
+                     * (CAST(SUM(CAST(floor(term * 1e12)
+                                  AS DECIMAL(38,0))) AS DOUBLE) / 1e12),
+                     4) AS lb_q
+        FROM terms
+    """,
+    section="TS35",
+    doc=f"Ljung-Box portmanteau whiteness test on the daily event-count "
+    f"series: Q = n(n+2) * sum(r_k^2/(n-k)) over lags 1..{_LB_MAX_LAG} "
+    "— the JOINT 'is there ANY autocorrelation' test that reads "
+    "TS30's whole profile at once (TS30 shows which lag; A76's runs "
+    "test checks signs; LB is the magnitude-weighted summary whose "
+    "chi-square(7) tail is the standard residual-whiteness gate "
+    "after fitting TS17/TS24 models — fit, subtract, re-run LB, and "
+    "a small Q certifies the model captured the structure). Each "
+    "r_k comes from TS30's exact pairwise-complete integer moments; "
+    "the 7 r^2/(n-k) terms fold through the floor-1e12 DECIMAL "
+    "device (rule 10). Scale: |days|-bounded pair tables, one "
+    "scalar per lag.",
+)
+def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    n_tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("nd"))
+    lags = spark.range(1, _LB_MAX_LAG + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    db = d.select(F.col("day").alias("day_b"), F.col("x").alias("y"))
+    jp = d.crossJoin(F.broadcast(lags)).join(
+        db, F.col("day_b") == F.date_add(F.col("day"), F.col("lag"))
+    )
+    m = jp.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd_ = F.col("n").cast("double")
+    rk = (
+        nd_ * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    ) / F.sqrt(
+        (nd_ * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (nd_ * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    r = m.select("lag", rk.alias("rk"))
+    terms = r.crossJoin(F.broadcast(n_tot)).select(
+        "nd",
+        (F.col("rk") * F.col("rk") / (F.col("nd") - F.col("lag"))).alias(
+            "term"
+        ),
+    )
+    qsum = (
+        F.sum(F.floor(F.col("term") * 1e12).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / 1e12
+    )
+    return terms.agg(
+        F.max("nd").cast("bigint").alias("n_days"),
+        F.lit(_LB_MAX_LAG).cast("int").alias("max_lag"),
+        F.round(
+            F.max("nd").cast("double") * (F.max("nd") + 2) * qsum, 4
+        ).alias("lb_q"),
+    )
