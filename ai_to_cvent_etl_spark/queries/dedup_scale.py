@@ -1741,3 +1741,82 @@ def q_vec_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_recall"),
     )
+
+
+@register(
+    "q_dedup_source_matrix",
+    oracle="""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, source,
+                   list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        pairs AS (
+            SELECT a.source AS s_a, b.source AS s_b
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.ts,
+                        x -> list_contains(b.ts, x))) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_filter(a.ts,
+                           x -> list_contains(b.ts, x)))) >= 0.8
+        )
+        SELECT least(s_a, s_b) AS source_lo,
+               greatest(s_a, s_b) AS source_hi,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(CASE WHEN s_a = s_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_intra
+        FROM pairs
+        GROUP BY 1, 2
+    """,
+    section="D22",
+    doc="Cross-SOURCE near-duplicate matrix: T5's exact-Jaccard >= 0.8 "
+    "pairs (same 'de' partition, same pair semantics) rolled up by "
+    "unordered source pair, intra-source pairs flagged — the "
+    "provenance readout that tells curators WHERE duplication comes "
+    "from: a hot (srcA, srcB) off-diagonal cell means one crawl "
+    "mirrors another (drop the later one wholesale — cheaper than "
+    "per-pair dedup), a hot diagonal means a source self-templates "
+    "(route to D21's prefix screen). D15 checks eval contamination, "
+    "L23 compares vocabularies; this localizes actual near-dup MASS "
+    "between corpus components. Exact pair set (no LSH recall "
+    "loss), exact counts. Scale: pair generation is D1's banded "
+    "path at size; the matrix itself is |sources|^2 cells.",
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
+    )
+    a = tok.select(
+        F.col("doc_id").alias("lo"),
+        F.col("source").alias("s_a"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = tok.select(
+        F.col("doc_id").alias("hi"),
+        F.col("source").alias("s_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    pairs = (
+        a.join(b, F.col("lo") < F.col("hi"))
+        .where(inter.cast("double") / union >= 0.8)
+        .select("s_a", "s_b")
+    )
+    return (
+        pairs.groupBy(
+            F.least("s_a", "s_b").alias("source_lo"),
+            F.greatest("s_a", "s_b").alias("source_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("s_a") == F.col("s_b"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_intra"),
+        )
+    )
