@@ -2622,3 +2622,102 @@ def q_vec_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("k_skewness"),
     )
+
+
+@register(
+    "q_vec_pca_explained",
+    oracle=(
+        """
+        WITH ex AS (
+            SELECT vec_id, u.i AS i, CAST(u.x AS DOUBLE) AS x
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM embeddings
+            )
+        ),
+        mean AS (
+            SELECT i, {qmean} / COUNT(*) AS m FROM ex GROUP BY i
+        ),
+        cx AS (
+            SELECT e.vec_id, e.i, e.x - m.m AS cx
+            FROM ex e JOIN mean m ON m.i = e.i
+        ),
+        nv AS (
+            SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM cx
+        ),
+        trace AS (
+            SELECT {qtrace} / (MAX(nv.n) - 1) AS tr
+            FROM cx CROSS JOIN nv
+        ),
+        cov AS (
+            SELECT a.i AS i, b.i AS j,
+                   {qcov} / (COUNT(*) - 1) AS c
+            FROM cx a JOIN cx b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        v0 AS (
+            SELECT DISTINCT i, CAST(0.125 AS DOUBLE) AS x FROM ex
+        ),""".format(
+            qmean=_QSUM_DUCK.format(x="x"),
+            qtrace=_QSUM_DUCK.format(x="cx.cx * cx.cx"),
+            qcov=_QSUM_DUCK.format(x="a.cx * b.cx"),
+        )
+        + ",".join(
+            _PCA_IT_DUCK.format(i=i, j=i - 1)
+            for i in range(1, _PCA_ROUNDS + 1)
+        )
+        + f"""
+        SELECT ROUND(n.nrm, 4) AS eigenvalue_1,
+               ROUND(t.tr, 4) AS trace_total,
+               ROUND(ROUND(n.nrm, 4) / t.tr, 6) AS explained_ratio
+        FROM nrm{_PCA_ROUNDS} n CROSS JOIN trace t
+    """
+    ),
+    section="V32",
+    doc="Explained-variance ratio of the top principal component: "
+    "V16's power-iteration eigenvalue divided by the covariance "
+    "TRACE (total variance) — the anisotropy number that decides "
+    "whether to mean-center/common-direction-remove embeddings "
+    "before cosine retrieval (a dominant PC1 means cosine is "
+    "mostly measuring the shared direction, the classic 'all "
+    "sentence embeddings look alike' failure; V30's intrinsic "
+    "dimension asks how many directions matter, this asks how much "
+    "ONE direction eats). Reuses V16's bit-identical quantized "
+    "iteration verbatim; the trace is ONE flat floor-1e12 DECIMAL "
+    "fold over all centered squares (no per-dim float re-fold). "
+    "Scale: V16's shape — 64-row relations, broadcast matvecs, one "
+    "corpus scan for the outer product.",
+)
+def q_vec_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    mean = ex.groupBy("i").agg(
+        (_qsum(F.col("x")) / F.count(F.lit(1))).alias("m")
+    )
+    cx = ex.join(F.broadcast(mean), "i").select(
+        "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
+    )
+    nv = cx.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    trace = cx.crossJoin(F.broadcast(nv)).agg(
+        (
+            _qsum(F.col("cx") * F.col("cx")) / (F.max("n") - 1)
+        ).alias("tr")
+    )
+    ev = q_vec_pca_power(spark, sf_dir).agg(
+        F.max("eigenvalue").alias("eigenvalue_1")
+    )
+    return ev.crossJoin(F.broadcast(trace)).select(
+        "eigenvalue_1",
+        F.round("tr", 4).alias("trace_total"),
+        F.round(F.col("eigenvalue_1") / F.col("tr"), 6).alias(
+            "explained_ratio"
+        ),
+    )
