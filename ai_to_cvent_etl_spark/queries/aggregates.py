@@ -6652,3 +6652,191 @@ def q_agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z"),
     )
+
+
+@register(
+    "q_agg_rank_biserial",
+    oracle="""
+        WITH s AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        r AS (
+            SELECT v, g,
+                   rank() OVER (ORDER BY v) AS rk,
+                   COUNT(*) OVER (PARTITION BY v) AS tc
+            FROM s
+        ),
+        m AS (
+            SELECT CAST(SUM(g) AS BIGINT) AS n1,
+                   CAST(SUM(1 - g) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN g = 1 THEN
+                       CAST(rk AS DECIMAL(38,1))
+                       + CAST(tc - 1 AS DECIMAL(38,1)) / 2 END)
+                       AS DOUBLE) AS r1
+            FROM r
+        )
+        SELECT n1, n2,
+               ROUND((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                     / (CAST(n1 AS DOUBLE) * n2), 6) AS cles,
+               ROUND(2.0 * (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                     / (CAST(n1 AS DOUBLE) * n2) - 1, 6)
+                   AS rank_biserial_r
+        FROM m
+    """,
+    section="A85",
+    doc="Rank-biserial correlation + the common-language effect size "
+    "(CLES = U/(n1*n2) = P(random F order exceeds random O order)) "
+    "for A37's Mann-Whitney comparison — the effect-size member of "
+    "the rank family, closing the significance-vs-magnitude gap the "
+    "same way A80's Cohen's d does for A28's t: at large n the MW z "
+    "is always 'significant' while CLES ~ 0.5 says the dominance is "
+    "practically nil. Same tie-averaged DECIMAL rank sum as A37 "
+    "(exact .0/.5 halves); both outputs are single divisions over "
+    "exact moments. Scale: one ranked window + one reduction.",
+)
+def q_agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+    )
+    r = s.select(
+        "v",
+        "g",
+        F.rank().over(Window.orderBy("v")).alias("rk"),
+        F.count("*").over(Window.partitionBy("v")).alias("tc"),
+    )
+    avg_rank = (
+        F.col("rk").cast("decimal(38,1)")
+        + (F.col("tc") - 1).cast("decimal(38,1)") / 2
+    )
+    m = r.agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, avg_rank))
+        .cast("double")
+        .alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    denom = F.col("n1").cast("double") * F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        F.round(u / denom, 6).alias("cles"),
+        F.round(2.0 * u / denom - 1, 6).alias("rank_biserial_r"),
+    )
+
+
+@register(
+    "q_agg_ks_exact",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        grp AS (
+            SELECT v,
+                   CAST(SUM(g) AS BIGINT) AS c1,
+                   CAST(SUM(1 - g) AS BIGINT) AS c2
+            FROM s GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   CAST(SUM(c1) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS f1,
+                   CAST(SUM(c2) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS f2
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM grp
+        ),
+        dmax AS (
+            SELECT CAST(MAX(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT)
+                       AS d_num,
+                   CAST(MAX(t.n1) AS BIGINT) AS n1,
+                   CAST(MAX(t.n2) AS BIGINT) AS n2
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT n1, n2, d_num,
+               ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+                   AS ks_d,
+               ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                     * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 4)
+                   AS ks_stat_scaled
+        FROM dmax
+    """,
+    section="A86",
+    doc="EXACT two-sample Kolmogorov-Smirnov D on order values (status "
+    "F vs O): the supremum ECDF gap evaluated at EVERY distinct "
+    "value, not A27's fixed bins — the binned D is a lower bound "
+    "that can miss a sharp distributional divergence falling inside "
+    "one bin, so this is the certifying form (report binned for "
+    "speed, exact when the verdict is close to the threshold). "
+    "Exactness device: the gap is maximized as the INTEGER "
+    "|F1*n2 - F2*n1| over cent-grain cumulative counts (value-"
+    "grouped first, so the ECDF step points are unambiguous and no "
+    "float division happens until the reported D) — argmax-free, "
+    "tie-free, bit-exact. sqrt(n1*n2/(n1+n2))*D is the asymptotic "
+    "KS statistic. Scale: one value-grain collapse + one ordered "
+    "window over the VALUE DOMAIN (A27's rank-table contract), two "
+    "scalar reductions.",
+)
+def q_agg_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+    )
+    grp = s.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    dmax = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            4,
+        ).alias("ks_stat_scaled"),
+    )

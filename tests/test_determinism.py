@@ -155,6 +155,16 @@ RISKY = [
     "q_vec_intrinsic_dim",
     "q_etl_range_split_plan",
     "q_sql_recursive_cte",
+    # waves 81-84: quantized Ljung-Box folds, within-block Friedman
+    # ranks, the magnitude-grouped Wilcoxon cumulative, the BFS
+    # recursion, the PCA trace fold, and the value-grain KS cumulative
+    # — partition independence is each one's design claim.
+    "q_ts_ljung_box",
+    "q_agg_friedman",
+    "q_agg_wilcoxon_signed_rank",
+    "q_graph_distance_histogram",
+    "q_vec_pca_explained",
+    "q_agg_ks_exact",
 ]
 
 
