@@ -6840,3 +6840,98 @@ def q_agg_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ks_stat_scaled"),
     )
+
+
+@register(
+    "q_agg_prop_posthoc",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb
+            FROM g a JOIN g b ON a.grp < b.grp
+        ),
+        z AS (
+            SELECT grp_a, grp_b,
+                   (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+                   / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                          * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                          * (1.0 / na + 1.0 / nb)) AS z
+            FROM pairs
+        ),
+        ranked AS (
+            SELECT grp_a, grp_b, z, abs(z) AS az,
+                   CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC,
+                                           grp_a, grp_b) AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM z
+        )
+        SELECT grp_a, grp_b,
+               ROUND(z, 4) AS z,
+               rk AS severity_rank,
+               CAST(az > 2.807 AS BOOLEAN) AS flagged_bonferroni
+        FROM ranked
+    """,
+    section="A87",
+    doc="Pairwise post-hoc z tests on fulfilled-order PROPORTIONS after "
+    "an omnibus chi-square (A23): all 10 priority pairs' pooled-"
+    "variance two-proportion z, severity-ranked, with a Bonferroni "
+    "flag at the family-wise critical value z_{{0.05/(2*10)}} = 2.807 "
+    "(the fixed constant is part of the contract) — A69's Tukey HSD does this for MEANS; "
+    "proportions need their own post-hoc, and 'which pair drives "
+    "the chi-square' is the actionable half of every segmentation "
+    "readout. Counts exact, each z one IEEE tree, ranking fully "
+    "tie-broken by the pair key. Scale: 5-row collapse, 10-row "
+    "arithmetic.",
+)
+def q_agg_prop_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("k").alias("ka"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("k").alias("kb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    zc = (
+        F.col("ka").cast("double") / F.col("na")
+        - F.col("kb").cast("double") / F.col("nb")
+    ) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    z = pairs.select("grp_a", "grp_b", zc.alias("z"))
+    wrk = Window.orderBy(F.desc(F.abs(F.col("z"))), "grp_a", "grp_b")
+    ranked = z.select(
+        "grp_a",
+        "grp_b",
+        "z",
+        F.abs(F.col("z")).alias("az"),
+        F.row_number().over(wrk).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("m"),
+    )
+    return ranked.select(
+        "grp_a",
+        "grp_b",
+        F.round("z", 4).alias("z"),
+        F.col("rk").alias("severity_rank"),
+        (F.col("az") > 2.807).alias("flagged_bonferroni"),
+    )

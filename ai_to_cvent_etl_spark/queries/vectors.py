@@ -2721,3 +2721,149 @@ def q_vec_pca_explained(spark: SparkSession, sf_dir: str) -> DataFrame:
             "explained_ratio"
         ),
     )
+
+
+@register(
+    "q_vec_energy_distance",
+    oracle="""
+        WITH x AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings WHERE label = 0
+        ),
+        y AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings WHERE label = 1
+        ),
+        dxy AS (
+            SELECT sqrt(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12)) ) / 1e12) AS d
+            FROM x a JOIN y b ON TRUE
+        ),
+        dxx AS (
+            SELECT sqrt(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12)) ) / 1e12) AS d
+            FROM x a JOIN x b ON a.vec_id < b.vec_id
+        ),
+        dyy AS (
+            SELECT sqrt(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12)) ) / 1e12) AS d
+            FROM y a JOIN y b ON a.vec_id < b.vec_id
+        ),
+        m AS (
+            SELECT
+                (SELECT CAST(SUM(CAST(floor(d * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9 / COUNT(*) FROM dxy) AS exy,
+                (SELECT CAST(SUM(CAST(floor(d * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9 / COUNT(*) FROM dxx) AS exx,
+                (SELECT CAST(SUM(CAST(floor(d * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9 / COUNT(*) FROM dyy) AS eyy,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM x) AS nx,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM y) AS ny
+        )
+        SELECT nx, ny,
+               ROUND(exy, 6) AS mean_cross_dist,
+               ROUND(2 * exy - exx - eyy, 6) AS energy_distance
+        FROM m
+    """,
+    section="V33",
+    doc="Energy distance between the label-0 and label-1 embedding "
+    "clouds: 2*E|X-Y| - E|X-X'| - E|Y-Y'| over Euclidean distances "
+    "— the MULTIVARIATE two-sample test (zero iff the distributions "
+    "are identical) that certifies what V11's per-dimension moment "
+    "drift can only screen: two clouds can match every marginal "
+    "moment and still differ jointly, and embedding-distribution "
+    "shift between training snapshots is exactly such a joint "
+    "property. Exactness: squared-difference terms go through the "
+    "per-term floor-1e12 fold (exact integer-valued sums), sqrt on "
+    "bit-identical input is IEEE-exact, and the three distance "
+    "means fold through floor-1e9 DECIMAL sums (rule 10). Within-"
+    "group means use the vec_id < vec_id pair convention on both "
+    "engines. Scale: the slices are label-partition-bounded; at "
+    "corpus scale sample a fixed per-label reservoir (E9's hash "
+    "rule) — the statistic needs only thousands of pairs.",
+)
+def q_vec_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.filter(F.col("label") == 0).select("vec_id", "embedding")
+    y = emb.filter(F.col("label") == 1).select("vec_id", "embedding")
+
+    def _dist(a_emb: str, b_emb: str):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col(a_emb),
+                    F.col(b_emb),
+                    lambda p, q: F.floor(
+                        (p.cast("double") - q.cast("double"))
+                        * (p.cast("double") - q.cast("double"))
+                        * F.lit(1e12)
+                    ).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(1e12)
+        )
+
+    def _qmean(df):
+        return df.agg(
+            (
+                F.sum(
+                    F.floor(F.col("d") * 1e9).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e9
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+
+    xa = fan_out(
+        x.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    )
+    yb = y.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    dxy = xa.join(F.broadcast(yb), F.lit(True)).select(
+        _dist("ea", "eb").alias("d")
+    )
+    xb = x.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    dxx = xa.join(
+        F.broadcast(xb), F.col("ia") < F.col("ib")
+    ).select(_dist("ea", "eb").alias("d"))
+    ya = fan_out(
+        y.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    )
+    dyy = ya.join(
+        F.broadcast(yb), F.col("ia") < F.col("ib")
+    ).select(_dist("ea", "eb").alias("d"))
+    exy = _qmean(dxy).select(F.col("m").alias("exy"))
+    exx = _qmean(dxx).select(F.col("m").alias("exx"))
+    eyy = _qmean(dyy).select(F.col("m").alias("eyy"))
+    nx = x.agg(F.count(F.lit(1)).cast("bigint").alias("nx"))
+    ny = y.agg(F.count(F.lit(1)).cast("bigint").alias("ny"))
+    return (
+        nx.crossJoin(ny)
+        .crossJoin(exy)
+        .crossJoin(exx)
+        .crossJoin(eyy)
+        .select(
+            "nx",
+            "ny",
+            F.round("exy", 6).alias("mean_cross_dist"),
+            F.round(
+                2 * F.col("exy") - F.col("exx") - F.col("eyy"), 6
+            ).alias("energy_distance"),
+        )
+    )
