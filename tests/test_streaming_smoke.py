@@ -474,3 +474,79 @@ def test_st11_transform_with_state_running_max(spark, replay):
         .collect()
     }
     assert final == want
+
+
+def test_st13_python_streaming_datasource(spark, tmp_path):
+    """ST13: the Spark 4 SimpleDataSourceStreamReader surface — a pure-
+    Python STREAMING source (the readStream twin of S9's batch
+    DataSource): initialOffset()/read(start) drive micro-batches, each
+    returning (rows, nextOffset). The synthetic feed emits a closed-form
+    integer sequence per batch, so the landed sink rows must equal the
+    formula exactly — smoke, not oracle-tier (DuckDB has no streaming
+    twin to compare). At scale this is how a queue/REST cursor with no
+    JVM connector enters Structured Streaming; offsets map to cursor
+    positions and the Python boundary is paid per micro-batch."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        SimpleDataSourceStreamReader,
+    )
+
+    rows_per_batch = 5
+
+    class TickReader(SimpleDataSourceStreamReader):
+        def initialOffset(self):
+            return {"pos": 0}
+
+        def read(self, start):
+            pos = start["pos"]
+            rows = [
+                (pos + i, ((pos + i) * 2654435761) % 1000003)
+                for i in range(rows_per_batch)
+            ]
+            return iter(rows), {"pos": pos + rows_per_batch}
+
+    class TickSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_tick_stream"
+
+        def schema(self):
+            return "seq bigint, payload bigint"
+
+        def simpleStreamReader(self, schema):
+            return TickReader()
+
+    spark.dataSource.register(TickSource)
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        spark.readStream.format("synthetic_tick_stream")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n = 0
+        while time.time() < deadline:
+            time.sleep(2)
+            try:
+                n = spark.read.parquet(out).count()
+            except Exception:
+                n = 0
+            if n >= 2 * rows_per_batch:
+                break
+        assert n >= 2 * rows_per_batch, f"only {n} rows landed"
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    bad = got.selectExpr(
+        "count(case when payload != (seq * 2654435761) % 1000003"
+        " then 1 end) as bad"
+    ).collect()[0]["bad"]
+    assert bad == 0, "payload formula mismatch in streamed rows"
+    seqs = sorted(r["seq"] for r in got.select("seq").collect())
+    assert seqs == list(range(len(seqs))), "gaps or dups in offsets"
