@@ -165,6 +165,10 @@ RISKY = [
     "q_graph_distance_histogram",
     "q_vec_pca_explained",
     "q_agg_ks_exact",
+    # wave 85: quantized distance-mean folds and the severity-ranked
+    # post-hoc window — partition independence is the design claim.
+    "q_vec_energy_distance",
+    "q_agg_prop_posthoc",
 ]
 
 
