@@ -2418,3 +2418,88 @@ def q_etl_range_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").cast("bigint").alias("lo_cents"),
         F.max("cents").cast("bigint").alias("hi_cents"),
     )
+
+
+_KFOLD_K = 5
+
+
+@register(
+    "q_etl_kfold_balance",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT abs(hash(CAST(o_orderkey AS VARCHAR))) % {_KFOLD_K}
+                       AS fold_md5_free,
+                   CAST(
+                     CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                         1, 8) AS BIGINT)
+                     % {_KFOLD_K} AS INT) AS fold,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS conv
+            FROM orders
+        ),
+        per_fold AS (
+            SELECT fold,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(conv) AS BIGINT) AS n_conv
+            FROM assigned GROUP BY fold
+        ),
+        spread AS (
+            SELECT CAST(MAX(n_rows) - MIN(n_rows) AS BIGINT)
+                       AS row_spread,
+                   CAST(SUM(n_rows) AS BIGINT) AS n_total
+            FROM per_fold
+        )
+        SELECT p.fold, p.n_rows, p.n_conv,
+               ROUND(CAST(p.n_conv AS DOUBLE) / p.n_rows, 6)
+                   AS conv_rate,
+               s.row_spread,
+               CAST(s.row_spread * 100 <= s.n_total AS BOOLEAN)
+                   AS balanced_within_1pct
+        FROM per_fold p CROSS JOIN spread s
+    """,
+    section="E43",
+    doc=f"K-fold assignment balance audit (k={_KFOLD_K}): deterministic "
+    "md5-prefix fold assignment per order key, then per-fold row "
+    "counts, conversion rates, and the max-min row spread with a "
+    "1%-of-total balance verdict — the pre-flight check before any "
+    "cross-validated evaluation (E9's train/test split is one cut; "
+    "CV needs k cuts AND evidence they're exchangeable — a skewed "
+    "fold silently biases every fold-averaged metric, and a "
+    "conversion-rate outlier fold flags hash-correlated structure "
+    "in the key). The md5 device is E9's (first 8 hex chars as "
+    "int64 — engine-portable, refresh-stable; native hash() is NOT "
+    "portable cross-engine, the documented trap). All counts exact; "
+    "rate/verdict single expressions. Scale: map-side fold "
+    "assignment, one {_KFOLD_K}-row reduction.",
+)
+def q_etl_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    fold = F.expr(
+        f"cast(conv(substr(md5(cast(o_orderkey as string)), 1, 8),"
+        f" 16, 10) as bigint) % {_KFOLD_K}"
+    ).cast("int")
+    assigned = od.select(
+        fold.alias("fold"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    per_fold = assigned.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    spread = per_fold.agg(
+        (F.max("n_rows") - F.min("n_rows")).cast("bigint").alias(
+            "row_spread"
+        ),
+        F.sum("n_rows").cast("bigint").alias("n_total"),
+    )
+    return per_fold.crossJoin(F.broadcast(spread)).select(
+        "fold",
+        "n_rows",
+        "n_conv",
+        F.round(
+            F.col("n_conv").cast("double") / F.col("n_rows"), 6
+        ).alias("conv_rate"),
+        "row_spread",
+        (F.col("row_spread") * 100 <= F.col("n_total")).alias(
+            "balanced_within_1pct"
+        ),
+    )

@@ -3213,3 +3213,149 @@ def q_ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("nd").cast("double") * (F.max("nd") + 2) * qsum, 4
         ).alias("lb_q"),
     )
+
+
+@register(
+    "q_ts_kpss",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM d
+        ),
+        e AS (
+            SELECT day, CAST(t.n * d.x - t.s AS BIGINT) AS en
+            FROM d CROSS JOIN tot t
+        ),
+        ps AS (
+            SELECT day, en,
+                   CAST(SUM(en) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS st
+            FROM e
+        ),
+        lagd AS (
+            SELECT en,
+                   lag(en, 1) OVER (ORDER BY day) AS e1,
+                   lag(en, 2) OVER (ORDER BY day) AS e2
+            FROM ps
+        ),
+        m AS (
+            SELECT
+                (SELECT CAST(SUM(st * st) AS DECIMAL(38,0)) FROM ps)
+                    AS ss2,
+                CAST(SUM(en * en) AS DECIMAL(38,0)) AS g0,
+                CAST(SUM(CASE WHEN e1 IS NOT NULL
+                         THEN en * e1 END) AS DECIMAL(38,0)) AS g1,
+                CAST(SUM(CASE WHEN e2 IS NOT NULL
+                         THEN en * e2 END) AS DECIMAL(38,0)) AS g2,
+                (SELECT MAX(n) FROM tot) AS n
+            FROM lagd
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND(CAST(ss2 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * n)
+                     / (CAST(g0 AS DOUBLE)
+                        + 2 * (2.0 / 3.0) * CAST(g1 AS DOUBLE)
+                        + 2 * (1.0 / 3.0) * CAST(g2 AS DOUBLE)), 4)
+                   AS kpss_eta,
+               CAST(CAST(ss2 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * n)
+                    / (CAST(g0 AS DOUBLE)
+                       + 2 * (2.0 / 3.0) * CAST(g1 AS DOUBLE)
+                       + 2 * (1.0 / 3.0) * CAST(g2 AS DOUBLE))
+                    > 0.463 AS BOOLEAN) AS reject_stationarity
+        FROM m
+    """,
+    section="TS36",
+    doc="KPSS level-stationarity test on the daily event-count series "
+    "(Bartlett bandwidth 2): eta = n^-2 * sum(S_t^2) / s2_lr, with "
+    "the 5% critical value 0.463 verdict — the NULL-reversed "
+    "complement of TS14's Mann-Kendall (MK's null is 'no trend'; "
+    "KPSS's null is 'stationary', so MK-insignificant + KPSS-reject "
+    "= a unit root, not a clean series: difference before Holt) and "
+    "the gate that decides TS17/TS24's differencing step. Exactness "
+    "device: residuals are kept as INTEGER NUMERATORS e = n*x - S "
+    "(the mean's denominator n cancels between numerator and "
+    "denominator of eta), so partial sums, their squares, and the "
+    "Bartlett autocovariances are all exact DECIMAL(38,0) sums; "
+    "the only float ops are the final weighted combination and "
+    "ratio (rule 10). Scale: day-spine windows (TS7), one "
+    "reduction.",
+)
+def q_ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    e = d.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("en"),
+    )
+    w = Window.orderBy("day")
+    ps = e.select(
+        "day",
+        "n",
+        "en",
+        F.sum("en")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("st"),
+    )
+    lagd = ps.select(
+        "n",
+        "en",
+        "st",
+        F.lag("en", 1).over(w).alias("e1"),
+        F.lag("en", 2).over(w).alias("e2"),
+    )
+    m = lagd.agg(
+        F.sum(F.col("st").cast("decimal(19,0)") * F.col("st"))
+        .cast("decimal(38,0)")
+        .alias("ss2"),
+        F.sum(F.col("en").cast("decimal(19,0)") * F.col("en"))
+        .cast("decimal(38,0)")
+        .alias("g0"),
+        F.sum(
+            F.when(
+                F.col("e1").isNotNull(),
+                F.col("en").cast("decimal(19,0)") * F.col("e1"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("g1"),
+        F.sum(
+            F.when(
+                F.col("e2").isNotNull(),
+                F.col("en").cast("decimal(19,0)") * F.col("e2"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("g2"),
+        F.max("n").cast("bigint").alias("n"),
+    )
+    s2lr = (
+        F.col("g0").cast("double")
+        + 2 * (2.0 / 3.0) * F.col("g1").cast("double")
+        + 2 * (1.0 / 3.0) * F.col("g2").cast("double")
+    )
+    eta = (
+        F.col("ss2").cast("double")
+        / (F.col("n").cast("double") * F.col("n"))
+        / s2lr
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(eta, 4).alias("kpss_eta"),
+        (eta > 0.463).alias("reject_stationarity"),
+    )
