@@ -6935,3 +6935,145 @@ def q_agg_prop_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rk").alias("severity_rank"),
         (F.col("az") > 2.807).alias("flagged_bonferroni"),
     )
+
+
+_CHOW_SPLIT = "1998-06-01"   # tested break point (fixture midpoint)
+
+
+def _chow_moments_duck(flt: str, sfx: str) -> str:
+    return f"""
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_{sfx},
+                   CAST(SUM(t) AS BIGINT) AS st_{sfx},
+                   CAST(SUM(y) AS BIGINT) AS sy_{sfx},
+                   CAST(SUM(t * t) AS BIGINT) AS stt_{sfx},
+                   CAST(SUM(t * y) AS BIGINT) AS sty_{sfx},
+                   CAST(SUM(y * y) AS BIGINT) AS syy_{sfx}
+            FROM d WHERE {flt}"""
+
+
+_CHOW_SSR_DUCK = (
+    "((CAST(n_{s} AS DOUBLE) * CAST(syy_{s} AS DOUBLE)"
+    "  - CAST(sy_{s} AS DOUBLE) * sy_{s})"
+    " - (CAST(n_{s} AS DOUBLE) * sty_{s}"
+    "    - CAST(st_{s} AS DOUBLE) * sy_{s})"
+    "   * (CAST(n_{s} AS DOUBLE) * sty_{s}"
+    "      - CAST(st_{s} AS DOUBLE) * sy_{s})"
+    "   / (CAST(n_{s} AS DOUBLE) * stt_{s}"
+    "      - CAST(st_{s} AS DOUBLE) * st_{s})) / n_{s}"
+)
+
+
+@register(
+    "q_agg_chow_test",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS t,
+                   CAST(o_orderdate < TIMESTAMP '{_CHOW_SPLIT}'
+                        AS BOOLEAN) AS pre,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) // 100000
+                       AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        mp AS ({_chow_moments_duck("TRUE", "p")}),
+        m1 AS ({_chow_moments_duck("pre", "1")}),
+        m2 AS ({_chow_moments_duck("NOT pre", "2")}),
+        ssr AS (
+            SELECT {_CHOW_SSR_DUCK.format(s="p")} AS ssr_p,
+                   {_CHOW_SSR_DUCK.format(s="1")} AS ssr_1,
+                   {_CHOW_SSR_DUCK.format(s="2")} AS ssr_2,
+                   mp.n_p AS n
+            FROM mp CROSS JOIN m1 CROSS JOIN m2
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND(ssr_p, 2) AS ssr_pooled,
+               ROUND(ssr_1 + ssr_2, 2) AS ssr_split,
+               ROUND(((ssr_p - (ssr_1 + ssr_2)) / 2)
+                     / ((ssr_1 + ssr_2) / (n - 4)), 4) AS chow_f
+        FROM ssr
+    """,
+    section="A88",
+    doc=f"Chow structural-break test of the daily-revenue linear trend "
+    f"at {_CHOW_SPLIT}: pooled-vs-segmented OLS residual sums, "
+    "F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1+SSR_2)/(n-2k)) with "
+    "k=2 — TS11's changepoint DETECTS where a break might be; Chow "
+    "TESTS a hypothesized break (a launch date, a pipeline "
+    "migration) with an F verdict, the difference between "
+    "exploration and certification. Each segment's SSR reduces "
+    "from six exact moments (daily revenue quantized to exact "
+    "THOUSANDS of dollars so every moment — including n*syy — stays "
+    "under 2^53: raw cent squares overflow int64 AND their "
+    "DECIMAL(38,0) sums round differently when cast to double "
+    "cross-engine, both observed) with the identical centered-"
+    "moment expression tree "
+    "(rule 10); t is a calendar day index, no window needed. "
+    "Scale: one day-grain collapse + three 6-moment reductions — "
+    "map-side-combinable everywhere.",
+)
+def q_agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    d = od.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (
+            F.col("o_orderdate") < F.lit(_CHOW_SPLIT).cast("timestamp")
+        ).alias("pre"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+            " as bigint)) as bigint) div 100000"
+        ).alias("y")
+    )
+
+    def _moments(df, sfx):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{sfx}"),
+            F.sum("t").cast("bigint").alias(f"st_{sfx}"),
+            F.sum("y").cast("bigint").alias(f"sy_{sfx}"),
+            F.sum(F.col("t") * F.col("t")).cast("bigint").alias(f"stt_{sfx}"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias(f"sty_{sfx}"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias(f"syy_{sfx}"),
+        )
+
+    mp = _moments(d, "p")
+    m1 = _moments(d.where(F.col("pre")), "1")
+    m2 = _moments(d.where(~F.col("pre")), "2")
+
+    def _ssr(s):
+        n = F.col(f"n_{s}").cast("double")
+        syy_c = n * F.col(f"syy_{s}").cast("double") - F.col(
+            f"sy_{s}"
+        ).cast("double") * F.col(f"sy_{s}")
+        sty_c = n * F.col(f"sty_{s}") - F.col(f"st_{s}").cast(
+            "double"
+        ) * F.col(f"sy_{s}")
+        stt_c = n * F.col(f"stt_{s}") - F.col(f"st_{s}").cast(
+            "double"
+        ) * F.col(f"st_{s}")
+        return (syy_c - sty_c * sty_c / stt_c) / F.col(f"n_{s}")
+
+    ssr = (
+        mp.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            _ssr("p").alias("ssr_p"),
+            _ssr("1").alias("ssr_1"),
+            _ssr("2").alias("ssr_2"),
+            F.col("n_p").alias("n"),
+        )
+    )
+    return ssr.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("ssr_p", 2).alias("ssr_pooled"),
+        F.round(F.col("ssr_1") + F.col("ssr_2"), 2).alias("ssr_split"),
+        F.round(
+            ((F.col("ssr_p") - (F.col("ssr_1") + F.col("ssr_2"))) / 2)
+            / ((F.col("ssr_1") + F.col("ssr_2")) / (F.col("n") - 4)),
+            4,
+        ).alias("chow_f"),
+    )

@@ -1450,3 +1450,84 @@ def q_win_time_to_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("mean_secs_to_error"),
     )
+
+
+_DM_SPLIT = "1998-06-01"   # period boundary (fixture midpoint)
+
+
+@register(
+    "q_win_decile_migration",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey AS cust,
+                   CASE WHEN o_orderdate < TIMESTAMP '{_DM_SPLIT}'
+                        THEN 0 ELSE 1 END AS period,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        deciled AS (
+            SELECT cust, period,
+                   CAST(ntile(10) OVER (
+                        PARTITION BY period
+                        ORDER BY cents, cust) AS INT) AS decile
+            FROM spend
+        ),
+        mig AS (
+            SELECT a.decile AS decile_from, b.decile AS decile_to
+            FROM (SELECT cust, decile FROM deciled WHERE period = 0) a
+            JOIN (SELECT cust, decile FROM deciled WHERE period = 1) b
+              ON a.cust = b.cust
+        )
+        SELECT decile_from, decile_to,
+               CAST(COUNT(*) AS BIGINT) AS n_customers
+        FROM mig GROUP BY 1, 2
+    """,
+    section="W35",
+    doc="Customer spend-decile MIGRATION matrix across a period "
+    "boundary: decile in the early period vs decile in the late "
+    "period, per-period ntile over exact cent totals with a "
+    "customer-key tie-break — the rank-mobility readout behind "
+    "CRM '(up/down)graded segments' and churn-risk models (A17's "
+    "churn transitions track STATE labels; this tracks RELATIVE "
+    "RANK, which moves even when absolute spend doesn't — the "
+    "distinction between a shrinking customer and a shrinking "
+    "market). Only customers present in BOTH periods appear (inner "
+    "join = the survivor cohort; E-family audits count the exits). "
+    "ntile over a totally-ordered key is deterministic; counts "
+    "exact. Scale: two keyed collapses + per-period ntile windows "
+    "(10-way split, value-domain ordered) + one co-keyed join.",
+)
+def q_win_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_DM_SPLIT).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("period").orderBy("cents", "cust")
+    deciled = spend.select(
+        "cust", "period", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+    a = deciled.where(F.col("period") == 0).select(
+        "cust", F.col("decile").alias("decile_from")
+    )
+    b = deciled.where(F.col("period") == 1).select(
+        "cust", F.col("decile").alias("decile_to")
+    )
+    return (
+        a.join(b, "cust")
+        .groupBy("decile_from", "decile_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
