@@ -7077,3 +7077,149 @@ def q_agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("chow_f"),
     )
+
+
+def _bartlett_fold(expr_fmt: str) -> str:
+    t = expr_fmt.format(i=0)
+    for i in range(1, 5):
+        t = f"({t} + {expr_fmt.format(i=i)})"
+    return t
+
+
+@register(
+    "q_agg_bartlett",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        piv AS (
+            SELECT {{pivot}}
+            FROM rows_kv
+        ),
+        vr AS (
+            SELECT *,
+                   {", ".join(
+                       f"(CAST(n_{i} AS DOUBLE) * q_{i}"
+                       f" - CAST(s_{i} AS DOUBLE) * s_{i})"
+                       f" / (CAST(n_{i} AS DOUBLE) * (n_{i} - 1))"
+                       f" AS v_{i}"
+                       for i in range(5)
+                   )},
+                   {_bartlett_fold("CAST(n_{i} AS BIGINT)")} AS n
+            FROM piv
+        ),
+        sp AS (
+            SELECT *,
+                   {_bartlett_fold("(n_{i} - 1) * v_{i}")}
+                       / (n - 5) AS s2p
+            FROM vr
+        ),
+        chi AS (
+            SELECT n, s2p,
+                   (CAST(n - 5 AS DOUBLE) * ln(s2p)
+                    - {_bartlett_fold("(n_{i} - 1) * ln(v_{i})")})
+                   / (1 + ({_bartlett_fold("1.0 / (n_{i} - 1)")}
+                           - 1.0 / (n - 5)) / 12.0) AS stat
+            FROM sp
+        )
+        SELECT CAST(n AS BIGINT) AS n, 4 AS df,
+               ROUND(stat, 4) AS bartlett_chi2
+        FROM chi
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v * v ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A89",
+    doc="Bartlett's variance-homogeneity chi-square across the 5 "
+    "priority classes on whole-dollar totals — the PARAMETRIC "
+    "sibling of A73's Brown-Forsythe (Bartlett is more powerful "
+    "under normality but famously fragile to heavy tails; report "
+    "both, and BF-pass + Bartlett-reject is itself a kurtosis "
+    "signal). Group variances rebuild from the A66 one-pass exact "
+    "BIGINT moments; the ln() terms and harmonic correction fold "
+    "through the explicit left-nested device so both engines share "
+    "one IEEE tree (rule 10 — ln on bit-identical inputs, 4dp "
+    "output absorbs the libm ulp tail). Scale: one map-side "
+    "reduction to a 1-row statistic.",
+)
+def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    piv = rows_kv.agg(
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+                F.sum(
+                    F.when(F.col("grp") == p, F.col("v") * F.col("v"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"q_{i}"),
+            )
+        ]
+    )
+
+    def _fold(make):
+        t = make(0)
+        for i in range(1, 5):
+            t = t + make(i)
+        return t
+
+    vr = piv.select(
+        "*",
+        *[
+            (
+                (
+                    F.col(f"n_{i}").cast("double") * F.col(f"q_{i}")
+                    - F.col(f"s_{i}").cast("double") * F.col(f"s_{i}")
+                )
+                / (F.col(f"n_{i}").cast("double") * (F.col(f"n_{i}") - 1))
+            ).alias(f"v_{i}")
+            for i in range(5)
+        ],
+        _fold(lambda i: F.col(f"n_{i}").cast("bigint")).alias("n"),
+    )
+    sp = vr.select(
+        "*",
+        (
+            _fold(lambda i: (F.col(f"n_{i}") - 1) * F.col(f"v_{i}"))
+            / (F.col("n") - 5)
+        ).alias("s2p"),
+    )
+    stat = (
+        (F.col("n") - 5).cast("double") * F.log(F.col("s2p"))
+        - _fold(lambda i: (F.col(f"n_{i}") - 1) * F.log(F.col(f"v_{i}")))
+    ) / (
+        1
+        + (
+            _fold(lambda i: 1.0 / (F.col(f"n_{i}") - 1))
+            - 1.0 / (F.col("n") - 5)
+        )
+        / 12.0
+    )
+    return sp.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(4).cast("int").alias("df"),
+        F.round(stat, 4).alias("bartlett_chi2"),
+    )

@@ -1820,3 +1820,158 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_intra"),
         )
     )
+
+
+@register(
+    "q_dedup_shingle_curve",
+    oracle="""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents WHERE lang = 'de'
+        ),
+        sets AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(toks) AS s1,
+                   list_distinct(list_transform(
+                        range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1])) AS s2,
+                   list_distinct(list_transform(
+                        range(1, len(toks) - 1),
+                        i -> toks[i] || ' ' || toks[i + 1]
+                             || ' ' || toks[i + 2])) AS s3
+            FROM tok
+        ),
+        cand AS MATERIALIZED (
+            SELECT a.doc_id AS lo, b.doc_id AS hi,
+                   CAST(len(list_filter(a.s1,
+                        x -> list_contains(b.s1, x))) AS DOUBLE)
+                   / (len(a.s1) + len(b.s1)
+                      - len(list_filter(a.s1,
+                            x -> list_contains(b.s1, x)))) AS j1,
+                   CAST(len(list_filter(a.s2,
+                        x -> list_contains(b.s2, x))) AS DOUBLE)
+                   / (len(a.s2) + len(b.s2)
+                      - len(list_filter(a.s2,
+                            x -> list_contains(b.s2, x)))) AS j2,
+                   CAST(len(list_filter(a.s3,
+                        x -> list_contains(b.s3, x))) AS DOUBLE)
+                   / (len(a.s3) + len(b.s3)
+                      - len(list_filter(a.s3,
+                            x -> list_contains(b.s3, x)))) AS j3
+            FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.s1,
+                       x -> list_contains(b.s1, x))) AS DOUBLE)
+                  / (len(a.s1) + len(b.s1)
+                     - len(list_filter(a.s1,
+                           x -> list_contains(b.s1, x)))) >= 0.5
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+               ROUND(CAST(SUM(CAST(floor(j1 * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12 / COUNT(*), 4) AS mean_j_w1,
+               ROUND(CAST(SUM(CAST(floor(j2 * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12 / COUNT(*), 4) AS mean_j_w2,
+               ROUND(CAST(SUM(CAST(floor(j3 * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12 / COUNT(*), 4) AS mean_j_w3,
+               CAST(SUM(CASE WHEN j2 >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass_w2,
+               CAST(SUM(CASE WHEN j3 >= 0.5 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_pass_w3
+        FROM cand
+    """,
+    section="D23",
+    doc="Shingle-width sensitivity curve: the >=0.5 unigram-Jaccard "
+    "candidate pairs re-scored under 2-gram and 3-gram shingles — "
+    "THE MinHash hyperparameter study (wider shingles demand "
+    "word-ORDER agreement, so bag-of-words near-dups that survive "
+    "w=1 die at w=3; how fast mean similarity and the survivor "
+    "count decay tells you whether the corpus duplicates by "
+    "copying (order preserved -> slow decay -> w=3 is safe and "
+    "stricter) or by template-refilling (order broken -> fast "
+    "decay -> w=3 would miss real dups). Complements D13's "
+    "permutation-count calibration on the other MinHash axis. "
+    "Shingle sets built row-local; pair join on the D20 candidate "
+    "floor; means through the floor-1e12 DECIMAL fold (rule 10). "
+    "Scale: at size the candidates come from D1's banding; the "
+    "re-score is per-pair row-local.",
+)
+def q_dedup_shingle_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    toks = F.split(F.col("text"), " ")
+    tok = docs.select("doc_id", toks.alias("toks"))
+
+    def _sh(n):
+        if n == 1:
+            return F.array_distinct(F.col("toks"))
+        return F.array_distinct(
+            F.transform(
+                F.slice(
+                    F.col("toks"), 1, F.size("toks") - (n - 1)
+                ),
+                lambda x, i: F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("toks"), i + k + 1)
+                        for k in range(n)
+                    ],
+                ),
+            )
+        )
+
+    sets = tok.select(
+        "doc_id",
+        _sh(1).alias("s1"),
+        _sh(2).alias("s2"),
+        _sh(3).alias("s3"),
+    )
+    a = sets.select(
+        F.col("doc_id").alias("lo"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+        F.col("s3").alias("a3"),
+    )
+    b = sets.select(
+        F.col("doc_id").alias("hi"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+        F.col("s3").alias("b3"),
+    )
+
+    def _j(x, y):
+        inter = F.size(F.array_intersect(x, y))
+        return inter.cast("double") / (
+            F.size(x) + F.size(y) - inter
+        )
+
+    cand = (
+        a.join(b, F.col("lo") < F.col("hi"))
+        .where(_j("a1", "b1") >= 0.5)
+        .select(
+            _j("a1", "b1").alias("j1"),
+            _j("a2", "b2").alias("j2"),
+            _j("a3", "b3").alias("j3"),
+        )
+    )
+
+    def _qm(c):
+        return (
+            F.sum(F.floor(F.col(c) * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12
+            / F.count(F.lit(1))
+        )
+
+    return cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.round(_qm("j1"), 4).alias("mean_j_w1"),
+        F.round(_qm("j2"), 4).alias("mean_j_w2"),
+        F.round(_qm("j3"), 4).alias("mean_j_w3"),
+        F.sum(F.when(F.col("j2") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_w2"),
+        F.sum(F.when(F.col("j3") >= 0.5, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass_w3"),
+    )
