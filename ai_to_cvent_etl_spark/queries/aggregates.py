@@ -7223,3 +7223,108 @@ def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(4).cast("int").alias("df"),
         F.round(stat, 4).alias("bartlett_chi2"),
     )
+
+
+@register(
+    "q_agg_dist_fit",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS x
+            FROM orders
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE)) * 1e9)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                       AS sl,
+                   CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE))
+                                       * ln(CAST(x AS DOUBLE)) * 1e9)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                       AS ql
+            FROM v
+        ),
+        p AS (
+            SELECT n,
+                   CAST(s AS DOUBLE) / n AS mu,
+                   (CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var,
+                   sl / n AS mu_ln,
+                   (ql - sl * sl / n) / (n - 1) AS var_ln
+            FROM m
+        )
+        SELECT n,
+               ROUND(mu, 4) AS normal_mu,
+               ROUND(sqrt(var), 4) AS normal_sigma,
+               ROUND(mu_ln, 6) AS lognormal_mu,
+               ROUND(sqrt(var_ln), 6) AS lognormal_sigma,
+               ROUND(mu * mu / var, 4) AS gamma_shape,
+               ROUND(var / mu, 4) AS gamma_scale
+        FROM p
+    """,
+    section="A90",
+    doc="Distribution moment-fit panel on whole-dollar order totals: "
+    "normal (mu, sigma), lognormal (mean/sd of ln x), and gamma "
+    "(method-of-moments shape mu^2/var, scale var/mu) parameter "
+    "estimates in one pass — the parametric-modeling on-ramp every "
+    "pricing/latency/LTV model starts from (fit all three, then "
+    "A27/A86's KS against each fitted form picks the family; gamma "
+    "shape >> 1 also certifies the CLT-normality A28 leans on). "
+    "Integer moments exact; the ln and ln^2 terms fold through "
+    "floor-1e9 DECIMAL sums (rule 10 — ln on bit-identical integer-"
+    "valued doubles); every output is a single IEEE tree over the "
+    "folded moments. Scale: ONE map-side-combinable reduction.",
+)
+def q_agg_dist_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = od.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("x")
+    )
+    lnx = F.log(F.col("x").cast("double"))
+    m = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+        (
+            F.sum(F.floor(lnx * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+        ).alias("sl"),
+        (
+            F.sum(
+                F.floor(lnx * lnx * 1e9).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e9
+        ).alias("ql"),
+    )
+    p = m.select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+        (F.col("sl") / F.col("n")).alias("mu_ln"),
+        (
+            (F.col("ql") - F.col("sl") * F.col("sl") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_ln"),
+    )
+    return p.select(
+        "n",
+        F.round("mu", 4).alias("normal_mu"),
+        F.round(F.sqrt("var"), 4).alias("normal_sigma"),
+        F.round("mu_ln", 6).alias("lognormal_mu"),
+        F.round(F.sqrt("var_ln"), 6).alias("lognormal_sigma"),
+        F.round(F.col("mu") * F.col("mu") / F.col("var"), 4).alias(
+            "gamma_shape"
+        ),
+        F.round(F.col("var") / F.col("mu"), 4).alias("gamma_scale"),
+    )

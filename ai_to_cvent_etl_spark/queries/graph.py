@@ -1771,3 +1771,86 @@ def q_graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scc.groupBy(
         F.col("scc_id").cast("bigint").alias("scc_id")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("scc_size"))
+
+
+@register(
+    "q_graph_edge_support",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        tri AS (
+            SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        ),
+        esup AS (
+            SELECT e.lo, e.hi,
+                   CAST(COUNT(t.lo) AS BIGINT) AS support
+            FROM edges e
+            LEFT JOIN (
+                SELECT a AS lo, b AS hi FROM tri
+                UNION ALL SELECT b, c FROM tri
+                UNION ALL SELECT a, c FROM tri
+            ) t ON t.lo = e.lo AND t.hi = e.hi
+            GROUP BY e.lo, e.hi
+        )
+        SELECT support,
+               CAST(COUNT(*) AS BIGINT) AS n_edges,
+               CAST(SUM(CASE WHEN support >= 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS in_3_truss,
+               CAST(SUM(CASE WHEN support >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS in_4_truss_candidates
+        FROM esup GROUP BY support
+    """,
+    section="G21",
+    doc="Edge triangle-SUPPORT histogram of the mutual top-8 supplier "
+    "graph: for every edge, the number of triangles it participates "
+    "in, plus per-bucket counts of edges meeting the k-truss entry "
+    "thresholds (support >= k-2 for k=3,4) — the cohesion profile "
+    "that sits between G2's per-NODE triangle counts and G6's "
+    "k-core: node-level counts can't see that a high-triangle node's "
+    "edges split into one dense pocket plus bridges, and the support "
+    "histogram is what chooses k before a full truss decomposition "
+    "(the histogram's first peel round; full peeling iterates the "
+    "same support join to a fixpoint — G19's checkpointed-rounds "
+    "device when needed). Same bounded wedge join as G2 (degree <= 8 "
+    "by construction); each triangle contributes support to its "
+    "three edges via the lo<hi-ordered union. All-integer, exact. "
+    "Scale: wedge join bounded at 64 candidates/node at any SF.",
+)
+def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .select("a", "b", "c")
+    )
+    tedges = (
+        tri.select(F.col("a").alias("tlo"), F.col("b").alias("thi"))
+        .unionAll(tri.select(F.col("b").alias("tlo"), F.col("c").alias("thi")))
+        .unionAll(tri.select(F.col("a").alias("tlo"), F.col("c").alias("thi")))
+    )
+    esup = (
+        edges.join(
+            tedges,
+            (F.col("lo") == F.col("tlo")) & (F.col("hi") == F.col("thi")),
+            "left",
+        )
+        .groupBy("lo", "hi")
+        .agg(F.count(F.col("tlo")).cast("bigint").alias("support"))
+    )
+    return esup.groupBy("support").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("support") >= 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_3_truss"),
+        F.sum(F.when(F.col("support") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_4_truss_candidates"),
+    )

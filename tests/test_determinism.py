@@ -169,6 +169,15 @@ RISKY = [
     # post-hoc window — partition independence is the design claim.
     "q_vec_energy_distance",
     "q_agg_prop_posthoc",
+    # waves 86-89: the KPSS partial-sum window, per-period ntile
+    # migration, Bartlett/dist-fit quantized ln folds, and the
+    # shingle-curve quantized means — partition independence is each
+    # one's design claim.
+    "q_ts_kpss",
+    "q_win_decile_migration",
+    "q_agg_bartlett",
+    "q_dedup_shingle_curve",
+    "q_agg_dist_fit",
 ]
 
 
