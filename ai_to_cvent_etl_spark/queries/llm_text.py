@@ -1839,3 +1839,63 @@ def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+@register(
+    "q_text_hapax_ratio",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY lang, tok
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hapax,
+               CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dis,
+               ROUND(CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6) AS hapax_ratio
+        FROM counts GROUP BY lang
+    """,
+    section="L25",
+    doc="Hapax legomena profile per language partition: types seen "
+    "exactly once (and twice — dis legomena), with the hapax share "
+    "of the vocabulary — the lexical-richness tail statistic that "
+    "L22's Heaps exponent integrates and L7's Zipf slope smooths "
+    "over: a NATURAL corpus runs ~40-60% hapax; a templated or "
+    "model-generated one collapses the tail (low hapax share at "
+    "normal vocab size), and hapax mass is also exactly the "
+    "unseen-event mass Good-Turing smoothing (L10's Kneser-Ney "
+    "cousin) estimates from. One (lang, token) count, one 5-row "
+    "rollup — exact integers to the final share. Scale: the count "
+    "table is the vocabulary grain (Heaps-bounded), the only "
+    "shuffle.",
+)
+def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis"),
+        F.round(
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("hapax_ratio"),
+    )

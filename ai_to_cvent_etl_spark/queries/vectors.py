@@ -2867,3 +2867,135 @@ def q_vec_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("energy_distance"),
         )
     )
+
+
+@register(
+    "q_vec_centroid_margin",
+    oracle="""
+        WITH ex AS MATERIALIZED (
+            SELECT vec_id, label, u.i AS i, CAST(u.x AS DOUBLE) AS x
+            FROM (
+                SELECT vec_id, label,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM embeddings
+            )
+        ),
+        cent AS MATERIALIZED (
+            SELECT label AS clabel, i,
+                   CAST(SUM(CAST(floor(x * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 / COUNT(*) AS c
+            FROM ex GROUP BY label, i
+        ),
+        cn AS (
+            SELECT clabel,
+                   CAST(SUM(CAST(floor(c * c * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 AS cn2
+            FROM cent GROUP BY clabel
+        ),
+        vn AS (
+            SELECT vec_id,
+                   CAST(SUM(CAST(floor(x * x * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 AS n2
+            FROM ex GROUP BY vec_id
+        ),
+        sims AS (
+            SELECT e.vec_id, e.label, c.clabel,
+                   CAST(SUM(CAST(floor(e.x * c.c * 1e12)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e12
+                   / sqrt(v.n2 * n.cn2) AS sim
+            FROM ex e
+            JOIN cent c ON c.i = e.i
+            JOIN vn v ON v.vec_id = e.vec_id
+            JOIN cn n ON n.clabel = c.clabel
+            GROUP BY e.vec_id, e.label, c.clabel, v.n2, n.cn2
+        ),
+        margin AS (
+            SELECT vec_id, label,
+                   MAX(CASE WHEN clabel = label THEN sim END)
+                   - MAX(CASE WHEN clabel <> label THEN sim END) AS m
+            FROM sims GROUP BY vec_id, label
+        )
+        SELECT CAST(label AS INTEGER) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               ROUND(CAST(SUM(CAST(floor(m * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9 / COUNT(*), 4) AS mean_margin,
+               CAST(SUM(CASE WHEN m < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_negative_margin
+        FROM margin GROUP BY label
+    """,
+    section="V34",
+    doc="Supervised class-separability margin: per vector, cosine to "
+    "its OWN label centroid minus the best rival centroid cosine, "
+    "aggregated per label (mean margin + count of negative-margin "
+    "vectors) — the label-aware audit V26's silhouette can't give "
+    "(silhouette scores geometric clusters; this scores whether the "
+    "LABELS are geometrically recoverable, and a label with fat "
+    "negative-margin mass either has noisy annotations or needs a "
+    "nonlinear probe — run BEFORE trusting V15's kNN eval). "
+    "Exactness: centroids are quantized per-dim means, every dot/"
+    "norm is a floor-1e12 DECIMAL fold over the relational "
+    "(dim-keyed) product, margins fold at 1e9 (rule 10 throughout) "
+    "— bit-identical cross-engine including the rival argmax. "
+    "Scale: the only big table is (vec x dim x label) products, "
+    "dim-keyed and label-bounded; centroids broadcast.",
+)
+def q_vec_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("i") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+
+    def _q12(c):
+        return (
+            F.sum(F.floor(c * 1e12).cast("decimal(38,0)")).cast("double")
+            / 1e12
+        )
+
+    cent = ex.groupBy(F.col("label").alias("clabel"), "i").agg(
+        (_q12(F.col("x")) / F.count(F.lit(1))).alias("c")
+    )
+    cn = cent.groupBy("clabel").agg(
+        _q12(F.col("c") * F.col("c")).alias("cn2")
+    )
+    vn = ex.groupBy("vec_id").agg(_q12(F.col("x") * F.col("x")).alias("n2"))
+    sims = (
+        ex.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(_q12(F.col("x") * F.col("c")).alias("dq"))
+        .join(vn, "vec_id")
+        .join(F.broadcast(cn), "clabel")
+        .select(
+            "vec_id",
+            "label",
+            "clabel",
+            (F.col("dq") / F.sqrt(F.col("n2") * F.col("cn2"))).alias("sim"),
+        )
+    )
+    margin = sims.groupBy("vec_id", "label").agg(
+        (
+            F.max(F.when(F.col("clabel") == F.col("label"), F.col("sim")))
+            - F.max(
+                F.when(F.col("clabel") != F.col("label"), F.col("sim"))
+            )
+        ).alias("m")
+    )
+    return margin.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.round(
+            F.sum(F.floor(F.col("m") * 1e9).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e9
+            / F.count(F.lit(1)),
+            4,
+        ).alias("mean_margin"),
+        F.sum(F.when(F.col("m") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative_margin"),
+    )
