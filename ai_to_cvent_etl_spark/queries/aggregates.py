@@ -7328,3 +7328,261 @@ def q_agg_dist_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("var") / F.col("mu"), 4).alias("gamma_scale"),
     )
+
+
+@register(
+    "q_agg_deming",
+    oracle="""
+        WITH pair AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100000 AS x,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) // 100000
+                       AS y
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pair
+        ),
+        c AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx AS cxx,
+                   CAST(n AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * sy AS cyy,
+                   CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy AS cxy,
+                   CAST(sx AS DOUBLE) / n AS mx,
+                   CAST(sy AS DOUBLE) / n AS my
+            FROM m
+        )
+        SELECT n,
+               ROUND((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4 * cxy * cxy))
+                     / (2 * cxy), 6) AS deming_slope,
+               ROUND(my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                            + 4 * cxy * cxy))
+                          / (2 * cxy) * mx, 4) AS deming_intercept,
+               ROUND(cxy / sqrt(cxx * cyy), 6) AS pearson_r
+        FROM c
+    """,
+    section="A91",
+    doc="Deming (errors-in-both-variables, lambda=1) regression of "
+    "summed line value on header value per order, in exact whole "
+    "thousands — the METHOD-COMPARISON fit that belongs beside "
+    "A82's Bland-Altman: OLS assumes x is error-free and so biases "
+    "the slope toward 0 when both measurements carry noise; the "
+    "Deming slope's departure from 1 is the PROPORTIONAL bias "
+    "(large orders drifting) that BA's constant limits of "
+    "agreement can't represent. Closed form from six exact integer "
+    "moments (k$ quantization keeps n*syy under 2^53 — A88's "
+    "lesson); slope/intercept/r are single IEEE trees (rule 10). "
+    "Scale: one co-keyed collapse + one reduction.",
+)
+def q_agg_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.expr(
+                "cast(sum(cast(cast(l_extendedprice as decimal(18,2))"
+                " * 100 as bigint)) as bigint) div 100000"
+            ).alias("y")
+        )
+        .select(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                " as bigint) div 100000"
+            ).alias("x"),
+            "y",
+        )
+    )
+    m = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    c = m.select(
+        "n",
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+    )
+    slope = (
+        F.col("cyy")
+        - F.col("cxx")
+        + F.sqrt(
+            (F.col("cyy") - F.col("cxx")) * (F.col("cyy") - F.col("cxx"))
+            + 4 * F.col("cxy") * F.col("cxy")
+        )
+    ) / (2 * F.col("cxy"))
+    return c.select(
+        "n",
+        F.round(slope, 6).alias("deming_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias(
+            "deming_intercept"
+        ),
+        F.round(
+            F.col("cxy") / F.sqrt(F.col("cxx") * F.col("cyy")), 6
+        ).alias("pearson_r"),
+    )
+
+
+@register(
+    "q_agg_icc",
+    oracle="""
+        WITH v AS (
+            SELECT c.c_nationkey AS blk,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100000 AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        g AS (
+            SELECT blk,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT) AS s_g
+            FROM v GROUP BY blk
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                                       * 1e6) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e6 AS ssb_terms
+            FROM g
+        ),
+        q AS (
+            SELECT CAST(SUM(x * x) AS BIGINT) AS sq FROM v
+        ),
+        anova AS (
+            SELECT t.n, t.k,
+                   t.ssb_terms
+                   - CAST(t.s AS DOUBLE) * t.s / t.n AS ssb,
+                   CAST(q.sq AS DOUBLE) - t.ssb_terms AS ssw,
+                   (CAST(t.n AS DOUBLE)
+                    - CAST(SUM(CAST(floor(CAST(g.n_g AS DOUBLE) * g.n_g
+                                          / t.n * 1e6)
+                                    AS DECIMAL(38,0))) AS DOUBLE) / 1e6)
+                   / (t.k - 1) AS n0
+            FROM tot t CROSS JOIN q CROSS JOIN g
+            GROUP BY t.n, t.k, t.ssb_terms, t.s, q.sq
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_blocks,
+               ROUND(n0, 4) AS n0_effective,
+               ROUND((ssb / (k - 1) - ssw / (n - k))
+                     / (ssb / (k - 1) + (n0 - 1) * (ssw / (n - k))), 6)
+                   AS icc1
+        FROM anova
+    """,
+    section="A92",
+    doc="Intraclass correlation ICC(1) of order values within nation "
+    "blocks (one-way random-effects ANOVA estimator with the "
+    "unbalanced-design n0 correction): how much of total variance "
+    "is BETWEEN-nation — the design-effect input that justifies "
+    "A79's group jackknife (ICC ~ 0 means rows are exchangeable "
+    "and IID error bars are fine; ICC > 0 inflates the effective-"
+    "sample-size penalty 1+(m-1)*ICC that clustered pipelines "
+    "must apply). MSB/MSW rebuild from exact BIGINT group sums "
+    "over values quantized to whole THOUSANDS — Spark's "
+    "floor(double) returns BIGINT and silently CLAMPS at "
+    "Long.MAX, so a dollar-grain s_g^2/n_g*1e6 term (~4e19) "
+    "corrupts the fold on one engine only (observed; DuckDB's "
+    "floor stays double) — and the two variable-count folds over "
+    "the 25-node block table (sum of s_g^2/n_g, sum of n_g^2/n) "
+    "go through floor-1e6 DECIMAL quantization since the block "
+    "domain isn't a fixed unrollable list (rule 10). Scale: one group collapse + "
+    "25-row arithmetic.",
+)
+def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    v = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_nationkey").alias("blk"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100000"
+        ).alias("x"),
+    )
+    g = v.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+    )
+    tot_scalars = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("s_g").cast("double")
+                    * F.col("s_g")
+                    / F.col("n_g")
+                    * 1e6
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("ssb_terms"),
+    )
+    sq = v.agg(F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sq"))
+    n0df = (
+        g.crossJoin(F.broadcast(tot_scalars))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("n_g").cast("double")
+                        * F.col("n_g")
+                        / F.col("n")
+                        * 1e6
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
+            ).alias("sum_ng2_over_n")
+        )
+    )
+    anova = (
+        tot_scalars.crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(n0df))
+        .select(
+            "n",
+            "k",
+            (
+                F.col("ssb_terms")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).alias("ssb"),
+            (F.col("sq").cast("double") - F.col("ssb_terms")).alias("ssw"),
+            (
+                (F.col("n").cast("double") - F.col("sum_ng2_over_n"))
+                / (F.col("k") - 1)
+            ).alias("n0"),
+        )
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    return anova.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("k_blocks"),
+        F.round("n0", 4).alias("n0_effective"),
+        F.round(
+            (msb - msw) / (msb + (F.col("n0") - 1) * msw), 6
+        ).alias("icc1"),
+    )
