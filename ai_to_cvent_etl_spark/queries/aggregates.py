@@ -7586,3 +7586,99 @@ def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (msb - msw) / (msb + (F.col("n0") - 1) * msw), 6
         ).alias("icc1"),
     )
+
+
+@register(
+    "q_agg_lorenz_points",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+            FROM cust
+        ),
+        per_dec AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_d,
+                   CAST(SUM(cents) AS BIGINT) AS c_d
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_d) AS BIGINT) AS n,
+                   CAST(SUM(c_d) AS BIGINT) AS c
+            FROM per_dec
+        )
+        SELECT CAST(p.decile AS INTEGER) AS decile,
+               CAST(SUM(p2.n_d) AS BIGINT) AS cum_customers,
+               CAST(SUM(p2.c_d) AS BIGINT) AS cum_cents,
+               ROUND(CAST(SUM(p2.n_d) AS DOUBLE) / MAX(t.n), 6)
+                   AS pop_share,
+               ROUND(CAST(SUM(p2.c_d) AS DOUBLE) / MAX(t.c), 6)
+                   AS revenue_share
+        FROM per_dec p
+        JOIN per_dec p2 ON p2.decile <= p.decile
+        CROSS JOIN tot t
+        GROUP BY p.decile
+    """,
+    section="A93",
+    doc="Lorenz curve coordinates at customer-revenue deciles: "
+    "cumulative population share vs cumulative revenue share, "
+    "poorest decile first — the CURVE whose enclosed area A19's "
+    "Gini scalar integrates, and the actionable form ('bottom 50% "
+    "of customers hold 9% of revenue') that concentration policies "
+    "and HHI thresholds (A35) are argued from. Deciles via ntile "
+    "over the totally-ordered exact cent totals (E42's remainder "
+    "contract); the cumulative join runs on the 10-row decile "
+    "table; every share is one division over exact BIGINTs. Scale: "
+    "one customer collapse + a 10-row triangular self-join.",
+)
+def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("cents").cast("bigint").alias("c_d"),
+    )
+    tot = per_dec.agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.sum("c_d").cast("bigint").alias("c"),
+    )
+    p2 = per_dec.select(
+        F.col("decile").alias("d2"),
+        F.col("n_d").alias("n2"),
+        F.col("c_d").alias("c2"),
+    )
+    return (
+        per_dec.join(F.broadcast(p2), F.col("d2") <= F.col("decile"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.sum("n2").cast("bigint").alias("cum_customers"),
+            F.sum("c2").cast("bigint").alias("cum_cents"),
+            F.round(
+                F.sum("n2").cast("double") / F.max("n"), 6
+            ).alias("pop_share"),
+            F.round(
+                F.sum("c2").cast("double") / F.max("c"), 6
+            ).alias("revenue_share"),
+        )
+    )

@@ -3359,3 +3359,155 @@ def q_ts_kpss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(eta, 4).alias("kpss_eta"),
         (eta > 0.463).alias("reject_stationarity"),
     )
+
+
+def _se_fold(expr_fmt: str) -> str:
+    t = expr_fmt.format(i=0)
+    for i in range(1, len(_PERIODS)):
+        t = f"({t} + {expr_fmt.format(i=i)})"
+    return t
+
+
+@register(
+    "q_ts_spectral_entropy",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(date_diff('day', TIMESTAMP '1995-01-01',
+                                  o_orderdate) AS BIGINT) AS t,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        cent AS (
+            SELECT t,
+                   CAST(v AS DOUBLE)
+                   - CAST(SUM(v) OVER () AS DOUBLE)
+                     / CAST(COUNT(*) OVER () AS DOUBLE) AS x
+            FROM daily
+        ),
+        freqs AS (SELECT unnest([{', '.join(str(p) for p in _PERIODS)}]) AS period),
+        proj AS (
+            SELECT f.period,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(floor(c.x * cos({_PI2} * (c.t % f.period) / f.period)
+                                       * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 AS sc,
+                   CAST(SUM(CAST(floor(c.x * sin({_PI2} * (c.t % f.period) / f.period)
+                                       * 1e4) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e4 AS ss
+            FROM cent c CROSS JOIN freqs f
+            GROUP BY f.period
+        ),
+        piv AS (
+            SELECT {", ".join(
+                f"MAX(CASE WHEN period = {p} THEN"
+                f" (sc * sc + ss * ss) * 2.0 / n END) AS pw_{i}"
+                for i, p in enumerate(_PERIODS)
+            )}
+            FROM proj
+        ),
+        norm AS (
+            SELECT *, {_se_fold("pw_{i}")} AS total
+            FROM piv
+        )
+        SELECT ROUND(-({_se_fold("pw_{i}/total * ln(pw_{i}/total)")})
+                     / ln({len(_PERIODS)}.0), 4) AS spectral_entropy,
+               ROUND(greatest({", ".join(f"pw_{i}" for i in range(len(_PERIODS)))})
+                     / total, 4) AS dominant_share
+        FROM norm
+    """,
+    section="TS37",
+    doc="Normalized spectral entropy over TS21's fixed-frequency "
+    f"periodogram (periods {_PERIODS}): the power distribution's "
+    "entropy scaled to [0,1] by ln(k), plus the dominant line's "
+    "share — THE forecastability index (entropy near 0 = one "
+    "cadence owns the variance, seasonal models will work; near 1 "
+    "= white-ish spectrum, TS17/TS24 will chase noise and the "
+    "honest forecast is the TS13 naive baseline). Reuses TS21's "
+    "exact quantized projections verbatim; the power pivot, "
+    "normalization, and p·ln p terms fold over the FIXED period "
+    "list with explicit left nesting (A66 device), so the only "
+    "libm calls run on bit-identical doubles (rule 10). Scale: "
+    "TS21's shape — |days| x |periods| projection, then scalar "
+    "arithmetic.",
+)
+def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy("o_orderdate").agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100"
+            " as bigint) div 100000"
+        ).alias("v")
+    ).select(
+        F.expr(
+            "cast(date_diff(DAY, timestamp '1995-01-01', o_orderdate)"
+            " as bigint)"
+        ).alias("t"),
+        "v",
+    )
+    wall = Window.partitionBy()
+    cent = daily.select(
+        "t",
+        (
+            F.col("v").cast("double")
+            - F.sum("v").over(wall).cast("double")
+            / F.count(F.lit(1)).over(wall).cast("double")
+        ).alias("x"),
+    )
+    freqs = spark.createDataFrame(
+        [(p,) for p in _PERIODS], "period int"
+    )
+    ang = F.lit(_PI2) * (F.col("t") % F.col("period")) / F.col("period")
+    proj = (
+        cent.crossJoin(F.broadcast(freqs))
+        .groupBy("period")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.cos(ang) * 1e4).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1e4
+            ).alias("sc"),
+            (
+                F.sum(
+                    F.floor(F.col("x") * F.sin(ang) * 1e4).cast(
+                        "decimal(38,0)"
+                    )
+                ).cast("double")
+                / 1e4
+            ).alias("ss"),
+        )
+    )
+    pw = (F.col("sc") * F.col("sc") + F.col("ss") * F.col("ss")) * 2.0 / F.col(
+        "n"
+    )
+    piv = proj.agg(
+        *[
+            F.max(F.when(F.col("period") == p, pw)).alias(f"pw_{i}")
+            for i, p in enumerate(_PERIODS)
+        ]
+    )
+
+    def _fold(make):
+        t = make(0)
+        for i in range(1, len(_PERIODS)):
+            t = t + make(i)
+        return t
+
+    norm = piv.select("*", _fold(lambda i: F.col(f"pw_{i}")).alias("total"))
+    ent = -_fold(
+        lambda i: F.col(f"pw_{i}")
+        / F.col("total")
+        * F.log(F.col(f"pw_{i}") / F.col("total"))
+    ) / F.log(F.lit(float(len(_PERIODS))))
+    return norm.select(
+        F.round(ent, 4).alias("spectral_entropy"),
+        F.round(
+            F.greatest(*[F.col(f"pw_{i}") for i in range(len(_PERIODS))])
+            / F.col("total"),
+            4,
+        ).alias("dominant_share"),
+    )
