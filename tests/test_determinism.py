@@ -178,6 +178,12 @@ RISKY = [
     "q_agg_bartlett",
     "q_dedup_shingle_curve",
     "q_agg_dist_fit",
+    # waves 90-92: the fully-quantized centroid-margin pipeline, the
+    # spectral-entropy fold over windowed projections, and the Lorenz
+    # ntile cumulative — partition independence is each one's claim.
+    "q_vec_centroid_margin",
+    "q_ts_spectral_entropy",
+    "q_agg_lorenz_points",
 ]
 
 
