@@ -1899,3 +1899,96 @@ def q_text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hapax_ratio"),
     )
+
+
+_POS_TOP_K = 20
+
+
+@register(
+    "q_text_position_bias",
+    oracle=f"""
+        WITH ex AS MATERIALIZED (
+            SELECT doc_id, u.tok AS tok,
+                   CAST(u.i AS BIGINT) AS pos,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM (
+                SELECT doc_id, text,
+                       unnest(list_transform(string_split(text, ' '),
+                              (t, i) -> struct_pack(tok := t, i := i))) AS u
+                FROM documents
+            )
+        ),
+        top AS (
+            SELECT tok FROM (
+                SELECT tok, COUNT(*) AS n,
+                       ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+                           AS rk
+                FROM ex GROUP BY tok
+            ) WHERE rk <= {_POS_TOP_K}
+        )
+        SELECT e.tok,
+               CAST(COUNT(*) AS BIGINT) AS n_occ,
+               ROUND(CAST(SUM(CAST(floor((CAST(e.pos AS DOUBLE) - 1)
+                                         / (e.n_tok - 1) * 1e9)
+                                   AS DECIMAL(38,0))) AS DOUBLE)
+                     / 1e9 / COUNT(*), 4) AS mean_rel_pos,
+               CAST(SUM(CASE WHEN e.pos = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_doc_initial
+        FROM ex e JOIN top t ON e.tok = t.tok
+        GROUP BY e.tok
+    """,
+    section="L26",
+    doc=f"Positional bias of the top-{_POS_TOP_K} tokens: mean RELATIVE "
+    "position (0 = document start, 1 = end) and document-initial "
+    "occurrence counts — the template-structure detector that "
+    "complements D21's prefix hash: a frequent token whose mean "
+    "position hugs 0 or 1 is boilerplate FURNITURE (headers, "
+    "footers, signatures) even when the surrounding prefix varies "
+    "enough to defeat exact-prefix hashing, and position-skewed "
+    "tokens are what document-BM25 (L5) over-weights when "
+    "boilerplate inflates their df. Positions are exact integers "
+    "from the ordered explode; relative positions fold through "
+    "floor-1e9 DECIMAL sums (rule 10). Scale: one token-key "
+    "count + a broadcast top-k join; the explode is the L-family "
+    "fan_out shape.",
+)
+def q_text_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("i", "tok"),
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tok"),
+    ).select(
+        "doc_id", "tok", (F.col("i") + 1).cast("bigint").alias("pos"), "n_tok"
+    )
+    top = (
+        ex.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "tok",
+            F.row_number()
+            .over(Window.orderBy(F.desc("n"), F.asc("tok")))
+            .alias("rk"),
+        )
+        .where(F.col("rk") <= _POS_TOP_K)
+        .select("tok")
+    )
+    rel = (F.col("pos").cast("double") - 1) / (F.col("n_tok") - 1)
+    return (
+        ex.join(F.broadcast(top), "tok")
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.round(
+                F.sum(
+                    F.floor(rel * 1e9).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e9
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_rel_pos"),
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_doc_initial"),
+        )
+    )

@@ -3511,3 +3511,91 @@ def q_ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dominant_share"),
     )
+
+
+@register(
+    "q_ts_tracking_signal",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100 AS dollars
+            FROM orders GROUP BY o_orderdate
+        ),
+        fc AS (
+            SELECT day, dollars,
+                   lag(dollars, 7) OVER (ORDER BY day) AS pred
+            FROM daily
+        ),
+        err AS (
+            SELECT day,
+                   dollars - pred AS e,
+                   abs(dollars - pred) AS ae
+            FROM fc WHERE pred IS NOT NULL
+        ),
+        run AS (
+            SELECT day,
+                   CAST(SUM(e) OVER w AS BIGINT) AS cum_e,
+                   CAST(SUM(ae) OVER w AS BIGINT) AS cum_ae,
+                   CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t
+            FROM err
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT day, cum_e,
+               ROUND(CAST(cum_e AS DOUBLE) / (CAST(cum_ae AS DOUBLE) / t),
+                     4) AS tracking_signal,
+               CAST(abs(CAST(cum_e AS DOUBLE)
+                        / (CAST(cum_ae AS DOUBLE) / t)) > 4.0
+                    AS BOOLEAN) AS biased
+        FROM run
+        WHERE t % 7 = 0
+    """,
+    section="TS38",
+    doc="Forecast tracking signal for the seasonal-naive lag-7 "
+    "predictor: running sum of SIGNED errors divided by running MAD "
+    "(cumulative MAE), sampled weekly, with the classic |TS| > 4 "
+    "bias alarm — the MONITORING layer on top of TS13's one-shot "
+    "MAE/WAPE and TS33's MASE: those score a forecast once; the "
+    "tracking signal runs in production and fires when errors stop "
+    "canceling (demand shifted, the model is now systematically "
+    "under/over — retrain), which symmetric accuracy metrics are "
+    "blind to by construction. Whole-dollar day sums keep both "
+    "running sums exact BIGINTs; the ratio and alarm are per-row "
+    "IEEE expressions (rule 10). Scale: day-spine windows (TS7).",
+)
+def q_ts_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100"
+            " as bigint) div 100"
+        ).alias("dollars")
+    )
+    w = Window.orderBy("day")
+    fc = daily.select(
+        "day", "dollars", F.lag("dollars", 7).over(w).alias("pred")
+    )
+    err = fc.where(F.col("pred").isNotNull()).select(
+        "day",
+        (F.col("dollars") - F.col("pred")).alias("e"),
+        F.abs(F.col("dollars") - F.col("pred")).alias("ae"),
+    )
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = err.select(
+        "day",
+        F.sum("e").over(wrun).cast("bigint").alias("cum_e"),
+        F.sum("ae").over(wrun).cast("bigint").alias("cum_ae"),
+        F.row_number().over(Window.orderBy("day")).cast("bigint").alias("t"),
+    )
+    ts = F.col("cum_e").cast("double") / (
+        F.col("cum_ae").cast("double") / F.col("t")
+    )
+    return run.where(F.col("t") % 7 == 0).select(
+        "day",
+        "cum_e",
+        F.round(ts, 4).alias("tracking_signal"),
+        (F.abs(ts) > 4.0).alias("biased"),
+    )
