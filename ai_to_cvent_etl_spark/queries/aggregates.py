@@ -7682,3 +7682,88 @@ def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+_SPRT_P0 = 0.24   # null conversion rate (fulfilled-order share)
+_SPRT_P1 = 0.27   # alternative worth detecting
+_SPRT_CHECK = 500  # checkpoint every N observations
+
+
+@register(
+    "q_agg_sprt",
+    oracle=f"""
+        WITH obs AS (
+            SELECT md5(CAST(o_orderkey AS VARCHAR)) AS arrival,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS conv
+            FROM orders
+        ),
+        run AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY arrival) AS BIGINT)
+                       AS t,
+                   CAST(SUM(conv) OVER (ORDER BY arrival
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS k
+            FROM obs
+        )
+        SELECT t AS n_obs, k AS n_conv,
+               ROUND(k * ln({_SPRT_P1} / {_SPRT_P0})
+                     + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})),
+                     4) AS llr,
+               CASE
+                 WHEN k * ln({_SPRT_P1} / {_SPRT_P0})
+                      + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                      >= ln(0.95 / 0.05) THEN 'reject_h0'
+                 WHEN k * ln({_SPRT_P1} / {_SPRT_P0})
+                      + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                      <= ln(0.05 / 0.95) THEN 'accept_h0'
+                 ELSE 'continue'
+               END AS decision
+        FROM run
+        WHERE t % {_SPRT_CHECK} = 0
+    """,
+    section="A94",
+    doc=f"Wald SPRT (sequential probability ratio test) trajectory for "
+    f"the fulfilled-order rate, H0 p={_SPRT_P0} vs H1 p={_SPRT_P1}, "
+    f"alpha=beta=0.05, checkpointed every {_SPRT_CHECK} observations "
+    "in deterministic md5 arrival order — the ALWAYS-VALID "
+    "sequential decision rule that fixed-n tests (A28/A31) cannot "
+    "give: peeking at a fixed-n test inflates false positives, "
+    "while the SPRT's Wald boundaries license stopping THE MOMENT "
+    "the log-likelihood ratio exits (ln B, ln A) — the "
+    "earliest-possible-decision property every ramp/holdback "
+    "wants. The LLR is integer counts times two LITERAL log "
+    "constants (k·c1 + (n-k)·c2 — constant-folded identically to "
+    "within an ulp whose k-scaled effect the 4dp rounding "
+    "absorbs); the boundary comparison constants are literals too "
+    "(rule 10). Scale: one hash-ordered running count — the "
+    "day-spine window shape on the observation stream.",
+)
+def q_agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    obs = od.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("arrival"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    w = Window.orderBy("arrival")
+    run = obs.select(
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.sum("conv")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("k"),
+    )
+    c1 = F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0))
+    c2 = F.log((1 - F.lit(_SPRT_P1)) / (1 - F.lit(_SPRT_P0)))
+    llr = F.col("k") * c1 + (F.col("t") - F.col("k")) * c2
+    hi = F.log(F.lit(0.95) / F.lit(0.05))
+    lo = F.log(F.lit(0.05) / F.lit(0.95))
+    return run.where(F.col("t") % _SPRT_CHECK == 0).select(
+        F.col("t").alias("n_obs"),
+        F.col("k").alias("n_conv"),
+        F.round(llr, 4).alias("llr"),
+        F.when(llr >= hi, "reject_h0")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

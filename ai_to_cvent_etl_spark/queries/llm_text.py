@@ -1992,3 +1992,109 @@ def q_text_position_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_doc_initial"),
         )
     )
+
+
+@register(
+    "q_text_cochran_q",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS BIGINT) AS n_types
+            FROM documents
+        ),
+        med AS (
+            SELECT CAST(2 * median(n_chars) AS BIGINT) AS mc2,
+                   CAST(2 * median(n_tok) AS BIGINT) AS mt2,
+                   CAST(2 * median(n_types) AS BIGINT) AS my2
+            FROM m
+        ),
+        g AS (
+            SELECT CASE WHEN 2 * m.n_chars > d.mc2 THEN 1 ELSE 0 END AS g1,
+                   CASE WHEN 2 * m.n_tok > d.mt2 THEN 1 ELSE 0 END AS g2,
+                   CASE WHEN 2 * m.n_types > d.my2 THEN 1 ELSE 0 END AS g3
+            FROM m CROSS JOIN med d
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(g1) AS BIGINT) AS c1,
+                   CAST(SUM(g2) AS BIGINT) AS c2,
+                   CAST(SUM(g3) AS BIGINT) AS c3,
+                   CAST(SUM(g1 + g2 + g3) AS BIGINT) AS sr,
+                   CAST(SUM((g1 + g2 + g3) * (g1 + g2 + g3)) AS BIGINT)
+                       AS sr2
+            FROM g
+        )
+        SELECT n, c1 AS above_med_chars, c2 AS above_med_tokens,
+               c3 AS above_med_types,
+               ROUND(2.0 * ((3 * ((c1 * c1 + c2 * c2) + c3 * c3))
+                            - CAST(sr AS DOUBLE) * sr)
+                     / (3.0 * sr - sr2), 4) AS cochran_q
+        FROM s
+    """,
+    section="L27",
+    doc="Cochran's Q over three binary document-quality gates "
+    "(above-median chars / tokens / distinct types): do the gates "
+    "fire at the same marginal rate, accounting for their within-"
+    "document correlation — the k-related-proportions test that "
+    "closes the rank-family's binary corner (A45 McNemar is the "
+    "k=2 case; Friedman is its ordinal big sibling), and in a "
+    "curation pipeline the operational question it answers is "
+    "whether one gate in an AND-chain (L15) is doing all the work. "
+    "Gate thresholds use the doubled-median device (A13), so every "
+    "indicator, column total, and row-sum moment is an exact "
+    "integer; Q is one IEEE expression with the explicit "
+    "left-nested column fold (rule 10). Scale: one metric collapse "
+    "per doc (map-only), one broadcast of 3 medians, one "
+    "reduction.",
+)
+def q_text_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = docs.select(
+        "n_chars",
+        F.size(toks).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_types"),
+    )
+    med = m.agg(
+        F.expr("cast(2 * percentile(n_chars, 0.5) as bigint)").alias("mc2"),
+        F.expr("cast(2 * percentile(n_tok, 0.5) as bigint)").alias("mt2"),
+        F.expr("cast(2 * percentile(n_types, 0.5) as bigint)").alias("my2"),
+    )
+    g = m.crossJoin(F.broadcast(med)).select(
+        F.when(2 * F.col("n_chars") > F.col("mc2"), 1)
+        .otherwise(0)
+        .alias("g1"),
+        F.when(2 * F.col("n_tok") > F.col("mt2"), 1)
+        .otherwise(0)
+        .alias("g2"),
+        F.when(2 * F.col("n_types") > F.col("my2"), 1)
+        .otherwise(0)
+        .alias("g3"),
+    )
+    r = F.col("g1") + F.col("g2") + F.col("g3")
+    s = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g1").cast("bigint").alias("c1"),
+        F.sum("g2").cast("bigint").alias("c2"),
+        F.sum("g3").cast("bigint").alias("c3"),
+        F.sum(r).cast("bigint").alias("sr"),
+        F.sum(r * r).cast("bigint").alias("sr2"),
+    )
+    csq = (
+        F.col("c1") * F.col("c1") + F.col("c2") * F.col("c2")
+    ) + F.col("c3") * F.col("c3")
+    return s.select(
+        "n",
+        F.col("c1").alias("above_med_chars"),
+        F.col("c2").alias("above_med_tokens"),
+        F.col("c3").alias("above_med_types"),
+        F.round(
+            2.0
+            * (3 * csq - F.col("sr").cast("double") * F.col("sr"))
+            / (3.0 * F.col("sr") - F.col("sr2")),
+            4,
+        ).alias("cochran_q"),
+    )
