@@ -3599,3 +3599,116 @@ def q_ts_tracking_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ts, 4).alias("tracking_signal"),
         (F.abs(ts) > 4.0).alias("biased"),
     )
+
+
+@register(
+    "q_ts_seasonal_stability",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        bounds AS (
+            SELECT MIN(day) AS d0,
+                   MIN(day) + CAST(CAST(date_diff('day', MIN(day),
+                                                  MAX(day)) AS BIGINT)
+                                   // 2 AS BIGINT)
+                       * INTERVAL 1 DAY AS mid
+            FROM d
+        ),
+        halves AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-05', d.day) % 7
+                        AS INTEGER) AS dow,
+                   CASE WHEN d.day < b.mid THEN 0 ELSE 1 END AS half,
+                   d.x
+            FROM d CROSS JOIN bounds b
+        ),
+        agg AS (
+            SELECT dow, half,
+                   CAST(SUM(x) AS BIGINT) AS c
+            FROM halves GROUP BY dow, half
+        ),
+        tot AS (
+            SELECT half, CAST(SUM(c) AS BIGINT) AS t
+            FROM agg GROUP BY half
+        ),
+        sh AS (
+            SELECT a.dow,
+                   MAX(CASE WHEN a.half = 0 THEN
+                       CAST(a.c AS DOUBLE) / t.t END) AS s0,
+                   MAX(CASE WHEN a.half = 1 THEN
+                       CAST(a.c AS DOUBLE) / t.t END) AS s1
+            FROM agg a JOIN tot t ON a.half = t.half
+            GROUP BY a.dow
+        )
+        SELECT dow,
+               ROUND(s0, 6) AS share_first_half,
+               ROUND(s1, 6) AS share_second_half,
+               ROUND(abs(s0 - s1), 6) AS abs_shift
+        FROM sh
+    """,
+    section="TS39",
+    doc="Seasonal-profile STABILITY check: the day-of-week volume "
+    "share computed separately on the first and second halves of "
+    "the collection window, with the per-dow absolute shift — the "
+    "validity precondition every dow-based model (TS9's "
+    "seasonality, TS12's decomposition, TS33's weekly MASE) "
+    "silently assumes: a profile that drifts between halves means "
+    "those operators are averaging two different regimes and "
+    "their 'seasonal' component is partly trend leakage (pair "
+    "with A88's Chow on the level). Day-of-week via datediff-mod-7 "
+    "from a fixed Monday (the F5 engine-numbering trap, re-hit and "
+    "re-fixed here). Split at the exact midpoint "
+    "day (integer floor-div of the span); shares are single "
+    "divisions of exact counts per half. Scale: day-grain "
+    "collapse, 14-cell arithmetic.",
+)
+def q_ts_seasonal_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    bounds = d.agg(
+        F.min("day").alias("d0"),
+        F.expr(
+            "date_add(min(day),"
+            " cast(cast(date_diff(DAY, min(day), max(day)) as bigint)"
+            " div 2 as int))"
+        ).alias("mid"),
+    )
+    halves = d.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "cast(date_diff(DAY, date '1970-01-05', day) % 7 as int)"
+        ).alias("dow"),
+        F.when(F.col("day") < F.col("mid"), 0).otherwise(1).alias("half"),
+        "x",
+    )
+    agg = halves.groupBy("dow", "half").agg(
+        F.sum("x").cast("bigint").alias("c")
+    )
+    tot = agg.groupBy("half").agg(F.sum("c").cast("bigint").alias("t"))
+    sh = (
+        agg.join(F.broadcast(tot), "half")
+        .groupBy("dow")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("half") == 0,
+                    F.col("c").cast("double") / F.col("t"),
+                )
+            ).alias("s0"),
+            F.max(
+                F.when(
+                    F.col("half") == 1,
+                    F.col("c").cast("double") / F.col("t"),
+                )
+            ).alias("s1"),
+        )
+    )
+    return sh.select(
+        "dow",
+        F.round("s0", 6).alias("share_first_half"),
+        F.round("s1", 6).alias("share_second_half"),
+        F.round(F.abs(F.col("s0") - F.col("s1")), 6).alias("abs_shift"),
+    )

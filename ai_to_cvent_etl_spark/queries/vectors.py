@@ -2999,3 +2999,123 @@ def q_vec_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_negative_margin"),
     )
+
+
+@register(
+    "q_vec_nn_label_error",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, label, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) AS n2
+            FROM embeddings WHERE vec_id < {_TWONN_CAP}
+        ),
+        sims AS (
+            SELECT a.vec_id AS u, a.label AS ul, b.label AS vl,
+                   list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor(CAST(p[1] AS DOUBLE)
+                                   * CAST(p[2] AS DOUBLE) * 1e12)))
+                   / sqrt(a.n2 * b.n2) AS sim
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        best AS (
+            SELECT u, ul,
+                   MAX(CASE WHEN vl = ul THEN sim END) AS best_same,
+                   MAX(CASE WHEN vl <> ul THEN sim END) AS best_diff
+            FROM sims GROUP BY u, ul
+        )
+        SELECT CAST(ul AS INTEGER) AS label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               CAST(SUM(CASE WHEN best_diff > best_same
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+               ROUND(CAST(SUM(CASE WHEN best_diff > best_same
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 4) AS violation_rate
+        FROM best GROUP BY ul
+    """,
+    section="V35",
+    doc="Instance-level 1-NN label error: per vector, is the nearest "
+    "SAME-label neighbor closer than the nearest DIFFERENT-label "
+    "neighbor, aggregated to a per-label violation rate — the "
+    "leave-one-out lower bound on any metric-space classifier "
+    "(V34's centroid margin can look healthy while a label's "
+    "BOUNDARY vectors all violate — centroids average that away; "
+    "the violation rate is also the standard label-noise "
+    "estimator: clean corpora run ~2x the Bayes rate). Strict "
+    "inequality = tie-safe (ties count as non-violations on both "
+    "engines since sims are bit-identical by the V26 quantized-dot "
+    "device). Scale: capped exact slice; at corpus scale the two "
+    "MAX-per-group reductions run over the D7/V6 blocked candidate "
+    "edge list.",
+)
+def q_vec_nn_label_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _TWONN_CAP
+    )
+
+    def _n2(col: str):
+        return F.aggregate(
+            F.transform(
+                F.col(col),
+                lambda x: F.floor(
+                    x.cast("double") * x.cast("double") * F.lit(1e12)
+                ).cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    base = emb.select("vec_id", "label", "embedding").withColumn(
+        "n2", _n2("embedding")
+    )
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"),
+            F.col("label").alias("ul"),
+            F.col("embedding").alias("a_emb"),
+            F.col("n2").alias("a_n2"),
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("label").alias("vl"),
+        F.col("embedding").alias("b_emb"),
+        F.col("n2").alias("b_n2"),
+    )
+    dotq = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    sims = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u",
+        "ul",
+        "vl",
+        (dotq / F.sqrt(F.col("a_n2") * F.col("b_n2"))).alias("sim"),
+    )
+    best = sims.groupBy("u", "ul").agg(
+        F.max(F.when(F.col("vl") == F.col("ul"), F.col("sim"))).alias(
+            "best_same"
+        ),
+        F.max(F.when(F.col("vl") != F.col("ul"), F.col("sim"))).alias(
+            "best_diff"
+        ),
+    )
+    viol = F.when(F.col("best_diff") > F.col("best_same"), 1).otherwise(0)
+    return best.groupBy(F.col("ul").cast("int").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum(viol).cast("bigint").alias("n_violations"),
+        F.round(
+            F.sum(viol).cast("double") / F.count(F.lit(1)), 4
+        ).alias("violation_rate"),
+    )
