@@ -1854,3 +1854,67 @@ def q_graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("in_4_truss_candidates"),
     )
+
+
+@register(
+    "q_graph_avg_neighbor_degree",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        und AS (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL
+            SELECT hi, lo FROM edges
+        ),
+        deg AS (
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY src
+        ),
+        nbr AS (
+            SELECT u.src, d2.d AS nbr_d
+            FROM und u JOIN deg d2 ON d2.node = u.dst
+        )
+        SELECT d.d AS degree,
+               CAST(COUNT(DISTINCT d.node) AS BIGINT) AS n_nodes,
+               CAST(SUM(n.nbr_d) AS BIGINT) AS sum_nbr_degree,
+               ROUND(CAST(SUM(n.nbr_d) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_neighbor_degree
+        FROM deg d JOIN nbr n ON n.src = d.node
+        GROUP BY d.d
+    """,
+    section="G22",
+    doc="Average-neighbor-degree curve of the mutual top-8 supplier "
+    "graph: for each degree class, the mean degree of its members' "
+    "neighbors — the CURVE whose slope G15's assortativity "
+    "coefficient collapses to a scalar (the Lorenz-vs-Gini "
+    "pattern): a falling curve (high-degree nodes attached to "
+    "low-degree ones) is the disassortative hub-and-spoke shape "
+    "that makes degree-targeted interventions effective, and the "
+    "curve localizes WHERE the mixing changes, which the scalar "
+    "cannot. Degrees and neighbor-degree sums are exact integers "
+    "over the symmetrized edge list; one division per degree "
+    "class. Scale: two 16-byte-key joins on the degree-bounded "
+    "(<= 8) edge list.",
+)
+def q_graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    nbr = und.join(
+        deg.select(F.col("node").alias("dst"), F.col("d").alias("nbr_d")),
+        "dst",
+    ).select("src", "nbr_d")
+    return (
+        deg.join(nbr, deg.node == nbr.src)
+        .groupBy(F.col("d").alias("degree"))
+        .agg(
+            F.countDistinct("node").cast("bigint").alias("n_nodes"),
+            F.sum("nbr_d").cast("bigint").alias("sum_nbr_degree"),
+            F.round(
+                F.sum("nbr_d").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_neighbor_degree"),
+        )
+    )

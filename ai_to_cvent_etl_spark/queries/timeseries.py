@@ -3712,3 +3712,103 @@ def q_ts_seasonal_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s1", 6).alias("share_second_half"),
         F.round(F.abs(F.col("s0") - F.col("s1")), 6).alias("abs_shift"),
     )
+
+
+@register(
+    "q_ts_run_lengths",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        med AS (
+            SELECT CAST(2 * median(x) AS BIGINT) AS m2 FROM d
+        ),
+        flag AS (
+            SELECT d.day,
+                   CASE WHEN 2 * d.x > m.m2 THEN 1 ELSE 0 END AS hi
+            FROM d CROSS JOIN med m
+        ),
+        runs AS (
+            SELECT day, hi,
+                   CAST(SUM(CASE WHEN hi <> prev_hi OR prev_hi IS NULL
+                            THEN 1 ELSE 0 END)
+                        OVER (ORDER BY day
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS run_id
+            FROM (
+                SELECT day, hi,
+                       lag(hi) OVER (ORDER BY day) AS prev_hi
+                FROM flag
+            )
+        ),
+        lens AS (
+            SELECT run_id, MAX(hi) AS hi,
+                   CAST(COUNT(*) AS BIGINT) AS len
+            FROM runs GROUP BY run_id
+        )
+        SELECT len AS run_length,
+               CAST(SUM(CASE WHEN hi = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_high_runs,
+               CAST(SUM(CASE WHEN hi = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_low_runs
+        FROM lens GROUP BY len
+    """,
+    section="TS40",
+    doc="Run-length DISTRIBUTION of above/below-median days: how long "
+    "the daily series stays on one side of its median, split by "
+    "side — the shape behind A76's runs test (A76 counts runs and "
+    "z-scores the total; under exchangeability run lengths are "
+    "geometric(1/2), so a fat tail here localizes the dependence "
+    "— weekly clumping shows as a spike at 5-7 — where the runs "
+    "test only says 'too few runs'). Median via the doubled-value "
+    "device (A13); run ids from the gaps-and-islands flip-counter "
+    "cumulative (W-family device); all counts exact. Scale: "
+    "day-spine windows (TS7).",
+)
+def q_ts_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    med = d.agg(
+        F.expr("cast(2 * percentile(x, 0.5) as bigint)").alias("m2")
+    )
+    flag = d.crossJoin(F.broadcast(med)).select(
+        "day",
+        F.when(2 * F.col("x") > F.col("m2"), 1).otherwise(0).alias("hi"),
+    )
+    w = Window.orderBy("day")
+    runs = flag.select(
+        "day",
+        "hi",
+        F.lag("hi").over(w).alias("prev_hi"),
+    ).select(
+        "day",
+        "hi",
+        F.sum(
+            F.when(
+                F.col("prev_hi").isNull()
+                | (F.col("hi") != F.col("prev_hi")),
+                1,
+            ).otherwise(0)
+        )
+        .over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    lens = runs.groupBy("run_id").agg(
+        F.max("hi").alias("hi"),
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+    )
+    return lens.groupBy(F.col("len").alias("run_length")).agg(
+        F.sum(F.when(F.col("hi") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_high_runs"),
+        F.sum(F.when(F.col("hi") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_low_runs"),
+    )
