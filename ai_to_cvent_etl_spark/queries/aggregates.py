@@ -7767,3 +7767,89 @@ def q_agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+@register(
+    "q_agg_grubbs",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS q
+            FROM d
+        ),
+        dev AS (
+            SELECT d.day, d.v,
+                   abs(d.v * m.n - m.s) AS dev_num, m.n, m.s, m.q
+            FROM d CROSS JOIN m
+        ),
+        top AS (
+            SELECT day, v, dev_num, n, s, q
+            FROM dev
+            ORDER BY dev_num DESC, day
+            LIMIT 1
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               day AS flagged_day,
+               CAST(v AS BIGINT) AS flagged_value_kd,
+               ROUND((CAST(dev_num AS DOUBLE) / n)
+                     / sqrt((CAST(q AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                            / (CAST(n AS DOUBLE) * (n - 1))), 4)
+                   AS grubbs_g
+        FROM top
+    """,
+    section="A95",
+    doc="Grubbs' statistic with the flagged observation: the day whose "
+    "revenue deviates most from the mean in standard-deviation "
+    "units, G = max|x - mean|/s — the single-outlier TEST that "
+    "names its suspect, where A14's winsorizing silently clips and "
+    "W13's IQR fence flags in bulk (Grubbs is what incident review "
+    "wants: ONE day, a defensible score, and n for the critical-"
+    "value lookup). Exactness: deviations are compared as the "
+    "integer |v*n - s| (mean denominator deferred — the A73/TS36 "
+    "numerator device), so the argmax is exact and tie-broken by "
+    "day; G itself is one IEEE tree over k$ moments (rule 10). "
+    "Scale: day-grain collapse, one reduction + one bounded "
+    "ORDER BY 1.",
+)
+def q_agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    d = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100"
+            " as bigint) div 100000"
+        ).alias("v")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "v",
+        F.abs(F.col("v") * F.col("n") - F.col("s")).alias("dev_num"),
+        "n",
+        "s",
+        "q",
+    )
+    top = dev.orderBy(F.desc("dev_num"), F.asc("day")).limit(1)
+    g = (F.col("dev_num").cast("double") / F.col("n")) / F.sqrt(
+        (
+            F.col("q").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("flagged_day"),
+        F.col("v").cast("bigint").alias("flagged_value_kd"),
+        F.round(g, 4).alias("grubbs_g"),
+    )
