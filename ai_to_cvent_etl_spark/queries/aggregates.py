@@ -7853,3 +7853,87 @@ def q_agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("bigint").alias("flagged_value_kd"),
         F.round(g, 4).alias("grubbs_g"),
     )
+
+
+_HILL_K = 100   # top order statistics used
+
+
+@register(
+    "q_agg_hill_tail",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders
+        ),
+        top AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey)
+                       AS rk
+            FROM v
+        ),
+        kth AS (
+            SELECT cents AS x_k FROM top WHERE rk = {_HILL_K} + 1
+        ),
+        terms AS (
+            SELECT ln(CAST(t.cents AS DOUBLE) / k.x_k) AS lr
+            FROM top t CROSS JOIN kth k
+            WHERE t.rk <= {_HILL_K}
+        )
+        SELECT {_HILL_K} AS k_order_stats,
+               ROUND(CAST(SUM(CAST(floor(lr * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9 / {_HILL_K}, 6) AS mean_log_ratio,
+               ROUND({_HILL_K}
+                     / (CAST(SUM(CAST(floor(lr * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9), 4) AS hill_alpha
+        FROM terms
+    """,
+    section="A96",
+    doc=f"Hill tail-index estimator over the top {_HILL_K} order values: "
+    "alpha = k / sum(ln(x_(i)/x_(k+1))) — the extreme-value-theory "
+    "number that says WHETHER moments exist (alpha < 2 = infinite "
+    "variance, and every A-family mean/variance readout on that "
+    "column is formally meaningless; alpha < 1 = infinite MEAN), "
+    "which is the question A51's skew/kurtosis and A90's gamma fit "
+    "quietly assume away. Order statistics via a fully tie-broken "
+    "rank on exact cents; the log-ratio terms fold through floor-"
+    "1e9 DECIMAL sums (rule 10 — ln on bit-identical rationals). "
+    "Scale: a top-(k+1) selection (rank pushdown shape) then k-row "
+    "arithmetic — the scan dominates, as it should.",
+)
+def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = od.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        "o_orderkey",
+    )
+    top = v.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_orderkey")))
+        .alias("rk"),
+    )
+    kth = top.where(F.col("rk") == _HILL_K + 1).select(
+        F.col("cents").alias("x_k")
+    )
+    terms = (
+        top.where(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(kth))
+        .select(
+            F.log(F.col("cents").cast("double") / F.col("x_k")).alias("lr")
+        )
+    )
+    qs = (
+        F.sum(F.floor(F.col("lr") * 1e9).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / 1e9
+    )
+    return terms.agg(
+        F.lit(_HILL_K).cast("int").alias("k_order_stats"),
+        F.round(qs / _HILL_K, 6).alias("mean_log_ratio"),
+        F.round(F.lit(_HILL_K) / qs, 4).alias("hill_alpha"),
+    )

@@ -3812,3 +3812,124 @@ def q_ts_run_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_low_runs"),
     )
+
+
+@register(
+    "q_ts_hac_se",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM d
+        ),
+        e AS (
+            SELECT day, CAST(t.n * d.x - t.s AS BIGINT) AS en, t.n
+            FROM d CROSS JOIN tot t
+        ),
+        lagd AS (
+            SELECT en, n,
+                   lag(en, 1) OVER (ORDER BY day) AS e1,
+                   lag(en, 2) OVER (ORDER BY day) AS e2
+            FROM e
+        ),
+        m AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(en * en) AS DECIMAL(38,0)) AS g0,
+                   CAST(SUM(CASE WHEN e1 IS NOT NULL
+                            THEN en * e1 END) AS DECIMAL(38,0)) AS g1,
+                   CAST(SUM(CASE WHEN e2 IS NOT NULL
+                            THEN en * e2 END) AS DECIMAL(38,0)) AS g2
+            FROM lagd
+        )
+        SELECT n AS n_days,
+               ROUND(sqrt((CAST(g0 AS DOUBLE)
+                           / (CAST(n AS DOUBLE) * n * n)) / n), 4)
+                   AS se_naive,
+               ROUND(sqrt(((CAST(g0 AS DOUBLE)
+                            + 2 * (2.0 / 3.0) * CAST(g1 AS DOUBLE)
+                            + 2 * (1.0 / 3.0) * CAST(g2 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * n * n)) / n), 4)
+                   AS se_hac,
+               ROUND(sqrt((CAST(g0 AS DOUBLE)
+                           + 2 * (2.0 / 3.0) * CAST(g1 AS DOUBLE)
+                           + 2 * (1.0 / 3.0) * CAST(g2 AS DOUBLE))
+                          / CAST(g0 AS DOUBLE)), 4) AS inflation
+        FROM m
+    """,
+    section="TS41",
+    doc="Newey-West (HAC, Bartlett bandwidth 2) standard error of the "
+    "mean daily event count, beside the naive IID s/sqrt(n) — the "
+    "time-series counterpart of A92's design effect: when the "
+    "series autocorrelates (TS30's profile), the IID error bar on "
+    "'average daily volume' is too tight by exactly the inflation "
+    "factor reported here, and every capacity plan built on it is "
+    "overconfident. Shares TS36's integer-numerator residual "
+    "device (e = n*x - S; the n powers cancel consistently in "
+    "both SEs), so the autocovariances are exact DECIMAL sums and "
+    "both SEs are single IEEE trees (rule 10). Scale: day-spine "
+    "windows + one reduction.",
+)
+def q_ts_hac_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    tot = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    e = d.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("x") - F.col("s")).cast("bigint").alias("en"),
+    )
+    w = Window.orderBy("day")
+    lagd = e.select(
+        "n",
+        "en",
+        F.lag("en", 1).over(w).alias("e1"),
+        F.lag("en", 2).over(w).alias("e2"),
+    )
+    m = lagd.agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(F.col("en").cast("decimal(19,0)") * F.col("en"))
+        .cast("decimal(38,0)")
+        .alias("g0"),
+        F.sum(
+            F.when(
+                F.col("e1").isNotNull(),
+                F.col("en").cast("decimal(19,0)") * F.col("e1"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("g1"),
+        F.sum(
+            F.when(
+                F.col("e2").isNotNull(),
+                F.col("en").cast("decimal(19,0)") * F.col("e2"),
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("g2"),
+    )
+    nd = F.col("n").cast("double")
+    g0d = F.col("g0").cast("double")
+    lr = (
+        g0d
+        + 2 * (2.0 / 3.0) * F.col("g1").cast("double")
+        + 2 * (1.0 / 3.0) * F.col("g2").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        F.round(F.sqrt((g0d / (nd * F.col("n") * F.col("n"))) / F.col("n")), 4)
+        .alias("se_naive"),
+        F.round(
+            F.sqrt((lr / (nd * F.col("n") * F.col("n"))) / F.col("n")), 4
+        ).alias("se_hac"),
+        F.round(F.sqrt(lr / g0d), 4).alias("inflation"),
+    )
