@@ -1975,3 +1975,107 @@ def q_dedup_shingle_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_pass_w3"),
     )
+
+
+@register(
+    "q_dedup_length_profile",
+    oracle="""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, n_chars,
+                   list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        dup_docs AS (
+            SELECT DISTINCT d FROM (
+                SELECT a.doc_id AS d
+                FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_filter(a.ts,
+                           x -> list_contains(b.ts, x))) AS DOUBLE)
+                      / (len(a.ts) + len(b.ts)
+                         - len(list_filter(a.ts,
+                               x -> list_contains(b.ts, x)))) >= 0.8
+                UNION ALL
+                SELECT b.doc_id
+                FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+                WHERE CAST(len(list_filter(a.ts,
+                           x -> list_contains(b.ts, x))) AS DOUBLE)
+                      / (len(a.ts) + len(b.ts)
+                         - len(list_filter(a.ts,
+                               x -> list_contains(b.ts, x)))) >= 0.8
+            )
+        ),
+        binned AS (
+            SELECT t.doc_id,
+                   ntile(4) OVER (ORDER BY t.n_chars, t.doc_id)
+                       AS len_quartile,
+                   CASE WHEN d.d IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+            FROM tok t LEFT JOIN dup_docs d ON d.d = t.doc_id
+        )
+        SELECT CAST(len_quartile AS INTEGER) AS len_quartile,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(is_dup) AS BIGINT) AS n_in_near_dup,
+               ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 4)
+                   AS dup_rate
+        FROM binned GROUP BY len_quartile
+    """,
+    section="D24",
+    doc="Near-duplication rate by document-LENGTH quartile: the share "
+    "of docs in each length band that participate in any >=0.8 "
+    "Jaccard pair (T5 semantics, 'de' partition) — the bias audit "
+    "every dedup threshold needs before a 100 TB run: short docs "
+    "reach high Jaccard by chance (small unions), so a flat "
+    "threshold OVER-deletes the short tail while long near-dups "
+    "slip under it, and a rising dup_rate toward quartile 1 is "
+    "exactly that artifact (the remedy is D23's wider shingles or "
+    "a length-banded threshold). Membership from the exact pair "
+    "set (both endpoints), quartiles via tie-broken ntile over "
+    "n_chars. Scale: pair generation is D1's banded path; the "
+    "profile is 4 rows.",
+)
+def q_dedup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    tok = docs.select(
+        "doc_id",
+        "n_chars",
+        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
+    )
+    a = tok.select(
+        F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b")
+    )
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    pairs = a.join(b, F.col("lo") < F.col("hi")).where(
+        inter.cast("double") / union >= 0.8
+    )
+    dup_docs = (
+        pairs.select(F.col("lo").alias("d"))
+        .unionAll(pairs.select(F.col("hi").alias("d")))
+        .distinct()
+    )
+    binned = (
+        tok.join(dup_docs, tok.doc_id == dup_docs.d, "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.when(F.col("d").isNotNull(), 1).otherwise(0).alias("is_dup"),
+        )
+        .select(
+            F.ntile(4)
+            .over(Window.orderBy("n_chars", "doc_id"))
+            .cast("int")
+            .alias("len_quartile"),
+            "is_dup",
+        )
+    )
+    return binned.groupBy("len_quartile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_in_near_dup"),
+        F.round(
+            F.sum("is_dup").cast("double") / F.count(F.lit(1)), 4
+        ).alias("dup_rate"),
+    )

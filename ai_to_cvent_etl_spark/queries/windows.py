@@ -1531,3 +1531,87 @@ def q_win_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile_from", "decile_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
     )
+
+
+_LB_K = 10
+
+
+@register(
+    "q_win_leaderboard_churn",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_custkey AS cust,
+                   CASE WHEN o_orderdate < TIMESTAMP '{_DM_SPLIT}'
+                        THEN 0 ELSE 1 END AS period,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT cust, period,
+                   ROW_NUMBER() OVER (PARTITION BY period
+                                      ORDER BY cents DESC, cust) AS rk
+            FROM spend
+        ),
+        tops AS (
+            SELECT period, cust FROM ranked WHERE rk <= {_LB_K}
+        )
+        SELECT CAST({_LB_K} AS INTEGER) AS k,
+               CAST(COUNT(b.cust) AS BIGINT) AS n_retained,
+               CAST({_LB_K} - COUNT(b.cust) AS BIGINT) AS n_churned,
+               ROUND(CAST(COUNT(b.cust) AS DOUBLE) / {_LB_K}, 4)
+                   AS retention_rate
+        FROM (SELECT cust FROM tops WHERE period = 0) a
+        LEFT JOIN (SELECT cust FROM tops WHERE period = 1) b
+          ON a.cust = b.cust
+    """,
+    section="W36",
+    doc=f"Top-{_LB_K} leaderboard churn across the period boundary: how "
+    "many of the early period's top spenders remain top spenders "
+    "later — the HEAD-of-distribution stability readout that W35's "
+    "decile migration dilutes (a decile is 10% of customers; key-"
+    "account management cares about the named top handful, and "
+    "their churn rate is the early-warning KPI for revenue "
+    "concentration risk, pairing with A35's HHI and A93's Lorenz "
+    "curve). Fully tie-broken ranks over exact cents; retained "
+    "count via one bounded semi-join of two {_LB_K}-row sets. "
+    "Scale: two keyed collapses + per-period top-k (rank pushdown "
+    "shape).",
+)
+def q_win_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy(
+        F.col("o_custkey").alias("cust"),
+        F.when(
+            F.col("o_orderdate") < F.lit(_DM_SPLIT).cast("timestamp"), 0
+        )
+        .otherwise(1)
+        .alias("period"),
+    ).agg(
+        F.sum(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.partitionBy("period").orderBy(F.desc("cents"), F.asc("cust"))
+    tops = (
+        spend.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _LB_K)
+        .select("period", "cust")
+    )
+    a = tops.where(F.col("period") == 0).select("cust")
+    b = tops.where(F.col("period") == 1).select(
+        F.col("cust").alias("cust_b")
+    )
+    j = a.join(F.broadcast(b), F.col("cust") == F.col("cust_b"), "left")
+    return j.agg(
+        F.lit(_LB_K).cast("int").alias("k"),
+        F.count("cust_b").cast("bigint").alias("n_retained"),
+        (F.lit(_LB_K) - F.count("cust_b")).cast("bigint").alias("n_churned"),
+        F.round(F.count("cust_b").cast("double") / _LB_K, 4).alias(
+            "retention_rate"
+        ),
+    )
