@@ -2503,3 +2503,133 @@ def q_etl_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balanced_within_1pct"
         ),
     )
+
+
+@register(
+    "q_etl_corpus_health",
+    oracle="""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, lang, source, n_chars,
+                   string_split(text, ' ') AS toks,
+                   md5(array_to_string(string_split(text, ' ')[1:8], ' '))
+                       AS ph
+            FROM documents
+        ),
+        prefix_dups AS (
+            SELECT ph FROM base GROUP BY ph HAVING COUNT(*) >= 2
+        ),
+        per_doc AS (
+            SELECT b.lang, b.doc_id, b.n_chars,
+                   CAST(len(b.toks) AS BIGINT) AS n_tok,
+                   CASE WHEN p.ph IS NOT NULL THEN 1 ELSE 0 END
+                       AS in_prefix_dup
+            FROM base b LEFT JOIN prefix_dups p ON p.ph = b.ph
+        ),
+        vocab AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_types,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hapax
+            FROM (
+                SELECT lang, tok, COUNT(*) AS n
+                FROM (SELECT lang, unnest(toks) AS tok FROM base)
+                GROUP BY lang, tok
+            ) GROUP BY lang
+        )
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+               CAST(SUM(d.n_tok) AS BIGINT) AS total_tokens,
+               ROUND(CAST(SUM(d.n_tok) AS DOUBLE) / COUNT(*), 4)
+                   AS mean_tokens_per_doc,
+               MAX(v.n_types) AS vocab_size,
+               ROUND(CAST(MAX(v.n_hapax) AS DOUBLE) / MAX(v.n_types), 4)
+                   AS hapax_share,
+               CAST(SUM(d.in_prefix_dup) AS BIGINT) AS n_prefix_dup_docs,
+               ROUND(CAST(SUM(d.in_prefix_dup) AS DOUBLE) / COUNT(*), 4)
+                   AS prefix_dup_share
+        FROM per_doc d JOIN vocab v ON v.lang = d.lang
+        GROUP BY d.lang
+    """,
+    section="E44",
+    doc="Corpus-health report per language partition: document/char/"
+    "token volume, mean length, vocabulary size, hapax share, and "
+    "the template-prefix duplicate share — ONE artifact composing "
+    "the map-only tier of the curation toolkit (D21's prefix hash, "
+    "L25's hapax tail, L1's volume stats) into the dashboard row a "
+    "data owner reads BEFORE dispatching the expensive passes "
+    "(low hapax + high prefix-dup = templated, send to D1/D21; "
+    "healthy tail + clean prefixes = skip straight to mixing). "
+    "Deliberately contains NO pair joins, explodes-then-collapses "
+    "once for vocabulary — every metric is a group count, so the "
+    "report costs one scan at ANY corpus size; that cheapness is "
+    "the point (health checks run on every ingest batch, the deep "
+    "audits run on demand). All counts exact; shares single "
+    "divisions.",
+)
+def q_etl_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        toks.alias("toks"),
+        F.md5(F.array_join(F.slice(toks, 1, 8), " ")).alias("ph"),
+    )
+    prefix_dups = (
+        base.groupBy("ph")
+        .agg(F.count(F.lit(1)).alias("npd"))
+        .where(F.col("npd") >= 2)
+        .select("ph")
+    )
+    per_doc = base.join(
+        F.broadcast(prefix_dups.withColumn("hit", F.lit(1))), "ph", "left"
+    ).select(
+        "lang",
+        "n_chars",
+        F.size("toks").cast("bigint").alias("n_tok"),
+        F.coalesce("hit", F.lit(0)).alias("in_prefix_dup"),
+    )
+    vocab = (
+        base.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count(F.lit(1)), 4
+            ).alias("mean_tokens_per_doc"),
+            F.sum("in_prefix_dup").cast("bigint").alias("n_prefix_dup_docs"),
+            F.round(
+                F.sum("in_prefix_dup").cast("double") / F.count(F.lit(1)),
+                4,
+            ).alias("prefix_dup_share"),
+        )
+        .join(F.broadcast(vocab), "lang")
+        .select(
+            "lang",
+            "n_docs",
+            "total_chars",
+            "total_tokens",
+            "mean_tokens_per_doc",
+            F.col("n_types").alias("vocab_size"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 4
+            ).alias("hapax_share"),
+            "n_prefix_dup_docs",
+            "prefix_dup_share",
+        )
+    )
