@@ -184,6 +184,19 @@ RISKY = [
     "q_vec_centroid_margin",
     "q_ts_spectral_entropy",
     "q_agg_lorenz_points",
+    # waves 93-100: running-ratio monitors (tracking signal), hash-order
+    # cumulatives (SPRT), exact-sim violation argmaxes, rank/top-k and
+    # run-length/island windows, quantized stylometry and log-ratio
+    # folds — partition independence is each one's design claim.
+    "q_ts_tracking_signal",
+    "q_agg_sprt",
+    "q_vec_nn_label_error",
+    "q_ts_run_lengths",
+    "q_text_burrows_delta",
+    "q_agg_hill_tail",
+    "q_win_leaderboard_churn",
+    "q_dedup_length_profile",
+    "q_agg_grubbs",
 ]
 
 
