@@ -7937,3 +7937,146 @@ def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(qs / _HILL_K, 6).alias("mean_log_ratio"),
         F.round(F.lit(_HILL_K) / qs, 4).alias("hill_alpha"),
     )
+
+
+@register(
+    "q_agg_log_rank",
+    oracle="""
+        WITH gaps AS (
+            SELECT CAST(CAST('0x' || substr(md5(CAST(o_custkey
+                                 AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                        AS INTEGER) AS arm,
+                   date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap
+            FROM orders
+        ),
+        ev AS (
+            SELECT gap AS t,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d2
+            FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+        ),
+        risk AS (
+            SELECT t, d1, d2,
+                   CAST(SUM(d1) OVER () AS BIGINT)
+                   - CAST(SUM(d1) OVER w AS BIGINT) + d1 AS n1,
+                   CAST(SUM(d2) OVER () AS BIGINT)
+                   - CAST(SUM(d2) OVER w AS BIGINT) + d2 AS n2
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT d1,
+                   CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS e1,
+                   CASE WHEN n1 + n2 > 1 THEN
+                       CAST(d1 + d2 AS DOUBLE)
+                       * (n1 + n2 - d1 - d2)
+                       * n1 * n2
+                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                          * (n1 + n2 - 1)) ELSE 0 END AS v
+            FROM risk
+        )
+        SELECT CAST(SUM(d1) AS BIGINT) AS observed_arm0,
+               ROUND(CAST(SUM(CAST(floor(e1 * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9, 4) AS expected_arm0,
+               ROUND((SUM(d1) - CAST(SUM(CAST(floor(e1 * 1e9)
+                                      AS DECIMAL(38,0))) AS DOUBLE) / 1e9)
+                     * (SUM(d1) - CAST(SUM(CAST(floor(e1 * 1e9)
+                                        AS DECIMAL(38,0))) AS DOUBLE) / 1e9)
+                     / (CAST(SUM(CAST(floor(v * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9), 4) AS log_rank_chi2
+        FROM terms
+    """,
+    section="A97",
+    doc="Log-rank test between two hash-split arms on the A33 "
+    "inter-order-gap survival times: observed vs expected arm-0 "
+    "events under the shared-hazard null, chi-square(1) with the "
+    "hypergeometric variance — the two-GROUP completion of A33's "
+    "Kaplan-Meier (KM describes one curve; the log-rank is THE "
+    "test for 'does segment A repurchase faster', weighting every "
+    "event time by its risk sets, which a naive median-gap compare "
+    "throws away). The arm split is E9's md5-prefix device (A/A "
+    "here, so chi2 ~ 1 is itself a calibration check); risk sets "
+    "are exact reverse-cumulative integers; the e1 and variance "
+    "terms fold through floor-1e9 DECIMAL sums (rule 10). Scale: "
+    "one gap window + event-time-grain arithmetic (A33's shape).",
+)
+def q_agg_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = od.select(
+        F.expr(
+            "cast(cast(conv(substr(md5(cast(o_custkey as string)), 1, 8),"
+            " 16, 10) as bigint) % 2 as int)"
+        ).alias("arm"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    ev = gaps.groupBy(F.col("gap").alias("t")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    risk = ev.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("d1").over(wall) - F.sum("d1").over(wcum) + F.col("d1")
+        )
+        .cast("bigint")
+        .alias("n1"),
+        (
+            F.sum("d2").over(wall) - F.sum("d2").over(wcum) + F.col("d2")
+        )
+        .cast("bigint")
+        .alias("n2"),
+    )
+    ntot = F.col("n1") + F.col("n2")
+    dtot = F.col("d1") + F.col("d2")
+    terms = risk.select(
+        "d1",
+        (dtot.cast("double") * F.col("n1") / ntot).alias("e1"),
+        F.when(
+            ntot > 1,
+            dtot.cast("double")
+            * (ntot - dtot)
+            * F.col("n1")
+            * F.col("n2")
+            / (ntot.cast("double") * ntot * (ntot - 1)),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+
+    def _q9(c):
+        return (
+            F.sum(F.floor(F.col(c) * 1e9).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e9
+        )
+
+    o1 = F.sum("d1")
+    e1 = _q9("e1")
+    return terms.agg(
+        o1.cast("bigint").alias("observed_arm0"),
+        F.round(e1, 4).alias("expected_arm0"),
+        F.round((o1 - e1) * (o1 - e1) / _q9("v"), 4).alias(
+            "log_rank_chi2"
+        ),
+    )

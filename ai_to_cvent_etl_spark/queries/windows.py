@@ -1615,3 +1615,53 @@ def q_win_leaderboard_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_rate"
         ),
     )
+
+
+@register(
+    "q_win_state_dwell",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts,
+                   lead(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS next_ts
+            FROM events
+        )
+        SELECT event_type AS state,
+               CAST(COUNT(next_ts) AS BIGINT) AS n_intervals,
+               CAST(SUM(date_diff('second', ts, next_ts)) AS BIGINT)
+                   AS total_dwell_seconds,
+               ROUND(CAST(SUM(date_diff('second', ts, next_ts))
+                          AS DOUBLE) / COUNT(next_ts), 2)
+                   AS mean_dwell_seconds
+        FROM seq
+        WHERE next_ts IS NOT NULL
+        GROUP BY event_type
+    """,
+    section="W37",
+    doc="State dwell-time accounting: each event opens a 'state' that "
+    "lasts until the same user's next event — per state, interval "
+    "counts, total and mean occupied seconds — the time-in-state "
+    "ledger behind session quality ('how long do users sit on an "
+    "error before the next action') and Markov-model holding times "
+    "(A17's transition MATRIX says where users go; this says how "
+    "LONG they stay, and together they parameterize a semi-Markov "
+    "model). Last events per user are open intervals and excluded "
+    "(the SCD2 open-row convention, identical both engines). One "
+    "user-key window, exact epoch-second integers, ordering "
+    "totalized by (ts, event_id). Scale: W-family standard — one "
+    "shuffle on user_id, O(1) window state.",
+)
+def q_win_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", "ts", F.lead("ts").over(w).alias("next_ts")
+    ).where(F.col("next_ts").isNotNull())
+    gap = F.col("next_ts").cast("long") - F.col("ts").cast("long")
+    return seq.groupBy(F.col("event_type").alias("state")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.sum(gap).cast("bigint").alias("total_dwell_seconds"),
+        F.round(
+            F.sum(gap).cast("double") / F.count(F.lit(1)), 2
+        ).alias("mean_dwell_seconds"),
+    )
