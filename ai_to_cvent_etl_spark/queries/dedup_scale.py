@@ -2079,3 +2079,90 @@ def q_dedup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("is_dup").cast("double") / F.count(F.lit(1)), 4
         ).alias("dup_rate"),
     )
+
+
+@register(
+    "q_dedup_adjacent_similarity",
+    oracle="""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id,
+                   list_distinct(string_split(text, ' ')) AS ts
+            FROM documents
+        ),
+        seq AS (
+            SELECT doc_id, ts,
+                   lead(doc_id) OVER (ORDER BY doc_id) AS next_id,
+                   lead(ts) OVER (ORDER BY doc_id) AS next_ts
+            FROM tok
+        ),
+        pairs AS (
+            SELECT doc_id,
+                   CAST(len(list_filter(ts,
+                        x -> list_contains(next_ts, x))) AS DOUBLE)
+                   / (len(ts) + len(next_ts)
+                      - len(list_filter(ts,
+                            x -> list_contains(next_ts, x)))) AS j
+            FROM seq WHERE next_id IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_adjacent_pairs,
+               ROUND(CAST(SUM(CAST(floor(j * 1e12) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e12 / COUNT(*), 6)
+                   AS mean_adjacent_jaccard,
+               CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_adjacent_near_dups,
+               ROUND(CAST(SUM(CASE WHEN j >= 0.8 THEN 1 ELSE 0 END)
+                          AS DOUBLE) / COUNT(*), 6)
+                   AS adjacent_dup_rate
+        FROM pairs
+    """,
+    section="D25",
+    doc="Ingestion-order ADJACENCY similarity: Jaccard between each "
+    "document and its successor in doc_id order — O(n) pairs, not "
+    "O(n^2) — with the mean and the >=0.8 adjacent-near-dup rate. "
+    "The signal is WHERE duplication sits in the ingest stream: "
+    "crawls emit mirror pages consecutively, so an adjacent dup "
+    "rate far above the corpus base rate (D1's pair density) means "
+    "a cheap sorted-neighborhood pass (compare each doc to a "
+    "window of w neighbors, linear cost) catches most duplicates "
+    "BEFORE the full banded LSH runs — the classic SNM-vs-blocking "
+    "decision, now measured instead of guessed. One ordered window "
+    "over the token-set table; quantized mean fold (rule 10). "
+    "Scale: linear in corpus size by construction — that is the "
+    "point.",
+)
+def q_dedup_adjacent_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    w = Window.orderBy("doc_id")
+    seq = tok.select(
+        "doc_id",
+        "ts",
+        F.lead("doc_id").over(w).alias("next_id"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_id").isNotNull())
+    inter = F.size(F.array_intersect("ts", "next_ts"))
+    union = F.size("ts") + F.size("next_ts") - inter
+    pairs = seq.select((inter.cast("double") / union).alias("j"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_adjacent_pairs"),
+        F.round(
+            F.sum(F.floor(F.col("j") * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_adjacent_jaccard"),
+        F.sum(F.when(F.col("j") >= 0.8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_adjacent_near_dups"),
+        F.round(
+            F.sum(F.when(F.col("j") >= 0.8, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("adjacent_dup_rate"),
+    )

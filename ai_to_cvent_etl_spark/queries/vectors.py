@@ -3119,3 +3119,128 @@ def q_vec_nn_label_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(viol).cast("double") / F.count(F.lit(1)), 4
         ).alias("violation_rate"),
     )
+
+
+@register(
+    "q_vec_concentration",
+    oracle="""
+        WITH n2 AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   list_sum(list_transform(embedding,
+                        x -> floor(CAST(x AS DOUBLE)
+                                   * CAST(x AS DOUBLE) * 1e12))) / 1e12
+                       AS sq
+            FROM embeddings
+        ),
+        norms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(sqrt(sq) * 1e9)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                       AS s_norm,
+                   CAST(SUM(CAST(floor(sq * 1e9) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e9 AS s_sq
+            FROM n2
+        ),
+        unit AS (
+            SELECT u.i AS i,
+                   CAST(SUM(CAST(floor(CAST(u.x AS DOUBLE) / sqrt(v.sq)
+                                       * 1e9) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e9 AS su
+            FROM (
+                SELECT vec_id, sq,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(x := x, i := i))) AS u
+                FROM n2
+            ) v(vec_id, sq, u)
+            GROUP BY u.i
+        ),
+        r AS (
+            SELECT CAST(SUM(CAST(floor(su * su * 1e9) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e9 AS r2
+            FROM unit
+        )
+        SELECT norms.n AS n_vectors,
+               ROUND(s_norm / n, 4) AS mean_norm,
+               ROUND(sqrt(greatest(s_sq / n
+                          - (s_norm / n) * (s_norm / n), 0))
+                     / (s_norm / n), 6) AS norm_cv,
+               ROUND(sqrt(r.r2) / norms.n, 6) AS mean_resultant_length
+        FROM norms CROSS JOIN r
+    """,
+    section="V36",
+    doc="High-dimensional concentration audit: the norm coefficient of "
+    "variation (concentration of measure says norms CONCENTRATE in "
+    "honest high-dim data — a fat norm_cv means heterogeneous "
+    "embedding scales, where cosine and dot-product retrieval "
+    "rankings silently diverge and V10's MIPS needs the norm "
+    "augmentation) and the mean resultant length of the UNIT "
+    "vectors (||mean direction||: near 0 = directions spread over "
+    "the sphere, near 1 = a common-direction pile-up — the "
+    "circular-statistics reading of what V32's PC1 ratio measures "
+    "spectrally; disagreement between the two flags a non-linear "
+    "concentration PCA can't see). Norms/unit coordinates fold "
+    "through floor-quantized DECIMAL sums at every stage "
+    "(rule 10). Scale: two scans (norms, unit-coordinate means), "
+    "both map-side-combinable; the resultant is a 64-row "
+    "reduction.",
+)
+def q_vec_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _n2(col: str):
+        return (
+            F.aggregate(
+                F.transform(
+                    F.col(col),
+                    lambda x: F.floor(
+                        x.cast("double") * x.cast("double") * F.lit(1e12)
+                    ).cast("double"),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            / F.lit(1e12)
+        )
+
+    n2 = emb.select("vec_id", "embedding").withColumn("sq", _n2("embedding"))
+
+    def _q9(c):
+        return (
+            F.sum(F.floor(c * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+        )
+
+    norms = n2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        _q9(F.sqrt(F.col("sq"))).alias("s_norm"),
+        _q9(F.col("sq")).alias("s_sq"),
+    )
+    unit = (
+        n2.select(
+            "sq", F.posexplode("embedding").alias("i", "xf")
+        )
+        .select(
+            (F.col("i") + 1).alias("i"),
+            (F.col("xf").cast("double") / F.sqrt(F.col("sq"))).alias("ux"),
+        )
+        .groupBy("i")
+        .agg(_q9(F.col("ux")).alias("su"))
+    )
+    r = unit.agg(_q9(F.col("su") * F.col("su")).alias("r2"))
+    mn = F.col("s_norm") / F.col("n")
+    return norms.crossJoin(F.broadcast(r)).select(
+        F.col("n").alias("n_vectors"),
+        F.round(mn, 4).alias("mean_norm"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    F.col("s_sq") / F.col("n") - mn * mn, F.lit(0.0)
+                )
+            )
+            / mn,
+            6,
+        ).alias("norm_cv"),
+        F.round(F.sqrt(F.col("r2")) / F.col("n"), 6).alias(
+            "mean_resultant_length"
+        ),
+    )
