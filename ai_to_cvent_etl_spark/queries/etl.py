@@ -2633,3 +2633,83 @@ def q_etl_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prefix_dup_share",
         )
     )
+
+
+_BUCKET_TARGET_ROWS = 40000   # rows per bucket file target
+
+
+@register(
+    "q_etl_bucket_plan",
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_keys
+            FROM lineitem
+        ),
+        raw AS (
+            SELECT n_rows, n_keys,
+                   CAST((n_rows + {_BUCKET_TARGET_ROWS} - 1)
+                        // {_BUCKET_TARGET_ROWS} AS BIGINT) AS raw_buckets
+            FROM stats
+        )
+        SELECT n_rows, n_keys,
+               raw_buckets,
+               CAST(power(2, CAST(ceil(ln(CAST(raw_buckets AS DOUBLE))
+                                       / ln(2.0)) AS BIGINT))
+                    AS BIGINT) AS n_buckets_pow2,
+               ROUND(CAST(n_rows AS DOUBLE)
+                     / power(2, CAST(ceil(ln(CAST(raw_buckets AS DOUBLE))
+                                          / ln(2.0)) AS BIGINT)), 2)
+                   AS rows_per_bucket,
+               ROUND(CAST(n_keys AS DOUBLE)
+                     / power(2, CAST(ceil(ln(CAST(raw_buckets AS DOUBLE))
+                                          / ln(2.0)) AS BIGINT)), 2)
+                   AS keys_per_bucket
+        FROM raw
+    """,
+    section="E45",
+    doc=f"Bucket-layout plan for a co-located join table: bucket count "
+    f"= rows / {_BUCKET_TARGET_ROWS} target, rounded UP to a power "
+    "of two (so future 2x re-bucketing splits files instead of "
+    "reshuffling everything — the reason every serious bucketing "
+    "convention is power-of-2), with the implied rows- and "
+    "KEYS-per-bucket (keys/bucket <= ~1 means bucketing adds "
+    "nothing over the key itself). Completes the physical-layout "
+    "planning trio: E23 sizes compaction, E42 cuts ranges, this "
+    "picks the bucket count that tests/test_bucketing.py's "
+    "shuffle-free join contract then relies on. Counts exact; the "
+    "power-of-2 roundup is ceil(log2) on an exact integer (1-ulp "
+    "ln risk sits far from integer boundaries for non-power "
+    "inputs; powers hit the boundary exactly on both engines). "
+    "Scale: one reduction — the plan costs nothing next to the "
+    "write it shapes.",
+)
+def q_etl_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_keys"),
+    )
+    raw_buckets = (
+        (F.col("n_rows") + _BUCKET_TARGET_ROWS - 1)
+        / F.lit(_BUCKET_TARGET_ROWS)
+    ).cast("bigint")
+    raw = stats.select("n_rows", "n_keys", raw_buckets.alias("raw_buckets"))
+    pow2 = F.pow(
+        F.lit(2.0),
+        F.ceil(
+            F.log(F.col("raw_buckets").cast("double")) / F.log(F.lit(2.0))
+        ).cast("bigint"),
+    )
+    return raw.select(
+        "n_rows",
+        "n_keys",
+        "raw_buckets",
+        pow2.cast("bigint").alias("n_buckets_pow2"),
+        F.round(F.col("n_rows").cast("double") / pow2, 2).alias(
+            "rows_per_bucket"
+        ),
+        F.round(F.col("n_keys").cast("double") / pow2, 2).alias(
+            "keys_per_bucket"
+        ),
+    )

@@ -2276,3 +2276,94 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("src_a", "src_b", F.round("delta", 4).alias("burrows_delta"))
     )
+
+
+@register(
+    "q_text_entropy_rate",
+    oracle="""
+        WITH toks AS MATERIALIZED (
+            SELECT lang, string_split(text, ' ') AS ts
+            FROM documents
+        ),
+        bigrams AS (
+            SELECT lang, w1, w2, CAST(COUNT(*) AS BIGINT) AS n12
+            FROM (
+                SELECT lang,
+                       ts[i] AS w1, ts[i + 1] AS w2
+                FROM toks, unnest(range(1, len(ts))) AS r(i)
+            )
+            GROUP BY lang, w1, w2
+        ),
+        uni AS (
+            SELECT lang, w1, CAST(SUM(n12) AS BIGINT) AS n1
+            FROM bigrams GROUP BY lang, w1
+        ),
+        terms AS (
+            SELECT b.lang, b.n12, u.n1,
+                   CAST(b.n12 AS DOUBLE)
+                   * ln(CAST(b.n12 AS DOUBLE) / u.n1) AS t
+            FROM bigrams b JOIN uni u
+              ON u.lang = b.lang AND u.w1 = b.w1
+        )
+        SELECT lang,
+               CAST(SUM(n12) AS BIGINT) AS n_bigrams,
+               ROUND(-(CAST(SUM(CAST(floor(t * 1e6) AS DECIMAL(38,0)))
+                            AS DOUBLE) / 1e6) / SUM(n12) / ln(2.0), 4)
+                   AS entropy_rate_bits
+        FROM terms GROUP BY lang
+    """,
+    section="L29",
+    doc="Conditional entropy rate H(w2|w1) in bits per token, per "
+    "language — the PREDICTABILITY scalar on top of L11's Markov "
+    "transition matrix and L13's bigram LM (those carry the full "
+    "tables; the rate is the one number that says how far a "
+    "next-token predictor can possibly compress this corpus, and "
+    "a rate collapsing toward 0 at normal vocabulary size is the "
+    "signature of templated/machine-generated text from yet "
+    "another angle than L22/L25 — the TAIL can look healthy while "
+    "the SEQUENCES are deterministic). MLE estimate: sum over "
+    "bigrams of n12*ln(n12/n1), folded through floor-1e6 DECIMAL "
+    "(rule 10), normalized by bigram count and ln 2. Scale: one "
+    "bigram count (the L13 shuffle), one vocabulary-bounded join, "
+    "one reduction.",
+)
+def q_text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    pairs = docs.select(
+        "lang",
+        F.posexplode(F.slice(toks, 1, F.size(toks) - 1)).alias("i", "w1"),
+        toks.alias("ts"),
+    ).select(
+        "lang",
+        "w1",
+        F.element_at(F.col("ts"), F.col("i") + 2).alias("w2"),
+    )
+    bigrams = pairs.groupBy("lang", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n12")
+    )
+    uni = bigrams.groupBy("lang", "w1").agg(
+        F.sum("n12").cast("bigint").alias("n1")
+    )
+    terms = bigrams.join(uni, ["lang", "w1"]).select(
+        "lang",
+        "n12",
+        (
+            F.col("n12").cast("double")
+            * F.log(F.col("n12").cast("double") / F.col("n1"))
+        ).alias("t"),
+    )
+    return terms.groupBy("lang").agg(
+        F.sum("n12").cast("bigint").alias("n_bigrams"),
+        F.round(
+            -(
+                F.sum(F.floor(F.col("t") * 1e6).cast("decimal(38,0)")).cast(
+                    "double"
+                )
+                / 1e6
+            )
+            / F.sum("n12")
+            / F.log(F.lit(2.0)),
+            4,
+        ).alias("entropy_rate_bits"),
+    )
