@@ -2713,3 +2713,109 @@ def q_etl_bucket_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "keys_per_bucket"
         ),
     )
+
+
+# --- E46: t-closeness audit (privacy trio completion) -----------------------
+
+_TCL_T = 0.35  # flag threshold: groups whose sensitive distribution is
+#               further than t from the corpus-wide distribution (TVD)
+
+
+@register(
+    "q_etl_t_closeness",
+    oracle=f"""
+        WITH banded AS (
+            SELECT c_nationkey, c_mktsegment,
+                   CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+            FROM customer
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM banded),
+        gband AS (
+            SELECT band, COUNT(*) AS g_cnt FROM banded GROUP BY band
+        ),
+        grp AS (
+            SELECT c_nationkey, c_mktsegment, COUNT(*) AS n_g
+            FROM banded GROUP BY c_nationkey, c_mktsegment
+        ),
+        cell AS (
+            SELECT c_nationkey, c_mktsegment, band, COUNT(*) AS c_cnt
+            FROM banded GROUP BY c_nationkey, c_mktsegment, band
+        ),
+        grid AS (
+            SELECT g.c_nationkey, g.c_mktsegment, g.n_g,
+                   gl.band, gl.g_cnt,
+                   COALESCE(c.c_cnt, 0) AS c_cnt
+            FROM grp g CROSS JOIN gband gl
+            LEFT JOIN cell c
+              ON c.c_nationkey = g.c_nationkey
+             AND c.c_mktsegment = g.c_mktsegment
+             AND c.band = gl.band
+        )
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(n_g AS BIGINT) AS n_g,
+               ROUND(CAST(SUM(abs(c_cnt * t.n_total - g_cnt * n_g)) AS DOUBLE)
+                     / (2.0 * n_g * t.n_total), 4) AS tvd,
+               CAST(SUM(abs(c_cnt * t.n_total - g_cnt * n_g)) AS DOUBLE)
+                   / (2.0 * n_g * t.n_total) > {_TCL_T} AS violates_t
+        FROM grid CROSS JOIN tot t
+        GROUP BY c_nationkey, c_mktsegment, n_g, t.n_total
+    """,
+    section="E46",
+    doc="t-closeness audit over the (nation, mktsegment) quasi-identifier "
+    "groups with banded account balance as the sensitive attribute: "
+    "per-group total-variation distance to the corpus-wide sensitive "
+    "distribution, flagged against t — the release gate k-anonymity "
+    "(E21) and l-diversity (E27) cannot provide (a group can be large "
+    "and diverse yet still leak because its distribution SKEWS from "
+    "the population; t-closeness is the distributional completion of "
+    "the privacy trio). Exactness device: TVD numerator is the "
+    "integer sum |c*N - g*n| (order-insensitive, overflow-safe at "
+    "BIGINT), divided ONCE at the end — no float accumulation "
+    "anywhere. Scale: two count aggregations on the QI key plus a "
+    "broadcast of the band marginal (bands are a constant, groups "
+    "are bounded by the QI domain) — the grid join is "
+    "groups x bands, never rows x bands.",
+)
+def q_etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+    )
+    n_total = banded.count()
+    glob = banded.groupBy("band").agg(F.count(F.lit(1)).alias("g_cnt"))
+    grp = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_g")
+    )
+    cell = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("c_cnt")
+    )
+    grid = (
+        grp.crossJoin(F.broadcast(glob))
+        .join(
+            cell,
+            ["c_nationkey", "c_mktsegment", "band"],
+            "left",
+        )
+        .withColumn("c_cnt", F.coalesce(F.col("c_cnt"), F.lit(0)))
+    )
+    num = F.sum(
+        F.abs(
+            F.col("c_cnt") * F.lit(n_total) - F.col("g_cnt") * F.col("n_g")
+        )
+    )
+    tvd = num.cast("double") / (2.0 * F.col("n_g") * F.lit(n_total))
+    return (
+        grid.groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "n_g",
+        )
+        .agg(
+            F.round(tvd, 4).alias("tvd"),
+            (tvd > _TCL_T).alias("violates_t"),
+        )
+        .withColumn("n_g", F.col("n_g").cast("bigint"))
+        .select("nationkey", "mktsegment", "n_g", "tvd", "violates_t")
+    )

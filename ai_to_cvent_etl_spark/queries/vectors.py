@@ -3244,3 +3244,179 @@ def q_vec_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_resultant_length"
         ),
     )
+
+
+# --- V37: Calinski-Harabasz cluster-validity index --------------------------
+
+
+@register(
+    "q_vec_calinski_harabasz",
+    oracle="""
+        WITH q AS (
+            SELECT label, u.pos AS pos,
+                   CAST(floor(CAST(u.val AS DOUBLE) * 1e7) AS BIGINT) AS qv
+            FROM (
+                SELECT label,
+                       unnest(list_transform(embedding,
+                              (x, i) -> struct_pack(val := x, pos := i))) AS u
+                FROM embeddings
+            )
+        ),
+        dims AS (
+            SELECT label, pos, SUM(qv) AS s FROM q GROUP BY label, pos
+        ),
+        ln AS (SELECT label, COUNT(*) AS n_k FROM embeddings GROUP BY label),
+        cent AS (
+            SELECT d.label,
+                   any_value(l.n_k) AS n_k,
+                   list(CAST(s AS DOUBLE) / (CAST(l.n_k AS DOUBLE) * 1e7)
+                        ORDER BY pos) AS c_arr
+            FROM dims d JOIN ln l USING (label)
+            GROUP BY d.label
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM embeddings),
+        gcent AS (
+            SELECT list(CAST(gs AS DOUBLE) / (CAST(n AS DOUBLE) * 1e7)
+                        ORDER BY pos) AS g_arr
+            FROM (SELECT pos, SUM(s) AS gs FROM dims GROUP BY pos)
+            CROSS JOIN tot GROUP BY n
+        ),
+        b AS (
+            SELECT SUM(n_k * list_sum(list_transform(
+                       list_zip(c_arr, g_arr),
+                       p -> floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                  * 1e12)))) AS b_int,
+                   COUNT(*) AS k
+            FROM cent CROSS JOIN gcent
+        ),
+        w AS (
+            SELECT SUM(list_sum(list_transform(
+                       list_zip(e.embedding, c.c_arr),
+                       p -> floor((CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                  * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                                  * 1e9)))) AS w_int
+            FROM embeddings e JOIN cent c USING (label)
+        )
+        SELECT CAST(t.n AS BIGINT) AS n,
+               CAST(b.k AS BIGINT) AS k,
+               ROUND(CAST(b.b_int AS DOUBLE) / 1e12, 4) AS between_ss,
+               ROUND(CAST(w.w_int AS DOUBLE) / 1e9, 4) AS within_ss,
+               ROUND((CAST(b.b_int AS DOUBLE) / 1e12 / (b.k - 1))
+                     / (CAST(w.w_int AS DOUBLE) / 1e9 / (t.n - b.k)), 4)
+                   AS ch_index
+        FROM b CROSS JOIN w CROSS JOIN tot t
+    """,
+    section="V37",
+    doc="Calinski-Harabasz (variance-ratio) index over the label "
+    "clustering: (B/(k-1)) / (W/(n-k)) with B the size-weighted "
+    "between-centroid scatter and W the within-cluster scatter — the "
+    "GLOBAL cluster-validity scalar completing the trio with the "
+    "per-point silhouette (V26) and the per-pair Davies-Bouldin "
+    "(V27): one number to compare labelings/k choices before an IVF "
+    "build, where silhouette is O(n*k) per point and DB only ranks "
+    "pairs. Exactness device: centroids from integer-quantized "
+    "per-dim sums (exact at every order), every squared difference "
+    "per-term floored to an integer before any cross-row sum — no "
+    "float accumulation; B and W are exact BIGINTs divided once. "
+    "Scale: one posexplode shuffle (rows x dims) for centroids, one "
+    "broadcast join back for W (centroid table is k rows) — the "
+    "corpus is scanned twice and never shuffled whole.",
+)
+def q_vec_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "label",
+        "pos",
+        F.floor(F.col("val").cast("double") * 1e7).cast("bigint").alias("qv"),
+    )
+    dims = q.groupBy("label", "pos").agg(F.sum("qv").alias("s"))
+    ln = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_k"))
+    cent = (
+        dims.join(ln, "label")
+        .withColumn(
+            "c",
+            F.col("s").cast("double")
+            / (F.col("n_k").cast("double") * F.lit(1e7)),
+        )
+        .groupBy("label")
+        .agg(
+            F.first("n_k").alias("n_k"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))),
+                lambda st: st["c"],
+            ).alias("c_arr"),
+        )
+    )
+    n = emb.count()
+    gcent = (
+        dims.groupBy("pos")
+        .agg(F.sum("s").alias("gs"))
+        .withColumn(
+            "g",
+            F.col("gs").cast("double") / (F.lit(float(n)) * F.lit(1e7)),
+        )
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "g"))),
+                lambda st: st["g"],
+            ).alias("g_arr")
+        )
+    )
+
+    def _sq_int(scale: float):
+        def f(a, b):
+            d = a.cast("double") - b.cast("double")
+            return F.floor(d * d * F.lit(scale))
+
+        return f
+
+    b = (
+        cent.crossJoin(F.broadcast(gcent))
+        .select(
+            "label",
+            "n_k",
+            F.aggregate(
+                F.zip_with("c_arr", "g_arr", _sq_int(1e12)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("b_int_k"),
+        )
+        .agg(
+            F.sum(F.col("n_k") * F.col("b_int_k")).cast("bigint").alias(
+                "b_int"
+            ),
+            F.count(F.lit(1)).alias("k"),
+        )
+    )
+    w = (
+        emb.join(F.broadcast(cent.select("label", "c_arr")), "label")
+        .select(
+            F.aggregate(
+                F.zip_with("embedding", "c_arr", _sq_int(1e9)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            .cast("bigint")
+            .alias("w_row")
+        )
+        .agg(F.sum("w_row").alias("w_int"))
+    )
+    bb = F.col("b_int").cast("double") / 1e12
+    ww = F.col("w_int").cast("double") / 1e9
+    return (
+        b.crossJoin(w)
+        .select(
+            F.lit(n).cast("bigint").alias("n"),
+            F.col("k").cast("bigint").alias("k"),
+            F.round(bb, 4).alias("between_ss"),
+            F.round(ww, 4).alias("within_ss"),
+            F.round(
+                (bb / (F.col("k") - 1))
+                / (ww / (F.lit(float(n)) - F.col("k"))),
+                4,
+            ).alias("ch_index"),
+        )
+    )
