@@ -8080,3 +8080,96 @@ def q_agg_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_rank_chi2"
         ),
     )
+
+
+# --- A98: Goodman-Kruskal gamma + Somers' D (ordinal association trio) ------
+
+
+@register(
+    "q_agg_gamma_somers",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS x,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(CASE WHEN b.x = a.x AND b.y > a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS t_x,
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS t_y
+            FROM cells a CROSS JOIN cells b
+        )
+        SELECT c, d, t_x, t_y,
+               ROUND((c - d) / CAST(c + d AS DOUBLE), 6) AS gamma,
+               ROUND((c - d) / CAST(c + d + t_y AS DOUBLE), 6)
+                   AS somers_d_yx,
+               ROUND((c - d) / CAST(c + d + t_x AS DOUBLE), 6)
+                   AS somers_d_xy
+        FROM pairs
+    """,
+    section="A98",
+    doc="Goodman-Kruskal gamma and both Somers' D asymmetries between "
+    "order size band (50k totalprice buckets) and order priority rank "
+    "— the ordinal-association trio completing Kendall tau-b (A40): "
+    "gamma ignores ties entirely, D(Y|X) penalizes Y-ties only (the "
+    "form credit scoring reports as Gini when Y is binary), D(X|Y) "
+    "the reverse. All three come from ONE concordant/discordant/tied "
+    "pair census computed on the r x c CONTINGENCY TABLE, not row "
+    "pairs: C = sum n_ij * n_i'j' over cell pairs with i'>i, j'>j — "
+    "exact BIGINT counts, each unordered row pair counted once via "
+    "the orientation constraint, three single divisions at the end. "
+    "Scale: one map-combinable count agg on (band, priority) then a "
+    "constant cells^2 (~50x50) local cross join — row count never "
+    "enters a join; the device that makes rank association O(n) at "
+    "100 TB.",
+)
+def q_agg_gamma_somers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("x"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    prod = F.col("an") * F.col("bn")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("d"),
+        F.sum(
+            F.when((F.col("bx") == F.col("ax")) & (F.col("by") > F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("t_x"),
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") == F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("t_y"),
+    )
+    cd = F.col("c") - F.col("d")
+    return pairs.select(
+        "c",
+        "d",
+        "t_x",
+        "t_y",
+        F.round(cd / (F.col("c") + F.col("d")).cast("double"), 6).alias(
+            "gamma"
+        ),
+        F.round(
+            cd / (F.col("c") + F.col("d") + F.col("t_y")).cast("double"), 6
+        ).alias("somers_d_yx"),
+        F.round(
+            cd / (F.col("c") + F.col("d") + F.col("t_x")).cast("double"), 6
+        ).alias("somers_d_xy"),
+    )

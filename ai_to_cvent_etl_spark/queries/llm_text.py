@@ -2367,3 +2367,112 @@ def q_text_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("entropy_rate_bits"),
     )
+
+
+# --- L30: boilerplate shingle discovery -------------------------------------
+
+_BP_DF = 3  # a shingle seen in >= 3 distinct docs of a source is boilerplate
+
+
+@register(
+    "q_text_boilerplate_ngrams",
+    oracle=f"""
+        WITH sh AS (
+            SELECT source, doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 0)
+                                + 1),
+                       i -> array_to_string(
+                           list_slice(string_split(text, ' '), i, i + 1),
+                           ' ')))) AS shingle
+            FROM documents
+        ),
+        df AS (
+            SELECT source, shingle, CAST(COUNT(*) AS BIGINT) AS df
+            FROM sh GROUP BY source, shingle
+        ),
+        ranked AS (
+            SELECT source, shingle, df,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY df DESC, shingle) AS rk
+            FROM df
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_boilerplate,
+               ROUND(SUM(CASE WHEN d.df >= {_BP_DF} THEN 1 ELSE 0 END)
+                     / CAST(COUNT(*) AS DOUBLE), 4) AS boilerplate_rate,
+               any_value(r.shingle) AS top_shingle,
+               any_value(r.df) AS top_df
+        FROM df d
+        JOIN (SELECT * FROM ranked WHERE rk = 1) r ON r.source = d.source
+        GROUP BY d.source
+    """,
+    section="L30",
+    doc="Boilerplate shingle discovery per source: distinct 2-token "
+    "shingles per doc, document frequency per source, shingles hitting "
+    "df >= 3 flagged as boilerplate with the per-source boilerplate "
+    "rate and the top offender — the CCNet-style repeated-fragment "
+    "census run BEFORE near-dup passes (boilerplate inflates every "
+    "Jaccard/MinHash similarity; L12's chunk dedup removes repeats "
+    "WITHIN a doc, this finds fragments repeated ACROSS docs, the "
+    "headers/footers/nav text that survives exact dedup). Exact "
+    "integer df counts; top-1 totalized by (df DESC, shingle). "
+    "Scale: shingling is row-local behind a fan_out; the only "
+    "shuffle is the (source, shingle) count agg — map-side "
+    "combinable, key space bounded by the live bigram vocabulary; "
+    "df >= k for the flag means a sampled-df sketch can replace the "
+    "exact count when the vocabulary explodes.",
+)
+def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))
+            ),
+            lambda i: F.concat_ws(
+                " ", F.slice(toks, i, F.lit(2))
+            ),
+        )
+    )
+    sh = fan_out(docs.select("source", shingles.alias("sh"))).select(
+        "source", F.explode("sh").alias("shingle")
+    )
+    df = sh.groupBy("source", "shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("df").desc(), F.col("shingle")
+    )
+    top = (
+        df.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            F.col("source").alias("t_source"),
+            F.col("shingle").alias("top_shingle"),
+            F.col("df").alias("top_df"),
+        )
+    )
+    is_bp = F.when(F.col("df") >= _BP_DF, 1).otherwise(0)
+    per_src = df.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum(is_bp).cast("bigint").alias("n_boilerplate"),
+        F.round(
+            F.sum(is_bp) / F.count(F.lit(1)).cast("double"), 4
+        ).alias("boilerplate_rate"),
+    )
+    return per_src.join(
+        F.broadcast(top), per_src.source == top.t_source
+    ).select(
+        "source",
+        "n_shingles",
+        "n_boilerplate",
+        "boilerplate_rate",
+        "top_shingle",
+        "top_df",
+    )
