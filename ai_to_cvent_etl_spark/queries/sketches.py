@@ -1035,3 +1035,118 @@ def q_sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("n")).cast("bigint").alias("overestimate"),
     )
+
+
+# --- SK10: manual HyperLogLog with cross-engine-exact registers -------------
+
+_HLL_M = 64        # 2^6 registers
+_HLL_ALPHA = 0.709  # standard alpha_64 (Flajolet et al. 2007)
+_HLL_PAY = 4398046511104  # 2^42: payload modulus below the 6 bucket bits
+
+
+@register(
+    "q_sketch_hll_manual",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT o_custkey,
+                   CAST(list_sum(list_transform(range(1, 13),
+                        i -> (strpos('0123456789abcdef',
+                                     substr(md5(CAST(o_custkey AS VARCHAR)),
+                                            i, 1)) - 1)
+                             * power(16, 12 - i))) AS BIGINT) AS v
+            FROM orders
+        ),
+        reg AS (
+            SELECT v // {_HLL_PAY} AS bucket,
+                   MAX(CASE WHEN v % {_HLL_PAY} = 0 THEN 43
+                            ELSE 43 - length(bin(v % {_HLL_PAY})) END)
+                       AS m_b
+            FROM h GROUP BY 1
+        ),
+        s AS (
+            SELECT SUM(power(2.0, -m_b)) + ({_HLL_M} - COUNT(*)) AS denom,
+                   {_HLL_M} - COUNT(*) AS v_zero
+            FROM reg
+        ),
+        est AS (
+            SELECT v_zero,
+                   CASE WHEN {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / denom
+                             <= 2.5 * {_HLL_M} AND v_zero > 0
+                        THEN {_HLL_M} * ln(CAST({_HLL_M} AS DOUBLE) / v_zero)
+                        ELSE {_HLL_ALPHA} * {_HLL_M} * {_HLL_M} / denom
+                   END AS e
+            FROM s
+        ),
+        exact AS (
+            SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd
+            FROM orders
+        )
+        SELECT CAST({_HLL_M} AS BIGINT) AS m,
+               CAST(v_zero AS BIGINT) AS v_zero,
+               ROUND(e, 4) AS hll_estimate,
+               nd AS exact_distinct,
+               ROUND((e - nd) / nd, 4) AS rel_err
+        FROM est CROSS JOIN exact
+    """,
+    section="SK10",
+    doc="Manual HyperLogLog built register-by-register from md5-derived "
+    "48-bit hashes (6 bucket bits, 42 payload bits, rho via the "
+    "binary-string length both engines print identically): the "
+    "estimate itself — alpha*m^2 / sum 2^-M with the small-range "
+    "linear-counting correction — is EXACT-ORACLE-CHECKED, which the "
+    "builtin approx_count_distinct (A4) can never be (engine-private "
+    "hash). The denominator is a sum of dyadic rationals spanning "
+    "2^6..2^-43 = 50 mantissa bits, so every partial sum is exactly "
+    "representable and the float SUM is order-insensitive by "
+    "construction. Emits the exact distinct count and relative error "
+    "alongside — the sketch-vs-truth audit in one row. Scale: the "
+    "register table is a 64-row agg of a map-side-combinable MAX — "
+    "the whole sketch is mergeable across any partitioning, which is "
+    "the point of HLL; the DISTINCT pre-collapse bounds the hash "
+    "work at one row per key.",
+)
+def q_sketch_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select("o_custkey").distinct().select(
+        F.conv(
+            F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 12),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("v")
+    )
+    pay = F.col("v") % _HLL_PAY
+    rho = F.when(pay == 0, F.lit(43)).otherwise(
+        F.lit(43) - F.length(F.bin(pay))
+    )
+    reg = h.groupBy(
+        F.floor(F.col("v") / _HLL_PAY).alias("bucket")
+    ).agg(F.max(rho).alias("m_b"))
+    s = reg.agg(
+        (
+            F.sum(F.pow(F.lit(2.0), -F.col("m_b")))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+        ).alias("denom"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).alias("v_zero"),
+    )
+    raw = F.lit(_HLL_ALPHA) * _HLL_M * _HLL_M / F.col("denom")
+    e = F.when(
+        (raw <= 2.5 * _HLL_M) & (F.col("v_zero") > 0),
+        F.lit(_HLL_M) * F.log(F.lit(float(_HLL_M)) / F.col("v_zero")),
+    ).otherwise(raw)
+    exact = orders.agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    return (
+        s.crossJoin(exact)
+        .select(
+            F.lit(_HLL_M).cast("bigint").alias("m"),
+            F.col("v_zero").cast("bigint").alias("v_zero"),
+            F.round(e, 4).alias("hll_estimate"),
+            "exact_distinct",
+            F.round(
+                (e - F.col("exact_distinct")) / F.col("exact_distinct"), 4
+            ).alias("rel_err"),
+        )
+    )

@@ -3933,3 +3933,163 @@ def q_ts_hac_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("se_hac"),
         F.round(F.sqrt(lr / g0d), 4).alias("inflation"),
     )
+
+
+# --- TS42: Lo-MacKinlay variance-ratio test ---------------------------------
+
+_VR_KS = (2, 5)
+
+
+def _vr_oracle() -> str:
+    per_k = []
+    for k in _VR_KS:
+        per_k.append(f"""
+        SELECT {k} AS k, n_diffs,
+               (SELECT COUNT(*) FROM ksum WHERE k = {k}) AS n_windows,
+               ROUND(
+                   ((SELECT CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)
+                                 * CAST(sm AS DOUBLE) / cnt
+                     FROM kstat WHERE k = {k})
+                    / ((SELECT cnt FROM kstat WHERE k = {k}) - 1))
+                   / ({k} * var1), 6) AS variance_ratio
+        FROM base
+        """)
+    union = " UNION ALL ".join(per_k)
+    return f"""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT d, cents - lag(cents) OVER (ORDER BY d) AS x,
+                   ROW_NUMBER() OVER (ORDER BY d) AS rn
+            FROM daily
+        ),
+        dd AS (SELECT d, x, rn - 1 AS i FROM diffs WHERE x IS NOT NULL),
+        ksum AS (
+            SELECT k, i, SUM(x) OVER (PARTITION BY k ORDER BY i
+                          ROWS BETWEEN k - 1 PRECEDING AND CURRENT ROW) AS y,
+                   COUNT(*) OVER (PARTITION BY k ORDER BY i
+                          ROWS BETWEEN k - 1 PRECEDING AND CURRENT ROW) AS w
+            FROM dd CROSS JOIN (SELECT unnest([{', '.join(str(k) for k in _VR_KS)}]) AS k)
+            QUALIFY w = k
+        ),
+        kstat AS (
+            SELECT k,
+                   SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS sq,
+                   SUM(CAST(y AS HUGEINT)) AS sm,
+                   COUNT(*) AS cnt
+            FROM ksum GROUP BY k
+        ),
+        stat1 AS (
+            SELECT SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sq1,
+                   SUM(CAST(x AS HUGEINT)) AS sm1,
+                   COUNT(*) AS cnt1
+            FROM dd
+        ),
+        base AS (
+            SELECT CAST(cnt1 AS BIGINT) AS n_diffs,
+                   (CAST(sq1 AS DOUBLE)
+                    - CAST(sm1 AS DOUBLE) * CAST(sm1 AS DOUBLE) / cnt1)
+                   / (cnt1 - 1) AS var1
+            FROM stat1
+        )
+        SELECT CAST(k AS BIGINT) AS k, n_diffs,
+               CAST(n_windows AS BIGINT) AS n_windows, variance_ratio
+        FROM ({union})
+    """
+
+
+@register(
+    "q_ts_variance_ratio",
+    oracle=_vr_oracle(),
+    section="TS42",
+    doc="Lo-MacKinlay variance-ratio test VR(k) = Var(k-period sum) / "
+    "(k * Var(1-period)) on day-over-day revenue changes, k in (2, 5) "
+    "— THE random-walk diagnostic: VR near 1 = increments "
+    "uncorrelated (changes aggregate like noise), VR > 1 = momentum, "
+    "VR < 1 = mean reversion; the one-number complement to the ACF "
+    "profile (TS6) that aggregate-level forecast choices (Croston vs "
+    "Holt vs naive) actually hinge on. Exactness device: daily "
+    "revenue collapses to exact BIGINT cents, diffs and overlapping "
+    "k-sums stay integer, and the variance pieces are exact 128-bit/"
+    "DECIMAL sums divided ONCE into doubles — no float accumulation "
+    "at any width. Scale: one date-keyed agg (map-combinable), then "
+    "windows over the DAY-GRAIN series (row count = distinct days, "
+    "not orders) — single-partition windows over a few thousand rows "
+    "regardless of corpus size.",
+)
+def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(
+                "bigint"
+            )
+        ).alias("cents")
+    )
+    wd = Window.orderBy("d")
+    dd = (
+        daily.select(
+            "d", (F.col("cents") - F.lag("cents").over(wd)).alias("x")
+        )
+        .where(F.col("x").isNotNull())
+        .withColumn("i", F.row_number().over(wd) - 1)
+    )
+    xdec = F.col("x").cast(DecimalType(19, 0))
+    stat1 = dd.agg(
+        F.sum(xdec * xdec).alias("sq1"),
+        F.sum(xdec).alias("sm1"),
+        F.count(F.lit(1)).alias("cnt1"),
+    ).select(
+        F.col("cnt1").cast("bigint").alias("n_diffs"),
+        (
+            (
+                F.col("sq1").cast("double")
+                - F.col("sm1").cast("double")
+                * F.col("sm1").cast("double")
+                / F.col("cnt1")
+            )
+            / (F.col("cnt1") - 1)
+        ).alias("var1"),
+    )
+    out = None
+    for k in _VR_KS:
+        wk = Window.orderBy("i").rowsBetween(-(k - 1), 0)
+        ks = (
+            dd.select(
+                F.sum("x").over(wk).alias("y"),
+                F.count(F.lit(1)).over(wk).alias("w"),
+            )
+            .where(F.col("w") == k)
+        )
+        ydec = F.col("y").cast(DecimalType(19, 0))
+        kstat = ks.agg(
+            F.sum(ydec * ydec).alias("sq"),
+            F.sum(ydec).alias("sm"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        row = kstat.crossJoin(stat1).select(
+            F.lit(k).cast("bigint").alias("k"),
+            "n_diffs",
+            F.col("cnt").cast("bigint").alias("n_windows"),
+            F.round(
+                (
+                    (
+                        F.col("sq").cast("double")
+                        - F.col("sm").cast("double")
+                        * F.col("sm").cast("double")
+                        / F.col("cnt")
+                    )
+                    / (F.col("cnt") - 1)
+                )
+                / (F.lit(float(k)) * F.col("var1")),
+                6,
+            ).alias("variance_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
