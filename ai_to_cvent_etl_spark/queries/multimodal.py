@@ -244,3 +244,99 @@ def q_multimodal_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_bytes").alias("max_bytes"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+# --- M6: aspect-ratio bucketing plan ----------------------------------------
+
+# Training ladder of canonical aspect ratios (portrait .. widescreen) and the
+# midpoint boundaries that assign an image to its nearest rung.
+_AR_LADDER = (0.5, 0.75, 1.0, 1.3333, 1.7778)
+_AR_BOUNDS = (0.625, 0.875, 1.16665, 1.55555)
+
+
+def _ar_case(width: str, height: str) -> str:
+    """SQL CASE assigning aspect = w/h to the nearest ladder rung."""
+    a = f"(CAST({width} AS DOUBLE) / {height})"
+    branches = []
+    for bound, rung in zip(_AR_BOUNDS, _AR_LADDER[:-1]):
+        branches.append(f"WHEN {a} <= {bound} THEN CAST({rung} AS DOUBLE)")
+    return (
+        "CASE "
+        + " ".join(branches)
+        + f" ELSE CAST({_AR_LADDER[-1]} AS DOUBLE) END"
+    )
+
+
+@register(
+    "q_multimodal_aspect_bucket",
+    oracle=f"""
+        WITH dims AS (
+            SELECT doc_id,
+                   256 + (doc_id * 37) % 1024 AS w,
+                   256 + (doc_id * 53) % 768 AS h
+            FROM documents
+        ),
+        assigned AS (
+            SELECT w, h,
+                   {_ar_case('w', 'h')} AS bucket_aspect,
+                   CAST(w AS DOUBLE) / h AS aspect
+            FROM dims
+        ),
+        tot AS (SELECT COUNT(*) AS n_total FROM dims)
+        SELECT bucket_aspect,
+               CAST(COUNT(*) AS BIGINT) AS n_images,
+               ROUND(COUNT(*) / CAST(t.n_total AS DOUBLE), 4) AS share,
+               ROUND(CAST(SUM(w * h) AS DOUBLE) / 1e6, 2)
+                   AS total_megapixels,
+               ROUND(CAST(SUM(CAST(floor(abs(aspect - bucket_aspect) * 1e9)
+                                   AS BIGINT)) AS DOUBLE)
+                     / 1e9 / COUNT(*), 6) AS mean_aspect_gap
+        FROM assigned CROSS JOIN tot t
+        GROUP BY bucket_aspect, t.n_total
+    """,
+    section="M6",
+    doc="Aspect-ratio bucketing plan over image dimension metadata: each "
+    "image snaps to the nearest rung of a canonical aspect ladder "
+    "(midpoint boundaries, no per-row log calls), and the plan emits "
+    "per-bucket volume, share, total megapixels, and the mean "
+    "aspect gap (crop/pad waste) — the batching layout diffusion-"
+    "style image training uses so a batch never mixes aspect shapes "
+    "(resize-to-bucket beats center-crop waste). Dimensions here "
+    "derive deterministically from doc_id, standing in for the "
+    "width/height a real decoder writes into the M1 typed-metadata "
+    "columns (operators/multimodal.py documents the import-gated "
+    "real decoders); everything downstream of the dims is the real "
+    "plan. Exactness: dims and pixel sums are exact integers; the "
+    "gap sum is per-row floored to BIGINT before aggregation. "
+    "Scale: map-only assignment + one bucket-keyed agg over a "
+    "CONSTANT bucket domain — payload bytes are never touched, the "
+    "plan runs on metadata alone.",
+)
+def q_multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dims = docs.select(
+        "doc_id",
+        (256 + (F.col("doc_id") * 37) % 1024).alias("w"),
+        (256 + (F.col("doc_id") * 53) % 768).alias("h"),
+    )
+    aspect = F.col("w").cast("double") / F.col("h")
+    bucket = F.lit(float(_AR_LADDER[-1]))
+    for bound, rung in zip(reversed(_AR_BOUNDS), reversed(_AR_LADDER[:-1])):
+        bucket = F.when(aspect <= bound, F.lit(float(rung))).otherwise(bucket)
+    n_total = dims.count()
+    assigned = dims.select(
+        "w", "h", bucket.alias("bucket_aspect"), aspect.alias("aspect")
+    )
+    gap_int = F.floor(
+        F.abs(F.col("aspect") - F.col("bucket_aspect")) * 1e9
+    ).cast("bigint")
+    return assigned.groupBy("bucket_aspect").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_total)), 4).alias("share"),
+        F.round(F.sum(F.col("w") * F.col("h")).cast("double") / 1e6, 2).alias(
+            "total_megapixels"
+        ),
+        F.round(
+            F.sum(gap_int).cast("double") / 1e9 / F.count(F.lit(1)), 6
+        ).alias("mean_aspect_gap"),
+    )
