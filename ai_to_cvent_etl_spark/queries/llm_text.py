@@ -2476,3 +2476,72 @@ def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_shingle",
         "top_df",
     )
+
+
+# --- L31: mean segmental type-token ratio -----------------------------------
+
+_SEG_LEN = 25  # tokens per MSTTR segment
+
+
+@register(
+    "q_text_msttr",
+    oracle=f"""
+        WITH segs AS (
+            SELECT lang, doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(floor(len(string_split(text, ' '))
+                                           / {_SEG_LEN}.0) AS BIGINT)),
+                       s -> len(list_distinct(list_slice(
+                                string_split(text, ' '),
+                                s * {_SEG_LEN} + 1,
+                                s * {_SEG_LEN} + {_SEG_LEN}))))) AS n_types
+            FROM documents
+        )
+        SELECT lang,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) AS BIGINT) AS n_segments,
+               ROUND(SUM(n_types) / ({_SEG_LEN}.0 * COUNT(*)), 6) AS msttr
+        FROM segs
+        GROUP BY lang
+    """,
+    section="L31",
+    doc="Mean segmental type-token ratio per language: documents split "
+    "into fixed 25-token segments (trailing partials dropped), TTR "
+    "per segment, segment-pooled mean — the length-INVARIANT lexical "
+    "diversity number that raw TTR cannot be (TTR falls with doc "
+    "length by Heaps' law, L21; fixed segments remove the "
+    "denominator drift, so corpora of different doc lengths compare "
+    "fairly). Complements hapax share (L26) and vocab coverage "
+    "(L24) as the curation-dashboard diversity column. Exactness: "
+    "per-segment type counts are exact integers; ONE division at "
+    "the end (sum / 25·n_segments) — no float accumulation. Scale: "
+    "segmentation and distinct-counting are row-local (fan_out "
+    "before the explode); the only shuffle is the lang-keyed count "
+    "agg.",
+)
+def q_text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_seg = F.floor(F.size(toks) / float(_SEG_LEN)).cast("bigint")
+    seg_types = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda s: F.size(
+            F.array_distinct(
+                F.slice(toks, (s * _SEG_LEN + 1).cast("int"), _SEG_LEN)
+            )
+        ),
+    )
+    segs = (
+        fan_out(docs.select("lang", "doc_id", "text"))
+        .where(F.size(toks) >= _SEG_LEN)
+        .select("lang", "doc_id", F.explode(seg_types).alias("n_types"))
+    )
+    return segs.groupBy("lang").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(
+            F.sum("n_types") / (float(_SEG_LEN) * F.count(F.lit(1))), 6
+        ).alias("msttr"),
+    )

@@ -4093,3 +4093,100 @@ def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- TS43: turning-points randomness test -----------------------------------
+
+
+@register(
+    "q_ts_turning_points",
+    oracle="""
+        WITH daily AS (
+            SELECT o_orderdate AS d,
+                   SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                            AS BIGINT)) AS cents
+            FROM orders GROUP BY 1
+        ),
+        tri AS (
+            SELECT cents,
+                   lag(cents) OVER (ORDER BY d) AS prev,
+                   lead(cents) OVER (ORDER BY d) AS nxt
+            FROM daily
+        ),
+        t AS (
+            SELECT CAST(COUNT(*) + 2 AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN cents > prev AND cents > nxt
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
+                   CAST(SUM(CASE WHEN cents < prev AND cents < nxt
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_troughs
+            FROM tri WHERE prev IS NOT NULL AND nxt IS NOT NULL
+        )
+        SELECT n, n_peaks, n_troughs,
+               n_peaks + n_troughs AS n_turning,
+               ROUND(2.0 * (n - 2) / 3.0, 4) AS expected_turning,
+               ROUND((n_peaks + n_troughs - 2.0 * (n - 2) / 3.0)
+                     / sqrt((16.0 * n - 29.0) / 90.0), 4) AS z_score
+        FROM t
+    """,
+    section="TS43",
+    doc="Turning-points test on the daily-revenue series: count of strict "
+    "local peaks and troughs vs the E[T] = 2(n-2)/3, "
+    "Var[T] = (16n-29)/90 null of an iid sequence — the cheapest "
+    "omnibus randomness check there is, reading oscillation "
+    "frequency where the runs test (A31) reads sign persistence and "
+    "Ljung-Box (TS33) reads linear autocorrelation: too FEW turns = "
+    "trend/momentum, too MANY = negative autocorrelation (over-"
+    "correction). Exact BIGINT cents make every peak/trough "
+    "comparison integer-exact; the z-score is one IEEE expression "
+    "4dp. Scale: one date-keyed map-combinable agg, then a single "
+    "lag/lead window over the day-grain series — constant-size work "
+    "after the reduction at any corpus size.",
+)
+def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DecimalType
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("d")).agg(
+        F.sum(
+            (F.col("o_totalprice").cast(DecimalType(12, 2)) * 100).cast(
+                "bigint"
+            )
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    tri = daily.select(
+        "cents",
+        F.lag("cents").over(w).alias("prev"),
+        F.lead("cents").over(w).alias("nxt"),
+    ).where(F.col("prev").isNotNull() & F.col("nxt").isNotNull())
+    t = tri.agg(
+        (F.count(F.lit(1)) + 2).cast("bigint").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("cents") > F.col("prev"))
+                & (F.col("cents") > F.col("nxt")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_peaks"),
+        F.sum(
+            F.when(
+                (F.col("cents") < F.col("prev"))
+                & (F.col("cents") < F.col("nxt")),
+                1,
+            ).otherwise(0)
+        ).cast("bigint").alias("n_troughs"),
+    )
+    turning = F.col("n_peaks") + F.col("n_troughs")
+    expected = 2.0 * (F.col("n") - 2) / 3.0
+    return t.select(
+        "n",
+        "n_peaks",
+        "n_troughs",
+        turning.alias("n_turning"),
+        F.round(expected, 4).alias("expected_turning"),
+        F.round(
+            (turning - expected)
+            / F.sqrt((16.0 * F.col("n") - 29.0) / 90.0),
+            4,
+        ).alias("z_score"),
+    )
