@@ -1643,10 +1643,16 @@ def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wr = Window.orderBy(F.col("relq").desc(), F.col("vec_id"))
+    # The greedy unroll below references the pool once per (pick, candidate)
+    # pair, so without a lineage cut Catalyst re-plans the full-corpus scan +
+    # window O(K^2) times (measured 10.5 s warm at sf0.1). localCheckpoint
+    # materializes the <=20-row pool once; everything downstream is
+    # pool-sized (same device as operators/dedup.py label-prop rounds).
     cands = (
         ranked.withColumn("rn", F.row_number().over(wr))
         .where(F.col("rn") <= _MMR_POOL)
         .select("vec_id", "embedding", "relq")
+        .localCheckpoint()
     )
     ca = cands.select(
         F.col("vec_id").alias("a"), F.col("embedding").alias("ea")
@@ -1668,10 +1674,14 @@ def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pool = cands.select("vec_id", "relq")
+    # Each 1-row pick is checkpointed too: pick r's plan references picks
+    # 1..r-1, so without the cut the unroll is exponential in K (each level
+    # re-runs every earlier level's join tree).
     sel = [
         pool.orderBy(F.col("relq").desc(), "vec_id")
         .limit(1)
         .select("vec_id")
+        .localCheckpoint()
     ]
     for _ in range(2, _MMR_K + 1):
         picked = sel[0]
@@ -1696,6 +1706,7 @@ def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             scores.orderBy(F.col("score").desc(), "vec_id")
             .limit(1)
             .select("vec_id")
+            .localCheckpoint()
         )
     out = None
     for r, s in enumerate(sel, start=1):
