@@ -8294,3 +8294,151 @@ def q_agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round("iso", 6).alias("isotonic_rate"),
     )
+
+
+# --- A100: split-conformal prediction interval -------------------------------
+
+
+@register(
+    "q_agg_conformal_interval",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey AS k, o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS cents,
+                   o_orderkey % 3 AS split
+            FROM orders
+        ),
+        tr AS (
+            SELECT g, cents,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY cents, k) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM o WHERE split = 0
+        ),
+        pred AS (
+            SELECT g, cents AS pred FROM tr WHERE rn = (n + 1) // 2
+        ),
+        cal AS (
+            SELECT abs(o.cents - p.pred) AS r
+            FROM o JOIN pred p USING (g) WHERE o.split = 1
+        ),
+        kq AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+                   (9 * (COUNT(*) + 1) + 9) // 10 AS kk
+            FROM cal
+        ),
+        qh AS (
+            SELECT c.r AS qhat_cents
+            FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn
+                  FROM cal) c CROSS JOIN kq
+            WHERE c.rn = LEAST(kq.kk, kq.n_calib)
+        ),
+        te AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN abs(o.cents - p.pred)
+                                      <= qh.qhat_cents
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM o JOIN pred p USING (g) CROSS JOIN qh
+            WHERE o.split = 2
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o WHERE split = 0)
+                   AS n_train,
+               kq.n_calib,
+               te.n_test,
+               CAST(qh.qhat_cents AS BIGINT) AS qhat_cents,
+               te.n_covered,
+               ROUND(CAST(te.n_covered AS DOUBLE) / te.n_test, 6)
+                   AS coverage
+        FROM kq CROSS JOIN qh CROSS JOIN te
+    """,
+    section="A100",
+    doc="Split-conformal prediction interval with finite-sample coverage: "
+    "orders split 3 ways by key (train/calibration/test), a per-"
+    "priority train MEDIAN is the point predictor, the 90% conformal "
+    "radius qhat is the ceil(0.9*(n+1))-th smallest absolute "
+    "calibration residual, and test coverage verifies the "
+    "distribution-free >=90% guarantee — the modern UQ wrapper every "
+    "model-eval pipeline bolts onto a black-box predictor (isotonic "
+    "A99 calibrates probabilities; this calibrates INTERVALS). "
+    "Exactness: cents are exact BIGINT, the median and qhat are "
+    "ORDER STATISTICS (row_number picks, duplicate-safe — the k-th "
+    "smallest VALUE is tie-order invariant), the rank index "
+    "ceil(9(n+1)/10) is pure integer arithmetic, every residual "
+    "comparison is BIGINT; ONE division at the end. Scale: one "
+    "5-group median window over the train split, one global rank "
+    "over calibration residuals (at 100 TB: replace with a 2-pass "
+    "count-then-select on the residual histogram), map-side "
+    "coverage count; the 1-row pred/qhat relations broadcast.",
+)
+def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("split"),
+    )
+    wtr = Window.partitionBy("g").orderBy("cents", "k")
+    tr = (
+        o.where(F.col("split") == 0)
+        .withColumn("rn", F.row_number().over(wtr))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    pred = tr.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "g", F.col("cents").alias("pred")
+    )
+    cal = (
+        o.where(F.col("split") == 1)
+        .join(F.broadcast(pred), "g")
+        .select(F.abs(F.col("cents") - F.col("pred")).alias("r"))
+    )
+    kq = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+        F.expr("(9 * (COUNT(*) + 1) + 9) div 10").alias("kk"),
+    )
+    qh = (
+        cal.withColumn(
+            "rn", F.row_number().over(Window.orderBy("r"))
+        )
+        .crossJoin(F.broadcast(kq))
+        .where(F.col("rn") == F.least(F.col("kk"), F.col("n_calib")))
+        .select(F.col("r").alias("qhat_cents"))
+    )
+    te = (
+        o.where(F.col("split") == 2)
+        .join(F.broadcast(pred), "g")
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    ntr = o.where(F.col("split") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    return (
+        ntr.crossJoin(kq)
+        .crossJoin(qh.select(F.col("qhat_cents").cast("bigint").alias("qhat_cents")))
+        .crossJoin(te)
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            "qhat_cents",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )

@@ -2166,3 +2166,165 @@ def q_dedup_adjacent_similarity(
             6,
         ).alias("adjacent_dup_rate"),
     )
+
+
+# --- D26: LSH blocking quality (pairs completeness / reduction ratio) --------
+
+_BQ_TAU = 0.7   # ground-truth near-dup threshold (exact unigram Jaccard)
+
+
+@register(
+    "q_dedup_blocking_quality",
+    oracle=f"""
+        WITH tok AS MATERIALIZED (
+            SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+            FROM documents WHERE lang = 'de'
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id,
+                   {', '.join(
+                       f"md5({_mh_duck(2 * b)} || {_mh_duck(2 * b + 1)})"
+                       f" AS bk_{b}"
+                       for b in range(_N_BANDS))}
+            FROM tok
+        ),
+        bands AS (
+            {' UNION ALL '.join(
+                f"SELECT doc_id, {b} AS band, bk_{b} AS bkey FROM sig"
+                for b in range(_N_BANDS))}
+        ),
+        cand AS MATERIALIZED (
+            SELECT DISTINCT a.doc_id AS lo, b.doc_id AS hi
+            FROM bands a
+            JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                        AND a.doc_id < b.doc_id
+        ),
+        truth AS MATERIALIZED (
+            SELECT a.doc_id AS lo, b.doc_id AS hi
+            FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+            WHERE CAST(len(list_filter(a.ts,
+                      x -> list_contains(b.ts, x))) AS DOUBLE)
+                  / (len(a.ts) + len(b.ts)
+                     - len(list_filter(a.ts,
+                           x -> list_contains(b.ts, x)))) >= {_BQ_TAU}
+        ),
+        nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM tok),
+        nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs FROM truth),
+        nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand_pairs FROM cand),
+        cap AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_captured
+            FROM truth t SEMI JOIN cand c
+              ON t.lo = c.lo AND t.hi = c.hi
+        )
+        SELECT nd.n_docs,
+               nd.n_docs * (nd.n_docs - 1) / 2 AS total_pairs,
+               nt.n_true_pairs,
+               nc.n_cand_pairs,
+               cap.n_captured,
+               ROUND(CASE WHEN nt.n_true_pairs > 0 THEN
+                   CAST(cap.n_captured AS DOUBLE) / nt.n_true_pairs END, 6)
+                   AS completeness,
+               ROUND(1.0 - CAST(nc.n_cand_pairs AS DOUBLE)
+                     / (nd.n_docs * (nd.n_docs - 1) / 2), 6)
+                   AS reduction_ratio
+        FROM nd CROSS JOIN nt CROSS JOIN nc CROSS JOIN cap
+    """,
+    section="D26",
+    doc=f"Blocking-quality audit of D1's LSH banding: pairs completeness "
+    f"(fraction of TRUE >= {_BQ_TAU}-Jaccard pairs that collide in at "
+    "least one of the 4 band buckets — the blocking RECALL) and "
+    "reduction ratio (1 - candidate pairs / all C(n,2) pairs — the "
+    "work the blocking saves), the two numbers every entity-"
+    "resolution / near-dedup paper reports before trusting a blocker "
+    "at scale: completeness bounds what the dedup CAN find, reduction "
+    "ratio is why it finishes. Ground truth is the exact all-pairs "
+    "Jaccard on the 'de' language slice (the D20 yield-curve device: "
+    "at 100 TB you measure blocking quality on a bounded audit "
+    "slice, never the full corpus — this IS that audit, not a "
+    "scale-path dedup). Exactness: md5 band keys and integer "
+    "intersection sizes are engine-identical; both ratios are single "
+    "IEEE divisions of exact BIGINTs (n_true=0 yields NULL "
+    "completeness identically). Scale: the slice bounds the pair "
+    "join; band candidates shuffle on 16-byte keys only; the "
+    "semi-join keys on (lo,hi) pairs of the small truth side.",
+)
+def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang") == "de"
+    )
+    tok = docs.select(
+        "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
+    )
+    sig = tok.select(
+        "doc_id",
+        F.array(
+            *[
+                F.md5(
+                    F.concat(
+                        F.expr(_mh_spark(2 * b)),
+                        F.expr(_mh_spark(2 * b + 1)),
+                    )
+                )
+                for b in range(_N_BANDS)
+            ]
+        ).alias("bks"),
+    )
+    bands = sig.select("doc_id", F.posexplode("bks").alias("band", "bkey"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("lo"), F.col("b.doc_id").alias("hi")
+        )
+        .distinct()
+    )
+    a = tok.select(F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a"))
+    b = tok.select(F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b"))
+    inter = F.size(F.array_intersect("ts_a", "ts_b"))
+    union = F.size("ts_a") + F.size("ts_b") - inter
+    truth = (
+        a.join(b, F.col("lo") < F.col("hi"))
+        .where((inter.cast("double") / union) >= _BQ_TAU)
+        .select("lo", "hi")
+    )
+    nd = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    nt = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")
+    )
+    nc = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand_pairs"))
+    cap = (
+        truth.join(cand, ["lo", "hi"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_captured"))
+    )
+    total_pairs = (
+        F.col("n_docs") * (F.col("n_docs") - 1) / 2
+    )
+    return (
+        nd.crossJoin(nt)
+        .crossJoin(nc)
+        .crossJoin(cap)
+        .select(
+            "n_docs",
+            total_pairs.alias("total_pairs"),
+            "n_true_pairs",
+            "n_cand_pairs",
+            "n_captured",
+            F.round(
+                F.when(
+                    F.col("n_true_pairs") > 0,
+                    F.col("n_captured").cast("double")
+                    / F.col("n_true_pairs"),
+                ),
+                6,
+            ).alias("completeness"),
+            F.round(
+                1.0 - F.col("n_cand_pairs").cast("double") / total_pairs,
+                6,
+            ).alias("reduction_ratio"),
+        )
+    )

@@ -3431,3 +3431,131 @@ def q_vec_calinski_harabasz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ch_index"),
         )
     )
+
+
+# --- V38: NDCG@k retrieval quality ------------------------------------------
+
+_NDCG_NQ = 10   # query vectors: vec_id < 10
+_NDCG_K = 10    # ranking cutoff
+
+# Quantized log2 discounts: disc[r] = round(1e9 / log2(r+1)) embedded as the
+# SAME integer literals in both engines (computed once here), so the DCG sum
+# is an exact BIGINT fold — no cross-engine libm log2 in the hot expression
+# and no float summation order (SURVEY §5.3 rule 10 device).
+_NDCG_DISC = [round(1e9 / __import__("math").log2(r + 1))
+              for r in range(1, _NDCG_K + 1)]
+_NDCG_PREFIX = [sum(_NDCG_DISC[:k]) for k in range(1, _NDCG_K + 1)]
+
+
+@register(
+    "q_vec_ndcg",
+    oracle=f"""
+        WITH q AS MATERIALIZED (
+            SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+            FROM embeddings WHERE vec_id < {_NDCG_NQ}
+        ),
+        s AS (
+            SELECT q.qid,
+                   e.vec_id AS cid,
+                   CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+                   CAST(floor(list_cosine_similarity(e.embedding, q.qe)
+                              * 1e6) AS BIGINT) AS simq
+            FROM embeddings e JOIN q ON e.vec_id <> q.qid
+        ),
+        r AS (
+            SELECT qid, rel,
+                   row_number() OVER (
+                       PARTITION BY qid ORDER BY simq DESC, cid) AS rn
+            FROM s
+        ),
+        d AS (
+            SELECT qid,
+                   CAST(SUM(rel) AS BIGINT) AS n_rel,
+                   CAST(SUM(CASE WHEN rn <= {_NDCG_K} THEN rel *
+                        ([{", ".join(map(str, _NDCG_DISC))}])[rn]
+                        ELSE 0 END) AS BIGINT) AS dcg_q
+            FROM r GROUP BY qid
+        )
+        SELECT qid, n_rel, dcg_q,
+               CASE WHEN n_rel > 0 THEN CAST(
+                   ([{", ".join(map(str, _NDCG_PREFIX))}])
+                       [LEAST(n_rel, {_NDCG_K})] AS BIGINT) END AS idcg_q,
+               ROUND(CAST(dcg_q AS DOUBLE) /
+                     CASE WHEN n_rel > 0 THEN
+                         ([{", ".join(map(str, _NDCG_PREFIX))}])
+                             [LEAST(n_rel, {_NDCG_K})] END, 6) AS ndcg
+        FROM d
+    """,
+    section="V38",
+    doc=f"NDCG@{_NDCG_K} of cosine retrieval against label relevance: for "
+    f"each of {_NDCG_NQ} query vectors, rank the rest of the corpus by "
+    "quantized cosine (V3's floor(cos*1e6) device), score binary "
+    "relevance (label match), and compute DCG/IDCG with "
+    "round(1e9/log2(r+1)) integer discounts — the GRADED ranking "
+    "metric that recall@k (V12) flattens: a relevant hit at rank 1 "
+    "must beat one at rank 10, which is what embedding-model evals "
+    "(MTEB-style) actually grade. IDCG comes from the prefix-sum "
+    "ladder of the same discounts at LEAST(n_rel, k) — exact BIGINT "
+    "throughout, ONE division at the end (n_rel=0 yields NULL ndcg "
+    "identically in both engines). Determinism: the log2 discounts "
+    "are 10 shared integer LITERALS computed once, so no libm call "
+    "crosses engines and the DCG fold is order-insensitive integer "
+    "addition. Scale: queries broadcast, the corpus never shuffles; "
+    "per-query top-k is a bounded window after a map-side score pass "
+    "(at 1000 executors the rank window keys on qid — 10 partitions "
+    "of corpus-size each; swap to the V12 aggregate-top-k shape if "
+    "nq grows).",
+)
+def q_vec_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            F.when(F.col("label") == F.col("qlabel"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.floor(
+                _dot("embedding", "qe")
+                / (F.sqrt(_sq_norm("embedding")) * F.sqrt(_sq_norm("qe")))
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("simq"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("simq").desc(), "cid")
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    d = ranked.groupBy("qid").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.when(
+                F.col("rn") <= _NDCG_K,
+                F.col("rel") * F.element_at(disc, F.col("rn").cast("int")),
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("dcg_q"),
+    )
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.element_at(
+            prefix, F.least(F.col("n_rel"), F.lit(_NDCG_K)).cast("int")
+        ).cast("bigint"),
+    )
+    return d.select(
+        "qid",
+        "n_rel",
+        "dcg_q",
+        idcg.alias("idcg_q"),
+        F.round(F.col("dcg_q").cast("double") / idcg, 6).alias("ndcg"),
+    )
