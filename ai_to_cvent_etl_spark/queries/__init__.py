@@ -20,6 +20,7 @@ from ai_to_cvent_etl_spark.queries import (  # noqa: F401
     streaming_batch,
     text,
     timeseries,
+    tpch,
     udfs,
     vectors,
     vectors_pq,
