@@ -235,3 +235,303 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _Q10_TOPK)
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
     )
+
+
+_Q4_LO, _Q4_HI = "1996-01-01", "1996-07-01"
+_Q4_LATE_DAYS = 60
+
+_Q13_EXCLUDE = "5-LOW"
+
+_Q14_LO, _Q14_HI = "1996-09-01", "1996-10-01"
+
+_Q17_BRAND = "Brand#12"
+_Q17_FRACTION = 0.5
+
+_Q18_QTY = 200
+_Q18_TOPK = 100
+
+
+@register(
+    "q_tpch_q4",
+    oracle=f"""
+        SELECT o.o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '{_Q4_HI} 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate
+                                   + INTERVAL {_Q4_LATE_DAYS} DAY
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    section="H4",
+    doc="TPC-H Q4 (order priority checking): orders in a half-year "
+    "window with at least one SLOW line item, counted per priority — "
+    "the canonical correlated-EXISTS-turned-semi-join. Adapted: this "
+    "schema has no l_commitdate/l_receiptdate, so 'late' is "
+    f"l_shipdate > o_orderdate + {_Q4_LATE_DAYS} days (fulfillment "
+    "lag), preserving the correlated-predicate-on-both-tables shape "
+    "that makes Q4 interesting (the EXISTS references the OUTER "
+    "row's date, so the semi-join carries a non-equi conjunct). "
+    "Exact BIGINT counts; date arithmetic is calendar-exact in both "
+    "engines. Scale: Catalyst rewrites EXISTS to a left-semi join "
+    "keyed on l_orderkey with the lag predicate evaluated post-"
+    "probe; the date filter pushes to the orders scan; counts are "
+    "map-combinable over 5 groups.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT c.c_custkey,
+                   CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+            FROM customer c
+            LEFT JOIN orders o
+              ON c.c_custkey = o.o_custkey
+             AND o.o_orderpriority <> '{_Q13_EXCLUDE}'
+            GROUP BY c.c_custkey
+        )
+        SELECT c_count,
+               CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+    section="H13",
+    doc="TPC-H Q13 (customer distribution): the histogram of customers "
+    "by order count INCLUDING zero-order customers — the canonical "
+    "left-outer-join-with-join-condition-filter (the exclusion "
+    "predicate must live in the ON clause, not WHERE, or the "
+    "zero-order bucket silently vanishes — the classic outer-join "
+    "bug this query exists to catch). Adapted: the schema has no "
+    f"o_comment, so the exclusion is o_orderpriority <> "
+    f"'{_Q13_EXCLUDE}'. Exact BIGINT counts throughout. Scale: "
+    "one customer-keyed outer join (orders shuffle on o_custkey), "
+    "then a tiny count-of-counts agg; both map-combinable.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderpriority"
+    )
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != _Q13_EXCLUDE),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+        SELECT CAST(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN {ORACLE_DISC_PRICE}
+                   ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+               / CAST(SUM({ORACLE_DISC_PRICE}) AS DOUBLE)
+                   AS promo_revenue_pct,
+               CAST(COUNT(*) AS BIGINT) AS n_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '{_Q14_LO} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q14_HI} 00:00:00'
+    """,
+    section="H14",
+    doc="TPC-H Q14 (promotion effect): the percentage of one month's "
+    "revenue attributable to PROMO-type parts — the canonical "
+    "conditional-aggregate-over-join. Adapted: p_type here is a "
+    "single word ('PROMO'), so the match is equality, not LIKE "
+    "'PROMO%%'. Both numerator and denominator are §5.3 exact-"
+    "decimal sums; the ratio is ONE double division (the 100.0 "
+    "scale lives inside the exact decimal world as a DECIMAL "
+    "multiply). Scale: the month filter pushes to the lineitem "
+    "scan, part broadcasts, the two sums fold in one pass.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q14_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q14_HI).cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_type"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                (
+                    F.lit(100.0).cast("decimal(18,2)")
+                    * F.sum(
+                        F.when(
+                            F.col("p_type") == "PROMO", disc_price()
+                        ).otherwise(F.lit(0).cast("decimal(18,2)"))
+                    )
+                ).cast("double")
+                / F.sum(disc_price()).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+        WITH pa AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*) AS avg_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                    AS DOUBLE) / 7.0 AS avg_yearly,
+               CAST(COUNT(*) AS BIGINT) AS n_small_lines
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN pa ON pa.l_partkey = l.l_partkey
+        WHERE p.p_brand = '{_Q17_BRAND}'
+          AND l.l_quantity < {_Q17_FRACTION} * pa.avg_qty
+    """,
+    section="H17",
+    doc="TPC-H Q17 (small-quantity-order revenue): the yearly revenue "
+    f"that would be lost by refusing {_Q17_BRAND} orders below "
+    f"{_Q17_FRACTION}x the part's average quantity — the canonical "
+    "correlated-scalar-subquery-decorrelated-to-a-join (the per-part "
+    "average must be computed once per part, not once per row). "
+    f"Adapted: no p_container, so the slice is brand-only, and the "
+    f"fraction is {_Q17_FRACTION} (this data's quantity is uniform, "
+    "not TPC-H-skewed; 0.2 would thin to noise at sf0.001). "
+    "avg_qty is an exact-decimal sum over count (§5.3 money-avg "
+    "device) and the comparison is one IEEE multiply — identical "
+    "both engines. Scale: the per-part average is a map-combinable "
+    "agg keyed on l_partkey; the brand filter broadcasts through "
+    "part; the probe joins on the same key, so AQE co-locates both "
+    "shuffles.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_brand") == _Q17_BRAND
+    )
+    pa = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(dec2(F.col("l_quantity"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(pa, li.l_partkey == pa.pk)
+        .where(F.col("l_quantity") < _Q17_FRACTION * F.col("avg_qty"))
+        .agg(
+            (
+                F.sum(dec2(F.col("l_extendedprice"))).cast("double") / 7.0
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).cast("bigint").alias("n_small_lines"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                        AS DOUBLE) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {_Q18_QTY}
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice, total_qty
+        FROM (
+            SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                   o.o_totalprice, big.total_qty,
+                   row_number() OVER (
+                       ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+            FROM big
+            JOIN orders o ON o.o_orderkey = big.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+        ) WHERE rn <= {_Q18_TOPK}
+    """,
+    section="H18",
+    doc="TPC-H Q18 (large-volume customer): the top-100 orders by "
+    f"total price among orders with more than {_Q18_QTY} total "
+    "units — the canonical HAVING-on-grouped-fact feeding a "
+    "dimension join (the group-THEN-join ordering is the point: "
+    "grouping first shrinks the fact to order grain before any "
+    "dimension touches it). Quantity totals are exact DECIMAL "
+    "sums; the top-k is a row_number with an o_orderkey tie-break "
+    "(o_totalprice is 2dp-exact, ties possible). Scale: the "
+    "HAVING agg is map-combinable on l_orderkey; the survivor set "
+    "is tiny and broadcasts into orders; TakeOrdered caps the "
+    "result — no global sort.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec2(F.col("l_quantity"))).alias("tq"))
+        .where(F.col("tq") > _Q18_QTY)
+        .select("l_orderkey", F.col("tq").cast("double").alias("total_qty"))
+    )
+    joined = (
+        F.broadcast(big)
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+    )
+    w = Window.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q18_TOPK)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            "total_qty",
+        )
+    )
