@@ -535,3 +535,443 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 112 (r5): TPC-H suite III — Q6, Q7, Q8, Q9, Q12, Q15.
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+_Q6_DISC_LO, _Q6_DISC_HI = 0.05, 0.07
+_Q6_QTY = 24
+
+_Q7_NATION_A, _Q7_NATION_B = "NATION_13", "NATION_19"
+_Q7_LO, _Q7_HI = "1996-01-01", "1998-01-01"
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_12"
+_Q8_TYPE = "PROMO"
+_Q8_LO, _Q8_HI = "1996-01-01", "1998-01-01"
+
+_Q9_COLOR = "red"
+_Q9_COST_FRAC = "0.60"  # supplycost stand-in: 60% of retail price
+
+_Q12_LATE_DAYS = 90
+_Q12_LO, _Q12_HI = "1996-01-01", "1997-01-01"
+
+_Q15_LO, _Q15_HI = "1996-01-01", "1996-04-01"
+
+
+@register(
+    "q_tpch_q6",
+    oracle=f"""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q6_LO} 00:00:00'
+          AND l_shipdate <  TIMESTAMP '{_Q6_HI} 00:00:00'
+          AND l_discount BETWEEN {_Q6_DISC_LO} AND {_Q6_DISC_HI}
+          AND l_quantity < {_Q6_QTY}
+    """,
+    section="H6",
+    doc="TPC-H Q6 (forecasting revenue change): single-table filter + "
+    "scalar aggregate — what would revenue have been without these "
+    "small discounts on small orders? The BETWEEN on l_discount "
+    "compares the same stored doubles to the same literals in both "
+    "engines (the generator writes 2dp values), and the product "
+    "SUM(price*discount) is exact DECIMAL, one cast to DOUBLE at the "
+    "end. Scale: the canonical predicate-pushdown showcase — all "
+    "three conjuncts reach the parquet scan as PushedFilters, no "
+    "shuffle at all (partial aggregates merge to one row).",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= _Q6_DISC_LO)
+        & (F.col("l_discount") <= _Q6_DISC_HI)
+        & (F.col("l_quantity") < _Q6_QTY)
+    )
+    return li.agg(
+        F.sum(dec2(F.col("l_extendedprice")) * dec2(F.col("l_discount")))
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT sn.n_name AS supp_nation,
+               cn.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               CAST(SUM({ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        WHERE ((sn.n_name = '{_Q7_NATION_A}' AND cn.n_name = '{_Q7_NATION_B}')
+            OR (sn.n_name = '{_Q7_NATION_B}' AND cn.n_name = '{_Q7_NATION_A}'))
+          AND l.l_shipdate >= TIMESTAMP '{_Q7_LO} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q7_HI} 00:00:00'
+        GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+    """,
+    section="H7",
+    doc="TPC-H Q7 (volume shipping): bilateral trade volume between two "
+    "nations by direction and year — the fact row's supplier side and "
+    "its order's customer side each resolve through their own nation "
+    "dim, and the disjunctive pair predicate couples the two "
+    "dimension branches. Revenue is the exact-decimal money device. "
+    "Scale: both nation-filtered dim slices (suppliers and customers "
+    "of the two nations) broadcast, so the fact scan is pre-pruned by "
+    "two broadcast semi-ish joins before the orders shuffle join; "
+    "the pair disjunction evaluates post-probe on broadcast rows; "
+    "year() never blocks the shipdate range pushdown.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(_Q7_NATION_A, _Q7_NATION_B)
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nation),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q7_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q7_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(
+            (
+                (F.col("supp_nation") == _Q7_NATION_A)
+                & (F.col("cust_nation") == _Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == _Q7_NATION_B)
+                & (F.col("cust_nation") == _Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+        WITH all_nations AS (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   {ORACLE_DISC_PRICE} AS volume,
+                   sn.n_name AS supp_nation
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+            JOIN region r ON cn.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{_Q8_REGION}'
+              AND p.p_type = '{_Q8_TYPE}'
+              AND o.o_orderdate >= TIMESTAMP '{_Q8_LO} 00:00:00'
+              AND o.o_orderdate <  TIMESTAMP '{_Q8_HI} 00:00:00'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                             THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+        FROM all_nations
+        GROUP BY o_year
+    """,
+    section="H8",
+    doc=f"TPC-H Q8 (national market share): {_Q8_NATION}'s share of "
+    f"{_Q8_TYPE}-part revenue sold into the {_Q8_REGION} region per "
+    "order year — a 7-way snowflake where the nation dim is joined "
+    "TWICE under different roles (supplier side feeds the CASE "
+    "numerator, customer side routes through region for the filter). "
+    "Both the conditional and unconditional volume sums stay exact "
+    "DECIMAL; one IEEE double division per year at the end, identical "
+    "in both engines. Scale: part/supplier/nation/region and the "
+    "region-filtered customer slice all broadcast; the only shuffle "
+    "is the lineitem-orders key join plus one 2-row aggregate; the "
+    "orderdate filter pushes to the orders scan and prunes the fact "
+    "via the join.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q8_REGION
+    )
+    cust_nat = (
+        nation.join(
+            F.broadcast(region),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cust_nat), F.col("c_nationkey") == F.col("cn_key"))
+        .select("c_custkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        F.col("p_type") == _Q8_TYPE
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q8_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q8_HI).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = dec2(F.lit(0))
+    return vol.groupBy("o_year").agg(
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, F.col("volume"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+        SELECT sn.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(SUM({ORACLE_DISC_PRICE}
+                        - CAST({_Q9_COST_FRAC} AS DECIMAL(18,2))
+                          * CAST(p.p_retailprice AS DECIMAL(18,2))
+                          * CAST(l.l_quantity AS DECIMAL(18,2)))
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE p.p_name LIKE '%{_Q9_COLOR}%'
+        GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+    section="H9",
+    doc="TPC-H Q9 (product type profit): profit on color-named parts "
+    "per supplier nation per order year. Adapted: this schema has no "
+    f"partsupp, so supply cost is {_Q9_COST_FRAC} * p_retailprice — "
+    "the profit expression keeps Q9's shape (revenue minus a "
+    "cost-per-unit times quantity, mixing columns from three tables "
+    "in one aggregate term) with every product exact DECIMAL and one "
+    "final cast. Scale: the LIKE-filtered part slice and "
+    "supplier+nation broadcast; lineitem-orders is the one big "
+    "shuffle join (both sides keyed on orderkey); the 25x7 group is "
+    "map-combinable so the exchange after the join carries only "
+    "partial decimal sums.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{_Q9_COLOR}%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cost = (
+        F.lit(_Q9_COST_FRAC).cast("decimal(18,2)")
+        * dec2(F.col("p_retailprice"))
+        * dec2(F.col("l_quantity"))
+    )
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("int").alias("o_year")
+        )
+        .agg(
+            F.sum(disc_price() - cost).cast("double").alias("sum_profit")
+        )
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle=f"""
+        SELECT l.l_returnflag AS ship_class,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                                  ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS low_line_count
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate > o.o_orderdate
+                             + INTERVAL {_Q12_LATE_DAYS} DAY
+          AND l.l_shipdate >= TIMESTAMP '{_Q12_LO} 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '{_Q12_HI} 00:00:00'
+        GROUP BY l.l_returnflag
+    """,
+    section="H12",
+    doc="TPC-H Q12 (shipping modes and order priority): among LATE line "
+    "items in a year window, how many belong to priority orders vs "
+    "not, per shipping class — the canonical pivot-by-CASE over a "
+    "fact/fact join with an inter-table inequality. Adapted: no "
+    f"l_shipmode/l_commitdate/l_receiptdate here, so the class is "
+    "l_returnflag and 'late' is l_shipdate > o_orderdate + "
+    f"{_Q12_LATE_DAYS} days. Both counts are exact BIGINT. Scale: the "
+    "shipdate window pushes to the lineitem scan; the orderkey join "
+    "shuffles both sides once; the lateness inequality evaluates "
+    "post-probe; the CASE-pivot aggregate is map-combinable over 3 "
+    "groups so the final exchange carries six longs.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q12_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q12_HI).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                F.col("l_shipdate")
+                > F.col("o_orderdate")
+                + F.expr(f"INTERVAL {_Q12_LATE_DAYS} DAY")
+            ),
+        )
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+        WITH revenue0 AS (
+            SELECT l_suppkey AS supplier_no,
+                   SUM({ORACLE_DISC_PRICE}) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '{_Q15_LO} 00:00:00'
+              AND l_shipdate <  TIMESTAMP '{_Q15_HI} 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier s
+        JOIN revenue0 r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue0)
+    """,
+    section="H15",
+    doc="TPC-H Q15 (top supplier): the supplier(s) whose quarter revenue "
+    "equals the maximum over all suppliers — the classic "
+    "view-plus-scalar-subquery shape whose equality predicate is only "
+    "deterministic because revenue stays exact DECIMAL until after "
+    "the comparison (an IEEE-double max-equality would be "
+    "summation-order-dependent; TPC-H itself notes the tie case). "
+    "Returns every tied supplier, so no tie-break is needed for set "
+    "determinism. Scale: the quarter filter pushes to the scan; one "
+    "map-combinable groupBy on l_suppkey; the 1-row MAX broadcasts "
+    "back as a scalar-subquery filter; the supplier dim joins "
+    "broadcast. Nothing shuffles twice.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(disc_price()).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    top = rev.join(
+        F.broadcast(mx), F.col("total_revenue") == F.col("mx")
+    ).select("supplier_no", "total_revenue")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        supp.join(
+            F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no")
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
