@@ -975,3 +975,459 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 113 (r5): TPC-H suite IV — Q2, Q16, Q19, Q21, Q22 (adapted; no
+# partsupp / phone / commitdate in this schema).
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "LARGE"
+_Q2_SIZE_LO, _Q2_SIZE_HI = 10, 20
+
+_Q16_BRAND_NOT = "Brand#4"
+_Q16_TYPE_NOT = "PROMO"
+_Q16_SIZES = (1, 5, 15, 25, 35, 45, 49, 50)
+
+_Q19_BUNDLES = (
+    ("Brand#1", 1, 11, 1, 15),
+    ("Brand#2", 10, 20, 1, 25),
+    ("Brand#3", 20, 30, 1, 35),
+)
+
+_Q21_LATE_DAYS = 90
+_Q21_TOPK = 10
+
+_Q22_CODES = (2, 7, 12, 17, 22)
+_Q22_CUTOFF = "2000-07-01"
+
+
+@register(
+    "q_tpch_q2",
+    oracle=f"""
+        WITH offers AS (
+            SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+                   MIN(l.l_extendedprice) AS offer_price
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE p.p_type = '{_Q2_TYPE}'
+              AND p.p_size BETWEEN {_Q2_SIZE_LO} AND {_Q2_SIZE_HI}
+              AND r.r_name = '{_Q2_REGION}'
+            GROUP BY 1, 2
+        )
+        SELECT s.s_acctbal, s.s_name, n.n_name,
+               p.p_partkey, p.p_name, o.offer_price
+        FROM offers o
+        JOIN supplier s ON o.suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON o.partkey = p.p_partkey
+        WHERE o.offer_price = (
+            SELECT MIN(o2.offer_price) FROM offers o2
+            WHERE o2.partkey = o.partkey
+        )
+    """,
+    section="H2",
+    doc="TPC-H Q2 (minimum cost supplier): for every mid-size "
+    f"'{_Q2_TYPE}' part, the {_Q2_REGION}-region supplier(s) offering "
+    "it cheapest — the canonical correlated-MIN subquery whose inner "
+    "query repeats the outer's join. Adapted: no partsupp table, so "
+    "the part-supplier offer relation is derived from lineitem "
+    "(offer price = MIN l_extendedprice per part-supplier pair; MIN "
+    "of stored doubles is exact, so the correlated equality is "
+    "deterministic without the decimal device). All price ties "
+    "return, keeping the SET deterministic with no tie-break. Scale: "
+    "the region-routed supplier slice and the filtered part slice "
+    "broadcast into the fact; the offers aggregate shuffles once on "
+    "the (partkey, suppkey) grain; the correlated MIN decorrelates "
+    "to a per-part broadcast re-join of the tiny offers table.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q2_REGION
+    )
+    supp_region = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    part_slice = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_type") == _Q2_TYPE)
+            & F.col("p_size").between(_Q2_SIZE_LO, _Q2_SIZE_HI)
+        )
+        .select("p_partkey", "p_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    offers = (
+        li.join(
+            F.broadcast(part_slice.select("p_partkey")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(supp_region),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.min("l_extendedprice").alias("offer_price"))
+    )
+    best = offers.groupBy(F.col("partkey").alias("b_partkey")).agg(
+        F.min("offer_price").alias("best_price")
+    )
+    supp = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (F.col("partkey") == F.col("b_partkey"))
+            & (F.col("offer_price") == F.col("best_price")),
+        )
+        .join(
+            F.broadcast(
+                supp.select("s_suppkey", "s_acctbal", "s_name", "n_name")
+            ),
+            F.col("suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            F.broadcast(part_slice),
+            F.col("partkey") == F.col("p_partkey"),
+        )
+        .select(
+            "s_acctbal", "s_name", "n_name",
+            "p_partkey", "p_name", "offer_price",
+        )
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle=f"""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT)
+                   AS supplier_cnt
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_brand <> '{_Q16_BRAND_NOT}'
+          AND p.p_type <> '{_Q16_TYPE_NOT}'
+          AND p.p_size IN ({", ".join(str(s) for s in _Q16_SIZES)})
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    section="H16",
+    doc="TPC-H Q16 (parts/supplier relationship): how many distinct "
+    "suppliers can deliver each surviving (brand, type, size) "
+    "combination, excluding a NOT-IN blacklist of suppliers — the "
+    "canonical negated-membership + COUNT DISTINCT query. Adapted: "
+    "the part-supplier bridge is lineitem (no partsupp) and the "
+    "'complaints' blacklist is negative account balance (no "
+    "s_comment). Scale: the blacklist subquery becomes a broadcast "
+    "LEFT ANTI join (NOT IN with a non-nullable key is exactly "
+    "anti-join); the filtered part slice broadcasts; the only "
+    "shuffle is the distinct-aggregate on (brand, type, size, "
+    "suppkey) — Spark's two-phase distinct-count keeps it "
+    "map-combinable.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part_slice = (
+        load_table(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != _Q16_BRAND_NOT)
+            & (F.col("p_type") != _Q16_TYPE_NOT)
+            & F.col("p_size").isin(*_Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part_slice),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("l_suppkey")
+            .cast("bigint")
+            .alias("supplier_cnt")
+        )
+    )
+
+
+def _q19_oracle_disjunct() -> str:
+    terms = [
+        f"(p.p_brand = '{b}' AND l.l_quantity BETWEEN {qlo} AND {qhi}"
+        f" AND p.p_size BETWEEN {slo} AND {shi})"
+        for b, qlo, qhi, slo, shi in _Q19_BUNDLES
+    ]
+    return "\n            OR ".join(terms)
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+        SELECT CAST(SUM({ORACLE_DISC_PRICE}) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE {_q19_oracle_disjunct()}
+    """,
+    section="H19",
+    doc="TPC-H Q19 (discounted revenue): one scalar revenue over a "
+    "disjunction of three (brand, quantity-range, size-range) "
+    "predicate bundles mixing columns from both join sides — the "
+    "canonical test that an optimizer can still use the join key "
+    "under an OR of cross-table conjuncts instead of falling back "
+    "to a cross product. Adapted: no shipmode/shipinstruct conjuncts "
+    "(columns absent); the brand/qty/size triple keeps the "
+    "cross-table-OR shape. Revenue is the exact-decimal device. "
+    "Scale: the common p_partkey equi-key is extracted so the part "
+    "side broadcasts and the OR evaluates post-probe; Catalyst also "
+    "pushes the derived brand-OR and size-OR onto the part scan and "
+    "the derived quantity-OR onto the lineitem scan as "
+    "range-union PushedFilters.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    disj = None
+    for b, qlo, qhi, slo, shi in _Q19_BUNDLES:
+        term = (
+            (F.col("p_brand") == b)
+            & F.col("l_quantity").between(qlo, qhi)
+            & F.col("p_size").between(slo, shi)
+        )
+        disj = term if disj is None else (disj | term)
+    return (
+        li.join(
+            F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .where(disj)
+        .agg(F.sum(disc_price()).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle=f"""
+        WITH fl AS (
+            SELECT l.l_orderkey, l.l_suppkey,
+                   l.l_shipdate > o.o_orderdate
+                                  + INTERVAL {_Q21_LATE_DAYS} DAY
+                       AS is_late
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ),
+        waiters AS (
+            SELECT DISTINCT a.l_orderkey, a.l_suppkey
+            FROM fl a
+            WHERE a.is_late
+              AND EXISTS (
+                  SELECT 1 FROM fl b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey
+              )
+              AND NOT EXISTS (
+                  SELECT 1 FROM fl c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey
+                    AND c.is_late
+              )
+        ),
+        counts AS (
+            SELECT s.s_name,
+                   CAST(COUNT(*) AS BIGINT) AS numwait
+            FROM waiters w
+            JOIN supplier s ON w.l_suppkey = s.s_suppkey
+            GROUP BY s.s_name
+        )
+        SELECT s_name, numwait
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY numwait DESC, s_name) AS rn
+            FROM counts
+        ) WHERE rn <= {_Q21_TOPK}
+    """,
+    section="H21",
+    doc="TPC-H Q21 (suppliers who kept orders waiting): suppliers who "
+    "were the SOLE late supplier on a finished multi-supplier order — "
+    "the hardest canonical shape: an EXISTS and a NOT EXISTS against "
+    "the same fact, both correlated on the outer row's order AND "
+    "inequality-correlated on its supplier. Adapted: 'late' is "
+    f"l_shipdate > o_orderdate + {_Q21_LATE_DAYS} days (no "
+    "commit/receipt dates). The Spark side decorrelates both "
+    "quantifiers into ONE per-order aggregate — distinct suppliers, "
+    "distinct late suppliers, and the min late supplier — because "
+    "[sole late supplier on a >=2-supplier order] is exactly "
+    "(n_supp >= 2 AND n_late_supp = 1), which turns two correlated "
+    "self-joins into a single map-combinable groupBy; the oracle "
+    "keeps the literal EXISTS/NOT-EXISTS form so the equivalence is "
+    "hash-verified. Scale: one orderkey shuffle for the fact join, "
+    "one for the per-order aggregate (vs THREE fact self-join "
+    "shuffles in the naive plan); top-k is TakeOrdered.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    fl = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q21_LATE_DAYS} DAY")
+        ).alias("is_late"),
+    )
+    per_order = fl.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+        F.min(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("sole_late_supp"),
+    )
+    waiters = per_order.where(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+    ).select("sole_late_supp")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    counts = (
+        waiters.join(
+            F.broadcast(supp),
+            F.col("sole_late_supp") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+    )
+    w = Window.orderBy(F.col("numwait").desc(), "s_name")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= _Q21_TOPK)
+        .select("s_name", "numwait")
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+        WITH pool AS (
+            SELECT CAST(c_nationkey AS VARCHAR) AS cntrycode,
+                   c_custkey, c_acctbal
+            FROM customer
+            WHERE c_nationkey IN
+                  ({", ".join(str(cd) for cd in _Q22_CODES)})
+        ),
+        cutoff AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                        AS DOUBLE) / COUNT(*) AS avg_bal
+            FROM pool WHERE c_acctbal > 0
+        )
+        SELECT p.cntrycode,
+               CAST(COUNT(*) AS BIGINT) AS numcust,
+               CAST(SUM(CAST(p.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                   AS totacctbal
+        FROM pool p, cutoff
+        WHERE p.c_acctbal > cutoff.avg_bal
+          AND NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = p.c_custkey
+                AND o.o_orderdate >=
+                    TIMESTAMP '{_Q22_CUTOFF} 00:00:00'
+          )
+        GROUP BY p.cntrycode
+    """,
+    section="H22",
+    doc="TPC-H Q22 (global sales opportunity): well-funded customers in "
+    "selected country codes who have gone dormant — an uncorrelated "
+    "scalar AVG subquery feeding a filter PLUS a correlated "
+    "NOT-EXISTS anti-join, per country code. Adapted: no c_phone, so "
+    "the country code IS the nation key as a string; 'never ordered' "
+    f"becomes 'no order since {_Q22_CUTOFF}' (every customer here "
+    "has old orders). The average is the exact-decimal-sum / count "
+    "device on BOTH engines, so the > threshold comparison cannot "
+    "flip on float summation order. Scale: the scalar average "
+    "broadcasts; the anti-join probes the date-filtered orders "
+    "projection keyed on custkey (the only shuffle); the final "
+    "5-group aggregate is map-combinable.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    pool = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey").isin(*_Q22_CODES))
+        .select(
+            F.col("c_nationkey").cast("string").alias("cntrycode"),
+            "c_custkey",
+            "c_acctbal",
+        )
+    )
+    avg_bal = pool.where(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(dec2(F.col("c_acctbal"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    recent = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp")
+        )
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            recent,
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            F.sum(dec2(F.col("c_acctbal")))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
