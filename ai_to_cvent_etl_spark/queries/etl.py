@@ -2819,3 +2819,217 @@ def q_etl_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_g", F.col("n_g").cast("bigint"))
         .select("nationkey", "mktsegment", "n_g", "tvd", "violates_t")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 114 (r5): training-mix arithmetic — temperature resampling, epoch
+# mixture solving, quality-gate funnel.
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3
+
+_EPOCH_BUDGET_CHARS = 1_000_000
+_EPOCH_WEIGHTS = (
+    ("en", "0.40"), ("zh", "0.20"), ("de", "0.15"),
+    ("fr", "0.15"), ("es", "0.10"),
+)
+
+
+@register(
+    "q_etl_temperature_resample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang
+        ),
+        powed AS (
+            SELECT lang, n_docs,
+                   n_docs / (SELECT CAST(SUM(n_docs) AS DOUBLE)
+                             FROM counts) AS raw_share,
+                   POWER(n_docs / (SELECT CAST(SUM(n_docs) AS DOUBLE)
+                                   FROM counts), {_TEMP_ALPHA}) AS pw
+            FROM counts
+        )
+        SELECT lang, n_docs,
+               ROUND(raw_share, 6) AS raw_share,
+               ROUND(pw / (SELECT SUM(pw) FROM powed), 6) AS temp_share
+        FROM powed
+    """,
+    section="E45",
+    doc=f"Temperature-based multilingual resampling (alpha="
+    f"{_TEMP_ALPHA}): the sampling weights p_l^alpha / sum(p^alpha) "
+    "that every multilingual pretraining recipe (mT5/XLM-R style) "
+    "uses to up-weight low-resource languages — the exact knob a "
+    "100 TB corpus mix is tuned with. POWER on identical doubles is "
+    "evaluated on both engines and ROUND(...,6) absorbs the "
+    "potential 1-ulp libm divergence (the §5.3 irrational device). "
+    "Scale: one map-combinable count per language (5 groups), two "
+    "1-row scalar subqueries broadcast back — nothing but the "
+    "5-group count ever shuffles, at any corpus size.",
+)
+def q_etl_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("tot")
+    )
+    powed = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        (F.col("n_docs") / F.col("tot")).alias("raw_share"),
+        F.pow(F.col("n_docs") / F.col("tot"), F.lit(_TEMP_ALPHA)).alias(
+            "pw"
+        ),
+    )
+    z = powed.agg(F.sum("pw").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round("raw_share", 6).alias("raw_share"),
+        F.round(F.col("pw") / F.col("z"), 6).alias("temp_share"),
+    )
+
+
+@register(
+    "q_etl_epoch_mixture",
+    oracle=f"""
+        WITH weights (lang, target_w) AS (
+            VALUES {", ".join(f"('{l}', {w})" for l, w in _EPOCH_WEIGHTS)}
+        ),
+        corpus AS (
+            SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS corpus_chars
+            FROM documents GROUP BY lang
+        )
+        SELECT c.lang, c.corpus_chars,
+               CAST(w.target_w AS DOUBLE) AS target_w,
+               ROUND({_EPOCH_BUDGET_CHARS} * CAST(w.target_w AS DOUBLE)
+                     / c.corpus_chars, 6) AS epochs
+        FROM corpus c
+        JOIN weights w ON c.lang = w.lang
+    """,
+    section="E46",
+    doc="Epoch-mixture solver: given target mixture weights (an inline "
+    "VALUES dim — also pins the literal-relation API surface on both "
+    f"engines) and a {_EPOCH_BUDGET_CHARS}-char training budget, the "
+    "repeat factor (epochs) each language's corpus needs to hit its "
+    "target share — epochs > 1 flags languages the budget will "
+    "up-sample (the Hoffmann/Chinchilla-style mix bookkeeping step). "
+    "corpus_chars is an exact BIGINT sum; the single division per "
+    "language is IEEE-identical and ROUND(...,6)-pinned. Scale: "
+    "5-group map-combinable sum + a 5-row broadcast join; constant "
+    "cost at any corpus size.",
+)
+def q_etl_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.groupBy("lang").agg(
+        F.sum("n_chars").cast("bigint").alias("corpus_chars")
+    )
+    weights = spark.createDataFrame(
+        [(l, float(w)) for l, w in _EPOCH_WEIGHTS],
+        "lang string, target_w double",
+    )
+    return (
+        corpus.join(F.broadcast(weights), "lang")
+        .select(
+            "lang",
+            "corpus_chars",
+            "target_w",
+            F.round(
+                F.lit(_EPOCH_BUDGET_CHARS)
+                * F.col("target_w")
+                / F.col("corpus_chars"),
+                6,
+            ).alias("epochs"),
+        )
+    )
+
+
+_FUNNEL_STAGES = (
+    ("s0_all", "TRUE"),
+    ("s1_min_len", "n_chars >= 100"),
+    ("s2_max_len", "n_chars >= 100 AND n_chars <= 500"),
+    ("s3_lang", "n_chars >= 100 AND n_chars <= 500 AND lang <> 'zh'"),
+    (
+        "s4_content",
+        "n_chars >= 100 AND n_chars <= 500 AND lang <> 'zh' "
+        "AND text LIKE '%spark%'",
+    ),
+)
+
+
+@register(
+    "q_etl_filter_funnel",
+    oracle="""
+        SELECT stage,
+               CAST(n AS BIGINT) AS n_docs,
+               CAST(chars AS BIGINT) AS n_chars,
+               ROUND(CAST(n AS DOUBLE)
+                     / (SELECT COUNT(*) FROM documents), 6)
+                   AS survival_rate
+        FROM (
+    """
+    + "\n            UNION ALL\n".join(
+        f"""
+            SELECT '{name}' AS stage, COUNT(*) AS n,
+                   COALESCE(SUM(n_chars), 0) AS chars
+            FROM documents WHERE {cond}
+        """
+        for name, cond in _FUNNEL_STAGES
+    )
+    + """
+        )
+    """,
+    section="E47",
+    doc="Quality-gate filter funnel: survivor count, char volume, and "
+    "survival rate after each CUMULATIVE stage of a 4-gate curation "
+    "chain (min-length, max-length, language, content marker) — the "
+    "per-stage attrition report every corpus-cleaning pipeline "
+    "publishes next to its dataset card. Implemented as ONE pass: "
+    "each stage is a conditional aggregate over the same scan (not "
+    "5 scans — the stages share all their work), which is the shape "
+    "that matters at 100 TB; the oracle states the naive "
+    "5-subquery UNION so the single-pass rewrite is hash-verified "
+    "equivalent. Counts/chars exact BIGINT; one rounded division "
+    "per stage.",
+)
+def q_etl_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_stage = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("total"),
+        *[
+            agg
+            for name, cond in _FUNNEL_STAGES
+            for agg in (
+                F.sum(F.when(F.expr(cond), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"{name}_n"),
+                F.sum(
+                    F.when(F.expr(cond), F.col("n_chars")).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"{name}_c"),
+            )
+        ],
+    )
+    stacked = per_stage.select(
+        F.col("total"),
+        F.expr(
+            "stack({}, {})".format(
+                len(_FUNNEL_STAGES),
+                ", ".join(
+                    f"'{name}', {name}_n, {name}_c"
+                    for name, _ in _FUNNEL_STAGES
+                ),
+            )
+        ).alias("stage", "n_docs", "n_chars"),
+    )
+    return stacked.select(
+        "stage",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("total"), 6
+        ).alias("survival_rate"),
+    )

@@ -890,3 +890,64 @@ def q_text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vmr, 4).alias("burstiness"),
         )
     )
+
+
+@register(
+    "q_text_context_length_bins",
+    oracle="""
+        WITH binned AS (
+            SELECT LENGTH(bin(n_chars)) AS len_bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_chars) AS BIGINT) AS bin_chars
+            FROM documents
+            WHERE n_chars > 0
+            GROUP BY 1
+        )
+        SELECT CAST(len_bin AS INTEGER) AS len_bin,
+               n_docs, bin_chars,
+               ROUND(CAST(SUM(bin_chars) OVER (ORDER BY len_bin)
+                          AS DOUBLE)
+                     / (SELECT SUM(bin_chars) FROM binned), 6)
+                   AS cum_char_share
+        FROM binned
+    """,
+    section="T17",
+    doc="Context-length histogram on power-of-two bins with cumulative "
+    "char share — the feasibility report for sequence packing: which "
+    "context window covers what fraction of the corpus volume. The "
+    "bin index is LENGTH(bin(n)) = floor(log2 n)+1, computed via the "
+    "binary-string length on BOTH engines — integer-exact at exact "
+    "powers of two, where floor(log2(double)) could round either "
+    "way (the classic FP-boundary trap this device avoids). Counts "
+    "and char sums are exact BIGINT; the cumulative share is one "
+    "rounded division per bin over a ~10-row window. Scale: one "
+    "map-combinable groupBy on the bin key; the window runs on "
+    "~10 rows on the driver-side-sized partition — nothing else "
+    "shuffles.",
+)
+def q_text_context_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("n_chars") > 0
+    )
+    binned = docs.groupBy(
+        F.length(F.bin("n_chars")).cast("int").alias("len_bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("bin_chars"),
+    )
+    tot = binned.agg(F.sum("bin_chars").cast("double").alias("tot"))
+    w = Window.orderBy("len_bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        binned.crossJoin(F.broadcast(tot))
+        .select(
+            "len_bin",
+            "n_docs",
+            "bin_chars",
+            F.round(
+                F.sum("bin_chars").over(w).cast("double") / F.col("tot"),
+                6,
+            ).alias("cum_char_share"),
+        )
+    )
