@@ -1150,3 +1150,367 @@ def q_sketch_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 115 (r5): sketch family III — AMS F2, theta a-not-b, histogram
+# quantiles.
+# ---------------------------------------------------------------------------
+
+_AMS_ROWS = 9  # odd => integer-exact median of the row estimates
+
+
+@register(
+    "q_sketch_ams_f2",
+    oracle=f"""
+        WITH counts AS (
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ),
+        rows_ AS (SELECT unnest(range({_AMS_ROWS})) AS i),
+        signed AS (
+            SELECT r.i,
+                   SUM(CASE WHEN substr(md5(CAST(r.i AS VARCHAR) || ':'
+                                        || CAST(k.user_id AS VARCHAR)),
+                                 1, 1) < '8'
+                            THEN k.c ELSE -k.c END) AS z
+            FROM counts k CROSS JOIN rows_ r
+            GROUP BY r.i
+        ),
+        ests AS (SELECT i, z * z AS est FROM signed),
+        med AS (
+            SELECT est AS f2_est FROM (
+                SELECT est, row_number() OVER (ORDER BY est, i) AS rn
+                FROM ests
+            ) WHERE rn = {(_AMS_ROWS + 1) // 2}
+        )
+        SELECT CAST((SELECT SUM(c * c) FROM counts) AS BIGINT)
+                   AS f2_exact,
+               CAST(f2_est AS BIGINT) AS f2_est,
+               ROUND((f2_est - (SELECT SUM(c * c) FROM counts))
+                     / CAST((SELECT SUM(c * c) FROM counts) AS DOUBLE),
+                     4) AS rel_err
+        FROM med
+    """,
+    section="SK8",
+    doc=f"AMS (Alon-Matias-Szegedy) second-moment sketch, "
+    f"{_AMS_ROWS} sign rows: each row folds the frequency vector "
+    "through a +/-1 hash (md5 first hex digit < '8') and squares the "
+    "signed sum; the median row is the F2 estimate. Every row "
+    "estimate is an exact integer (signed sums of exact counts), the "
+    "median of an odd row count is order-statistic exact, and the "
+    "hash is engine-identical — so this classically-randomized "
+    "sketch carries a full exact oracle (the SK4 KMV trick applied "
+    "to moment estimation). F2 = self-join size = the quantity that "
+    "decides whether a key set is safely joinable or needs skew "
+    "handling at 100 TB. Scale: per-row state is ONE signed sum "
+    "(9 longs total); the only shuffle is the user-grain count; the "
+    "9-row cross join multiplies partials, not raw events.",
+)
+def q_sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    rows = spark.range(_AMS_ROWS).select(F.col("id").alias("i"))
+    sign_src = F.substring(
+        F.md5(
+            F.concat(
+                F.col("i").cast("string"),
+                F.lit(":"),
+                F.col("user_id").cast("string"),
+            )
+        ),
+        1,
+        1,
+    )
+    signed = (
+        counts.crossJoin(F.broadcast(rows))
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.when(sign_src < "8", F.col("c")).otherwise(-F.col("c"))
+            ).alias("z")
+        )
+    )
+    ests = signed.select("i", (F.col("z") * F.col("z")).alias("est"))
+    med = (
+        ests.withColumn(
+            "rn", F.row_number().over(Window.orderBy("est", "i"))
+        )
+        .where(F.col("rn") == (_AMS_ROWS + 1) // 2)
+        .select(F.col("est").alias("f2_est"))
+    )
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2_exact")
+    )
+    return (
+        med.crossJoin(F.broadcast(exact))
+        .select(
+            "f2_exact",
+            F.col("f2_est").cast("bigint").alias("f2_est"),
+            F.round(
+                (F.col("f2_est") - F.col("f2_exact"))
+                / F.col("f2_exact").cast("double"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
+
+
+_THETA_K = 64
+_H48_MAX = 281474976710656.0  # 2^48
+
+_THETA_H_SPARK = (
+    "CAST(CONV(substr(md5(CAST(event_id AS STRING)), 1, 12), 16, 10) "
+    "AS BIGINT)"
+)
+_THETA_H_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 12)) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "q_sketch_theta_diff",
+    oracle=f"""
+        WITH a AS (
+            SELECT DISTINCT event_id, {_THETA_H_DUCK} AS h
+            FROM events WHERE event_type = 'click'
+        ),
+        b AS (
+            SELECT DISTINCT event_id, {_THETA_H_DUCK} AS h
+            FROM events WHERE value < 100
+        ),
+        ta AS (
+            SELECT h AS theta FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn FROM a
+            ) WHERE rn = {_THETA_K}
+        ),
+        tb AS (
+            SELECT h AS theta FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn FROM b
+            ) WHERE rn = {_THETA_K}
+        ),
+        theta AS (
+            SELECT LEAST((SELECT theta FROM ta),
+                         (SELECT theta FROM tb)) AS t
+        ),
+        retained AS (
+            SELECT a.event_id FROM a, theta
+            WHERE a.h < theta.t
+              AND a.event_id NOT IN (SELECT event_id FROM b)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM retained) AS BIGINT)
+                   AS retained_cnt,
+               ROUND((SELECT COUNT(*) FROM retained)
+                     * {_H48_MAX} / (SELECT t FROM theta), 4)
+                   AS est_diff,
+               CAST((SELECT COUNT(*) FROM (
+                       SELECT event_id FROM a
+                       EXCEPT
+                       SELECT event_id FROM b)) AS BIGINT)
+                   AS exact_diff
+        FROM (SELECT 1)
+    """,
+    section="SK9",
+    doc=f"Theta-sketch A-NOT-B (k={_THETA_K}) over two event-id sets "
+    "(A = click events, B = low-value events): each side keeps its k "
+    "smallest 48-bit hashes, theta = min of the two k-th order "
+    "statistics, and |A \\ B| is estimated from A's sub-theta hashes "
+    "that miss B, scaled by 2^48/theta — the set-ALGEBRA sketch "
+    "(Apache DataSketches' workhorse) that KMV/HLL union (SK3/SK4) "
+    "can't express, because difference and intersection need the "
+    "retained-hash SAMPLE, not just the estimate. Deterministic "
+    "hash + order statistics => full exact oracle, with the exact "
+    "EXCEPT count carried as the accuracy reference. Scale: "
+    "per-side state is k hashes; the NOT-IN probe is a broadcast "
+    "anti-join of <= k rows against B's distinct keys; nothing "
+    "beyond the two DISTINCTs shuffles.",
+)
+def q_sketch_theta_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = (
+        ev.where(F.col("event_type") == "click")
+        .select("event_id", F.expr(_THETA_H_SPARK).alias("h"))
+        .distinct()
+    )
+    b = (
+        ev.where(F.col("value") < 100)
+        .select("event_id", F.expr(_THETA_H_SPARK).alias("h"))
+        .distinct()
+    )
+
+    def kth(df):
+        return (
+            df.withColumn(
+                "rn", F.row_number().over(Window.orderBy("h"))
+            )
+            .where(F.col("rn") == _THETA_K)
+            .select(F.col("h").alias("theta"))
+        )
+
+    theta = (
+        kth(a)
+        .crossJoin(kth(b).withColumnRenamed("theta", "theta_b"))
+        .select(F.least("theta", "theta_b").alias("t"))
+    )
+    retained = (
+        a.crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("t"))
+        .join(b.select("event_id"), "event_id", "left_anti")
+    )
+    stats = retained.agg(
+        F.count(F.lit(1)).cast("bigint").alias("retained_cnt")
+    )
+    exact = (
+        a.select("event_id")
+        .exceptAll(b.select("event_id"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_diff"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "retained_cnt",
+            F.round(
+                F.col("retained_cnt") * F.lit(_H48_MAX) / F.col("t"), 4
+            ).alias("est_diff"),
+            "exact_diff",
+        )
+    )
+
+
+_HQ_BINS = 32
+_HQ_PS = ("0.5", "0.9", "0.99")
+
+
+@register(
+    "q_sketch_histogram_quantile",
+    oracle=f"""
+        WITH stats AS (
+            SELECT MIN(value) AS mn, MAX(value) AS mx,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events
+        ),
+        binned AS (
+            SELECT LEAST(CAST(FLOOR((e.value - s.mn)
+                                    / ((s.mx - s.mn) / {_HQ_BINS}))
+                              AS INTEGER), {_HQ_BINS - 1}) AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events e, stats s
+            GROUP BY 1
+        ),
+        cum AS (
+            SELECT b, c,
+                   SUM(c) OVER (ORDER BY b) AS cum_c
+            FROM binned
+        ),
+        ps (p) AS (VALUES {", ".join(f"({p})" for p in _HQ_PS)}),
+        hit AS (
+            SELECT ps.p, MIN(cum.b) AS hit_b
+            FROM ps JOIN cum
+              ON cum.cum_c >= ps.p * (SELECT n FROM stats)
+            GROUP BY ps.p
+        )
+        SELECT CAST(hit.p AS DOUBLE) AS p,
+               ROUND(s.mn + ((s.mx - s.mn) / {_HQ_BINS})
+                     * (hit.b + (hit.p * s.n - COALESCE(prev.cum_c, 0))
+                        / hit.c), 4) AS est_q
+        FROM (
+            SELECT h.p, h.hit_b AS b, c.c, c.cum_c
+            FROM hit h JOIN cum c ON c.b = h.hit_b
+        ) hit
+        LEFT JOIN cum prev ON prev.b = (
+            SELECT MAX(b) FROM cum WHERE b < hit.b
+        )
+        CROSS JOIN stats s
+    """,
+    section="SK10",
+    doc=f"Equal-width histogram quantile sketch ({_HQ_BINS} bins): "
+    "p50/p90/p99 estimated by linear interpolation inside the first "
+    "bin whose cumulative count crosses p*n — the fixed-memory "
+    "quantile summary (the idea under t-digest/KLL, with "
+    "deterministic bin boundaries instead of randomized centroids, "
+    "which is what makes a full exact oracle possible where A20's "
+    "approx_percentile is rows-only). All bin counts are exact "
+    "BIGINT; min/max/interpolation are identical IEEE doubles on "
+    "both engines, ROUND(...,4)-pinned. Scale: state is "
+    f"{_HQ_BINS} longs after one map-combinable groupBy; min/max "
+    "broadcast as 1-row scalars; mergeable across shards by adding "
+    "bin vectors (same property t-digest is used for).",
+)
+def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / _HQ_BINS
+    binned = (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(
+            F.least(
+                F.floor((F.col("value") - F.col("mn")) / width).cast(
+                    "int"
+                ),
+                F.lit(_HQ_BINS - 1),
+            ).alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = binned.withColumn(
+        "cum_c",
+        F.sum("c").over(
+            Window.orderBy("b").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    ps = spark.createDataFrame(
+        [(float(p),) for p in _HQ_PS], "p double"
+    )
+    hit = (
+        ps.crossJoin(F.broadcast(stats.select("n")))
+        .join(
+            cum,
+            F.col("cum_c") >= F.col("p") * F.col("n"),
+        )
+        .groupBy("p", "n")
+        .agg(F.min("b").alias("b"))
+    )
+    prev = cum.select(
+        F.col("b").alias("pb"), F.col("cum_c").alias("prev_cum")
+    )
+    w_prev = (
+        cum.select("b")
+        .crossJoin(prev)
+        .where(F.col("pb") < F.col("b"))
+        .groupBy("b")
+        .agg(F.max("pb").alias("prev_b"))
+        .join(prev, F.col("prev_b") == F.col("pb"))
+        .select("b", "prev_cum")
+    )
+    return (
+        hit.join(cum.select("b", "c"), "b")
+        .join(w_prev, "b", "left")
+        .crossJoin(F.broadcast(stats.select("mn", "mx")))
+        .select(
+            "p",
+            F.round(
+                F.col("mn")
+                + ((F.col("mx") - F.col("mn")) / _HQ_BINS)
+                * (
+                    F.col("b")
+                    + (
+                        F.col("p") * F.col("n")
+                        - F.coalesce(F.col("prev_cum"), F.lit(0))
+                    )
+                    / F.col("c")
+                ),
+                4,
+            ).alias("est_q"),
+        )
+    )
