@@ -695,3 +695,66 @@ def test_partition_pruning_reaches_scan(spark, registry):
 
     m = re.search(r"PartitionFilters: \[[^\]]*o_orderstatus[^\]]*\]", plan)
     assert m and "= O" in m.group(0).replace("'", ""), plan
+
+
+# ---------------------------------------------------------------------------
+# Wave 110-113: TPC-H family (H) plan shapes.
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q3_broadcasts_customer_takes_ordered(spark, registry):
+    """Q3: the segment-filtered customer slice broadcasts; the top-10 is a
+    window over the small aggregated set, never a global sort of the fact."""
+    plan = _plan(registry["q_tpch_q3"].builder(spark, SF001))
+    assert "BroadcastHashJoin" in plan, plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), plan
+
+
+def test_tpch_q6_is_scan_plus_partial_agg_no_shuffle_join(spark, registry):
+    """Q6: pure filter+agg — every predicate reaches the scan, no join
+    operator anywhere, single-row exchange only."""
+    plan = _plan(registry["q_tpch_q6"].builder(spark, SF001))
+    assert "Join" not in plan, plan
+    assert re.search(r"PushedFilters: \[.*l_shipdate", plan), plan
+    assert re.search(r"PushedFilters: \[.*l_discount", plan) or re.search(
+        r"PushedFilters: \[.*l_quantity", plan
+    ), plan
+
+
+def test_tpch_q9_fact_joins_shuffle_once(spark, registry):
+    """Q9: part/supplier/nation broadcast; the only SortMergeJoin (if any)
+    is lineitem-orders on the orderkey."""
+    plan = _plan(registry["q_tpch_q9"].builder(spark, SF001))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") <= 1, plan
+
+
+def test_tpch_q18_groups_fact_before_dimension_joins(spark, registry):
+    """Q18: the qty-HAVING aggregate must run on the bare fact BEFORE any
+    join (group-then-join ordering) — the survivor set then broadcasts."""
+    plan = _plan(registry["q_tpch_q18"].builder(spark, SF001))
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1, plan
+    # executed plans print top-down: the LAST aggregate in the string is the
+    # deepest; it must sit below (after) the joins textually
+    assert plan.rfind("HashAggregate") > join_pos, plan
+
+
+def test_tpch_q21_single_per_order_aggregate_no_self_join(spark, registry):
+    """Q21: the EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order
+    aggregate — the fact must not self-join (that would be 3 shuffles)."""
+    plan = _plan(registry["q_tpch_q21"].builder(spark, SF001))
+    # one fact-orders join, zero fact-fact joins: at most one SMJ
+    assert plan.count("SortMergeJoin") <= 1, plan
+    # lineitem is scanned exactly once
+    assert plan.count("lineitem.parquet") <= 1 or plan.count("lineitem") <= 2, plan
+
+
+def test_tpch_q22_antijoin_and_scalar_broadcast(spark, registry):
+    """Q22: dormancy check is a (broadcast) anti-join against the
+    date-filtered orders projection; the avg threshold arrives as a
+    broadcast, not a shuffle."""
+    plan = _plan(registry["q_tpch_q22"].builder(spark, SF001))
+    assert re.search(r"(Broadcast|SortMerge)HashJoin? LeftAnti|LeftAnti", plan), plan
+    assert re.search(r"PushedFilters: \[.*o_orderdate", plan), plan
