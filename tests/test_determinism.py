@@ -197,6 +197,19 @@ RISKY = [
     "q_win_leaderboard_churn",
     "q_dedup_length_profile",
     "q_agg_grubbs",
+    # r5 waves: top-k tie-breaks, decimal-equality correlations, and
+    # order-statistic sketches — the partition-sensitive shapes.
+    "q_tpch_q3",
+    "q_tpch_q10",
+    "q_tpch_q15",
+    "q_tpch_q18",
+    "q_tpch_q21",
+    "q_tpch_q2",
+    "q_sketch_ams_f2",
+    "q_sketch_theta_diff",
+    "q_sketch_histogram_quantile",
+    "q_etl_temperature_resample",
+    "q_text_context_length_bins",
 ]
 
 
