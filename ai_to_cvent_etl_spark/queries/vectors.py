@@ -3559,3 +3559,134 @@ def q_vec_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         idcg.alias("idcg_q"),
         F.round(F.col("dcg_q").cast("double") / idcg, 6).alias("ndcg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 116 (r5): retrieval-metric addition — MRR.
+# ---------------------------------------------------------------------------
+
+_MRR_NQ = 10
+_MRR_K = 10
+_MRR_LCM = 2520  # lcm(1..10): 2520/r is an exact integer for every rank
+
+
+@register(
+    "q_vec_mrr",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS qlabel, embedding
+            FROM embeddings WHERE vec_id < {_MRR_NQ}
+        ),
+        c AS (
+            SELECT vec_id, label, embedding
+            FROM embeddings WHERE vec_id >= {_MRR_NQ}
+        ),
+        ranked AS (
+            SELECT q.qid, q.qlabel, c.label,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_COS_DUCK} DESC, c.vec_id
+                   ) AS rnk
+            FROM q CROSS JOIN c
+        ),
+        hits AS (
+            SELECT qid,
+                   MIN(CASE WHEN label = qlabel AND rnk <= {_MRR_K}
+                            THEN rnk END) AS hit_rank
+            FROM ranked GROUP BY qid, qlabel
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN hit_rank IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               ROUND(CAST(SUM(COALESCE({_MRR_LCM} / hit_rank, 0))
+                          AS DOUBLE) / {_MRR_LCM} / COUNT(*), 6) AS mrr
+        FROM hits
+    """,
+    section="V21",
+    doc=f"Mean reciprocal rank at k={_MRR_K} over cosine retrieval "
+    f"({_MRR_NQ} label-carrying queries vs the rest of the corpus): "
+    "the first-relevant-result metric that complements V12's "
+    "recall@k (recall counts any hit, MRR rewards putting it FIRST) "
+    "and q_vec_ndcg's graded gains. The reciprocal-rank sum uses the "
+    f"lcm(1..{_MRR_K})={_MRR_LCM} integer device — 2520/r is exact "
+    "for every admissible rank, so the mean is an exact integer sum "
+    "scaled once, never a float accumulation of 1/3-style repeating "
+    "fractions. Cosines are fixed-order HOF folds (bit-identical "
+    "cross-engine, V1's rule); rank ties break on vec_id. Scale: "
+    "queries broadcast, the corpus scans once, per-query state is "
+    "one (best-rank) scalar after the rank window — at 100 TB the "
+    "rank window swaps for V12's aggregate-top-k shape unchanged.",
+)
+def q_vec_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < _MRR_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.where(F.col("vec_id") >= _MRR_NQ).select(
+        "vec_id", "label", F.col("embedding").alias("ce")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("ce"),
+            lambda a, b: a.cast("double") * b.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _norm(col):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(
+                    col, lambda x: x.cast("double") * x.cast("double")
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+
+    sims = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "qlabel",
+        "label",
+        "vec_id",
+        (dot / (_norm(F.col("qe")) * _norm(F.col("ce")))).alias("cos"),
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    )
+    hits = (
+        sims.withColumn("rnk", rnk)
+        .groupBy("qid", "qlabel")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("label") == F.col("qlabel"))
+                    & (F.col("rnk") <= _MRR_K),
+                    F.col("rnk"),
+                )
+            ).alias("hit_rank")
+        )
+    )
+    return hits.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_queries"),
+        F.sum(
+            F.when(F.col("hit_rank").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+        F.round(
+            F.sum(
+                F.coalesce(
+                    (F.lit(_MRR_LCM) / F.col("hit_rank")).cast("bigint"),
+                    F.lit(0),
+                )
+            ).cast("double")
+            / _MRR_LCM
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mrr"),
+    )

@@ -1665,3 +1665,137 @@ def q_win_state_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap).cast("double") / F.count(F.lit(1)), 2
         ).alias("mean_dwell_seconds"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 116 (r5): multi-touch attribution.
+# ---------------------------------------------------------------------------
+
+_USHAPE_UNIT = 1_000_000  # micro-credits: one conversion = 1e6 exactly
+
+
+@register(
+    "q_win_attribution_ushape",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type, ts,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS journey
+            FROM events
+        ),
+        journeys AS (
+            SELECT user_id, COALESCE(journey, 0) AS journey,
+                   event_id, event_type, ts
+            FROM ordered
+        ),
+        converting AS (
+            SELECT DISTINCT user_id, journey FROM journeys
+            WHERE event_type = 'purchase'
+        ),
+        touches AS (
+            SELECT j.user_id, j.journey, j.event_id, j.event_type,
+                   row_number() OVER (
+                       PARTITION BY j.user_id, j.journey
+                       ORDER BY j.ts, j.event_id) AS pos,
+                   COUNT(*) OVER (
+                       PARTITION BY j.user_id, j.journey) AS n
+            FROM journeys j
+            JOIN converting c
+              ON j.user_id = c.user_id AND j.journey = c.journey
+            WHERE j.event_type <> 'purchase'
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE
+                     WHEN n = 1 THEN {_USHAPE_UNIT}
+                     WHEN n = 2 THEN {_USHAPE_UNIT // 2}
+                     WHEN pos = 1 OR pos = n
+                          THEN {_USHAPE_UNIT * 4 // 10}
+                     ELSE CAST(floor({_USHAPE_UNIT // 5} / (n - 2))
+                               AS BIGINT)
+                   END AS credit
+            FROM touches
+        )
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               ROUND(CAST(SUM(credit) AS DOUBLE) / {_USHAPE_UNIT}, 6)
+                   AS total_credit
+        FROM credited
+        GROUP BY event_type
+    """,
+    section="W35",
+    doc="U-shaped (position-based) multi-touch attribution: every "
+    "converting journey (touches between consecutive purchases of a "
+    "user) splits one unit of conversion credit 40/20/40 — first "
+    "touch 40%, last touch 40%, middles sharing 20% — the standard "
+    "marketing model between W10's naive first/last-touch extremes. "
+    "Journey ids are a gaps-and-islands cumulative purchase count "
+    "(the 1-PRECEDING frame keeps each terminal purchase inside the "
+    "journey it closes). Credits are exact MICRO-credit integers — "
+    "floor(200000/(n-2)) for middles — so the per-channel totals are "
+    "BIGINT sums with no float accumulation anywhere; one division "
+    "at render. Scale: two windows and one aggregate, all keyed by "
+    "(user_id, journey) — partition-local after a single user-keyed "
+    "shuffle; no joins against the fact beyond the converting-set "
+    "semi-join, which collapses to journey grain first.",
+)
+def q_win_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    journeys = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(
+                w_user.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("journey"),
+    )
+    converting = (
+        journeys.where(F.col("event_type") == "purchase")
+        .select("user_id", "journey")
+        .distinct()
+    )
+    w_j = Window.partitionBy("user_id", "journey").orderBy(
+        "ts", "event_id"
+    )
+    w_jn = Window.partitionBy("user_id", "journey")
+    touches = (
+        journeys.join(converting, ["user_id", "journey"])
+        .where(F.col("event_type") != "purchase")
+        .select(
+            "event_type",
+            F.row_number().over(w_j).alias("pos"),
+            F.count(F.lit(1)).over(w_jn).alias("n"),
+        )
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(_USHAPE_UNIT))
+        .when(F.col("n") == 2, F.lit(_USHAPE_UNIT // 2))
+        .when(
+            (F.col("pos") == 1) | (F.col("pos") == F.col("n")),
+            F.lit(_USHAPE_UNIT * 4 // 10),
+        )
+        .otherwise(
+            F.floor(
+                F.lit(_USHAPE_UNIT // 5) / (F.col("n") - 2)
+            ).cast("bigint")
+        )
+    )
+    return (
+        touches.select("event_type", credit.alias("credit"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.round(
+                F.sum("credit").cast("double") / _USHAPE_UNIT, 6
+            ).alias("total_credit"),
+        )
+    )
