@@ -3033,3 +3033,57 @@ def q_etl_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_docs").cast("double") / F.col("total"), 6
         ).alias("survival_rate"),
     )
+
+
+_RESERVOIR_K = 5
+
+
+@register(
+    "q_etl_reservoir_group",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS rnk,
+                   CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS stratum_n
+            FROM documents
+        )
+        SELECT source, doc_id, CAST(rnk AS INTEGER) AS rnk,
+               n_chars, stratum_n
+        FROM ranked WHERE rnk <= {_RESERVOIR_K}
+    """,
+    section="E48",
+    doc=f"Fixed-k reservoir sample per stratum (k={_RESERVOIR_K} docs "
+    "per source): rank by the uniform md5(doc_id) key and keep the "
+    "k smallest — the hash-rank formulation of reservoir sampling, "
+    "which unlike the sequential algorithm is embarrassingly "
+    "parallel AND deterministic (same sample every run, every "
+    "partition count — auditable pipelines need replayable "
+    "samples). Completes the sampling triptych: E9 fixes a "
+    "FRACTION, E41 fixes a BYTE budget, this fixes a COUNT. The "
+    "stratum size rides along so downstream reweighting "
+    "(Horvitz-Thompson k/N inverse-probability) needs no second "
+    "scan. Scale: rank-k per group is a map-side top-k heap (k "
+    "rows of state per stratum) feeding one small shuffle — "
+    "never a full sort of the corpus.",
+)
+def q_etl_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("source")
+    return (
+        docs.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.row_number().over(w).alias("rnk"),
+            F.count(F.lit(1)).over(wn).cast("bigint").alias("stratum_n"),
+        )
+        .where(F.col("rnk") <= _RESERVOIR_K)
+        .select("source", "doc_id", "rnk", "n_chars", "stratum_n")
+    )

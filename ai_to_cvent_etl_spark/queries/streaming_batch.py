@@ -122,3 +122,84 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 117 (r5): watermark late-data semantics as an exact batch twin.
+# ---------------------------------------------------------------------------
+
+_WM_DELAY_MIN = 5
+_WM_WINDOW_MIN = 10
+
+
+@register(
+    "q_stream_watermark_drop",
+    oracle=f"""
+        WITH arrival AS (
+            SELECT ts, event_id,
+                   MAX(ts) OVER (ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS max_seen
+            FROM events
+        ),
+        flagged AS (
+            SELECT ts, event_id,
+                   ts < max_seen - INTERVAL {_WM_DELAY_MIN} MINUTE
+                       AS is_late
+            FROM arrival
+        )
+        SELECT CAST(time_bucket(INTERVAL '{_WM_WINDOW_MIN} minutes', ts)
+                    AS TIMESTAMP) AS win_start,
+               CAST(SUM(CASE WHEN is_late THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_kept,
+               CAST(SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM flagged
+        GROUP BY 1
+    """,
+    section="ST13",
+    doc=f"Watermark late-data semantics, exact batch twin: events arrive "
+    "in event_id order, the watermark trails the running max event "
+    f"time by {_WM_DELAY_MIN} minutes, and an event older than the "
+    "watermark at its arrival is dropped; per "
+    f"{_WM_WINDOW_MIN}-minute tumbling window, kept vs dropped "
+    "counts. This pins the EXACT drop rule Structured Streaming "
+    "applies (withWatermark + window agg discards below-watermark "
+    "rows), with the one batch-computable refinement: arrival order "
+    "is the deterministic event_id sequence, where a real stream's "
+    "watermark is per-trigger. The ST1-3 twins check windowing; this "
+    "one checks the DROP boundary — the part late-data bugs actually "
+    "hit. Counts exact BIGINT; window start is integer epoch "
+    "arithmetic. Scale note: the running max is a global ordered "
+    "window here (driver-sized at test SF); on a real stream this "
+    "state is O(1) per partition maintained by the engine — the "
+    "batch twin trades parallelism for checkability, like W24's "
+    "spine device.",
+)
+def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_arr = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    flagged = ev.select(
+        "ts",
+        (
+            F.col("ts")
+            < F.max("ts").over(w_arr)
+            - F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTE")
+        ).alias("is_late"),
+    )
+    return (
+        flagged.groupBy(
+            F.window("ts", f"{_WM_WINDOW_MIN} minutes")
+            .getField("start")
+            .alias("win_start")
+        )
+        .agg(
+            F.sum(F.when(F.col("is_late"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )

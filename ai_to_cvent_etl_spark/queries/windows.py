@@ -1799,3 +1799,105 @@ def q_win_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_credit"),
         )
     )
+
+
+_CEP_GAP_MIN = 30
+
+
+@register(
+    "q_win_cep_pattern",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, ts, event_type,
+                   LAG(event_type, 1) OVER w AS t1,
+                   LAG(event_type, 2) OVER w AS t2,
+                   LAG(ts, 2) OVER w AS ts2
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        matched AS (
+            SELECT user_id,
+                   (t2 = 'view' AND t1 = 'click'
+                    AND event_type = 'purchase'
+                    AND ts - ts2 <= INTERVAL {_CEP_GAP_MIN} MINUTE)
+                       AS strict_m,
+                   (t2 = 'view' AND t1 <> 'error'
+                    AND event_type = 'purchase'
+                    AND ts - ts2 <= INTERVAL {_CEP_GAP_MIN} MINUTE)
+                       AS relaxed_m
+            FROM seq
+        )
+        SELECT CAST(SUM(CASE WHEN strict_m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_strict,
+               CAST(SUM(CASE WHEN relaxed_m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_relaxed,
+               CAST(COUNT(DISTINCT CASE WHEN strict_m THEN user_id END)
+                    AS BIGINT) AS users_strict,
+               CAST(COUNT(DISTINCT CASE WHEN relaxed_m THEN user_id END)
+                    AS BIGINT) AS users_relaxed
+        FROM matched
+    """,
+    section="W36",
+    doc="Complex-event-processing pattern match over per-user event "
+    "sequences — MATCH_RECOGNIZE semantics expressed with lag "
+    "windows: the STRICT pattern (view, click, purchase as three "
+    f"CONSECUTIVE events within {_CEP_GAP_MIN} minutes) and the "
+    "RELAXED pattern with a NEGATION in the middle slot (view, "
+    "anything-but-error, purchase) — negation is the CEP feature "
+    "plain funnels (W7) can't state, because it constrains the "
+    "events BETWEEN the endpoints, not just their order. Every "
+    "match test is an exact string/interval comparison on lagged "
+    "rows; counts exact BIGINT. Scale: one user-keyed shuffle, "
+    "then entirely partition-local lags — the pattern never "
+    "self-joins the fact (the naive 3-way CEP join), so cost is "
+    "one sort per user partition regardless of pattern length.",
+)
+def q_win_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+        F.lag("ts", 2).over(w).alias("ts2"),
+    )
+    gap_ok = F.col("ts") <= F.col("ts2") + F.expr(
+        f"INTERVAL {_CEP_GAP_MIN} MINUTE"
+    )
+    strict_m = (
+        (F.col("t2") == "view")
+        & (F.col("t1") == "click")
+        & (F.col("event_type") == "purchase")
+        & gap_ok
+    )
+    relaxed_m = (
+        (F.col("t2") == "view")
+        & (F.col("t1") != "error")
+        & (F.col("event_type") == "purchase")
+        & gap_ok
+    )
+    matched = seq.select(
+        "user_id",
+        strict_m.alias("strict_m"),
+        relaxed_m.alias("relaxed_m"),
+    )
+    return matched.agg(
+        F.sum(F.when(F.col("strict_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_strict"),
+        F.sum(F.when(F.col("relaxed_m"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_relaxed"),
+        F.countDistinct(
+            F.when(F.col("strict_m"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("users_strict"),
+        F.countDistinct(
+            F.when(F.col("relaxed_m"), F.col("user_id"))
+        )
+        .cast("bigint")
+        .alias("users_relaxed"),
+    )
