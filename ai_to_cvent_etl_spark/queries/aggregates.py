@@ -8442,3 +8442,353 @@ def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 118 (r5): classical ML as relational algebra — Naive Bayes,
+# multi-feature OLS, one Newton step of logistic regression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_naive_bayes",
+    oracle="""
+        WITH train AS (
+            SELECT * FROM documents WHERE doc_id % 5 <> 0
+        ),
+        test AS (
+            SELECT * FROM documents WHERE doc_id % 5 = 0
+        ),
+        tr_toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM train
+        ),
+        ct AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr_toks GROUP BY lang, tok
+        ),
+        cls AS (
+            SELECT lang,
+                   CAST(SUM(c) AS DOUBLE) AS t_c,
+                   (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE)
+                    FROM tr_toks) AS v
+            FROM ct GROUP BY lang
+        ),
+        prior AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM train) AS p
+            FROM train GROUP BY lang
+        ),
+        te_toks AS (
+            SELECT doc_id, lang AS true_lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM test
+        ),
+        scored AS (
+            SELECT t.doc_id, t.true_lang, cls.lang AS cand,
+                   ln((SELECT p FROM prior WHERE prior.lang = cls.lang))
+                   + SUM(ln((COALESCE(ct.c, 0) + 1)
+                            / (cls.t_c + cls.v))) AS score
+            FROM te_toks t
+            CROSS JOIN cls
+            LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = t.tok
+            GROUP BY t.doc_id, t.true_lang, cls.lang, cls.t_c, cls.v
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, cand) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY true_lang, pred_lang
+    """,
+    section="A101",
+    doc="Multinomial Naive Bayes, trained and evaluated entirely in "
+    "relational algebra: add-one-smoothed per-language token "
+    "likelihoods from the doc_id%5 train split, log-posterior "
+    "scoring of the held-out split, argmax prediction, and the "
+    "confusion matrix as output — the canonical baseline text "
+    "classifier as ONE declarative plan (train and inference are "
+    "the same DAG, no driver loop, no model file). Log-likelihood "
+    "sums are float with deterministic per-class tie-break on the "
+    "language code; the output counts are exact BIGINT (the L7 "
+    "rule: irrational arithmetic may order RANKS only where gaps "
+    "are macroscopic — class scores differ by whole nats in this "
+    "corpus). Scale: the model (lang x vocab counts, class totals, "
+    "priors) is vocabulary-sized and broadcasts; test tokens fan "
+    "out 5x (once per class) then collapse to doc grain — the "
+    "shuffle carries (doc, class) partial log-sums, never raw "
+    "text; at 100 TB this is the evaluate-a-quality-classifier "
+    "pass every curation pipeline runs.",
+)
+def q_agg_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    tr_toks = fan_out(train).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ct = tr_toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    v = tr_toks.agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    cls = (
+        ct.groupBy("lang")
+        .agg(F.sum("c").cast("double").alias("t_c"))
+        .crossJoin(F.broadcast(v))
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_tr"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+        .crossJoin(F.broadcast(n_train))
+        .select("lang", (F.col("n_c") / F.col("n_tr")).alias("p"))
+    )
+    te_toks = fan_out(test).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cand = cls.select(
+        F.col("lang").alias("cand"), "t_c", "v"
+    ).join(prior.select(F.col("lang").alias("cand"), "p"), "cand")
+    scored = (
+        te_toks.crossJoin(F.broadcast(cand))
+        .join(
+            F.broadcast(
+                ct.select(
+                    F.col("lang").alias("cand"),
+                    "tok",
+                    F.col("c").alias("ct_c"),
+                )
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "t_c", "v", "p")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct_c"), F.lit(0)) + 1)
+                    / (F.col("t_c") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.log("p") + F.col("ll")).alias("score"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), "cand"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+
+@register(
+    "q_agg_ols_normal_eq",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+            FROM lineitem
+        )
+        SELECT ROUND((
+                 sy * (s11 * s22 - s12 * s12)
+               - s1y * (s1 * s22 - s12 * s2)
+               + s2y * (s1 * s12 - s11 * s2)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b0,
+               ROUND((
+                 n * (s1y * s22 - s12 * s2y)
+               - s1 * (sy * s22 - s2 * s2y)
+               + s2 * (sy * s12 - s2 * s1y)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b1,
+               ROUND((
+                 n * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s2 * s1y)
+               + sy * (s1 * s12 - s11 * s2)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b2
+        FROM m
+    """,
+    section="A102",
+    doc="Two-feature OLS (price ~ quantity + discount) solved by "
+    "Cramer's rule on the 3x3 normal equations — distributed "
+    "multi-feature linear regression as ONE aggregation: the nine "
+    "sufficient moments (n, sums, cross-products) are EXACT "
+    "DECIMAL sums of exact 2dp-decimal products, so the only float "
+    "arithmetic is the final determinant expressions on nine "
+    "identical scalars — bit-identical cross-engine, ROUND(6)-"
+    "pinned. Extends A?-linear_fit (1 feature) the way every MPP "
+    "warehouse implements REGR_*: sufficient statistics "
+    "map-combine; the model solve is O(p^3) on the driver-sized "
+    "1-row result, here inlined relationally. Scale: one "
+    "map-combinable scan at any SF; at 100 TB the same nine "
+    "moments stream through partial aggregation unchanged.",
+)
+def q_agg_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec2(F.col("l_quantity"))
+    d = dec2(F.col("l_discount"))
+    y = dec2(F.col("l_extendedprice"))
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s2 * s1y)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s2 * s1y)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    return m.select(
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+    )
+
+
+@register(
+    "q_agg_logistic_newton",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN CAST(1 AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END
+                            - CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS g0,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * (CASE WHEN l_returnflag = 'R'
+                                    THEN CAST(1 AS DECIMAL(18,2))
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END
+                               - CAST(0.5 AS DECIMAL(18,2))))
+                        AS DOUBLE) AS g1
+            FROM lineitem
+        )
+        SELECT ROUND((sxx * g0 - sx * g1)
+                     / ((n * sxx - sx * sx) / 4), 6) AS w0,
+               ROUND((n * g1 - sx * g0)
+                     / ((n * sxx - sx * sx) / 4), 6) AS w1,
+               CAST(n AS BIGINT) AS n_rows
+        FROM m
+    """,
+    section="A103",
+    doc="One Newton-Raphson step of logistic regression "
+    "(P[returnflag='R'] ~ discount) from w=0: at the zero weight "
+    "vector every p_i = 1/2, so the gradient is sum(x_i (y_i - "
+    "1/2)) and the Hessian is (1/4) X'X — both EXACT decimal sums "
+    "(y is 0/1, x is 2dp, 0.5 is exact decimal), making the "
+    "textbook IRLS iteration a pure relational aggregate with a "
+    "closed-form 2x2 solve on identical scalars (ROUND 6). This "
+    "pins the pattern every distributed GLM implements: sufficient "
+    "statistics map-combine per step, the tiny solve happens on "
+    "the 1-row result; further steps would chain the same shape "
+    "with p_i re-evaluated row-locally (the V16 unrolled-iteration "
+    "device). Scale: one map-combinable scan per step, 5 scalars "
+    "of state.",
+)
+def q_agg_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec2(F.col("l_discount"))
+    ymh = F.when(
+        F.col("l_returnflag") == "R", F.lit(1).cast("decimal(18,2)")
+    ).otherwise(F.lit(0).cast("decimal(18,2)")) - F.lit(0.5).cast(
+        "decimal(18,2)"
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(ymh).cast("double").alias("g0"),
+        F.sum(x * ymh).cast("double").alias("g1"),
+    )
+    det4 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / 4
+    return m.select(
+        F.round(
+            (F.col("sxx") * F.col("g0") - F.col("sx") * F.col("g1"))
+            / det4,
+            6,
+        ).alias("w0"),
+        F.round(
+            (F.col("n") * F.col("g1") - F.col("sx") * F.col("g0"))
+            / det4,
+            6,
+        ).alias("w1"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
