@@ -8792,3 +8792,137 @@ def q_agg_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("w1"),
         F.col("n").cast("bigint").alias("n_rows"),
     )
+
+
+@register(
+    "q_agg_decision_stump",
+    oracle="""
+        WITH pts AS (
+            SELECT l_quantity AS x,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        per_v AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM pts GROUP BY x
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS post
+            FROM per_v
+        ),
+        cand AS (
+            SELECT x AS thr,
+                   SUM(n) OVER (ORDER BY x) AS nl,
+                   SUM(pos) OVER (ORDER BY x) AS posl
+            FROM per_v
+        ),
+        scored AS (
+            SELECT c.thr,
+                   c.nl, t.nt - c.nl AS nr,
+                   -- weighted Gini * nt, all in exact integer-ratio
+                   -- form: nl*gini_l = nl - posl^2/nl - negl^2/nl
+                   (CAST(c.nl AS DOUBLE)
+                    - (CAST(c.posl AS DOUBLE) * c.posl
+                       + CAST(c.nl - c.posl AS DOUBLE) * (c.nl - c.posl))
+                      / c.nl)
+                   + (CAST(t.nt - c.nl AS DOUBLE)
+                      - (CAST(t.post - c.posl AS DOUBLE)
+                         * (t.post - c.posl)
+                         + CAST((t.nt - c.nl) - (t.post - c.posl)
+                                AS DOUBLE)
+                           * ((t.nt - c.nl) - (t.post - c.posl)))
+                        / (t.nt - c.nl)) AS wgini_nt
+            FROM cand c CROSS JOIN tot t
+            WHERE c.nl < t.nt
+        )
+        SELECT thr AS best_threshold,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               ROUND(wgini_nt / (SELECT nt FROM tot), 6) AS weighted_gini
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY wgini_nt, thr) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    section="A104",
+    doc="Decision-tree stump: the best single split of "
+    "P[returnflag='R'] on l_quantity by weighted Gini impurity — "
+    "the NODE PRIMITIVE every distributed tree learner "
+    "(XGBoost/LightGBM's exact mode) evaluates: collapse to "
+    "per-value class histograms, prefix-sum them once, score every "
+    "threshold from the cumulative counts, argmin. The impurity "
+    "n_l*gini_l = n_l - (pos_l^2 + neg_l^2)/n_l is computed from "
+    "exact BIGINT cumulative counts with one division per "
+    "candidate — products of identical integers are exact doubles "
+    "(< 2^53), so the argmin comparison is deterministic, with a "
+    "threshold tie-break. Scale: the fact collapses to ~50 "
+    "per-value rows BEFORE any window; the threshold sweep runs on "
+    "that value-grain table — at 100 TB this is one map-combinable "
+    "histogram + a driver-sized scan, the exact split-finding "
+    "shape of a distributed GBDT.",
+)
+def q_agg_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    tot = per_v.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("post"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cand = per_v.select(
+        F.col("x").alias("thr"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+    )
+    j = cand.crossJoin(F.broadcast(tot)).where(
+        F.col("nl") < F.col("nt")
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    negl = nl - posl
+    nr = nt - nl
+    posr = post - posl
+    negr = nr - posr
+    wgini_nt = (
+        nl.cast("double")
+        - (posl.cast("double") * posl + negl.cast("double") * negl)
+        / nl
+    ) + (
+        nr.cast("double")
+        - (posr.cast("double") * posr + negr.cast("double") * negr)
+        / nr
+    )
+    scored = j.select(
+        "thr",
+        "nl",
+        nr.alias("nr"),
+        wgini_nt.alias("wgini_nt"),
+        "nt",
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("wgini_nt", "thr")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("thr").alias("best_threshold"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round(F.col("wgini_nt") / F.col("nt"), 6).alias(
+                "weighted_gini"
+            ),
+        )
+    )

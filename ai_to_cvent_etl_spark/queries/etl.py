@@ -3087,3 +3087,79 @@ def q_etl_reservoir_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _RESERVOIR_K)
         .select("source", "doc_id", "rnk", "n_chars", "stratum_n")
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "q_etl_feature_hashing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        hashed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER)
+                       % {_FH_BUCKETS} AS bucket,
+                   CASE WHEN substr(md5(tok), 5, 1) < '8'
+                        THEN 1 ELSE -1 END AS sgn
+            FROM toks
+        ),
+        doc_feats AS (
+            SELECT doc_id, bucket,
+                   CAST(SUM(sgn) AS BIGINT) AS feat
+            FROM hashed GROUP BY doc_id, bucket
+        )
+        SELECT bucket,
+               CAST(COUNT(*) AS BIGINT) AS nnz_docs,
+               CAST(SUM(ABS(feat)) AS BIGINT) AS l1_mass,
+               CAST(SUM(CASE WHEN feat = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cancelled
+        FROM doc_feats
+        GROUP BY bucket
+    """,
+    section="E49",
+    doc=f"Hashing-trick featurizer (signed, {_FH_BUCKETS} buckets): "
+    "tokens hash to buckets with a +/-1 sign (Weinberger et al.), "
+    "per-document bucket values are signed counts, and the output "
+    "audits the feature space per bucket — nonzero docs, L1 mass, "
+    "and how many doc-bucket cells fully CANCELLED (the hashing-"
+    "trick's signature failure mode the sign bit exists to "
+    "mitigate; its rate is the thing you check before shrinking "
+    "the bucket count). Bucket and sign both derive from "
+    "engine-identical md5 hex prefixes; every aggregate is an "
+    "exact integer. Scale: this is vocabulary-free by design — no "
+    "vocab table, no broadcast, fixed "
+    f"{_FH_BUCKETS}-wide feature space at any corpus size; one "
+    "(doc, bucket) shuffle of integer partials, the shape that "
+    "makes the hashing trick THE featurizer for 100 TB text.",
+)
+def q_etl_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    hashed = toks.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 4), 16, 10).cast("int")
+            % _FH_BUCKETS
+        ).alias("bucket"),
+        F.when(F.substring(F.md5("tok"), 5, 1) < "8", 1)
+        .otherwise(-1)
+        .alias("sgn"),
+    )
+    doc_feats = hashed.groupBy("doc_id", "bucket").agg(
+        F.sum("sgn").cast("bigint").alias("feat")
+    )
+    return doc_feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nnz_docs"),
+        F.sum(F.abs("feat")).cast("bigint").alias("l1_mass"),
+        F.sum(F.when(F.col("feat") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cancelled"),
+    )

@@ -3690,3 +3690,153 @@ def q_vec_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mrr"),
     )
+
+
+_D2_DUCK = """
+    list_sum(list_transform({a}, (x, i) ->
+        (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))
+        * (CAST(x AS DOUBLE) - CAST({b}[i] AS DOUBLE))))
+"""
+
+
+@register(
+    "q_vec_kmeanspp_init",
+    oracle=f"""
+        WITH c1 AS (
+            SELECT vec_id AS id1, embedding AS e1 FROM embeddings
+            ORDER BY vec_id LIMIT 1
+        ),
+        d1 AS (
+            SELECT v.vec_id, v.embedding,
+                   {_D2_DUCK.format(a="v.embedding", b="c1.e1")} AS d
+            FROM embeddings v CROSS JOIN c1
+        ),
+        c2 AS (
+            SELECT vec_id AS id2, embedding AS e2 FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        d2 AS (
+            SELECT d1.vec_id, d1.embedding,
+                   LEAST(d1.d,
+                         {_D2_DUCK.format(a="d1.embedding", b="c2.e2")})
+                       AS d
+            FROM d1 CROSS JOIN c2
+        ),
+        c3 AS (
+            SELECT vec_id AS id3, embedding AS e3 FROM (
+                SELECT vec_id, embedding,
+                       row_number() OVER (ORDER BY d DESC, vec_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        ),
+        d3 AS (
+            SELECT d2.vec_id,
+                   LEAST(d2.d,
+                         {_D2_DUCK.format(a="d2.embedding", b="c3.e3")})
+                       AS d
+            FROM d2 CROSS JOIN c3
+        )
+        SELECT (SELECT id1 FROM c1) AS centroid_1,
+               (SELECT id2 FROM c2) AS centroid_2,
+               (SELECT id3 FROM c3) AS centroid_3,
+               ROUND(sqrt(MAX(d)), 4) AS coverage_radius
+        FROM d3
+    """,
+    section="V22",
+    doc="Farthest-first (k-means++-style, deterministic maximin "
+    "variant) centroid initialization, k=3 unrolled: seed with the "
+    "lowest vec_id, then twice pick the point maximizing the "
+    "min-distance to the chosen set; report the chosen ids and the "
+    "final coverage radius (max-min distance = the 2-approximation "
+    "bound of Gonzalez's algorithm for k-center). Squared "
+    "distances are fixed-order HOF folds (bit-identical "
+    "cross-engine, V1's rule); every argmax carries a vec_id "
+    "tie-break; only the reported radius is rounded. The "
+    "deterministic maximin rule replaces k-means++'s D^2 SAMPLING "
+    "so the oracle can be exact — same O(nk) distance-pass "
+    "structure, no randomness. Scale: each round is one broadcast "
+    "of a single centroid row + a map-only distance update + a "
+    "1-row argmax reduction — k rounds, never a shuffle of the "
+    "corpus; the running min-distance column is the carry, exactly "
+    "how k-means|| implements its oversampling passes.",
+)
+def q_vec_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def d2(a, b):
+        return F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    c1 = (
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("id1"), F.col("embedding").alias("e1")
+        )
+    )
+    d1 = emb.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "embedding",
+        "id1",
+        d2(F.col("embedding"), F.col("e1")).alias("d"),
+    )
+    c2 = (
+        d1.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("d").desc(), "vec_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("id2"), F.col("embedding").alias("e2")
+        )
+    )
+    d2_df = d1.crossJoin(F.broadcast(c2)).select(
+        "vec_id",
+        "embedding",
+        "id1",
+        "id2",
+        F.least(F.col("d"), d2(F.col("embedding"), F.col("e2"))).alias(
+            "d"
+        ),
+    )
+    c3 = (
+        d2_df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("d").desc(), "vec_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("vec_id").alias("id3"), F.col("embedding").alias("e3")
+        )
+    )
+    d3 = d2_df.crossJoin(F.broadcast(c3)).select(
+        "id1",
+        "id2",
+        "id3",
+        F.least(F.col("d"), d2(F.col("embedding"), F.col("e3"))).alias(
+            "d"
+        ),
+    )
+    return d3.groupBy("id1", "id2", "id3").agg(
+        F.round(F.sqrt(F.max("d")), 4).alias("coverage_radius")
+    ).select(
+        F.col("id1").alias("centroid_1"),
+        F.col("id2").alias("centroid_2"),
+        F.col("id3").alias("centroid_3"),
+        "coverage_radius",
+    )
