@@ -4190,3 +4190,225 @@ def q_ts_turning_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("z_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 120 (r5): technical-analysis window trio — Bollinger, RSI, VWAP.
+# ---------------------------------------------------------------------------
+
+_BOLL_N = 20
+_RSI_N = 14
+
+
+@register(
+    "q_ts_bollinger",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY 1
+        ),
+        roll AS (
+            SELECT d, t,
+                   SUM(t) OVER w AS st,
+                   SUM(t * t) OVER w AS st2,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN {_BOLL_N - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT d,
+               CAST(t AS DOUBLE) AS daily_total,
+               ROUND(CAST(st AS DOUBLE) / k, 4) AS mid,
+               ROUND(CAST(st AS DOUBLE) / k
+                     - 2 * sqrt((CAST(st2 AS DOUBLE)
+                                 - CAST(st AS DOUBLE)
+                                   * CAST(st AS DOUBLE) / k) / k), 4)
+                   AS lower_band,
+               ROUND(CAST(st AS DOUBLE) / k
+                     + 2 * sqrt((CAST(st2 AS DOUBLE)
+                                 - CAST(st AS DOUBLE)
+                                   * CAST(st AS DOUBLE) / k) / k), 4)
+                   AS upper_band,
+               CAST(CAST(t AS DOUBLE) > CAST(st AS DOUBLE) / k
+                    + 2 * sqrt((CAST(st2 AS DOUBLE)
+                                - CAST(st AS DOUBLE)
+                                  * CAST(st AS DOUBLE) / k) / k)
+                    AS BOOLEAN) AS breakout_up
+        FROM roll WHERE k = {_BOLL_N}
+    """,
+    section="TS22",
+    doc=f"Bollinger bands ({_BOLL_N}-day, 2-sigma) over the daily "
+    "event-value total, with upper-band breakout flags — the "
+    "rolling mean/volatility channel. The determinism device: the "
+    "rolling frame sums DECIMALS (daily totals and their exact "
+    "decimal squares), which are associative — immune to the "
+    "different in-frame accumulation orders of Spark's running "
+    "frames vs DuckDB's segment trees, where rolling DOUBLE sums "
+    "would drift — and the population-variance identity "
+    "(st2 - st^2/k)/k runs on the exact scalars. Warm-up rows "
+    f"(fewer than {_BOLL_N} days) are excluded so every band is "
+    "full-width. Scale: daily collapse first (map-combinable), "
+    "then a date-ordered window over ~2.3k day-grain rows — the "
+    "W24 spine device; the fact never enters the window.",
+)
+def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_BOLL_N - 1), 0)
+    roll = daily.select(
+        "d",
+        "t",
+        F.sum("t").over(w).alias("st"),
+        F.sum(F.col("t") * F.col("t")).over(w).alias("st2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    ).where(F.col("k") == _BOLL_N)
+    st, st2, k = (
+        F.col("st").cast("double"),
+        F.col("st2").cast("double"),
+        F.col("k"),
+    )
+    mid = st / k
+    sd = F.sqrt((st2 - st * st / k) / k)
+    return roll.select(
+        "d",
+        F.col("t").cast("double").alias("daily_total"),
+        F.round(mid, 4).alias("mid"),
+        F.round(mid - 2 * sd, 4).alias("lower_band"),
+        F.round(mid + 2 * sd, 4).alias("upper_band"),
+        (F.col("t").cast("double") > mid + 2 * sd).alias("breakout_up"),
+    )
+
+
+@register(
+    "q_ts_rsi",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1
+        ),
+        chg AS (
+            SELECT d,
+                   t - LAG(t) OVER (ORDER BY d) AS diff
+            FROM daily
+        ),
+        gl AS (
+            SELECT d,
+                   SUM(CASE WHEN diff > 0 THEN diff
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w
+                       AS gains,
+                   SUM(CASE WHEN diff < 0 THEN -diff
+                            ELSE CAST(0 AS DECIMAL(18,2)) END) OVER w
+                       AS losses,
+                   CAST(COUNT(diff) OVER w AS BIGINT) AS k
+            FROM chg
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN {_RSI_N - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT d,
+               ROUND(100 - 100 / (1 + CAST(gains AS DOUBLE)
+                                      / CAST(losses AS DOUBLE)), 4)
+                   AS rsi
+        FROM gl
+        WHERE k = {_RSI_N} AND losses > 0
+    """,
+    section="TS23",
+    doc=f"Relative Strength Index ({_RSI_N}-day simple variant, "
+    "Cutler's RSI): rolling sums of up-moves vs down-moves of the "
+    "daily value total, RSI = 100 - 100/(1+RS). Cutler's "
+    "simple-average form is chosen over Wilder's recursive "
+    "smoothing deliberately: the recursion is inherently "
+    "sequential (every value depends on the seed), while the "
+    "simple form is a pair of ROLLING DECIMAL SUMS — exact, "
+    "associative, frame-order-independent — so it parallelizes "
+    "AND cross-engine-hashes. Day diffs are exact decimal "
+    "differences; flat-only windows (losses=0) are excluded "
+    "rather than emitting an engine-dependent infinity. Scale: "
+    "same day-grain spine as TS22 — collapse first, window the "
+    "2.3k-row spine.",
+)
+def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    w_lag = Window.orderBy("d")
+    chg = daily.select(
+        "d", (F.col("t") - F.lag("t").over(w_lag)).alias("diff")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    w = Window.orderBy("d").rowsBetween(-(_RSI_N - 1), 0)
+    gl = chg.select(
+        "d",
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("diff")).otherwise(zero)
+        )
+        .over(w)
+        .alias("gains"),
+        F.sum(
+            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(zero)
+        )
+        .over(w)
+        .alias("losses"),
+        F.count("diff").over(w).cast("bigint").alias("k"),
+    )
+    return gl.where(
+        (F.col("k") == _RSI_N) & (F.col("losses") > 0)
+    ).select(
+        "d",
+        F.round(
+            100
+            - 100
+            / (
+                1
+                + F.col("gains").cast("double")
+                / F.col("losses").cast("double")
+            ),
+            4,
+        ).alias("rsi"),
+    )
+
+
+@register(
+    "q_ts_vwap",
+    oracle="""
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS vwap,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS volume
+        FROM lineitem
+        GROUP BY 1
+    """,
+    section="TS24",
+    doc="Daily volume-weighted average price over the lineitem fact: "
+    "sum(price*qty)/sum(qty) per ship day — the execution-quality "
+    "benchmark price, and the canonical weighted-mean-per-bucket "
+    "aggregate. Numerator and denominator are exact DECIMAL sums "
+    "(2dp x 2dp products), one IEEE division per day at the end — "
+    "order-insensitive by construction, no window needed at all. "
+    "Scale: purely map-combinable over ~2.4k day groups at any "
+    "fact size; the shape AQE cannot make faster because it is "
+    "already one exchange of 2.4k partial pairs.",
+)
+def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = dec2(F.col("l_extendedprice"))
+    q = dec2(F.col("l_quantity"))
+    return li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        (F.sum(p * q).cast("double") / F.sum(q).cast("double")).alias(
+            "vwap"
+        ),
+        F.sum(q).cast("double").alias("volume"),
+    )
