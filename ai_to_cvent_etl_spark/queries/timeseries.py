@@ -4251,7 +4251,9 @@ _RSI_N = 14
     "(st2 - st^2/k)/k runs on the exact scalars. Warm-up rows "
     f"(fewer than {_BOLL_N} days) are excluded so every band is "
     "full-width. Scale: daily collapse first (map-combinable), "
-    "then a date-ordered window over ~2.3k day-grain rows — the "
+    "then a date-ordered window over the day-grain spine (the events "
+    "range is one month at test SF; a year of data is still only 365 "
+    "spine rows) — the "
     "W24 spine device; the fact never enters the window.",
 )
 def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4332,7 +4334,7 @@ def q_ts_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     "differences; flat-only windows (losses=0) are excluded "
     "rather than emitting an engine-dependent infinity. Scale: "
     "same day-grain spine as TS22 — collapse first, window the "
-    "2.3k-row spine.",
+    "day-grain spine.",
 )
 def q_ts_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -4411,4 +4413,240 @@ def q_ts_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vwap"
         ),
         F.sum(q).cast("double").alias("volume"),
+    )
+
+
+@register(
+    "q_ts_cusum_reset",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1
+        ),
+        tot AS (
+            SELECT SUM(t) AS big_t,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily
+        ),
+        r AS (
+            SELECT d,
+                   SUM(tot.n * daily.t) OVER (ORDER BY d)
+                   - tot.big_t
+                     * CAST(row_number() OVER (ORDER BY d) AS BIGINT)
+                       AS rr,
+                   tot.n AS n
+            FROM daily CROSS JOIN tot
+        )
+        SELECT d,
+               ROUND(CAST(rr - MIN(rr) OVER (ORDER BY d) AS DOUBLE)
+                     / n, 4) AS cusum_up,
+               ROUND(CAST(MAX(rr) OVER (ORDER BY d) - rr AS DOUBLE)
+                     / n, 4) AS cusum_down
+        FROM r
+    """,
+    section="TS25",
+    doc="Reset-at-zero CUSUM control chart over daily value totals, "
+    "via the prefix-extremum closed form (TS10's per-user CUSUM "
+    "tracks the UNRESET path; this is the one-sided resetting "
+    "statistic the Page test actually uses): the textbook recursion "
+    "S_t = max(0, S_{t-1} + x_t - mean) is inherently sequential, "
+    "but it equals R_t - min_{j<=t} R_j for the drift-adjusted "
+    "running sum R — so the 'unparallelizable' recursion becomes "
+    "two ordered windows (cumsum + running min), with the "
+    "symmetric running-max giving the downward CUSUM. The mean "
+    "adjustment is division-free: R is scaled by n (n*t_j - T are "
+    "exact DECIMAL terms), one double division at render. The "
+    "same trick computes reset-at-zero inventory balances and "
+    "max-drawdown — the recursion class that defeats naive window "
+    "translation. Scale: day-grain spine windows (W24 device); "
+    "the fact only feeds the map-combinable daily collapse.",
+)
+def q_ts_cusum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    tot = daily.agg(
+        F.sum("t").alias("big_t"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    r = daily.crossJoin(F.broadcast(tot)).select(
+        "d",
+        (
+            F.sum(F.col("n") * F.col("t")).over(w)
+            - F.col("big_t")
+            * F.row_number().over(Window.orderBy("d")).cast("bigint")
+        ).alias("rr"),
+        "n",
+    )
+    return r.select(
+        "d",
+        F.round(
+            (F.col("rr") - F.min("rr").over(w)).cast("double")
+            / F.col("n"),
+            4,
+        ).alias("cusum_up"),
+        F.round(
+            (F.max("rr").over(w) - F.col("rr")).cast("double")
+            / F.col("n"),
+            4,
+        ).alias("cusum_down"),
+    )
+
+
+_MP_M = 7  # subsequence length
+_MP_TYPE = "click"
+
+
+@register(
+    "q_ts_matrix_profile",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events
+            WHERE event_type = '{_MP_TYPE}'
+            GROUP BY 1
+        ),
+        idx AS (
+            SELECT d, t,
+                   CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i
+            FROM daily
+        ),
+        win AS (
+            SELECT i, d,
+                   list(CAST(t AS DOUBLE)) OVER w AS v,
+                   CAST(SUM(t) OVER w AS DOUBLE) AS s,
+                   CAST(SUM(t * t) OVER w AS DOUBLE) AS s2,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k
+            FROM idx
+            WINDOW w AS (ORDER BY i
+                         ROWS BETWEEN CURRENT ROW
+                         AND {_MP_M - 1} FOLLOWING)
+        ),
+        full_w AS (
+            SELECT i, d, v, s / {_MP_M} AS mu,
+                   sqrt(s2 / {_MP_M} - (s / {_MP_M}) * (s / {_MP_M}))
+                       AS sd
+            FROM win
+            WHERE k = {_MP_M}
+              AND s2 / {_MP_M} - (s / {_MP_M}) * (s / {_MP_M}) > 0
+        ),
+        pairs AS (
+            SELECT a.i AS ai, a.d AS ad, b.i AS bi, b.d AS bd,
+                   list_sum(list_transform(a.v, (x, n) ->
+                       ((x - a.mu) / a.sd - (b.v[n] - b.mu) / b.sd)
+                       * ((x - a.mu) / a.sd
+                          - (b.v[n] - b.mu) / b.sd))) AS d2
+            FROM full_w a JOIN full_w b
+              ON abs(a.i - b.i) >= {_MP_M}
+        )
+        SELECT ad AS win_start,
+               bd AS motif_start,
+               ROUND(sqrt(d2), 4) AS profile_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY ai ORDER BY d2, bi) AS rn
+            FROM pairs
+        ) WHERE rn = 1
+    """,
+    section="TS26",
+    doc=f"Matrix profile (motif discovery) over the "
+    f"'{_MP_TYPE}' daily series: for every {_MP_M}-day subsequence, "
+    "the z-normalized Euclidean distance to its nearest "
+    "NON-OVERLAPPING subsequence and where that motif partner "
+    "starts — the UCR matrix-profile primitive behind motif/"
+    "discord mining (a window whose profile distance is tiny has a "
+    "repeated shape; a huge one is an anomaly/discord). Window "
+    "means/variances come from exact DECIMAL rolling sums; the "
+    "z-normalized fold runs in fixed array order on scalars both "
+    "engines computed identically; argmin ties break on the "
+    "partner index; zero-variance (flat) windows are excluded "
+    "(z-normalization undefined). Scale: the series collapses to "
+    "the day-grain spine FIRST, so the all-pairs stage is over "
+    "~360 window rows (129k pairs), not the fact — and at a real "
+    "100 TB deployment the pair stage swaps for the STOMP "
+    "streaming-dot-product recurrence over the same spine, or "
+    "D1-style banding over window sketches; the relational shape "
+    "here is the exact-verification tier.",
+)
+def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == _MP_TYPE
+    )
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    idx = daily.select(
+        "d",
+        "t",
+        F.row_number().over(Window.orderBy("d")).cast("bigint").alias("i"),
+    )
+    wf = Window.orderBy("i").rowsBetween(0, _MP_M - 1)
+    win = idx.select(
+        "i",
+        "d",
+        F.collect_list(F.col("t").cast("double")).over(wf).alias("v"),
+        F.sum("t").over(wf).cast("double").alias("s"),
+        F.sum(F.col("t") * F.col("t")).over(wf).cast("double").alias("s2"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("k"),
+    )
+    var = F.col("s2") / _MP_M - (F.col("s") / _MP_M) * (
+        F.col("s") / _MP_M
+    )
+    full_w = win.where((F.col("k") == _MP_M) & (var > 0)).select(
+        "i",
+        "d",
+        "v",
+        (F.col("s") / _MP_M).alias("mu"),
+        F.sqrt(var).alias("sd"),
+    )
+    a = full_w.select(
+        F.col("i").alias("ai"),
+        F.col("d").alias("ad"),
+        F.col("v").alias("av"),
+        F.col("mu").alias("amu"),
+        F.col("sd").alias("asd"),
+    )
+    b = full_w.select(
+        F.col("i").alias("bi"),
+        F.col("d").alias("bd"),
+        F.col("v").alias("bv"),
+        F.col("mu").alias("bmu"),
+        F.col("sd").alias("bsd"),
+    )
+    diff = F.zip_with(
+        F.col("av"),
+        F.col("bv"),
+        lambda x, y: (
+            (x - F.col("amu")) / F.col("asd")
+            - (y - F.col("bmu")) / F.col("bsd")
+        )
+        * (
+            (x - F.col("amu")) / F.col("asd")
+            - (y - F.col("bmu")) / F.col("bsd")
+        ),
+    )
+    d2 = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        a.join(b, F.abs(F.col("ai") - F.col("bi")) >= _MP_M)
+        .select("ai", "ad", "bi", "bd", d2.alias("d2"))
+    )
+    return (
+        pairs.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("ai").orderBy("d2", "bi")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("ad").alias("win_start"),
+            F.col("bd").alias("motif_start"),
+            F.round(F.sqrt("d2"), 4).alias("profile_dist"),
+        )
     )
