@@ -8926,3 +8926,87 @@ def q_agg_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_DH_SEATS = 20
+
+
+@register(
+    "q_agg_dhondt",
+    oracle=f"""
+        WITH votes AS (
+            SELECT c_nationkey AS party,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM customer GROUP BY 1
+        ),
+        quot AS (
+            SELECT party, v, d.d,
+                   CAST(v AS DOUBLE) / d.d AS q
+            FROM votes
+            CROSS JOIN (SELECT unnest(range(1, {_DH_SEATS + 1})) AS d) d
+        ),
+        winners AS (
+            SELECT party FROM (
+                SELECT party,
+                       row_number() OVER (
+                           ORDER BY q DESC, party, d) AS rn
+                FROM quot
+            ) WHERE rn <= {_DH_SEATS}
+        )
+        SELECT v.party, v.v AS votes,
+               CAST(COALESCE(w.seats, 0) AS BIGINT) AS seats
+        FROM votes v
+        LEFT JOIN (
+            SELECT party, COUNT(*) AS seats
+            FROM winners GROUP BY party
+        ) w ON v.party = w.party
+    """,
+    section="A105",
+    doc=f"D'Hondt divisor-method apportionment ({_DH_SEATS} seats by "
+    "customer count per nation): the classically SEQUENTIAL "
+    "seat-by-seat award has a closed form — party i wins as many "
+    "seats as it has quotients v_i/d (d=1..k) in the global top-k "
+    "— so the whole allocation is one cross join + one top-k "
+    "window, no iteration. Quotients are IEEE divisions of "
+    "identical integers (bit-identical cross-engine); ties break "
+    "on (party, divisor), matching statutory lowest-party-number "
+    "rules. Zero-seat parties are kept via the outer join (the "
+    "Q13 device). The same shape computes Sainte-Laguë with odd "
+    "divisors and any largest-quotient allocation — the "
+    "proportional-fairness primitive for quota assignment and "
+    "shard balancing. Scale: votes collapse to party grain first; "
+    f"the quotient table is parties x {_DH_SEATS} rows — "
+    "driver-sized at any corpus size.",
+)
+def q_agg_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    votes = cust.groupBy(F.col("c_nationkey").alias("party")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    divisors = spark.range(1, _DH_SEATS + 1).select(
+        F.col("id").alias("d")
+    )
+    quot = votes.crossJoin(F.broadcast(divisors)).select(
+        "party",
+        "v",
+        "d",
+        (F.col("v").cast("double") / F.col("d")).alias("q"),
+    )
+    winners = (
+        quot.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("q").desc(), "party", "d")
+            ),
+        )
+        .where(F.col("rn") <= _DH_SEATS)
+        .groupBy("party")
+        .agg(F.count(F.lit(1)).alias("seats"))
+    )
+    return votes.join(F.broadcast(winners), "party", "left").select(
+        "party",
+        F.col("v").alias("votes"),
+        F.coalesce(F.col("seats"), F.lit(0))
+        .cast("bigint")
+        .alias("seats"),
+    )

@@ -951,3 +951,192 @@ def q_text_context_length_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_char_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 122 (r5): TextRank keyword extraction (graph-over-text composite).
+# ---------------------------------------------------------------------------
+
+_TR_LANG = "en"
+_TR_WINDOW = 2
+_TR_DAMP_NUM, _TR_DAMP_DEN = 85, 100  # d = 0.85 as an exact ratio
+_TR_TOPK = 10
+
+
+@register(
+    "q_text_textrank",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS tok,
+                   unnest(range(1, len(string_split(text, ' ')) + 1))
+                       AS pos
+            FROM documents WHERE lang = '{_TR_LANG}'
+        ),
+        edges AS (
+            SELECT a.tok AS src, b.tok AS dst,
+                   CAST(COUNT(*) AS BIGINT) AS w
+            FROM toks a JOIN toks b
+              ON a.doc_id = b.doc_id
+             AND b.pos - a.pos BETWEEN 1 AND {_TR_WINDOW}
+             AND a.tok <> b.tok
+            GROUP BY 1, 2
+        ),
+        und AS (
+            SELECT src, dst, CAST(SUM(w) AS BIGINT) AS w FROM (
+                SELECT src, dst, w FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst, w FROM edges
+            ) GROUP BY src, dst
+        ),
+        deg AS (
+            SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg
+            FROM und GROUP BY src
+        ),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM deg),
+        r1 AS (
+            SELECT u.dst AS tok,
+                   CAST({_TR_DAMP_DEN - _TR_DAMP_NUM} AS DOUBLE)
+                       / {_TR_DAMP_DEN} / n.nv
+                   + CAST({_TR_DAMP_NUM} AS DOUBLE) / {_TR_DAMP_DEN}
+                     * CAST(SUM(CAST(floor(
+                           (CAST(u.w AS DOUBLE) / d.wdeg / n.nv) * 1e12
+                       ) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS pr
+            FROM und u
+            JOIN deg d ON u.src = d.src
+            CROSS JOIN n
+            GROUP BY u.dst, n.nv
+        ),
+        r2 AS (
+            SELECT u.dst AS tok,
+                   CAST({_TR_DAMP_DEN - _TR_DAMP_NUM} AS DOUBLE)
+                       / {_TR_DAMP_DEN} / n.nv
+                   + CAST({_TR_DAMP_NUM} AS DOUBLE) / {_TR_DAMP_DEN}
+                     * CAST(SUM(CAST(floor(
+                           (CAST(u.w AS DOUBLE) / d.wdeg * r1.pr) * 1e12
+                       ) AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS pr
+            FROM und u
+            JOIN deg d ON u.src = d.src
+            JOIN r1 ON r1.tok = u.src
+            CROSS JOIN n
+            GROUP BY u.dst, n.nv
+        )
+        SELECT tok, ROUND(pr, 6) AS textrank
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY pr DESC, tok) AS rn
+            FROM r2
+        ) WHERE rn <= {_TR_TOPK}
+    """,
+    section="T18",
+    doc=f"TextRank keyword extraction over the '{_TR_LANG}' corpus: "
+    f"co-occurrence edges (tokens within {_TR_WINDOW} positions), "
+    "two unrolled rounds of weighted PageRank "
+    f"(d={_TR_DAMP_NUM}/{_TR_DAMP_DEN}), top-{_TR_TOPK} keywords — "
+    "Mihalcea-Tarau's graph-based keyphrase primitive, composing "
+    "the G-family's relational PageRank rounds with the T-family's "
+    "positional tokenization. Each round's neighbor sum goes "
+    "through the floor-1e12 DECIMAL fold (rule 10), so the "
+    "accumulation is order-free and the round-2 ranking "
+    "deterministic; edge weights and degrees are exact BIGINT; "
+    "the damping mix uses exact integer ratios. Scale: the word "
+    "graph is vocabulary-sized (tiny vs the corpus); the only "
+    "fact-sized stage is the position self-join, which is "
+    "doc-local (joins on doc_id + bounded offset); each PageRank "
+    "round is one keyed join-agg over vocab-grain rows — the V16 "
+    "unrolled-iteration device, 2 rounds suffice for keyword "
+    "separation (documented TextRank practice).",
+)
+def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("lang") == _TR_LANG
+    )
+    toks = fan_out(docs).select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    a = toks.select(
+        F.col("doc_id").alias("da"),
+        F.col("pos").alias("pa"),
+        F.col("tok").alias("src"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("db"),
+        F.col("pos").alias("pb"),
+        F.col("tok").alias("dst"),
+    )
+    edges = (
+        a.join(
+            b,
+            (F.col("da") == F.col("db"))
+            & (F.col("pb") - F.col("pa")).between(1, _TR_WINDOW)
+            & (F.col("src") != F.col("dst")),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    )
+    und = (
+        edges.select("src", "dst", "w")
+        .unionAll(
+            edges.select(
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+                "w",
+            )
+        )
+        .groupBy("src", "dst")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    deg = und.groupBy("src").agg(
+        F.sum("w").cast("bigint").alias("wdeg")
+    )
+    n = deg.agg(F.count(F.lit(1)).cast("bigint").alias("nv"))
+    base = (
+        F.lit(float(_TR_DAMP_DEN - _TR_DAMP_NUM))
+        / _TR_DAMP_DEN
+        / F.col("nv")
+    )
+    damp = F.lit(float(_TR_DAMP_NUM)) / _TR_DAMP_DEN
+
+    def fold(expr):
+        return (
+            F.sum(F.floor(expr * 1e12).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e12
+        )
+
+    ud = und.join(deg, "src")
+    r1 = (
+        ud.crossJoin(F.broadcast(n))
+        .groupBy(F.col("dst").alias("tok"), "nv")
+        .agg(
+            fold(
+                F.col("w").cast("double") / F.col("wdeg") / F.col("nv")
+            ).alias("acc")
+        )
+        .select("tok", (base + damp * F.col("acc")).alias("pr"))
+    )
+    r2 = (
+        ud.join(r1.withColumnRenamed("tok", "src"), "src")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("dst").alias("tok"), "nv")
+        .agg(
+            fold(
+                F.col("w").cast("double") / F.col("wdeg") * F.col("pr")
+            ).alias("acc")
+        )
+        .select("tok", (base + damp * F.col("acc")).alias("pr"))
+    )
+    return (
+        r2.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("pr").desc(), "tok")
+            ),
+        )
+        .where(F.col("rn") <= _TR_TOPK)
+        .select("tok", F.round("pr", 6).alias("textrank"))
+    )
