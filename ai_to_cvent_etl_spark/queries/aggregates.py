@@ -9010,3 +9010,102 @@ def q_agg_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seats"),
     )
+
+
+@register(
+    "q_agg_hodges_lehmann",
+    oracle="""
+        WITH vg AS (
+            SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        walsh AS (
+            SELECT (a.v + b.v) / 2 AS wavg,
+                   CASE WHEN a.v = b.v THEN a.c * (a.c + 1) / 2
+                        ELSE a.c * b.c END AS m
+            FROM vg a JOIN vg b ON a.v <= b.v
+        ),
+        grouped AS (
+            SELECT wavg, CAST(SUM(m) AS BIGINT) AS m
+            FROM walsh GROUP BY wavg
+        ),
+        cum AS (
+            SELECT wavg, m,
+                   SUM(m) OVER (ORDER BY wavg) AS cm,
+                   (SELECT SUM(m) FROM grouped) AS nt
+            FROM grouped
+        )
+        SELECT
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= (nt + 1) / 2) AS DOUBLE) AS hl_lo,
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= nt / 2 + 1) AS DOUBLE) AS hl_hi,
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= (nt + 1) / 2) AS DOUBLE) / 2
+            + CAST((SELECT MIN(wavg) FROM cum
+                    WHERE cm >= nt / 2 + 1) AS DOUBLE) / 2 AS hl_estimate
+        FROM (SELECT 1)
+    """,
+    section="A107",
+    doc="Hodges-Lehmann location estimator of l_quantity: the median "
+    "of all Walsh averages (v_i+v_j)/2, i<=j — the robust "
+    "location estimate dual to the Wilcoxon signed-rank test "
+    "(~95% Gaussian efficiency, 29% breakdown, vs the mean's 0%). "
+    "The O(n^2) pair set collapses to VALUE-grain first: ~50 "
+    "distinct quantities make 1275 weighted Walsh cells, each "
+    "carrying its exact multiplicity (c_i*c_j off-diagonal, "
+    "c(c+1)/2 diagonal), and the median comes from the cumulative "
+    "multiplicity walk — low/high order statistics separately, "
+    "averaged, so even-N behavior is deterministic. Walsh "
+    "averages of 2dp values are exact binary halves; every count "
+    "is BIGINT; no rounding anywhere. Scale: the pair stage is "
+    "value-grain (distinct-value^2 / 2 cells, independent of fact "
+    "size) — the same collapse that made A104's stump sweep and "
+    "the W16 family scale-free.",
+)
+def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vg = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = vg.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = vg.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    walsh = (
+        a.join(F.broadcast(b), F.col("va") <= F.col("vb"))
+        .select(
+            ((F.col("va") + F.col("vb")) / 2).alias("wavg"),
+            F.when(
+                F.col("va") == F.col("vb"),
+                F.col("ca") * (F.col("ca") + 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .groupBy("wavg")
+        .agg(F.sum("m").cast("bigint").alias("m"))
+    )
+    w = Window.orderBy("wavg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = walsh.agg(F.sum("m").alias("nt"))
+    cum = walsh.select(
+        "wavg", F.sum("m").over(w).alias("cm")
+    ).crossJoin(F.broadcast(tot))
+    lo = cum.where(
+        F.col("cm") >= (F.col("nt") + 1) / 2
+    ).agg(F.min("wavg").alias("hl_lo"))
+    hi = cum.where(
+        F.col("cm") >= F.col("nt") / 2 + 1
+    ).agg(F.min("wavg").alias("hl_hi"))
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .select(
+            F.col("hl_lo").cast("double").alias("hl_lo"),
+            F.col("hl_hi").cast("double").alias("hl_hi"),
+            (
+                F.col("hl_lo").cast("double") / 2
+                + F.col("hl_hi").cast("double") / 2
+            ).alias("hl_estimate"),
+        )
+    )

@@ -1901,3 +1901,73 @@ def q_win_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("users_relaxed"),
     )
+
+
+@register(
+    "q_win_pareto_frontier",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey, p_retailprice AS x,
+                   CAST(p_size AS BIGINT) AS y
+            FROM part
+        ),
+        xg AS (
+            SELECT x, MAX(y) AS ymax FROM pts GROUP BY x
+        ),
+        fr AS (
+            SELECT x, ymax,
+                   MAX(ymax) OVER (ORDER BY x DESC
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS better_y
+            FROM xg
+        ),
+        frontier_x AS (
+            SELECT x, ymax FROM fr
+            WHERE better_y IS NULL OR ymax > better_y
+        )
+        SELECT p.p_partkey, p.x AS retail_price, p.y AS size
+        FROM pts p
+        JOIN frontier_x f ON p.x = f.x AND p.y = f.ymax
+    """,
+    section="W37",
+    doc="2-D skyline (Pareto frontier) of parts maximizing "
+    "(retailprice, size): a part is on the frontier iff no other "
+    "part is >= on both axes and > on one — the SKYLINE operator "
+    "of classic OLAP papers, computed WITHOUT the naive "
+    "dominance self-join: collapse to x-grain maxima, then one "
+    "descending prefix-max window — a point survives iff its "
+    "y-max strictly beats every y at strictly larger x "
+    "(1-PRECEDING frame excludes the point's own grain). All "
+    "comparisons are exact stored doubles / BIGINTs; ALL parts "
+    "tied on a frontier (x, ymax) cell return, so the set needs "
+    "no tie-break. Scale: the window runs on the x-grain table "
+    "(distinct prices), not the fact; the frontier re-join is a "
+    "broadcast. The same collapse-then-prefix-extremum shape "
+    "extends to d dimensions as d-1 nested windows — vs the "
+    "O(n^2) dominance join the textbook starts from.",
+)
+def q_win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    pts = part.select(
+        "p_partkey",
+        F.col("p_retailprice").alias("x"),
+        F.col("p_size").cast("bigint").alias("y"),
+    )
+    xg = pts.groupBy("x").agg(F.max("y").alias("ymax"))
+    w = Window.orderBy(F.col("x").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    fr = xg.select(
+        "x", "ymax", F.max("ymax").over(w).alias("better_y")
+    )
+    frontier_x = fr.where(
+        F.col("better_y").isNull() | (F.col("ymax") > F.col("better_y"))
+    ).select(F.col("x").alias("fx"), F.col("ymax").alias("fy"))
+    return pts.join(
+        F.broadcast(frontier_x),
+        (F.col("x") == F.col("fx")) & (F.col("y") == F.col("fy")),
+    ).select(
+        "p_partkey",
+        F.col("x").alias("retail_price"),
+        F.col("y").alias("size"),
+    )
