@@ -1918,3 +1918,87 @@ def q_graph_avg_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_neighbor_degree"),
         )
     )
+
+
+@register(
+    "q_graph_spectral_radius",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        und AS (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL
+            SELECT hi AS src, lo AS dst FROM edges
+        ),
+        deg AS (
+            SELECT src, CAST(COUNT(*) AS BIGINT) AS d
+            FROM und GROUP BY src
+        ),
+        num AS (
+            SELECT CAST(SUM(da.d * db.d) AS BIGINT) AS x1_a_x1
+            FROM und u
+            JOIN deg da ON u.src = da.src
+            JOIN deg db ON u.dst = db.src
+        ),
+        den AS (
+            SELECT CAST(SUM(d * d) AS BIGINT) AS x1_x1,
+                   CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d) AS BIGINT) / 2 AS n_edges
+            FROM deg
+        )
+        SELECT den.n_nodes,
+               CAST(den.n_edges AS BIGINT) AS n_edges,
+               ROUND(CAST(num.x1_a_x1 AS DOUBLE) / den.x1_x1, 6)
+                   AS spectral_radius_lb
+        FROM num CROSS JOIN den
+    """,
+    section="G22",
+    doc="Spectral-radius lower bound of the supplier affinity graph "
+    "via one EXACT power-iteration step: starting from the all-ones "
+    "vector, x1 = A*1 is the degree vector and the Rayleigh "
+    "quotient x1'Ax1 / x1'x1 = sum over directed edges of d_u*d_v "
+    "over sum of d^2 — a provable lower bound on lambda_max that "
+    "equals it on regular graphs, and the quantity that governs "
+    "gossip/epidemic spread rate and the convergence of every "
+    "iterative propagation in the G family. The entire iteration "
+    "stays in BIGINT (degrees and their products), so unlike "
+    "G?-pagerank's damped float rounds this spectral estimate "
+    "needs no quantization device at all — one double division at "
+    "render. Scale: degree computation and the edge-keyed "
+    "join-agg are the standard two shuffles on the edge list; "
+    "state is one long per vertex — the power-iteration shape at "
+    "any graph size, and further exact steps would just repeat "
+    "the same join-agg with x2 = A*x1.",
+)
+def q_graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(
+        edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    da = deg.select(F.col("src").alias("sa"), F.col("d").alias("da"))
+    db = deg.select(F.col("src").alias("sb"), F.col("d").alias("db"))
+    num = (
+        und.join(F.broadcast(da), F.col("src") == F.col("sa"))
+        .join(F.broadcast(db), F.col("dst") == F.col("sb"))
+        .agg(
+            F.sum(F.col("da") * F.col("db"))
+            .cast("bigint")
+            .alias("x1_a_x1")
+        )
+    )
+    den = deg.agg(
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("x1_x1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        (F.sum("d") / 2).cast("bigint").alias("n_edges"),
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.col("x1_a_x1").cast("double") / F.col("x1_x1"), 6
+        ).alias("spectral_radius_lb"),
+    )

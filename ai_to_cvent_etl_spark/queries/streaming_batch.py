@@ -203,3 +203,67 @@ def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_dropped"),
         )
     )
+
+
+@register(
+    "q_stream_dedup_within_watermark",
+    oracle="""
+        WITH keyed AS (
+            SELECT user_id, event_type,
+                   CAST(time_bucket(INTERVAL '10 minutes', ts)
+                        AS TIMESTAMP) AS win_start,
+                   event_id, ts,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type,
+                                    time_bucket(INTERVAL '10 minutes', ts)
+                       ORDER BY ts, event_id) AS rn,
+                   CAST(COUNT(*) OVER (
+                       PARTITION BY user_id, event_type,
+                                    time_bucket(INTERVAL '10 minutes', ts))
+                        AS BIGINT) AS n_in_group
+            FROM events
+        )
+        SELECT user_id, event_type, win_start,
+               event_id AS kept_event_id,
+               CAST(n_in_group - 1 AS BIGINT) AS n_dropped
+        FROM keyed WHERE rn = 1
+    """,
+    section="ST14",
+    doc="Streaming dropDuplicates-within-watermark, exact batch twin: "
+    "keep the FIRST event per (user, event_type) dedup key inside "
+    "each 10-minute state window and count what the stream would "
+    "have suppressed — the semantics of "
+    "dropDuplicatesWithinWatermark, where state for a key is held "
+    "one watermark-window and re-arrivals are dropped. First-wins "
+    "is pinned by (ts, event_id) ordering, the same deterministic "
+    "arrival order as ST13; the dropped count per surviving row "
+    "makes suppression auditable (the number a dedup stream can't "
+    "easily show you). Counts exact BIGINT, window starts via the "
+    "ST1 time_bucket/F.window device. Scale: one shuffle on the "
+    "dedup key + window — exactly the state layout the streaming "
+    "engine keeps, with bounded per-key state by construction.",
+)
+def q_stream_dedup_within_watermark(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes").getField("start")
+    w = Window.partitionBy("user_id", "event_type", win).orderBy(
+        "ts", "event_id"
+    )
+    wn = Window.partitionBy("user_id", "event_type", win)
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        win.alias("win_start"),
+        "event_id",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n_in_group"),
+    )
+    return keyed.where(F.col("rn") == 1).select(
+        "user_id",
+        "event_type",
+        "win_start",
+        F.col("event_id").alias("kept_event_id"),
+        (F.col("n_in_group") - 1).cast("bigint").alias("n_dropped"),
+    )
