@@ -9109,3 +9109,207 @@ def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("hl_estimate"),
         )
     )
+
+
+@register(
+    "q_agg_nelson_aalen",
+    oracle="""
+        WITH gaps AS (
+            SELECT date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap
+            FROM orders
+        ),
+        ev AS (
+            SELECT gap AS t, CAST(COUNT(*) AS BIGINT) AS d
+            FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(SUM(d) OVER () AS BIGINT)
+                   - CAST(SUM(d) OVER w AS BIGINT) + d AS n_risk
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT t, d, n_risk,
+               ROUND(CAST(SUM(CAST(floor(
+                         (CAST(d AS DOUBLE) / n_risk) * 1e12)
+                         AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12,
+                     6) AS cum_hazard,
+               ROUND(exp(-CAST(SUM(CAST(floor(
+                         (CAST(d AS DOUBLE) / n_risk) * 1e12)
+                         AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12),
+                     6) AS breslow_survival
+        FROM risk
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
+    section="A108",
+    doc="Nelson-Aalen cumulative-hazard estimator over customer "
+    "inter-order gaps, with the Breslow survival exp(-H(t)) — the "
+    "hazard-side dual of A33's Kaplan-Meier: H(t) = sum(d_i/n_i) "
+    "over event times up to t estimates the integrated hazard "
+    "directly (the quantity additive over time and therefore the "
+    "one to compare across strata or feed a Cox baseline). Same "
+    "at-risk construction as KM (total minus prior events); each "
+    "d/n increment is quantized through the floor-1e12 DECIMAL "
+    "fold so the RUNNING sum is order-free (rule 10 — a raw "
+    "double cumulative would drift between Spark's running frames "
+    "and DuckDB's segment trees); one exp at render. Scale: "
+    "collapses to gap-grain (~hundreds of rows) before any "
+    "window; the fact contributes one lead() pass per customer "
+    "partition.",
+)
+def q_agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        F.datediff(
+            F.lead("o_orderdate").over(w_cust), F.col("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("gap")
+    ).where(F.col("gap").isNotNull())
+    ev = gaps.groupBy(F.col("gap").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = ev.agg(F.sum("d").cast("bigint").alias("dt"))
+    risk = ev.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("dt") - F.sum("d").over(w).cast("bigint") + F.col("d")
+        ).alias("n_risk"),
+    )
+    inc = F.floor(
+        (F.col("d").cast("double") / F.col("n_risk")) * 1e12
+    ).cast("decimal(38,0)")
+    cum = F.sum(inc).over(w).cast("double") / 1e12
+    return risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(cum, 6).alias("cum_hazard"),
+        F.round(F.exp(-cum), 6).alias("breslow_survival"),
+    )
+
+
+@register(
+    "q_agg_shapley_r2",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+            FROM lineitem
+        ),
+        c AS (
+            SELECT (n * s1y - s1 * sy)
+                   / sqrt((n * s11 - s1 * s1) * (n * syy - sy * sy))
+                       AS r1y,
+                   (n * s2y - s2 * sy)
+                   / sqrt((n * s22 - s2 * s2) * (n * syy - sy * sy))
+                       AS r2y,
+                   (n * s12 - s1 * s2)
+                   / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2))
+                       AS r12
+            FROM m
+        ),
+        v AS (
+            SELECT r1y * r1y AS v1,
+                   r2y * r2y AS v2,
+                   (r1y * r1y + r2y * r2y - 2 * r1y * r2y * r12)
+                   / (1 - r12 * r12) AS v12
+            FROM c
+        )
+        SELECT ROUND(0.5 * v1 + 0.5 * (v12 - v2), 6) AS shapley_x1,
+               ROUND(0.5 * v2 + 0.5 * (v12 - v1), 6) AS shapley_x2,
+               ROUND(v12, 6) AS r2_full
+        FROM v
+    """,
+    section="A109",
+    doc="Shapley decomposition of regression R^2 (LMG / dominance "
+    "analysis) for price ~ quantity + discount: each feature's "
+    "fair-attribution share of the full model's R^2, averaging its "
+    "marginal contribution over both entry orders — "
+    "phi_1 = (R2({1}) + R2({1,2}) - R2({2}))/2 — the 2-feature "
+    "closed form of the same game-theoretic attribution SHAP "
+    "applies per-prediction, here applied to the MODEL (variance "
+    "explained). Everything derives from the TEN exact-decimal "
+    "moments of A102 plus syy: correlations, sub-model R^2s via "
+    "the standard two-regressor identity, and the two Shapley "
+    "values — float arithmetic only on identical 1-row scalars, "
+    "ROUND(6). phi_1 + phi_2 = R2_full by construction "
+    "(efficiency axiom), which the oracle equality implicitly "
+    "verifies. Scale: one map-combinable scan; attribution is "
+    "free once the moment matrix exists — the same p-moment "
+    "pattern extends to p features with 2^p closed-form "
+    "sub-model R^2s from the same matrix.",
+)
+def q_agg_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec2(F.col("l_quantity"))
+    d = dec2(F.col("l_discount"))
+    y = dec2(F.col("l_extendedprice"))
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    r1y = (n * s1y - s1 * sy) / F.sqrt(
+        (n * s11 - s1 * s1) * (n * syy - sy * sy)
+    )
+    r2y = (n * s2y - s2 * sy) / F.sqrt(
+        (n * s22 - s2 * s2) * (n * syy - sy * sy)
+    )
+    r12 = (n * s12 - s1 * s2) / F.sqrt(
+        (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+    )
+    c = m.select(
+        r1y.alias("r1y"), r2y.alias("r2y"), r12.alias("r12")
+    )
+    v1 = F.col("r1y") * F.col("r1y")
+    v2 = F.col("r2y") * F.col("r2y")
+    v12 = (
+        F.col("r1y") * F.col("r1y")
+        + F.col("r2y") * F.col("r2y")
+        - 2 * F.col("r1y") * F.col("r2y") * F.col("r12")
+    ) / (1 - F.col("r12") * F.col("r12"))
+    return c.select(
+        F.round(0.5 * v1 + 0.5 * (v12 - v2), 6).alias("shapley_x1"),
+        F.round(0.5 * v2 + 0.5 * (v12 - v1), 6).alias("shapley_x2"),
+        F.round(v12, 6).alias("r2_full"),
+    )
