@@ -9313,3 +9313,195 @@ def q_agg_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(0.5 * v2 + 0.5 * (v12 - v1), 6).alias("shapley_x2"),
         F.round(v12, 6).alias("r2_full"),
     )
+
+
+@register(
+    "q_agg_mutual_information",
+    oracle="""
+        WITH joint AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY lang, source
+        ),
+        marg_l AS (
+            SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni
+            FROM joint GROUP BY lang
+        ),
+        marg_s AS (
+            SELECT source, CAST(SUM(nij) AS BIGINT) AS nj
+            FROM joint GROUP BY source
+        ),
+        n AS (SELECT CAST(SUM(nij) AS BIGINT) AS nt FROM joint),
+        terms AS (
+            SELECT j.nij, l.ni, s.nj, n.nt,
+                   CAST(floor(
+                       (CAST(j.nij AS DOUBLE) / n.nt)
+                       * ln(CAST(j.nij AS DOUBLE) * n.nt
+                            / (CAST(l.ni AS DOUBLE) * s.nj))
+                       * 1e12) AS DECIMAL(38,0)) AS q
+            FROM joint j
+            JOIN marg_l l ON j.lang = l.lang
+            JOIN marg_s s ON j.source = s.source
+            CROSS JOIN n
+        ),
+        hx AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(ni AS DOUBLE) / n.nt)
+                       * ln(CAST(ni AS DOUBLE) / n.nt) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS h
+            FROM marg_l CROSS JOIN n
+        ),
+        hy AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(nj AS DOUBLE) / n.nt)
+                       * ln(CAST(nj AS DOUBLE) / n.nt) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS h
+            FROM marg_s CROSS JOIN n
+        )
+        SELECT ROUND(CAST(SUM(q) AS DOUBLE) / 1e12, 6) AS mi_nats,
+               ROUND(CAST(SUM(q) AS DOUBLE) / 1e12
+                     / sqrt((SELECT h FROM hx)
+                            * (SELECT h FROM hy)), 6) AS nmi
+        FROM terms
+    """,
+    section="A110",
+    doc="Mutual information between the lang and source columns (in "
+    "nats) plus the sqrt-normalized NMI — the information-theoretic "
+    "association measure that complements A?-cramers_v (effect "
+    "size) and chisq (significance): MI answers 'how many nats "
+    "does knowing the source tell you about the language', the "
+    "quantity used to rank candidate partition/cluster columns and "
+    "to detect leaking features. Every p*ln(p-ratio) term is "
+    "quantized through the floor-1e12 DECIMAL fold (rule 10) so "
+    "the sums over the contingency cells are order-free; counts "
+    "and marginals are exact BIGINT. Scale: one map-combinable "
+    "groupBy to the (lang x source) contingency grain (~100 "
+    "cells); marginals and entropies derive from that table, "
+    "never rescanning the fact.",
+)
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    marg_l = joint.groupBy("lang").agg(
+        F.sum("nij").cast("bigint").alias("ni")
+    )
+    marg_s = joint.groupBy("source").agg(
+        F.sum("nij").cast("bigint").alias("nj")
+    )
+    n = joint.agg(F.sum("nij").cast("bigint").alias("nt"))
+
+    def fold12(expr):
+        return F.sum(F.floor(expr * 1e12).cast("decimal(38,0)")).cast(
+            "double"
+        ) / 1e12
+
+    terms = (
+        joint.join(F.broadcast(marg_l), "lang")
+        .join(F.broadcast(marg_s), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = terms.agg(
+        fold12(
+            (F.col("nij").cast("double") / F.col("nt"))
+            * F.log(
+                F.col("nij").cast("double")
+                * F.col("nt")
+                / (F.col("ni").cast("double") * F.col("nj"))
+            )
+        ).alias("mi_nats")
+    )
+    hx = marg_l.crossJoin(F.broadcast(n)).agg(
+        fold12(
+            -(F.col("ni").cast("double") / F.col("nt"))
+            * F.log(F.col("ni").cast("double") / F.col("nt"))
+        ).alias("hx")
+    )
+    hy = marg_s.crossJoin(F.broadcast(n)).agg(
+        fold12(
+            -(F.col("nj").cast("double") / F.col("nt"))
+            * F.log(F.col("nj").cast("double") / F.col("nt"))
+        ).alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("hx") * F.col("hy")), 6
+            ).alias("nmi"),
+        )
+    )
+
+
+@register(
+    "q_agg_price_elasticity",
+    oracle="""
+        WITH obs AS (
+            SELECT ln(l_extendedprice / l_quantity) AS lp,
+                   ln(l_quantity) AS lq
+            FROM lineitem
+            WHERE l_quantity > 0 AND l_extendedprice > 0
+        ),
+        folded AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(lp * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 AS sp,
+                   CAST(SUM(CAST(floor(lq * 1e12) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e12 AS sq,
+                   CAST(SUM(CAST(floor(lp * lp * 1e12)
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS spp,
+                   CAST(SUM(CAST(floor(lp * lq * 1e12)
+                        AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS spq
+            FROM obs
+        )
+        SELECT ROUND((n * spq - sp * sq) / (n * spp - sp * sp), 6)
+                   AS elasticity,
+               ROUND((sq - (n * spq - sp * sq) / (n * spp - sp * sp)
+                           * sp) / n, 6) AS log_intercept,
+               n AS n_obs
+        FROM folded
+    """,
+    section="A111",
+    doc="Own-price elasticity of demand: the slope of ln(quantity) on "
+    "ln(unit price) — the log-log regression whose coefficient IS "
+    "the elasticity (a 1% price change moves quantity by "
+    "elasticity %), the pricing-analytics primitive behind every "
+    "demand curve fit. Unlike A102's raw-moment OLS (where 2dp "
+    "inputs make decimal sums exact), the log transform produces "
+    "irrational terms — so every per-row ln product goes through "
+    "the floor-1e12 DECIMAL fold (rule 10) before summation, "
+    "making the four sufficient statistics order-free; the slope "
+    "solve is float on four identical scalars, ROUND(6). Scale: "
+    "one map-combinable scan, four quantized-decimal partials — "
+    "the A102 shape with the fold bolted on where exactness runs "
+    "out.",
+)
+def q_agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    lp = F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+    lq = F.log("l_quantity")
+
+    def fold12(expr):
+        return F.sum(F.floor(expr * 1e12).cast("decimal(38,0)")).cast(
+            "double"
+        ) / 1e12
+
+    folded = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        fold12(lp).alias("sp"),
+        fold12(lq).alias("sq"),
+        fold12(lp * lp).alias("spp"),
+        fold12(lp * lq).alias("spq"),
+    )
+    n, sp, sq = F.col("n"), F.col("sp"), F.col("sq")
+    spp, spq = F.col("spp"), F.col("spq")
+    slope = (n * spq - sp * sq) / (n * spp - sp * sp)
+    return folded.select(
+        F.round(slope, 6).alias("elasticity"),
+        F.round((sq - slope * sp) / n, 6).alias("log_intercept"),
+        F.col("n").alias("n_obs"),
+    )
