@@ -9505,3 +9505,261 @@ def q_agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((sq - slope * sp) / n, 6).alias("log_intercept"),
         F.col("n").alias("n_obs"),
     )
+
+
+@register(
+    "q_agg_crps_empirical",
+    oracle="""
+        WITH fx AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type = 'view'
+        ),
+        obs AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS y
+            FROM events WHERE event_type = 'purchase'
+        ),
+        xg AS (
+            SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM fx GROUP BY v
+        ),
+        xc AS (
+            SELECT v, c,
+                   SUM(c) OVER (ORDER BY v) - c AS b,
+                   SUM(v * c) OVER (ORDER BY v) - v * c AS sb,
+                   (SELECT SUM(c) FROM xg) AS n,
+                   (SELECT SUM(v * c) FROM xg) AS st
+            FROM xg
+        ),
+        exx AS (
+            SELECT 2.0 * CAST(SUM(v * c * (b - (n - b - c)))
+                              AS DOUBLE)
+                   / (CAST(MAX(n) AS DOUBLE) * MAX(n)) AS e_xx
+            FROM xc
+        ),
+        merged AS (
+            SELECT v AS val, c AS xc_, CAST(0 AS DECIMAL(18,2)) AS y,
+                   0 AS is_obs FROM xg
+            UNION ALL
+            SELECT y AS val, 0 AS xc_, y, 1 AS is_obs FROM obs
+        ),
+        walked AS (
+            SELECT val, y, is_obs,
+                   SUM(xc_) OVER (ORDER BY val, is_obs) AS below_cnt,
+                   SUM(val * xc_) OVER (ORDER BY val, is_obs)
+                       AS below_sum,
+                   (SELECT SUM(c) FROM xg) AS n,
+                   (SELECT SUM(v * c) FROM xg) AS st
+            FROM merged
+        ),
+        exy AS (
+            SELECT CAST(SUM(below_cnt * y - below_sum
+                            + (st - below_sum)
+                            - (n - below_cnt) * y) AS DOUBLE)
+                   / (MAX(n) * COUNT(*)) AS e_xy
+            FROM walked WHERE is_obs = 1
+        )
+        SELECT ROUND(exy.e_xy, 6) AS mean_e_xy,
+               ROUND(exx.e_xx, 6) AS e_xx,
+               ROUND(exy.e_xy - 0.5 * exx.e_xx, 6) AS crps
+        FROM exy CROSS JOIN exx
+    """,
+    section="A112",
+    doc="CRPS of an empirical forecast ensemble ('view' event values "
+    "as the predictive distribution) against held-out observations "
+    "('purchase' values), by the kernel identity "
+    "CRPS = E|X-y| - 0.5 E|X-X'| — the proper scoring rule for "
+    "DISTRIBUTIONAL forecasts (A?-brier scores binary ones; "
+    "pinball scores one quantile; CRPS integrates over all of "
+    "them). Both expectations collapse to ORDER-STATISTIC closed "
+    "forms on the value grain: E|X-X'| from each value's "
+    "below/above counts (v*c*(b-(n-b-c)) summed — no pairwise "
+    "join), and each E|X-y| from a merged sorted walk where the "
+    "running count/sum of forecast mass below y give "
+    "|X-y| = (2*below_cnt-n)*y - 2*below_sum + total in one "
+    "expression. Every term is an exact DECIMAL/BIGINT product; "
+    "doubles appear only in the final three divisions. With-"
+    "replacement pair convention (n^2 denominator). Scale: "
+    "value-grain windows (~thousands of rows), one sorted merge "
+    "of grain+observations — the all-pairs kernel never "
+    "materializes, the same collapse as A107's Walsh cells.",
+)
+def q_agg_crps_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.where(F.col("event_type") == "view").select(
+        dec2(F.col("value")).alias("v")
+    )
+    obs = ev.where(F.col("event_type") == "purchase").select(
+        dec2(F.col("value")).alias("y")
+    )
+    xg = fx.groupBy("v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = xg.agg(
+        F.sum("c").alias("n"), F.sum(F.col("v") * F.col("c")).alias("st")
+    )
+    w = Window.orderBy("v")
+    xc = xg.select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("b"),
+        (
+            F.sum(F.col("v") * F.col("c")).over(w)
+            - F.col("v") * F.col("c")
+        ).alias("sb"),
+    ).crossJoin(F.broadcast(tot))
+    exx = xc.agg(
+        (
+            2.0
+            * F.sum(
+                F.col("v")
+                * F.col("c")
+                * (F.col("b") - (F.col("n") - F.col("b") - F.col("c")))
+            ).cast("double")
+            / (F.max("n").cast("double") * F.max("n"))
+        ).alias("e_xx")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    merged = xg.select(
+        F.col("v").alias("val"),
+        F.col("c").alias("xc_"),
+        zero.alias("y"),
+        F.lit(0).alias("is_obs"),
+    ).unionAll(
+        obs.select(
+            F.col("y").alias("val"),
+            F.lit(0).cast("bigint").alias("xc_"),
+            F.col("y"),
+            F.lit(1).alias("is_obs"),
+        )
+    )
+    wm = Window.orderBy("val", "is_obs")
+    walked = merged.select(
+        "val",
+        "y",
+        "is_obs",
+        F.sum("xc_").over(wm).alias("below_cnt"),
+        F.sum(F.col("val") * F.col("xc_")).over(wm).alias("below_sum"),
+    ).crossJoin(F.broadcast(tot))
+    exy = walked.where(F.col("is_obs") == 1).agg(
+        (
+            F.sum(
+                F.col("below_cnt") * F.col("y")
+                - F.col("below_sum")
+                + (F.col("st") - F.col("below_sum"))
+                - (F.col("n") - F.col("below_cnt")) * F.col("y")
+            ).cast("double")
+            / (F.max("n") * F.count(F.lit(1)))
+        ).alias("e_xy")
+    )
+    return exy.crossJoin(F.broadcast(exx)).select(
+        F.round("e_xy", 6).alias("mean_e_xy"),
+        F.round("e_xx", 6).alias("e_xx"),
+        F.round(F.col("e_xy") - 0.5 * F.col("e_xx"), 6).alias("crps"),
+    )
+
+
+_PINBALL_TAUS = ("0.1", "0.5", "0.9")
+
+
+@register(
+    "q_agg_pinball_loss",
+    oracle=f"""
+        WITH fx AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS v
+            FROM events WHERE event_type = 'view'
+        ),
+        obs AS (
+            SELECT CAST(value AS DECIMAL(18,2)) AS y
+            FROM events WHERE event_type = 'purchase'
+        ),
+        taus (tau) AS (VALUES {", ".join(f"({t})" for t in _PINBALL_TAUS)}),
+        qs AS (
+            SELECT t.tau,
+                   (SELECT MIN(r.v) FROM (
+                       SELECT v,
+                              CAST(SUM(1) OVER (ORDER BY v) AS BIGINT)
+                                  AS cc,
+                              (SELECT COUNT(*) FROM fx) AS n
+                       FROM fx
+                   ) r WHERE r.cc >= t.tau * r.n) AS q
+            FROM taus t
+        ),
+        losses AS (
+            SELECT qs.tau, qs.q,
+                   SUM(CASE WHEN o.y >= qs.q
+                            THEN CAST(qs.tau AS DECIMAL(8,4))
+                                 * (o.y - qs.q)
+                            ELSE CAST(1 - qs.tau AS DECIMAL(8,4))
+                                 * (qs.q - o.y) END) AS tot,
+                   CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM obs o CROSS JOIN qs
+            GROUP BY qs.tau, qs.q
+        )
+        SELECT CAST(tau AS DOUBLE) AS tau,
+               CAST(q AS DOUBLE) AS forecast_q,
+               ROUND(CAST(tot AS DOUBLE) / n_obs, 6) AS pinball
+        FROM losses
+    """,
+    section="A113",
+    doc="Pinball (quantile) loss of the empirical q10/q50/q90 of the "
+    "'view' value distribution used as quantile forecasts for "
+    "held-out 'purchase' values — the proper scoring rule for "
+    "QUANTILE forecasts (what quantile-regression models and "
+    "prediction-interval systems are graded on; A112's CRPS is "
+    "its integral over tau). Forecast quantiles are inverted-CDF "
+    "order statistics on the exact decimal grain (MIN v with "
+    "cumcount >= tau*n — no interpolation, engine-identical); "
+    "each loss term is an exact DECIMAL product (tau at 4dp times "
+    "a 2dp difference), summed exactly, ONE division per tau at "
+    "render. Scale: the quantile lookup is a value-grain "
+    "cumulative; the loss pass is one map-combinable conditional "
+    "aggregate per tau over a broadcast 3-row quantile table.",
+)
+def q_agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.where(F.col("event_type") == "view").select(
+        dec2(F.col("value")).alias("v")
+    )
+    obs = ev.where(F.col("event_type") == "purchase").select(
+        dec2(F.col("value")).alias("y")
+    )
+    nfx = fx.agg(F.count(F.lit(1)).cast("bigint").alias("nfx"))
+    w = Window.orderBy("v")
+    cum = fx.select(
+        "v", F.sum(F.lit(1)).over(w).cast("bigint").alias("cc")
+    )
+    taus = spark.createDataFrame(
+        [(float(t),) for t in _PINBALL_TAUS], "tau double"
+    )
+    qs = (
+        taus.crossJoin(cum)
+        .crossJoin(F.broadcast(nfx))
+        .where(F.col("cc") >= F.col("tau") * F.col("nfx"))
+        .groupBy("tau")
+        .agg(F.min("v").alias("q"))
+    )
+    tau_d = F.col("tau").cast("decimal(8,4)")
+    loss = F.when(
+        F.col("y") >= F.col("q"), tau_d * (F.col("y") - F.col("q"))
+    ).otherwise(
+        (F.lit(1).cast("decimal(8,4)") - tau_d)
+        * (F.col("q") - F.col("y"))
+    )
+    losses = (
+        obs.crossJoin(F.broadcast(qs))
+        .groupBy("tau", "q")
+        .agg(
+            F.sum(loss).alias("tot"),
+            F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        )
+    )
+    return losses.select(
+        F.col("tau").cast("double").alias("tau"),
+        F.col("q").cast("double").alias("forecast_q"),
+        F.round(
+            F.col("tot").cast("double") / F.col("n_obs"), 6
+        ).alias("pinball"),
+    )
