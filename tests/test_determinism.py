@@ -210,6 +210,28 @@ RISKY = [
     "q_sketch_histogram_quantile",
     "q_etl_temperature_resample",
     "q_text_context_length_bins",
+    # r5 waves 116-127: argmax/argmin selections, ordered folds, spine
+    # windows, and quantized cumulative devices.
+    "q_vec_mrr",
+    "q_vec_kmeanspp_init",
+    "q_win_attribution_ushape",
+    "q_agg_naive_bayes",
+    "q_agg_decision_stump",
+    "q_agg_dhondt",
+    "q_text_textrank",
+    "q_win_pareto_frontier",
+    "q_agg_hodges_lehmann",
+    "q_agg_nelson_aalen",
+    "q_agg_crps_empirical",
+    "q_agg_pinball_loss",
+    "q_ts_matrix_profile",
+    "q_ts_cusum_reset",
+    "q_ts_bollinger",
+    "q_ts_rsi",
+    "q_stream_watermark_drop",
+    "q_agg_mutual_information",
+    "q_agg_price_elasticity",
+    "q_graph_spectral_radius",
 ]
 
 
