@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.queries._util import dec2
 from ai_to_cvent_etl_spark.queries._util import ORACLE_MONEY_SUM
+from ai_to_cvent_etl_spark.queries._util import ORACLE_DISC_PRICE, disc_price
 
 
 def _money(c):  # exact for 2dp money columns (probed in FIXTURES.md)
@@ -9762,4 +9763,195 @@ def q_agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("tot").cast("double") / F.col("n_obs"), 6
         ).alias("pinball"),
+    )
+
+
+@register(
+    "q_agg_chain_ladder",
+    oracle=f"""
+        WITH cells AS (
+            SELECT year(o.o_orderdate) AS origin,
+                   year(l.l_shipdate) - year(o.o_orderdate) AS dev,
+                   SUM({ORACLE_DISC_PRICE}) AS x
+            FROM orders o JOIN lineitem l
+              ON o.o_orderkey = l.l_orderkey
+            WHERE year(l.l_shipdate) >= year(o.o_orderdate)
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT origin, dev,
+                   SUM(x) OVER (PARTITION BY origin ORDER BY dev) AS c
+            FROM cells
+        ),
+        mx AS (SELECT MAX(origin + dev) AS maxcal FROM cum),
+        pairs AS (
+            SELECT a.dev,
+                   SUM(a.c) AS c_d,
+                   SUM(b.c) AS c_d1,
+                   CAST(COUNT(*) AS BIGINT) AS n_origins
+            FROM cum a
+            JOIN cum b ON a.origin = b.origin AND b.dev = a.dev + 1
+            CROSS JOIN mx
+            WHERE a.origin + a.dev + 1 <= mx.maxcal
+            GROUP BY a.dev
+        )
+        SELECT CAST(dev AS BIGINT) AS dev, n_origins,
+               CAST(c_d AS DOUBLE) AS cum_at_dev,
+               ROUND(CAST(c_d1 AS DOUBLE) / CAST(c_d AS DOUBLE), 6)
+                   AS dev_factor
+        FROM pairs
+    """,
+    section="A114",
+    doc="Chain-ladder development factors over the order-to-ship run-"
+    "off triangle: origin year x development lag cells of exact-"
+    "decimal revenue, cumulated within origin, and the volume-"
+    "weighted link ratio f_d = sum(C_{o,d+1})/sum(C_{o,d}) over "
+    "origins whose d+1 diagonal is observable — the actuarial "
+    "reserving primitive (Mack's chain ladder) whose product of "
+    "factors projects every open origin to ultimate; the same "
+    "triangle arithmetic prices any cohort run-off (claims, "
+    "refunds, LTV maturation). Determinism: cells and cumulatives "
+    "are exact DECIMAL sums; the observability cut (origin + dev "
+    "+ 1 <= latest calendar) is integer; one double division per "
+    "dev lag. Scale: the fact collapses to the ~7x7 triangle "
+    "grain in one map-combinable pass; everything after is "
+    "driver-sized.",
+)
+def q_agg_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("origin")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.year("l_shipdate") >= F.col("origin"))
+        .groupBy(
+            "origin",
+            (F.year("l_shipdate") - F.col("origin")).alias("dev"),
+        )
+        .agg(F.sum(disc_price()).alias("x"))
+    )
+    w = Window.partitionBy("origin").orderBy("dev")
+    cum = cells.select(
+        "origin", "dev", F.sum("x").over(w).alias("c")
+    )
+    mx = cum.agg(F.max(F.col("origin") + F.col("dev")).alias("maxcal"))
+    a = cum.select("origin", "dev", F.col("c").alias("ca"))
+    b = cum.select(
+        F.col("origin").alias("ob"),
+        F.col("dev").alias("db"),
+        F.col("c").alias("cb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("origin") == F.col("ob"))
+            & (F.col("db") == F.col("dev") + 1),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("origin") + F.col("dev") + 1 <= F.col("maxcal"))
+        .groupBy("dev")
+        .agg(
+            F.sum("ca").alias("c_d"),
+            F.sum("cb").alias("c_d1"),
+            F.count(F.lit(1)).cast("bigint").alias("n_origins"),
+        )
+    )
+    return pairs.select(
+        F.col("dev").cast("bigint").alias("dev"),
+        "n_origins",
+        F.col("c_d").cast("double").alias("cum_at_dev"),
+        F.round(
+            F.col("c_d1").cast("double") / F.col("c_d").cast("double"),
+            6,
+        ).alias("dev_factor"),
+    )
+
+
+_TRIM_FRAC_NUM, _TRIM_FRAC_DEN = 1, 10  # 10% per tail
+
+
+@register(
+    "q_agg_trimmed_mean",
+    oracle=f"""
+        WITH vg AS (
+            SELECT CAST(l_extendedprice AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(c) * {_TRIM_FRAC_NUM}
+                        / {_TRIM_FRAC_DEN} AS BIGINT) AS k
+            FROM vg
+        ),
+        cum AS (
+            SELECT v, c,
+                   SUM(c) OVER (ORDER BY v) - c AS b,
+                   t.n, t.k
+            FROM vg CROSS JOIN tot t
+        ),
+        interior AS (
+            SELECT v,
+                   GREATEST(CAST(0 AS BIGINT),
+                       LEAST(b + c, n - k) - GREATEST(b, k)) AS keep,
+                   n, k
+            FROM cum
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+               CAST(MAX(k) AS BIGINT) AS k_trimmed_per_tail,
+               ROUND(CAST(SUM(v * keep) AS DOUBLE)
+                     / (MAX(n) - 2 * MAX(k)), 6) AS trimmed_mean
+        FROM interior
+    """,
+    section="A115",
+    doc=f"{100 * _TRIM_FRAC_NUM // _TRIM_FRAC_DEN}%-per-tail trimmed "
+    "mean of l_extendedprice — the robust location estimate that "
+    "DROPS the tails where A?-winsorized CLAMPS them (different "
+    "influence functions: trimming zeroes outlier influence, "
+    "winsorizing caps it). Row-rank semantics with duplicate "
+    "values are handled on the VALUE grain: each value keeps "
+    "max(0, min(b+c, n-k) - max(b, k)) of its c copies — the "
+    "overlap of its rank interval [b, b+c) with the kept band "
+    "[k, n-k) — so the result equals sorting all rows and "
+    "dropping exactly k per side, without sorting the fact. "
+    "Integer floor k = n/10 matches on both engines (BIGINT "
+    "arithmetic); the kept mass is an exact DECIMAL sum, one "
+    "division at render. Scale: value-grain cumulative (distinct "
+    "prices), map-combinable collapse first — the A107 shape.",
+)
+def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    vg = li.groupBy(dec2(F.col("l_extendedprice")).alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = vg.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (F.sum("c") * _TRIM_FRAC_NUM / _TRIM_FRAC_DEN)
+        .cast("bigint")
+        .alias("k"),
+    )
+    w = Window.orderBy("v")
+    cum = vg.crossJoin(F.broadcast(tot)).select(
+        "v",
+        "c",
+        (F.sum("c").over(w) - F.col("c")).alias("b"),
+        "n",
+        "k",
+    )
+    keep = F.greatest(
+        F.lit(0).cast("bigint"),
+        F.least(F.col("b") + F.col("c"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("b"), F.col("k")),
+    )
+    return cum.select("v", keep.alias("keep"), "n", "k").agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        F.max("k").cast("bigint").alias("k_trimmed_per_tail"),
+        F.round(
+            F.sum(F.col("v") * F.col("keep")).cast("double")
+            / (F.max("n") - 2 * F.max("k")),
+            6,
+        ).alias("trimmed_mean"),
     )
