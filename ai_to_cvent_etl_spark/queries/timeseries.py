@@ -4650,3 +4650,179 @@ def q_ts_matrix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt("d2"), 4).alias("profile_dist"),
         )
     )
+
+
+_SAX_SEG_DAYS = 5
+_SAX_BP_LO, _SAX_BP_HI = -0.4307, 0.4307  # N(0,1) terciles
+
+
+@register(
+    "q_ts_sax_symbols",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type,
+                   CAST(SUM(t) AS DOUBLE) / COUNT(*) AS mu,
+                   sqrt(CAST(SUM(t * t) AS DOUBLE) / COUNT(*)
+                        - (CAST(SUM(t) AS DOUBLE) / COUNT(*))
+                          * (CAST(SUM(t) AS DOUBLE) / COUNT(*)))
+                       AS sd,
+                   MIN(d) AS d0
+            FROM daily GROUP BY event_type
+        ),
+        paa AS (
+            SELECT dl.event_type,
+                   CAST(floor(date_diff('day', s.d0, dl.d)
+                              / {_SAX_SEG_DAYS}) AS BIGINT) AS seg,
+                   CAST(SUM(dl.t) AS DOUBLE) / COUNT(*) AS seg_mean,
+                   MAX(s.mu) AS mu, MAX(s.sd) AS sd
+            FROM daily dl JOIN stats s
+              ON dl.event_type = s.event_type
+            GROUP BY 1, 2
+        )
+        SELECT event_type, seg,
+               CASE WHEN (seg_mean - mu) / sd < {_SAX_BP_LO} THEN 'a'
+                    WHEN (seg_mean - mu) / sd < {_SAX_BP_HI} THEN 'b'
+                    ELSE 'c' END AS sax_symbol,
+               ROUND((seg_mean - mu) / sd, 4) AS seg_z
+        FROM paa
+    """,
+    section="TS27",
+    doc=f"SAX (Symbolic Aggregate approXimation) of each event type's "
+    f"daily series: {_SAX_SEG_DAYS}-day PAA segment means, "
+    "z-normalized per series, discretized at the N(0,1) tercile "
+    "breakpoints (±0.4307) into a 3-letter alphabet — the "
+    "time-series-mining front end that turns numeric streams into "
+    "strings so TS26's motif search, the T-family's n-gram/chunk "
+    "machinery, and the D-family's exact dedup can run on TIME "
+    "SERIES (SAX's lower-bounding property is what makes that "
+    "sound). Determinism: daily totals and their squares are "
+    "exact decimals, so mu/sd/segment means are identical doubles "
+    "cross-engine; the breakpoint CASE compares those identical "
+    "doubles against exact literal constants; z is "
+    "ROUND(4)-reported. Segment index is integer day arithmetic "
+    "from the series' own first day. Scale: day-grain collapse, "
+    "then a (type, segment)-grain aggregate — two map-combinable "
+    "passes, no window at all.",
+)
+def q_ts_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(dec2(F.col("value"))).alias("t"))
+    n = F.count(F.lit(1))
+    stats = daily.groupBy("event_type").agg(
+        (F.sum("t").cast("double") / n).alias("mu"),
+        F.sqrt(
+            F.sum(F.col("t") * F.col("t")).cast("double") / n
+            - (F.sum("t").cast("double") / n)
+            * (F.sum("t").cast("double") / n)
+        ).alias("sd"),
+        F.min("d").alias("d0"),
+    )
+    paa = (
+        daily.join(F.broadcast(stats), "event_type")
+        .groupBy(
+            "event_type",
+            F.floor(
+                F.datediff(F.col("d"), F.col("d0")) / _SAX_SEG_DAYS
+            )
+            .cast("bigint")
+            .alias("seg"),
+        )
+        .agg(
+            (F.sum("t").cast("double") / F.count(F.lit(1))).alias(
+                "seg_mean"
+            ),
+            F.max("mu").alias("mu"),
+            F.max("sd").alias("sd"),
+        )
+    )
+    z = (F.col("seg_mean") - F.col("mu")) / F.col("sd")
+    return paa.select(
+        "event_type",
+        "seg",
+        F.when(z < _SAX_BP_LO, "a")
+        .when(z < _SAX_BP_HI, "b")
+        .otherwise("c")
+        .alias("sax_symbol"),
+        F.round(z, 4).alias("seg_z"),
+    )
+
+
+@register(
+    "q_ts_obv",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(l_shipdate AS DATE) AS d,
+                   SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                       * CAST(l_quantity AS DECIMAL(18,2))) AS pq,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS vol
+            FROM lineitem GROUP BY 1
+        ),
+        chg AS (
+            SELECT d, vol,
+                   pq * LAG(vol) OVER (ORDER BY d)
+                   - LAG(pq) OVER (ORDER BY d) * vol AS num
+            FROM daily
+        )
+        SELECT d,
+               CAST(SUM(CASE WHEN num > 0 THEN vol
+                             WHEN num < 0 THEN -vol
+                             ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    OVER (ORDER BY d) AS DOUBLE) AS obv
+        FROM chg
+    """,
+    section="TS28",
+    doc="On-balance volume over the daily lineitem tape: cumulative "
+    "signed volume where the sign follows the day-over-day VWAP "
+    "direction — the volume-flow confirmation indicator completing "
+    "the TS22-24 TA family. The determinism device is the "
+    "CROSS-MULTIPLIED comparison: 'vwap_t > vwap_{t-1}' is "
+    "pq_t/vol_t > pq_prev/vol_prev, evaluated as "
+    "pq_t*vol_prev - pq_prev*vol_t > 0 — EXACT decimal products, "
+    "so the sign can never flip on a division ulp (volumes are "
+    "positive, so the inequality direction is preserved); the "
+    "running OBV is then a cumulative sum of exact decimal "
+    "volumes — associative, frame-order-free. One cast to double "
+    "at render. Scale: day-grain spine windows over the "
+    "map-combinable daily collapse (the TS22 shape).",
+)
+def q_ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = dec2(F.col("l_extendedprice"))
+    q = dec2(F.col("l_quantity"))
+    daily = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).agg(
+        F.sum(p * q).alias("pq"),
+        F.sum(q).alias("vol"),
+    )
+    w = Window.orderBy("d")
+    chg = daily.select(
+        "d",
+        "vol",
+        (
+            F.col("pq") * F.lag("vol").over(w)
+            - F.lag("pq").over(w) * F.col("vol")
+        ).alias("num"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    wc = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    signed = (
+        F.when(F.col("num") > 0, F.col("vol"))
+        .when(F.col("num") < 0, -F.col("vol"))
+        .otherwise(zero)
+    )
+    return chg.select(
+        "d", F.sum(signed).over(wc).cast("double").alias("obv")
+    )
