@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.queries._util import (
     ORACLE_DISC_PRICE,
+    dec2,
     disc_price,
 )
 from ai_to_cvent_etl_spark.registry import register
@@ -1430,4 +1431,184 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("totacctbal"),
         )
+    )
+
+
+_Q11_REGION = "EUROPE"
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+        WITH v AS (
+            SELECT l.l_partkey,
+                   SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS dval
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name = '{_Q11_REGION}'
+            GROUP BY l.l_partkey
+        ),
+        cents AS (
+            SELECT l_partkey, CAST(dval * 100 AS BIGINT) AS value_cents
+            FROM v
+        ),
+        t AS (
+            SELECT SUM(value_cents) AS tot_cents, COUNT(*) AS n_parts
+            FROM cents
+        )
+        SELECT c.l_partkey,
+               CAST(c.value_cents AS DOUBLE) / 100 AS value
+        FROM cents c, t
+        WHERE c.value_cents * t.n_parts * 4 > t.tot_cents * 5
+    """,
+    section="H11",
+    doc="TPC-H Q11 (important stock), adapted: the schema has no partsupp "
+    "table (SURVEY §2.125 note), so 'supply value' is re-derived from the "
+    "fact itself — per-part shipped value (exact-decimal l_extendedprice "
+    f"sum) from {_Q11_REGION}-region suppliers, keeping parts whose value "
+    "exceeds 1.25x the mean per-part value. The canonical shape survives "
+    "intact: an aggregate, a SCALAR subquery over that same aggregate, and "
+    "a HAVING-style threshold filter against it. Determinism device: the "
+    "threshold compare runs in integer CENTS (decimal*100 -> BIGINT), so "
+    "value_cents*n*4 > tot_cents*5 is exact int64 arithmetic on both "
+    "engines — no float boundary rides on partial-sum order (max ~1e14 at "
+    "sf1000, far under int64). Scale: region-filtered supplier slice "
+    "broadcasts into the fact scan; the per-part agg shuffles once on "
+    "l_partkey (the natural grain); the scalar total is a one-row "
+    "broadcast cross join, so the threshold filter is map-side — the "
+    "canonical Q11 plan with zero extra shuffles.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp_slice = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").where(
+                            F.col("r_name") == _Q11_REGION
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    cents = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(supp_slice), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            (F.sum(dec2(F.col("l_extendedprice"))) * 100)
+            .cast("bigint")
+            .alias("value_cents")
+        )
+    )
+    t = cents.agg(
+        F.sum("value_cents").alias("tot_cents"),
+        F.count(F.lit(1)).alias("n_parts"),
+    )
+    return (
+        cents.crossJoin(F.broadcast(t))
+        .where(
+            F.col("value_cents") * F.col("n_parts") * 4
+            > F.col("tot_cents") * 5
+        )
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100).alias("value"),
+        )
+    )
+
+
+_Q20_PREFIX = "red"
+_Q20_LO, _Q20_HI = "1996-01-01", "1997-01-01"
+_Q20_NATION_PAT = "NATION_1%"
+
+
+@register(
+    "q_tpch_q20",
+    oracle=f"""
+        WITH shipped AS (
+            SELECT l.l_partkey, l.l_suppkey,
+                   CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+            FROM lineitem l
+            JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE '{_Q20_PREFIX}%'
+              AND l.l_shipdate >= TIMESTAMP '{_Q20_LO} 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '{_Q20_HI} 00:00:00'
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT l_partkey, SUM(qty) AS total_qty
+            FROM shipped GROUP BY 1
+        ),
+        dom AS (
+            SELECT DISTINCT sh.l_suppkey
+            FROM shipped sh JOIN tot t ON sh.l_partkey = t.l_partkey
+            WHERE sh.qty * 2 > t.total_qty
+        )
+        SELECT su.s_suppkey, su.s_name
+        FROM supplier su
+        JOIN nation n ON su.s_nationkey = n.n_nationkey
+        WHERE n.n_name LIKE '{_Q20_NATION_PAT}'
+          AND su.s_suppkey IN (SELECT l_suppkey FROM dom)
+    """,
+    section="H20",
+    doc="TPC-H Q20 (potential part promotion), adapted: no partsupp/"
+    "ps_availqty exists (SURVEY §2.125 note), so 'has excess stock of a "
+    f"part' becomes 'DOMINANT supplier of a part' — shipped more than half "
+    f"of that part's total {_Q20_LO[:4]} volume of '{_Q20_PREFIX}%'-named "
+    "parts. The canonical structure is preserved exactly: an inner "
+    "correlated aggregate (qty vs 0.5x the per-part total) decorrelated "
+    "into a per-(part,supplier) agg joined against a per-part agg, feeding "
+    "a semi-join into the nation-filtered supplier list. Determinism: "
+    "quantities are integral doubles summed then cast to BIGINT, so the "
+    "qty*2 > total comparison is exact int64. Scale: the part-name filter "
+    "broadcasts into the fact scan (with the date filter pushed to "
+    "parquet); both aggs shuffle on l_partkey only — AQE coalesces the "
+    "reuse; the dominant-supplier set is tiny and broadcasts into the "
+    "supplier semi-join. No all-pairs anything.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"{_Q20_PREFIX}%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(_Q20_LO).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(_Q20_HI).cast("timestamp"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    tot = shipped.groupBy("l_partkey").agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dom = (
+        shipped.join(tot, "l_partkey")
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .where(F.col("n_name").like(_Q20_NATION_PAT))
+        .join(
+            F.broadcast(dom),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name")
     )
