@@ -2002,3 +2002,86 @@ def q_graph_spectral_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x1_a_x1").cast("double") / F.col("x1_x1"), 6
         ).alias("spectral_radius_lb"),
     )
+
+# ==== wave 131: resource-allocation link prediction ================
+
+# LCM(1..8): every 840/deg is an exact integer on the degree-<=8 graph.
+_RA_LCM = 840
+
+
+@register(
+    "q_graph_resource_alloc",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        adj AS (
+            SELECT lo AS x, hi AS n FROM edges
+            UNION ALL
+            SELECT hi AS x, lo AS n FROM edges
+        ),
+        deg AS (
+            SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY x
+        ),
+        wedge AS (
+            SELECT a.x AS u, b.x AS v,
+                   SUM(CAST({_RA_LCM} / g.d AS BIGINT)) AS ra840
+            FROM adj a
+            JOIN adj b ON a.n = b.n AND a.x < b.x
+            JOIN deg g ON g.node = a.n
+            GROUP BY a.x, b.x
+        )
+        SELECT w.u, w.v,
+               CAST(w.ra840 AS DOUBLE) / {_RA_LCM} AS ra_score
+        FROM wedge w
+        LEFT JOIN edges e ON e.lo = w.u AND e.hi = w.v
+        WHERE e.lo IS NULL
+    """,
+    section="G12",
+    doc="Resource-allocation link prediction (Zhou-Lü-Zhang 2009) over "
+    "the mutual top-8 affinity graph: for each non-adjacent pair, "
+    "sum(1/deg(z)) over shared neighbors z — the down-weighted-hub "
+    "refinement of G4's raw common-neighbor count, and the index that "
+    "usually beats Adamic-Adar in recall. Determinism device: G4's doc "
+    "notes 1/ln(deg) is off the table (libm ln() differs across "
+    f"JVM/C); 1/deg needs no transcendental — deg <= 8 by the graph's "
+    f"construction, so each weight is the exact integer {_RA_LCM}/deg "
+    f"(LCM(1..8) = {_RA_LCM}) and the score is an int64 sum with ONE "
+    "final double division. Scale: the wedge join inherits the degree "
+    "bound (<= 64 candidates per node at any corpus size); deg is a "
+    "broadcast-sized table keyed by the wedge center; one keyed agg + "
+    "one anti-join — same shape as G4.",
+)
+def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("lo").alias("x"), F.col("hi").alias("n")).unionByName(
+        edges.select(F.col("hi").alias("x"), F.col("lo").alias("n"))
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    a = adj.select(F.col("x").alias("u"), "n")
+    b = adj.select(F.col("x").alias("v"), F.col("n").alias("n2"))
+    wedge = (
+        a.join(b, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .join(F.broadcast(deg), F.col("node") == F.col("n"))
+        .groupBy("u", "v")
+        .agg(
+            F.sum(
+                (F.lit(_RA_LCM) / F.col("d")).cast("bigint")
+            ).alias("ra840")
+        )
+    )
+    return (
+        wedge.join(
+            edges,
+            (wedge.u == edges.lo) & (wedge.v == edges.hi),
+            "left_anti",
+        )
+        .select(
+            "u",
+            "v",
+            (F.col("ra840").cast("double") / F.lit(_RA_LCM)).alias(
+                "ra_score"
+            ),
+        )
+    )

@@ -3840,3 +3840,135 @@ def q_vec_kmeanspp_init(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id3").alias("centroid_3"),
         "coverage_radius",
     )
+
+# ==== wave 131: KNN-Shapley data valuation =========================
+
+_SHAP_K = 5
+
+
+@register(
+    "q_vec_knn_shapley",
+    oracle=f"""
+        WITH ranked AS MATERIALIZED (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   CASE WHEN q.label = n.label THEN 1 ELSE 0 END AS m,
+                   ROW_NUMBER() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(
+                                     q.embedding, n.embedding) DESC,
+                                 n.vec_id
+                   ) AS rank,
+                   COUNT(*) OVER (PARTITION BY q.vec_id) AS n_total
+            FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+            JOIN embeddings n ON n.vec_id <> q.vec_id
+        ),
+        terms AS (
+            SELECT query_id, neighbor_id, rank,
+                   CASE WHEN m_next IS NULL
+                        THEN CAST(m AS DOUBLE) / n_total
+                        ELSE CAST(m - m_next AS DOUBLE)
+                             * CAST(LEAST(rank, {_SHAP_K}) AS DOUBLE)
+                             / CAST({_SHAP_K} * rank AS DOUBLE)
+                   END AS contrib
+            FROM (
+                SELECT *, LEAD(m) OVER (
+                    PARTITION BY query_id ORDER BY rank
+                ) AS m_next
+                FROM ranked
+            )
+        ),
+        sv AS (
+            SELECT query_id, neighbor_id,
+                   SUM(CAST(floor(contrib * 1e12) AS BIGINT)) OVER (
+                        PARTITION BY query_id ORDER BY rank DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS s_q12
+            FROM terms
+        )
+        SELECT neighbor_id AS vec_id,
+               CAST(SUM(s_q12) AS DOUBLE) / 1e12 AS shapley
+        FROM sv GROUP BY neighbor_id
+    """,
+    section="V21",
+    doc=f"KNN-Shapley data valuation (Jia et al., PVLDB 2019 closed form, "
+    f"k={_SHAP_K}): the exact Shapley value of every training point for a "
+    "k-NN surrogate classifier, summed over the 10 gold-labeled query "
+    "points — the standard 'which training examples help/hurt' curation "
+    "signal, computable in ONE pass unlike Monte-Carlo Data Shapley. The "
+    "recursion s_i = s_(i+1) + (m_i - m_(i+1)) * min(K,i)/(K*i) (points "
+    "ranked near->far) is a SUFFIX SUM, so it runs as a window over the "
+    "V3 ranking: per-rank increment terms, quantized floor(x*1e12) -> "
+    "BIGINT (the §5.3 _qsum device — each term is one int-subtract, one "
+    "multiply, one divide, bit-identical IEEE on both engines), then an "
+    "integer running sum ordered rank DESC and an integer per-neighbor "
+    "total across queries; ONE decimal->double conversion at the end. "
+    "Scale: inherits V3's shape (queries broadcast, corpus never "
+    "shuffles); the window partitions by query_id (tiny), the final agg "
+    "shuffles 10*N int rows on neighbor_id — no all-pairs materialization "
+    "beyond the scored candidate set.",
+)
+def q_vec_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("label").alias("q_label"),
+        )
+        .withColumn("q_norm", F.sqrt(_sq_norm("q_emb")))
+    )
+    n = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+            F.col("label").alias("n_label"),
+        ).withColumn("n_norm", F.sqrt(_sq_norm("n_emb")))
+    )
+    sim = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    w_all = Window.partitionBy("query_id")
+    ranked = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(w_rank))
+        .withColumn("n_total", F.count(F.lit(1)).over(w_all))
+        .withColumn(
+            "m",
+            F.when(F.col("q_label") == F.col("n_label"), 1).otherwise(0),
+        )
+        .select("query_id", "neighbor_id", "rank", "n_total", "m")
+    )
+    w_next = Window.partitionBy("query_id").orderBy("rank")
+    contrib = F.when(
+        F.col("m_next").isNull(),
+        F.col("m").cast("double") / F.col("n_total"),
+    ).otherwise(
+        (F.col("m") - F.col("m_next")).cast("double")
+        * F.least(F.col("rank"), F.lit(_SHAP_K)).cast("double")
+        / (F.lit(_SHAP_K) * F.col("rank")).cast("double")
+    )
+    w_suffix = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("rank").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sv = (
+        ranked.withColumn("m_next", F.lead("m").over(w_next))
+        .withColumn("contrib", contrib)
+        .withColumn(
+            "s_q12",
+            F.sum(
+                F.floor(F.col("contrib") * F.lit(1e12)).cast("bigint")
+            ).over(w_suffix),
+        )
+    )
+    return (
+        sv.groupBy(F.col("neighbor_id").alias("vec_id"))
+        .agg((F.sum("s_q12").cast("double") / F.lit(1e12)).alias("shapley"))
+    )
