@@ -4826,3 +4826,199 @@ def q_ts_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chg.select(
         "d", F.sum(signed).over(wc).cast("double").alias("obv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 132 (r5): oscillator pair — stochastic %K/%D and Aroon up/down.
+# ---------------------------------------------------------------------------
+
+_STO_N = 14
+_STO_D = 3
+_AROON_N = 10
+
+
+@register(
+    "q_ts_stochastic",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1
+        ),
+        roll AS (
+            SELECT d, t,
+                   MIN(t) OVER w AS mn,
+                   MAX(t) OVER w AS mx,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k
+            FROM daily
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN {_STO_N - 1} PRECEDING
+                         AND CURRENT ROW)
+        ),
+        kline AS (
+            SELECT d,
+                   CAST(floor(CAST(t - mn AS DOUBLE) * 100
+                              / CAST(mx - mn AS DOUBLE) * 1e8)
+                        AS BIGINT) AS k_q8
+            FROM roll WHERE k = {_STO_N} AND mx > mn
+        ),
+        dline AS (
+            SELECT d, k_q8,
+                   SUM(k_q8) OVER (ORDER BY d
+                        ROWS BETWEEN {_STO_D - 1} PRECEDING
+                        AND CURRENT ROW) AS s_q8,
+                   CAST(COUNT(*) OVER (ORDER BY d
+                        ROWS BETWEEN {_STO_D - 1} PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS kd
+            FROM kline
+        )
+        SELECT d,
+               ROUND(CAST(k_q8 AS DOUBLE) / 1e8, 4) AS pct_k,
+               ROUND(CAST(s_q8 AS DOUBLE) / {_STO_D}e8, 4) AS pct_d,
+               CAST(k_q8 > 80 * CAST(1e8 AS BIGINT) AS BOOLEAN)
+                   AS overbought
+        FROM dline WHERE kd = {_STO_D}
+    """,
+    section="TS29",
+    doc=f"Stochastic oscillator ({_STO_N}-day %K, {_STO_D}-day %D) over "
+    "the daily event-value total: %K locates today inside the rolling "
+    "high-low channel, %D smooths it — the classic momentum pair "
+    "beside TS22's Bollinger channel. Determinism: rolling MIN/MAX of "
+    "exact decimals are order-free; %K's single double expression "
+    "(num*100/den) is pinned to the same op shape on both engines and "
+    f"quantized floor(x*1e8)->BIGINT, so the %D smoothing is an "
+    "INTEGER rolling sum (associative — immune to frame-accumulation "
+    "order) with one final double division; the overbought flag "
+    "compares quantized ints, so no boundary rides on a float. Scale: "
+    "daily collapse first (map-combinable), windows over the day-grain "
+    "spine only — the W24 spine device; the fact never enters a window.",
+)
+def q_ts_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    w = Window.orderBy("d").rowsBetween(-(_STO_N - 1), 0)
+    roll = daily.select(
+        "d",
+        "t",
+        F.min("t").over(w).alias("mn"),
+        F.max("t").over(w).alias("mx"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    ).where((F.col("k") == _STO_N) & (F.col("mx") > F.col("mn")))
+    k_dbl = (
+        (F.col("t") - F.col("mn")).cast("double")
+        * 100
+        / (F.col("mx") - F.col("mn")).cast("double")
+    )
+    kline = roll.select(
+        "d",
+        F.floor(k_dbl * F.lit(1e8)).cast("bigint").alias("k_q8"),
+    )
+    wd = Window.orderBy("d").rowsBetween(-(_STO_D - 1), 0)
+    dline = kline.select(
+        "d",
+        "k_q8",
+        F.sum("k_q8").over(wd).alias("s_q8"),
+        F.count(F.lit(1)).over(wd).cast("bigint").alias("kd"),
+    ).where(F.col("kd") == _STO_D)
+    return dline.select(
+        "d",
+        F.round(F.col("k_q8").cast("double") / F.lit(1e8), 4).alias("pct_k"),
+        F.round(
+            F.col("s_q8").cast("double") / F.lit(float(_STO_D) * 1e8), 4
+        ).alias("pct_d"),
+        (F.col("k_q8") > F.lit(80 * 10**8)).alias("overbought"),
+    )
+
+
+@register(
+    "q_ts_aroon",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1
+        ),
+        spine AS (
+            SELECT d, t,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn
+            FROM daily
+        ),
+        win AS (
+            SELECT a.d, a.rn AS rn_a, b.rn AS rn_b, b.t AS bt
+            FROM spine a JOIN spine b
+              ON b.rn BETWEEN a.rn - {_AROON_N - 1} AND a.rn
+            WHERE a.rn >= {_AROON_N}
+        ),
+        hi AS (
+            SELECT d, rn_a - rn_b AS since_high FROM (
+                SELECT d, rn_a, rn_b, ROW_NUMBER() OVER (
+                    PARTITION BY d ORDER BY bt DESC, rn_b DESC) AS r
+                FROM win
+            ) WHERE r = 1
+        ),
+        lo AS (
+            SELECT d, rn_a - rn_b AS since_low FROM (
+                SELECT d, rn_a, rn_b, ROW_NUMBER() OVER (
+                    PARTITION BY d ORDER BY bt ASC, rn_b DESC) AS r
+                FROM win
+            ) WHERE r = 1
+        )
+        SELECT hi.d,
+               CAST(since_high AS BIGINT) AS days_since_high,
+               CAST(since_low AS BIGINT) AS days_since_low,
+               CAST(({_AROON_N} - since_high) * (100 / {_AROON_N})
+                    AS DOUBLE) AS aroon_up,
+               CAST(({_AROON_N} - since_low) * (100 / {_AROON_N})
+                    AS DOUBLE) AS aroon_down
+        FROM hi JOIN lo USING (d)
+    """,
+    section="TS30",
+    doc=f"Aroon indicator ({_AROON_N}-day): positions of the rolling "
+    "high and low inside the lookback window, scaled to [0,100] — the "
+    "trend-age gauge (fresh high => aroon_up 100). The rolling ARGMAX "
+    "is a windowed MAX OVER STRUCTS on the Spark side — max(struct(t, "
+    "rn)) is lexicographic, so ties on the exact decimal total break "
+    "to the MORE RECENT row; argmin uses max(struct(-t, rn)) for the "
+    "same recency tie-break; the oracle mirrors both with fully "
+    "tie-broken row_numbers over a positional self-join (ROWS "
+    "semantics pinned on both engines — no calendar-gap divergence). "
+    f"All-integer outputs (100/{_AROON_N} is integral) => exact. "
+    "Scale: windows run on the day-grain spine; at 100 TB the spine "
+    "is still only one row per day — the W24 device.",
+)
+def q_ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    spine = daily.withColumn(
+        "rn", F.row_number().over(Window.orderBy("d")).cast("bigint")
+    )
+    w = Window.orderBy("rn").rowsBetween(-(_AROON_N - 1), 0)
+    hi_rn = F.max(F.struct(F.col("t"), F.col("rn"))).over(w).getField("rn")
+    lo_rn = (
+        F.max(F.struct((-F.col("t")).alias("nt"), F.col("rn")))
+        .over(w)
+        .getField("rn")
+    )
+    scale = 100 // _AROON_N
+    out = (
+        spine.withColumn("hi_rn", hi_rn)
+        .withColumn("lo_rn", lo_rn)
+        .where(F.col("rn") >= _AROON_N)
+    )
+    since_high = F.col("rn") - F.col("hi_rn")
+    since_low = F.col("rn") - F.col("lo_rn")
+    return out.select(
+        "d",
+        since_high.alias("days_since_high"),
+        since_low.alias("days_since_low"),
+        ((F.lit(_AROON_N) - since_high) * F.lit(scale))
+        .cast("double")
+        .alias("aroon_up"),
+        ((F.lit(_AROON_N) - since_low) * F.lit(scale))
+        .cast("double")
+        .alias("aroon_down"),
+    )
