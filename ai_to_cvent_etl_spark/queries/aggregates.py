@@ -9955,3 +9955,158 @@ def q_agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("trimmed_mean"),
     )
+
+
+# ==== wave 133: ordered-alternative trend test =====================
+
+_JT_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _jt_oracle() -> str:
+    gs = _JT_GROUPS
+    c_cols = ",\n                   ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN grp = '{g}' THEN c END), 0) "
+        f"AS BIGINT) AS c{i}"
+        for i, g in enumerate(gs)
+    )
+    cum_cols = ",\n                   ".join(
+        f"SUM(c{i}) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING "
+        f"AND CURRENT ROW) - c{i} AS less{i}"
+        for i in range(len(gs))
+    )
+    contrib = " + ".join(
+        f"c{j} * (2 * less{i} + c{i})"
+        for j in range(len(gs))
+        for i in range(j)
+    )
+    n_terms = " + ".join(f"n{i}" for i in range(len(gs)))
+    nsq_terms = " + ".join(f"n{i} * n{i}" for i in range(len(gs)))
+    nvar_terms = " + ".join(
+        f"n{i} * n{i} * (2 * n{i} + 3)" for i in range(len(gs))
+    )
+    n_defs = ",\n                   ".join(
+        f"CAST(SUM(c{i}) AS BIGINT) AS n{i}" for i in range(len(gs))
+    )
+    return f"""
+        WITH vc AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        val AS (
+            SELECT v,
+                   {c_cols}
+            FROM vc GROUP BY v
+        ),
+        cum AS (
+            SELECT *,
+                   {cum_cols}
+            FROM val
+        ),
+        tot AS (
+            SELECT CAST(SUM({contrib}) AS BIGINT) AS j2,
+                   {n_defs}
+            FROM cum
+        )
+        SELECT CAST(j2 AS DOUBLE) / 2 AS jt_stat,
+               CAST({n_terms} AS BIGINT) AS n_total,
+               (CAST(({n_terms}) AS DOUBLE) * CAST(({n_terms}) AS DOUBLE)
+                - CAST(({nsq_terms}) AS DOUBLE)) / 4 AS expected_jt,
+               ROUND((CAST(j2 AS DOUBLE) / 2
+                      - (CAST(({n_terms}) AS DOUBLE)
+                         * CAST(({n_terms}) AS DOUBLE)
+                         - CAST(({nsq_terms}) AS DOUBLE)) / 4)
+                     / sqrt((CAST(({n_terms}) AS DOUBLE)
+                             * CAST(({n_terms}) AS DOUBLE)
+                             * (2 * CAST(({n_terms}) AS DOUBLE) + 3)
+                             - CAST(({nvar_terms}) AS DOUBLE)) / 72),
+                     6) AS z_score
+        FROM tot
+    """
+
+
+@register(
+    "q_agg_jonckheere",
+    oracle=_jt_oracle(),
+    section="A116",
+    doc="Jonckheere-Terpstra ordered-alternative trend test: does "
+    "o_totalprice trend monotonically across the FIVE ORDERED priority "
+    "classes (1-URGENT < ... < 5-LOW)? The statistic J = sum over "
+    "group pairs i<j of Mann-Whitney U counts — the test A59 "
+    "(Kruskal-Wallis) cannot replace because KW ignores group order. "
+    "The naive form is all-pairs O(n^2); this runs it at the VALUE "
+    "GRAIN: per-(group, exact-decimal-price) counts, one ordered "
+    "window giving each group's strictly-less cumulative, then "
+    "2J = sum_j c_j * (2*less_i + c_i) pairwise over the 5 group "
+    "columns — ties get the standard half credit via the doubled "
+    "statistic, which keeps EVERYTHING int64-exact until the final "
+    "pinned double z-score (no-ties normal approximation). Scale: one "
+    "count at the distinct-price grain, one global ordered window "
+    "over it (value-grain spine, not the fact), one scalar rollup.",
+)
+def q_agg_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    gs = _JT_GROUPS
+    orders = load_table(spark, sf_dir, "orders")
+    vc = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("grp"),
+            dec2(F.col("o_totalprice")).alias("v"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    val = vc.groupBy("v").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("grp") == g, F.col("c"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias(f"c{i}")
+            for i, g in enumerate(gs)
+        ]
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = val.select(
+        "*",
+        *[
+            (F.sum(f"c{i}").over(w) - F.col(f"c{i}")).alias(f"less{i}")
+            for i in range(len(gs))
+        ],
+    )
+    contrib = None
+    for j in range(len(gs)):
+        for i in range(j):
+            term = F.col(f"c{j}") * (
+                2 * F.col(f"less{i}") + F.col(f"c{i}")
+            )
+            contrib = term if contrib is None else contrib + term
+    tot = cum.agg(
+        F.sum(contrib).cast("bigint").alias("j2"),
+        *[
+            F.sum(f"c{i}").cast("bigint").alias(f"n{i}")
+            for i in range(len(gs))
+        ],
+    )
+    n_total = None
+    nsq = None
+    nvar = None
+    for i in range(len(gs)):
+        ni = F.col(f"n{i}")
+        n_total = ni if n_total is None else n_total + ni
+        nsq = ni * ni if nsq is None else nsq + ni * ni
+        nv = ni * ni * (2 * ni + 3)
+        nvar = nv if nvar is None else nvar + nv
+    nd = n_total.cast("double")
+    nsqd = nsq.cast("double")
+    nvard = nvar.cast("double")
+    jt = F.col("j2").cast("double") / 2
+    expected = (nd * nd - nsqd) / 4
+    z = (jt - expected) / F.sqrt((nd * nd * (2 * nd + 3) - nvard) / 72)
+    return tot.select(
+        jt.alias("jt_stat"),
+        n_total.cast("bigint").alias("n_total"),
+        expected.alias("expected_jt"),
+        F.round(z, 6).alias("z_score"),
+    )

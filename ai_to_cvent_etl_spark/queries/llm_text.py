@@ -2545,3 +2545,75 @@ def q_text_msttr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_types") / (float(_SEG_LEN) * F.count(F.lit(1))), 6
         ).alias("msttr"),
     )
+
+
+# ==== wave 133: lexical richness II ================================
+
+
+@register(
+    "q_text_yule_k",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY lang, tok
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS big_n,
+                   CAST(SUM(n * n) AS BIGINT) AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS n_types
+            FROM counts GROUP BY lang
+        )
+        SELECT lang, big_n AS n_tokens, n_types,
+               ROUND(CAST(s2 - big_n AS DOUBLE) * 10000
+                     / (CAST(big_n AS DOUBLE) * CAST(big_n AS DOUBLE)),
+                     6) AS yule_k,
+               ROUND(CAST(s2 - big_n AS DOUBLE)
+                     / (CAST(big_n AS DOUBLE)
+                        * CAST(big_n - 1 AS DOUBLE)), 9) AS simpson_d
+        FROM s
+    """,
+    section="L26",
+    doc="Yule's characteristic K and Simpson's diversity D per language "
+    "partition: K = 10^4(S2 - N)/N^2 with S2 = sum of squared type "
+    "frequencies — the repeat-rate statistic that is SIZE-INVARIANT "
+    "(unlike TTR/hapax share, K does not drift as the corpus grows), "
+    "so it is the cross-corpus comparable knob of the "
+    "lexical-richness family (L22 Heaps, L25 hapax, L7 Zipf); "
+    "Simpson's D = (S2-N)/(N(N-1)) is the same S2 scalar as the "
+    "probability two random tokens are the same type. A high K "
+    "flags templated/repetitive text the way L5's repetition score "
+    "does, but at the corpus grain. Everything is integer (S2, N) "
+    "until two final pinned double divisions — exact. Scale: one "
+    "(lang, token) count at the Heaps-bounded vocabulary grain, one "
+    "per-lang rollup; the S2 sum is map-combinable.",
+)
+def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = counts.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("big_n"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+    )
+    big_n = F.col("big_n").cast("double")
+    diff = (F.col("s2") - F.col("big_n")).cast("double")
+    return s.select(
+        "lang",
+        F.col("big_n").alias("n_tokens"),
+        "n_types",
+        F.round(diff * 10000 / (big_n * big_n), 6).alias("yule_k"),
+        F.round(
+            diff / (big_n * (F.col("big_n") - 1).cast("double")), 9
+        ).alias("simpson_d"),
+    )
