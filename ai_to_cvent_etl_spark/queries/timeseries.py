@@ -5022,3 +5022,96 @@ def q_ts_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("aroon_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 134b (r5): ulcer index — RMS drawdown.
+# ---------------------------------------------------------------------------
+
+_ULCER_N = 14
+
+
+@register(
+    "q_ts_ulcer",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS t
+            FROM events GROUP BY 1
+        ),
+        dd AS (
+            SELECT d,
+                   CAST(floor(CAST(t - rm AS DOUBLE) * 100
+                              / CAST(rm AS DOUBLE) * 1e4)
+                        AS BIGINT) AS dd_q4
+            FROM (
+                SELECT d, t,
+                       MAX(t) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS rm
+                FROM daily
+            )
+        ),
+        roll AS (
+            SELECT d, dd_q4,
+                   SUM(dd_q4 * dd_q4) OVER w AS s2,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k
+            FROM dd
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN {_ULCER_N - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT d,
+               ROUND(CAST(dd_q4 AS DOUBLE) / 1e4, 4) AS drawdown_pct,
+               ROUND(sqrt(CAST(s2 AS DOUBLE) / {_ULCER_N}) / 1e4, 4)
+                   AS ulcer_index
+        FROM roll WHERE k = {_ULCER_N}
+    """,
+    section="TS31",
+    doc=f"Ulcer index ({_ULCER_N}-day): root-mean-square of the percent "
+    "drawdown from the RUNNING all-time high of the daily event-value "
+    "total — the depth-AND-duration risk gauge where TS-family "
+    "max_drawdown reports only the single worst dip. Determinism: the "
+    "running max is a decimal extremum (order-free); the drawdown "
+    "percent is ONE pinned double expression quantized floor(x*1e4) -> "
+    "BIGINT, so the rolling mean-of-squares is an INTEGER window sum "
+    "(q4^2 <= 1e12, x14 — far under int64), and sqrt is IEEE "
+    "correctly-rounded on both engines; one /1e4 descale at the end. "
+    "Scale: daily collapse first, windows over the day-grain spine — "
+    "the W24 device; the fact never enters a window.",
+)
+def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.sum(dec2(F.col("value"))).alias("t")
+    )
+    w_run = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    dd = daily.select(
+        "d",
+        F.floor(
+            (F.col("t") - F.max("t").over(w_run)).cast("double")
+            * 100
+            / F.max("t").over(w_run).cast("double")
+            * F.lit(1e4)
+        )
+        .cast("bigint")
+        .alias("dd_q4"),
+    )
+    w = Window.orderBy("d").rowsBetween(-(_ULCER_N - 1), 0)
+    roll = dd.select(
+        "d",
+        "dd_q4",
+        F.sum(F.col("dd_q4") * F.col("dd_q4")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("k"),
+    ).where(F.col("k") == _ULCER_N)
+    return roll.select(
+        "d",
+        F.round(F.col("dd_q4").cast("double") / F.lit(1e4), 4).alias(
+            "drawdown_pct"
+        ),
+        F.round(
+            F.sqrt(F.col("s2").cast("double") / F.lit(float(_ULCER_N)))
+            / F.lit(1e4),
+            4,
+        ).alias("ulcer_index"),
+    )

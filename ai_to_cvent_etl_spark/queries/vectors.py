@@ -3972,3 +3972,157 @@ def q_vec_knn_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
         sv.groupBy(F.col("neighbor_id").alias("vec_id"))
         .agg((F.sum("s_q12").cast("double") / F.lit(1e12)).alias("shapley"))
     )
+
+
+# ==== wave 134: rank-biased overlap between retrieval paths ========
+
+_RBO_P = 0.9
+_RBO_K = 10
+# w_q12[m] = floor(1e12 * sum_{d=m..K} (1-p) p^(d-1) / d): the exact
+# truncated-RBO mass a common neighbor contributes when its WORSE rank is
+# m. Computed ONCE in Python and embedded as integer literals in both
+# engines — zero cross-engine float math.
+_RBO_W_Q12 = [235416399425, 135416399425, 90416399425, 63416399425, 45191399425, 32069399425, 22227899425, 14635885139, 8657173890, 3874204890]
+
+
+@register(
+    "q_vec_rbo_overlap",
+    oracle=f"""
+        WITH words AS (
+            SELECT vec_id, {_pack_duck(1)} AS wlo, {_pack_duck(33)} AS whi
+            FROM embeddings
+        ),
+        hq AS (SELECT vec_id AS qid, wlo AS qlo, whi AS qhi FROM words
+               WHERE vec_id < {_HAM_NQ}),
+        ham AS (
+            SELECT qid, nid, rnk FROM (
+                SELECT hq.qid, c.vec_id AS nid,
+                       row_number() OVER (
+                           PARTITION BY hq.qid
+                           ORDER BY bit_count(xor(hq.qlo, c.wlo))
+                                    + bit_count(xor(hq.qhi, c.whi)), c.vec_id
+                       ) AS rnk
+                FROM hq JOIN words c ON c.vec_id <> hq.qid
+            ) WHERE rnk <= {_RBO_K}
+        ),
+        cos AS (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                         q.embedding, n.embedding) DESC,
+                                     n.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < {_HAM_NQ}) q
+                JOIN embeddings n ON n.vec_id <> q.vec_id
+            ) WHERE rank <= {_RBO_K}
+        ),
+        common AS (
+            SELECT c.query_id,
+                   CASE WHEN m = 1 THEN CAST(235416399425 AS BIGINT) WHEN m = 2 THEN CAST(135416399425 AS BIGINT) WHEN m = 3 THEN CAST(90416399425 AS BIGINT) WHEN m = 4 THEN CAST(63416399425 AS BIGINT) WHEN m = 5 THEN CAST(45191399425 AS BIGINT) WHEN m = 6 THEN CAST(32069399425 AS BIGINT) WHEN m = 7 THEN CAST(22227899425 AS BIGINT) WHEN m = 8 THEN CAST(14635885139 AS BIGINT) WHEN m = 9 THEN CAST(8657173890 AS BIGINT) WHEN m = 10 THEN CAST(3874204890 AS BIGINT) END AS w_q12
+            FROM cos c JOIN ham h
+              ON h.qid = c.query_id AND h.nid = c.neighbor_id,
+            LATERAL (SELECT GREATEST(c.rank, h.rnk) AS m) x
+        ),
+        qs AS (SELECT DISTINCT query_id FROM cos)
+        SELECT qs.query_id,
+               CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+               ROUND(CAST(COALESCE(s_q12, 0) AS DOUBLE) / 1e12, 6) AS rbo
+        FROM qs LEFT JOIN (
+            SELECT query_id, COUNT(*) AS n_common, SUM(w_q12) AS s_q12
+            FROM common GROUP BY query_id
+        ) agg USING (query_id)
+    """,
+    section="V22",
+    doc=f"Rank-biased overlap (Webber et al. 2010, truncated at depth "
+    f"{_RBO_K}, p = {_RBO_P}) between the exact cosine ranking (V3) and "
+    "the binary sign-bit Hamming ranking (V17), per query — the "
+    "top-weighted agreement metric that tells you how much retrieval "
+    "quality the 64x-compressed serving path loses WHERE IT MATTERS "
+    "(rank 1 counts more than rank 10), complementing V12's flat "
+    "recall@k. Determinism device: a common neighbor whose worse rank "
+    "is m contributes a FIXED mass sum_(d=m..K) (1-p)p^(d-1)/d — the "
+    "ten masses are computed once in Python, embedded as floor(x*1e12) "
+    "BIGINT literals in both engines, and summed as integers: the "
+    "engines never do float math at all until one final /1e12. Scale: "
+    "both rankings inherit the V3/V17 shape (queries broadcast, corpus "
+    "never shuffles); the overlap join runs on 10*K-row ranking tables.",
+)
+def q_vec_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    words = emb.select(
+        "vec_id",
+        F.expr(_pack_spark(1)).alias("wlo"),
+        F.expr(_pack_spark(33)).alias("whi"),
+    )
+    hq = words.where(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("wlo").alias("qlo"),
+        F.col("whi").alias("qhi"),
+    )
+    ham = (
+        words.join(F.broadcast(hq), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("wlo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("whi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("hamming", "nid")
+            ),
+        )
+        .where(F.col("rnk") <= _RBO_K)
+    )
+    q = emb.filter(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).withColumn("q_norm", F.sqrt(_sq_norm("q_emb")))
+    n = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+        ).withColumn("n_norm", F.sqrt(_sq_norm("n_emb")))
+    )
+    sim = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
+    wc = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    cos = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rank", F.row_number().over(wc))
+        .where(F.col("rank") <= _RBO_K)
+        .select("query_id", "neighbor_id", "rank")
+    )
+    m = F.greatest(F.col("rank"), F.col("rnk"))
+    w_expr = F.lit(None).cast("bigint")
+    for i in range(_RBO_K, 0, -1):
+        w_expr = F.when(m == i, F.lit(_RBO_W_Q12[i - 1])).otherwise(w_expr)
+    common = cos.join(
+        ham,
+        (F.col("qid") == F.col("query_id"))
+        & (F.col("nid") == F.col("neighbor_id")),
+    ).select("query_id", w_expr.alias("w_q12"))
+    agg = common.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+        F.sum("w_q12").alias("s_q12"),
+    )
+    qs = cos.select("query_id").distinct()
+    return qs.join(agg, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias(
+            "n_common"
+        ),
+        F.round(
+            F.coalesce(F.col("s_q12"), F.lit(0)).cast("double") / F.lit(1e12),
+            6,
+        ).alias("rbo"),
+    )
