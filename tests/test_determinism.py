@@ -232,6 +232,24 @@ RISKY = [
     "q_agg_mutual_information",
     "q_agg_price_elasticity",
     "q_graph_spectral_radius",
+    # r5 waves 128-134: run-off triangles, rank-overlap trimming, SAX
+    # bucketing, scalar-subquery thresholds, suffix-sum Shapley windows,
+    # quantized oscillators, and integer-mass rank agreement — every one
+    # claims partition independence through an exact-integer device.
+    "q_agg_chain_ladder",
+    "q_agg_trimmed_mean",
+    "q_ts_sax_symbols",
+    "q_ts_obv",
+    "q_tpch_q11",
+    "q_tpch_q20",
+    "q_vec_knn_shapley",
+    "q_graph_resource_alloc",
+    "q_ts_stochastic",
+    "q_ts_aroon",
+    "q_text_yule_k",
+    "q_agg_jonckheere",
+    "q_vec_rbo_overlap",
+    "q_ts_ulcer",
 ]
 
 
