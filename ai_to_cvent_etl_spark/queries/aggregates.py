@@ -10110,3 +10110,181 @@ def q_agg_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.alias("expected_jt"),
         F.round(z, 6).alias("z_score"),
     )
+
+
+# ==== wave 135: ordered repeated measures, multi-rater agreement ===
+
+
+@register(
+    "q_agg_page_trend",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+                   CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS j,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+            FROM orders GROUP BY 1, 2
+        ),
+        complete AS (
+            SELECT y FROM cells GROUP BY y HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.y, c.j,
+                   2 * RANK() OVER (PARTITION BY c.y ORDER BY c.v)
+                   + COUNT(*) OVER (PARTITION BY c.y, c.v) - 1 AS r2
+            FROM cells c JOIN complete USING (y)
+        ),
+        tot AS (
+            SELECT CAST(SUM(j * r2) AS BIGINT) AS l2,
+                   CAST(COUNT(*) / 5 AS BIGINT) AS b
+            FROM ranked
+        )
+        SELECT CAST(l2 AS DOUBLE) / 2 AS l_stat,
+               b AS n_blocks,
+               CAST(b * 5 * 36 AS DOUBLE) / 4 AS expected_l,
+               ROUND((CAST(l2 AS DOUBLE) / 2
+                      - CAST(b * 5 * 36 AS DOUBLE) / 4)
+                     / sqrt(CAST(25 * b AS DOUBLE)), 6) AS z_score
+        FROM tot
+    """,
+    section="A117",
+    doc="Page's L trend test for ordered alternatives under blocking: "
+    "does yearly revenue trend monotonically across the five ORDERED "
+    "priority classes WITHIN each order-year block? The blocked sibling "
+    "of A116 (Jonckheere, unblocked) and the ordered sibling of A61 "
+    "(Friedman, unordered): L = sum over blocks of sum_j j*r_j with "
+    "treatments ranked inside each block. Only complete blocks (all 5 "
+    "classes present) enter, so the closed-form moments hold. "
+    "Determinism: cell values are exact decimal sums; average-rank tie "
+    "handling uses the DOUBLED rank 2r = 2*RANK() + tie_count - 1 "
+    "(int64), so L2 = sum j*2r is all-integer; for k = 5 the variance "
+    "collapses to 25b exactly, leaving one pinned double z expression. "
+    "Scale: one (year, priority) agg (35 cells), window over cells.",
+)
+def q_agg_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("y"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("j"),
+    ).agg(F.sum(dec2(F.col("o_totalprice"))).alias("v"))
+    complete = (
+        cells.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") == 5)
+        .select("y")
+    )
+    wr = Window.partitionBy("y").orderBy("v")
+    wt = Window.partitionBy("y", "v")
+    ranked = cells.join(F.broadcast(complete), "y").select(
+        "j",
+        (
+            2 * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1
+        ).alias("r2"),
+    )
+    tot = ranked.agg(
+        F.sum(F.col("j") * F.col("r2")).cast("bigint").alias("l2"),
+        (F.count(F.lit(1)) / 5).cast("bigint").alias("b"),
+    )
+    l_stat = F.col("l2").cast("double") / 2
+    expected = (F.col("b") * 5 * 36).cast("double") / 4
+    z = (l_stat - expected) / F.sqrt((25 * F.col("b")).cast("double"))
+    return tot.select(
+        l_stat.alias("l_stat"),
+        F.col("b").alias("n_blocks"),
+        expected.alias("expected_l"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+_FLEISS_N = 4
+
+
+@register(
+    "q_agg_fleiss_kappa",
+    oracle=f"""
+        WITH eligible AS (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING COUNT(*) = {_FLEISS_N}
+        ),
+        nij AS (
+            SELECT l.l_orderkey, l.l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS nij
+            FROM lineitem l JOIN eligible e USING (l_orderkey)
+            GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT CAST(SUM(nij * (nij - 1)) AS BIGINT) AS a,
+                   CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_items
+            FROM nij
+        ),
+        cat AS (
+            SELECT CAST(SUM(tj * tj) AS BIGINT) AS b FROM (
+                SELECT l_returnflag, CAST(SUM(nij) AS BIGINT) AS tj
+                FROM nij GROUP BY 1
+            )
+        )
+        SELECT n_items,
+               CAST({_FLEISS_N} AS BIGINT) AS n_raters,
+               ROUND(CAST(a AS DOUBLE)
+                     / CAST(12 * n_items AS DOUBLE), 6) AS p_bar,
+               ROUND(CAST(b AS DOUBLE)
+                     / CAST(16 * n_items * n_items AS DOUBLE), 6) AS p_e,
+               ROUND(CAST(4 * n_items * a - 3 * b AS DOUBLE)
+                     / CAST(48 * n_items * n_items - 3 * b AS DOUBLE),
+                     6) AS kappa
+        FROM s, cat
+    """,
+    section="A118",
+    doc=f"Fleiss' kappa over orders with exactly {_FLEISS_N} line items: "
+    f"treat each order as an item rated by its {_FLEISS_N} lines and "
+    "l_returnflag as the category — do lines of the same order agree "
+    "on return status beyond chance? The MULTI-rater generalization of "
+    "A14's Cohen kappa (two raters), and the fixed-panel complement of "
+    "A35's ICC (continuous). Everything is counting: agreement mass "
+    "A = sum n_ij(n_ij-1), category mass B = sum t_j^2, and kappa "
+    "reduces to the EXACT integer ratio (4NA - 3B)/(48N^2 - 3B) after "
+    "clearing denominators (n = 4 raters pins n(n-1) = 12, (Nn)^2 = "
+    "16N^2) — one double division, no intermediate float. Scale: two "
+    "keyed aggs on l_orderkey (the fact grain) + a 3-row category "
+    "rollup; the eligibility semi-join broadcasts.",
+)
+def q_agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    eligible = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nl"))
+        .where(F.col("nl") == _FLEISS_N)
+        .select("l_orderkey")
+    )
+    nij = (
+        li.join(eligible, "l_orderkey")
+        .groupBy("l_orderkey", "l_returnflag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nij"))
+    )
+    s = nij.agg(
+        F.sum(F.col("nij") * (F.col("nij") - 1)).cast("bigint").alias("a"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_items"),
+    )
+    cat = (
+        nij.groupBy("l_returnflag")
+        .agg(F.sum("nij").cast("bigint").alias("tj"))
+        .agg(F.sum(F.col("tj") * F.col("tj")).cast("bigint").alias("b"))
+    )
+    out = s.crossJoin(cat)
+    n = F.col("n_items")
+    return out.select(
+        "n_items",
+        F.lit(_FLEISS_N).cast("bigint").alias("n_raters"),
+        F.round(
+            F.col("a").cast("double") / (12 * n).cast("double"), 6
+        ).alias("p_bar"),
+        F.round(
+            F.col("b").cast("double") / (16 * n * n).cast("double"), 6
+        ).alias("p_e"),
+        F.round(
+            (4 * n * F.col("a") - 3 * F.col("b")).cast("double")
+            / (48 * n * n - 3 * F.col("b")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
