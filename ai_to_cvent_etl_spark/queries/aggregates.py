@@ -10288,3 +10288,109 @@ def q_agg_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kappa"),
     )
+
+
+# ==== wave 136a: average precision (PR-AUC companion to A58) =======
+
+
+@register(
+    "q_agg_average_precision",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS cents,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS np,
+                   CAST(COUNT(*) AS BIGINT) AS nt
+            FROM events
+            GROUP BY 1
+        ),
+        c AS (
+            SELECT np,
+                   SUM(np) OVER (ORDER BY cents DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS tp,
+                   SUM(nt) OVER (ORDER BY cents DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS k
+            FROM s
+        ),
+        t AS (
+            SELECT CAST(SUM(CASE WHEN np > 0 THEN CAST(floor(
+                       CAST(np * tp AS DOUBLE)
+                       / CAST((SELECT SUM(np) FROM s) * k AS DOUBLE)
+                       * 1e12) AS BIGINT) ELSE 0 END) AS BIGINT) AS ap_q12,
+                   CAST((SELECT SUM(np) FROM s) AS BIGINT) AS p,
+                   CAST((SELECT SUM(nt) - SUM(np) FROM s) AS BIGINT) AS n,
+                   CAST((SELECT COUNT(*) FROM s) AS BIGINT) AS n_scores
+            FROM c
+        )
+        SELECT p AS n_pos, n AS n_neg, n_scores,
+               ROUND(CAST(ap_q12 AS DOUBLE) / 1e12, 6) AS avg_precision
+        FROM t
+    """,
+    section="A119",
+    doc="Average precision (the PR-AUC summary) of the value score "
+    "against the purchase label — A58's AUC-ROC companion that stays "
+    "informative under CLASS IMBALANCE, where ROC saturates. Computed "
+    "at the distinct-score grain with NO global row sort: descending "
+    "cumulative (tp, k), each score block contributing "
+    "Δtp/P · precision-at-block-end — the tie-safe step convention "
+    "(a tied block is atomic, so the metric cannot depend on "
+    "within-tie order). Each block term is ONE pinned double division "
+    "(int64 numerator np·tp, int64 denominator P·k) quantized "
+    "floor(x·1e12) -> BIGINT, so the cross-block sum is integer-exact. "
+    "Scale: one agg to the score grain, one ordered window over "
+    "distinct scores, one rollup — same shape as A58.",
+)
+def q_agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.groupBy(
+        (dec2(F.col("value")) * 100).cast("bigint").alias("cents")
+    ).agg(
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("np"),
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+    )
+    w = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    c = s.select(
+        "np",
+        F.sum("np").over(w).alias("tp"),
+        F.sum("nt").over(w).alias("k"),
+    )
+    tot = s.agg(
+        F.sum("np").cast("bigint").alias("p"),
+        (F.sum("nt") - F.sum("np")).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_scores"),
+    )
+    term = F.floor(
+        (F.col("np") * F.col("tp")).cast("double")
+        / (F.col("p") * F.col("k")).cast("double")
+        * F.lit(1e12)
+    ).cast("bigint")
+    ap = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("np") > 0, term).otherwise(0).alias("t_q12"),
+            "p",
+            "n",
+            "n_scores",
+        )
+        .groupBy("p", "n", "n_scores")
+        .agg(F.sum("t_q12").cast("bigint").alias("ap_q12"))
+    )
+    return ap.select(
+        F.col("p").alias("n_pos"),
+        F.col("n").alias("n_neg"),
+        "n_scores",
+        F.round(F.col("ap_q12").cast("double") / F.lit(1e12), 6).alias(
+            "avg_precision"
+        ),
+    )

@@ -2085,3 +2085,74 @@ def q_graph_resource_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ==== wave 136b: four-cycle census =================================
+
+
+@register(
+    "q_graph_squares",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        adj AS (
+            SELECT lo AS x, hi AS n FROM edges
+            UNION ALL
+            SELECT hi AS x, lo AS n FROM edges
+        ),
+        codeg AS (
+            SELECT a.x AS u, b.x AS v, CAST(COUNT(*) AS BIGINT) AS cn
+            FROM adj a JOIN adj b ON a.n = b.n AND a.x < b.x
+            GROUP BY a.x, b.x
+        ),
+        t AS (
+            SELECT CAST(SUM(cn * (cn - 1)) AS BIGINT) AS s4,
+                   CAST(SUM(CASE WHEN cn >= 2 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_diag_pairs,
+                   CAST(MAX(cn) AS BIGINT) AS max_codeg,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM codeg
+        )
+        SELECT CAST(s4 / 4 AS BIGINT) AS n_squares,
+               n_diag_pairs, max_codeg, n_pairs
+        FROM t
+    """,
+    section="G13",
+    doc="Four-cycle (square) census of the mutual top-8 affinity graph: "
+    "total C4 count via the diagonal identity — every square is seen "
+    "exactly twice as an unordered co-degree pair, so n_squares = "
+    "sum cn(cn-1)/4 over pairs with cn common neighbors (the sum is "
+    "divisible by 4 by construction; all-integer => exact). Squares "
+    "are the bipartite-cohesion motif triangles miss (G2 counts odd "
+    "cohesion, this counts even — two suppliers sharing two distinct "
+    "co-supply partners without trading directly), and max_codeg is "
+    "the densest-diagonal readout. Scale: the same degree-bounded "
+    "wedge join as G4/G12 (<= 64 candidates per node at any corpus "
+    "size), one keyed agg, one scalar rollup — no 4-way join ever "
+    "materializes.",
+)
+def q_graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("lo").alias("x"), F.col("hi").alias("n")).unionByName(
+        edges.select(F.col("hi").alias("x"), F.col("lo").alias("n"))
+    )
+    a = adj.select(F.col("x").alias("u"), "n")
+    b = adj.select(F.col("x").alias("v"), F.col("n").alias("n2"))
+    codeg = (
+        a.join(b, (F.col("n") == F.col("n2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
+    )
+    t = codeg.agg(
+        F.sum(F.col("cn") * (F.col("cn") - 1)).cast("bigint").alias("s4"),
+        F.sum(F.when(F.col("cn") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_diag_pairs"),
+        F.max("cn").cast("bigint").alias("max_codeg"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return t.select(
+        (F.col("s4") / 4).cast("bigint").alias("n_squares"),
+        "n_diag_pairs",
+        "max_codeg",
+        "n_pairs",
+    )
