@@ -3163,3 +3163,130 @@ def q_etl_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_cancelled"),
     )
+
+
+# ==== wave 137a: zone-map data-skipping audit ======================
+
+_ZM_SHARD_DOCS = 50
+_ZM_PREDS = [
+    (1, 0, 200),
+    (2, 200, 400),
+    (3, 400, 800),
+    (4, 800, 1600),
+    (5, 0, 10**9),
+]
+
+
+@register(
+    "q_etl_zone_map_skipping",
+    oracle=f"""
+        WITH zones AS (
+            SELECT doc_id // {_ZM_SHARD_DOCS} AS shard,
+                   CAST(MIN(n_chars) AS BIGINT) AS zmin,
+                   CAST(MAX(n_chars) AS BIGINT) AS zmax,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM documents GROUP BY 1
+        ),
+        preds AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({p}, {lo}, {hi})" for p, lo, hi in _ZM_PREDS)}
+            ) AS t(pred_id, lo, hi)
+        ),
+        eval AS (
+            SELECT p.pred_id, p.lo, p.hi, z.shard, z.n_rows,
+                   CASE WHEN z.zmax < p.lo OR z.zmin >= p.hi
+                        THEN 1 ELSE 0 END AS skipped
+            FROM preds p CROSS JOIN zones z
+        ),
+        matches AS (
+            SELECT p.pred_id, CAST(COUNT(*) AS BIGINT) AS n_matching
+            FROM preds p JOIN documents d
+              ON d.n_chars >= p.lo AND d.n_chars < p.hi
+            GROUP BY p.pred_id
+        )
+        SELECT e.pred_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shards,
+               CAST(SUM(e.skipped) AS BIGINT) AS n_shards_skipped,
+               CAST(SUM(CASE WHEN e.skipped = 0 THEN e.n_rows
+                             ELSE 0 END) AS BIGINT) AS n_rows_scanned,
+               CAST(COALESCE(ANY_VALUE(m.n_matching), 0) AS BIGINT)
+                   AS n_rows_matching,
+               CASE WHEN SUM(CASE WHEN e.skipped = 0 THEN e.n_rows
+                             ELSE 0 END) = 0 THEN NULL
+                    ELSE ROUND(
+                        CAST(COALESCE(ANY_VALUE(m.n_matching), 0) AS DOUBLE)
+                        / CAST(SUM(CASE WHEN e.skipped = 0 THEN e.n_rows
+                                        ELSE 0 END) AS DOUBLE), 6)
+               END AS scan_efficiency
+        FROM eval e LEFT JOIN matches m ON m.pred_id = e.pred_id
+        GROUP BY e.pred_id
+    """,
+    section="E35",
+    doc=f"Zone-map data-skipping audit — the lakehouse planner readout: "
+    f"documents packed into contiguous {_ZM_SHARD_DOCS}-doc shards, a "
+    "min/max zone map built per shard, and five range predicates on "
+    "n_chars evaluated AGAINST THE ZONE MAPS ONLY (shard skippable iff "
+    "its [min,max] is disjoint from the predicate range), then scored "
+    "against the true row matches: shards skipped, rows a zone-map scan "
+    "still touches, and scan efficiency (matching/scanned — low means "
+    "the layout, not the predicate, is the problem; E28's Z-order "
+    "layout is the fix this metric motivates). All counts integer, one "
+    "final division. Scale: the zone table is |shards| rows (the "
+    "manifest grain); predicate x zone is a broadcast cross join; the "
+    "truth side is one fact pass shared by all predicates.",
+)
+def q_etl_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    zones = docs.groupBy(
+        F.expr(f"doc_id DIV {_ZM_SHARD_DOCS}").alias("shard")
+    ).agg(
+        F.min("n_chars").cast("bigint").alias("zmin"),
+        F.max("n_chars").cast("bigint").alias("zmax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    preds = docs.sparkSession.createDataFrame(
+        _ZM_PREDS, "pred_id int, lo bigint, hi bigint"
+    )
+    ev = F.broadcast(preds).crossJoin(zones).select(
+        "pred_id",
+        "n_rows",
+        F.when(
+            (F.col("zmax") < F.col("lo")) | (F.col("zmin") >= F.col("hi")),
+            1,
+        )
+        .otherwise(0)
+        .alias("skipped"),
+    )
+    matches = (
+        F.broadcast(preds)
+        .join(
+            docs,
+            (docs.n_chars >= F.col("lo")) & (docs.n_chars < F.col("hi")),
+        )
+        .groupBy("pred_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matching"))
+    )
+    agg = ev.groupBy("pred_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.sum("skipped").cast("bigint").alias("n_shards_skipped"),
+        F.sum(F.when(F.col("skipped") == 0, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("n_rows_scanned"),
+    )
+    return agg.join(matches, "pred_id", "left").select(
+        "pred_id",
+        "n_shards",
+        "n_shards_skipped",
+        "n_rows_scanned",
+        F.coalesce(F.col("n_matching"), F.lit(0))
+        .cast("bigint")
+        .alias("n_rows_matching"),
+        F.when(
+            F.col("n_rows_scanned") > 0,
+            F.round(
+                F.coalesce(F.col("n_matching"), F.lit(0)).cast("double")
+                / F.col("n_rows_scanned").cast("double"),
+                6,
+            ),
+        ).alias("scan_efficiency"),
+    )

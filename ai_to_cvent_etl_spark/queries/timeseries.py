@@ -5115,3 +5115,274 @@ def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ulcer_index"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 137b (r5): binary segmentation — two-level changepoint tree.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_binseg",
+    oracle=f"""
+        WITH daily AS MATERIALIZED (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        cum AS MATERIALIZED (
+            SELECT day, v,
+                   row_number() OVER w AS t,
+                   COUNT(*) OVER () AS n,
+                   CAST(SUM(v) OVER w AS BIGINT) AS cs,
+                   CAST(SUM(v * v) OVER w AS BIGINT) AS cq,
+                   CAST(SUM(v) OVER () AS BIGINT) AS ts,
+                   CAST(SUM(v * v) OVER () AS BIGINT) AS tq
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        best1 AS MATERIALIZED (
+            SELECT t AS k, day AS kday, cs AS kcs, cq AS kcq, n, ts, tq
+            FROM cum
+            WHERE t >= {_CP_MINSEG} AND t <= n - {_CP_MINSEG}
+            ORDER BY CAST(cq AS DOUBLE)
+                     - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / t
+                     + (CAST(tq AS DOUBLE) - CAST(cq AS DOUBLE))
+                     - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                       * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
+                       / (n - t),
+                     day
+            LIMIT 1
+        ),
+        root AS (
+            SELECT 'root' AS segment, b.kday AS split_day,
+                   CAST(b.k AS BIGINT) AS n_left,
+                   CAST(b.n - b.k AS BIGINT) AS n_right,
+                   ROUND(CAST(b.kcq AS DOUBLE)
+                         - CAST(b.kcs AS DOUBLE) * CAST(b.kcs AS DOUBLE)
+                           / b.k
+                         + (CAST(b.tq AS DOUBLE) - CAST(b.kcq AS DOUBLE))
+                         - (CAST(b.ts AS DOUBLE) - CAST(b.kcs AS DOUBLE))
+                           * (CAST(b.ts AS DOUBLE) - CAST(b.kcs AS DOUBLE))
+                           / (b.n - b.k), 4) AS sse_split,
+                   ROUND(CAST(b.tq AS DOUBLE)
+                         - CAST(b.ts AS DOUBLE) * CAST(b.ts AS DOUBLE)
+                           / b.n, 4) AS sse_single
+            FROM best1 b
+        ),
+        lft AS (
+            SELECT 'left' AS segment, c.day AS split_day,
+                   CAST(c.t AS BIGINT) AS n_left,
+                   CAST(b.k - c.t AS BIGINT) AS n_right,
+                   ROUND(CAST(c.cq AS DOUBLE)
+                         - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
+                           / c.t
+                         + (CAST(b.kcq - c.cq AS DOUBLE))
+                         - CAST(b.kcs - c.cs AS DOUBLE)
+                           * CAST(b.kcs - c.cs AS DOUBLE)
+                           / (b.k - c.t), 4) AS sse_split,
+                   ROUND(CAST(b.kcq AS DOUBLE)
+                         - CAST(b.kcs AS DOUBLE) * CAST(b.kcs AS DOUBLE)
+                           / b.k, 4) AS sse_single
+            FROM cum c CROSS JOIN best1 b
+            WHERE c.t >= {_CP_MINSEG} AND c.t <= b.k - {_CP_MINSEG}
+            ORDER BY CAST(c.cq AS DOUBLE)
+                     - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE) / c.t
+                     + (CAST(b.kcq - c.cq AS DOUBLE))
+                     - CAST(b.kcs - c.cs AS DOUBLE)
+                       * CAST(b.kcs - c.cs AS DOUBLE) / (b.k - c.t),
+                     c.day
+            LIMIT 1
+        ),
+        rgt AS (
+            SELECT 'right' AS segment, c.day AS split_day,
+                   CAST(c.t - b.k AS BIGINT) AS n_left,
+                   CAST(b.n - c.t AS BIGINT) AS n_right,
+                   ROUND(CAST(c.cq - b.kcq AS DOUBLE)
+                         - CAST(c.cs - b.kcs AS DOUBLE)
+                           * CAST(c.cs - b.kcs AS DOUBLE) / (c.t - b.k)
+                         + (CAST(b.tq - c.cq AS DOUBLE))
+                         - CAST(b.ts - c.cs AS DOUBLE)
+                           * CAST(b.ts - c.cs AS DOUBLE)
+                           / (b.n - c.t), 4) AS sse_split,
+                   ROUND(CAST(b.tq - b.kcq AS DOUBLE)
+                         - CAST(b.ts - b.kcs AS DOUBLE)
+                           * CAST(b.ts - b.kcs AS DOUBLE)
+                           / (b.n - b.k), 4) AS sse_single
+            FROM cum c CROSS JOIN best1 b
+            WHERE c.t >= b.k + {_CP_MINSEG} AND c.t <= b.n - {_CP_MINSEG}
+            ORDER BY CAST(c.cq - b.kcq AS DOUBLE)
+                     - CAST(c.cs - b.kcs AS DOUBLE)
+                       * CAST(c.cs - b.kcs AS DOUBLE) / (c.t - b.k)
+                     + (CAST(b.tq - c.cq AS DOUBLE))
+                     - CAST(b.ts - c.cs AS DOUBLE)
+                       * CAST(b.ts - c.cs AS DOUBLE) / (b.n - c.t),
+                     c.day
+            LIMIT 1
+        )
+        SELECT * FROM root
+        UNION ALL SELECT * FROM lft
+        UNION ALL SELECT * FROM rgt
+    """,
+    section="TS32",
+    doc="Binary segmentation, two levels: TS11's single change-point "
+    "argmin, then the best sub-split INSIDE each resulting segment — "
+    "the classic top-down multiple-changepoint tree (up to 3 splits / "
+    "4 segments), each row reporting the segment's 2-way split SSE "
+    "against its unsplit SSE so the reduction is readable. The key "
+    "algebra: a sub-segment's prefix moments are DIFFERENCES of the "
+    "GLOBAL prefix moments (cs(t)-cs(k), cq(t)-cq(k)), so level 2 "
+    "costs no new window pass — one cross join against the 1-row "
+    "level-1 winner. Inherits TS11's exactness device (whole-k$ "
+    "BIGINT moments, exact int->double casts, ties to earlier day); "
+    "sub-segments shorter than the min length yield no row (pinned "
+    "on both engines). Scale: the windows run once on the day-grain "
+    "spine; both argmins are TakeOrdered(1), not full sorts.",
+)
+def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+            " DIV 100000"
+        ).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = daily.select(
+        "day",
+        F.row_number().over(Window.orderBy("day")).alias("t"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("v").over(w).alias("cs"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("cq"),
+        F.sum("v").over(wall).alias("ts"),
+        F.sum(F.col("v") * F.col("v")).over(wall).alias("tq"),
+    ).localCheckpoint(eager=False)
+
+    def _sse(cs, cq, nn):
+        return cq.cast("double") - cs.cast("double") * cs.cast(
+            "double"
+        ) / nn.cast("double")
+
+    root_cost = cum.where(
+        (F.col("t") >= _CP_MINSEG) & (F.col("t") <= F.col("n") - _CP_MINSEG)
+    ).select(
+        "day",
+        "t",
+        "n",
+        "cs",
+        "cq",
+        "ts",
+        "tq",
+        (
+            _sse(F.col("cs"), F.col("cq"), F.col("t"))
+            + _sse(
+                F.col("ts") - F.col("cs"),
+                F.col("tq") - F.col("cq"),
+                F.col("n") - F.col("t"),
+            )
+        ).alias("sse"),
+    )
+    best1 = (
+        root_cost.orderBy("sse", "day")
+        .limit(1)
+        .select(
+            F.col("t").alias("k"),
+            F.col("day").alias("kday"),
+            F.col("cs").alias("kcs"),
+            F.col("cq").alias("kcq"),
+            F.col("n").alias("bn"),
+            F.col("ts").alias("bts"),
+            F.col("tq").alias("btq"),
+            F.col("sse").alias("root_sse"),
+        )
+    )
+    root = best1.select(
+        F.lit("root").alias("segment"),
+        F.col("kday").alias("split_day"),
+        F.col("k").cast("bigint").alias("n_left"),
+        (F.col("bn") - F.col("k")).cast("bigint").alias("n_right"),
+        F.round(F.col("root_sse"), 4).alias("sse_split"),
+        F.round(_sse(F.col("bts"), F.col("btq"), F.col("bn")), 4).alias(
+            "sse_single"
+        ),
+    )
+    joined = cum.crossJoin(F.broadcast(best1))
+    lft_cost = joined.where(
+        (F.col("t") >= _CP_MINSEG) & (F.col("t") <= F.col("k") - _CP_MINSEG)
+    ).select(
+        "day",
+        "t",
+        "k",
+        "kcs",
+        "kcq",
+        (
+            _sse(F.col("cs"), F.col("cq"), F.col("t"))
+            + _sse(
+                F.col("kcs") - F.col("cs"),
+                F.col("kcq") - F.col("cq"),
+                F.col("k") - F.col("t"),
+            )
+        ).alias("sse2"),
+    )
+    lft = (
+        lft_cost.orderBy("sse2", "day")
+        .limit(1)
+        .select(
+            F.lit("left").alias("segment"),
+            F.col("day").alias("split_day"),
+            F.col("t").cast("bigint").alias("n_left"),
+            (F.col("k") - F.col("t")).cast("bigint").alias("n_right"),
+            F.round(F.col("sse2"), 4).alias("sse_split"),
+            F.round(_sse(F.col("kcs"), F.col("kcq"), F.col("k")), 4).alias(
+                "sse_single"
+            ),
+        )
+    )
+    rgt_cost = joined.where(
+        (F.col("t") >= F.col("k") + _CP_MINSEG)
+        & (F.col("t") <= F.col("bn") - _CP_MINSEG)
+    ).select(
+        "day",
+        "t",
+        "k",
+        "bn",
+        "kcs",
+        "kcq",
+        "bts",
+        "btq",
+        (
+            _sse(
+                F.col("cs") - F.col("kcs"),
+                F.col("cq") - F.col("kcq"),
+                F.col("t") - F.col("k"),
+            )
+            + _sse(
+                F.col("bts") - F.col("cs"),
+                F.col("btq") - F.col("cq"),
+                F.col("bn") - F.col("t"),
+            )
+        ).alias("sse2"),
+    )
+    rgt = (
+        rgt_cost.orderBy("sse2", "day")
+        .limit(1)
+        .select(
+            F.lit("right").alias("segment"),
+            F.col("day").alias("split_day"),
+            (F.col("t") - F.col("k")).cast("bigint").alias("n_left"),
+            (F.col("bn") - F.col("t")).cast("bigint").alias("n_right"),
+            F.round(F.col("sse2"), 4).alias("sse_split"),
+            F.round(
+                _sse(
+                    F.col("bts") - F.col("kcs"),
+                    F.col("btq") - F.col("kcq"),
+                    F.col("bn") - F.col("k"),
+                ),
+                4,
+            ).alias("sse_single"),
+        )
+    )
+    return root.unionByName(lft).unionByName(rgt)
