@@ -10394,3 +10394,265 @@ def q_agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_precision"
         ),
     )
+
+
+# ==== wave 138: extreme-value return levels, bootstrap median ======
+
+# Python-precomputed double literals (identical text in both engines):
+# Euler-Mascheroni, sqrt(6)/pi, and the Gumbel reduced variates
+# -ln(-ln(1-1/T)) for T = 10, 100.
+_GUM_GAMMA = 0.5772156649015329
+_GUM_SQRT6_PI = 0.779696801233676
+_GUM_C10 = 2.2503673273124454
+_GUM_C100 = 4.600149226776579
+
+
+@register(
+    "q_agg_gumbel_return",
+    oracle=f"""
+        WITH blocks AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   MAX(CAST(value AS DECIMAL(18,2))) AS mx
+            FROM events GROUP BY 1
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(mx) * 100 AS BIGINT) AS s1c,
+                   CAST(SUM(mx * mx) * 10000 AS BIGINT) AS s2c
+            FROM blocks
+        ),
+        fit AS (
+            SELECT n,
+                   CAST(s1c AS DOUBLE) / 100 / n AS mean_mx,
+                   sqrt((CAST(n AS DOUBLE) * (CAST(s2c AS DOUBLE) / 10000)
+                         - (CAST(s1c AS DOUBLE) / 100)
+                           * (CAST(s1c AS DOUBLE) / 100))
+                        / (CAST(n AS DOUBLE) * (n - 1))) AS sd_mx
+            FROM s
+        )
+        SELECT n AS n_blocks,
+               ROUND(mean_mx - {_GUM_GAMMA} * (sd_mx * {_GUM_SQRT6_PI}),
+                     4) AS mu,
+               ROUND(sd_mx * {_GUM_SQRT6_PI}, 4) AS beta,
+               ROUND(mean_mx - {_GUM_GAMMA} * (sd_mx * {_GUM_SQRT6_PI})
+                     + (sd_mx * {_GUM_SQRT6_PI}) * {_GUM_C10}, 4)
+                   AS return_level_10,
+               ROUND(mean_mx - {_GUM_GAMMA} * (sd_mx * {_GUM_SQRT6_PI})
+                     + (sd_mx * {_GUM_SQRT6_PI}) * {_GUM_C100}, 4)
+                   AS return_level_100
+        FROM fit
+    """,
+    section="A120",
+    doc="Gumbel extreme-value fit with return levels — the capacity-"
+    "planning question ('what peak event value do we see once per 10 "
+    "/ 100 days?') answered from daily block maxima via method-of-"
+    "moments: beta = s*sqrt(6)/pi, mu = mean - gamma*beta, and "
+    "x_T = mu + beta*(-ln(-ln(1-1/T))). Every transcendental constant "
+    "(Euler-Mascheroni, sqrt(6)/pi, the two reduced variates) is "
+    "computed ONCE in Python and embedded as an identical double "
+    "literal in both engines, so neither engine ever calls ln(): the "
+    "fit itself is exact decimal block maxima -> integer cent moments "
+    "-> pinned double mean/sd (IEEE sqrt correctly rounded). The EVT "
+    "complement of A64's Hill tail index (Hill estimates the tail "
+    "EXPONENT from upper order statistics; this fits the max-domain "
+    "location/scale and extrapolates). Scale: one day-grain max "
+    "collapse and a scalar fit — all map-combinable.",
+)
+def q_agg_gumbel_return(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    ev = load_table(spark, sf_dir, "events")
+    blocks = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.max(dec2(F.col("value"))).alias("mx")
+    )
+    s = blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.sum("mx") * 100).cast("bigint").alias("s1c"),
+        (F.sum(F.col("mx") * F.col("mx")) * 10000)
+        .cast("bigint")
+        .alias("s2c"),
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    mean_mx = F.col("s1c").cast("double") / 100 / n
+    sd_mx = F.sqrt(
+        (
+            nd * (F.col("s2c").cast("double") / 10000)
+            - (F.col("s1c").cast("double") / 100)
+            * (F.col("s1c").cast("double") / 100)
+        )
+        / (nd * (n - 1))
+    )
+    beta = sd_mx * F.lit(_GUM_SQRT6_PI)
+    mu = mean_mx - F.lit(_GUM_GAMMA) * beta
+    return s.select(
+        n.alias("n_blocks"),
+        F.round(mu, 4).alias("mu"),
+        F.round(beta, 4).alias("beta"),
+        F.round(mu + beta * F.lit(_GUM_C10), 4).alias("return_level_10"),
+        F.round(mu + beta * F.lit(_GUM_C100), 4).alias("return_level_100"),
+    )
+
+
+@register(
+    "q_agg_bootstrap_median",
+    oracle=f"""
+        WITH reps AS (SELECT CAST(r.range AS BIGINT) AS b
+                      FROM range({_BOOT_B}) r),
+        seeds AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   CAST(('0x' || substr(h, 1, 12)) AS BIGINT) % {_POIS1_P}
+                       AS sa,
+                   CAST(('0x' || substr(h, 13, 12)) AS BIGINT) % {_POIS1_P}
+                       AS sc
+            FROM (SELECT l_extendedprice,
+                         md5(CAST(l_orderkey AS VARCHAR) || '-'
+                             || CAST(l_linenumber AS VARCHAR)) AS h
+                  FROM lineitem)
+        ),
+        grain AS (
+            SELECT b, cents,
+                   CAST(SUM({_boot_w("((sa + b * sc) % " + str(_POIS1_P) + ")")})
+                        AS BIGINT) AS w
+            FROM seeds CROSS JOIN reps
+            GROUP BY b, cents
+        ),
+        cum AS (
+            SELECT b, cents, w,
+                   SUM(w) OVER (PARTITION BY b ORDER BY cents
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   SUM(w) OVER (PARTITION BY b) AS tw
+            FROM grain
+        ),
+        med AS (
+            SELECT b, MIN(cents) AS med_cents
+            FROM cum WHERE 2 * cw >= tw GROUP BY b
+        ),
+        ranked AS (
+            SELECT med_cents,
+                   ROW_NUMBER() OVER (ORDER BY med_cents, b) AS rk
+            FROM med
+        ),
+        pt AS (
+            SELECT MIN(cents) AS pm FROM (
+                SELECT cents,
+                       SUM(n) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cn,
+                       SUM(n) OVER () AS tn
+                FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS n
+                      FROM seeds GROUP BY cents)
+            ) WHERE 2 * cn >= tn
+        )
+        SELECT CAST({_BOOT_B} AS BIGINT) AS n_boot,
+               (SELECT pm FROM pt) AS point_median_cents,
+               MAX(CASE WHEN rk = 2 THEN med_cents END) AS ci_lo_cents,
+               MAX(CASE WHEN rk = {_BOOT_B - 1} THEN med_cents END)
+                   AS ci_hi_cents
+        FROM ranked
+    """,
+    section="A121",
+    doc="Poisson-bootstrap confidence interval for the MEDIAN line "
+    "price — the quantile counterpart of A56 (whose CLT-free CI only "
+    "covers the mean; a median has no closed-form standard error, "
+    "which is exactly when the bootstrap earns its keep). Same "
+    "deterministic replica machinery as A56 (one md5 per row, affine "
+    "(a + b*c) mod 2^48-59 per replica, integer Poisson(1) CDF "
+    "thresholds), but the statistic needs a different distributed "
+    "shape: weights collapse to the (replica, distinct-cents) GRAIN, "
+    "one cumulative-weight window per replica, and the weighted lower "
+    "median is the smallest value with 2*cumw >= total — all-integer "
+    "compares, no division anywhere. CI = 2nd/31st order statistics "
+    "of the 32 replica medians (~93.75% coverage, documented); the "
+    "point estimate is the exact lower median of the raw data. "
+    "Scale: B*|distinct prices| rows after the grain collapse "
+    "(map-combinable), 32 small partition-local windows — the fact "
+    "never sorts globally.",
+)
+def q_agg_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    seeds = li.select(
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        F.expr(
+            "md5(concat(cast(l_orderkey as string), '-', "
+            "cast(l_linenumber as string)))"
+        ).alias("h"),
+    ).select(
+        "cents",
+        F.expr(
+            f"cast(conv(substr(h, 1, 12), 16, 10) as bigint) % {_POIS1_P}"
+        ).alias("sa"),
+        F.expr(
+            f"cast(conv(substr(h, 13, 12), 16, 10) as bigint) % {_POIS1_P}"
+        ).alias("sc"),
+    )
+    w_expr = _boot_w(f"((sa + b * sc) % {_POIS1_P})")
+    grain = (
+        seeds.select(
+            "cents",
+            "sa",
+            "sc",
+            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+        )
+        .select("b", "cents", F.expr(w_expr).alias("w"))
+        .groupBy("b", "cents")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wcum = (
+        Window.partitionBy("b")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("b")
+    cum = grain.select(
+        "b",
+        "cents",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("tw"),
+    )
+    med = (
+        cum.where(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("b")
+        .agg(F.min("cents").alias("med_cents"))
+    )
+    ranked = med.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("med_cents").asc(), F.col("b").asc())
+        ),
+    )
+    pt_grain = seeds.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    wt = Window.partitionBy()
+    pt = (
+        pt_grain.select(
+            "cents",
+            F.sum("n").over(wc).alias("cn"),
+            F.sum("n").over(wt).alias("tn"),
+        )
+        .where(2 * F.col("cn") >= F.col("tn"))
+        .agg(F.min("cents").alias("pm"))
+    )
+    return (
+        ranked.agg(
+            F.max(F.when(F.col("rk") == 2, F.col("med_cents"))).alias(
+                "ci_lo_cents"
+            ),
+            F.max(
+                F.when(F.col("rk") == _BOOT_B - 1, F.col("med_cents"))
+            ).alias("ci_hi_cents"),
+        )
+        .crossJoin(F.broadcast(pt))
+        .select(
+            F.lit(_BOOT_B).cast("bigint").alias("n_boot"),
+            F.col("pm").alias("point_median_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+        )
+    )
