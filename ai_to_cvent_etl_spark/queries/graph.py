@@ -2156,3 +2156,91 @@ def q_graph_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_codeg",
         "n_pairs",
     )
+
+
+# ==== wave 139b: categorical (attribute) assortativity =============
+
+
+@register(
+    "q_graph_attr_assortativity",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        attr AS (
+            SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS a
+            FROM supplier
+        ),
+        dir2 AS (
+            SELECT x.a AS aa, y.a AS ab FROM edges e
+            JOIN attr x ON e.lo = x.node
+            JOIN attr y ON e.hi = y.node
+            UNION ALL
+            SELECT y.a AS aa, x.a AS ab FROM edges e
+            JOIN attr x ON e.lo = x.node
+            JOIN attr y ON e.hi = y.node
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+                   CAST(SUM(CASE WHEN aa = ab THEN 1 ELSE 0 END)
+                        AS BIGINT) AS same2
+            FROM dir2
+        ),
+        marg AS (
+            SELECT CAST(SUM(c * c) AS BIGINT) AS sq
+            FROM (SELECT aa, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM dir2 GROUP BY aa)
+        )
+        SELECT CAST(m.m2 / 2 AS BIGINT) AS n_edges,
+               CAST(m.same2 / 2 AS BIGINT) AS n_same_attr,
+               ROUND(CAST(m.same2 * m.m2 - marg.sq AS DOUBLE)
+                     / CAST(m.m2 * m.m2 - marg.sq AS DOUBLE), 6)
+                   AS assortativity
+        FROM m CROSS JOIN marg
+    """,
+    section="G14",
+    doc="Categorical attribute assortativity (Newman 2003) of the "
+    "mutual top-8 affinity graph by supplier NATION: do suppliers "
+    "preferentially partner within their own nation? r = (tr(e) - "
+    "sum a_i b_i)/(1 - sum a_i b_i) over the mixing matrix — the "
+    "categorical sibling of G9's degree assortativity (a Pearson on "
+    "numeric degrees; this mixes classes). Clearing the (2m)^2 "
+    "denominators gives the EXACT integer fraction (same2*m2 - S) / "
+    "(m2^2 - S) with S = sum of squared directed-endpoint class "
+    "counts — one double division total. Scale: the attribute join "
+    "broadcasts (supplier dim), counts are map-combinable; nothing "
+    "beyond the edge list is ever materialized.",
+)
+def q_graph_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    attr = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.col("s_nationkey").cast("bigint").alias("a"),
+    )
+    ax = attr.select(F.col("node").alias("lo"), F.col("a").alias("a_lo"))
+    ay = attr.select(F.col("node").alias("hi"), F.col("a").alias("a_hi"))
+    lab = edges.join(F.broadcast(ax), "lo").join(F.broadcast(ay), "hi")
+    dir2 = lab.select(
+        F.col("a_lo").alias("aa"), F.col("a_hi").alias("ab")
+    ).unionByName(
+        lab.select(F.col("a_hi").alias("aa"), F.col("a_lo").alias("ab"))
+    )
+    m = dir2.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum(F.when(F.col("aa") == F.col("ab"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("same2"),
+    )
+    marg = (
+        dir2.groupBy("aa")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sq"))
+    )
+    out = m.crossJoin(F.broadcast(marg))
+    return out.select(
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        (F.col("same2") / 2).cast("bigint").alias("n_same_attr"),
+        F.round(
+            (F.col("same2") * F.col("m2") - F.col("sq")).cast("double")
+            / (F.col("m2") * F.col("m2") - F.col("sq")).cast("double"),
+            6,
+        ).alias("assortativity"),
+    )

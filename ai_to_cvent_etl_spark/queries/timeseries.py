@@ -5386,3 +5386,123 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return root.unionByName(lft).unionByName(rgt)
+
+
+# ---------------------------------------------------------------------------
+# Wave 139a (r5): seasonal Mann-Kendall — deseasonalized trend test.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_seasonal_mann_kendall",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_part('month', o_orderdate) AS season,
+                   date_part('year', o_orderdate) AS yr,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                                 WHEN b.cents < a.cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM monthly a JOIN monthly b
+              ON a.season = b.season AND b.yr > a.yr
+        ),
+        v AS (
+            SELECT CAST(SUM(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS var18,
+                   CAST(COUNT(*) AS BIGINT) AS n_seasons,
+                   CAST(SUM(n) AS BIGINT) AS n_points
+            FROM (SELECT season, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM monthly GROUP BY season)
+        ),
+        t AS (
+            SELECT CAST(COALESCE(SUM(c * (c - 1) * (2 * c + 5)), 0)
+                        AS BIGINT) AS tie_term
+            FROM (SELECT season, cents, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM monthly GROUP BY season, cents)
+            WHERE c > 1
+        )
+        SELECT v.n_seasons, v.n_points, s.s_stat,
+               ROUND((CAST(s.s_stat AS DOUBLE)
+                      - CAST(sign(s.s_stat) AS DOUBLE))
+                     / sqrt((CAST(v.var18 AS DOUBLE)
+                             - CAST(t.tie_term AS DOUBLE)) / 18.0), 4) AS z
+        FROM s CROSS JOIN v CROSS JOIN t
+    """,
+    section="TS33",
+    doc="Seasonal Mann-Kendall (Hirsch-Slack): TS17's monotone-trend "
+    "test computed WITHIN each calendar month across years, then "
+    "pooled — the standard fix when annual seasonality would otherwise "
+    "masquerade as (or mask) a trend, since only same-season pairs are "
+    "ever compared. S' = sum of per-season S statistics; Var = sum of "
+    "per-season tie-corrected variances (independence across seasons); "
+    "continuity-corrected z. All-integer S' on exact BIGINT-cent "
+    "(month, year) sums, one IEEE z formula. Scale: the pair join is "
+    "per-season |years|^2 on the month-grain spine — bounded at any "
+    "corpus size; the inversion-count form applies per season at long "
+    "horizons.",
+)
+def q_ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.month("o_orderdate").alias("season"),
+        F.year("o_orderdate").alias("yr"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    ).localCheckpoint(eager=False)
+    a = monthly.select("season", F.col("yr").alias("ya"), F.col("cents").alias("ca"))
+    b = monthly.select(
+        F.col("season").alias("sb"), F.col("yr").alias("yb"), F.col("cents").alias("cb")
+    )
+    s = (
+        a.join(b, (F.col("season") == F.col("sb")) & (F.col("yb") > F.col("ya")))
+        .agg(
+            F.sum(
+                F.when(F.col("cb") > F.col("ca"), 1)
+                .when(F.col("cb") < F.col("ca"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    per_season = monthly.groupBy("season").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    v = per_season.agg(
+        F.sum(
+            F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        )
+        .cast("bigint")
+        .alias("var18"),
+        F.count(F.lit(1)).cast("bigint").alias("n_seasons"),
+        F.sum("n").cast("bigint").alias("n_points"),
+    )
+    ties = (
+        monthly.groupBy("season", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .where(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    out = s.crossJoin(F.broadcast(v)).crossJoin(F.broadcast(ties))
+    z = (
+        F.col("s_stat").cast("double")
+        - F.signum(F.col("s_stat").cast("double"))
+    ) / F.sqrt(
+        (F.col("var18").cast("double") - F.col("tie_term").cast("double"))
+        / F.lit(18.0)
+    )
+    return out.select(
+        "n_seasons", "n_points", "s_stat", F.round(z, 4).alias("z")
+    )
