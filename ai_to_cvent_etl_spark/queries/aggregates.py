@@ -10656,3 +10656,233 @@ def q_agg_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ci_hi_cents",
         )
     )
+
+
+# ==== wave 140: causal-inference pair ==============================
+
+_DID_CUT = "1998-01-01"
+
+
+@register(
+    "q_agg_diff_in_diff",
+    oracle=f"""
+        WITH labeled AS (
+            SELECT CASE WHEN r.r_name = 'EUROPE' THEN 1 ELSE 0 END AS treat,
+                   CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUT} 00:00:00'
+                        THEN 1 ELSE 0 END AS post,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        cells AS (
+            SELECT treat, post,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM labeled GROUP BY treat, post
+        ),
+        wide AS (
+            SELECT
+                MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_t_pre,
+                MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_t_post,
+                MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_c_pre,
+                MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_c_post,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cells
+        )
+        SELECT n_total,
+               ROUND(m_t_pre, 4) AS mean_treat_pre_cents,
+               ROUND(m_t_post, 4) AS mean_treat_post_cents,
+               ROUND(m_c_pre, 4) AS mean_ctrl_pre_cents,
+               ROUND(m_c_post, 4) AS mean_ctrl_post_cents,
+               ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4)
+                   AS did_cents
+        FROM wide
+    """,
+    section="A122",
+    doc=f"Difference-in-differences: EUROPE-region customers as the "
+    f"treated group, {_DID_CUT} as the policy cut, order value as the "
+    "outcome — DiD = (treated post-pre change) - (control post-pre "
+    "change), the parallel-trends estimator that differences away both "
+    "the group level AND the common time shock (the workhorse quasi-"
+    "experimental design beside A23's CUPED variance reduction and "
+    "A108's SRM gate). All four cell means are exact BIGINT-cent sums "
+    "over counts (one double division each), and the estimate is one "
+    "pinned double expression over them. Scale: one 4-cell keyed agg "
+    "over the joined fact — dims broadcast, map-combinable; the pivot "
+    "is a 4-row MAX-CASE.",
+)
+def q_agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    labeled = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            F.when(F.col("r_name") == "EUROPE", 1).otherwise(0).alias("treat"),
+            F.when(
+                F.col("o_orderdate") >= F.lit(_DID_CUT).cast("timestamp"), 1
+            )
+            .otherwise(0)
+            .alias("post"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    cells = labeled.groupBy("treat", "post").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+
+    def _cell(t, p):
+        return F.max(
+            F.when((F.col("treat") == t) & (F.col("post") == p), mean)
+        )
+
+    wide = cells.agg(
+        _cell(1, 0).alias("m_t_pre"),
+        _cell(1, 1).alias("m_t_post"),
+        _cell(0, 0).alias("m_c_pre"),
+        _cell(0, 1).alias("m_c_post"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        F.round("m_t_pre", 4).alias("mean_treat_pre_cents"),
+        F.round("m_t_post", 4).alias("mean_treat_post_cents"),
+        F.round("m_c_pre", 4).alias("mean_ctrl_pre_cents"),
+        F.round("m_c_post", 4).alias("mean_ctrl_post_cents"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            4,
+        ).alias("did_cents"),
+    )
+
+
+@register(
+    "q_agg_stratified_ate",
+    oracle="""
+        WITH labeled AS (
+            SELECT CAST((l_quantity - 1) AS BIGINT) // 10 AS stratum,
+                   CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS treat,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM lineitem
+        ),
+        cells AS (
+            SELECT stratum, treat,
+                   CAST(SUM(cents) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM labeled GROUP BY stratum, treat
+        ),
+        wide AS (
+            SELECT stratum,
+                   MAX(CASE WHEN treat = 1 THEN n END) AS n_treat,
+                   MAX(CASE WHEN treat = 0 THEN n END) AS n_ctrl,
+                   MAX(CASE WHEN treat = 1 THEN CAST(s AS DOUBLE) / n END)
+                       AS m1,
+                   MAX(CASE WHEN treat = 0 THEN CAST(s AS DOUBLE) / n END)
+                       AS m0
+            FROM cells GROUP BY stratum
+            HAVING MAX(CASE WHEN treat = 1 THEN n END) IS NOT NULL
+               AND MAX(CASE WHEN treat = 0 THEN n END) IS NOT NULL
+        ),
+        strata AS (
+            SELECT CAST(stratum AS VARCHAR) AS stratum,
+                   n_treat, n_ctrl,
+                   ROUND(m1, 4) AS mean_treated_cents,
+                   ROUND(m0, 4) AS mean_control_cents,
+                   ROUND(m1 - m0, 4) AS effect_cents
+            FROM wide
+        ),
+        overall AS (
+            SELECT 'ALL' AS stratum,
+                   CAST(SUM(n_treat) AS BIGINT) AS n_treat,
+                   CAST(SUM(n_ctrl) AS BIGINT) AS n_ctrl,
+                   CAST(NULL AS DOUBLE) AS mean_treated_cents,
+                   CAST(NULL AS DOUBLE) AS mean_control_cents,
+                   ROUND(CAST(SUM(CAST(floor((m1 - m0)
+                                    * (n_treat + n_ctrl) * 1e6)
+                                 AS BIGINT)) AS DOUBLE) / 1e6
+                         / SUM(n_treat + n_ctrl), 4) AS effect_cents
+            FROM wide
+        )
+        SELECT * FROM strata UNION ALL SELECT * FROM overall
+    """,
+    section="A123",
+    doc="Stratified average treatment effect: high-discount (>5%) line "
+    "items as 'treated', extended price as outcome, QUANTITY DECILE-"
+    "BANDS (5 strata of 10 units) as the confounder blocks — the "
+    "stratification estimator that removes quantity's confounding the "
+    "way A23 (CUPED) removes pre-period variance: per-stratum "
+    "treated/control mean gaps, then the population-weighted pooled "
+    "ATE (weights = stratum sizes). Strata missing either arm are "
+    "excluded (pinned HAVING on both engines). Cell means are exact "
+    "cent sums over counts; the pooled row's weighted sum runs over "
+    "<=5 stratum rows. Scale: ONE (stratum, arm) keyed agg over the "
+    "fact — map-combinable; everything after is a <=10-row pivot.",
+)
+def q_agg_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    labeled = li.select(
+        F.expr("CAST((l_quantity - 1) AS BIGINT) DIV 10").alias("stratum"),
+        F.when(F.col("l_discount") > 0.05, 1).otherwise(0).alias("treat"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    cells = labeled.groupBy("stratum", "treat").agg(
+        F.sum("cents").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    wide = (
+        cells.groupBy("stratum")
+        .agg(
+            F.max(F.when(F.col("treat") == 1, F.col("n"))).alias("n_treat"),
+            F.max(F.when(F.col("treat") == 0, F.col("n"))).alias("n_ctrl"),
+            F.max(F.when(F.col("treat") == 1, mean)).alias("m1"),
+            F.max(F.when(F.col("treat") == 0, mean)).alias("m0"),
+        )
+        .where(F.col("n_treat").isNotNull() & F.col("n_ctrl").isNotNull())
+    )
+    strata = wide.select(
+        F.col("stratum").cast("string").alias("stratum"),
+        "n_treat",
+        "n_ctrl",
+        F.round("m1", 4).alias("mean_treated_cents"),
+        F.round("m0", 4).alias("mean_control_cents"),
+        F.round(F.col("m1") - F.col("m0"), 4).alias("effect_cents"),
+    )
+    overall = wide.agg(
+        F.sum("n_treat").cast("bigint").alias("n_treat"),
+        F.sum("n_ctrl").cast("bigint").alias("n_ctrl"),
+        F.round(
+            F.sum(
+                F.floor(
+                    (F.col("m1") - F.col("m0"))
+                    * (F.col("n_treat") + F.col("n_ctrl"))
+                    * F.lit(1e6)
+                ).cast("bigint")
+            ).cast("double")
+            / F.lit(1e6)
+            / F.sum(F.col("n_treat") + F.col("n_ctrl")),
+            4,
+        ).alias("effect_cents"),
+    ).select(
+        F.lit("ALL").alias("stratum"),
+        "n_treat",
+        "n_ctrl",
+        F.lit(None).cast("double").alias("mean_treated_cents"),
+        F.lit(None).cast("double").alias("mean_control_cents"),
+        "effect_cents",
+    )
+    return strata.unionByName(overall)
