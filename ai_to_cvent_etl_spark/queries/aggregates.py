@@ -10886,3 +10886,247 @@ def q_agg_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "effect_cents",
     )
     return strata.unionByName(overall)
+
+
+# ==== wave 141: conditional dependence pair ========================
+
+_PCORR_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _pcorr_oracle() -> str:
+    cols = _PCORR_COLS
+    qs = ", ".join(
+        f"{_Q_DUCK.format(c=c)} AS q{i}" for i, c in enumerate(cols)
+    )
+    moments = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for i in range(len(cols)):
+        moments.append(f"CAST(SUM(q{i}) AS BIGINT) AS s{i}")
+        for j in range(i, len(cols)):
+            pd = f"SUM(CAST(q{i} * q{j} AS DECIMAL(38,0)))"
+            moments.append(
+                f"CAST(CAST({pd} AS HUGEINT) // 4294967296 AS DOUBLE)"
+                f" * 4294967296.0"
+                f" + CAST(CAST({pd} AS HUGEINT) % 4294967296 AS DOUBLE)"
+                f" AS p{i}{j}"
+            )
+
+    def r(i, j):
+        i, j = min(i, j), max(i, j)
+        return (
+            f"((CAST(n AS DOUBLE) * p{i}{j}"
+            f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE))"
+            f" / (sqrt(CAST(n AS DOUBLE) * p{i}{i}"
+            f"          - CAST(s{i} AS DOUBLE) * CAST(s{i} AS DOUBLE))"
+            f"    * sqrt(CAST(n AS DOUBLE) * p{j}{j}"
+            f"           - CAST(s{j} AS DOUBLE) * CAST(s{j} AS DOUBLE))))"
+        )
+
+    rows = []
+    for x, y, z in [(0, 1, 2), (0, 2, 1), (1, 2, 0)]:
+        rows.append(
+            f"SELECT '{cols[x]}' AS col_x, '{cols[y]}' AS col_y,"
+            f" '{cols[z]}' AS control, n,"
+            f" ROUND({r(x, y)}, 6) AS r_xy,"
+            f" ROUND(({r(x, y)} - {r(x, z)} * {r(z, y)})"
+            f" / sqrt((1 - {r(x, z)} * {r(x, z)})"
+            f"        * (1 - {r(z, y)} * {r(z, y)})), 6) AS r_partial"
+            f" FROM m"
+        )
+    return (
+        f"WITH q AS (SELECT {qs} FROM lineitem),"
+        f" m AS MATERIALIZED (SELECT {', '.join(moments)} FROM q) "
+        + " UNION ALL ".join(rows)
+    )
+
+
+@register(
+    "q_agg_partial_correlation",
+    oracle=_pcorr_oracle(),
+    section="A124",
+    doc="First-order partial correlations over the lineitem numeric "
+    "triple: for each pair, the correlation REMAINING after the third "
+    "variable is partialled out — r_xy.z = (r_xy - r_xz r_zy)/"
+    "sqrt((1-r_xz^2)(1-r_zy^2)), the screen that separates direct "
+    "association from common-cause artifacts (A26's raw matrix cannot "
+    "distinguish them). Inherits A26's full exactness machinery: one "
+    "map-combinable moment vector (exact cent integers, DECIMAL(38,0) "
+    "cross-moments, hi/lo 32-bit double reconstruction so DuckDB's "
+    "non-correctly-rounded hugeint->double cast never enters), then "
+    "every r and the partial combination is ONE fixed IEEE expression "
+    "tree evaluated identically on both engines. Scale: one scan, one "
+    "1-row shuffle, 3 output rows assembled row-locally.",
+)
+def q_agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = _PCORR_COLS
+    q = li.select(
+        *[
+            F.expr(_Q_SPARK.format(c=cols[i])).alias(f"q{i}")
+            for i in range(len(cols))
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i in range(len(cols)):
+        aggs.append(F.sum(f"q{i}").alias(f"s{i}"))
+        for j in range(i, len(cols)):
+            aggs.append(
+                F.sum(
+                    (F.col(f"q{i}") * F.col(f"q{j}")).cast(DecimalType(38, 0))
+                ).alias(f"pd{i}{j}")
+            )
+    m = q.agg(*aggs)
+    for i in range(len(cols)):
+        for j in range(i, len(cols)):
+            m = m.withColumn(
+                f"p{i}{j}",
+                F.expr(
+                    f"cast(pd{i}{j} div 4294967296 as double) * 4294967296.0d"
+                    f" + cast(pd{i}{j} % 4294967296 as double)"
+                ),
+            )
+    m = m.localCheckpoint(eager=False)
+
+    def r(i, j):
+        i, j = min(i, j), max(i, j)
+        nd = F.col("n").cast("double")
+        si = F.col(f"s{i}").cast("double")
+        sj = F.col(f"s{j}").cast("double")
+        return (nd * F.col(f"p{i}{j}") - si * sj) / (
+            F.sqrt(nd * F.col(f"p{i}{i}") - si * si)
+            * F.sqrt(nd * F.col(f"p{j}{j}") - sj * sj)
+        )
+
+    outs = []
+    for x, y, z in [(0, 1, 2), (0, 2, 1), (1, 2, 0)]:
+        rxy, rxz, rzy = r(x, y), r(x, z), r(z, y)
+        outs.append(
+            m.select(
+                F.lit(cols[x]).alias("col_x"),
+                F.lit(cols[y]).alias("col_y"),
+                F.lit(cols[z]).alias("control"),
+                "n",
+                F.round(rxy, 6).alias("r_xy"),
+                F.round(
+                    (rxy - rxz * rzy)
+                    / F.sqrt((1 - rxz * rxz) * (1 - rzy * rzy)),
+                    6,
+                ).alias("r_partial"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+@register(
+    "q_agg_tail_dependence",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x,
+                   CAST(l_quantity AS BIGINT) AS y
+            FROM lineitem
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pts),
+        tx AS (
+            SELECT MIN(x) AS tx FROM (
+                SELECT x, SUM(c) OVER (ORDER BY x
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+                FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM pts GROUP BY x)
+            ), nn WHERE cum >= (19 * n + 19) // 20
+        ),
+        ty AS (
+            SELECT MIN(y) AS ty FROM (
+                SELECT y, SUM(c) OVER (ORDER BY y
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+                FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM pts GROUP BY y)
+            ), nn WHERE cum >= (19 * n + 19) // 20
+        ),
+        counts AS (
+            SELECT CAST(SUM(CASE WHEN p.x > tx.tx AND p.y > ty.ty
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_joint,
+                   CAST(SUM(CASE WHEN p.y > ty.ty THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cond
+            FROM pts p CROSS JOIN tx CROSS JOIN ty
+        )
+        SELECT CAST(0.95 AS DOUBLE) AS q, tx.tx AS x_threshold, ty.ty AS y_threshold,
+               c.n_joint, c.n_cond,
+               CASE WHEN c.n_cond = 0 THEN NULL
+                    ELSE ROUND(CAST(c.n_joint AS DOUBLE) / c.n_cond, 6)
+               END AS lambda_upper
+        FROM counts c CROSS JOIN tx CROSS JOIN ty
+    """,
+    section="A125",
+    doc="Empirical upper-tail dependence lambda_U(0.95) between line "
+    "price and quantity: P(price exceeds its 95th percentile | "
+    "quantity exceeds its own) — the extreme-co-movement gauge that "
+    "A26's Pearson and A107's Spearman both miss (they average over "
+    "the body; portfolios and capacity plans die in the joint tail). "
+    "Thresholds are NEAREST-RANK order statistics via value-grain "
+    "cumulative counts (k = ceil(0.95n) as the integer (19n+19) DIV "
+    "20 — no float quantile), exceedance is a strict integer compare, "
+    "and lambda is one division of two counts. NULL when the "
+    "conditioning tail is empty (pinned both engines). Scale: two "
+    "value-grain cumulants + one scan with two broadcast scalar "
+    "thresholds — no sort of the fact.",
+)
+def q_agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        F.col("l_quantity").cast("bigint").alias("y"),
+    )
+    nn = pts.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def thresh(col):
+        grain = pts.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        cum = grain.select(col, F.sum("c").over(w).alias("cum"))
+        return (
+            cum.crossJoin(F.broadcast(nn))
+            .where(F.col("cum") >= F.expr("(19 * n + 19) DIV 20"))
+            .agg(F.min(col).alias(f"t{col}"))
+        )
+
+    tx, ty = thresh("x"), thresh("y")
+    counts = (
+        pts.crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("x") > F.col("tx")) & (F.col("y") > F.col("ty")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_joint"),
+            F.sum(F.when(F.col("y") > F.col("ty"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_cond"),
+            F.max("tx").alias("x_threshold"),
+            F.max("ty").alias("y_threshold"),
+        )
+    )
+    return counts.select(
+        F.lit(0.95).alias("q"),
+        "x_threshold",
+        "y_threshold",
+        "n_joint",
+        "n_cond",
+        F.when(
+            F.col("n_cond") > 0,
+            F.round(
+                F.col("n_joint").cast("double") / F.col("n_cond"), 6
+            ),
+        ).alias("lambda_upper"),
+    )
