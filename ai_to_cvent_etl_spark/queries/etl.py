@@ -3290,3 +3290,139 @@ def q_etl_zone_map_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("scan_efficiency"),
     )
+
+
+# ==== wave 142b: columnar encoding advisor =========================
+
+_ENC_COLS = ["l_partkey", "l_quantity", "l_returnflag", "l_tax"]
+
+
+def _enc_surrogate_duck(c: str) -> str:
+    if c == "l_returnflag":
+        return "CAST(ascii(l_returnflag) AS BIGINT)"
+    if c == "l_tax":
+        return "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    return f"CAST({c} AS BIGINT)"
+
+
+@register(
+    "q_etl_encoding_advisor",
+    oracle=f"""
+        WITH stacked AS (
+            {" UNION ALL ".join(
+                f"SELECT '{c}' AS col_name, l_orderkey, l_linenumber, "
+                f"{_enc_surrogate_duck(c)} AS val FROM lineitem"
+                for c in _ENC_COLS
+            )}
+        ),
+        runs AS (
+            SELECT col_name,
+                   CASE WHEN prev IS NULL OR prev <> val
+                        THEN 1 ELSE 0 END AS is_run_start
+            FROM (
+                SELECT col_name, val,
+                       LAG(val) OVER (
+                           PARTITION BY col_name, l_orderkey
+                           ORDER BY l_linenumber, val) AS prev
+                FROM stacked
+            )
+        ),
+        s AS (
+            SELECT col_name,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(is_run_start) AS BIGINT) AS n_runs
+            FROM runs GROUP BY col_name
+        ),
+        d AS (
+            SELECT col_name, CAST(COUNT(DISTINCT val) AS BIGINT)
+                       AS n_distinct
+            FROM stacked GROUP BY col_name
+        )
+        SELECT s.col_name, s.n, d.n_distinct, s.n_runs,
+               ROUND(CAST(s.n AS DOUBLE) / s.n_runs, 4) AS avg_run_len,
+               CASE WHEN d.n_distinct <= 64 AND 2 * s.n >= 3 * s.n_runs
+                        THEN 'DICT_RLE'
+                    WHEN d.n_distinct <= 64 THEN 'DICT'
+                    WHEN 2 * d.n_distinct > s.n THEN 'PLAIN'
+                    ELSE 'DICT_PLAIN'
+               END AS suggested_encoding
+        FROM s JOIN d USING (col_name)
+    """,
+    section="E36",
+    doc="Columnar encoding advisor: per audited lineitem column, the "
+    "run-length and cardinality statistics a parquet writer's encoder "
+    "decides on — n_distinct (dictionary viability), within-rowgroup "
+    "run structure (RLE viability; runs measured INSIDE each order "
+    "sorted by (line number, value) — the fixture's line numbers "
+    "repeat, so the value joins the sort key to pin a deterministic "
+    "surrogate for file order; the window stays partitioned and the "
+    "fact never globally sorts), and a "
+    "threshold rule mapping to DICT_RLE / DICT / DICT_PLAIN / PLAIN — "
+    "the advisor that tells you WHY a column compressed badly and "
+    "complements E28 (Z-order, which changes the run structure this "
+    "measures). The run-length compare 2n >= 3·runs (avg run >= 1.5) "
+    "is integer; the only double is the reported avg_run_len. Value "
+    "surrogates are exact BIGINTs (ascii for the flag, cents for tax). "
+    "Scale: the stack is column-parallel; per-(column, order) windows "
+    "are partition-local; one distinct-count shuffle per column.",
+)
+def q_etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def surrogate(c):
+        if c == "l_returnflag":
+            return F.ascii(F.col(c)).cast("bigint")
+        if c == "l_tax":
+            return F.expr(
+                "CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            )
+        return F.col(c).cast("bigint")
+
+    stacked = None
+    for c in _ENC_COLS:
+        part = li.select(
+            F.lit(c).alias("col_name"),
+            "l_orderkey",
+            "l_linenumber",
+            surrogate(c).alias("val"),
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    w = Window.partitionBy("col_name", "l_orderkey").orderBy(
+        "l_linenumber", "val"
+    )
+    runs = stacked.select(
+        "col_name",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_run_start"),
+    )
+    s = runs.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("is_run_start").cast("bigint").alias("n_runs"),
+    )
+    d = stacked.groupBy("col_name").agg(
+        F.countDistinct("val").cast("bigint").alias("n_distinct")
+    )
+    out = s.join(d, "col_name")
+    return out.select(
+        "col_name",
+        "n",
+        "n_distinct",
+        "n_runs",
+        F.round(F.col("n").cast("double") / F.col("n_runs"), 4).alias(
+            "avg_run_len"
+        ),
+        F.when(
+            (F.col("n_distinct") <= 64)
+            & (2 * F.col("n") >= 3 * F.col("n_runs")),
+            F.lit("DICT_RLE"),
+        )
+        .when(F.col("n_distinct") <= 64, F.lit("DICT"))
+        .when(2 * F.col("n_distinct") > F.col("n"), F.lit("PLAIN"))
+        .otherwise(F.lit("DICT_PLAIN"))
+        .alias("suggested_encoding"),
+    )

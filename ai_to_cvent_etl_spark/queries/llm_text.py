@@ -2617,3 +2617,94 @@ def q_text_yule_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff / (big_n * (F.col("big_n") - 1).cast("double")), 9
         ).alias("simpson_d"),
     )
+
+
+# ==== wave 142a: unseen-vocabulary extrapolation ===================
+
+
+@register(
+    "q_text_chao1_richness",
+    oracle="""
+        WITH counts AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS n
+            FROM (
+                SELECT lang, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            )
+            GROUP BY lang, tok
+        ),
+        s AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS BIGINT) AS s_obs,
+                   CAST(SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f1,
+                   CAST(SUM(CASE WHEN n = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS f2
+            FROM counts GROUP BY lang
+        )
+        SELECT lang, s_obs, f1, f2,
+               ROUND(CAST(s_obs AS DOUBLE)
+                     + CASE WHEN f2 > 0
+                            THEN CAST(f1 * f1 AS DOUBLE)
+                                 / CAST(2 * f2 AS DOUBLE)
+                            ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2
+                       END, 4) AS chao1,
+               ROUND(CASE WHEN f2 > 0
+                          THEN CAST(f1 * f1 AS DOUBLE)
+                               / CAST(2 * f2 AS DOUBLE)
+                          ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2
+                     END
+                     / (CAST(s_obs AS DOUBLE)
+                        + CASE WHEN f2 > 0
+                               THEN CAST(f1 * f1 AS DOUBLE)
+                                    / CAST(2 * f2 AS DOUBLE)
+                               ELSE CAST(f1 * (f1 - 1) AS DOUBLE) / 2
+                          END), 6) AS unseen_share
+        FROM s
+    """,
+    section="L27",
+    doc="Chao1 species-richness estimator per language: how many "
+    "vocabulary types does the corpus HAVEN'T seen yet? chao1 = S + "
+    "f1^2/(2 f2) from the singleton/doubleton counts L25 already "
+    "exposes (bias-corrected f1(f1-1)/2 form when f2 = 0, pinned on "
+    "both engines) — the capture-recapture logic of A6 applied to the "
+    "type-frequency spectrum, and the quantitative answer to 'will "
+    "more data buy more vocabulary?' that L22's Heaps exponent only "
+    "trends. unseen_share = estimated-unseen / chao1 is the headline "
+    "knob (high => the corpus undersamples its domain). Integer "
+    "(S, f1, f2) until two pinned double expressions. Scale: one "
+    "(lang, token) count at the Heaps-bounded vocabulary grain, one "
+    "5-ish-row rollup.",
+)
+def q_text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(
+            "lang", F.explode(F.split(F.col("text"), " ")).alias("tok")
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = counts.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f1"),
+        F.sum(F.when(F.col("n") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("f2"),
+    )
+    unseen = F.when(
+        F.col("f2") > 0,
+        (F.col("f1") * F.col("f1")).cast("double")
+        / (2 * F.col("f2")).cast("double"),
+    ).otherwise((F.col("f1") * (F.col("f1") - 1)).cast("double") / 2)
+    chao1 = F.col("s_obs").cast("double") + unseen
+    return s.select(
+        "lang",
+        "s_obs",
+        "f1",
+        "f2",
+        F.round(chao1, 4).alias("chao1"),
+        F.round(unseen / chao1, 6).alias("unseen_share"),
+    )
