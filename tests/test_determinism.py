@@ -250,6 +250,25 @@ RISKY = [
     "q_agg_jonckheere",
     "q_vec_rbo_overlap",
     "q_ts_ulcer",
+    # r5 waves 135-142: doubled-rank ties, integer-cleared fractions,
+    # quantized block terms, argmin trees, threshold order statistics,
+    # and pinned within-group run ordering.
+    "q_agg_page_trend",
+    "q_agg_fleiss_kappa",
+    "q_agg_average_precision",
+    "q_graph_squares",
+    "q_etl_zone_map_skipping",
+    "q_ts_binseg",
+    "q_agg_gumbel_return",
+    "q_agg_bootstrap_median",
+    "q_ts_seasonal_mann_kendall",
+    "q_graph_attr_assortativity",
+    "q_agg_diff_in_diff",
+    "q_agg_stratified_ate",
+    "q_agg_partial_correlation",
+    "q_agg_tail_dependence",
+    "q_text_chao1_richness",
+    "q_etl_encoding_advisor",
 ]
 
 
