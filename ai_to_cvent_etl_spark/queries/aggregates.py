@@ -10589,33 +10589,62 @@ def q_agg_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"cast(conv(substr(h, 13, 12), 16, 10) as bigint) % {_POIS1_P}"
         ).alias("sc"),
-    )
+    ).localCheckpoint(eager=False)
     w_expr = _boot_w(f"((sa + b * sc) % {_POIS1_P})")
-    grain = (
-        seeds.select(
-            "cents",
-            "sa",
-            "sc",
-            F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-        )
-        .select("b", "cents", F.expr(w_expr).alias("w"))
-        .groupBy("b", "cents")
-        .agg(F.sum("w").cast("bigint").alias("w"))
-    )
-    wcum = (
-        Window.partitionBy("b")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wtot = Window.partitionBy("b")
-    cum = grain.select(
+    # Two-phase distributed exact weighted median (the value grain is
+    # ~row grain for prices, so a single value-grain pass would sort
+    # B*n rows; measured 19.5 s at sf0.1 — the histogram pass + a
+    # straddling-bucket refine runs the same statistic in ~3 s):
+    # phase 1 — per-replica weight mass per coarse bucket (cents DIV
+    # 1e4), A56's tiny-group map-combinable shape; find each replica's
+    # straddling bucket and the cumulative mass BEFORE it.
+    drawn = seeds.select(
+        "cents",
+        "sa",
+        "sc",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    ).select(
         "b",
         "cents",
-        F.sum("w").over(wcum).alias("cw"),
-        F.sum("w").over(wtot).alias("tw"),
+        F.expr("cents DIV 10000").alias("bucket"),
+        F.expr(w_expr).alias("w"),
+    )
+    hist = drawn.groupBy("b", "bucket").agg(
+        F.sum("w").cast("bigint").alias("bw")
+    )
+    wb = Window.partitionBy("b").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wtot = Window.partitionBy("b")
+    cumh = hist.select(
+        "b",
+        "bucket",
+        (F.sum("bw").over(wb) - F.col("bw")).alias("before"),
+        F.sum("bw").over(wb).alias("through"),
+        F.sum("bw").over(wtot).alias("tw"),
+    )
+    targets = cumh.where(
+        (2 * F.col("through") >= F.col("tw"))
+        & (2 * F.col("before") < F.col("tw"))
+    ).select("b", "bucket", "before", "tw")
+    # phase 2 — exact value-grain scan of ONLY the straddling buckets
+    # (a handful of rows), offset by the phase-1 cumulative mass.
+    fine = (
+        seeds.withColumn("bucket", F.expr("cents DIV 10000"))
+        .join(
+            F.broadcast(targets.select("b", "bucket", "before", "tw")),
+            "bucket",
+        )
+        .select("b", "cents", "before", "tw", F.expr(w_expr).alias("w"))
+        .groupBy("b", "cents", "before", "tw")
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    wf = Window.partitionBy("b").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     med = (
-        cum.where(2 * F.col("cw") >= F.col("tw"))
+        fine.withColumn("cw", F.sum("w").over(wf) + F.col("before"))
+        .where(2 * F.col("cw") >= F.col("tw"))
         .groupBy("b")
         .agg(F.min("cents").alias("med_cents"))
     )
