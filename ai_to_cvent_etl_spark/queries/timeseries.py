@@ -5506,3 +5506,120 @@ def q_ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "n_seasons", "n_points", "s_stat", F.round(z, 4).alias("z")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 143 (r5): interrupted time series + cross-sectional factor backtest.
+# ---------------------------------------------------------------------------
+
+_ITS_CUT_M = 36  # (1998 - 1995) * 12: months since 1995-01
+
+
+@register(
+    "q_ts_intervention",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT (date_part('year', o_orderdate) - 1995) * 12
+                   + date_part('month', o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        seg AS (
+            SELECT CASE WHEN m < {_ITS_CUT_M} THEN 0 ELSE 1 END AS post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(m) AS BIGINT) AS st,
+                   CAST(SUM(cents) AS BIGINT) AS sy,
+                   CAST(SUM(m * m) AS BIGINT) AS stt,
+                   CAST(SUM(m * cents) AS BIGINT) AS sty
+            FROM monthly GROUP BY 1
+        ),
+        fits AS (
+            SELECT post, n,
+                   (CAST(n AS DOUBLE) * sty
+                    - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * stt
+                      - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * sty
+                       - CAST(st AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * stt
+                         - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))
+                      * CAST(st AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept
+            FROM seg
+        )
+        SELECT pre.n AS n_pre, post.n AS n_post,
+               ROUND(pre.slope, 4) AS slope_pre,
+               ROUND(post.slope, 4) AS slope_post,
+               ROUND((post.intercept + post.slope * {_ITS_CUT_M})
+                     - (pre.intercept + pre.slope * {_ITS_CUT_M}), 4)
+                   AS level_change,
+               ROUND(post.slope - pre.slope, 4) AS slope_change
+        FROM (SELECT * FROM fits WHERE post = 0) pre
+        CROSS JOIN (SELECT * FROM fits WHERE post = 1) post
+    """,
+    section="TS34",
+    doc="Interrupted time series (segmented regression) around the "
+    f"1998-01 cut: separate OLS lines on the pre and post monthly "
+    "revenue segments, reporting the LEVEL jump at the cut and the "
+    "SLOPE change — the single-series sibling of A122's DiD (no "
+    "control group; identification rides on the pre-trend). Fully "
+    "interacted two-line form == the textbook [1, t, post, "
+    "post*(t-t0)] regression, but two 2x2 closed forms need no 4x4 "
+    "Cramer. All moments are exact BIGINTs on the month spine "
+    "(m*cents far under int64 at any SF); slopes/intercepts/"
+    "contrasts are pinned IEEE expressions. Scale: one month-grain "
+    "agg (map-combinable), a 2-row fit, a 1x1 cross join.",
+)
+def q_ts_intervention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    monthly = orders.groupBy(mo.alias("m")).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    seg = monthly.groupBy(
+        F.when(F.col("m") < _ITS_CUT_M, 0).otherwise(1).alias("post")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("st"),
+        F.sum("cents").cast("bigint").alias("sy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("stt"),
+        F.sum(F.col("m") * F.col("cents")).cast("bigint").alias("sty"),
+    )
+    nd = F.col("n").cast("double")
+    st = F.col("st").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = (nd * F.col("sty") - st * sy) / (
+        nd * F.col("stt") - st * st
+    )
+    intercept = (sy - slope * st) / nd
+    fits = seg.select(
+        "post", "n", slope.alias("slope"), intercept.alias("intercept")
+    )
+    pre = fits.where(F.col("post") == 0).select(
+        F.col("n").alias("n_pre"),
+        F.col("slope").alias("slope_pre"),
+        F.col("intercept").alias("i_pre"),
+    )
+    post = fits.where(F.col("post") == 1).select(
+        F.col("n").alias("n_post"),
+        F.col("slope").alias("slope_post"),
+        F.col("intercept").alias("i_post"),
+    )
+    return pre.crossJoin(post).select(
+        "n_pre",
+        "n_post",
+        F.round("slope_pre", 4).alias("slope_pre"),
+        F.round("slope_post", 4).alias("slope_post"),
+        F.round(
+            (F.col("i_post") + F.col("slope_post") * _ITS_CUT_M)
+            - (F.col("i_pre") + F.col("slope_pre") * _ITS_CUT_M),
+            4,
+        ).alias("level_change"),
+        F.round(F.col("slope_post") - F.col("slope_pre"), 4).alias(
+            "slope_change"
+        ),
+    )

@@ -1971,3 +1971,122 @@ def q_win_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("retail_price"),
         F.col("y").alias("size"),
     )
+
+
+# ==== wave 143b: cross-sectional momentum backtest =================
+
+_FB_LOOKBACK = 3
+
+
+@register(
+    "q_win_factor_backtest",
+    oracle=f"""
+        WITH cells AS (
+            SELECT n.n_name AS nation,
+                   (date_part('year', o.o_orderdate) - 1995) * 12
+                   + date_part('month', o.o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        sig AS (
+            SELECT nation, m, cents,
+                   cents - LAG(cents, {_FB_LOOKBACK}) OVER w AS mom,
+                   LEAD(cents, 1) OVER w - cents AS fwd
+            FROM cells
+            WINDOW w AS (PARTITION BY nation ORDER BY m)
+        ),
+        ranked AS (
+            SELECT m, mom, fwd,
+                   NTILE(3) OVER (PARTITION BY m
+                                  ORDER BY mom, nation) AS tercile,
+                   CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT)
+                       AS n_nations
+            FROM sig WHERE mom IS NOT NULL AND fwd IS NOT NULL
+        )
+        SELECT m AS month_idx, n_nations,
+               ROUND(CAST(SUM(CASE WHEN tercile = 3 THEN fwd END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN tercile = 3 THEN 1 END), 4)
+                   AS top_mean_fwd_cents,
+               ROUND(CAST(SUM(CASE WHEN tercile = 1 THEN fwd END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN tercile = 1 THEN 1 END), 4)
+                   AS bottom_mean_fwd_cents,
+               ROUND(CAST(SUM(CASE WHEN tercile = 3 THEN fwd END)
+                          AS DOUBLE)
+                     / SUM(CASE WHEN tercile = 3 THEN 1 END)
+                     - CAST(SUM(CASE WHEN tercile = 1 THEN fwd END)
+                            AS DOUBLE)
+                       / SUM(CASE WHEN tercile = 1 THEN 1 END), 4)
+                   AS momentum_spread_cents
+        FROM ranked
+        GROUP BY m, n_nations
+    """,
+    section="W33",
+    doc=f"Cross-sectional momentum backtest over nation revenue: each "
+    f"month, nations rank into terciles by their {_FB_LOOKBACK}-month "
+    "revenue change, and the NEXT month's change is averaged per "
+    "tercile — top-minus-bottom is the momentum premium, the factor-"
+    "research loop (signal -> rank -> forward return) in relational "
+    "form, and the panel sibling of TS-family single-series momentum "
+    "(TS28 OBV, TS29 stochastic). Determinism: signals and forward "
+    "returns are integer cent DIFFERENCES (lag/lead on the month "
+    "spine); NTILE's remainder rule is pinned by the full (mom, "
+    "nation) tie-broken ordering identical on both engines; tercile "
+    "means are BIGINT sums over counts. Months missing either the "
+    "lookback or the forward observation drop on both engines. Scale: "
+    "one (nation, month) agg (cells = dims x calendar, tiny at any "
+    "corpus size); windows partition by nation/month — never the fact.",
+)
+def q_win_factor_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), mo.alias("m"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("m")
+    sig = cells.select(
+        "nation",
+        "m",
+        (F.col("cents") - F.lag("cents", _FB_LOOKBACK).over(w)).alias("mom"),
+        (F.lead("cents", 1).over(w) - F.col("cents")).alias("fwd"),
+    ).where(F.col("mom").isNotNull() & F.col("fwd").isNotNull())
+    wm = Window.partitionBy("m").orderBy("mom", "nation")
+    wc = Window.partitionBy("m")
+    ranked = sig.select(
+        "m",
+        "mom",
+        "fwd",
+        F.ntile(3).over(wm).alias("tercile"),
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_nations"),
+    )
+    top_sum = F.sum(F.when(F.col("tercile") == 3, F.col("fwd")))
+    top_n = F.sum(F.when(F.col("tercile") == 3, 1))
+    bot_sum = F.sum(F.when(F.col("tercile") == 1, F.col("fwd")))
+    bot_n = F.sum(F.when(F.col("tercile") == 1, 1))
+    top_mean = top_sum.cast("double") / top_n
+    bot_mean = bot_sum.cast("double") / bot_n
+    return (
+        ranked.groupBy(
+            F.col("m").cast("bigint").alias("month_idx"), "n_nations"
+        )
+        .agg(
+            F.round(top_mean, 4).alias("top_mean_fwd_cents"),
+            F.round(bot_mean, 4).alias("bottom_mean_fwd_cents"),
+            F.round(top_mean - bot_mean, 4).alias("momentum_spread_cents"),
+        )
+    )
