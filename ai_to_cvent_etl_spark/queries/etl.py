@@ -3426,3 +3426,294 @@ def q_etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("DICT_PLAIN"))
         .alias("suggested_encoding"),
     )
+
+# ==== wave 144a: revenue-recognition calendarization ===============
+
+
+@register(
+    "q_etl_calendarize",
+    oracle="""
+        WITH spans AS (
+            SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   CAST(o_orderdate AS DATE) AS d0,
+                   CAST(l_shipdate AS DATE) AS d1,
+                   CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                                  CAST(l_shipdate AS DATE)) + 1
+                        AS BIGINT) AS td
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= o_orderdate
+        ),
+        exploded AS (
+            SELECT cents, d0, d1, td,
+                   CAST(u.m AS DATE) AS m
+            FROM spans,
+            LATERAL (SELECT unnest(generate_series(
+                         date_trunc('month', d0),
+                         date_trunc('month', d1),
+                         INTERVAL 1 MONTH)) AS m) u
+        ),
+        alloc AS (
+            SELECT m AS month_start,
+                   CAST(date_diff('day', GREATEST(m, d0),
+                                  LEAST(last_day(m), d1)) + 1
+                        AS BIGINT) AS days_in,
+                   cents, td
+            FROM exploded
+        )
+        SELECT month_start,
+               CAST(COUNT(*) AS BIGINT) AS n_line_months,
+               CAST(SUM(days_in) AS BIGINT) AS total_days,
+               ROUND(CAST(SUM((cents * days_in * 10000) // td)
+                          AS DOUBLE) / 10000, 4) AS recognized_cents
+        FROM alloc
+        GROUP BY month_start
+    """,
+    section="E37",
+    doc="Revenue-recognition calendarization: each line's value spreads "
+    "evenly over its order-to-ship service interval, prorated by DAY "
+    "OVERLAP with each calendar month — the contract-accounting "
+    "operator (recognize revenue when earned, not when booked) that "
+    "E-family allocation (A44/J24 Hamilton rounding) does not cover "
+    "because the allocation basis here is a CALENDAR INTERSECTION, "
+    "not a share of a fixed budget. Per-(line, month) terms are the "
+    "integer division (cents·days·1e4) DIV total_days — exact int64 "
+    "(<= 3e12), summed per month as BIGINTs with ONE final descale, "
+    "so the ragged per-line denominators never meet a float. Spans "
+    "explode to their covering month sequence (bounded: <= 82 months "
+    "in this data, a pure map-side fan-out); negative spans drop on "
+    "both engines. Scale: explode + one month-grain map-combinable "
+    "agg; the month calendar is the only shuffle key.",
+)
+def q_etl_calendarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    spans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 "
+                "AS BIGINT)"
+            ).alias("cents"),
+            F.col("o_orderdate").cast("date").alias("d0"),
+            F.col("l_shipdate").cast("date").alias("d1"),
+            (
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                )
+                + 1
+            )
+            .cast("bigint")
+            .alias("td"),
+        )
+    )
+    exploded = spans.select(
+        "cents",
+        "d0",
+        "d1",
+        "td",
+        F.explode(
+            F.sequence(
+                F.trunc("d0", "month"),
+                F.trunc("d1", "month"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("m"),
+    )
+    alloc = exploded.select(
+        F.col("m").alias("month_start"),
+        (
+            F.datediff(
+                F.least(F.last_day("m"), F.col("d1")),
+                F.greatest(F.col("m"), F.col("d0")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("days_in"),
+        "cents",
+        "td",
+    )
+    return alloc.groupBy("month_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_line_months"),
+        F.sum("days_in").cast("bigint").alias("total_days"),
+        F.round(
+            F.sum(
+                F.expr("(cents * days_in * 10000) DIV td")
+            ).cast("double")
+            / 10000,
+            4,
+        ).alias("recognized_cents"),
+    )
+
+
+# ==== wave 144b: FIFO matching via cumulative-interval overlap =====
+
+
+@register(
+    "q_etl_fifo_match",
+    oracle="""
+        WITH supply AS (
+            SELECT l_partkey,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER w
+                       - CAST(l_quantity AS BIGINT) AS lo,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER w AS hi
+            FROM lineitem
+            WHERE l_returnflag = 'N'
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                       * 100 AS BIGINT)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        demand AS (
+            SELECT l_partkey,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER w
+                       - CAST(l_quantity AS BIGINT) AS lo,
+                   SUM(CAST(l_quantity AS BIGINT)) OVER w AS hi
+            FROM lineitem
+            WHERE l_returnflag = 'R'
+            WINDOW w AS (PARTITION BY l_partkey
+                         ORDER BY l_shipdate, l_orderkey, l_linenumber,
+                                  CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                                       * 100 AS BIGINT)
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        matched AS (
+            SELECT s.l_partkey,
+                   LEAST(s.hi, d.hi) - GREATEST(s.lo, d.lo) AS mq
+            FROM supply s JOIN demand d
+              ON s.l_partkey = d.l_partkey
+             AND s.lo < d.hi AND d.lo < s.hi
+        ),
+        tot AS (
+            SELECT l_partkey,
+                   CAST(SUM(CASE WHEN l_returnflag = 'N'
+                                 THEN CAST(l_quantity AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS supply_q,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN CAST(l_quantity AS BIGINT)
+                                 ELSE 0 END) AS BIGINT) AS demand_q
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT t.l_partkey, t.supply_q, t.demand_q,
+               CAST(COALESCE(m.n_matches, 0) AS BIGINT) AS n_matches,
+               CAST(COALESCE(m.matched_q, 0) AS BIGINT) AS matched_q,
+               CAST(t.demand_q - COALESCE(m.matched_q, 0) AS BIGINT)
+                   AS unmatched_demand
+        FROM tot t LEFT JOIN (
+            SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_matches,
+                   CAST(SUM(mq) AS BIGINT) AS matched_q
+            FROM matched GROUP BY l_partkey
+        ) m USING (l_partkey)
+    """,
+    section="E38",
+    doc="FIFO inventory matching as RELATIONAL ALGEBRA: per part, "
+    "'N'-flag lines are the supply stream and 'R'-flag lines the "
+    "demand stream, each laid onto its CUMULATIVE-QUANTITY axis "
+    "[cum-q, cum) by ship order — and FIFO matching is then exactly "
+    "the INTERVAL-OVERLAP JOIN of the two cumulative axes (matched "
+    "units of a pair = overlap length), replacing the sequential "
+    "pop-the-queue algorithm accounting systems run with two windows "
+    "and one banded join. The device generalizes to any first-in-"
+    "first-out pairing (cost-basis lots, ticket-to-agent, "
+    "order-to-inventory). All-integer: quantities are integral, the "
+    "cumulative ordering carries a FULL tie-break (shipdate, order, "
+    "line, cents — the fixture's line numbers repeat, E36's lesson), "
+    "overlap arithmetic is int64. Scale: windows and the overlap join "
+    "both key on l_partkey (the natural grain); per-part streams are "
+    "small, and the join is banded by construction — a part's supply "
+    "row only meets the demand rows its cum-interval overlaps "
+    "(O(supply + demand) pairs total, NOT quadratic).",
+)
+def q_etl_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+
+    def stream(flag):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "tiebreak")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                "l_partkey",
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+                cents.alias("tiebreak"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+            )
+            .select(
+                "l_partkey",
+                (F.sum("q").over(w) - F.col("q")).alias("lo"),
+                F.sum("q").over(w).alias("hi"),
+            )
+        )
+
+    supply = stream("N").select(
+        "l_partkey", F.col("lo").alias("s_lo"), F.col("hi").alias("s_hi")
+    )
+    demand = stream("R").select(
+        F.col("l_partkey").alias("d_part"),
+        F.col("lo").alias("d_lo"),
+        F.col("hi").alias("d_hi"),
+    )
+    matched = (
+        supply.join(
+            demand,
+            (F.col("l_partkey") == F.col("d_part"))
+            & (F.col("s_lo") < F.col("d_hi"))
+            & (F.col("d_lo") < F.col("s_hi")),
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+            F.sum(
+                F.least(F.col("s_hi"), F.col("d_hi"))
+                - F.greatest(F.col("s_lo"), F.col("d_lo"))
+            )
+            .cast("bigint")
+            .alias("matched_q"),
+        )
+    )
+    tot = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "N",
+                F.col("l_quantity").cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("supply_q"),
+        F.sum(
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.col("l_quantity").cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("demand_q"),
+    )
+    return tot.join(matched, "l_partkey", "left").select(
+        "l_partkey",
+        "supply_q",
+        "demand_q",
+        F.coalesce(F.col("n_matches"), F.lit(0))
+        .cast("bigint")
+        .alias("n_matches"),
+        F.coalesce(F.col("matched_q"), F.lit(0))
+        .cast("bigint")
+        .alias("matched_q"),
+        (F.col("demand_q") - F.coalesce(F.col("matched_q"), F.lit(0)))
+        .cast("bigint")
+        .alias("unmatched_demand"),
+    )
