@@ -1255,3 +1255,100 @@ def q_join_haversine_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.round(hav, 4).alias("haversine_km"),
     )
+
+
+# ==== wave 145b: Allen interval-relation census ====================
+
+
+_ALLEN_CASE_SQL = """
+    CASE
+        WHEN e1 < s2 THEN 'before'
+        WHEN e1 = s2 THEN 'meets'
+        WHEN s1 < s2 AND e1 > s2 AND e1 < e2 THEN 'overlaps'
+        WHEN s1 = s2 AND e1 < e2 THEN 'starts'
+        WHEN s1 > s2 AND e1 < e2 THEN 'during'
+        WHEN s1 > s2 AND e1 = e2 THEN 'finishes'
+        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        WHEN s1 < s2 AND e1 = e2 THEN 'finished_by'
+        WHEN s1 < s2 AND e1 > e2 THEN 'contains'
+        WHEN s1 = s2 AND e1 > e2 THEN 'started_by'
+        WHEN s1 > s2 AND s1 < e2 AND e1 > e2 THEN 'overlapped_by'
+        WHEN s1 = e2 THEN 'met_by'
+        ELSE 'after'
+    END
+"""
+
+
+@register(
+    "q_join_allen_census",
+    oracle=f"""
+        WITH spans AS (
+            SELECT o.o_custkey, o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS s,
+                   CAST(MAX(l.l_shipdate) AS DATE) AS e
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_custkey, o.o_orderkey, o.o_orderdate
+            HAVING MAX(l.l_shipdate) >= o.o_orderdate
+        ),
+        pairs AS (
+            SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+            FROM spans a JOIN spans b
+              ON a.o_custkey = b.o_custkey
+             AND a.o_orderkey < b.o_orderkey
+        )
+        SELECT {_ALLEN_CASE_SQL} AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        GROUP BY 1
+    """,
+    section="J28",
+    doc="Allen interval-relation census: every same-customer pair of "
+    "order fulfillment spans classified into the THIRTEEN Allen "
+    "relations (before/meets/overlaps/starts/during/finishes/equals "
+    "+ inverses) and counted — the complete temporal-topology audit "
+    "of which J14 (interval overlap) tests exactly one relation; the "
+    "census tells a pipeline author which temporal join their data "
+    "actually needs (e.g. mostly 'before' => an as-of join suffices; "
+    "heavy 'during' => containment indexing). The classification is "
+    "a mutually-exclusive exhaustive CASE over four date compares — "
+    "pure integer logic, and the pair ordering (a.orderkey < "
+    "b.orderkey) pins direction so each unordered pair is classified "
+    "exactly once. Scale: pairs join on o_custkey (the natural "
+    "blocking key — per-customer order counts are bounded), one "
+    "13-row rollup; no global product.",
+)
+def q_join_allen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").cast("date").alias("e"))
+        .where(F.col("e") >= F.col("o_orderdate").cast("date"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("s"),
+            "e",
+        )
+    ).localCheckpoint(eager=False)
+    a = spans.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderkey").alias("ka"),
+        F.col("s").alias("s1"),
+        F.col("e").alias("e1"),
+    )
+    b = spans.select(
+        F.col("o_custkey").alias("ck2"),
+        F.col("o_orderkey").alias("kb"),
+        F.col("s").alias("s2"),
+        F.col("e").alias("e2"),
+    )
+    pairs = a.join(
+        b, (F.col("ck") == F.col("ck2")) & (F.col("ka") < F.col("kb"))
+    )
+    return (
+        pairs.select(F.expr(_ALLEN_CASE_SQL).alias("relation"))
+        .groupBy("relation")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )

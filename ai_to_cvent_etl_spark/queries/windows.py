@@ -2090,3 +2090,131 @@ def q_win_factor_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(top_mean - bot_mean, 4).alias("momentum_spread_cents"),
         )
     )
+
+
+# ==== wave 145a: Little's law audit ================================
+
+
+@register(
+    "q_win_littles_law",
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS arr,
+                   CAST(MAX(l.l_shipdate) AS DATE) AS dep
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            HAVING MAX(l.l_shipdate) >= o.o_orderdate
+        ),
+        horizon AS (
+            SELECT MIN(arr) AS t0, MAX(dep) AS t1,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(date_diff('day', arr, dep) + 1) AS BIGINT)
+                       AS total_days
+            FROM spans
+        ),
+        deltas AS (
+            SELECT arr AS d, 1 AS delta FROM spans
+            UNION ALL
+            SELECT dep + INTERVAL 1 DAY, -1 FROM spans
+        ),
+        sweep AS (
+            SELECT d, SUM(delta) AS dd FROM deltas GROUP BY d
+        ),
+        conc AS (
+            SELECT d,
+                   SUM(dd) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS level,
+                   LEAD(d) OVER (ORDER BY d) AS nxt
+            FROM sweep
+        ),
+        lsum AS (
+            SELECT CAST(SUM(level * date_diff('day', d, nxt)) AS BIGINT)
+                       AS area
+            FROM conc WHERE nxt IS NOT NULL
+        )
+        SELECT h.n_orders,
+               CAST(date_diff('day', h.t0, h.t1) + 1 AS BIGINT)
+                   AS horizon_days,
+               ROUND(CAST(l.area AS DOUBLE)
+                     / (date_diff('day', h.t0, h.t1) + 1), 6) AS l_avg,
+               ROUND(CAST(h.n_orders AS DOUBLE)
+                     / (date_diff('day', h.t0, h.t1) + 1), 6) AS lambda_rate,
+               ROUND(CAST(h.total_days AS DOUBLE) / h.n_orders, 6) AS w_avg,
+               ROUND((CAST(l.area AS DOUBLE)
+                      / (date_diff('day', h.t0, h.t1) + 1))
+                     / ((CAST(h.n_orders AS DOUBLE)
+                         / (date_diff('day', h.t0, h.t1) + 1))
+                        * (CAST(h.total_days AS DOUBLE) / h.n_orders)),
+                     6) AS little_ratio
+        FROM horizon h CROSS JOIN lsum l
+    """,
+    section="W34",
+    doc="Little's law audit over order fulfillment: L (time-average "
+    "in-flight orders, via the +1/-1 sweep-line whose running level "
+    "is integrated day-by-day), lambda (arrivals per day over the "
+    "horizon), and W (mean order-to-last-ship residence time) each "
+    "measured INDEPENDENTLY, then little_ratio = L/(lambda*W) — "
+    "exactly 1 when the system is measured over a closed horizon, so "
+    "the drift of this ratio is a data-quality alarm for truncated or "
+    "double-counted event logs (the queueing-theory sibling of W13 "
+    "max_concurrency, which reports the peak of the same sweep). "
+    "The level integral is exact: level x day-gap products are "
+    "BIGINTs on the day-grain sweep; the three rates are one pinned "
+    "division each. Scale: the sweep is two map-side exploded deltas "
+    "+ one day-grain agg + one ordered window over distinct days — "
+    "the fact never globally sorts.",
+)
+def q_win_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").cast("date").alias("dep"))
+        .where(F.col("dep") >= F.col("o_orderdate").cast("date"))
+        .select(
+            F.col("o_orderdate").cast("date").alias("arr"), "dep"
+        )
+    ).localCheckpoint(eager=False)
+    horizon = spans.agg(
+        F.min("arr").alias("t0"),
+        F.max("dep").alias("t1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.datediff("dep", "arr") + 1).cast("bigint").alias(
+            "total_days"
+        ),
+    )
+    deltas = spans.select(
+        F.col("arr").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(
+            F.date_add("dep", 1).alias("d"), F.lit(-1).alias("delta")
+        )
+    )
+    sweep = deltas.groupBy("d").agg(F.sum("delta").alias("dd"))
+    wlev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    conc = sweep.select(
+        "d",
+        F.sum("dd").over(wlev).alias("level"),
+        F.lead("d").over(Window.orderBy("d")).alias("nxt"),
+    )
+    lsum = conc.where(F.col("nxt").isNotNull()).agg(
+        F.sum(F.col("level") * F.datediff("nxt", "d"))
+        .cast("bigint")
+        .alias("area")
+    )
+    out = horizon.crossJoin(F.broadcast(lsum))
+    hd = (F.datediff("t1", "t0") + 1).cast("bigint")
+    l_avg = F.col("area").cast("double") / hd
+    lam = F.col("n_orders").cast("double") / hd
+    w_avg = F.col("total_days").cast("double") / F.col("n_orders")
+    return out.select(
+        "n_orders",
+        hd.alias("horizon_days"),
+        F.round(l_avg, 6).alias("l_avg"),
+        F.round(lam, 6).alias("lambda_rate"),
+        F.round(w_avg, 6).alias("w_avg"),
+        F.round(l_avg / (lam * w_avg), 6).alias("little_ratio"),
+    )
