@@ -11159,3 +11159,227 @@ def q_agg_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("lambda_upper"),
     )
+
+
+# ==== wave 146: multivariate location test, inequality index =======
+
+
+@register(
+    "q_agg_hotelling_t2",
+    oracle="""
+        WITH pts AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS MATERIALIZED (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pts GROUP BY g
+        ),
+        f AS (
+            SELECT a.n AS n1, b.n AS n2,
+                   CAST(a.sx AS DOUBLE) / a.n
+                       - CAST(b.sx AS DOUBLE) / b.n AS dx,
+                   CAST(a.sy AS DOUBLE) / a.n
+                       - CAST(b.sy AS DOUBLE) / b.n AS dy,
+                   ((CAST(a.sxx AS DOUBLE)
+                     - CAST(a.sx AS DOUBLE) * CAST(a.sx AS DOUBLE) / a.n)
+                    + (CAST(b.sxx AS DOUBLE)
+                       - CAST(b.sx AS DOUBLE) * CAST(b.sx AS DOUBLE) / b.n))
+                   / (a.n + b.n - 2) AS vxx,
+                   ((a.syy
+                     - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE) / a.n)
+                    + (b.syy
+                       - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE) / b.n))
+                   / (a.n + b.n - 2) AS vyy,
+                   ((CAST(a.sxy AS DOUBLE)
+                     - CAST(a.sx AS DOUBLE) * CAST(a.sy AS DOUBLE) / a.n)
+                    + (CAST(b.sxy AS DOUBLE)
+                       - CAST(b.sx AS DOUBLE) * CAST(b.sy AS DOUBLE) / b.n))
+                   / (a.n + b.n - 2) AS vxy
+            FROM (SELECT * FROM m WHERE g = 1) a
+            CROSS JOIN (SELECT * FROM m WHERE g = 0) b
+        )
+        SELECT n1, n2,
+               ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                     * (dx * (vyy * dx - vxy * dy)
+                        + dy * (vxx * dy - vxy * dx))
+                     / (vxx * vyy - vxy * vxy), 6) AS t2,
+               ROUND(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)
+                     * (dx * (vyy * dx - vxy * dy)
+                        + dy * (vxx * dy - vxy * dx))
+                     / (vxx * vyy - vxy * vxy)
+                     * (n1 + n2 - 3)
+                     / (2.0 * (n1 + n2 - 2)), 6) AS f_stat
+        FROM f
+    """,
+    section="A126",
+    doc="Hotelling's two-sample T^2 on the (quantity, price) mean "
+    "vector, returned vs kept lines — the suite's first MULTIVARIATE "
+    "location test: unlike running A113-style t-tests per column, "
+    "T^2 = (n1 n2/(n1+n2)) d' S_pooled^-1 d respects the correlation "
+    "between the two outcomes (a shift along the quantity-price ridge "
+    "is judged differently from one across it); the F conversion uses "
+    "the exact rational (n-p-1)/(p(n-2)) factor at p = 2. The 2x2 "
+    "inverse is closed-form, so everything reduces to exact integer "
+    "moments (the y^2 cross-moment exceeds 2^53 and uses A26's hi/lo "
+    "32-bit double reconstruction) flowing through one pinned IEEE "
+    "tree. Scale: one 2-group moment agg — map-combinable, 1-row "
+    "output.",
+)
+def q_agg_hotelling_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(DecimalType(38, 0))).alias(
+            "syyd"
+        ),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    ).withColumn(
+        "syy",
+        F.expr(
+            "cast(syyd div 4294967296 as double) * 4294967296.0d"
+            " + cast(syyd % 4294967296 as double)"
+        ),
+    )
+    a = m.where(F.col("g") == 1).select(
+        *[F.col(c).alias(f"a_{c}") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+    )
+    b = m.where(F.col("g") == 0).select(
+        *[F.col(c).alias(f"b_{c}") for c in ["n", "sx", "sy", "sxx", "syy", "sxy"]]
+    )
+    j = a.crossJoin(b)
+    n1, n2 = F.col("a_n"), F.col("b_n")
+    dx = F.col("a_sx").cast("double") / n1 - F.col("b_sx").cast("double") / n2
+    dy = F.col("a_sy").cast("double") / n1 - F.col("b_sy").cast("double") / n2
+    dof = (n1 + n2 - 2)
+    vxx = (
+        (
+            F.col("a_sxx").cast("double")
+            - F.col("a_sx").cast("double") * F.col("a_sx").cast("double") / n1
+        )
+        + (
+            F.col("b_sxx").cast("double")
+            - F.col("b_sx").cast("double") * F.col("b_sx").cast("double") / n2
+        )
+    ) / dof
+    vyy = (
+        (
+            F.col("a_syy")
+            - F.col("a_sy").cast("double") * F.col("a_sy").cast("double") / n1
+        )
+        + (
+            F.col("b_syy")
+            - F.col("b_sy").cast("double") * F.col("b_sy").cast("double") / n2
+        )
+    ) / dof
+    vxy = (
+        (
+            F.col("a_sxy").cast("double")
+            - F.col("a_sx").cast("double") * F.col("a_sy").cast("double") / n1
+        )
+        + (
+            F.col("b_sxy").cast("double")
+            - F.col("b_sx").cast("double") * F.col("b_sy").cast("double") / n2
+        )
+    ) / dof
+    t2 = (
+        n1.cast("double")
+        * n2
+        / (n1 + n2)
+        * (dx * (vyy * dx - vxy * dy) + dy * (vxx * dy - vxy * dx))
+        / (vxx * vyy - vxy * vxy)
+    )
+    return j.select(
+        n1.alias("n1"),
+        n2.alias("n2"),
+        F.round(t2, 6).alias("t2"),
+        F.round(
+            t2 * (n1 + n2 - 3) / (F.lit(2.0) * (n1 + n2 - 2)), 6
+        ).alias("f_stat"),
+    )
+
+
+@register(
+    "q_agg_atkinson",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS tot,
+                   CAST(SUM(CAST(1000000000000 AS BIGINT) // cents)
+                        AS BIGINT) AS recip_q12
+            FROM v
+        )
+        SELECT n,
+               ROUND(CAST(tot AS DOUBLE) / n, 4) AS mean_cents,
+               ROUND(CAST(n AS DOUBLE) * 1e12 / CAST(recip_q12 AS DOUBLE),
+                     4) AS harmonic_mean_cents,
+               ROUND(1 - (CAST(n AS DOUBLE) * 1e12
+                          / CAST(recip_q12 AS DOUBLE))
+                         / (CAST(tot AS DOUBLE) / n), 6)
+                   AS atkinson_eps2
+        FROM s
+    """,
+    section="A127",
+    doc="Atkinson inequality index at aversion epsilon = 2 over order "
+    "values: A(2) = 1 - harmonic_mean/mean — the welfare-founded "
+    "inequality measure whose aversion knob A33's Gini lacks (at "
+    "eps = 2 it weights the poor end quadratically, so it moves when "
+    "the bottom of the distribution moves and Gini barely does). The "
+    "determinism device is the INTEGER RECIPROCAL: cents >= 1 are "
+    "int64, so each 1e12 DIV cents term is an exact integer division "
+    "(no float reciprocal anywhere) and the harmonic mean's "
+    "denominator is a pure BIGINT sum — order-insensitive by "
+    "construction; the final index is two pinned divisions. Scale: "
+    "one map-combinable 3-scalar agg over the fact.",
+)
+def q_agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    s = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("tot"),
+        F.sum(F.expr("CAST(1000000000000 AS BIGINT) DIV cents"))
+        .cast("bigint")
+        .alias("recip_q12"),
+    )
+    mean = F.col("tot").cast("double") / F.col("n")
+    hmean = F.col("n").cast("double") * F.lit(1e12) / F.col(
+        "recip_q12"
+    ).cast("double")
+    return s.select(
+        "n",
+        F.round(mean, 4).alias("mean_cents"),
+        F.round(hmean, 4).alias("harmonic_mean_cents"),
+        F.round(1 - hmean / mean, 6).alias("atkinson_eps2"),
+    )
