@@ -5623,3 +5623,95 @@ def q_ts_intervention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "slope_change"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 147a (r5): inter-event burstiness.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ts_interevent_burstiness",
+    oracle="""
+        WITH ordered AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS us,
+                   event_id
+            FROM events
+        ),
+        gaps AS (
+            SELECT event_type,
+                   (us - LAG(us) OVER (
+                       PARTITION BY event_type
+                       ORDER BY us, event_id)) // 1000 AS gap
+            FROM ordered
+        ),
+        s AS (
+            SELECT event_type,
+                   CAST(COUNT(gap) AS BIGINT) AS n,
+                   CAST(SUM(gap) AS BIGINT) AS s1,
+                   CAST(SUM(gap * gap) AS BIGINT) AS s2
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               ROUND(CAST(s1 AS DOUBLE) / n, 4) AS mean_gap_ms,
+               ROUND(sqrt((CAST(n AS DOUBLE) * s2
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * n)), 4) AS sd_gap_ms,
+               ROUND((sqrt((CAST(n AS DOUBLE) * s2
+                            - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * n))
+                      - CAST(s1 AS DOUBLE) / n)
+                     / (sqrt((CAST(n AS DOUBLE) * s2
+                              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                             / (CAST(n AS DOUBLE) * n))
+                        + CAST(s1 AS DOUBLE) / n), 6) AS burstiness
+        FROM s
+    """,
+    section="TS35",
+    doc="Inter-event burstiness (Goh-Barabasi) per event type: "
+    "B = (sigma - mu)/(sigma + mu) of the INTER-ARRIVAL times — "
+    "B -> -1 for a metronome, 0 for a Poisson process, -> +1 for "
+    "heavy-tailed bursts; the arrival-process fingerprint that decides "
+    "queue sizing and rate-limit design, where TS-family counts "
+    "(active_users, heatmaps) only see volume. Distinct from L-family "
+    "TOKEN burstiness (word clustering in text) — this is the "
+    "temporal point process. Gaps are exact integer MILLISECOND "
+    "differences (epoch-micros BIGINTs, integer-divided — the ts "
+    "carries sub-second precision, where a seconds cast ROUNDS in "
+    "DuckDB but TRUNCATES in Spark) under a tie-broken (us, "
+    "event_id) order; "
+    "moments are BIGINTs (population sigma via the n*s2 - s1^2 "
+    "identity), B is one pinned IEEE expression. Scale: per-type "
+    "partitioned window + a map-combinable moment agg.",
+)
+def q_ts_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type").orderBy("us", "event_id")
+    gaps = ordered.select(
+        "event_type",
+        F.expr("(us - LAG(us) OVER (PARTITION BY event_type "
+               "ORDER BY us, event_id)) DIV 1000").alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    s = gaps.groupBy("event_type").agg(
+        F.count("gap").cast("bigint").alias("n"),
+        F.sum("gap").cast("bigint").alias("s1"),
+        F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1 = F.col("s1").cast("double")
+    mu = s1 / F.col("n")
+    sd = F.sqrt((nd * F.col("s2") - s1 * s1) / (nd * F.col("n")))
+    return s.select(
+        "event_type",
+        "n",
+        F.round(mu, 4).alias("mean_gap_ms"),
+        F.round(sd, 4).alias("sd_gap_ms"),
+        F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
+    )

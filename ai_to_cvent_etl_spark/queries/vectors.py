@@ -4126,3 +4126,178 @@ def q_vec_rbo_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rbo"),
     )
+
+
+# ==== wave 147b: linear CKA between embedding halves ===============
+
+
+@register(
+    "q_vec_cka_halves",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, CAST(u.pos AS BIGINT) - 1 AS pos,
+                   CAST(u.val AS DOUBLE) AS val
+            FROM (
+                SELECT vec_id,
+                       unnest(list_transform(embedding,
+                           (x, i) -> struct_pack(val := x, pos := i))) AS u
+                FROM embeddings
+            )
+        ),
+        nn AS (SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n FROM ex),
+        mq AS (
+            SELECT pos,
+                   CAST(SUM(CAST(floor(val * 1e7) AS BIGINT)) AS BIGINT)
+                       AS m_q7
+            FROM ex GROUP BY pos
+        ),
+        centered AS (
+            SELECT e.vec_id, e.pos,
+                   e.val - CAST(m.m_q7 AS DOUBLE) / (nn.n * 1e7) AS c
+            FROM ex e JOIN mq m ON e.pos = m.pos CROSS JOIN nn
+        ),
+        lo AS (SELECT vec_id, pos AS i, c FROM centered WHERE pos < 32),
+        hi AS (SELECT vec_id, pos - 32 AS j, c FROM centered
+               WHERE pos >= 32),
+        cxy AS (
+            SELECT a.i, b.j,
+                   CAST(SUM(CAST(floor(a.c * b.c * 1e10) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lo a JOIN hi b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.j
+        ),
+        cxx AS (
+            SELECT a.i, b.i AS i2,
+                   CAST(SUM(CAST(floor(a.c * b.c * 1e10) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM lo a JOIN lo b ON a.vec_id = b.vec_id
+            GROUP BY a.i, b.i
+        ),
+        cyy AS (
+            SELECT a.j, b.j AS j2,
+                   CAST(SUM(CAST(floor(a.c * b.c * 1e10) AS BIGINT))
+                        AS BIGINT) AS q
+            FROM hi a JOIN hi b ON a.vec_id = b.vec_id
+            GROUP BY a.j, b.j
+        ),
+        frob AS (
+            SELECT
+                (SELECT CAST(SUM(CAST(floor(
+                     (CAST(q AS DOUBLE) / 1e10)
+                     * (CAST(q AS DOUBLE) / 1e10) * 1e6) AS BIGINT))
+                     AS BIGINT) FROM cxy) AS sxy_q6,
+                (SELECT CAST(SUM(CAST(floor(
+                     (CAST(q AS DOUBLE) / 1e10)
+                     * (CAST(q AS DOUBLE) / 1e10) * 1e6) AS BIGINT))
+                     AS BIGINT) FROM cxx) AS sxx_q6,
+                (SELECT CAST(SUM(CAST(floor(
+                     (CAST(q AS DOUBLE) / 1e10)
+                     * (CAST(q AS DOUBLE) / 1e10) * 1e6) AS BIGINT))
+                     AS BIGINT) FROM cyy) AS syy_q6
+        )
+        SELECT (SELECT n FROM nn) AS n_vectors,
+               ROUND((CAST(sxy_q6 AS DOUBLE) / 1e6)
+                     / (sqrt(CAST(sxx_q6 AS DOUBLE) / 1e6)
+                        * sqrt(CAST(syy_q6 AS DOUBLE) / 1e6)), 6)
+                   AS linear_cka
+        FROM frob
+    """,
+    section="V23",
+    doc="Linear CKA (Kornblith et al. 2019) between the FIRST and "
+    "SECOND halves of the embedding space: ||Y'X||_F^2 / (||X'X||_F "
+    "||Y'Y||_F) over column-centered halves — the representation-"
+    "similarity metric at dimension-group grain, here auditing how "
+    "much the back 32 dims merely re-encode the front 32 (high CKA "
+    "=> truncation to 32 dims is nearly free; the quantitative twin "
+    "of V19's matryoshka recall). Everything reduces to three small "
+    "Gram matrices (32x32) built relationally from the posexploded "
+    "dims; every cross term is floor-quantized BEFORE summation "
+    "(floor(c_a c_b 1e10) -> BIGINT) and the Frobenius squares are "
+    "quantized again (1e6), so despite ~5M float products the sums "
+    "are order-insensitive integers end-to-end. Scale: the Gram "
+    "build joins on vec_id (the natural grain) and emits 32^2-row "
+    "matrices regardless of corpus size — the classic 'small Gram, "
+    "big data' shape; means broadcast.",
+)
+def q_vec_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "valf")
+    ).select("vec_id", "pos", F.col("valf").cast("double").alias("val"))
+    nn = ex.agg(F.countDistinct("vec_id").cast("bigint").alias("n"))
+    mq = ex.groupBy("pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1e7)).cast("bigint"))
+        .cast("bigint")
+        .alias("m_q7")
+    )
+    centered = (
+        ex.join(F.broadcast(mq), "pos")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "vec_id",
+            "pos",
+            (
+                F.col("val")
+                - F.col("m_q7").cast("double") / (F.col("n") * F.lit(1e7))
+            ).alias("c"),
+        )
+    ).localCheckpoint(eager=False)
+    lo = centered.where(F.col("pos") < 32).select(
+        "vec_id", F.col("pos").alias("i"), F.col("c").alias("ca")
+    )
+    hi = centered.where(F.col("pos") >= 32).select(
+        F.col("vec_id").alias("v2"),
+        (F.col("pos") - 32).alias("j"),
+        F.col("c").alias("cb"),
+    )
+    lo2 = centered.where(F.col("pos") < 32).select(
+        F.col("vec_id").alias("v2"),
+        F.col("pos").alias("j"),
+        F.col("c").alias("cb"),
+    )
+    hi1 = centered.where(F.col("pos") >= 32).select(
+        "vec_id", (F.col("pos") - 32).alias("i"), F.col("c").alias("ca")
+    )
+
+    def gram(a, b):
+        return (
+            a.join(b, a.vec_id == b.v2)
+            .groupBy("i", "j")
+            .agg(
+                F.sum(
+                    F.floor(F.col("ca") * F.col("cb") * F.lit(1e10)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("q")
+            )
+        )
+
+    def frob(g):
+        qd = F.col("q").cast("double") / F.lit(1e10)
+        return g.agg(
+            F.sum(F.floor(qd * qd * F.lit(1e6)).cast("bigint"))
+            .cast("bigint")
+            .alias("s_q6")
+        )
+
+    sxy = frob(gram(lo, hi)).select(F.col("s_q6").alias("sxy_q6"))
+    sxx = frob(gram(lo, lo2)).select(F.col("s_q6").alias("sxx_q6"))
+    syy = frob(gram(hi1, hi)).select(F.col("s_q6").alias("syy_q6"))
+    out = (
+        sxy.crossJoin(F.broadcast(sxx))
+        .crossJoin(F.broadcast(syy))
+        .crossJoin(F.broadcast(nn))
+    )
+    return out.select(
+        F.col("n").alias("n_vectors"),
+        F.round(
+            (F.col("sxy_q6").cast("double") / F.lit(1e6))
+            / (
+                F.sqrt(F.col("sxx_q6").cast("double") / F.lit(1e6))
+                * F.sqrt(F.col("syy_q6").cast("double") / F.lit(1e6))
+            ),
+            6,
+        ).alias("linear_cka"),
+    )
