@@ -269,6 +269,20 @@ RISKY = [
     "q_agg_tail_dependence",
     "q_text_chao1_richness",
     "q_etl_encoding_advisor",
+    # r5 waves 143-147: closed-form segment fits, NTILE factor ranks,
+    # integer-division proration, cumulative-axis FIFO, sweep-line
+    # integrals, Allen classification, integer reciprocals, quantized
+    # Gram matrices, and microsecond gap moments.
+    "q_ts_intervention",
+    "q_win_factor_backtest",
+    "q_etl_calendarize",
+    "q_etl_fifo_match",
+    "q_win_littles_law",
+    "q_join_allen_census",
+    "q_agg_hotelling_t2",
+    "q_agg_atkinson",
+    "q_ts_interevent_burstiness",
+    "q_vec_cka_halves",
 ]
 
 
