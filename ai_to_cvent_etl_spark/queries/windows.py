@@ -2218,3 +2218,166 @@ def q_win_littles_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w_avg, 6).alias("w_avg"),
         F.round(l_avg / (lam * w_avg), 6).alias("little_ratio"),
     )
+
+
+# ==== wave 148: process mining — variants and directly-follows =====
+
+_PV_TOPK = 20
+
+
+@register(
+    "q_win_process_variants",
+    oracle=f"""
+        WITH traces AS (
+            SELECT user_id,
+                   string_agg(event_type, '->'
+                              ORDER BY epoch_us(ts), event_id) AS variant,
+                   CAST(COUNT(*) AS BIGINT) AS trace_len
+            FROM events
+            GROUP BY user_id
+        ),
+        variants AS (
+            SELECT variant,
+                   CAST(COUNT(*) AS BIGINT) AS n_cases,
+                   CAST(MIN(trace_len) AS BIGINT) AS trace_len
+            FROM traces GROUP BY variant
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_traces FROM traces),
+        ranked AS (
+            SELECT variant, n_cases, trace_len,
+                   ROW_NUMBER() OVER (
+                       ORDER BY n_cases DESC, variant) AS rk
+            FROM variants
+        )
+        SELECT rk AS rank, variant, n_cases, trace_len,
+               ROUND(CAST(n_cases AS DOUBLE) / t.n_traces, 6)
+                   AS case_share
+        FROM ranked CROSS JOIN tot t
+        WHERE rk <= {_PV_TOPK}
+    """,
+    section="W35",
+    doc=f"Process-variant explorer (the first screen of every process-"
+    "mining tool): each user's event stream becomes its ordered "
+    "variant string (event types joined '->'), identical variants "
+    "collapse, and the top-{_PV_TOPK} variants report case counts and "
+    "coverage — showing whether behavior concentrates on a few happy "
+    "paths or fragments into a long tail (the W6 funnel generalized "
+    "from ONE expected path to the observed path DISTRIBUTION). "
+    "Determinism: the within-case order is (epoch-micros, event_id) — "
+    "fully tie-broken integers (TS35's rule); the Spark side builds "
+    "the same string via array_sort over (us, event_id, type) structs "
+    "then a transform+join, because collect_list order is otherwise "
+    "unspecified; ranking ties break on the variant string. Scale: "
+    "one user-keyed agg (traces are short), one variant-keyed count, "
+    "TakeOrdered({_PV_TOPK}) — no global sort.",
+)
+def q_win_process_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    traces = (
+        ev.select(
+            "user_id",
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("et"),
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("s")), lambda s: s["et"]
+                ),
+                "->",
+            ).alias("variant"),
+            F.count(F.lit(1)).cast("bigint").alias("trace_len"),
+        )
+    )
+    variants = traces.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cases"),
+        F.min("trace_len").cast("bigint").alias("trace_len"),
+    )
+    tot = traces.agg(F.count(F.lit(1)).cast("bigint").alias("n_traces"))
+    rk = F.row_number().over(
+        Window.orderBy(F.col("n_cases").desc(), F.col("variant").asc())
+    )
+    return (
+        variants.withColumn("rank", rk)
+        .where(F.col("rank") <= _PV_TOPK)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "variant",
+            "n_cases",
+            "trace_len",
+            F.round(
+                F.col("n_cases").cast("double") / F.col("n_traces"), 6
+            ).alias("case_share"),
+        )
+    )
+
+
+@register(
+    "q_win_process_dfg",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   CAST(epoch_us(ts) AS BIGINT) AS us,
+                   event_id
+            FROM events
+        ),
+        hops AS (
+            SELECT user_id,
+                   LAG(event_type) OVER w AS src,
+                   event_type AS dst,
+                   us - LAG(us) OVER w AS gap_us
+            FROM ordered
+            WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        )
+        SELECT src, dst,
+               CAST(COUNT(*) AS BIGINT) AS n_hops,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_cases,
+               ROUND(CAST(SUM(gap_us // 1000) AS DOUBLE)
+                     / COUNT(*) / 1000, 4) AS mean_gap_s
+        FROM hops WHERE src IS NOT NULL
+        GROUP BY src, dst
+    """,
+    section="W36",
+    doc="Directly-follows graph (the process-mining map behind every "
+    "discovery algorithm — alpha miner, heuristics miner, inductive "
+    "miner all start here): for each consecutive event pair within a "
+    "user's tie-broken (micros, event_id) stream, the transition "
+    "src->dst with hop counts, distinct traversing cases, and mean "
+    "transition delay — W35 gives the path distribution, this gives "
+    "the EDGE structure those paths walk (self-loops and back-edges "
+    "expose rework; heavy skipping edges expose shortcut behavior). "
+    "Gaps are integer milliseconds (TS35's epoch_us rule) summed as "
+    "BIGINTs; the mean is one pinned division. Scale: one partitioned "
+    "lag window + one (src, dst)-keyed agg over a bounded label "
+    "alphabet — the result is |types|^2 rows at any corpus size.",
+)
+def q_win_process_dfg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").cast("bigint").alias("us"),
+        "event_id",
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    hops = ordered.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("src"),
+        F.col("event_type").alias("dst"),
+        (F.col("us") - F.lag("us").over(w)).alias("gap_us"),
+    ).where(F.col("src").isNotNull())
+    return hops.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hops"),
+        F.countDistinct("user_id").cast("bigint").alias("n_cases"),
+        F.round(
+            F.sum(F.expr("gap_us DIV 1000")).cast("double")
+            / F.count(F.lit(1))
+            / 1000,
+            4,
+        ).alias("mean_gap_s"),
+    )
