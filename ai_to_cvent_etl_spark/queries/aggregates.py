@@ -11383,3 +11383,182 @@ def q_agg_atkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(hmean, 4).alias("harmonic_mean_cents"),
         F.round(1 - hmean / mean, 6).alias("atkinson_eps2"),
     )
+
+
+# ==== wave 149a: restricted mean survival time =====================
+
+_RMST_TAU = 60
+# floor(ln(0.5) * 1e12): S(t) <= 0.5 iff the quantized log-sum is <=
+# this integer — the median-survival compare never touches a float.
+_LN_HALF_Q12 = -693147180560
+
+
+@register(
+    "q_agg_survival_rmst",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap
+            FROM orders
+        ),
+        ev AS (
+            SELECT gap AS t, CAST(COUNT(*) AS BIGINT) AS d
+            FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+        ),
+        km AS (
+            SELECT t, d,
+                   CAST(SUM(d) OVER () AS BIGINT)
+                   - CAST(SUM(d) OVER w AS BIGINT) + d AS n_risk
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        lg AS (
+            SELECT t, d, n_risk,
+                   CASE WHEN d < n_risk
+                        THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                        END AS term,
+                   MAX(CASE WHEN d >= n_risk THEN 1 ELSE 0 END) OVER w
+                       AS dead
+            FROM km
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        surv AS (
+            SELECT t, dead,
+                   CAST(SUM(CAST(floor(term * 1e12) AS DECIMAL(38,0)))
+                        OVER w AS BIGINT) AS ls_q12,
+                   LEAD(t) OVER (ORDER BY t) AS nxt
+            FROM lg
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        segs AS (
+            SELECT t,
+                   CASE WHEN dead = 1 THEN 0.0
+                        ELSE exp(CAST(ls_q12 AS DOUBLE) / 1e12) END AS s,
+                   GREATEST(LEAST(COALESCE(nxt, {_RMST_TAU}),
+                                  {_RMST_TAU}) - t, 0) AS dt
+            FROM surv WHERE t < {_RMST_TAU}
+        ),
+        area AS (
+            SELECT CAST(SUM(CAST(floor(s * dt * 1e8) AS BIGINT))
+                        AS BIGINT) AS a_q8
+            FROM segs WHERE dt > 0
+        ),
+        head AS (
+            SELECT CAST(LEAST(MIN(t), {_RMST_TAU}) AS BIGINT) AS t1
+            FROM ev
+        ),
+        med AS (
+            SELECT CAST(MIN(t) AS BIGINT) AS median_t
+            FROM surv WHERE dead = 1 OR ls_q12 <= {_LN_HALF_Q12}
+        )
+        SELECT CAST({_RMST_TAU} AS BIGINT) AS tau_days,
+               ROUND(h.t1 + CAST(a.a_q8 AS DOUBLE) / 1e8, 4)
+                   AS rmst_days,
+               m.median_t AS median_survival_days
+        FROM area a CROSS JOIN head h CROSS JOIN med m
+    """,
+    section="A128",
+    doc=f"Restricted mean survival time to tau = {_RMST_TAU} days plus "
+    "the median survival time, on A33's Kaplan-Meier curve (customer "
+    "inter-order gaps): RMST = area under S(t) up to tau — the "
+    "effect measure of choice when hazards are not proportional (a "
+    "mean with a guaranteed finite horizon), and the single number "
+    "('average days of customer life in the first 60') that the full "
+    "A33 curve makes you eyeball. Devices: S(t) comes from the SAME "
+    "quantized log-sum as A33 (bit-identical partials), each area "
+    "segment floor(S*dt*1e8)-quantizes BEFORE the sum (order-"
+    "insensitive), the leading S=1 segment is exact integer days, "
+    "and the MEDIAN needs no float compare at all — S <= 1/2 iff the "
+    "integer log-sum is <= floor(ln(1/2)*1e12), a Python literal. "
+    "Scale: identical to A33 (|customers| lead window, |gaps| curve).",
+)
+def q_agg_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    wn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(F.lead("o_orderdate").over(wn), F.col("o_orderdate")).alias(
+            "gap"
+        )
+    ).where(F.col("gap").isNotNull())
+    ev = gaps.groupBy(F.col("gap").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    km = ev.select(
+        "t",
+        "d",
+        (
+            F.sum("d").over(wall).cast("bigint")
+            - F.sum("d").over(w).cast("bigint")
+            + F.col("d")
+        ).alias("n_risk"),
+    )
+    lg = km.select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+        ).alias("term"),
+        F.max(
+            F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0)
+        )
+        .over(w)
+        .alias("dead"),
+    )
+    surv = lg.select(
+        "t",
+        "dead",
+        F.sum(
+            F.floor(F.col("term") * F.lit(1e12)).cast(DecimalType(38, 0))
+        )
+        .over(w)
+        .cast("bigint")
+        .alias("ls_q12"),
+        F.lead("t").over(Window.orderBy("t")).alias("nxt"),
+    ).localCheckpoint(eager=False)
+    segs = surv.where(F.col("t") < _RMST_TAU).select(
+        F.when(F.col("dead") == 1, F.lit(0.0))
+        .otherwise(F.exp(F.col("ls_q12").cast("double") / F.lit(1e12)))
+        .alias("s"),
+        F.greatest(
+            F.least(
+                F.coalesce(F.col("nxt"), F.lit(_RMST_TAU)),
+                F.lit(_RMST_TAU),
+            )
+            - F.col("t"),
+            F.lit(0),
+        ).alias("dt"),
+    )
+    area = segs.where(F.col("dt") > 0).agg(
+        F.sum(
+            F.floor(F.col("s") * F.col("dt") * F.lit(1e8)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("a_q8")
+    )
+    head = ev.agg(
+        F.least(F.min("t"), F.lit(_RMST_TAU)).cast("bigint").alias("t1")
+    )
+    med = surv.where(
+        (F.col("dead") == 1) | (F.col("ls_q12") <= F.lit(_LN_HALF_Q12))
+    ).agg(F.min("t").cast("bigint").alias("median_t"))
+    return (
+        area.crossJoin(F.broadcast(head))
+        .crossJoin(F.broadcast(med))
+        .select(
+            F.lit(_RMST_TAU).cast("bigint").alias("tau_days"),
+            F.round(
+                F.col("t1") + F.col("a_q8").cast("double") / F.lit(1e8), 4
+            ).alias("rmst_days"),
+            F.col("median_t").alias("median_survival_days"),
+        )
+    )

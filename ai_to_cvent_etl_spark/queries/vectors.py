@@ -4301,3 +4301,129 @@ def q_vec_cka_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("linear_cka"),
     )
+
+
+# ==== wave 149b: recommendation-quality pair — coverage & diversity
+
+
+@register(
+    "q_vec_intra_list_diversity",
+    oracle="""
+        WITH words AS (
+            SELECT vec_id, embedding FROM embeddings
+        ),
+        nn AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                         q.embedding, n.embedding) DESC,
+                                     n.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < 10) q
+                JOIN embeddings n ON n.vec_id <> q.vec_id
+            ) WHERE rank <= 5
+        ),
+        pairs AS (
+            SELECT a.query_id,
+                   CAST(floor(list_cosine_similarity(ea.embedding,
+                                                     eb.embedding) * 1e8)
+                        AS BIGINT) AS sim_q8
+            FROM nn a JOIN nn b
+              ON a.query_id = b.query_id
+             AND a.neighbor_id < b.neighbor_id
+            JOIN words ea ON ea.vec_id = a.neighbor_id
+            JOIN words eb ON eb.vec_id = b.neighbor_id
+        ),
+        ild AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   CAST(SUM(sim_q8) AS BIGINT) AS s_q8
+            FROM pairs
+        ),
+        cov AS (
+            SELECT CAST(COUNT(DISTINCT neighbor_id) AS BIGINT)
+                       AS n_recommended,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM embeddings)
+                       AS n_catalog
+            FROM nn
+        )
+        SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT) FROM nn)
+                   AS n_queries,
+               c.n_recommended, c.n_catalog,
+               ROUND(CAST(c.n_recommended AS DOUBLE) / c.n_catalog, 6)
+                   AS catalog_coverage,
+               ROUND(1 - CAST(i.s_q8 AS DOUBLE) / 1e8 / i.n_pairs, 6)
+                   AS mean_ild
+        FROM ild i CROSS JOIN cov c
+    """,
+    section="V24",
+    doc="Recommendation-quality pair over the V3 top-5 lists: catalog "
+    "COVERAGE (share of the corpus any list ever surfaces — low "
+    "coverage means the retriever recycles the same popular items) "
+    "and intra-list DIVERSITY (1 - mean pairwise cosine WITHIN each "
+    "list, pooled) — the two metrics that expose a retriever which "
+    "aces V12's recall while returning five near-copies of the same "
+    "thing; together with V20's MMR re-ranker they form the "
+    "diversity measure-and-fix pair. Per-pair similarities are "
+    "floor(sim*1e8)-quantized before the pooled sum (10 queries x "
+    "C(5,2) pairs — integer, order-insensitive); coverage is pure "
+    "counting. Scale: the pair stage is k^2 per query on ALREADY-"
+    "RANKED lists (never the corpus); the neighbor-embedding joins "
+    "broadcast the 50-row list table against the corpus.",
+)
+def q_vec_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries.vectors import q_vec_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    nn = q_vec_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    a = nn.select("query_id", F.col("neighbor_id").alias("na"))
+    b = nn.select(
+        F.col("query_id").alias("q2"), F.col("neighbor_id").alias("nb")
+    )
+    ea = emb.select(
+        F.col("vec_id").alias("na"), F.col("embedding").alias("emb_a")
+    ).withColumn("norm_a", F.sqrt(_sq_norm("emb_a")))
+    eb = emb.select(
+        F.col("vec_id").alias("nb"), F.col("embedding").alias("emb_b")
+    ).withColumn("norm_b", F.sqrt(_sq_norm("emb_b")))
+    sim = _dot("emb_a", "emb_b") / (F.col("norm_a") * F.col("norm_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("query_id") == F.col("q2"))
+            & (F.col("na") < F.col("nb")),
+        )
+        .join(ea, "na")
+        .join(eb, "nb")
+        .select(
+            F.floor(sim * F.lit(1e8)).cast("bigint").alias("sim_q8")
+        )
+    )
+    ild = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("sim_q8").cast("bigint").alias("s_q8"),
+    )
+    cov = nn.agg(
+        F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+        F.countDistinct("neighbor_id").cast("bigint").alias("n_recommended"),
+    ).crossJoin(
+        F.broadcast(
+            emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_catalog"))
+        )
+    )
+    return ild.crossJoin(F.broadcast(cov)).select(
+        "n_queries",
+        "n_recommended",
+        "n_catalog",
+        F.round(
+            F.col("n_recommended").cast("double") / F.col("n_catalog"), 6
+        ).alias("catalog_coverage"),
+        F.round(
+            1
+            - F.col("s_q8").cast("double")
+            / F.lit(1e8)
+            / F.col("n_pairs"),
+            6,
+        ).alias("mean_ild"),
+    )
