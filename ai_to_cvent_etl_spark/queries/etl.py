@@ -3717,3 +3717,146 @@ def q_etl_fifo_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("unmatched_demand"),
     )
+
+
+# ==== wave 150: end-to-end curation pipeline (marquee composite) ===
+
+_CUR_LANGS = ("en", "de", "fr")
+_CUR_MIN_CHARS = 60
+_CUR_MIN_TOKENS = 8
+_CUR_SHARD_BYTES = 20_000
+
+
+@register(
+    "q_etl_curation_e2e",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, lang, n_chars,
+                   lower(trim(regexp_replace(text, ' +', ' ', 'g')))
+                       AS norm
+            FROM documents
+        ),
+        dedup AS (
+            SELECT MIN(doc_id) AS doc_id,
+                   arg_min(lang, doc_id) AS lang,
+                   MIN(n_chars) AS n_chars, norm
+            FROM raw GROUP BY norm
+        ),
+        quality AS (
+            SELECT * FROM dedup
+            WHERE n_chars >= {_CUR_MIN_CHARS}
+              AND len(string_split(norm, ' ')) >= {_CUR_MIN_TOKENS}
+        ),
+        langf AS (
+            SELECT * FROM quality
+            WHERE lang IN {str(_CUR_LANGS)}
+        ),
+        packed AS (
+            SELECT doc_id, n_chars,
+                   (SUM(n_chars) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_chars) // {_CUR_SHARD_BYTES} AS shard
+            FROM langf
+        )
+        SELECT 1 AS stage_no, 'raw' AS stage,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS n_docs,
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM raw) AS n_bytes,
+               CAST(NULL AS BIGINT) AS n_shards
+        UNION ALL
+        SELECT 2, 'exact_dedup',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM dedup),
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM dedup),
+               NULL
+        UNION ALL
+        SELECT 3, 'quality_gate',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM quality),
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM quality),
+               NULL
+        UNION ALL
+        SELECT 4, 'lang_filter',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM langf),
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM langf),
+               NULL
+        UNION ALL
+        SELECT 5, 'packed',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM packed),
+               (SELECT CAST(SUM(n_chars) AS BIGINT) FROM packed),
+               (SELECT CAST(COUNT(DISTINCT shard) AS BIGINT) FROM packed)
+    """,
+    section="E39",
+    doc="End-to-end curation pipeline as ONE gated query — the marquee "
+    "composition of the LLM-data story the family queries tell "
+    "piecewise: normalize (lower/trim/space-collapse) -> exact dedup "
+    "on the normalized key (keep min doc_id) -> quality gate (length "
+    f">= {_CUR_MIN_CHARS} chars, >= {_CUR_MIN_TOKENS} tokens) -> "
+    f"language allowlist {_CUR_LANGS} -> byte-budget shard packing "
+    "(E29's prefix device), emitting the stage-by-stage funnel "
+    "(docs, bytes) and the final shard count. This is the query a "
+    "user actually ships; every stage reuses a device already "
+    "hash-proved in isolation (U6 normalization, E29 packing, L16 "
+    "filter chains), so the composite's oracle doubles as an "
+    "integration test of their interaction. All counting is integer; "
+    "the kept doc's lang is min_by/arg_min on doc_id (deterministic "
+    "winner attribution), never ANY_VALUE. Scale: dedup is one hash-key shuffle of 16-byte keys; the "
+    "pack's global prefix sum is the documented two-pass pattern at "
+    "cluster scale; filters are map-side.",
+)
+def q_etl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.lower(
+            F.trim(F.regexp_replace(F.col("text"), " +", " "))
+        ).alias("norm"),
+    )
+    dedup = raw.groupBy("norm").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min("n_chars").alias("n_chars"),
+    )
+    quality = dedup.where(
+        (F.col("n_chars") >= _CUR_MIN_CHARS)
+        & (F.size(F.split(F.col("norm"), " ")) >= _CUR_MIN_TOKENS)
+    )
+    langf = quality.where(F.col("lang").isin(*_CUR_LANGS)).localCheckpoint(
+        eager=False
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = langf.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"(SUM(n_chars) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+            f"PRECEDING AND CURRENT ROW) - n_chars) DIV {_CUR_SHARD_BYTES}"
+        ).alias("shard"),
+    )
+
+    def stage(no, name, df, with_shards=None):
+        aggs = [
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_bytes"),
+        ]
+        if with_shards is not None:
+            aggs.append(
+                F.countDistinct(with_shards).cast("bigint").alias("n_shards")
+            )
+        out = df.agg(*aggs)
+        if with_shards is None:
+            out = out.withColumn("n_shards", F.lit(None).cast("bigint"))
+        return out.select(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            "n_docs",
+            "n_bytes",
+            "n_shards",
+        )
+
+    return (
+        stage(1, "raw", raw)
+        .unionByName(stage(2, "exact_dedup", dedup))
+        .unionByName(stage(3, "quality_gate", quality))
+        .unionByName(stage(4, "lang_filter", langf))
+        .unionByName(stage(5, "packed", packed, with_shards="shard"))
+    )

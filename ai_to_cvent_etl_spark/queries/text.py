@@ -1140,3 +1140,106 @@ def q_text_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _TR_TOPK)
         .select("tok", F.round("pr", 6).alias("textrank"))
     )
+
+
+# ==== wave 150b: dedup's distributional side-effect ================
+
+
+@register(
+    "q_dedup_mix_shift",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, source,
+                   lower(trim(regexp_replace(text, ' +', ' ', 'g')))
+                       AS norm
+            FROM documents
+        ),
+        keep AS (
+            SELECT MIN(doc_id) AS doc_id, arg_min(source, doc_id) AS k_source
+            FROM raw GROUP BY norm
+        ),
+        pre AS (
+            SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pre
+            FROM raw GROUP BY source
+        ),
+        post AS (
+            SELECT k.k_source AS source, CAST(COUNT(*) AS BIGINT) AS n_post
+            FROM keep k GROUP BY k.k_source
+        ),
+        tot AS (
+            SELECT (SELECT CAST(SUM(n_pre) AS BIGINT) FROM pre) AS t_pre,
+                   (SELECT CAST(SUM(n_post) AS BIGINT) FROM post) AS t_post
+        )
+        SELECT p.source, p.n_pre,
+               CAST(COALESCE(q.n_post, 0) AS BIGINT) AS n_post,
+               CAST(p.n_pre - COALESCE(q.n_post, 0) AS BIGINT) AS n_removed,
+               ROUND(CAST(p.n_pre AS DOUBLE) / t.t_pre, 6) AS share_pre,
+               ROUND(CAST(COALESCE(q.n_post, 0) AS DOUBLE) / t.t_post, 6)
+                   AS share_post,
+               ROUND(CAST(COALESCE(q.n_post, 0) AS DOUBLE) / t.t_post
+                     - CAST(p.n_pre AS DOUBLE) / t.t_pre, 6)
+                   AS share_shift
+        FROM pre p LEFT JOIN post q ON p.source = q.source
+        CROSS JOIN tot t
+    """,
+    section="D17",
+    doc="Dedup's distributional side-effect, per source: corpus mix "
+    "BEFORE vs AFTER exact dedup (U6's normalize-and-keep-min rule, "
+    "with the kept doc's source attributed via min_by/arg_min on "
+    "doc_id — ANY_VALUE would be nondeterministic when a norm group "
+    "spans sources, which is exactly the cross-source case that "
+    "matters here) — the audit "
+    "LLM-data teams run because dedup is never mix-neutral: "
+    "templated/mirrored sources lose disproportionate mass, so the "
+    "post-dedup mixture silently drifts from the curated target "
+    "(E-family temperature_resample then has to re-weight from "
+    "THESE numbers, and D14's source_matrix shows WHERE the removed "
+    "mass collided). All counts integer; shares are one division "
+    "each. Scale: one 16-byte-key dedup shuffle + two source-grain "
+    "rollups — nothing beyond D10's existing shape.",
+)
+def q_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.lower(
+            F.trim(F.regexp_replace(F.col("text"), " +", " "))
+        ).alias("norm"),
+    )
+    keep_w = Window.partitionBy("norm")
+    keep = (
+        raw.groupBy("norm")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("source", "doc_id").alias("k_source"),
+        )
+    )
+    pre = raw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pre")
+    )
+    post = keep.groupBy(F.col("k_source").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_post")
+    )
+    tot = pre.agg(F.sum("n_pre").cast("bigint").alias("t_pre")).crossJoin(
+        post.agg(F.sum("n_post").cast("bigint").alias("t_post"))
+    )
+    j = pre.join(post, "source", "left").crossJoin(F.broadcast(tot))
+    npost = F.coalesce(F.col("n_post"), F.lit(0))
+    return j.select(
+        "source",
+        "n_pre",
+        npost.cast("bigint").alias("n_post"),
+        (F.col("n_pre") - npost).cast("bigint").alias("n_removed"),
+        F.round(
+            F.col("n_pre").cast("double") / F.col("t_pre"), 6
+        ).alias("share_pre"),
+        F.round(npost.cast("double") / F.col("t_post"), 6).alias(
+            "share_post"
+        ),
+        F.round(
+            npost.cast("double") / F.col("t_post")
+            - F.col("n_pre").cast("double") / F.col("t_pre"),
+            6,
+        ).alias("share_shift"),
+    )
