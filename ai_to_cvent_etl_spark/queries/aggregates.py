@@ -11562,3 +11562,172 @@ def q_agg_survival_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("median_t").alias("median_survival_days"),
         )
     )
+
+
+# ==== wave 151: classifier panel, modern dependence ================
+
+
+@register(
+    "q_agg_binary_metrics",
+    oracle="""
+        WITH pred AS (
+            SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS y,
+                   CASE WHEN value > 150 THEN 1 ELSE 0 END AS p
+            FROM events
+        ),
+        c AS (
+            SELECT CAST(SUM(y * p) AS BIGINT) AS tp,
+                   CAST(SUM((1 - y) * p) AS BIGINT) AS fp,
+                   CAST(SUM(y * (1 - p)) AS BIGINT) AS fn,
+                   CAST(SUM((1 - y) * (1 - p)) AS BIGINT) AS tn
+            FROM pred
+        )
+        SELECT tp, fp, fn, tn,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) AS precision,
+               ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) AS recall,
+               ROUND(CAST(2 * tp AS DOUBLE) / (2 * tp + fp + fn), 6)
+                   AS f1,
+               ROUND((CAST(tp AS DOUBLE) * tn
+                      - CAST(fp AS DOUBLE) * fn)
+                     / sqrt((CAST(tp + fp AS DOUBLE))
+                            * (CAST(tp + fn AS DOUBLE))
+                            * (CAST(tn + fp AS DOUBLE))
+                            * (CAST(tn + fn AS DOUBLE))), 6) AS mcc
+        FROM c
+    """,
+    section="A129",
+    doc="The binary-classifier panel (value>150 predicting purchase, "
+    "the A57 setup): confusion counts plus precision, recall, F1, and "
+    "Matthews correlation — MCC being the one scalar that stays "
+    "honest under imbalance AND label inversion (F1 is asymmetric in "
+    "the positive class; A119's AP needs scores, this needs only the "
+    "hard decision). The panel A58/A119 presuppose but nothing in "
+    "the suite emitted directly. Four integer cell counts, four "
+    "pinned expressions (the MCC product stays inside double range: "
+    "each factor <= n, n^4 <= 1e24 representable). Scale: one "
+    "map-combinable 4-scalar agg.",
+)
+def q_agg_binary_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pred = ev.select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+        F.when(F.col("value") > 150, 1).otherwise(0).alias("p"),
+    )
+    c = pred.agg(
+        F.sum(F.col("y") * F.col("p")).cast("bigint").alias("tp"),
+        F.sum((1 - F.col("y")) * F.col("p")).cast("bigint").alias("fp"),
+        F.sum(F.col("y") * (1 - F.col("p"))).cast("bigint").alias("fn"),
+        F.sum((1 - F.col("y")) * (1 - F.col("p")))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (F.col(c_) for c_ in ["tp", "fp", "fn", "tn"])
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall"),
+        F.round((2 * tp).cast("double") / (2 * tp + fp + fn), 6).alias(
+            "f1"
+        ),
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double")
+                * (tp + fn).cast("double")
+                * (tn + fp).cast("double")
+                * (tn + fn).cast("double")
+            ),
+            6,
+        ).alias("mcc"),
+    )
+
+
+@register(
+    "q_agg_chatterjee_xi",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x,
+                   CAST(date_diff('day', TIMESTAMP '1995-01-01 00:00:00',
+                                  o_orderdate) AS BIGINT) AS y,
+                   o_orderkey AS k
+            FROM orders
+        ),
+        ranked AS (
+            SELECT x, k,
+                   CAST(ROW_NUMBER() OVER (ORDER BY y, k) AS BIGINT)
+                       AS ry
+            FROM pts
+        ),
+        seq AS (
+            SELECT ry,
+                   LEAD(ry) OVER (ORDER BY x, k) AS ry_next
+            FROM ranked
+        ),
+        s AS (
+            SELECT CAST(SUM(abs(ry_next - ry)) AS BIGINT) AS sum_adj,
+                   CAST(COUNT(*) + 1 AS BIGINT) AS n
+            FROM seq WHERE ry_next IS NOT NULL
+        )
+        SELECT n,
+               ROUND(1 - CAST(3 * sum_adj AS DOUBLE)
+                         / (CAST(n AS DOUBLE) * n - 1), 6) AS xi
+        FROM s
+    """,
+    section="A130",
+    doc="Chatterjee's xi correlation (2020) between order value and "
+    "order date: xi = 1 - 3 sum|r_(i+1) - r_i| / (n^2 - 1) over "
+    "y-ranks taken in x-order — the modern dependence coefficient "
+    "that is ~0 iff independent and -> 1 iff y is a measurable "
+    "FUNCTION of x, so unlike A26 (linear) and A107 (monotone) it "
+    "detects oscillating or V-shaped dependence; its price is "
+    "asymmetry (xi(x,y) != xi(y,x)), which is the point — it tests "
+    "'does x determine y'. Ranks are strict row_numbers under fully "
+    "tie-broken (value, key) orders (the vanishing-tie convention, "
+    "pinned identically on both engines); the adjacent-rank sum is "
+    "pure int64; one final pinned division. Scale: two ordered "
+    "windows over the value grain and a scalar rollup — at cluster "
+    "scale both are range-partitioned sorts of narrow int pairs.",
+)
+def q_agg_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    pts = orders.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("x"),
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+        )
+        .cast("bigint")
+        .alias("y"),
+        F.col("o_orderkey").alias("k"),
+    )
+    ranked = pts.select(
+        "x",
+        "k",
+        F.row_number().over(Window.orderBy("y", "k")).cast("bigint").alias(
+            "ry"
+        ),
+    )
+    seq = ranked.select(
+        "ry", F.lead("ry").over(Window.orderBy("x", "k")).alias("ry_next")
+    )
+    s = seq.where(F.col("ry_next").isNotNull()).agg(
+        F.sum(F.abs(F.col("ry_next") - F.col("ry")))
+        .cast("bigint")
+        .alias("sum_adj"),
+        (F.count(F.lit(1)) + 1).cast("bigint").alias("n"),
+    )
+    return s.select(
+        "n",
+        F.round(
+            1
+            - (3 * F.col("sum_adj")).cast("double")
+            / (F.col("n").cast("double") * F.col("n") - 1),
+            6,
+        ).alias("xi"),
+    )
