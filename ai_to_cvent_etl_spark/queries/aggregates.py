@@ -11731,3 +11731,215 @@ def q_agg_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("xi"),
     )
+
+
+# ==== wave 152: tail risk and factor exposure ======================
+
+
+@register(
+    "q_agg_expected_shortfall",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        thr AS (
+            SELECT MIN(cents) AS var95 FROM (
+                SELECT cents, SUM(c) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS cum
+                FROM (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+                      FROM v GROUP BY cents)
+            ), nn WHERE cum >= (19 * n + 19) // 20
+        ),
+        tail AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tail,
+                   CAST(SUM(v.cents) AS BIGINT) AS s_tail
+            FROM v CROSS JOIN thr WHERE v.cents >= thr.var95
+        )
+        SELECT nn.n, thr.var95 AS var95_cents,
+               t.n_tail,
+               ROUND(CAST(t.s_tail AS DOUBLE) / t.n_tail, 4)
+                   AS es95_cents
+        FROM nn CROSS JOIN thr CROSS JOIN tail t
+    """,
+    section="A131",
+    doc="Value-at-Risk and Expected Shortfall at the 95th percentile "
+    "of order values: VaR as the NEAREST-RANK order statistic "
+    "(A125's integer (19n+19) DIV 20 device — no float quantile), "
+    "ES as the exact conditional mean AT OR BEYOND it — the "
+    "coherent tail-risk pair (ES is subadditive where VaR is not, "
+    "which is why Basel moved to it), and the one-variable sibling "
+    "of A125's joint tail. All counts and sums are integer cents; "
+    "one division. Scale: one value-grain cumulant for the "
+    "threshold + one scan with a broadcast scalar — no sort of the "
+    "fact.",
+)
+def q_agg_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    nn = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grain = v.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    thr = (
+        grain.select("cents", F.sum("c").over(w).alias("cum"))
+        .crossJoin(F.broadcast(nn))
+        .where(F.col("cum") >= F.expr("(19 * n + 19) DIV 20"))
+        .agg(F.min("cents").alias("var95"))
+    )
+    tail = (
+        v.crossJoin(F.broadcast(thr))
+        .where(F.col("cents") >= F.col("var95"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tail"),
+            F.sum("cents").cast("bigint").alias("s_tail"),
+            F.max("var95").alias("var95_cents"),
+        )
+    )
+    return tail.crossJoin(F.broadcast(nn)).select(
+        "n",
+        "var95_cents",
+        "n_tail",
+        F.round(
+            F.col("s_tail").cast("double") / F.col("n_tail"), 4
+        ).alias("es95_cents"),
+    )
+
+
+@register(
+    "q_agg_market_beta",
+    oracle="""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   (date_part('year', o.o_orderdate) - 1995) * 12
+                   + date_part('month', o.o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        mkt AS (
+            SELECT m, CAST(SUM(cents) AS BIGINT) AS mkt_cents
+            FROM monthly GROUP BY m
+        ),
+        paired AS (
+            SELECT mo.nation, mo.cents AS y, k.mkt_cents AS x
+            FROM monthly mo JOIN mkt k ON mo.m = k.m
+        ),
+        moments AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(y AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(y AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxy
+            FROM paired GROUP BY nation
+        )
+        SELECT nation, n,
+               ROUND((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS beta,
+               ROUND((CAST(sy AS DOUBLE)
+                      - (CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * CAST(sx AS DOUBLE)) / n, 4) AS alpha_cents
+        FROM moments
+    """,
+    section="A132",
+    doc="Per-nation market beta: each nation's monthly revenue "
+    "regressed on the TOTAL market's monthly revenue — beta > 1 "
+    "nations amplify the aggregate cycle, beta ~ 0 nations are "
+    "idiosyncratic; with the alpha intercept this is the one-factor "
+    "exposure model (CAPM shape) as a grouped closed-form OLS, the "
+    "panel complement of W33's cross-sectional momentum. The x^2 "
+    "and xy cross-moments exceed 2^53 (market cents ~ 1e10 squared), "
+    "so both engines rebuild the doubles with A26's hi/lo 32-bit "
+    "device over DECIMAL(38,0) sums; slope/intercept are pinned "
+    "IEEE. Scale: the factor series is a broadcast |months|-row "
+    "table; one (nation, month) agg + one nation-grain moment agg.",
+)
+def q_agg_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), mo.alias("m"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    ).localCheckpoint(eager=False)
+    mkt = monthly.groupBy("m").agg(
+        F.sum("cents").cast("bigint").alias("mkt_cents")
+    )
+    paired = monthly.join(F.broadcast(mkt), "m").select(
+        "nation",
+        F.col("cents").alias("y"),
+        F.col("mkt_cents").alias("x"),
+    )
+    moments = paired.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(
+            F.col("x").cast(DecimalType(38, 0))
+            * F.col("x").cast(DecimalType(38, 0))
+        ).alias("sxxd"),
+        F.sum(
+            F.col("x").cast(DecimalType(38, 0))
+            * F.col("y").cast(DecimalType(38, 0))
+        ).alias("sxyd"),
+    )
+    moments = moments.withColumn(
+        "sxx",
+        F.expr(
+            "cast(sxxd div 4294967296 as double) * 4294967296.0d"
+            " + cast(sxxd % 4294967296 as double)"
+        ),
+    ).withColumn(
+        "sxy",
+        F.expr(
+            "cast(sxyd div 4294967296 as double) * 4294967296.0d"
+            " + cast(sxyd % 4294967296 as double)"
+        ),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    beta = (nd * F.col("sxy") - sx * sy) / (nd * F.col("sxx") - sx * sx)
+    alpha = (sy - beta * sx) / F.col("n")
+    return moments.select(
+        "nation",
+        "n",
+        F.round(beta, 6).alias("beta"),
+        F.round(alpha, 4).alias("alpha_cents"),
+    )
