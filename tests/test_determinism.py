@@ -283,6 +283,19 @@ RISKY = [
     "q_agg_atkinson",
     "q_ts_interevent_burstiness",
     "q_vec_cka_halves",
+    # r5 waves 148-152: sorted trace strings, DFG lags, quantized KM
+    # areas, list-pair diversity, composed funnels, winner attribution,
+    # strict-rank xi, nearest-rank tail statistics, grouped beta.
+    "q_win_process_variants",
+    "q_win_process_dfg",
+    "q_agg_survival_rmst",
+    "q_vec_intra_list_diversity",
+    "q_etl_curation_e2e",
+    "q_dedup_mix_shift",
+    "q_agg_binary_metrics",
+    "q_agg_chatterjee_xi",
+    "q_agg_expected_shortfall",
+    "q_agg_market_beta",
 ]
 
 
