@@ -11943,3 +11943,218 @@ def q_agg_market_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(beta, 6).alias("beta"),
         F.round(alpha, 4).alias("alpha_cents"),
     )
+
+
+# ==== wave 153: instrumental variables, gap decomposition ==========
+
+
+@register(
+    "q_agg_iv_wald",
+    oracle="""
+        WITH pts AS (
+            SELECT o.o_orderkey,
+                   CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS z,
+                   CAST(date_diff('day', o.o_orderdate, MAX(l.l_shipdate))
+                        AS BIGINT) AS x,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+                     o.o_totalprice
+            HAVING MAX(l.l_shipdate) >= o.o_orderdate
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(z) AS BIGINT) AS sz,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(z * z) AS BIGINT) AS szz,
+                   CAST(SUM(z * x) AS BIGINT) AS szx,
+                   CAST(SUM(z * y) AS BIGINT) AS szy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pts
+        )
+        SELECT n,
+               ROUND((CAST(n AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS beta_ols,
+               ROUND((CAST(n AS DOUBLE) * szy
+                      - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * szx
+                        - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                   AS beta_iv,
+               ROUND((CAST(n AS DOUBLE) * szx
+                      - CAST(sz AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * szz
+                        - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE)), 6)
+                   AS first_stage_slope
+        FROM m
+    """,
+    section="A133",
+    doc="Instrumental-variable (Wald/2SLS, one instrument) estimate of "
+    "fulfillment delay's effect on order value: priority class (the "
+    "digit) instruments the delay — beta_IV = cov(z,y)/cov(z,x), "
+    "reported NEXT TO the naive OLS slope so the confounding bias is "
+    "visible as their gap, plus the first-stage slope (instrument "
+    "strength; near-zero => weak-instrument territory and beta_IV is "
+    "garbage). Completes the causal toolkit: A122 DiD (parallel "
+    "trends), A123 stratification (observables), TS34 ITS (pre-"
+    "trend), now IV (exclusion restriction). All moments are exact "
+    "BIGINTs at the order grain (delay <= ~2.5k days, z <= 5 — far "
+    "under int64); the three ratios are pinned IEEE. Scale: one "
+    "order-grain agg (max shipdate per order) + one 9-scalar "
+    "map-combinable moment agg.",
+)
+def q_agg_iv_wald(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice")
+        .agg(F.max("l_shipdate").alias("dep"))
+        .where(F.col("dep") >= F.col("o_orderdate"))
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("z"),
+            F.datediff("dep", "o_orderdate").cast("bigint").alias("x"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("z") * F.col("x")).cast("bigint").alias("szx"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def cov(sab, sa, sb):
+        return nd * F.col(sab) - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+
+    return m.select(
+        "n",
+        F.round(cov("sxy", "sx", "sy") / cov("sxx", "sx", "sx"), 6).alias(
+            "beta_ols"
+        ),
+        F.round(cov("szy", "sz", "sy") / cov("szx", "sz", "sx"), 6).alias(
+            "beta_iv"
+        ),
+        F.round(cov("szx", "sz", "sx") / cov("szz", "sz", "sz"), 6).alias(
+            "first_stage_slope"
+        ),
+    )
+
+
+@register(
+    "q_agg_oaxaca_blinder",
+    oracle="""
+        WITH pts AS (
+            SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM lineitem
+        ),
+        m AS MATERIALIZED (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pts GROUP BY g
+        ),
+        fits AS (
+            SELECT g, n,
+                   CAST(sx AS DOUBLE) / n AS mx,
+                   CAST(sy AS DOUBLE) / n AS my,
+                   (CAST(n AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b
+            FROM m
+        )
+        SELECT a.n AS n_a, b2.n AS n_b,
+               ROUND(a.my - b2.my, 4) AS total_gap_cents,
+               ROUND((a.mx - b2.mx) * b2.b, 4) AS endowment_cents,
+               ROUND(a.mx * (a.b - b2.b)
+                     + ((a.my - a.b * a.mx)
+                        - (b2.my - b2.b * b2.mx)), 4)
+                   AS coefficient_cents
+        FROM (SELECT * FROM fits WHERE g = 1) a
+        CROSS JOIN (SELECT * FROM fits WHERE g = 0) b2
+    """,
+    section="A134",
+    doc="Oaxaca-Blinder decomposition of the returned-vs-kept price "
+    "gap: mean price difference split into the ENDOWMENT part "
+    "((x̄_A - x̄_B)·β_B — returned lines ship different quantities) "
+    "and the COEFFICIENT part (x̄_A(β_A - β_B) + Δintercept — the "
+    "price-per-quantity relationship itself differs), using the "
+    "two-fold decomposition with group B coefficients as reference. "
+    "The audit-the-gap operator (pay equity, conversion gaps) that "
+    "A122/A123 don't cover: it explains a DESCRIPTIVE difference "
+    "rather than estimating a causal effect, and the two parts sum "
+    "exactly to the total gap by construction — a built-in checksum. "
+    "Group fits are closed-form simple OLS over exact integer "
+    "moments; every reported number is a pinned IEEE expression. "
+    "Scale: one 2-group moment agg, a 1x1 cross join.",
+)
+def q_agg_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("g"),
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("y"),
+    )
+    m = pts.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    b = (nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy").cast("double")) / (
+        nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    fits = m.select(
+        "g", "n", mx.alias("mx"), my.alias("my"), b.alias("b")
+    )
+    a = fits.where(F.col("g") == 1).select(
+        *[F.col(c).alias(f"a_{c}") for c in ["n", "mx", "my", "b"]]
+    )
+    bb = fits.where(F.col("g") == 0).select(
+        *[F.col(c).alias(f"b_{c}") for c in ["n", "mx", "my", "b"]]
+    )
+    j = a.crossJoin(bb)
+    return j.select(
+        F.col("a_n").alias("n_a"),
+        F.col("b_n").alias("n_b"),
+        F.round(F.col("a_my") - F.col("b_my"), 4).alias("total_gap_cents"),
+        F.round(
+            (F.col("a_mx") - F.col("b_mx")) * F.col("b_b"), 4
+        ).alias("endowment_cents"),
+        F.round(
+            F.col("a_mx") * (F.col("a_b") - F.col("b_b"))
+            + (
+                (F.col("a_my") - F.col("a_b") * F.col("a_mx"))
+                - (F.col("b_my") - F.col("b_b") * F.col("b_mx"))
+            ),
+            4,
+        ).alias("coefficient_cents"),
+    )
