@@ -5715,3 +5715,143 @@ def q_ts_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sd, 4).alias("sd_gap_ms"),
         F.round((sd - mu) / (sd + mu), 6).alias("burstiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 154a (r5): Haar wavelet energy decomposition.
+# ---------------------------------------------------------------------------
+
+_HAAR_N = 16  # last 16 days: 4 dyadic levels
+
+
+def _haar_levels_sql() -> str:
+    ctes = ["""
+        daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                       AS cents
+            FROM events GROUP BY 1
+        ),
+        lvl0 AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS i,
+                   cents AS s
+            FROM (
+                SELECT d, cents,
+                       ROW_NUMBER() OVER (ORDER BY d DESC) AS rdesc
+                FROM daily
+            ) WHERE rdesc <= 16
+        )"""]
+    rows = []
+    for k in range(1, 5):
+        ctes.append(f"""
+        lvl{k} AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY grp) AS BIGINT) AS i,
+                   ssum AS s, sdiff AS dd
+            FROM (
+                SELECT (i - 1) // 2 AS grp,
+                       CAST(SUM(s) AS BIGINT) AS ssum,
+                       CAST(SUM(CASE WHEN i % 2 = 1 THEN s
+                                     ELSE -s END) AS BIGINT) AS sdiff
+                FROM lvl{k - 1} GROUP BY (i - 1) // 2
+            )
+        )""")
+        rows.append(
+            f"SELECT CAST({k} AS BIGINT) AS level,"
+            f" CAST(COUNT(*) AS BIGINT) AS n_coeffs,"
+            f" CAST(SUM(dd * dd) AS BIGINT) AS raw_energy,"
+            f" CAST(SUM(dd * dd) AS DOUBLE) / {2 ** k} AS energy"
+            f" FROM lvl{k}"
+        )
+    return "WITH " + ",".join(ctes) + " " + " UNION ALL ".join(rows)
+
+
+@register(
+    "q_ts_haar_energy",
+    oracle=f"""
+        WITH lv AS ({_haar_levels_sql()})
+        SELECT level, n_coeffs, raw_energy,
+               ROUND(energy, 4) AS energy,
+               ROUND(energy / SUM(energy) OVER (), 6) AS energy_share
+        FROM lv
+    """,
+    section="TS36",
+    doc=f"Haar wavelet energy decomposition of the last {_HAAR_N} days "
+    "of daily event value: four dyadic detail levels (2-day, 4-day, "
+    "8-day, 16-day structure), each level's energy and share — the "
+    "TRANSIENT-frequency profile that TS-family periodogram (global "
+    "sinusoids) smears: a one-off spike loads the fine levels, a "
+    "regime shift loads the coarse ones. The entire transform is "
+    "INTEGER: unnormalized Haar sums/differences on exact cents "
+    "(4 unrolled pair-folds — s' = a+b, d = a-b keyed by i DIV 2), "
+    "raw energies are int64 sums of squares, and the orthonormal "
+    "1/2^k rescale is an exact dyadic double division; shares divide "
+    "exact dyadic rationals (the window SUM adds four exactly-"
+    "representable doubles — exact). Scale: the day spine is "
+    f"{_HAAR_N} rows; everything after the daily collapse is "
+    "constant-size at any corpus scale.",
+)
+def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.expr(
+            "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+        ).alias("cents")
+    )
+    last = (
+        daily.withColumn(
+            "rdesc", F.row_number().over(Window.orderBy(F.col("d").desc()))
+        )
+        .where(F.col("rdesc") <= _HAAR_N)
+        .withColumn(
+            "i",
+            F.row_number().over(Window.orderBy("d")).cast("bigint"),
+        )
+        .select("i", F.col("cents").alias("s"))
+    )
+    lvl = last
+    outs = []
+    for k in range(1, 5):
+        grouped = (
+            lvl.groupBy(F.expr("(i - 1) DIV 2").alias("grp"))
+            .agg(
+                F.sum("s").cast("bigint").alias("ssum"),
+                F.sum(
+                    F.when(F.col("i") % 2 == 1, F.col("s")).otherwise(
+                        -F.col("s")
+                    )
+                )
+                .cast("bigint")
+                .alias("dd"),
+            )
+            .withColumn(
+                "i",
+                F.row_number().over(Window.orderBy("grp")).cast("bigint"),
+            )
+        )
+        outs.append(
+            grouped.agg(
+                F.lit(k).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_coeffs"),
+                F.sum(F.col("dd") * F.col("dd"))
+                .cast("bigint")
+                .alias("raw_energy"),
+                (
+                    F.sum(F.col("dd") * F.col("dd")).cast("double")
+                    / F.lit(float(2**k))
+                ).alias("energy_raw"),
+            )
+        )
+        lvl = grouped.select("i", F.col("ssum").alias("s"))
+    lv = outs[0]
+    for o in outs[1:]:
+        lv = lv.unionByName(o)
+    wall = Window.partitionBy()
+    return lv.select(
+        "level",
+        "n_coeffs",
+        "raw_energy",
+        F.round(F.col("energy_raw"), 4).alias("energy"),
+        F.round(
+            F.col("energy_raw") / F.sum("energy_raw").over(wall), 6
+        ).alias("energy_share"),
+    )
