@@ -12158,3 +12158,107 @@ def q_agg_oaxaca_blinder(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("coefficient_cents"),
     )
+
+
+# ==== wave 155a: index numbers =====================================
+
+_IDX_Y0, _IDX_Y1 = 1996, 1999
+
+
+@register(
+    "q_agg_fisher_index",
+    oracle=f"""
+        WITH py AS (
+            SELECT l_partkey,
+                   date_part('year', l_shipdate) AS yr,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS value_cents,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+            FROM lineitem
+            WHERE date_part('year', l_shipdate) IN ({_IDX_Y0}, {_IDX_Y1})
+            GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT a.l_partkey,
+                   a.value_cents AS v0, a.qty AS q0,
+                   b.value_cents AS v1, b.qty AS q1
+            FROM (SELECT * FROM py WHERE yr = {_IDX_Y0}) a
+            JOIN (SELECT * FROM py WHERE yr = {_IDX_Y1}) b
+              USING (l_partkey)
+            WHERE a.qty > 0 AND b.qty > 0
+        ),
+        s AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+                   CAST(SUM(v1 * q0) AS BIGINT) AS s_p1q0,
+                   CAST(SUM(v0 * q1) AS BIGINT) AS s_p0q1,
+                   CAST(SUM(v0 * q0) AS BIGINT) AS s_p0q0,
+                   CAST(SUM(v1 * q1) AS BIGINT) AS s_p1q1
+            FROM paired
+        )
+        SELECT n_parts,
+               ROUND(CAST(s_p1q0 AS DOUBLE) / s_p0q0, 6) AS laspeyres,
+               ROUND(CAST(s_p1q1 AS DOUBLE) / s_p0q1, 6) AS paasche,
+               ROUND(sqrt((CAST(s_p1q0 AS DOUBLE) / s_p0q0)
+                          * (CAST(s_p1q1 AS DOUBLE) / s_p0q1)), 6)
+                   AS fisher
+        FROM s
+    """,
+    section="A135",
+    doc=f"Laspeyres / Paasche / Fisher price indices, {_IDX_Y0} -> "
+    f"{_IDX_Y1}, over parts traded in BOTH years: with per-(part, "
+    "year) unit values p = value/qty, Laspeyres weights by base-year "
+    "baskets (Σp1q0/Σp0q0), Paasche by current baskets, Fisher is "
+    "their geometric mean — the index-number triad of every CPI/PPI "
+    "shop, and the deflator a revenue 'growth' claim should be "
+    "divided by. Exactness: unit values (v/q, ragged rationals) "
+    "never materialize — the indices here are defined on per-part "
+    "period VALUES as the price proxy (the unit-value index "
+    "convention, documented): v1·q0 / v0·q0 and v1·q1 / v0·q1, so "
+    "every basket sum is an int64 product of cents x quantity "
+    "(<= 1e7 * 1e5 per part — safe), "
+    "one division each, sqrt IEEE. Scale: one (part, year) agg, one "
+    "part-grain join, one scalar rollup.",
+)
+def q_agg_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    py = (
+        li.where(F.year("l_shipdate").isin(_IDX_Y0, _IDX_Y1))
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("value_cents"),
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("qty"),
+        )
+    )
+    a = py.where(F.col("yr") == _IDX_Y0).select(
+        "l_partkey",
+        F.col("value_cents").alias("v0"),
+        F.col("qty").alias("q0"),
+    )
+    b = py.where(F.col("yr") == _IDX_Y1).select(
+        "l_partkey",
+        F.col("value_cents").alias("v1"),
+        F.col("qty").alias("q1"),
+    )
+    paired = a.join(b, "l_partkey").where(
+        (F.col("q0") > 0) & (F.col("q1") > 0)
+    )
+    s = paired.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        F.sum(F.col("v1") * F.col("q0")).cast("bigint").alias("s_p1q0"),
+        F.sum(F.col("v0") * F.col("q1")).cast("bigint").alias("s_p0q1"),
+        F.sum(F.col("v0") * F.col("q0")).cast("bigint").alias("s_p0q0"),
+        F.sum(F.col("v1") * F.col("q1")).cast("bigint").alias("s_p1q1"),
+    )
+    lasp = F.col("s_p1q0").cast("double") / F.col("s_p0q0")
+    paas = F.col("s_p1q1").cast("double") / F.col("s_p0q1")
+    return s.select(
+        "n_parts",
+        F.round(lasp, 6).alias("laspeyres"),
+        F.round(paas, 6).alias("paasche"),
+        F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
+    )

@@ -2244,3 +2244,79 @@ def q_graph_attr_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ==== wave 155b: global transitivity ===============================
+
+
+@register(
+    "q_graph_transitivity",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        adj AS (
+            SELECT lo AS x, hi AS n FROM edges
+            UNION ALL
+            SELECT hi AS x, lo AS n FROM edges
+        ),
+        deg AS (
+            SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM adj GROUP BY x
+        ),
+        wedges AS (
+            SELECT CAST(SUM(d * (d - 1)) AS BIGINT) AS open2 FROM deg
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+            FROM edges e1
+            JOIN edges e2 ON e1.hi = e2.lo
+            JOIN edges e3 ON e1.lo = e3.lo AND e2.hi = e3.hi
+        )
+        SELECT t.n_tri AS n_triangles,
+               CAST(w.open2 / 2 AS BIGINT) AS n_wedges,
+               ROUND(CAST(6 * t.n_tri AS DOUBLE) / w.open2, 6)
+                   AS transitivity
+        FROM tri t CROSS JOIN wedges w
+    """,
+    section="G15",
+    doc="Global transitivity (the graph-level clustering ratio): "
+    "3 x triangles / wedges — ONE scalar where G2 reports per-node "
+    "triangle counts; the two disagree on skewed graphs (transitivity "
+    "weights hubs by their wedge count, the mean local coefficient "
+    "does not), which is why both belong in the suite. Triangles come "
+    "from the ordered-edge join (lo<hi ordering makes each triangle "
+    "match exactly once as lo<mid<hi); wedges are sum d(d-1)/2 from "
+    "the degree table — all integer, one final division (6·tri/2·"
+    "wedges expressed as 6·tri/open2). Scale: the triangle join "
+    "inherits the degree-<=8 bound; degrees are a broadcast-sized "
+    "table.",
+)
+def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir).localCheckpoint(eager=False)
+    adj = edges.select(F.col("lo").alias("x"), F.col("hi").alias("n")).unionByName(
+        edges.select(F.col("hi").alias("x"), F.col("lo").alias("n"))
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1)).cast("bigint").alias("open2")
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b2"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a3"), F.col("hi").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_tri"))
+    )
+    out = tri.crossJoin(F.broadcast(wedges))
+    return out.select(
+        F.col("n_tri").alias("n_triangles"),
+        (F.col("open2") / 2).cast("bigint").alias("n_wedges"),
+        F.round(
+            (6 * F.col("n_tri")).cast("double") / F.col("open2"), 6
+        ).alias("transitivity"),
+    )
