@@ -12262,3 +12262,243 @@ def q_agg_fisher_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(paas, 6).alias("paasche"),
         F.round(F.sqrt(lasp * paas), 6).alias("fisher"),
     )
+
+
+# ==== wave 156: mediation and inequality decomposition =============
+
+
+@register(
+    "q_agg_mediation",
+    oracle="""
+        WITH pts AS (
+            SELECT CAST(substring(o.o_orderpriority, 1, 1) AS BIGINT) AS z,
+                   CAST(date_diff('day', o.o_orderdate, MAX(l.l_shipdate))
+                        AS BIGINT) AS m,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS y
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate,
+                     o.o_totalprice
+            HAVING MAX(l.l_shipdate) >= o.o_orderdate
+        ),
+        mo AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(z) AS BIGINT) AS sz,
+                   CAST(SUM(m) AS BIGINT) AS sm,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(z * z) AS BIGINT) AS szz,
+                   CAST(SUM(z * m) AS BIGINT) AS szm,
+                   CAST(SUM(z * y) AS BIGINT) AS szy,
+                   CAST(SUM(m * m) AS BIGINT) AS smm,
+                   CAST(SUM(m * y) AS BIGINT) AS smy
+            FROM pts
+        ),
+        c AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) * szz
+                       - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE) AS czz,
+                   CAST(n AS DOUBLE) * szm
+                       - CAST(sz AS DOUBLE) * CAST(sm AS DOUBLE) AS czm,
+                   CAST(n AS DOUBLE) * szy
+                       - CAST(sz AS DOUBLE) * CAST(sy AS DOUBLE) AS czy,
+                   CAST(n AS DOUBLE) * smm
+                       - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) AS cmm,
+                   CAST(n AS DOUBLE) * smy
+                       - CAST(sm AS DOUBLE) * CAST(sy AS DOUBLE) AS cmy
+            FROM mo
+        )
+        SELECT n,
+               ROUND(czm / czz, 6) AS a_path,
+               ROUND((czz * cmy - czm * czy) / (czz * cmm - czm * czm), 6)
+                   AS b_path,
+               ROUND(czy / czz, 6) AS total_effect,
+               ROUND((czm / czz)
+                     * ((czz * cmy - czm * czy)
+                        / (czz * cmm - czm * czm)), 6) AS indirect_effect,
+               ROUND((czm / czz)
+                     * ((czz * cmy - czm * czy)
+                        / (czz * cmm - czm * czm))
+                     / (czy / czz), 6) AS prop_mediated
+        FROM c
+    """,
+    section="A136",
+    doc="Mediation analysis (product-of-coefficients) on the A133 "
+    "triple: how much of priority's effect on order value flows "
+    "THROUGH fulfillment delay? a = slope(delay ~ priority), b = "
+    "delay's partial coefficient in value ~ priority + delay (the "
+    "two-regressor closed form via centered co-moments — no matrix "
+    "solve), indirect = a*b, and the proportion mediated against the "
+    "total effect; the identity total = direct + indirect holds by "
+    "OLS algebra, making the row self-checking. Completes the "
+    "causal-mechanism axis the toolkit lacked: A133 asks 'is the "
+    "effect real', this asks 'through WHAT does it act'. All "
+    "co-moments are exact int64; every path is a pinned IEEE ratio. "
+    "Scale: one order-grain agg + one 9-scalar moment agg (shared "
+    "shape with A133 — AQE reuses the exchange when both run).",
+)
+def q_agg_mediation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            "o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.max("l_shipdate").alias("dep"))
+        .where(F.col("dep") >= F.col("o_orderdate"))
+        .select(
+            F.substring("o_orderpriority", 1, 1).cast("bigint").alias("z"),
+            F.datediff("dep", "o_orderdate").cast("bigint").alias("m"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("y"),
+        )
+    )
+    mo = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum("m").cast("bigint").alias("sm"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("szz"),
+        F.sum(F.col("z") * F.col("m")).cast("bigint").alias("szm"),
+        F.sum(F.col("z") * F.col("y")).cast("bigint").alias("szy"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("smm"),
+        F.sum(F.col("m") * F.col("y")).cast("bigint").alias("smy"),
+    )
+    nd = F.col("n").cast("double")
+
+    def cm(sab, sa, sb):
+        return nd * F.col(sab) - F.col(sa).cast("double") * F.col(
+            sb
+        ).cast("double")
+
+    czz = cm("szz", "sz", "sz")
+    czm = cm("szm", "sz", "sm")
+    czy = cm("szy", "sz", "sy")
+    cmm = cm("smm", "sm", "sm")
+    cmy = cm("smy", "sm", "sy")
+    a = czm / czz
+    b = (czz * cmy - czm * czy) / (czz * cmm - czm * czm)
+    total = czy / czz
+    return mo.select(
+        "n",
+        F.round(a, 6).alias("a_path"),
+        F.round(b, 6).alias("b_path"),
+        F.round(total, 6).alias("total_effect"),
+        F.round(a * b, 6).alias("indirect_effect"),
+        F.round(a * b / total, 6).alias("prop_mediated"),
+    )
+
+
+@register(
+    "q_agg_theil_decomposition",
+    oracle="""
+        WITH v AS (
+            SELECT n.n_name AS g,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM v
+        ),
+        t_total AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                       * ln(CAST(x AS DOUBLE) / (CAST(s AS DOUBLE) / n))
+                       * 1e12) AS BIGINT)) AS BIGINT) AS q
+            FROM v CROSS JOIN tot
+        ),
+        grp AS (
+            SELECT g, CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(x) AS BIGINT) AS sg
+            FROM v GROUP BY g
+        ),
+        t_between AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (CAST(sg AS DOUBLE) / s)
+                       * ln((CAST(sg AS DOUBLE) / ng)
+                            / (CAST(s AS DOUBLE) / n))
+                       * 1e12) AS BIGINT)) AS BIGINT) AS q
+            FROM grp CROSS JOIN tot
+        )
+        SELECT t.n,
+               ROUND(CAST(tt.q AS DOUBLE) / 1e12 / t.n, 6) AS theil_total,
+               ROUND(CAST(tb.q AS DOUBLE) / 1e12, 6) AS theil_between,
+               ROUND(CAST(tt.q AS DOUBLE) / 1e12 / t.n
+                     - CAST(tb.q AS DOUBLE) / 1e12, 6) AS theil_within
+        FROM tot t CROSS JOIN t_total tt CROSS JOIN t_between tb
+    """,
+    section="A137",
+    doc="Theil T decomposition of order-value inequality by customer "
+    "nation: T_total = T_between + T_within — the additive split that "
+    "is Theil's entire reason to exist over Gini (A54's doc promises "
+    "it; this delivers it): T_between asks 'are nations unequal "
+    "relative to each other', T_within (reported as the exact "
+    "difference, so additivity holds by construction) asks 'is "
+    "inequality inside nations'. Per-row r·ln r terms and per-group "
+    "share·ln(mean ratio) terms are floor(x·1e12)-quantized BEFORE "
+    "their sums (A54's device), so both components are order-"
+    "insensitive integer sums with one descale each. Scale: one "
+    "fact pass + one 25-row group pass; dims broadcast.",
+)
+def q_agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    v = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("g"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("x"),
+        )
+    ).localCheckpoint(eager=False)
+    tot = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    mu = F.col("s").cast("double") / F.col("n")
+    r = F.col("x").cast("double") / mu
+    t_total = (
+        v.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(r * F.log(r) * F.lit(1e12)).cast("bigint").alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("q_total"))
+    )
+    grp = v.groupBy("g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sg"),
+    )
+    share = F.col("sg").cast("double") / F.col("s")
+    mean_ratio = (F.col("sg").cast("double") / F.col("ng")) / (
+        F.col("s").cast("double") / F.col("n")
+    )
+    t_between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(share * F.log(mean_ratio) * F.lit(1e12))
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("q_between"))
+    )
+    out = (
+        tot.crossJoin(F.broadcast(t_total))
+        .crossJoin(F.broadcast(t_between))
+    )
+    tt = F.col("q_total").cast("double") / F.lit(1e12) / F.col("n")
+    tb = F.col("q_between").cast("double") / F.lit(1e12)
+    return out.select(
+        "n",
+        F.round(tt, 6).alias("theil_total"),
+        F.round(tb, 6).alias("theil_between"),
+        F.round(tt - tb, 6).alias("theil_within"),
+    )
