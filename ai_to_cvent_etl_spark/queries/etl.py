@@ -4025,3 +4025,96 @@ def q_etl_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_moved").cast("double") / F.col("n_keys"), 6
         ).alias("moved_share"),
     )
+
+
+# ==== wave 157b: right-to-erasure impact analysis ==================
+
+_ERASE_MOD = 50  # hash-sampled ~2% of customers
+
+
+@register(
+    "q_etl_erasure_impact",
+    oracle=f"""
+        WITH erased AS (
+            SELECT c_custkey FROM customer
+            WHERE CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                       1, 12)) AS BIGINT)
+                  % {_ERASE_MOD} = 0
+        ),
+        o AS (
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM erased)
+        ),
+        l AS (
+            SELECT l.l_orderkey FROM lineitem l
+            WHERE l.l_orderkey IN (SELECT o_orderkey FROM o)
+        )
+        SELECT 'customer' AS table_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_entities,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM erased) AS n_rows,
+               CAST(1 AS BIGINT) AS fanout_depth
+        UNION ALL
+        SELECT 'orders',
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM o),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM o),
+               2
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM l),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM l),
+               3
+    """,
+    section="E41",
+    doc=f"Right-to-erasure impact analysis: a deterministic ~1/"
+    f"{_ERASE_MOD} hash-sample of customers plays the erasure "
+    "request batch, and the report walks the foreign-key fan-out "
+    "(customer -> orders -> lineitem) counting entities and rows "
+    "each table would lose — the GDPR/CCPA planning query a "
+    "compliance pipeline runs BEFORE the delete, sizing tombstones "
+    "and rewrite cost per table (E22's FK audit proves the edges "
+    "this walk follows; E33's version pruning is the mechanism that "
+    "later vacuums the deleted rows). All counting; the sample is "
+    "the A56 48-bit md5 device so the 'requests' are reproducible. "
+    "Scale: two semi-join hops keyed on the natural FKs — at 100 TB "
+    "each hop is a broadcast of the (small) erased-key set, i.e. "
+    "exactly the plan a DELETE with a runtime filter would use.",
+)
+def q_etl_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased = cust.where(
+        F.expr(
+            "cast(conv(substr(md5(cast(c_custkey as string)), 1, 12), "
+            "16, 10) as bigint)"
+        )
+        % _ERASE_MOD
+        == 0
+    ).select("c_custkey")
+    o = orders.join(
+        F.broadcast(erased),
+        orders.o_custkey == erased.c_custkey,
+        "left_semi",
+    ).select("o_orderkey", "o_custkey")
+    l = li.join(
+        F.broadcast(o.select("o_orderkey")),
+        li.l_orderkey == o.o_orderkey,
+        "left_semi",
+    ).select("l_orderkey")
+
+    def row(name, df, ent_col, depth):
+        return df.agg(
+            F.countDistinct(ent_col).cast("bigint").alias("n_entities"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(
+            F.lit(name).alias("table_name"),
+            "n_entities",
+            "n_rows",
+            F.lit(depth).cast("bigint").alias("fanout_depth"),
+        )
+
+    return (
+        row("customer", erased, "c_custkey", 1)
+        .unionByName(row("orders", o, "o_custkey", 2))
+        .unionByName(row("lineitem", l, "l_orderkey", 3))
+    )

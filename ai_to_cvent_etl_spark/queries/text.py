@@ -1243,3 +1243,125 @@ def q_dedup_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share_shift"),
     )
+
+
+# ==== wave 157a: winnowing fingerprint matching ====================
+
+_WIN_W = 4  # winnow window (positions)
+_WIN_MIN_SHARED = 2
+
+
+@register(
+    "q_dedup_winnowing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, CAST(u.i AS BIGINT) AS pos, u.tok
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(string_split(text, ' '),
+                           (t, i) -> struct_pack(tok := t, i := i))) AS u
+                FROM documents
+            )
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   CAST(('0x' || substr(md5(tok || ' ' || t2 || ' ' || t3),
+                                        1, 12)) AS BIGINT) AS h
+            FROM (
+                SELECT doc_id, pos, tok,
+                       LEAD(tok, 1) OVER w AS t2,
+                       LEAD(tok, 2) OVER w AS t3
+                FROM toks
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ) WHERE t3 IS NOT NULL
+        ),
+        winnowed AS (
+            SELECT DISTINCT doc_id, fp_h
+            FROM (
+                SELECT doc_id,
+                       MIN(struct_pack(h := h, np := -pos)) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                           AND CURRENT ROW
+                       ).h AS fp_h,
+                       CAST(COUNT(*) OVER (
+                           PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                           AND CURRENT ROW
+                       ) AS BIGINT) AS k
+                FROM grams
+            ) WHERE k = {_WIN_W}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM winnowed a JOIN winnowed b
+              ON a.fp_h = b.fp_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_lo, doc_hi, n_shared
+        FROM pairs WHERE n_shared >= {_WIN_MIN_SHARED}
+    """,
+    section="D18",
+    doc=f"Winnowing fingerprint matching (Schleimer-Wilkerson-Aiken, "
+    "the MOSS algorithm): word-3-gram hashes per position, then each "
+    f"{_WIN_W}-position window keeps its MINIMUM hash (ties to the "
+    "rightmost via min over (h, -pos) structs) — the selection with "
+    "the LOCAL guarantee MinHash lacks: any shared run of at least "
+    f"w+k-1 tokens is provably caught, so it finds partial/ "
+    "passage-level overlap where D1 (whole-document Jaccard) and "
+    "T-family fingerprint (one global min = 1-perm MinHash) see "
+    "nothing; pairs sharing >= {_WIN_MIN_SHARED} selected prints "
+    "emit with their overlap count. Hashes are 48-bit md5 prefixes "
+    "(int64 compares, both engines); the windowed struct-min is the "
+    "TS30 argmax device. Scale: winnowing emits ~n/w prints per doc "
+    "(density guarantee), the join keys on print hash — bucketed by "
+    "construction like D1's bands, no all-pairs stage.",
+)
+def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "tok")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        toks.withColumn("t2", F.lead("tok", 1).over(wd))
+        .withColumn("t3", F.lead("tok", 2).over(wd))
+        .where(F.col("t3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(
+                "cast(conv(substr(md5(concat(tok, ' ', t2, ' ', t3)), "
+                "1, 12), 16, 10) as bigint)"
+            ).alias("h"),
+        )
+    )
+    ww = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(_WIN_W - 1), 0
+    )
+    winnowed = (
+        grams.select(
+            "doc_id",
+            F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np")))
+            .over(ww)
+            .getField("h")
+            .alias("fp_h"),
+            F.count(F.lit(1)).over(ww).cast("bigint").alias("k"),
+        )
+        .where(F.col("k") == _WIN_W)
+        .select("doc_id", "fp_h")
+        .distinct()
+    )
+    a = winnowed.select(F.col("doc_id").alias("doc_lo"), "fp_h")
+    b = winnowed.select(F.col("doc_id").alias("doc_hi"), F.col("fp_h").alias("fp2"))
+    return (
+        a.join(
+            b,
+            (F.col("fp_h") == F.col("fp2"))
+            & (F.col("doc_lo") < F.col("doc_hi")),
+        )
+        .groupBy("doc_lo", "doc_hi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= _WIN_MIN_SHARED)
+    )
