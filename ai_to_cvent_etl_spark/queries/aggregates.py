@@ -12502,3 +12502,267 @@ def q_agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(tb, 6).alias("theil_between"),
         F.round(tt - tb, 6).alias("theil_within"),
     )
+
+
+# ==== wave 158: uplift evaluation, social choice ===================
+
+
+@register(
+    "q_agg_qini_curve",
+    oracle="""
+        WITH pts AS (
+            SELECT CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(event_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                        % 2 = 0 THEN 1 ELSE 0 END AS treat,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                       AS resp,
+                   CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+                       AS score,
+                   event_id
+            FROM events
+        ),
+        ranked AS (
+            SELECT treat, resp,
+                   NTILE(10) OVER (ORDER BY score DESC, event_id)
+                       AS decile
+            FROM pts
+        ),
+        cells AS (
+            SELECT decile,
+                   CAST(SUM(treat) AS BIGINT) AS nt,
+                   CAST(SUM(1 - treat) AS BIGINT) AS nc,
+                   CAST(SUM(treat * resp) AS BIGINT) AS rt,
+                   CAST(SUM((1 - treat) * resp) AS BIGINT) AS rc
+            FROM ranked GROUP BY decile
+        ),
+        cum AS (
+            SELECT decile,
+                   SUM(nt) OVER w AS cnt, SUM(nc) OVER w AS cnc,
+                   SUM(rt) OVER w AS crt, SUM(rc) OVER w AS crc
+            FROM cells
+            WINDOW w AS (ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(cnt AS BIGINT) AS cum_treated,
+               CAST(cnc AS BIGINT) AS cum_control,
+               CAST(crt AS BIGINT) AS cum_treated_resp,
+               CAST(crc AS BIGINT) AS cum_control_resp,
+               ROUND(crt - CAST(crc AS DOUBLE) * cnt / cnc, 4)
+                   AS qini_uplift
+        FROM cum
+    """,
+    section="A138",
+    doc="Qini curve by score decile: events split into a reproducible "
+    "hash-half 'treatment' and control, ranked by the value score, "
+    "and at each cumulative decile the Qini uplift crt - crc·(nt/nc) "
+    "— incremental responses the targeting captured beyond the "
+    "control baseline at the same depth. THE evaluation curve for "
+    "uplift/targeting models, which A119's average precision cannot "
+    "replace (AP scores response prediction; Qini scores INCREMENTAL "
+    "response — a model can ace one and fail the other). Decile "
+    "assignment is NTILE under a fully tie-broken (score, event_id) "
+    "order; all masses are integer; the control-scaling term is one "
+    "pinned double per row. Scale: one decile agg + a 10-row "
+    "cumulative window.",
+)
+def q_agg_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        (
+            F.expr(
+                "cast(conv(substr(md5(cast(event_id as string)), 1, 12), "
+                "16, 10) as bigint)"
+            )
+            % 2
+            == 0
+        )
+        .cast("int")
+        .alias("treat"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "resp"
+        ),
+        F.expr(
+            "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+        ).alias("score"),
+        "event_id",
+    )
+    ranked = pts.select(
+        "treat",
+        "resp",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("score").desc(), F.col("event_id")))
+        .alias("decile"),
+    )
+    cells = ranked.groupBy("decile").agg(
+        F.sum("treat").cast("bigint").alias("nt"),
+        F.sum(1 - F.col("treat")).cast("bigint").alias("nc"),
+        F.sum(F.col("treat") * F.col("resp")).cast("bigint").alias("rt"),
+        F.sum((1 - F.col("treat")) * F.col("resp"))
+        .cast("bigint")
+        .alias("rc"),
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = cells.select(
+        "decile",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("rt").over(w).alias("crt"),
+        F.sum("rc").over(w).alias("crc"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        F.col("cnt").cast("bigint").alias("cum_treated"),
+        F.col("cnc").cast("bigint").alias("cum_control"),
+        F.col("crt").cast("bigint").alias("cum_treated_resp"),
+        F.col("crc").cast("bigint").alias("cum_control_resp"),
+        F.round(
+            F.col("crt")
+            - F.col("crc").cast("double") * F.col("cnt") / F.col("cnc"),
+            4,
+        ).alias("qini_uplift"),
+    )
+
+
+@register(
+    "q_agg_borda_copeland",
+    oracle="""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   (date_part('year', o.o_orderdate) - 1995) * 12
+                   + date_part('month', o.o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT nation, m,
+                   CAST(COUNT(*) OVER (PARTITION BY m) AS BIGINT) AS k,
+                   CAST(RANK() OVER (PARTITION BY m
+                                     ORDER BY cents DESC, nation)
+                        AS BIGINT) AS r
+            FROM monthly
+        ),
+        borda AS (
+            SELECT nation,
+                   CAST(SUM(k - r) AS BIGINT) AS borda_score,
+                   CAST(COUNT(*) AS BIGINT) AS n_months
+            FROM ranked GROUP BY nation
+        ),
+        duels AS (
+            SELECT a.nation AS na, b.nation AS nb,
+                   CAST(SUM(CASE WHEN a.cents > b.cents THEN 1
+                                 WHEN a.cents < b.cents THEN -1
+                                 ELSE 0 END) AS BIGINT) AS net
+            FROM monthly a JOIN monthly b
+              ON a.m = b.m AND a.nation < b.nation
+            GROUP BY 1, 2
+        ),
+        copeland AS (
+            SELECT nation, CAST(SUM(pts) AS BIGINT) AS copeland_score
+            FROM (
+                SELECT na AS nation,
+                       CASE WHEN net > 0 THEN 2 WHEN net = 0 THEN 1
+                            ELSE 0 END AS pts
+                FROM duels
+                UNION ALL
+                SELECT nb,
+                       CASE WHEN net < 0 THEN 2 WHEN net = 0 THEN 1
+                            ELSE 0 END
+                FROM duels
+            ) GROUP BY nation
+        )
+        SELECT b.nation, b.n_months, b.borda_score, c.copeland_score
+        FROM borda b JOIN copeland c USING (nation)
+    """,
+    section="A139",
+    doc="Social-choice league table over nations: each month is a "
+    "'voter' ranking nations by revenue — Borda score (k - rank "
+    "summed across months; positional consensus) and Copeland score "
+    "(2 points per pairwise head-to-head majority across months, 1 "
+    "per exact tie; majority consensus). The two aggregation rules "
+    "disagree precisely when a nation is consistently mid-table vs "
+    "spiky — which is why ranking-aggregation literature keeps both; "
+    "A73's D'Hondt is the seat-allocation member of this family. "
+    "Month-ranks carry full (cents DESC, nation) tie-breaks; duels "
+    "compare exact cents per month with the doubled-points device "
+    "keeping ties integer. Scale: ranks are per-month windows on the "
+    "(nation x month) grain; duels join the same grain on m — both "
+    "calendar-bounded, never fact-sized.",
+)
+def q_agg_borda_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), mo.alias("m"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    ).localCheckpoint(eager=False)
+    wm = Window.partitionBy("m")
+    ranked = monthly.select(
+        "nation",
+        "m",
+        F.count(F.lit(1)).over(wm).cast("bigint").alias("k"),
+        F.rank()
+        .over(wm.orderBy(F.col("cents").desc(), F.col("nation")))
+        .cast("bigint")
+        .alias("r"),
+    )
+    borda = ranked.groupBy("nation").agg(
+        F.sum(F.col("k") - F.col("r")).cast("bigint").alias("borda_score"),
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+    )
+    a = monthly.select(
+        F.col("nation").alias("na"), "m", F.col("cents").alias("ca")
+    )
+    b = monthly.select(
+        F.col("nation").alias("nb"),
+        F.col("m").alias("m2"),
+        F.col("cents").alias("cb"),
+    )
+    duels = (
+        a.join(b, (F.col("m") == F.col("m2")) & (F.col("na") < F.col("nb")))
+        .groupBy("na", "nb")
+        .agg(
+            F.sum(
+                F.when(F.col("ca") > F.col("cb"), 1)
+                .when(F.col("ca") < F.col("cb"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("net")
+        )
+    )
+    pts_a = duels.select(
+        F.col("na").alias("nation"),
+        F.when(F.col("net") > 0, 2)
+        .when(F.col("net") == 0, 1)
+        .otherwise(0)
+        .alias("pts"),
+    )
+    pts_b = duels.select(
+        F.col("nb").alias("nation"),
+        F.when(F.col("net") < 0, 2)
+        .when(F.col("net") == 0, 1)
+        .otherwise(0)
+        .alias("pts"),
+    )
+    copeland = (
+        pts_a.unionByName(pts_b)
+        .groupBy("nation")
+        .agg(F.sum("pts").cast("bigint").alias("copeland_score"))
+    )
+    return borda.join(copeland, "nation").select(
+        "nation", "n_months", "borda_score", "copeland_score"
+    )
