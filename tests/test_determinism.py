@@ -296,6 +296,21 @@ RISKY = [
     "q_agg_chatterjee_xi",
     "q_agg_expected_shortfall",
     "q_agg_market_beta",
+    # r5 waves 153-158: moment-ratio estimators, dyadic folds, vnode
+    # successor lookups, basket products, winnowing struct-minima,
+    # NTILE deciles, and monthly duel nets.
+    "q_agg_iv_wald",
+    "q_agg_oaxaca_blinder",
+    "q_ts_haar_energy",
+    "q_etl_rebalance_audit",
+    "q_agg_fisher_index",
+    "q_graph_transitivity",
+    "q_agg_mediation",
+    "q_agg_theil_decomposition",
+    "q_dedup_winnowing",
+    "q_etl_erasure_impact",
+    "q_agg_qini_curve",
+    "q_agg_borda_copeland",
 ]
 
 
