@@ -12766,3 +12766,305 @@ def q_agg_borda_copeland(spark: SparkSession, sf_dir: str) -> DataFrame:
     return borda.join(copeland, "nation").select(
         "nation", "n_months", "borda_score", "copeland_score"
     )
+
+
+# ==== wave 159: standardized ratios, credibility shrinkage =========
+
+
+@register(
+    "q_agg_smr",
+    oracle="""
+        WITH pts AS (
+            SELECT n.n_name AS nation,
+                   CAST((l.l_quantity - 1) AS BIGINT) // 10 AS stratum,
+                   CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS ev
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        ref AS (
+            SELECT stratum,
+                   CAST(SUM(ev) AS BIGINT) AS r_s,
+                   CAST(COUNT(*) AS BIGINT) AS n_s
+            FROM pts GROUP BY stratum
+        ),
+        cell AS (
+            SELECT nation, stratum,
+                   CAST(COUNT(*) AS BIGINT) AS n_ns,
+                   CAST(SUM(ev) AS BIGINT) AS o_ns
+            FROM pts GROUP BY nation, stratum
+        ),
+        agg AS (
+            SELECT c.nation,
+                   CAST(SUM(c.o_ns) AS BIGINT) AS observed,
+                   CAST(SUM(c.n_ns) AS BIGINT) AS exposure,
+                   CAST(SUM(CAST(floor(CAST(c.n_ns AS DOUBLE) * r.r_s
+                                       / r.n_s * 1e6) AS BIGINT))
+                        AS BIGINT) AS expected_q6
+            FROM cell c JOIN ref r USING (stratum)
+            GROUP BY c.nation
+        )
+        SELECT nation, exposure, observed,
+               ROUND(CAST(expected_q6 AS DOUBLE) / 1e6, 4) AS expected,
+               ROUND(CAST(observed AS DOUBLE) * 1e6 / expected_q6, 6)
+                   AS smr
+        FROM agg
+    """,
+    section="A140",
+    doc="Standardized morbidity/return ratio per nation (indirect "
+    "standardization): expected returns = each nation's quantity-band "
+    "exposure times the CORPUS-WIDE band return rate, SMR = observed/"
+    "expected — the case-mix-adjusted league table that raw return "
+    "rates get wrong when nations ship different quantity profiles "
+    "(A45's Mantel-Haenszel tests the adjusted association; SMR "
+    "REPORTS the adjusted burden per group, which is what ops teams "
+    "rank by). The per-cell expected term n_ns·r_s/n_s is a ragged "
+    "rational, floor(x·1e6)-quantized BEFORE the per-nation sum "
+    "(int64, order-insensitive); the SMR division runs on the "
+    "quantized integer so no boundary rides a float. Scale: one "
+    "(nation, band) agg + a broadcast 5-row reference-rate table.",
+)
+def q_agg_smr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pts = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST((l_quantity - 1) AS BIGINT) DIV 10").alias(
+                "stratum"
+            ),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("ev"),
+        )
+    )
+    ref = pts.groupBy("stratum").agg(
+        F.sum("ev").cast("bigint").alias("r_s"),
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+    )
+    cell = pts.groupBy("nation", "stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ns"),
+        F.sum("ev").cast("bigint").alias("o_ns"),
+    )
+    agg = (
+        cell.join(F.broadcast(ref), "stratum")
+        .groupBy("nation")
+        .agg(
+            F.sum("o_ns").cast("bigint").alias("observed"),
+            F.sum("n_ns").cast("bigint").alias("exposure"),
+            F.sum(
+                F.floor(
+                    F.col("n_ns").cast("double")
+                    * F.col("r_s")
+                    / F.col("n_s")
+                    * F.lit(1e6)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("expected_q6"),
+        )
+    )
+    return agg.select(
+        "nation",
+        "exposure",
+        "observed",
+        F.round(F.col("expected_q6").cast("double") / F.lit(1e6), 4).alias(
+            "expected"
+        ),
+        F.round(
+            F.col("observed").cast("double")
+            * F.lit(1e6)
+            / F.col("expected_q6"),
+            6,
+        ).alias("smr"),
+    )
+
+
+@register(
+    "q_agg_buhlmann_credibility",
+    oracle="""
+        WITH v AS (
+            SELECT n.n_name AS g,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        grp AS MATERIALIZED (
+            SELECT g,
+                   CAST(COUNT(*) AS BIGINT) AS ng,
+                   CAST(SUM(x) AS BIGINT) AS sg,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sqq
+            FROM v GROUP BY g
+        ),
+        tot AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(sg) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM grp
+        ),
+        within AS (
+            SELECT CAST(SUM(CAST(floor(
+                       (sqq - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng)
+                       / 1e4) AS BIGINT)) AS BIGINT) AS ssw_int,
+                   CAST(SUM(ng - 1) AS BIGINT) AS dfw
+            FROM grp
+        ),
+        between_ AS (
+            SELECT CAST(SUM(CAST(floor(
+                       ng * (CAST(sg AS DOUBLE) / ng
+                             - CAST(t.s AS DOUBLE) / t.n)
+                          * (CAST(sg AS DOUBLE) / ng
+                             - CAST(t.s AS DOUBLE) / t.n) / 1e4)
+                       AS BIGINT)) AS BIGINT) AS ssb_int
+            FROM grp CROSS JOIN tot t
+        )
+        SELECT g.g AS nation, g.ng AS n_orders,
+               ROUND(CAST(g.sg AS DOUBLE) / g.ng, 4) AS raw_mean_cents,
+               ROUND(CAST(g.ng AS DOUBLE)
+                     / (g.ng + (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                        / ((CAST(b.ssb_int AS DOUBLE) / (t.k - 1)
+                            - (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                              * 1.0)
+                           / (CAST(t.n AS DOUBLE) / t.k))), 6)
+                   AS credibility_z,
+               ROUND(CAST(g.ng AS DOUBLE)
+                     / (g.ng + (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                        / ((CAST(b.ssb_int AS DOUBLE) / (t.k - 1)
+                            - (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                              * 1.0)
+                           / (CAST(t.n AS DOUBLE) / t.k)))
+                     * (CAST(g.sg AS DOUBLE) / g.ng)
+                     + (1 - CAST(g.ng AS DOUBLE)
+                          / (g.ng + (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                             / ((CAST(b.ssb_int AS DOUBLE) / (t.k - 1)
+                                 - (CAST(w.ssw_int AS DOUBLE) / w.dfw)
+                                   * 1.0)
+                                / (CAST(t.n AS DOUBLE) / t.k))))
+                       * (CAST(t.s AS DOUBLE) / t.n), 4)
+                   AS credibility_premium_cents
+        FROM grp g CROSS JOIN tot t CROSS JOIN within w
+        CROSS JOIN between_ b
+    """,
+    section="A141",
+    doc="Bühlmann credibility premiums per nation: Z_i = n_i/(n_i + "
+    "K) with K = (within-group variance) / (between-group variance "
+    "of means), premium = Z·own mean + (1-Z)·collective mean — the "
+    "actuarial shrinkage estimator (the A112 chain-ladder's "
+    "rate-setting sibling, and the principled version of 'small "
+    "nations borrow strength from the book'). Method-of-moments K "
+    "from the one-way ANOVA decomposition: within SS per group and "
+    "weighted between SS are computed from exact moments (x^2 via "
+    "the hi/lo device), each floor-quantized to integer 1e4-cents^2 "
+    "units before the cross-group sums (cents^2 alone overflows "
+    "int64 at sf0.1 — the common 1e-4 scale cancels in K) so both "
+    "variance components are "
+    "order-insensitive; all ratios are pinned IEEE. Scale: one "
+    "group-moment agg + scalar rollups; dims broadcast.",
+)
+def q_agg_buhlmann_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    v = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("g"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+            ).alias("x"),
+        )
+    )
+    grp = (
+        v.groupBy("g")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("ng"),
+            F.sum("x").cast("bigint").alias("sg"),
+            F.sum(
+                F.col("x").cast(DecimalType(38, 0))
+                * F.col("x").cast(DecimalType(38, 0))
+            ).alias("sqqd"),
+        )
+        .withColumn(
+            "sqq",
+            F.expr(
+                "cast(sqqd div 4294967296 as double) * 4294967296.0d"
+                " + cast(sqqd % 4294967296 as double)"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum("sg").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    within = grp.agg(
+        F.sum(
+            F.floor(
+                (
+                    F.col("sqq")
+                    - F.col("sg").cast("double")
+                    * F.col("sg").cast("double")
+                    / F.col("ng")
+                )
+                / F.lit(1e4)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("ssw_int"),
+        F.sum(F.col("ng") - 1).cast("bigint").alias("dfw"),
+    )
+    between = (
+        grp.crossJoin(F.broadcast(tot))
+        .select(
+            F.floor(
+                F.col("ng")
+                * (
+                    F.col("sg").cast("double") / F.col("ng")
+                    - F.col("s").cast("double") / F.col("n")
+                )
+                * (
+                    F.col("sg").cast("double") / F.col("ng")
+                    - F.col("s").cast("double") / F.col("n")
+                )
+                / F.lit(1e4)
+            )
+            .cast("bigint")
+            .alias("t")
+        )
+        .agg(F.sum("t").cast("bigint").alias("ssb_int"))
+    )
+    j = (
+        grp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(within))
+        .crossJoin(F.broadcast(between))
+    )
+    s2w = F.col("ssw_int").cast("double") / F.col("dfw")
+    var_means = (
+        F.col("ssb_int").cast("double") / (F.col("k") - 1) - s2w * F.lit(1.0)
+    ) / (F.col("n").cast("double") / F.col("k"))
+    kk = s2w / var_means
+    z = F.col("ng").cast("double") / (F.col("ng") + kk)
+    own = F.col("sg").cast("double") / F.col("ng")
+    grand = F.col("s").cast("double") / F.col("n")
+    return j.select(
+        F.col("g").alias("nation"),
+        F.col("ng").alias("n_orders"),
+        F.round(own, 4).alias("raw_mean_cents"),
+        F.round(z, 6).alias("credibility_z"),
+        F.round(z * own + (1 - z) * grand, 4).alias(
+            "credibility_premium_cents"
+        ),
+    )
