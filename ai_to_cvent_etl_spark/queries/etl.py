@@ -4118,3 +4118,138 @@ def q_etl_erasure_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("orders", o, "o_custkey", 2))
         .unionByName(row("lineitem", l, "l_orderkey", 3))
     )
+
+
+# ==== wave 160b: ABC-XYZ inventory classification ==================
+
+
+@register(
+    "q_etl_abc_xyz",
+    oracle="""
+        WITH pv AS (
+            SELECT l_partkey,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM lineitem GROUP BY l_partkey
+        ),
+        abc AS (
+            SELECT l_partkey, cents,
+                   CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+                        WHEN cum * 100 <= tot * 95 THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM (
+                SELECT l_partkey, cents,
+                       SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+                       SUM(cents) OVER () AS tot
+                FROM pv
+            )
+        ),
+        md AS (
+            SELECT l_partkey,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(q) AS BIGINT) AS s1,
+                   CAST(SUM(q * q) AS BIGINT) AS s2
+            FROM (
+                SELECT l_partkey,
+                       (date_part('year', l_shipdate) - 1995) * 12
+                       + date_part('month', l_shipdate) - 1 AS m,
+                       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q
+                FROM lineitem GROUP BY 1, 2
+            ) GROUP BY l_partkey
+        ),
+        xyz AS (
+            SELECT l_partkey,
+                   CASE WHEN 4 * (n * s2 - s1 * s1) <= s1 * s1 THEN 'X'
+                        WHEN n * s2 - s1 * s1 <= s1 * s1 THEN 'Y'
+                        ELSE 'Z' END AS xyz_class
+            FROM md
+        )
+        SELECT a.abc_class, x.xyz_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(CAST(SUM(a.cents) AS DOUBLE)
+                     / (SELECT SUM(cents) FROM pv), 6) AS revenue_share
+        FROM abc a JOIN xyz x USING (l_partkey)
+        GROUP BY a.abc_class, x.xyz_class
+    """,
+    section="E42",
+    doc="ABC-XYZ inventory classification — the 9-cell planning matrix "
+    "(value importance x demand predictability) that decides stocking "
+    "policy per part: ABC from the cumulative revenue curve (A = top "
+    "80% of value, B to 95%, C rest — W16's Pareto curve turned into "
+    "a label, boundaries as cum·100 <= tot·k INTEGER compares under a "
+    "fully tie-broken descending order), XYZ from the coefficient of "
+    "variation of monthly demand with the squared-threshold device: "
+    "cv <= t  iff  (n·Σq² - S²) <= t²·S², so the 0.5/1.0 bands are "
+    "pure int64 inequalities (4·var·n² <= S² and var·n² <= S²) — no "
+    "sqrt, no float anywhere in the labels. Cell rollup reports part "
+    "counts and revenue share. Scale: one part-grain value agg + one "
+    "(part, month) demand agg; the ABC window runs on the part grain.",
+)
+def q_etl_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    abc = pv.select(
+        "l_partkey",
+        "cents",
+        F.sum("cents").over(w).alias("cum"),
+        F.sum("cents").over(wall).alias("tot"),
+    ).select(
+        "l_partkey",
+        "cents",
+        F.when(F.col("cum") * 100 <= F.col("tot") * 80, "A")
+        .when(F.col("cum") * 100 <= F.col("tot") * 95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    mo = (F.year("l_shipdate") - 1995) * 12 + F.month("l_shipdate") - 1
+    md = (
+        li.groupBy("l_partkey", mo.alias("m"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s1"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("s2"),
+        )
+    )
+    var_n2 = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    xyz = md.select(
+        "l_partkey",
+        F.when(4 * var_n2 <= F.col("s1") * F.col("s1"), "X")
+        .when(var_n2 <= F.col("s1") * F.col("s1"), "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    tot = pv.agg(F.sum("cents").cast("bigint").alias("tot_cents"))
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("cents").cast("bigint").alias("cell_cents"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "xyz_class",
+            "n_parts",
+            F.round(
+                F.col("cell_cents").cast("double") / F.col("tot_cents"), 6
+            ).alias("revenue_share"),
+        )
+    )

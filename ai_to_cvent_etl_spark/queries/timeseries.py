@@ -5855,3 +5855,188 @@ def q_ts_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("energy_raw") / F.sum("energy_raw").over(wall), 6
         ).alias("energy_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wave 160a (r5): relative-strength rotation quadrants.
+# ---------------------------------------------------------------------------
+
+_RRG_M = 79  # final month index of the 1995-2001 span (2001-08)
+
+
+@register(
+    "q_ts_rs_rotation",
+    oracle=f"""
+        WITH monthly AS (
+            SELECT n.n_name AS nation,
+                   (date_part('year', o.o_orderdate) - 1995) * 12
+                   + date_part('month', o.o_orderdate) - 1 AS m,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        mkt AS (
+            SELECT m, CAST(SUM(cents) AS BIGINT) AS mc
+            FROM monthly GROUP BY m
+        ),
+        allnations AS (
+            SELECT DISTINCT nation FROM monthly
+        ),
+        last3 AS (
+            SELECT an.nation,
+                   CAST(COALESCE(SUM(CASE WHEN mo.m BETWEEN 77 AND 79
+                                 THEN mo.cents END), 0) AS BIGINT) AS y1,
+                   CAST(COALESCE(SUM(CASE WHEN mo.m BETWEEN 71 AND 73
+                                 THEN mo.cents END), 0) AS BIGINT) AS y0
+            FROM allnations an
+            LEFT JOIN monthly mo ON mo.nation = an.nation
+            GROUP BY an.nation
+        ),
+        mwin AS (
+            SELECT CAST(SUM(CASE WHEN m BETWEEN 77 AND 79
+                                 THEN mc END) AS BIGINT) AS m1,
+                   CAST(SUM(CASE WHEN m BETWEEN 71 AND 73
+                                 THEN mc END) AS BIGINT) AS m0
+            FROM mkt
+        ),
+        avgshare AS (
+            SELECT mo.nation,
+                   CAST(SUM(mo.cents) AS BIGINT) AS tot_n,
+                   CAST(SUM(k.mc) AS BIGINT) AS tot_m
+            FROM monthly mo JOIN mkt k ON mo.m = k.m
+            GROUP BY mo.nation
+        )
+        SELECT l.nation,
+               ROUND(CAST(l.y1 AS DOUBLE) / w.m1
+                     / (CAST(a.tot_n AS DOUBLE) / a.tot_m), 6)
+                   AS rs_ratio,
+               ROUND(CAST(l.y1 AS DOUBLE) / w.m1
+                     - CAST(l.y0 AS DOUBLE) / w.m0, 6) AS rs_momentum,
+               CASE
+                   WHEN CAST(l.y1 AS HUGEINT) * a.tot_m
+                            > CAST(a.tot_n AS HUGEINT) * w.m1
+                        AND l.y1 * CAST(w.m0 AS HUGEINT)
+                            > l.y0 * CAST(w.m1 AS HUGEINT)
+                       THEN 'leading'
+                   WHEN CAST(l.y1 AS HUGEINT) * a.tot_m
+                            > CAST(a.tot_n AS HUGEINT) * w.m1
+                       THEN 'weakening'
+                   WHEN l.y1 * CAST(w.m0 AS HUGEINT)
+                            > l.y0 * CAST(w.m1 AS HUGEINT)
+                       THEN 'improving'
+                   ELSE 'lagging'
+               END AS quadrant
+        FROM last3 l CROSS JOIN mwin w JOIN avgshare a USING (nation)
+    """,
+    section="TS37",
+    doc="Relative-strength rotation (the RRG quadrant chart) over the "
+    "final quarter (months 77-79) vs two quarters prior (71-73): "
+    "each nation's window market share vs its own full-period "
+    "average share (strength axis) and the share CHANGE between the "
+    "two windows "
+    "(momentum axis) classify it leading / weakening / improving / "
+    "lagging — the sector-rotation screen, and the panel analog of "
+    "W33's long-short momentum (W33 trades the ranking; this names "
+    "each unit's phase). Determinism device: every axis test is a "
+    "CROSS-MULTIPLIED integer compare (y1·M > Y·m1 instead of "
+    "share ratios — the TS28 sign device; one product needs 128-bit "
+    "headroom, taken via HUGEINT in DuckDB and Spark's DECIMAL(38) "
+    "promotion), so the quadrant label never rides a float; the "
+    "reported ratios are display-only pinned doubles. Scale: "
+    "(nation x month) grain throughout — calendar-bounded.",
+)
+def q_ts_rs_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    monthly = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), mo.alias("m"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    ).localCheckpoint(eager=False)
+    mkt = monthly.groupBy("m").agg(
+        F.sum("cents").cast("bigint").alias("mc")
+    )
+    j = monthly.join(F.broadcast(mkt), "m")
+    allnations = monthly.select("nation").distinct()
+    ysum = (
+        monthly.groupBy("nation")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("m").between(77, 79), F.col("cents")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y1"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("m").between(71, 73), F.col("cents")
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("y0"),
+        )
+    )
+    last3 = allnations.join(ysum, "nation", "left").select(
+        "nation",
+        F.coalesce(F.col("y1"), F.lit(0)).cast("bigint").alias("y1"),
+        F.coalesce(F.col("y0"), F.lit(0)).cast("bigint").alias("y0"),
+    )
+    mwin = mkt.agg(
+        F.sum(F.when(F.col("m").between(77, 79), F.col("mc")))
+        .cast("bigint")
+        .alias("m1"),
+        F.sum(F.when(F.col("m").between(71, 73), F.col("mc")))
+        .cast("bigint")
+        .alias("m0"),
+    )
+    avgshare = j.groupBy("nation").agg(
+        F.sum("cents").cast("bigint").alias("tot_n"),
+        F.sum("mc").cast("bigint").alias("tot_m"),
+    )
+    out = last3.crossJoin(F.broadcast(mwin)).join(avgshare, "nation")
+    d38 = DecimalType(38, 0)
+    strong = (
+        F.col("y1").cast(d38) * F.col("tot_m").cast(d38)
+        > F.col("tot_n").cast(d38) * F.col("m1").cast(d38)
+    )
+    rising = (
+        F.col("y1").cast(d38) * F.col("m0").cast(d38)
+        > F.col("y0").cast(d38) * F.col("m1").cast(d38)
+    )
+    return out.select(
+        "nation",
+        F.round(
+            F.col("y1").cast("double")
+            / F.col("m1")
+            / (F.col("tot_n").cast("double") / F.col("tot_m")),
+            6,
+        ).alias("rs_ratio"),
+        F.round(
+            F.col("y1").cast("double") / F.col("m1")
+            - F.col("y0").cast("double") / F.col("m0"),
+            6,
+        ).alias("rs_momentum"),
+        F.when(strong & rising, "leading")
+        .when(strong, "weakening")
+        .when(rising, "improving")
+        .otherwise("lagging")
+        .alias("quadrant"),
+    )
