@@ -4253,3 +4253,92 @@ def q_etl_abc_xyz(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue_share"),
         )
     )
+
+
+# ==== wave 161b: SLO error-budget burn =============================
+
+_SLO_TARGET_Q4 = 9900  # 99.00% availability, in basis points
+
+
+@register(
+    "q_etl_error_budget",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_errors
+            FROM events GROUP BY 1
+        ),
+        roll AS (
+            SELECT d, n_events, n_errors,
+                   CAST(SUM(n_events) OVER w7 AS BIGINT) AS n7,
+                   CAST(SUM(n_errors) OVER w7 AS BIGINT) AS e7,
+                   CAST(COUNT(*) OVER w7 AS BIGINT) AS k7
+            FROM daily
+            WINDOW w7 AS (ORDER BY d ROWS BETWEEN 6 PRECEDING
+                          AND CURRENT ROW)
+        )
+        SELECT d, n_events, n_errors,
+               ROUND(CAST(n_errors AS DOUBLE) / n_events, 6)
+                   AS error_rate_1d,
+               ROUND(CAST(e7 AS DOUBLE) / n7, 6) AS error_rate_7d,
+               ROUND(CAST(e7 AS DOUBLE) / n7
+                     / ((10000 - {_SLO_TARGET_Q4}) / 10000.0), 4)
+                   AS burn_rate_7d,
+               CAST(e7 * 10000 > ({10000 - _SLO_TARGET_Q4}) * n7 * 2
+                    AS BOOLEAN) AS page_alert
+        FROM roll WHERE k7 = 7
+    """,
+    section="E43",
+    doc="SLO error-budget burn (the Google SRE multiwindow alert "
+    "shape) on the events stream: daily and 7-day error rates "
+    "against a 99.00% availability target, burn rate = rate / "
+    "budget (burn 1.0 = spending the budget exactly on schedule), "
+    "and the page alert fires when the 7-day burn exceeds 2x — "
+    "evaluated as the INTEGER cross-multiplication e7·10000 > "
+    "budget_bp·n7·2, so the alert boundary never rides a float "
+    "(the same TS28 sign device; the reported rates are display "
+    "doubles). The ops-reliability sibling of E-family "
+    "volume_anomaly — this one is normative (against a target), "
+    "not statistical. Scale: day-grain collapse, 7-row windows on "
+    "the spine.",
+)
+def q_etl_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    w7 = Window.orderBy("d").rowsBetween(-6, 0)
+    roll = daily.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.sum("n_events").over(w7).cast("bigint").alias("n7"),
+        F.sum("n_errors").over(w7).cast("bigint").alias("e7"),
+        F.count(F.lit(1)).over(w7).cast("bigint").alias("k7"),
+    ).where(F.col("k7") == 7)
+    budget_bp = 10000 - _SLO_TARGET_Q4
+    return roll.select(
+        "d",
+        "n_events",
+        "n_errors",
+        F.round(
+            F.col("n_errors").cast("double") / F.col("n_events"), 6
+        ).alias("error_rate_1d"),
+        F.round(F.col("e7").cast("double") / F.col("n7"), 6).alias(
+            "error_rate_7d"
+        ),
+        F.round(
+            F.col("e7").cast("double")
+            / F.col("n7")
+            / F.lit(budget_bp / 10000.0),
+            4,
+        ).alias("burn_rate_7d"),
+        (
+            F.col("e7") * 10000 > F.lit(budget_bp) * F.col("n7") * 2
+        ).alias("page_alert"),
+    )

@@ -2381,3 +2381,125 @@ def q_win_process_dfg(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mean_gap_s"),
     )
+
+
+# ==== wave 161a: DAU growth accounting =============================
+
+
+@register(
+    "q_win_growth_accounting",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(ts AS DATE) AS d
+            FROM events
+        ),
+        flags AS (
+            SELECT user_id, d,
+                   LAG(d) OVER (PARTITION BY user_id ORDER BY d) AS prev_d,
+                   MIN(d) OVER (PARTITION BY user_id) AS first_d
+            FROM ud
+        ),
+        today AS (
+            SELECT d,
+                   CAST(SUM(CASE WHEN d = first_d THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   CAST(SUM(CASE WHEN d <> first_d
+                                 AND prev_d = d - INTERVAL 1 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+                   CAST(SUM(CASE WHEN d <> first_d
+                                 AND prev_d < d - INTERVAL 1 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_resurrected,
+                   CAST(COUNT(*) AS BIGINT) AS dau
+            FROM flags GROUP BY d
+        ),
+        churn AS (
+            SELECT d + INTERVAL 1 DAY AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n_churned
+            FROM (
+                SELECT user_id, d,
+                       LEAD(d) OVER (PARTITION BY user_id ORDER BY d)
+                           AS next_d
+                FROM ud
+            )
+            WHERE next_d IS NULL OR next_d > d + INTERVAL 1 DAY
+            GROUP BY d
+        )
+        SELECT CAST(t.d AS DATE) AS d, t.dau, t.n_new, t.n_retained,
+               t.n_resurrected,
+               CAST(COALESCE(c.n_churned, 0) AS BIGINT) AS n_churned_from
+        FROM today t LEFT JOIN churn c ON t.d = CAST(c.d AS DATE)
+    """,
+    section="W37",
+    doc="DAU growth accounting (the new/retained/resurrected/churned "
+    "ledger): each active (user, day) classifies as NEW (first day "
+    "ever), RETAINED (also active yesterday), or RESURRECTED (active "
+    "before, but not yesterday), and each day also reports how many "
+    "of its actives did NOT return tomorrow (churn attributed to the "
+    "day after their last visit) — the accounting identity "
+    "dau_t = new_t + retained_t + resurrected_t holds by partition, "
+    "and dau growth reconciles as new + resurrected - churned, which "
+    "is what makes this the product-analytics standard over raw "
+    "TS-family DAU (it says WHY the number moved). All classification "
+    "is lag/lead date compares per user; all counting integer. "
+    "Scale: the user-day distinct collapse first, then per-user "
+    "windows (the natural partition key) and a day-grain rollup.",
+)
+def q_win_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct().localCheckpoint(eager=False)
+    wu = Window.partitionBy("user_id").orderBy("d")
+    wa = Window.partitionBy("user_id")
+    flags = ud.select(
+        "user_id",
+        "d",
+        F.lag("d").over(wu).alias("prev_d"),
+        F.min("d").over(wa).alias("first_d"),
+    )
+    today = flags.groupBy("d").agg(
+        F.sum(F.when(F.col("d") == F.col("first_d"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                (F.col("d") != F.col("first_d"))
+                & (F.col("prev_d") == F.date_sub("d", 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                (F.col("d") != F.col("first_d"))
+                & (F.col("prev_d") < F.date_sub("d", 1)),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.count(F.lit(1)).cast("bigint").alias("dau"),
+    )
+    churn = (
+        ud.select(
+            "user_id", "d", F.lead("d").over(wu).alias("next_d")
+        )
+        .where(
+            F.col("next_d").isNull()
+            | (F.col("next_d") > F.date_add("d", 1))
+        )
+        .groupBy(F.date_add("d", 1).alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return today.join(churn, "d", "left").select(
+        "d",
+        "dau",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce(F.col("n_churned"), F.lit(0))
+        .cast("bigint")
+        .alias("n_churned_from"),
+    )
