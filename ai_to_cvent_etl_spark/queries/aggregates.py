@@ -13068,3 +13068,127 @@ def q_agg_buhlmann_credibility(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credibility_premium_cents"
         ),
     )
+
+
+# ==== wave 162b: cooperative cost allocation =======================
+
+
+@register(
+    "q_agg_airport_shapley",
+    oracle="""
+        WITH demand AS (
+            SELECT r.r_name AS region,
+                   CAST(MAX(mc) AS BIGINT) AS peak_cents
+            FROM (
+                SELECT c.c_nationkey,
+                       (date_part('year', o.o_orderdate) - 1995) * 12
+                       + date_part('month', o.o_orderdate) - 1 AS m,
+                       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                            * 100 AS BIGINT) AS mc
+                FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                GROUP BY 1, 2
+            ) x
+            JOIN nation n ON x.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        ),
+        ranked AS (
+            SELECT region, peak_cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY peak_cents, region)
+                        AS BIGINT) AS j,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k,
+                   CAST(COALESCE(LAG(peak_cents) OVER (
+                       ORDER BY peak_cents, region), 0) AS BIGINT) AS prev
+            FROM demand
+        ),
+        phi AS (
+            SELECT region, peak_cents, j, k,
+                   CAST(SUM((peak_cents - prev) * 60 / (k - j + 1))
+                        OVER (ORDER BY j
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS phi60
+            FROM ranked
+        )
+        SELECT region, peak_cents,
+               ROUND(CAST(phi60 AS DOUBLE) / 60, 4) AS shapley_cents,
+               ROUND(CAST(phi60 AS DOUBLE) / 60
+                     / (SELECT MAX(peak_cents) FROM demand), 6)
+                   AS cost_share
+        FROM phi
+    """,
+    section="A142",
+    doc="Airport-game Shapley cost allocation across the five regions: "
+    "the shared 'runway' is capacity sized to the LARGEST region's "
+    "peak monthly revenue, and each region's fair share of that "
+    "capacity cost is the Shapley value — which for max-type cost "
+    "functions has the exact closed form phi_i = sum_(j<=i) "
+    "(d_j - d_(j-1))/(n-j+1) over ascending demands (each increment "
+    "is split equally among everyone who needs it): the canonical "
+    "cooperative-game allocation, complementing A44's Hamilton "
+    "largest-remainder (proportional) with the marginal-contribution "
+    "principle, and A106's Shapley-R2 (regression attribution) with "
+    "the cost-sharing original. Determinism: increments x 60 are "
+    "divisible by every denominator 1..5 (the G12 LCM device), so "
+    "phi60 is an exact integer cumulative; efficiency (sum phi = "
+    "max demand) holds by telescoping — self-checking. Scale: 5-row "
+    "game after one (nation, month) agg.",
+)
+def q_agg_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    mo = (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+    natmonth = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_nationkey", mo.alias("m"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("mc")
+        )
+    )
+    demand = (
+        natmonth.join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.max("mc").cast("bigint").alias("peak_cents"))
+    )
+    wr = Window.orderBy("peak_cents", "region")
+    wall = Window.partitionBy()
+    ranked = demand.select(
+        "region",
+        "peak_cents",
+        F.row_number().over(wr).cast("bigint").alias("j"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("k"),
+        F.coalesce(F.lag("peak_cents").over(wr), F.lit(0))
+        .cast("bigint")
+        .alias("prev"),
+    )
+    wcum = Window.orderBy("j").rowsBetween(Window.unboundedPreceding, 0)
+    phi = ranked.select(
+        "region",
+        "peak_cents",
+        F.sum(
+            (F.col("peak_cents") - F.col("prev"))
+            * 60
+            / (F.col("k") - F.col("j") + 1)
+        )
+        .over(wcum)
+        .cast("bigint")
+        .alias("phi60"),
+    )
+    mx = demand.agg(F.max("peak_cents").alias("max_demand"))
+    return phi.crossJoin(F.broadcast(mx)).select(
+        "region",
+        "peak_cents",
+        F.round(F.col("phi60").cast("double") / 60, 4).alias(
+            "shapley_cents"
+        ),
+        F.round(
+            F.col("phi60").cast("double") / 60 / F.col("max_demand"), 6
+        ).alias("cost_share"),
+    )

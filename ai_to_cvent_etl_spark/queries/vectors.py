@@ -4427,3 +4427,170 @@ def q_vec_intra_list_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_ild"),
     )
+
+
+# ==== wave 162a: reciprocal-rank fusion ============================
+
+_RRF_K = 60
+# floor(1e12 / (k + r)) for r = 1..10 — Python-precomputed integer
+# masses (the V22 device): engines only ever SUM these literals.
+_RRF_Q12 = [16393442622, 16129032258, 15873015873, 15625000000, 15384615384, 15151515151, 14925373134, 14705882352, 14492753623, 14285714285]
+
+
+@register(
+    "q_vec_rrf_fusion",
+    oracle=f"""
+        WITH words AS (
+            SELECT vec_id, {_pack_duck(1)} AS wlo, {_pack_duck(33)} AS whi
+            FROM embeddings
+        ),
+        hq AS (SELECT vec_id AS qid, wlo AS qlo, whi AS qhi FROM words
+               WHERE vec_id < {_HAM_NQ}),
+        ham AS (
+            SELECT qid, nid, rnk FROM (
+                SELECT hq.qid, c.vec_id AS nid,
+                       row_number() OVER (
+                           PARTITION BY hq.qid
+                           ORDER BY bit_count(xor(hq.qlo, c.wlo))
+                                    + bit_count(xor(hq.qhi, c.whi)), c.vec_id
+                       ) AS rnk
+                FROM hq JOIN words c ON c.vec_id <> hq.qid
+            ) WHERE rnk <= 10
+        ),
+        cos AS (
+            SELECT query_id, neighbor_id, rank FROM (
+                SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                            PARTITION BY q.vec_id
+                            ORDER BY list_cosine_similarity(
+                                         q.embedding, n.embedding) DESC,
+                                     n.vec_id
+                       ) AS rank
+                FROM (SELECT * FROM embeddings WHERE vec_id < {_HAM_NQ}) q
+                JOIN embeddings n ON n.vec_id <> q.vec_id
+            ) WHERE rank <= 10
+        ),
+        scored AS (
+            SELECT COALESCE(c.query_id, h.qid) AS query_id,
+                   COALESCE(c.neighbor_id, h.nid) AS neighbor_id,
+                   COALESCE(CASE WHEN c.rank = 1 THEN CAST(16393442622 AS BIGINT) WHEN c.rank = 2 THEN CAST(16129032258 AS BIGINT) WHEN c.rank = 3 THEN CAST(15873015873 AS BIGINT) WHEN c.rank = 4 THEN CAST(15625000000 AS BIGINT) WHEN c.rank = 5 THEN CAST(15384615384 AS BIGINT) WHEN c.rank = 6 THEN CAST(15151515151 AS BIGINT) WHEN c.rank = 7 THEN CAST(14925373134 AS BIGINT) WHEN c.rank = 8 THEN CAST(14705882352 AS BIGINT) WHEN c.rank = 9 THEN CAST(14492753623 AS BIGINT) WHEN c.rank = 10 THEN CAST(14285714285 AS BIGINT) END, 0)
+                   + COALESCE(CASE WHEN h.rnk = 1 THEN CAST(16393442622 AS BIGINT) WHEN h.rnk = 2 THEN CAST(16129032258 AS BIGINT) WHEN h.rnk = 3 THEN CAST(15873015873 AS BIGINT) WHEN h.rnk = 4 THEN CAST(15625000000 AS BIGINT) WHEN h.rnk = 5 THEN CAST(15384615384 AS BIGINT) WHEN h.rnk = 6 THEN CAST(15151515151 AS BIGINT) WHEN h.rnk = 7 THEN CAST(14925373134 AS BIGINT) WHEN h.rnk = 8 THEN CAST(14705882352 AS BIGINT) WHEN h.rnk = 9 THEN CAST(14492753623 AS BIGINT) WHEN h.rnk = 10 THEN CAST(14285714285 AS BIGINT) END, 0) AS s_q12
+            FROM cos c FULL OUTER JOIN ham h
+              ON c.query_id = h.qid AND c.neighbor_id = h.nid
+        ),
+        fused AS (
+            SELECT query_id, neighbor_id, s_q12,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY s_q12 DESC, neighbor_id) AS fused_rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id,
+               CAST(fused_rank AS BIGINT) AS fused_rank,
+               ROUND(CAST(s_q12 AS DOUBLE) / 1e12, 8) AS rrf_score
+        FROM fused WHERE fused_rank <= 5
+    """,
+    section="V25",
+    doc=f"Reciprocal-rank fusion (k = {_RRF_K}) of the exact cosine "
+    "ranking (V3) and the binary Hamming ranking (V17), top-5 fused "
+    "per query — THE hybrid-retrieval merge (RRF is what search "
+    "engines use to fuse lexical + vector lists precisely because it "
+    "needs only RANKS, no score calibration between incomparable "
+    "systems). A doc absent from one list contributes zero from it — "
+    "the standard convention, realized as a FULL OUTER join of the "
+    "two top-10 lists. Determinism: the ten possible 1/(k+r) masses "
+    "are Python-precomputed floor(1e12/(k+r)) BIGINT literals (the "
+    "V22 device), so fusion is integer addition and the fused "
+    "ordering ties break on neighbor id. Scale: inherits V3/V17 "
+    "serving shapes; fusion itself touches only 10+10 rows/query.",
+)
+def q_vec_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    words = emb.select(
+        "vec_id",
+        F.expr(_pack_spark(1)).alias("wlo"),
+        F.expr(_pack_spark(33)).alias("whi"),
+    )
+    hq = words.where(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("wlo").alias("qlo"),
+        F.col("whi").alias("qhi"),
+    )
+    ham = (
+        words.join(F.broadcast(hq), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("wlo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("whi")))
+            ).alias("hamming"),
+        )
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("hamming", "nid")
+            ),
+        )
+        .where(F.col("rnk") <= 10)
+        .select("qid", "nid", "rnk")
+    )
+    q = emb.filter(F.col("vec_id") < _HAM_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    ).withColumn("q_norm", F.sqrt(_sq_norm("q_emb")))
+    n = fan_out(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("n_emb"),
+        ).withColumn("n_norm", F.sqrt(_sq_norm("n_emb")))
+    )
+    sim = _dot("q_emb", "n_emb") / (F.col("q_norm") * F.col("n_norm"))
+    cos = (
+        F.broadcast(q)
+        .join(n, F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("sim").desc(), F.col("neighbor_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+    def mass(rank_col):
+        e = F.lit(0).cast("bigint")
+        for r in range(10, 0, -1):
+            e = F.when(rank_col == r, F.lit(_RRF_Q12[r - 1])).otherwise(e)
+        return F.coalesce(e, F.lit(0))
+
+    scored = cos.join(
+        ham,
+        (cos.query_id == ham.qid) & (cos.neighbor_id == ham.nid),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("qid")).alias("query_id"),
+        F.coalesce(F.col("neighbor_id"), F.col("nid")).alias("neighbor_id"),
+        (mass(F.col("rank")) + mass(F.col("rnk"))).alias("s_q12"),
+    )
+    fused = scored.withColumn(
+        "fused_rank",
+        F.row_number().over(
+            Window.partitionBy("query_id").orderBy(
+                F.col("s_q12").desc(), F.col("neighbor_id").asc()
+            )
+        ),
+    ).where(F.col("fused_rank") <= 5)
+    return fused.select(
+        "query_id",
+        "neighbor_id",
+        F.col("fused_rank").cast("bigint").alias("fused_rank"),
+        F.round(F.col("s_q12").cast("double") / F.lit(1e12), 8).alias(
+            "rrf_score"
+        ),
+    )
