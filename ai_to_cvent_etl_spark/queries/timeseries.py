@@ -6040,3 +6040,192 @@ def q_ts_rs_rotation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("lagging")
         .alias("quadrant"),
     )
+
+
+# ==== wave 163b: Dickey-Fuller unit-root test =======================
+
+
+@register(
+    "q_ts_dickey_fuller",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT nation,
+                   LAG(cents) OVER (PARTITION BY nation ORDER BY d) AS x,
+                   cents - LAG(cents) OVER (PARTITION BY nation ORDER BY d)
+                       AS dy
+            FROM daily
+        ),
+        moments AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sdy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(dy AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(dy AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxdy,
+                   CAST(CAST(SUM(CAST(dy AS DECIMAL(38,0))
+                                 * CAST(dy AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(dy AS DECIMAL(38,0))
+                                   * CAST(dy AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sdydy
+            FROM pairs WHERE x IS NOT NULL
+            GROUP BY nation
+            HAVING COUNT(*) > 2
+        ),
+        fit AS (
+            SELECT nation, n,
+                   CAST(n AS DOUBLE) AS nd,
+                   CAST(sx AS DOUBLE) AS sxd,
+                   CAST(sdy AS DOUBLE) AS sdyd,
+                   sxx, sxdy, sdydy
+            FROM moments
+        ),
+        d2 AS (
+            SELECT nation, n, nd, sxd, sdyd,
+                   nd * sxx - sxd * sxd AS dxx,
+                   nd * sxdy - sxd * sdyd AS dxy,
+                   nd * sdydy - sdyd * sdyd AS dyy
+            FROM fit
+        ),
+        b AS (
+            SELECT nation, n, nd, sxd, sdyd, dxx, dxy, dyy,
+                   dxy / dxx AS beta
+            FROM d2
+        )
+        SELECT nation, n,
+               ROUND(beta, 8) AS beta,
+               ROUND(beta / sqrt((dyy - beta * dxy)
+                                 / ((nd - 2.0) * dxx)), 6) AS df_t,
+               ROUND((sdyd - beta * sxd) / nd, 4) AS drift_cents
+        FROM b
+        ORDER BY nation
+    """,
+    section="TS22",
+    doc="Dickey-Fuller unit-root test per nation on the daily-revenue "
+    "series: regress dy_t = alpha + beta*y_(t-1) via grouped "
+    "closed-form OLS and report the DF t-statistic beta/SE(beta) — "
+    "df_t strongly negative rejects the unit root (series "
+    "mean-reverts), df_t near 0 says random-walk; the stationarity "
+    "complement of q_ts_kpss (which tests the null the other way "
+    "around). All moments are exact integer/DECIMAL(38,0) sums "
+    "rebuilt into doubles with A26's hi/lo 32-bit device — sign-safe "
+    "here because dy sums can be negative and both engines truncate "
+    "integer division toward zero — then beta / SSE / t share one "
+    "pinned IEEE expression (div, mul, sub, sqrt are all "
+    "correctly-rounded). Scale: one (nation, day) agg, one bounded "
+    "lag window per nation, one nation-grain moment agg — the "
+    "per-series state never leaves the executors and the output is "
+    "|nations| rows.",
+)
+def q_ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("d")
+    pairs = daily.select(
+        "nation",
+        F.lag("cents").over(w).alias("x"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("dy"),
+    ).where(F.col("x").isNotNull())
+    moments = (
+        pairs.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("dy").cast("bigint").alias("sdy"),
+            F.sum(
+                F.col("x").cast(DecimalType(38, 0))
+                * F.col("x").cast(DecimalType(38, 0))
+            ).alias("sxxd"),
+            F.sum(
+                F.col("x").cast(DecimalType(38, 0))
+                * F.col("dy").cast(DecimalType(38, 0))
+            ).alias("sxdyd"),
+            F.sum(
+                F.col("dy").cast(DecimalType(38, 0))
+                * F.col("dy").cast(DecimalType(38, 0))
+            ).alias("sdydyd"),
+        )
+        .where(F.col("n") > 2)
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    fit = moments.select(
+        "nation",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sdy").cast("double").alias("sdyd"),
+        F.expr(hi_lo.format("sxxd")).alias("sxx"),
+        F.expr(hi_lo.format("sxdyd")).alias("sxdy"),
+        F.expr(hi_lo.format("sdydyd")).alias("sdydy"),
+    )
+    d2 = fit.select(
+        "nation",
+        "n",
+        "nd",
+        "sxd",
+        "sdyd",
+        (F.col("nd") * F.col("sxx") - F.col("sxd") * F.col("sxd")).alias(
+            "dxx"
+        ),
+        (F.col("nd") * F.col("sxdy") - F.col("sxd") * F.col("sdyd")).alias(
+            "dxy"
+        ),
+        (F.col("nd") * F.col("sdydy") - F.col("sdyd") * F.col("sdyd")).alias(
+            "dyy"
+        ),
+    )
+    b = d2.withColumn("beta", F.col("dxy") / F.col("dxx"))
+    return b.select(
+        "nation",
+        "n",
+        F.round("beta", 8).alias("beta"),
+        F.round(
+            F.col("beta")
+            / F.sqrt(
+                (F.col("dyy") - F.col("beta") * F.col("dxy"))
+                / ((F.col("nd") - F.lit(2.0)) * F.col("dxx"))
+            ),
+            6,
+        ).alias("df_t"),
+        F.round(
+            (F.col("sdyd") - F.col("beta") * F.col("sxd")) / F.col("nd"), 4
+        ).alias("drift_cents"),
+    )

@@ -2503,3 +2503,118 @@ def q_win_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_churned_from"),
     )
+
+
+# ==== wave 163a: time-weighted queue-depth percentiles =============
+
+
+@register(
+    "q_win_queue_percentiles",
+    oracle="""
+        WITH spans AS (
+            SELECT o.o_orderkey,
+                   CAST(o.o_orderdate AS DATE) AS arr,
+                   CAST(MAX(l.l_shipdate) AS DATE) AS dep
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            HAVING MAX(l.l_shipdate) >= o.o_orderdate
+        ),
+        deltas AS (
+            SELECT arr AS d, 1 AS delta FROM spans
+            UNION ALL
+            SELECT dep + INTERVAL 1 DAY, -1 FROM spans
+        ),
+        sweep AS (
+            SELECT d, SUM(delta) AS dd FROM deltas GROUP BY d
+        ),
+        levels AS (
+            SELECT SUM(dd) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS level,
+                   CAST(date_diff('day', d, LEAD(d) OVER (ORDER BY d))
+                        AS BIGINT) AS days
+            FROM sweep
+        ),
+        lw AS (
+            SELECT CAST(level AS BIGINT) AS level,
+                   CAST(SUM(days) AS BIGINT) AS w
+            FROM levels WHERE days IS NOT NULL
+            GROUP BY level
+        ),
+        cum AS (
+            SELECT level, w,
+                   SUM(w) OVER (ORDER BY level
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cw,
+                   SUM(w) OVER () AS tw
+            FROM lw
+        )
+        SELECT
+            (SELECT MIN(level) FROM cum WHERE 2 * cw >= tw) AS p50_level,
+            (SELECT MIN(level) FROM cum WHERE 20 * cw >= 19 * tw)
+                AS p95_level,
+            (SELECT MAX(level) FROM cum) AS max_level,
+            (SELECT CAST(SUM(level * w) AS BIGINT) FROM lw) AS level_days
+    """,
+    section="W38",
+    doc="Time-weighted queue-depth percentiles of in-flight orders: "
+    "the W34 sweep-line levels weighted by HOW LONG each level held "
+    "(a level that lasted 40 days counts 40x one that lasted a day — "
+    "the difference between 'median observed level' and 'median "
+    "EXPERIENCED level', which is what capacity planning needs), "
+    "then P50/P95 as weighted nearest-rank order statistics via "
+    "integer cumulative-weight compares (2·cw >= tw, 20·cw >= 19·tw "
+    "— the A121 weighted-median device generalized to any quantile) "
+    "plus the peak and the total level-day integral. All integer. "
+    "Scale: identical to W34 (day-grain sweep); the percentile scan "
+    "runs on the distinct-level grain.",
+)
+def q_win_queue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").cast("date").alias("dep"))
+        .where(F.col("dep") >= F.col("o_orderdate").cast("date"))
+        .select(F.col("o_orderdate").cast("date").alias("arr"), "dep")
+    )
+    deltas = spans.select(
+        F.col("arr").alias("d"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.date_add("dep", 1).alias("d"), F.lit(-1).alias("delta"))
+    )
+    sweep = deltas.groupBy("d").agg(F.sum("delta").alias("dd"))
+    wlev = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    levels = sweep.select(
+        F.sum("dd").over(wlev).alias("level"),
+        F.datediff(F.lead("d").over(Window.orderBy("d")), F.col("d"))
+        .cast("bigint")
+        .alias("days"),
+    ).where(F.col("days").isNotNull())
+    lw = levels.groupBy(F.col("level").cast("bigint").alias("level")).agg(
+        F.sum("days").cast("bigint").alias("w")
+    )
+    wc = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = lw.select(
+        "level",
+        "w",
+        F.sum("w").over(wc).alias("cw"),
+        F.sum("w").over(wall).alias("tw"),
+    ).localCheckpoint(eager=False)
+    p50 = cum.where(2 * F.col("cw") >= F.col("tw")).agg(
+        F.min("level").alias("p50_level")
+    )
+    p95 = cum.where(20 * F.col("cw") >= 19 * F.col("tw")).agg(
+        F.min("level").alias("p95_level")
+    )
+    mx = cum.agg(F.max("level").alias("max_level"))
+    integ = lw.agg(
+        F.sum(F.col("level") * F.col("w")).cast("bigint").alias("level_days")
+    )
+    return (
+        p50.crossJoin(F.broadcast(p95))
+        .crossJoin(F.broadcast(mx))
+        .crossJoin(F.broadcast(integ))
+    )
