@@ -13192,3 +13192,113 @@ def q_agg_airport_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("phi60").cast("double") / 60 / F.col("max_demand"), 6
         ).alias("cost_share"),
     )
+
+
+# ==== wave 164a: newsvendor critical-ratio stocking =================
+
+
+@register(
+    "q_agg_newsvendor",
+    oracle="""
+        WITH daily AS (
+            SELECT p.p_brand AS brand,
+                   CAST(l.l_shipdate AS DATE) AS d,
+                   CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT))
+                        AS BIGINT) AS dem
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        levels AS (
+            SELECT brand, dem, CAST(COUNT(*) AS BIGINT) AS days
+            FROM daily GROUP BY brand, dem
+        ),
+        cum AS (
+            SELECT brand, dem, days,
+                   SUM(days) OVER (PARTITION BY brand ORDER BY dem
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cd,
+                   SUM(days) OVER (PARTITION BY brand) AS n_days
+            FROM levels
+        ),
+        qstar AS (
+            SELECT brand, CAST(MIN(n_days) AS BIGINT) AS n_days,
+                   CAST(MIN(dem) AS BIGINT) AS q_star
+            FROM cum WHERE 4 * cd >= 3 * n_days
+            GROUP BY brand
+        )
+        SELECT q.brand, q.n_days, q.q_star,
+               CAST(SUM(GREATEST(q.q_star - d.dem, 0)) AS BIGINT)
+                   AS over_units,
+               CAST(SUM(GREATEST(d.dem - q.q_star, 0)) AS BIGINT)
+                   AS under_units,
+               CAST(SUM(GREATEST(q.q_star - d.dem, 0))
+                    + 3 * SUM(GREATEST(d.dem - q.q_star, 0)) AS BIGINT)
+                   AS cost_units
+        FROM qstar q JOIN daily d ON q.brand = d.brand
+        GROUP BY q.brand, q.n_days, q.q_star
+    """,
+    section="A143",
+    doc="Newsvendor critical-ratio stocking per brand: with underage "
+    "cost 3 and overage cost 1 the optimal stock is the 3/4 quantile "
+    "of the empirical daily-demand distribution — q* = the smallest "
+    "demand level whose cumulative day count clears 4*cd >= 3*n (the "
+    "A121/W38 weighted nearest-rank device, here with days as the "
+    "weights), then the realized over/under unit balance and total "
+    "cost of stocking q* every day. All integer (l_quantity floors "
+    "to BIGINT — floor, never a bare cast: DuckDB rounds double-> "
+    "BIGINT half-even while Spark truncates). Scale: one (brand, "
+    "day) agg, level-grain windows per 25-brand partition, and the "
+    "q* join back to daily broadcasts a 25-row table.",
+)
+def q_agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("l_shipdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("dem")
+        )
+        .localCheckpoint(eager=False)
+    )
+    levels = daily.groupBy("brand", "dem").agg(
+        F.count(F.lit(1)).cast("bigint").alias("days")
+    )
+    wcum = (
+        Window.partitionBy("brand")
+        .orderBy("dem")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("brand")
+    cum = levels.select(
+        "brand",
+        "dem",
+        F.sum("days").over(wcum).alias("cd"),
+        F.sum("days").over(wall).alias("n_days"),
+    )
+    qstar = (
+        cum.where(4 * F.col("cd") >= 3 * F.col("n_days"))
+        .groupBy("brand")
+        .agg(
+            F.min("n_days").cast("bigint").alias("n_days"),
+            F.min("dem").cast("bigint").alias("q_star"),
+        )
+    )
+    over = F.greatest(F.col("q_star") - F.col("dem"), F.lit(0))
+    under = F.greatest(F.col("dem") - F.col("q_star"), F.lit(0))
+    return (
+        daily.join(F.broadcast(qstar), "brand")
+        .groupBy("brand", "n_days", "q_star")
+        .agg(
+            F.sum(over).cast("bigint").alias("over_units"),
+            F.sum(under).cast("bigint").alias("under_units"),
+            (F.sum(over) + 3 * F.sum(under)).cast("bigint").alias(
+                "cost_units"
+            ),
+        )
+    )

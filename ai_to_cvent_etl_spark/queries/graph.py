@@ -2320,3 +2320,91 @@ def q_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             (6 * F.col("n_tri")).cast("double") / F.col("open2"), 6
         ).alias("transitivity"),
     )
+
+
+# ==== wave 164b: Katz centrality via integer walk counts ============
+
+
+@register(
+    "q_graph_katz",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                            's' || CAST(l_suppkey AS VARCHAR) AS b
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ),
+        und AS (
+            SELECT a AS src, b AS dst FROM e
+            UNION ALL
+            SELECT b AS src, a AS dst FROM e
+        ),
+        v1 AS (
+            SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS w
+            FROM und GROUP BY dst
+        ),
+        v2 AS (
+            SELECT u.dst AS node, CAST(SUM(v1.w) AS BIGINT) AS w
+            FROM und u JOIN v1 ON u.src = v1.node
+            GROUP BY u.dst
+        ),
+        v3 AS (
+            SELECT u.dst AS node, CAST(SUM(v2.w) AS BIGINT) AS w
+            FROM und u JOIN v2 ON u.src = v2.node
+            GROUP BY u.dst
+        )
+        SELECT v1.node,
+               v1.w AS walks1,
+               v2.w AS walks2,
+               v3.w AS walks3,
+               CAST(256 * v1.w + 16 * v2.w + v3.w AS BIGINT)
+                   AS katz_4096
+        FROM v1 JOIN v2 ON v1.node = v2.node
+                JOIN v3 ON v1.node = v3.node
+    """,
+    section="G12",
+    doc="Katz centrality (3 terms, alpha=1/16) over the undirected "
+    "customer-supplier trade graph: the walk-count vectors v_k(i) = "
+    "sum_j A(j,i) v_(k-1)(j) are EXACT integers (relational Pregel "
+    "rounds: join + keyed agg, like G1 but with no quantization "
+    "needed at all), and because alpha is a power of two the "
+    "truncated Katz series alpha*v1 + alpha^2*v2 + alpha^3*v3 is "
+    "returned as the exact integer numerator katz_4096 = 256*v1 + "
+    "16*v2 + v3 over the common denominator 4096 — zero floating "
+    "point anywhere. Scale: two edge-vector joins shuffling on node "
+    "id; the walk counts stay bounded by deg_max^3 << 2^63; the "
+    "checkpointed shared edge list is reused across the graph "
+    "family.",
+)
+def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = trade_graph_edges(spark, sf_dir)
+    v1 = und.groupBy(F.col("dst").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    v2 = (
+        und.join(v1.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    v3 = (
+        und.join(v2.withColumnRenamed("node", "src"), "src")
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum("w").cast("bigint").alias("w"))
+    )
+    return (
+        v1.withColumnRenamed("w", "walks1")
+        .join(v2.withColumnRenamed("w", "walks2"), "node")
+        .join(v3.withColumnRenamed("w", "walks3"), "node")
+        .select(
+            "node",
+            "walks1",
+            "walks2",
+            "walks3",
+            (
+                256 * F.col("walks1")
+                + 16 * F.col("walks2")
+                + F.col("walks3")
+            )
+            .cast("bigint")
+            .alias("katz_4096"),
+        )
+    )
