@@ -13302,3 +13302,93 @@ def q_agg_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ==== wave 164/165: SPC process-capability indices ==================
+
+
+@register(
+    "q_agg_process_capability",
+    oracle="""
+        WITH q AS (
+            SELECT p.p_brand AS brand,
+                   CAST(floor(l.l_quantity) AS BIGINT) AS x
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        mom AS (
+            SELECT brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(CASE WHEN x < 5 OR x > 45 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_oos
+            FROM q GROUP BY brand
+        )
+        SELECT brand, n, n_oos,
+               ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+               ROUND(sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))),
+                     6) AS sd_qty,
+               ROUND(40.0
+                     / (6.0 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
+                     6) AS cp,
+               ROUND(LEAST(45.0 - CAST(sx AS DOUBLE) / n,
+                           CAST(sx AS DOUBLE) / n - 5.0)
+                     / (3.0 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))),
+                     6) AS cpk
+        FROM mom
+    """,
+    section="A144",
+    doc="SPC process-capability indices per brand over order "
+    "quantities against spec limits [5, 45]: Cp = (USL-LSL)/6s "
+    "measures the process spread vs the spec band, Cpk = "
+    "min(USL-mu, mu-LSL)/3s additionally penalizes de-centering — "
+    "the manufacturing acceptance complement of TS16's SPC run "
+    "rules (which watch the chart; this grades the process). "
+    "Quantities floor to BIGINT so n/sx/sxx/n_oos are exact integer "
+    "moments (sxx <= 2500 per row — far under 2^53); mean, sample "
+    "sd, Cp, Cpk rebuild from one pinned IEEE expression per "
+    "column (div, sub, sqrt, least are all correctly rounded). "
+    "Scale: one map-side-combinable keyed agg to 25 rows; the "
+    "broadcast part join is the only other shuffle input.",
+)
+def q_agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.floor("l_quantity").cast("bigint").alias("x"),
+    )
+    mom = q.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(
+            F.when((F.col("x") < 5) | (F.col("x") > 45), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_oos"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    mean = sxd / F.col("n")
+    sd = F.sqrt((nd * sxxd - sxd * sxd) / (nd * (nd - F.lit(1.0))))
+    return mom.select(
+        "brand",
+        "n",
+        "n_oos",
+        F.round(mean, 6).alias("mean_qty"),
+        F.round(sd, 6).alias("sd_qty"),
+        F.round(F.lit(40.0) / (F.lit(6.0) * sd), 6).alias("cp"),
+        F.round(
+            F.least(F.lit(45.0) - mean, mean - F.lit(5.0))
+            / (F.lit(3.0) * sd),
+            6,
+        ).alias("cpk"),
+    )

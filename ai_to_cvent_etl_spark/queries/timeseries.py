@@ -6229,3 +6229,127 @@ def q_ts_dickey_fuller(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sdyd") - F.col("beta") * F.col("sxd")) / F.col("nd"), 4
         ).alias("drift_cents"),
     )
+
+
+# ==== wave 165a: Theta-method forecast ==============================
+
+
+@register(
+    "q_ts_theta_forecast",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(date_diff('day', DATE '2024-01-01',
+                                  CAST(date_trunc('day', ts) AS DATE))
+                        AS BIGINT) AS d,
+                   CAST(SUM(CAST(value AS DECIMAL(12,2))) * 100
+                        AS BIGINT) AS v
+            FROM events GROUP BY 1, 2
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sd,
+                   CAST(SUM(v) AS BIGINT) AS sv,
+                   CAST(SUM(d * d) AS BIGINT) AS sdd,
+                   CAST(SUM(d * v) AS BIGINT) AS sdv
+            FROM daily GROUP BY event_type
+        ),
+        ses AS (
+            SELECT event_type,
+                   list_reduce(
+                       list_transform(
+                           list_sort(list(struct_pack(d := d, v := v))),
+                           x -> CAST(x.v AS DOUBLE)),
+                       (acc, x) -> 0.5 * x + 0.5 * acc) AS level
+            FROM daily GROUP BY event_type
+        )
+        SELECT m.event_type, m.n AS n_days,
+               ROUND(s.level, 4) AS ses_level_cents,
+               ROUND((CAST(m.n AS DOUBLE) * CAST(m.sdv AS DOUBLE)
+                      - CAST(m.sd AS DOUBLE) * CAST(m.sv AS DOUBLE))
+                     / (CAST(m.n AS DOUBLE) * CAST(m.sdd AS DOUBLE)
+                        - CAST(m.sd AS DOUBLE) * CAST(m.sd AS DOUBLE))
+                     / 2.0, 6) AS drift_cents,
+               ROUND(s.level
+                     + 1.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sdv AS DOUBLE)
+                        - CAST(m.sd AS DOUBLE) * CAST(m.sv AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE) * CAST(m.sdd AS DOUBLE)
+                          - CAST(m.sd AS DOUBLE) * CAST(m.sd AS DOUBLE))
+                       / 2.0), 4) AS forecast_1d,
+               ROUND(s.level
+                     + 7.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sdv AS DOUBLE)
+                        - CAST(m.sd AS DOUBLE) * CAST(m.sv AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE) * CAST(m.sdd AS DOUBLE)
+                          - CAST(m.sd AS DOUBLE) * CAST(m.sd AS DOUBLE))
+                       / 2.0), 4) AS forecast_7d,
+               ROUND(s.level
+                     + 28.0 * ((CAST(m.n AS DOUBLE) * CAST(m.sdv AS DOUBLE)
+                        - CAST(m.sd AS DOUBLE) * CAST(m.sv AS DOUBLE))
+                       / (CAST(m.n AS DOUBLE) * CAST(m.sdd AS DOUBLE)
+                          - CAST(m.sd AS DOUBLE) * CAST(m.sd AS DOUBLE))
+                       / 2.0), 4) AS forecast_28d
+        FROM mom m JOIN ses s ON m.event_type = s.event_type
+    """,
+    section="TS23",
+    doc="Theta-method forecast per event type via the Hyndman-Billah "
+    "equivalence: Theta(0,2) == simple exponential smoothing plus a "
+    "drift of HALF the fitted linear-trend slope — so the M3 "
+    "benchmark winner decomposes into two devices this suite already "
+    "pins: the TS24 row-local day-sorted fold (alpha=1/2, so every "
+    "smoothing step is an exact halving of a correctly-rounded sum) "
+    "for the SES level, and the A132 closed-form OLS slope from "
+    "all-integer moments (d*v and d*d sums stay well under 2^53 — "
+    "exact doubles, no hi/lo device needed). 1/7/28-day forecasts "
+    "share one pinned IEEE expression. Scale: one keyed agg to "
+    "~days-per-type rows, one bounded sorted-collect per series, "
+    "both shuffles on the 10-value event_type key.",
+)
+def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.expr(
+            "cast(datediff(cast(date_trunc('day', ts) as date), "
+            "date'2024-01-01') as bigint)"
+        ).alias("d"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(value as decimal(12,2))) * 100 as bigint)"
+        ).alias("v")
+    ).localCheckpoint(eager=False)
+    mom = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("v").cast("bigint").alias("sv"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+        F.sum(F.col("d") * F.col("v")).cast("bigint").alias("sdv"),
+    )
+    ses = daily.groupBy("event_type").agg(
+        F.expr(
+            "aggregate("
+            "  slice(transform(array_sort(collect_list(struct(d, v))),"
+            "                  x -> cast(x.v as double)),"
+            "        2, size(collect_list(struct(d, v))) - 1),"
+            "  cast(transform(array_sort(collect_list(struct(d, v))),"
+            "                 x -> cast(x.v as double))[0] as double),"
+            "  (acc, x) -> 0.5d * x + 0.5d * acc)"
+        ).alias("level")
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("sd").cast("double")
+    sv = F.col("sv").cast("double")
+    sdd = F.col("sdd").cast("double")
+    sdv = F.col("sdv").cast("double")
+    drift = (nd * sdv - sd * sv) / (nd * sdd - sd * sd) / F.lit(2.0)
+    return mom.join(ses, "event_type").select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        F.round("level", 4).alias("ses_level_cents"),
+        F.round(drift, 6).alias("drift_cents"),
+        F.round(F.col("level") + F.lit(1.0) * drift, 4).alias("forecast_1d"),
+        F.round(F.col("level") + F.lit(7.0) * drift, 4).alias("forecast_7d"),
+        F.round(F.col("level") + F.lit(28.0) * drift, 4).alias(
+            "forecast_28d"
+        ),
+    )
