@@ -311,6 +311,23 @@ RISKY = [
     "q_etl_erasure_impact",
     "q_agg_qini_curve",
     "q_agg_borda_copeland",
+    # r5 waves 159-165: sweep-line level weights, sign-safe hi/lo
+    # cross-moments, days-weighted fractiles, integer walk counts,
+    # exact-halving folds, and integer-moment capability ratios.
+    "q_win_queue_percentiles",
+    "q_ts_dickey_fuller",
+    "q_agg_newsvendor",
+    "q_graph_katz",
+    "q_ts_theta_forecast",
+    "q_agg_process_capability",
+    "q_agg_buhlmann_credibility",
+    "q_ts_rs_rotation",
+    "q_etl_abc_xyz",
+    "q_win_growth_accounting",
+    "q_etl_error_budget",
+    "q_vec_rrf_fusion",
+    "q_agg_airport_shapley",
+    "q_agg_smr",
 ]
 
 
