@@ -179,3 +179,80 @@ def extract_features(
             )
 
     return with_payload.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_no", LongType()),
+        StructField("offset", LongType()),
+        StructField("length", LongType()),
+        StructField("chunk_md5", StringType()),
+    ]
+)
+
+CDC_WINDOW = 8        # rolling-hash window (bytes)
+CDC_BASE = 33         # polynomial base
+CDC_MASK_MOD = 64     # boundary when hash % 64 == 0 -> ~64B expected chunks
+
+
+def cdc_chunk_bytes(with_payload: DataFrame) -> DataFrame:
+    """Content-defined chunking over binary payloads via mapInPandas.
+
+    Rabin-style CDC (the rsync/restic/LBFS device): a boundary falls after
+    byte i when the polynomial hash of the trailing 8-byte window —
+    sum(b[i-j] * 33^j for j in 0..7) — is divisible by 64, so chunk
+    boundaries depend only on LOCAL content. Insert one byte near the front
+    of a payload and every fixed-size-block scheme re-digests the whole
+    tail; CDC re-digests only the chunk containing the edit — which is why
+    dedup storage for 100 TB media archives chunks this way. Emits the
+    chunk manifest (doc_id, chunk_no, offset, length, md5); payload bytes
+    never leave the map task, only ~16-byte digests shuffle.
+    """
+    import hashlib
+
+    pows = [CDC_BASE**j for j in range(CDC_WINDOW)]
+
+    def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "chunk_no": [],
+                "offset": [],
+                "length": [],
+                "chunk_md5": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n = len(data)
+                if n == 0:
+                    continue
+                bounds = [
+                    i
+                    for i in range(CDC_WINDOW, n)  # i = 1-based window end
+                    if sum(
+                        data[i - 1 - j] * pows[j] for j in range(CDC_WINDOW)
+                    )
+                    % CDC_MASK_MOD
+                    == 0
+                ]
+                starts = [1] + [b + 1 for b in bounds]
+                ends = bounds + [n]
+                for k, (s, e) in enumerate(zip(starts, ends)):
+                    out["doc_id"].append(doc_id)
+                    out["chunk_no"].append(k)
+                    out["offset"].append(s - 1)
+                    out["length"].append(e - s + 1)
+                    out["chunk_md5"].append(
+                        hashlib.md5(data[s - 1 : e]).hexdigest()
+                    )
+            yield pd.DataFrame(out).astype(
+                {
+                    "doc_id": "int64",
+                    "chunk_no": "int64",
+                    "offset": "int64",
+                    "length": "int64",
+                }
+            )
+
+    return with_payload.mapInPandas(_chunks, CHUNK_SCHEMA)

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ai_to_cvent_etl_spark.io import load_table
 from ai_to_cvent_etl_spark.operators.multimodal import (
     attach_payload,
+    cdc_chunk_bytes,
     extract_features,
     sample_frame_bytes,
 )
@@ -340,3 +341,64 @@ def q_multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(gap_int).cast("double") / 1e9 / F.count(F.lit(1)), 6
         ).alias("mean_aspect_gap"),
     )
+
+
+# ==== wave 166a: content-defined chunking manifest ==================
+
+
+@register(
+    "q_multimodal_cdc_chunks",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, text,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS cs,
+                   octet_length(encode(text)) AS n
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        ),
+        bnd AS (
+            SELECT doc_id, text, n,
+                   list_filter(range(8, n),
+                       i -> (cs[i] * 1 + cs[i-1] * 33 + cs[i-2] * 1089
+                             + cs[i-3] * 35937 + cs[i-4] * 1185921
+                             + cs[i-5] * 39135393 + cs[i-6] * 1291467969
+                             + cs[i-7] * 42618442977) % 64 = 0) AS bs
+            FROM chars
+        ),
+        seg AS (
+            SELECT doc_id, text, n,
+                   list_prepend(1, list_transform(bs, b -> b + 1)) AS starts,
+                   list_append(bs, n) AS ends
+            FROM bnd
+        )
+        SELECT s.doc_id,
+               CAST(t.k AS BIGINT) AS chunk_no,
+               CAST(s.starts[t.k + 1] - 1 AS BIGINT) AS offset,
+               CAST(s.ends[t.k + 1] - s.starts[t.k + 1] + 1 AS BIGINT)
+                   AS length,
+               md5(substr(s.text, CAST(s.starts[t.k + 1] AS INTEGER),
+                          CAST(s.ends[t.k + 1] - s.starts[t.k + 1] + 1
+                               AS INTEGER))) AS chunk_md5
+        FROM seg s
+        CROSS JOIN unnest(range(0, len(s.starts))) AS t(k)
+    """,
+    section="M7",
+    doc="Content-defined chunking manifest over binary payloads "
+    "(operators/multimodal.py cdc_chunk_bytes): Rabin-style rolling "
+    "hash — boundary after byte i when sum(b[i-j]*33^j, j=0..7) is "
+    "divisible by 64 — so chunk edges follow CONTENT, not offsets; "
+    "an insertion re-digests one chunk, not the whole tail (the "
+    "rsync/LBFS/restic dedup-storage device, and how a 100 TB media "
+    "archive dedups at the sub-file grain). Runs through the real "
+    "Arrow/mapInPandas boundary; the oracle replays the same "
+    "polynomial over ascii codepoints (documents are 7-bit ASCII, "
+    "probed at every SF) with range/list_filter. All integer + md5 "
+    "digests. Scale: map-only over the payload scan — bytes never "
+    "shuffle, only the ~40-byte manifest rows leave the task.",
+)
+def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length(F.encode("text", "utf-8")) > 0
+    )
+    return cdc_chunk_bytes(attach_payload(docs))

@@ -1514,3 +1514,148 @@ def q_sketch_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_q"),
         )
     )
+
+
+# ==== wave 166b: Chebyshev tail bound vs actual exceedance ==========
+
+
+@register(
+    "q_sketch_chebyshev_tail",
+    oracle="""
+        WITH c AS (
+            SELECT p.p_brand AS brand,
+                   CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        ),
+        mom AS (
+            SELECT brand,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sx,
+                   CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                                 * CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(cents AS DECIMAL(38,0))
+                                   * CAST(cents AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxx
+            FROM c GROUP BY brand
+        ),
+        stats AS (
+            SELECT brand, n,
+                   CAST(sx AS DOUBLE) / n AS mu,
+                   sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                       AS s
+            FROM mom
+        ),
+        tails AS (
+            SELECT c.brand, st.n, st.mu, st.s,
+                   CAST(SUM(CASE WHEN abs(CAST(c.cents AS DOUBLE) - st.mu)
+                                      >= 2.0 * st.s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_2sd,
+                   CAST(SUM(CASE WHEN abs(CAST(c.cents AS DOUBLE) - st.mu)
+                                      >= 3.0 * st.s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge_3sd
+            FROM c JOIN stats st ON c.brand = st.brand
+            GROUP BY c.brand, st.n, st.mu, st.s
+        )
+        SELECT brand, n, n_ge_2sd, n_ge_3sd,
+               ROUND(mu, 4) AS mean_cents,
+               ROUND(s, 4) AS sd_cents,
+               ROUND(CAST(n_ge_2sd AS DOUBLE) / n, 6) AS actual_k2,
+               ROUND(CAST(n_ge_3sd AS DOUBLE) / n, 6) AS actual_k3,
+               CAST(0.25 AS DOUBLE) AS cheb_bound_k2,
+               ROUND(1.0 / 9.0, 6) AS cheb_bound_k3
+        FROM tails
+    """,
+    section="SK8",
+    doc="Chebyshev tail-bound audit per brand: the distribution-free "
+    "guarantee P(|X-mu| >= k*sigma) <= 1/k^2 checked against the "
+    "ACTUAL exceedance fraction of line-item prices — the "
+    "moments-sketch idea in audit form: two exact moments (n, sum, "
+    "sum-of-squares) bound any tail without storing the "
+    "distribution, and the gap between bound and actual measures "
+    "how much the sketch over-guarantees on real data. Price "
+    "squares overflow 2^53 so the A26 hi/lo device rebuilds sxx; "
+    "the per-row exceedance compare uses the identical pinned "
+    "mu/s doubles on both engines. Scale: one moment agg to 25 "
+    "rows, the 25-row stats broadcast back for the tail count — "
+    "two map-side-combinable passes, no sort anywhere.",
+)
+def q_sketch_chebyshev_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    c = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("bigint")
+        .alias("cents"),
+    ).localCheckpoint(eager=False)
+    mom = c.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+        F.sum(
+            F.col("cents").cast(DecimalType(38, 0))
+            * F.col("cents").cast(DecimalType(38, 0))
+        ).alias("sxxd"),
+    )
+    stats = mom.select(
+        "brand",
+        "n",
+        (F.col("sx").cast("double") / F.col("n")).alias("mu"),
+        F.sqrt(
+            (
+                F.col("n").cast("double")
+                * F.expr(
+                    "cast(sxxd div 4294967296 as double) * 4294967296.0d"
+                    " + cast(sxxd % 4294967296 as double)"
+                )
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            )
+            / (
+                F.col("n").cast("double")
+                * (F.col("n").cast("double") - F.lit(1.0))
+            )
+        ).alias("s"),
+    )
+    tails = (
+        c.join(F.broadcast(stats), "brand")
+        .groupBy("brand", "n", "mu", "s")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("mu"))
+                    >= F.lit(2.0) * F.col("s"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge_2sd"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents").cast("double") - F.col("mu"))
+                    >= F.lit(3.0) * F.col("s"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_ge_3sd"),
+        )
+    )
+    return tails.select(
+        "brand",
+        "n",
+        "n_ge_2sd",
+        "n_ge_3sd",
+        F.round("mu", 4).alias("mean_cents"),
+        F.round("s", 4).alias("sd_cents"),
+        F.round(F.col("n_ge_2sd").cast("double") / F.col("n"), 6).alias(
+            "actual_k2"
+        ),
+        F.round(F.col("n_ge_3sd").cast("double") / F.col("n"), 6).alias(
+            "actual_k3"
+        ),
+        F.lit(0.25).alias("cheb_bound_k2"),
+        F.round(F.lit(1.0) / F.lit(9.0), 6).alias("cheb_bound_k3"),
+    )
