@@ -13392,3 +13392,205 @@ def q_agg_process_capability(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cpk"),
     )
+
+
+# ==== wave 167a: Bradley-Terry pairwise-preference ranking ==========
+
+
+@register(
+    "q_agg_bradley_terry",
+    oracle="""
+        WITH bq AS (
+            SELECT l.l_orderkey AS ok, p.p_brand AS brand,
+                   CAST(SUM(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS q
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
+        ),
+        duels AS (
+            SELECT CASE WHEN a.q > b.q THEN a.brand ELSE b.brand END AS w,
+                   CASE WHEN a.q > b.q THEN b.brand ELSE a.brand END AS l
+            FROM bq a JOIN bq b
+              ON a.ok = b.ok AND a.brand < b.brand AND a.q <> b.q
+        ),
+        wins AS (
+            SELECT w AS brand, CAST(COUNT(*) AS BIGINT) AS wi
+            FROM duels GROUP BY w
+        ),
+        games AS (
+            SELECT brand, CAST(SUM(c) AS BIGINT) AS ni FROM (
+                SELECT w AS brand, COUNT(*) AS c FROM duels GROUP BY w
+                UNION ALL
+                SELECT l AS brand, COUNT(*) AS c FROM duels GROUP BY l
+            ) GROUP BY brand
+        ),
+        nmat AS (
+            SELECT brand_i, brand_j, CAST(SUM(c) AS BIGINT) AS nij FROM (
+                SELECT w AS brand_i, l AS brand_j, COUNT(*) AS c
+                FROM duels GROUP BY w, l
+                UNION ALL
+                SELECT l AS brand_i, w AS brand_j, COUNT(*) AS c
+                FROM duels GROUP BY l, w
+            ) GROUP BY brand_i, brand_j
+        ),
+        p1 AS (
+            SELECT g.brand,
+                   COALESCE(2.0 * w.wi, 0.0) / g.ni AS p
+            FROM games g LEFT JOIN wins w ON g.brand = w.brand
+        ),
+        terms AS (
+            SELECT m.brand_i AS brand,
+                   CAST(SUM(CAST(floor(CAST(m.nij AS DOUBLE)
+                                       / (pi.p + pj.p)
+                                       * 1048576.0) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM nmat m
+            JOIN p1 pi ON m.brand_i = pi.brand
+            JOIN p1 pj ON m.brand_j = pj.brand
+            GROUP BY m.brand_i
+        ),
+        p2 AS (
+            SELECT t.brand,
+                   g.ni,
+                   COALESCE(w.wi, 0) AS wi,
+                   p1.p AS p_it1,
+                   COALESCE(CAST(w.wi AS DOUBLE), 0.0) * 1048576.0
+                       / CAST(t.s AS DOUBLE) AS p
+            FROM terms t
+            JOIN games g ON t.brand = g.brand
+            JOIN p1 ON t.brand = p1.brand
+            LEFT JOIN wins w ON t.brand = w.brand
+        )
+        SELECT brand, wi AS wins, ni AS n_games,
+               ROUND(p_it1, 6) AS p_iter1,
+               ROUND(p, 6) AS p_iter2,
+               CAST(ROW_NUMBER() OVER (ORDER BY p DESC, brand) AS BIGINT)
+                   AS bt_rank
+        FROM p2
+    """,
+    section="A145",
+    doc="Bradley-Terry preference strengths across brands from "
+    "within-order quantity duels (brand A beats brand B when the "
+    "same order carries more of A), fit with TWO unrolled MM "
+    "iterations from the uniform start: iteration 1 collapses to "
+    "the exact rational 2*W_i/N_i (one IEEE division), iteration "
+    "2's denominator sum_j n_ij/(p_i+p_j) is order-sensitive in "
+    "doubles so each term is quantized floor(term * 2^20) and "
+    "summed as BIGINT — exact under any partitioning — then the "
+    "strength rebuilds as W_i * 2^20 / S_i, one pinned expression "
+    "per engine. Ties are excluded from wins AND games (standard "
+    "BT). Scale: duels aggregate to a <=600-row directed matrix; "
+    "both MM rounds are joins over that tiny broadcastable table — "
+    "corpus-size work is one keyed agg + one within-order pair "
+    "join bounded by brands-per-order.",
+)
+def q_agg_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    bq = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.floor("l_quantity").cast("bigint"))
+            .cast("bigint")
+            .alias("q")
+        )
+    )
+    a = bq.alias("a")
+    b = bq.alias("b")
+    duels = (
+        a.join(
+            b,
+            (F.col("a.ok") == F.col("b.ok"))
+            & (F.col("a.brand") < F.col("b.brand"))
+            & (F.col("a.q") != F.col("b.q")),
+        )
+        .select(
+            F.when(F.col("a.q") > F.col("b.q"), F.col("a.brand"))
+            .otherwise(F.col("b.brand"))
+            .alias("w"),
+            F.when(F.col("a.q") > F.col("b.q"), F.col("b.brand"))
+            .otherwise(F.col("a.brand"))
+            .alias("l"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wins = duels.groupBy(F.col("w").alias("brand")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("wi")
+    )
+    dir_counts = duels.groupBy("w", "l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    games = (
+        dir_counts.select(F.col("w").alias("brand"), "c")
+        .unionByName(dir_counts.select(F.col("l").alias("brand"), "c"))
+        .groupBy("brand")
+        .agg(F.sum("c").cast("bigint").alias("ni"))
+    )
+    nmat = (
+        dir_counts.select(
+            F.col("w").alias("brand_i"), F.col("l").alias("brand_j"), "c"
+        )
+        .unionByName(
+            dir_counts.select(
+                F.col("l").alias("brand_i"), F.col("w").alias("brand_j"), "c"
+            )
+        )
+        .groupBy("brand_i", "brand_j")
+        .agg(F.sum("c").cast("bigint").alias("nij"))
+    )
+    p1 = games.join(wins, "brand", "left").select(
+        "brand",
+        (
+            F.coalesce(F.lit(2.0) * F.col("wi"), F.lit(0.0)) / F.col("ni")
+        ).alias("p"),
+    )
+    terms = (
+        nmat.join(
+            F.broadcast(p1.select(F.col("brand").alias("brand_i"), F.col("p").alias("pi"))),
+            "brand_i",
+        )
+        .join(
+            F.broadcast(p1.select(F.col("brand").alias("brand_j"), F.col("p").alias("pj"))),
+            "brand_j",
+        )
+        .groupBy(F.col("brand_i").alias("brand"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("nij").cast("double")
+                    / (F.col("pi") + F.col("pj"))
+                    * F.lit(1048576.0)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("s")
+        )
+    )
+    p2 = (
+        terms.join(games, "brand")
+        .join(p1.withColumnRenamed("p", "p_it1"), "brand")
+        .join(wins, "brand", "left")
+        .select(
+            "brand",
+            F.coalesce(F.col("wi"), F.lit(0)).cast("bigint").alias("wins"),
+            F.col("ni").alias("n_games"),
+            "p_it1",
+            (
+                F.coalesce(F.col("wi").cast("double"), F.lit(0.0))
+                * F.lit(1048576.0)
+                / F.col("s").cast("double")
+            ).alias("p"),
+        )
+    )
+    return p2.select(
+        "brand",
+        "wins",
+        "n_games",
+        F.round("p_it1", 6).alias("p_iter1"),
+        F.round("p", 6).alias("p_iter2"),
+        F.row_number()
+        .over(Window.orderBy(F.col("p").desc(), F.col("brand")))
+        .cast("bigint")
+        .alias("bt_rank"),
+    )

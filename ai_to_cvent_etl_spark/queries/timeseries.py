@@ -6353,3 +6353,261 @@ def q_ts_theta_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_28d"
         ),
     )
+
+
+# ==== wave 167b: Engle-Granger cointegration ========================
+
+
+@register(
+    "q_ts_cointegration_eg",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS y
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        mkt AS (
+            SELECT d, CAST(SUM(y) AS BIGINT) AS x FROM daily GROUP BY d
+        ),
+        paired AS (
+            SELECT dy.nation, dy.d, dy.y, m.x
+            FROM daily dy JOIN mkt m ON dy.d = m.d
+        ),
+        mom1 AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxx,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(y AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(y AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sxy
+            FROM paired GROUP BY nation
+        ),
+        fit1 AS (
+            SELECT nation, n,
+                   (CAST(n AS DOUBLE) * sxy
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * sxx
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b,
+                   (CAST(sy AS DOUBLE)
+                    - (CAST(n AS DOUBLE) * sxy
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * CAST(sx AS DOUBLE)) / n AS a
+            FROM mom1
+        ),
+        resid AS (
+            SELECT p.nation, p.d,
+                   CAST(floor(CAST(p.y AS DOUBLE)
+                              - (f.a + f.b * CAST(p.x AS DOUBLE)))
+                        AS BIGINT) AS z
+            FROM paired p JOIN fit1 f ON p.nation = f.nation
+        ),
+        dfpairs AS (
+            SELECT nation,
+                   LAG(z) OVER (PARTITION BY nation ORDER BY d) AS u,
+                   z - LAG(z) OVER (PARTITION BY nation ORDER BY d) AS dz
+            FROM resid
+        ),
+        mom2 AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n2,
+                   CAST(SUM(u) AS BIGINT) AS su,
+                   CAST(SUM(dz) AS BIGINT) AS sdz,
+                   CAST(CAST(SUM(CAST(u AS DECIMAL(38,0))
+                                 * CAST(u AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(u AS DECIMAL(38,0))
+                                   * CAST(u AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS suu,
+                   CAST(CAST(SUM(CAST(u AS DECIMAL(38,0))
+                                 * CAST(dz AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(u AS DECIMAL(38,0))
+                                   * CAST(dz AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sudz,
+                   CAST(CAST(SUM(CAST(dz AS DECIMAL(38,0))
+                                 * CAST(dz AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(dz AS DECIMAL(38,0))
+                                   * CAST(dz AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sdzdz
+            FROM dfpairs WHERE u IS NOT NULL
+            GROUP BY nation
+            HAVING COUNT(*) > 2
+        ),
+        d2 AS (
+            SELECT nation, n2,
+                   CAST(n2 AS DOUBLE) AS nd,
+                   CAST(n2 AS DOUBLE) * suu
+                   - CAST(su AS DOUBLE) * CAST(su AS DOUBLE) AS dxx,
+                   CAST(n2 AS DOUBLE) * sudz
+                   - CAST(su AS DOUBLE) * CAST(sdz AS DOUBLE) AS dxy,
+                   CAST(n2 AS DOUBLE) * sdzdz
+                   - CAST(sdz AS DOUBLE) * CAST(sdz AS DOUBLE) AS dyy
+            FROM mom2
+        ),
+        b2 AS (
+            SELECT nation, n2, nd, dxx, dxy, dyy, dxy / dxx AS gamma
+            FROM d2
+        )
+        SELECT f.nation, b2.n2 AS n_pairs,
+               ROUND(f.b, 8) AS b_coint,
+               ROUND(b2.gamma, 8) AS resid_beta,
+               ROUND(b2.gamma / sqrt((b2.dyy - b2.gamma * b2.dxy)
+                                     / ((b2.nd - 2.0) * b2.dxx)), 6)
+                   AS resid_df_t
+        FROM fit1 f JOIN b2 ON f.nation = b2.nation
+        ORDER BY f.nation
+    """,
+    section="TS25",
+    doc="Engle-Granger two-step cointegration test, nation vs the "
+    "total market: step 1 fits the cointegrating regression y = a + "
+    "b*x by the A132 closed-form OLS (hi/lo-rebuilt DECIMAL "
+    "moments), step 2 runs the TS22 Dickey-Fuller regression on the "
+    "CENT-QUANTIZED residuals z = floor(y - a - b*x) — strongly "
+    "negative resid_df_t means the spread mean-reverts, i.e. the "
+    "nation's revenue and the market share a common stochastic "
+    "trend. Quantizing residuals to integer cents before the "
+    "second-stage moments is what keeps stage 2 exact and "
+    "partition-invariant (raw double residuals would make the "
+    "moment sums order-dependent); a and b are identical pinned "
+    "doubles on both engines, so floor lands identically. Scale: "
+    "two keyed aggs + one bounded lag window per nation; the "
+    "|days|-row market series joins on the day key.",
+)
+def q_ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("y")
+        )
+        .localCheckpoint(eager=False)
+    )
+    mkt = daily.groupBy("d").agg(F.sum("y").cast("bigint").alias("x"))
+    paired = daily.join(F.broadcast(mkt), "d").select(
+        "nation", "d", "y", "x"
+    ).localCheckpoint(eager=False)
+    dec = DecimalType(38, 0)
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    mom1 = paired.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxxd"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxyd"),
+    )
+    mom1 = mom1.select(
+        "nation",
+        "n",
+        "sx",
+        "sy",
+        F.expr(hi_lo.format("sxxd")).alias("sxx"),
+        F.expr(hi_lo.format("sxyd")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    bexpr = (nd * F.col("sxy") - sxd * syd) / (nd * F.col("sxx") - sxd * sxd)
+    fit1 = mom1.select(
+        "nation",
+        "n",
+        bexpr.alias("b"),
+        ((syd - bexpr * sxd) / F.col("n")).alias("a"),
+    )
+    resid = paired.join(F.broadcast(fit1), "nation").select(
+        "nation",
+        "d",
+        F.floor(
+            F.col("y").cast("double")
+            - (F.col("a") + F.col("b") * F.col("x").cast("double"))
+        )
+        .cast("bigint")
+        .alias("z"),
+    )
+    w = Window.partitionBy("nation").orderBy("d")
+    dfpairs = resid.select(
+        "nation",
+        F.lag("z").over(w).alias("u"),
+        (F.col("z") - F.lag("z").over(w)).alias("dz"),
+    ).where(F.col("u").isNotNull())
+    mom2 = (
+        dfpairs.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n2"),
+            F.sum("u").cast("bigint").alias("su"),
+            F.sum("dz").cast("bigint").alias("sdz"),
+            F.sum(F.col("u").cast(dec) * F.col("u").cast(dec)).alias("suud"),
+            F.sum(F.col("u").cast(dec) * F.col("dz").cast(dec)).alias(
+                "sudzd"
+            ),
+            F.sum(F.col("dz").cast(dec) * F.col("dz").cast(dec)).alias(
+                "sdzdzd"
+            ),
+        )
+        .where(F.col("n2") > 2)
+    )
+    mom2 = mom2.select(
+        "nation",
+        "n2",
+        "su",
+        "sdz",
+        F.expr(hi_lo.format("suud")).alias("suu"),
+        F.expr(hi_lo.format("sudzd")).alias("sudz"),
+        F.expr(hi_lo.format("sdzdzd")).alias("sdzdz"),
+    )
+    n2d = F.col("n2").cast("double")
+    sud = F.col("su").cast("double")
+    sdzd = F.col("sdz").cast("double")
+    d2 = mom2.select(
+        "nation",
+        "n2",
+        n2d.alias("nd"),
+        (n2d * F.col("suu") - sud * sud).alias("dxx"),
+        (n2d * F.col("sudz") - sud * sdzd).alias("dxy"),
+        (n2d * F.col("sdzdz") - sdzd * sdzd).alias("dyy"),
+    )
+    b2 = d2.withColumn("gamma", F.col("dxy") / F.col("dxx"))
+    return fit1.join(b2, "nation").select(
+        "nation",
+        F.col("n2").alias("n_pairs"),
+        F.round("b", 8).alias("b_coint"),
+        F.round("gamma", 8).alias("resid_beta"),
+        F.round(
+            F.col("gamma")
+            / F.sqrt(
+                (F.col("dyy") - F.col("gamma") * F.col("dxy"))
+                / ((F.col("nd") - F.lit(2.0)) * F.col("dxx"))
+            ),
+            6,
+        ).alias("resid_df_t"),
+    )
