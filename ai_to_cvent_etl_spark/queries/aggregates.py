@@ -13594,3 +13594,94 @@ def q_agg_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("bt_rank"),
     )
+
+
+# ==== wave 168b: h-index / g-index productivity profile =============
+
+
+@register(
+    "q_agg_h_index",
+    oracle="""
+        WITH oc AS (
+            SELECT n.n_name AS nation, c.c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT nation, n_orders,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY nation
+                       ORDER BY n_orders DESC, c_custkey
+                   ) AS BIGINT) AS rn,
+                   CAST(SUM(n_orders) OVER (
+                       PARTITION BY nation
+                       ORDER BY n_orders DESC, c_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS cum_orders
+            FROM oc
+        )
+        SELECT nation,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(MAX(CASE WHEN n_orders >= rn THEN rn ELSE 0 END)
+                    AS BIGINT) AS h_index,
+               CAST(MAX(CASE WHEN cum_orders >= rn * rn THEN rn ELSE 0 END)
+                    AS BIGINT) AS g_index,
+               CAST(SUM(n_orders) AS BIGINT) AS total_orders
+        FROM ranked
+        GROUP BY nation
+    """,
+    section="A146",
+    doc="h-index and g-index per nation over customer order counts: "
+    "h = the largest k such that k customers each placed >= k "
+    "orders (the bibliometric core-productivity statistic), g = the "
+    "largest g such that the top-g customers together placed >= g^2 "
+    "(Egghe's tail-weighted refinement, computed from the running "
+    "cumulative on the SAME descending rank) — both reduce to "
+    "integer compares between a row_number and a count, fully "
+    "tie-broken by (n_orders DESC, custkey). Scale: one keyed agg "
+    "to customer grain, one window sort per nation, one final "
+    "25-row agg; no joins beyond the broadcast dims.",
+)
+def q_agg_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    oc = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "c_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    )
+    wr = Window.partitionBy("nation").orderBy(
+        F.col("n_orders").desc(), F.col("c_custkey")
+    )
+    ranked = oc.select(
+        "nation",
+        "n_orders",
+        F.row_number().over(wr).cast("bigint").alias("rn"),
+        F.sum("n_orders")
+        .over(wr.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("cum_orders"),
+    )
+    return ranked.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.max(
+            F.when(F.col("n_orders") >= F.col("rn"), F.col("rn")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("h_index"),
+        F.max(
+            F.when(
+                F.col("cum_orders") >= F.col("rn") * F.col("rn"), F.col("rn")
+            ).otherwise(F.lit(0))
+        )
+        .cast("bigint")
+        .alias("g_index"),
+        F.sum("n_orders").cast("bigint").alias("total_orders"),
+    )

@@ -2618,3 +2618,163 @@ def q_win_queue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(mx))
         .crossJoin(F.broadcast(integ))
     )
+
+
+# ==== wave 168a: maximum-subarray (Kadane via prefix windows) =======
+
+
+@register(
+    "q_win_max_subarray",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(cents) AS BIGINT) AS sx
+            FROM daily GROUP BY nation
+        ),
+        dev AS (
+            SELECT d.nation, d.d, t.n,
+                   t.n * d.cents - t.sx AS x
+            FROM daily d JOIN tot t ON d.nation = t.nation
+            UNION ALL
+            SELECT nation, DATE '1900-01-01', n, 0 FROM tot
+        ),
+        pref AS (
+            SELECT nation, d, n,
+                   SUM(x) OVER (PARTITION BY nation ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS p
+            FROM dev
+        ),
+        best AS (
+            SELECT nation, d, n, p,
+                   MIN(struct_pack(p := p, d := d)) OVER (
+                       PARTITION BY nation ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS m
+            FROM pref
+        ),
+        scored AS (
+            SELECT nation, n,
+                   CAST(p - m.p AS BIGINT) AS gain_scaled,
+                   m.d AS from_excl, d AS d_to,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nation
+                       ORDER BY p - m.p DESC, d
+                   ) AS rn
+            FROM best WHERE m IS NOT NULL
+        )
+        SELECT nation, n AS n_days, gain_scaled, from_excl, d_to,
+               ROUND(CAST(gain_scaled AS DOUBLE) / n / 100.0, 2)
+                   AS gain_dollars
+        FROM scored WHERE rn = 1
+    """,
+    section="W39",
+    doc="Maximum-subarray (Kadane) per nation over mean-deviation "
+    "daily revenue: the hottest contiguous stretch of days relative "
+    "to the nation's own average. Deviations are kept integer by "
+    "scaling with n (x = n*cents - sum_cents, which sums to zero), "
+    "and Kadane's sequential recurrence becomes two windows: a "
+    "running prefix sum P_t, then best-ending-at-t = P_t - "
+    "min_(s<t) P_s with the minimum taken over (P, d) STRUCTS (the "
+    "D18 windowed struct-min device) so the argmin DATE comes back "
+    "with the value and ties break to the earliest day; a sentinel "
+    "P_0 = 0 row per nation makes the empty prefix a real row "
+    "rather than a COALESCE special case. The interval is reported "
+    "as (from_excl, d_to] with the exclusive left edge = the argmin "
+    "day. All integer until the final display division. Scale: one "
+    "keyed agg, two windows per nation partition, 25 output rows.",
+)
+def q_win_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = daily.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sx"),
+    )
+    dev = (
+        daily.join(F.broadcast(tot), "nation")
+        .select(
+            "nation",
+            "d",
+            "n",
+            (F.col("n") * F.col("cents") - F.col("sx")).alias("x"),
+        )
+        .unionByName(
+            tot.select(
+                "nation",
+                F.lit("1900-01-01").cast("date").alias("d"),
+                "n",
+                F.lit(0).cast("bigint").alias("x"),
+            )
+        )
+    )
+    wp = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pref = dev.select(
+        "nation", "d", "n", F.sum("x").over(wp).alias("p")
+    )
+    wm = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    best = pref.select(
+        "nation",
+        "d",
+        "n",
+        "p",
+        F.min(F.struct(F.col("p"), F.col("d"))).over(wm).alias("m"),
+    ).where(F.col("m").isNotNull())
+    scored = best.select(
+        "nation",
+        "n",
+        (F.col("p") - F.col("m.p")).cast("bigint").alias("gain_scaled"),
+        F.col("m.d").alias("from_excl"),
+        F.col("d").alias("d_to"),
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                (F.col("p") - F.col("m.p")).desc(), F.col("d")
+            )
+        )
+        .alias("rn"),
+    )
+    return scored.where(F.col("rn") == 1).select(
+        "nation",
+        F.col("n").alias("n_days"),
+        "gain_scaled",
+        "from_excl",
+        "d_to",
+        F.round(
+            F.col("gain_scaled").cast("double") / F.col("n") / F.lit(100.0), 2
+        ).alias("gain_dollars"),
+    )
