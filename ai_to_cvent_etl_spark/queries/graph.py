@@ -2408,3 +2408,82 @@ def q_graph_katz(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("katz_4096"),
         )
     )
+
+
+# ==== wave 169a: distance-2 betweenness with LCM-integer credits ====
+
+
+@register(
+    "q_graph_betweenness_2hop",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        und AS (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL
+            SELECT hi AS src, lo AS dst FROM edges
+        ),
+        wedges AS (
+            SELECT e1.dst AS b, e1.src AS a, e2.dst AS c
+            FROM und e1 JOIN und e2
+              ON e1.dst = e2.src AND e1.src < e2.dst
+        ),
+        far AS (
+            SELECT w.a, w.b, w.c
+            FROM wedges w
+            LEFT JOIN edges e ON e.lo = w.a AND e.hi = w.c
+            WHERE e.lo IS NULL
+        ),
+        credited AS (
+            SELECT b,
+                   840 // COUNT(*) OVER (PARTITION BY a, c) AS credit
+            FROM far
+        )
+        SELECT b AS node,
+               CAST(SUM(credit) AS BIGINT) AS stress_840,
+               CAST(COUNT(*) AS BIGINT) AS n_wedges
+        FROM credited
+        GROUP BY b
+    """,
+    section="G13",
+    doc="Betweenness centrality restricted to distance-2 pairs over "
+    "the mutual top-8 affinity supplier graph: for every NON-adjacent "
+    "pair (a,c) with common neighbors, the shortest paths are exactly "
+    "the k common neighbors, so each middle node earns 1/k — scaled "
+    "by 840 = LCM(1..8) (degree <= 8 bounds k <= 8 by construction, "
+    "the A142 LCM device) the credit 840//k is an EXACT integer and "
+    "the whole statistic needs zero floating point. This is the "
+    "fraction of betweenness a bounded-diameter sparsified graph "
+    "actually exercises, and the wedge join is bounded by deg^2 <= "
+    "64 candidates per node — the same hub defense as G2. The "
+    "adjacency exclusion is a LEFT-join-null anti pattern on the "
+    "(lo, hi) canonical edge. Scale: wedge join + windowed count on "
+    "(a,c) + one keyed agg; no all-pairs stage anywhere.",
+)
+def q_graph_betweenness_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionByName(
+        edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    e1 = und.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = und.select(F.col("src").alias("b2"), F.col("dst").alias("c"))
+    wedges = e1.join(
+        e2, (F.col("b") == F.col("b2")) & (F.col("a") < F.col("c"))
+    ).select("a", "b", "c")
+    far = wedges.join(
+        edges,
+        (wedges.a == edges.lo) & (wedges.c == edges.hi),
+        "left_anti",
+    )
+    wk = Window.partitionBy("a", "c")
+    credited = far.select(
+        "b",
+        (F.lit(840) / F.count(F.lit(1)).over(wk))
+        .cast("bigint")
+        .alias("credit"),
+    )
+    return credited.groupBy(F.col("b").alias("node")).agg(
+        F.sum("credit").cast("bigint").alias("stress_840"),
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+    )

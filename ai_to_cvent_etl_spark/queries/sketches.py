@@ -1659,3 +1659,107 @@ def q_sketch_chebyshev_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.25).alias("cheb_bound_k2"),
         F.round(F.lit(1.0) / F.lit(9.0), 6).alias("cheb_bound_k3"),
     )
+
+
+# ==== wave 169b: AQP hash-sample estimate vs truth ==================
+
+
+@register(
+    "q_sketch_aqp_error",
+    oracle="""
+        WITH base AS (
+            SELECT n.n_name AS nation,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents,
+                   CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                                        1, 12)) AS BIGINT) % 50 = 0
+                       AS in_sample
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        agg AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(cents) AS BIGINT) AS exact_cents,
+                   CAST(SUM(CASE WHEN in_sample THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sampled,
+                   CAST(50 * SUM(CASE WHEN in_sample THEN cents ELSE 0 END)
+                        AS BIGINT) AS est_cents
+            FROM base GROUP BY nation
+        )
+        SELECT nation, n_rows, n_sampled, exact_cents, est_cents,
+               CAST(est_cents - exact_cents AS BIGINT) AS err_cents,
+               ROUND(abs(CAST(est_cents AS DOUBLE)
+                         - CAST(exact_cents AS DOUBLE))
+                     * 10000.0 / CAST(exact_cents AS DOUBLE), 2)
+                   AS rel_err_bp
+        FROM agg
+    """,
+    section="SK9",
+    doc="Approximate-query-processing error audit: a deterministic "
+    "2% hash sample (48-bit md5 prefix of the order key, mod 50 — "
+    "the E9/E4 retry-stable sampling device, so the SAME rows sample "
+    "on both engines and on every run) scaled up Horvitz-Thompson "
+    "style (x50) against the exact per-nation revenue, reporting the "
+    "signed error and relative error in basis points — the audit "
+    "loop every AQP deployment needs before trusting sampled "
+    "dashboards, and all integer until the final display ratio. "
+    "Scale: sampling is a row-local predicate (no shuffle to "
+    "sample); exact and estimate come from ONE shared keyed agg "
+    "pass, not two scans.",
+)
+def q_sketch_aqp_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    base = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            (
+                F.expr(
+                    "cast(conv(substr(md5(cast(o_orderkey as string)), "
+                    "1, 12), 16, 10) as bigint)"
+                )
+                % 50
+                == 0
+            ).alias("in_sample"),
+        )
+    )
+    agg = base.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("exact_cents"),
+        F.sum(F.when(F.col("in_sample"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sampled"),
+        (
+            F.lit(50)
+            * F.sum(F.when(F.col("in_sample"), F.col("cents")).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("est_cents"),
+    )
+    return agg.select(
+        "nation",
+        "n_rows",
+        "n_sampled",
+        "exact_cents",
+        "est_cents",
+        (F.col("est_cents") - F.col("exact_cents"))
+        .cast("bigint")
+        .alias("err_cents"),
+        F.round(
+            F.abs(
+                F.col("est_cents").cast("double")
+                - F.col("exact_cents").cast("double")
+            )
+            * F.lit(10000.0)
+            / F.col("exact_cents").cast("double"),
+            2,
+        ).alias("rel_err_bp"),
+    )
