@@ -13685,3 +13685,217 @@ def q_agg_h_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("g_index"),
         F.sum("n_orders").cast("bigint").alias("total_orders"),
     )
+
+
+# ==== wave 170a: Bass diffusion model fit ===========================
+
+
+@register(
+    "q_agg_bass_diffusion",
+    oracle="""
+        WITH first_order AS (
+            SELECT o_custkey,
+                   MIN(CAST(o_orderdate AS DATE)) AS fd
+            FROM orders GROUP BY o_custkey
+        ),
+        adopters AS (
+            SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_t
+            FROM first_order GROUP BY fd
+        ),
+        cum AS (
+            SELECT fd, n_t,
+                   CAST(SUM(n_t) OVER (ORDER BY fd
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        - n_t AS BIGINT) AS x
+            FROM adopters
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(x * x) AS BIGINT) AS sx2,
+                   CAST(SUM(n_t) AS BIGINT) AS sy,
+                   CAST(SUM(x * n_t) AS BIGINT) AS sxy,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sx3,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sx4,
+                   CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                 * CAST(x AS DECIMAL(38,0))
+                                 * CAST(n_t AS DECIMAL(38,0))) AS HUGEINT)
+                        // 4294967296 AS DOUBLE) * 4294967296.0
+                   + CAST(CAST(SUM(CAST(x AS DECIMAL(38,0))
+                                   * CAST(x AS DECIMAL(38,0))
+                                   * CAST(n_t AS DECIMAL(38,0))) AS HUGEINT)
+                          % 4294967296 AS DOUBLE) AS sx2y
+            FROM cum
+        ),
+        f AS (
+            SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+                   CAST(sx2 AS DOUBLE) AS sx2, CAST(sy AS DOUBLE) AS sy,
+                   CAST(sxy AS DOUBLE) AS sxy, sx3, sx4, sx2y,
+                   n AS n_days
+            FROM mom
+        ),
+        dets AS (
+            SELECT n_days,
+                   n * (sx2 * sx4 - sx3 * sx3)
+                   - sx * (sx * sx4 - sx3 * sx2)
+                   + sx2 * (sx * sx3 - sx2 * sx2) AS d,
+                   sy * (sx2 * sx4 - sx3 * sx3)
+                   - sx * (sxy * sx4 - sx3 * sx2y)
+                   + sx2 * (sxy * sx3 - sx2 * sx2y) AS da,
+                   n * (sxy * sx4 - sx3 * sx2y)
+                   - sy * (sx * sx4 - sx3 * sx2)
+                   + sx2 * (sx * sx2y - sxy * sx2) AS db,
+                   n * (sx2 * sx2y - sxy * sx3)
+                   - sx * (sx * sx2y - sxy * sx2)
+                   + sy * (sx * sx3 - sx2 * sx2) AS dc
+            FROM f
+        ),
+        coef AS (
+            SELECT n_days, da / d AS a, db / d AS b, dc / d AS c
+            FROM dets
+        )
+        SELECT CAST(n_days AS BIGINT) AS n_days,
+               ROUND(a, 4) AS coef_a,
+               ROUND(b, 8) AS coef_b,
+               ROUND(c, 12) AS coef_c,
+               ROUND(b * b - 4.0 * a * c, 8) AS disc,
+               CASE WHEN b * b - 4.0 * a * c > 0.0 AND c < 0.0
+                    THEN ROUND((-b - sqrt(b * b - 4.0 * a * c)) / (2.0 * c),
+                               2)
+                    ELSE NULL END AS m_hat,
+               CASE WHEN b * b - 4.0 * a * c > 0.0 AND c < 0.0
+                    THEN ROUND(a / ((-b - sqrt(b * b - 4.0 * a * c))
+                                    / (2.0 * c)), 8)
+                    ELSE NULL END AS p_hat,
+               CASE WHEN b * b - 4.0 * a * c > 0.0 AND c < 0.0
+                    THEN ROUND(-c * ((-b - sqrt(b * b - 4.0 * a * c))
+                                     / (2.0 * c)), 8)
+                    ELSE NULL END AS q_hat
+        FROM coef
+    """,
+    section="A147",
+    doc="Bass diffusion model fit over daily customer adoption (first "
+    "orders): the discrete Bass equation n_t = p*m + (q-p)*N - "
+    "(q/m)*N^2 is a QUADRATIC regression of new adopters on "
+    "cumulative adopters, fit exactly by 3x3 normal equations solved "
+    "with Cramer's rule — determinants expanded in one pinned IEEE "
+    "sequence per engine. Power moments through x^4 overflow both "
+    "2^53 and (at sf1) BIGINT, so x^3/x^4/x^2y accumulate in "
+    "DECIMAL(38,0) and rebuild through the sign-safe hi/lo device; "
+    "x/x^2/xy stay exact in plain BIGINT. Market size m, innovation "
+    "p and imitation q recover from the coefficient roots only when "
+    "the discriminant is positive and c < 0 (a proper S-curve) — "
+    "the guard is a compare of identical doubles, so the NULL "
+    "pattern matches cross-engine. Scale: customer-grain min-date "
+    "agg, day-grain cumsum window, single-row moment reduce.",
+)
+def q_agg_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("fd")
+    )
+    adopters = first.groupBy("fd").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_t")
+    )
+    wc = Window.orderBy("fd").rowsBetween(Window.unboundedPreceding, 0)
+    cum = adopters.select(
+        "fd",
+        "n_t",
+        (F.sum("n_t").over(wc) - F.col("n_t")).cast("bigint").alias("x"),
+    )
+    dec = DecimalType(38, 0)
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    mom = cum.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.sum("n_t").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("n_t")).cast("bigint").alias("sxy"),
+        F.sum(
+            F.col("x").cast(dec) * F.col("x").cast(dec) * F.col("x").cast(dec)
+        ).alias("sx3d"),
+        F.sum(
+            F.col("x").cast(dec)
+            * F.col("x").cast(dec)
+            * F.col("x").cast(dec)
+            * F.col("x").cast(dec)
+        ).alias("sx4d"),
+        F.sum(
+            F.col("x").cast(dec)
+            * F.col("x").cast(dec)
+            * F.col("n_t").cast(dec)
+        ).alias("sx2yd"),
+    )
+    f = mom.select(
+        F.col("n").alias("n_days"),
+        F.col("n").cast("double").alias("nd"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sx2").cast("double").alias("sx2d"),
+        F.col("sy").cast("double").alias("syd"),
+        F.col("sxy").cast("double").alias("sxyd"),
+        F.expr(hi_lo.format("sx3d")).alias("sx3"),
+        F.expr(hi_lo.format("sx4d")).alias("sx4"),
+        F.expr(hi_lo.format("sx2yd")).alias("sx2y"),
+    )
+    n, sx, sx2 = F.col("nd"), F.col("sxd"), F.col("sx2d")
+    sy, sxy = F.col("syd"), F.col("sxyd")
+    sx3, sx4, sx2y = F.col("sx3"), F.col("sx4"), F.col("sx2y")
+    d = (
+        n * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx3 - sx2 * sx2)
+    )
+    da = (
+        sy * (sx2 * sx4 - sx3 * sx3)
+        - sx * (sxy * sx4 - sx3 * sx2y)
+        + sx2 * (sxy * sx3 - sx2 * sx2y)
+    )
+    db = (
+        n * (sxy * sx4 - sx3 * sx2y)
+        - sy * (sx * sx4 - sx3 * sx2)
+        + sx2 * (sx * sx2y - sxy * sx2)
+    )
+    dc = (
+        n * (sx2 * sx2y - sxy * sx3)
+        - sx * (sx * sx2y - sxy * sx2)
+        + sy * (sx * sx3 - sx2 * sx2)
+    )
+    coef = f.select(
+        "n_days",
+        (da / d).alias("a"),
+        (db / d).alias("b"),
+        (dc / d).alias("c"),
+    )
+    a, b, c = F.col("a"), F.col("b"), F.col("c")
+    disc = b * b - F.lit(4.0) * a * c
+    m = (-b - F.sqrt(disc)) / (F.lit(2.0) * c)
+    ok = (disc > F.lit(0.0)) & (c < F.lit(0.0))
+    return coef.select(
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.round(a, 4).alias("coef_a"),
+        F.round(b, 8).alias("coef_b"),
+        F.round(c, 12).alias("coef_c"),
+        F.round(disc, 8).alias("disc"),
+        F.when(ok, F.round(m, 2)).otherwise(F.lit(None)).alias("m_hat"),
+        F.when(ok, F.round(a / m, 8)).otherwise(F.lit(None)).alias("p_hat"),
+        F.when(ok, F.round(-c * m, 8)).otherwise(F.lit(None)).alias("q_hat"),
+    )

@@ -6611,3 +6611,190 @@ def q_ts_cointegration_eg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("resid_df_t"),
     )
+
+
+# ==== wave 170b: drawdown depth + underwater recovery ===============
+
+
+@register(
+    "q_ts_underwater_recovery",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        level AS (
+            SELECT nation, d,
+                   CAST(SUM(cents) OVER (PARTITION BY nation ORDER BY d
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS lv,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY nation ORDER BY d)
+                        AS BIGINT) AS rn
+            FROM daily
+        ),
+        lv8 AS (
+            SELECT nation, d, lv FROM level WHERE rn >= 7
+        ),
+        runpeak AS (
+            SELECT nation, d, lv,
+                   MAX(struct_pack(lv := lv, nd := CAST(-(d - DATE
+                       '1900-01-01') AS BIGINT))) OVER (
+                       PARTITION BY nation ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS pk
+            FROM lv8
+        ),
+        trough AS (
+            SELECT nation, d AS trough_d, lv AS trough_lv,
+                   pk.lv AS peak_lv,
+                   DATE '1900-01-01' - CAST(pk.nd AS INTEGER) AS peak_d,
+                   CAST(pk.lv - lv AS BIGINT) AS depth,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nation
+                       ORDER BY pk.lv - lv DESC, d
+                   ) AS rnk
+            FROM runpeak
+        ),
+        worst AS (
+            SELECT nation, trough_d, peak_d, peak_lv, trough_lv, depth
+            FROM trough WHERE rnk = 1
+        ),
+        rec AS (
+            SELECT w.nation, MIN(l.d) AS recovery_d
+            FROM worst w JOIN lv8 l
+              ON l.nation = w.nation AND l.d > w.trough_d
+                 AND l.lv >= w.peak_lv
+            GROUP BY w.nation
+        )
+        SELECT w.nation, w.peak_d, w.trough_d, w.depth,
+               CAST(w.peak_lv AS BIGINT) AS peak_lv,
+               r.recovery_d,
+               CAST(CASE WHEN r.recovery_d IS NULL THEN NULL
+                    ELSE date_diff('day', w.peak_d, r.recovery_d)
+                    END AS BIGINT) AS days_underwater
+        FROM worst w LEFT JOIN rec r ON w.nation = r.nation
+        ORDER BY w.nation
+    """,
+    section="TS26",
+    doc="Maximum drawdown WITH recovery analysis per nation on the "
+    "7-day trailing-revenue level: running peak via windowed "
+    "struct-MAX over (level, -days) so the EARLIEST day holding the "
+    "peak rides along (the D18 device flipped to argmax), the worst "
+    "trough fully tie-broken (depth DESC, day ASC), then the "
+    "recovery day = first later day whose level re-clears the peak "
+    "— found by joining the 25-row worst-trough table back to the "
+    "level series, NOT by an n^2 self-join; days_underwater = "
+    "peak-to-recovery span, NULL while still underwater (the "
+    "LEFT-join NULL matches cross-engine because peak/trough are "
+    "all-integer). The first 6 warm-up rows are excluded so the "
+    "trailing frame is always full. Scale: two windows per nation "
+    "partition + one broadcast-sized join.",
+)
+def q_ts_underwater_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    w7 = Window.partitionBy("nation").orderBy("d").rowsBetween(-6, 0)
+    wrn = Window.partitionBy("nation").orderBy("d")
+    lv8 = (
+        daily.select(
+            "nation",
+            "d",
+            F.sum("cents").over(w7).cast("bigint").alias("lv"),
+            F.row_number().over(wrn).cast("bigint").alias("rn"),
+        )
+        .where(F.col("rn") >= 7)
+        .drop("rn")
+        .localCheckpoint(eager=False)
+    )
+    wpk = (
+        Window.partitionBy("nation")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runpeak = lv8.select(
+        "nation",
+        "d",
+        "lv",
+        F.max(
+            F.struct(
+                F.col("lv"),
+                (-F.datediff(F.col("d"), F.lit("1900-01-01").cast("date")))
+                .cast("bigint")
+                .alias("nd"),
+            )
+        )
+        .over(wpk)
+        .alias("pk"),
+    )
+    trough = runpeak.select(
+        "nation",
+        F.col("d").alias("trough_d"),
+        F.col("lv").alias("trough_lv"),
+        F.col("pk.lv").alias("peak_lv"),
+        F.date_add(
+            F.lit("1900-01-01").cast("date"),
+            (-F.col("pk.nd")).cast("int"),
+        ).alias("peak_d"),
+        (F.col("pk.lv") - F.col("lv")).cast("bigint").alias("depth"),
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                (F.col("pk.lv") - F.col("lv")).desc(), F.col("d")
+            )
+        )
+        .alias("rnk"),
+    )
+    worst = trough.where(F.col("rnk") == 1).select(
+        "nation", "trough_d", "peak_d", "peak_lv", "trough_lv", "depth"
+    )
+    rec = (
+        F.broadcast(worst)
+        .join(
+            lv8.select(
+                F.col("nation").alias("n2"),
+                F.col("d").alias("d2"),
+                F.col("lv").alias("lv2"),
+            ),
+            (F.col("n2") == F.col("nation"))
+            & (F.col("d2") > F.col("trough_d"))
+            & (F.col("lv2") >= F.col("peak_lv")),
+        )
+        .groupBy("nation")
+        .agg(F.min("d2").alias("recovery_d"))
+    )
+    return worst.join(rec, "nation", "left").select(
+        "nation",
+        "peak_d",
+        "trough_d",
+        "depth",
+        F.col("peak_lv").cast("bigint").alias("peak_lv"),
+        "recovery_d",
+        F.when(
+            F.col("recovery_d").isNull(), F.lit(None).cast("bigint")
+        )
+        .otherwise(
+            F.datediff(F.col("recovery_d"), F.col("peak_d")).cast("bigint")
+        )
+        .alias("days_underwater"),
+    )
