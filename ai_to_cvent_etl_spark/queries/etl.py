@@ -4342,3 +4342,84 @@ def q_etl_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e7") * 10000 > F.lit(budget_bp) * F.col("n7") * 2
         ).alias("page_alert"),
     )
+
+
+# ==== wave 171b: dynamic partition-overwrite plan ===================
+
+
+@register(
+    "q_etl_partition_overwrite_plan",
+    oracle="""
+        WITH cutoff AS (
+            SELECT MAX(CAST(o_orderdate AS DATE)) - INTERVAL 90 DAY AS cut
+            FROM orders
+        ),
+        parts AS (
+            SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS mon,
+                   CAST(COUNT(*) AS BIGINT) AS total_rows,
+                   CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) > k.cut
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS batch_rows
+            FROM orders o CROSS JOIN cutoff k
+            GROUP BY 1
+        )
+        SELECT CAST(mon AS DATE) AS mon,
+               total_rows, batch_rows,
+               CAST(total_rows - batch_rows AS BIGINT) AS carried_rows,
+               CASE WHEN batch_rows = 0 THEN 'untouched'
+                    WHEN batch_rows = total_rows THEN 'full_overwrite'
+                    ELSE 'partial_rewrite' END AS action
+        FROM parts
+        ORDER BY mon
+    """,
+    section="E44",
+    doc="Dynamic partition-overwrite plan: given a 90-day incremental "
+    "batch against a month-partitioned table, classify every "
+    "partition as untouched / full_overwrite / partial_rewrite and "
+    "count the rows the rewrite would carry forward — the audit run "
+    "before INSERT OVERWRITE with "
+    "spark.sql.sources.partitionOverwriteMode=dynamic, where "
+    "'partial_rewrite' partitions are the dangerous ones (dynamic "
+    "overwrite REPLACES the whole partition, so carried_rows is "
+    "exactly the data you lose if the batch isn't a superset). All "
+    "integer counts; the cutoff is a broadcast scalar. Scale: one "
+    "keyed agg at partition grain with a conditional sum — the "
+    "plan costs one scan regardless of table size, and partition "
+    "pruning serves the same mon key at write time.",
+)
+def q_etl_partition_overwrite_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cut = orders.agg(
+        F.date_sub(F.max(F.col("o_orderdate").cast("date")), 90).alias("cut")
+    )
+    parts = (
+        orders.crossJoin(F.broadcast(cut))
+        .groupBy(
+            F.date_trunc("month", F.col("o_orderdate").cast("date"))
+            .cast("date")
+            .alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_rows"),
+            F.sum(
+                F.when(
+                    F.col("o_orderdate").cast("date") > F.col("cut"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("batch_rows"),
+        )
+    )
+    return parts.select(
+        "mon",
+        "total_rows",
+        "batch_rows",
+        (F.col("total_rows") - F.col("batch_rows"))
+        .cast("bigint")
+        .alias("carried_rows"),
+        F.when(F.col("batch_rows") == 0, "untouched")
+        .when(F.col("batch_rows") == F.col("total_rows"), "full_overwrite")
+        .otherwise("partial_rewrite")
+        .alias("action"),
+    )

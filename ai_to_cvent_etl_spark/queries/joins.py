@@ -1352,3 +1352,104 @@ def q_join_allen_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("relation")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+# ==== wave 171a: 1-D closest pair via sort adjacency ================
+
+
+@register(
+    "q_join_closest_pair_1d",
+    oracle="""
+        WITH pts AS (
+            SELECT n.n_name AS nation, o.o_orderkey AS ok,
+                   CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT)
+                       AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+        ),
+        adj AS (
+            SELECT nation,
+                   LAG(cents) OVER w AS cents_a,
+                   LAG(ok) OVER w AS ok_a,
+                   cents AS cents_b, ok AS ok_b,
+                   cents - LAG(cents) OVER w AS diff
+            FROM pts
+            WINDOW w AS (PARTITION BY nation ORDER BY cents, ok)
+        ),
+        ranked AS (
+            SELECT nation, cents_a, ok_a, cents_b, ok_b, diff,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY nation
+                       ORDER BY diff, cents_a, ok_a, ok_b
+                   ) AS rn
+            FROM adj WHERE cents_a IS NOT NULL
+        )
+        SELECT nation,
+               CAST(ok_a AS BIGINT) AS ok_a,
+               CAST(ok_b AS BIGINT) AS ok_b,
+               cents_a, cents_b,
+               CAST(diff AS BIGINT) AS diff_cents
+        FROM ranked WHERE rn = 1
+    """,
+    section="J26",
+    doc="1-D closest pair per nation over order totals: the classic "
+    "reduction — after sorting, the closest pair is ALWAYS an "
+    "adjacent pair — turns an O(n^2) theta self-join into one "
+    "window sort plus a LAG, the same shape divide-and-conquer "
+    "closest-pair collapses to in one dimension. Sort key is "
+    "(cents, orderkey) so equal-price adjacency is deterministic, "
+    "and the winning pair is fully tie-broken (diff, cents_a, ok_a, "
+    "ok_b). All integer cents. Scale: one sort per nation "
+    "partition, map-side lag, 25 output rows; the anti-pattern "
+    "this replaces (pairwise |a-b| join with a MIN) shuffles n^2 "
+    "rows and is why 'closest pair' questions kill naive SQL at "
+    "100 TB.",
+)
+def q_join_closest_pair_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    pts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderkey").alias("ok"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    w = Window.partitionBy("nation").orderBy("cents", "ok")
+    adj = pts.select(
+        "nation",
+        F.lag("cents").over(w).alias("cents_a"),
+        F.lag("ok").over(w).alias("ok_a"),
+        F.col("cents").alias("cents_b"),
+        F.col("ok").alias("ok_b"),
+        (F.col("cents") - F.lag("cents").over(w)).alias("diff"),
+    ).where(F.col("cents_a").isNotNull())
+    ranked = adj.select(
+        "nation",
+        "cents_a",
+        "ok_a",
+        "cents_b",
+        "ok_b",
+        "diff",
+        F.row_number()
+        .over(
+            Window.partitionBy("nation").orderBy(
+                "diff", "cents_a", "ok_a", "ok_b"
+            )
+        )
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "nation",
+        F.col("ok_a").cast("bigint").alias("ok_a"),
+        F.col("ok_b").cast("bigint").alias("ok_b"),
+        "cents_a",
+        "cents_b",
+        F.col("diff").cast("bigint").alias("diff_cents"),
+    )
