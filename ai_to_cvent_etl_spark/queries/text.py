@@ -1365,3 +1365,210 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .where(F.col("n_shared") >= _WIN_MIN_SHARED)
     )
+
+
+# ==== wave 172b: BPE round 2 — apply the merge, recount =============
+
+
+@register(
+    "q_text_bpe_round2",
+    oracle="""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        tf AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY t
+        ),
+        p1 AS (
+            SELECT unnest(list_transform(range(1, length(t)),
+                          i -> substring(t, i, 2))) AS pair, c
+            FROM tf WHERE length(t) >= 2
+        ),
+        best AS (
+            SELECT pair AS bp,
+                   substring(pair, 1, 1) AS bx,
+                   substring(pair, 2, 1) AS by
+            FROM (
+                SELECT pair, SUM(c) AS mc FROM p1 GROUP BY pair
+                ORDER BY mc DESC, pair LIMIT 1
+            )
+        ),
+        chars AS (
+            SELECT tf.t, tf.c, u.i AS pos,
+                   substring(tf.t, CAST(u.i AS INTEGER), 1) AS ch,
+                   b.bp, b.bx, b.by
+            FROM tf CROSS JOIN best b
+            CROSS JOIN unnest(range(1, length(tf.t) + 1)) AS u(i)
+        ),
+        cands AS (
+            SELECT t, c, pos, ch, bp, bx, by,
+                   substring(t, CAST(pos AS INTEGER), 2) = bp AS cand,
+                   CASE WHEN ch = bx THEN pos - ROW_NUMBER() OVER (
+                       PARTITION BY t, (ch = bx) ORDER BY pos)
+                   END AS isl
+            FROM chars
+        ),
+        runs AS (
+            SELECT t, c, pos, ch, bp, bx, by, cand,
+                   CASE WHEN isl IS NOT NULL THEN
+                       MIN(pos) OVER (PARTITION BY t, isl) END AS s
+            FROM cands
+        ),
+        taken AS (
+            SELECT t, c, pos, ch, bp,
+                   cand AND (bx <> by OR (pos - s) % 2 = 0) AS tk
+            FROM runs
+        ),
+        kept AS (
+            SELECT t, c, pos,
+                   CASE WHEN tk THEN bp ELSE ch END AS sym
+            FROM (
+                SELECT t, c, pos, ch, bp, tk,
+                       COALESCE(LAG(tk) OVER (
+                           PARTITION BY t ORDER BY pos), FALSE) AS consumed
+                FROM taken
+            ) WHERE NOT consumed
+        ),
+        p2 AS (
+            SELECT sym || '+' || LEAD(sym) OVER (
+                       PARTITION BY t ORDER BY pos) AS pair,
+                   c
+            FROM kept
+        )
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS merge_count
+        FROM p2 WHERE pair IS NOT NULL
+        GROUP BY pair
+        ORDER BY merge_count DESC, pair
+        LIMIT 30
+    """,
+    section="T17",
+    doc="BPE tokenizer training, round 2: APPLY the round-1 argmax "
+    "merge across the vocabulary and recount adjacent-SYMBOL pairs "
+    "— the step that makes BPE iterative, expressed relationally: "
+    "greedy left-to-right merging is branch-free because when the "
+    "best pair's halves differ, candidate sites can never overlap, "
+    "and when they are equal (an 'xx' merge) the greedy choice is "
+    "exactly the even offsets within each maximal run — a "
+    "gaps-and-islands row_number device resolves run starts, one "
+    "parity compare picks the survivors, and a LAG drops the "
+    "consumed right halves. Round-2 pairs join symbols with '+' so "
+    "('ab','c') never collides with ('a','bc'). All work past the "
+    "one corpus token-frequency shuffle runs on the DISTINCT-token "
+    "table (vocabulary-sized — the work-sharing trick real BPE "
+    "trainers use), so 100 TB of text costs one keyed agg plus a "
+    "vocab-local round. Fully tie-broken top-30, all integer.",
+)
+def q_text_bpe_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    p1 = tf.where(F.length("t") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(t) - 1),"
+                " i -> substring(t, i, 2))"
+            )
+        ).alias("pair"),
+        "c",
+    )
+    best = (
+        p1.groupBy("pair")
+        .agg(F.sum("c").alias("mc"))
+        .orderBy(F.col("mc").desc(), F.col("pair"))
+        .limit(1)
+        .select(
+            F.col("pair").alias("bp"),
+            F.substring("pair", 1, 1).alias("bx"),
+            F.substring("pair", 2, 1).alias("by"),
+        )
+    )
+    chars = (
+        tf.crossJoin(F.broadcast(best))
+        .select(
+            "t",
+            "c",
+            "bp",
+            "bx",
+            "by",
+            F.posexplode(F.split(F.col("t"), "(?!^)(?=.)")).alias(
+                "pos0", "ch"
+            ),
+        )
+        .select(
+            "t",
+            "c",
+            "bp",
+            "bx",
+            "by",
+            (F.col("pos0") + 1).alias("pos"),
+            "ch",
+        )
+    )
+    wisl = Window.partitionBy("t", F.col("ch") == F.col("bx")).orderBy("pos")
+    cands = chars.select(
+        "t",
+        "c",
+        "pos",
+        "ch",
+        "bp",
+        "bx",
+        "by",
+        (F.expr("substring(t, pos, 2)") == F.col("bp")).alias("cand"),
+        F.when(
+            F.col("ch") == F.col("bx"),
+            F.col("pos") - F.row_number().over(wisl),
+        ).alias("isl"),
+    )
+    runs = cands.withColumn(
+        "s",
+        F.when(
+            F.col("isl").isNotNull(),
+            F.min("pos").over(Window.partitionBy("t", "isl")),
+        ),
+    )
+    taken = runs.select(
+        "t",
+        "c",
+        "pos",
+        "ch",
+        "bp",
+        (
+            F.col("cand")
+            & (
+                (F.col("bx") != F.col("by"))
+                | ((F.col("pos") - F.col("s")) % 2 == 0)
+            )
+        ).alias("tk"),
+    )
+    wt = Window.partitionBy("t").orderBy("pos")
+    kept = (
+        taken.withColumn(
+            "consumed", F.coalesce(F.lag("tk").over(wt), F.lit(False))
+        )
+        .where(~F.col("consumed"))
+        .select(
+            "t",
+            "c",
+            "pos",
+            F.when(F.col("tk"), F.col("bp")).otherwise(F.col("ch")).alias(
+                "sym"
+            ),
+        )
+    )
+    p2 = kept.select(
+        F.when(
+            F.lead("sym").over(wt).isNotNull(),
+            F.concat(F.col("sym"), F.lit("+"), F.lead("sym").over(wt)),
+        ).alias("pair"),
+        "c",
+    ).where(F.col("pair").isNotNull())
+    return (
+        p2.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("merge_count"))
+        .orderBy(F.col("merge_count").desc(), F.col("pair"))
+        .limit(30)
+    )
