@@ -14036,3 +14036,137 @@ def q_agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("lwk"),
     )
+
+
+# ==== wave 173a: James-Stein shrinkage of per-customer means ========
+
+
+@register(
+    "q_agg_james_stein",
+    oracle="""
+        WITH vals AS (
+            SELECT o_custkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        per AS (
+            SELECT o_custkey AS custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   (CAST(SUM(v) AS BIGINT) // COUNT(*)) AS mu,
+                   ((CAST(SUM(v) AS BIGINT) // COUNT(*)) * SUM(v)
+                    + ((CAST(SUM(v) AS BIGINT) % COUNT(*)) * SUM(v))
+                      // COUNT(*)) AS w,
+                   CAST(SUM(v * v) AS BIGINT) AS q,
+                   1000000 // COUNT(*) AS h
+            FROM vals GROUP BY o_custkey
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(n_orders) AS BIGINT) AS n,
+                   CAST(SUM(mu) AS BIGINT) AS g,
+                   CAST(SUM(mu * mu) AS BIGINT) AS ssq,
+                   CAST(SUM(q) - SUM(w) AS BIGINT) AS ssw,
+                   CAST(SUM(h) AS BIGINT) AS hh
+            FROM per
+        ),
+        parts AS (
+            SELECT k, g,
+                   CAST(g AS DOUBLE) / k AS grand,
+                   CAST(ssq AS DOUBLE)
+                   - CAST(g AS DOUBLE) * CAST(g AS DOUBLE) / k AS s_btw,
+                   CAST(ssw AS DOUBLE) / (n - k)
+                   * CAST(hh AS DOUBLE)
+                   / CAST(k * 1000000 AS DOUBLE) AS vbar
+            FROM scal
+        ),
+        shrink AS (
+            SELECT grand,
+                   GREATEST(0.0, 1.0 - (k - 3) * vbar / s_btw) AS c
+            FROM parts
+        )
+        SELECT p.custkey, p.n_orders, CAST(p.mu AS BIGINT) AS mu_dollars,
+               ROUND(s.grand + s.c * (CAST(p.mu AS DOUBLE) - s.grand), 4)
+                   AS js_mean,
+               ROUND(s.c, 6) AS shrink_c
+        FROM per p CROSS JOIN shrink s
+    """,
+    section="A149",
+    doc="James-Stein shrinkage of per-customer mean order value toward "
+    "the grand mean of customer means — THE small-n estimator fix "
+    "(Efron-Morris): a customer with 8 orders gets an estimate pulled "
+    "toward the population, dominating the raw MLE for k>=4 groups. "
+    "c = max(0, 1 - (k-3)*vbar/S) with S = sum(mu^2) - G^2/k over "
+    "WHOLE-DOLLAR quantized group means (mu = s div n, exact bigint, "
+    "~5e5 max, so sum(mu^2) never leaves int64 even at sf1) and "
+    "vbar = pooled within-variance * mean(1e6 div n)/1e6 — the "
+    "floor(s^2/n) term uses the overflow-safe split "
+    "(s div n)*s + ((s mod n)*s) div n so no s^2 ever materializes. "
+    "Every cross-engine double is rebuilt from exact int64 sums with "
+    "one fixed expression. Scale: one groupBy(custkey) shuffle, a "
+    "map-side-combinable scalar reduction over k rows, and a "
+    "broadcast of ONE scalar row back onto the per-customer frame.",
+)
+def q_agg_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    vals = od.select(
+        "o_custkey",
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    s = F.sum("v").cast("bigint")
+    n = F.count(F.lit(1))
+    per = vals.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        n.cast("bigint").alias("n_orders"),
+        s.alias("s"),
+        F.expr(
+            "cast(sum(v) as bigint) div count(*)"
+        ).alias("mu"),
+        F.expr(
+            "(cast(sum(v) as bigint) div count(*)) * sum(v)"
+            " + ((cast(sum(v) as bigint) % count(*)) * sum(v))"
+            "   div count(*)"
+        ).alias("w"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q"),
+        F.expr("1000000 div count(*)").alias("h"),
+    )
+    scal = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n_orders").cast("bigint").alias("n"),
+        F.sum("mu").cast("bigint").alias("g"),
+        F.sum(F.col("mu") * F.col("mu")).cast("bigint").alias("ssq"),
+        (F.sum("q") - F.sum("w")).cast("bigint").alias("ssw"),
+        F.sum("h").cast("bigint").alias("hh"),
+    )
+    grand = F.col("g").cast("double") / F.col("k")
+    s_btw = (
+        F.col("ssq").cast("double")
+        - F.col("g").cast("double") * F.col("g").cast("double")
+        / F.col("k")
+    )
+    vbar = (
+        F.col("ssw").cast("double") / (F.col("n") - F.col("k"))
+        * F.col("hh").cast("double")
+        / (F.col("k") * F.lit(1000000)).cast("double")
+    )
+    shrink = scal.select(
+        grand.alias("grand"),
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - (F.col("k") - 3) * vbar / s_btw,
+        ).alias("c"),
+    )
+    return per.crossJoin(F.broadcast(shrink)).select(
+        "custkey",
+        "n_orders",
+        F.col("mu").alias("mu_dollars"),
+        F.round(
+            F.col("grand")
+            + F.col("c") * (F.col("mu").cast("double") - F.col("grand")),
+            4,
+        ).alias("js_mean"),
+        F.round(F.col("c"), 6).alias("shrink_c"),
+    )

@@ -4594,3 +4594,158 @@ def q_vec_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rrf_score"
         ),
     )
+
+
+# ==== wave 173b: local outlier factor (V39) =========================
+
+_LOF_CAP = 300   # corpus slice for the exact all-pairs kNN build
+_LOF_K = 5
+
+
+@register(
+    "q_vec_lof",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id < {_LOF_CAP}
+        ),
+        dist AS MATERIALIZED (
+            SELECT a.vec_id AS u, b.vec_id AS v,
+                   CAST(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12))) AS BIGINT) AS qd
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        knn AS MATERIALIZED (
+            SELECT u, v, qd FROM (
+                SELECT u, v, qd,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY qd, v) AS rk
+                FROM dist
+            ) WHERE rk <= {_LOF_K}
+        ),
+        kd AS (SELECT u, MAX(qd) AS kdist FROM knn GROUP BY u),
+        reach AS (
+            SELECT k.u, k.v, GREATEST(d.kdist, k.qd) AS rd
+            FROM knn k JOIN kd d ON d.u = k.v
+        ),
+        ssum AS (
+            SELECT u, CAST(SUM(rd) AS BIGINT) AS s
+            FROM reach GROUP BY u
+        ),
+        lofq AS (
+            SELECT k.u,
+                   CAST(SUM(CAST(floor(1e8 * CAST(su.s AS DOUBLE)
+                                       / CAST(so.s AS DOUBLE))
+                                 AS BIGINT)) AS BIGINT) AS lq
+            FROM knn k
+            JOIN ssum su ON su.u = k.u
+            JOIN ssum so ON so.u = k.v
+            GROUP BY k.u
+        )
+        SELECT l.u AS vec_id, d.kdist AS kdist_q, s.s AS reach_sum,
+               ROUND(CAST(l.lq AS DOUBLE) / {_LOF_K}e8, 6) AS lof
+        FROM lofq l
+        JOIN kd d ON d.u = l.u
+        JOIN ssum s ON s.u = l.u
+    """,
+    section="V39",
+    doc=f"Local Outlier Factor (k={_LOF_K}, slice vec_id < {_LOF_CAP}) "
+    "over the embedding corpus — THE density-based anomaly score for "
+    "embedding curation: LOF >> 1 flags points whose local density is "
+    "far below their neighbors' (mislabeled / off-distribution docs), "
+    "which a global distance threshold misses in corpora with mixed "
+    "cluster densities. Pipeline: quantized squared L2 (per-term "
+    "floor((x-y)^2 * 1e12) fold, V26 device => every distance an "
+    "exact int64, ranks deterministic), top-k by (qd, v), k-distance "
+    "= max qd in the neighborhood, reachability rd = max(kdist(o), "
+    "d(u,o)), lrd^-1 = sum(rd), and LOF rebuilt order-insensitively "
+    "as sum(floor(1e8 * S_u/S_o))/(k*1e8) — the per-neighbor ratio "
+    "quantizes to int64 BEFORE the sum so no double accumulation "
+    "order can leak. Scale: the all-pairs build is capped to the "
+    "slice as the correctness oracle; the full-corpus path feeds the "
+    "SAME kdist/reach/ratio algebra from IVF/LSH candidate kNN "
+    "(D4/D7) — only candidate pairs shuffle, and everything after "
+    "kNN is k rows per point.",
+)
+def q_vec_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _LOF_CAP
+    )
+    base = emb.select("vec_id", "embedding")
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"), F.col("embedding").alias("a_emb")
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"), F.col("embedding").alias("b_emb")
+    )
+    qd = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).cast("bigint")
+    dist = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u", "v", qd.alias("qd")
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.asc("qd"), F.asc("v"))
+    )
+    knn = (
+        dist.withColumn("rk", rk)
+        .where(F.col("rk") <= _LOF_K)
+        .select("u", "v", "qd")
+    )
+    kd = knn.groupBy("u").agg(F.max("qd").alias("kdist"))
+    reach = knn.join(
+        F.broadcast(kd.select(F.col("u").alias("v"),
+                              F.col("kdist").alias("kdist_o"))),
+        "v",
+    ).select("u", "v", F.greatest(F.col("kdist_o"), F.col("qd")).alias("rd"))
+    ssum = reach.groupBy("u").agg(F.sum("rd").cast("bigint").alias("s"))
+    pairs = (
+        knn.select("u", "v")
+        .join(F.broadcast(ssum), "u")
+        .join(
+            F.broadcast(ssum.select(F.col("u").alias("v"),
+                                    F.col("s").alias("s_o"))),
+            "v",
+        )
+    )
+    lofq = pairs.groupBy("u").agg(
+        F.sum(
+            F.floor(
+                F.lit(1e8) * F.col("s").cast("double")
+                / F.col("s_o").cast("double")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("lq")
+    )
+    return (
+        lofq.join(F.broadcast(kd), "u")
+        .join(F.broadcast(ssum), "u")
+        .select(
+            F.col("u").alias("vec_id"),
+            F.col("kdist").alias("kdist_q"),
+            F.col("s").alias("reach_sum"),
+            F.round(
+                F.col("lq").cast("double") / F.lit(float(_LOF_K) * 1e8), 6
+            ).alias("lof"),
+        )
+    )
