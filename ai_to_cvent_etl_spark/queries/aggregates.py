@@ -14170,3 +14170,117 @@ def q_agg_james_stein(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("js_mean"),
         F.round(F.col("c"), 6).alias("shrink_c"),
     )
+
+
+# ==== wave 174a: Goodman-Kruskal lambda (PRE association) ===========
+
+
+@register(
+    "q_agg_gk_lambda",
+    oracle="""
+        WITH obs AS (
+            SELECT o_orderpriority AS x, o_orderstatus AS y,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ),
+        rowmax AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS sum_rowmax
+            FROM (SELECT x, MAX(c) AS m FROM obs GROUP BY x)
+        ),
+        colmax AS (
+            SELECT CAST(SUM(m) AS BIGINT) AS sum_colmax
+            FROM (SELECT y, MAX(c) AS m FROM obs GROUP BY y)
+        ),
+        marg AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(MAX(cy) AS BIGINT) AS max_col_marg,
+                   CAST(MAX(cx) AS BIGINT) AS max_row_marg
+            FROM (
+                SELECT c,
+                       SUM(c) OVER (PARTITION BY y) AS cy,
+                       SUM(c) OVER (PARTITION BY x) AS cx
+                FROM obs
+            )
+        )
+        SELECT n, sum_rowmax, sum_colmax, max_col_marg, max_row_marg,
+               ROUND(CAST(sum_rowmax - max_col_marg AS DOUBLE)
+                     / (n - max_col_marg), 6) AS lambda_y_given_x,
+               ROUND(CAST(sum_colmax - max_row_marg AS DOUBLE)
+                     / (n - max_row_marg), 6) AS lambda_x_given_y,
+               ROUND(CAST(sum_rowmax + sum_colmax - max_col_marg
+                          - max_row_marg AS DOUBLE)
+                     / (2 * n - max_col_marg - max_row_marg), 6)
+                   AS lambda_sym
+        FROM marg CROSS JOIN rowmax CROSS JOIN colmax
+    """,
+    section="A150",
+    doc="Goodman-Kruskal lambda between order priority (X, 5 levels) "
+    "and order status (Y, 3 levels) — the proportional-reduction-in-"
+    "error association for NOMINAL pairs, where chi-square says "
+    "'dependent' but not 'how much does knowing X help predict Y': "
+    "lambda_Y|X = (sum_x max_y n_xy - max_y n_+y)/(n - max_y n_+y), "
+    "i.e. the fraction of modal-guess errors knowing X removes. Both "
+    "directions plus the symmetric pooled form ride on the SAME "
+    "15-cell contingency — every numerator/denominator is an exact "
+    "int64 count, so the three metrics are one double division each. "
+    "Scale: one groupBy over two low-cardinality columns (map-side "
+    "combinable to 15 rows) and constant-size algebra after.",
+)
+def q_agg_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    obs = od.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rowmax = (
+        obs.groupBy("x").agg(F.max("c").alias("m"))
+        .agg(F.sum("m").cast("bigint").alias("sum_rowmax"))
+    )
+    colmax = (
+        obs.groupBy("y").agg(F.max("c").alias("m"))
+        .agg(F.sum("m").cast("bigint").alias("sum_colmax"))
+    )
+    cy = F.sum("c").over(Window.partitionBy("y"))
+    cx = F.sum("c").over(Window.partitionBy("x"))
+    marg = (
+        obs.select("c", cy.alias("cy"), cx.alias("cx"))
+        .agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.max("cy").cast("bigint").alias("max_col_marg"),
+            F.max("cx").cast("bigint").alias("max_row_marg"),
+        )
+    )
+    out = marg.crossJoin(F.broadcast(rowmax)).crossJoin(
+        F.broadcast(colmax)
+    )
+    return out.select(
+        "n",
+        "sum_rowmax",
+        "sum_colmax",
+        "max_col_marg",
+        "max_row_marg",
+        F.round(
+            (F.col("sum_rowmax") - F.col("max_col_marg")).cast("double")
+            / (F.col("n") - F.col("max_col_marg")),
+            6,
+        ).alias("lambda_y_given_x"),
+        F.round(
+            (F.col("sum_colmax") - F.col("max_row_marg")).cast("double")
+            / (F.col("n") - F.col("max_row_marg")),
+            6,
+        ).alias("lambda_x_given_y"),
+        F.round(
+            (
+                F.col("sum_rowmax")
+                + F.col("sum_colmax")
+                - F.col("max_col_marg")
+                - F.col("max_row_marg")
+            ).cast("double")
+            / (
+                2 * F.col("n")
+                - F.col("max_col_marg")
+                - F.col("max_row_marg")
+            ),
+            6,
+        ).alias("lambda_sym"),
+    )

@@ -2487,3 +2487,202 @@ def q_graph_betweenness_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("credit").cast("bigint").alias("stress_840"),
         F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
     )
+
+
+# ==== wave 174b: temporal triadic closure census (G23) ==============
+
+_TTRI_K = 12   # top-k strongest partners per supplier (k=5 graph has no
+               # triangles at sf0.01 — the census would gate vacuously)
+
+
+@register(
+    "q_graph_temporal_triangles",
+    oracle=f"""
+        WITH ps AS MATERIALIZED (
+            SELECT l_partkey, l_suppkey,
+                   MIN(CAST(l_shipdate AS DATE)) AS md
+            FROM lineitem GROUP BY 1, 2
+        ),
+        pairs AS MATERIALIZED (
+            SELECT a.l_suppkey AS s1, b.l_suppkey AS s2,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   MIN(GREATEST(a.md, b.md)) AS t
+            FROM ps a JOIN ps b
+              ON a.l_partkey = b.l_partkey
+             AND a.l_suppkey < b.l_suppkey
+            GROUP BY 1, 2
+        ),
+        dir AS (
+            SELECT s1 AS src, s2 AS dst, cnt FROM pairs
+            UNION ALL
+            SELECT s2 AS src, s1 AS dst, cnt FROM pairs
+        ),
+        topk AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (
+                           PARTITION BY src ORDER BY cnt DESC, dst
+                       ) AS rn
+                FROM dir
+            ) WHERE rn <= {_TTRI_K}
+        ),
+        edges AS MATERIALIZED (
+            SELECT a.src AS lo, a.dst AS hi, p.t
+            FROM topk a
+            JOIN topk b ON a.src = b.dst AND a.dst = b.src
+            JOIN pairs p ON p.s1 = a.src AND p.s2 = a.dst
+            WHERE a.src < a.dst
+        ),
+        tri AS (
+            SELECT e1.t AS t_ab, e2.t AS t_bc, e3.t AS t_ac
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        ),
+        cls AS (
+            SELECT CASE
+                     WHEN t_ab > t_bc AND t_ab > t_ac THEN 'ab'
+                     WHEN t_bc > t_ab AND t_bc > t_ac THEN 'bc'
+                     WHEN t_ac > t_ab AND t_ac > t_bc THEN 'ac'
+                     ELSE 'tie' END AS closing_edge,
+                   CAST(date_diff('day',
+                        LEAST(GREATEST(t_ab, t_bc), GREATEST(t_ab, t_ac),
+                              GREATEST(t_bc, t_ac)),
+                        GREATEST(t_ab, t_bc, t_ac)) AS BIGINT)
+                       AS delay_days
+            FROM tri
+        )
+        SELECT closing_edge, CAST(COUNT(*) AS BIGINT) AS n_triangles,
+               CAST(SUM(delay_days) AS BIGINT) AS sum_delay_days,
+               ROUND(CAST(SUM(delay_days) AS DOUBLE) / COUNT(*), 4)
+                   AS avg_close_delay
+        FROM cls GROUP BY closing_edge
+    """,
+    section="G23",
+    doc=f"Temporal triadic-closure census on the supplier co-part "
+    f"graph (top-{_TTRI_K} strongest partners, mutual edges, each "
+    "stamped with the pair's first-trade date = min over shared "
+    "parts of the LATER supplier's first shipment): for every "
+    "triangle (a<b<c), classify which edge closed it (strict max of "
+    "the three dates; equal maxes -> 'tie') and measure the closure "
+    "delay (closing date minus the median date). This is the "
+    "temporal-motif question behind link-prediction evaluation — "
+    "'when two partners share a neighbor, how long until they "
+    "trade?' — and the rank-pattern census static triangle counts "
+    "(G2) cannot see. Dates are integer days, so every class count "
+    "and delay sum is exact int64; the CASE tie-break is total. "
+    "Scale: the ps self-join shuffles on partkey (bounded by "
+    "suppliers-per-part), the top-k prune caps degree at k so the "
+    "triangle enumeration is O(E * k) not O(E^1.5); pairs is "
+    "localCheckpoint'ed once and reused by the direction union and "
+    "the timestamp re-join.",
+)
+def q_graph_temporal_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_shipdate").cast("date")).alias("md")
+    )
+    a = ps.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("s1"),
+        F.col("md").alias("md1"),
+    )
+    b = ps.select(
+        F.col("l_partkey").alias("pk"),
+        F.col("l_suppkey").alias("s2"),
+        F.col("md").alias("md2"),
+    )
+    pairs = (
+        a.join(b, ["pk"])
+        .where(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.min(F.greatest("md1", "md2")).alias("t"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    dirn = pairs.select(
+        F.col("s1").alias("src"), F.col("s2").alias("dst"), "cnt"
+    ).unionAll(
+        pairs.select(
+            F.col("s2").alias("src"), F.col("s1").alias("dst"), "cnt"
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("src").orderBy(F.desc("cnt"), F.asc("dst"))
+    )
+    topk = (
+        dirn.withColumn("rn", rn)
+        .where(F.col("rn") <= _TTRI_K)
+        .select("src", "dst")
+    )
+    mutual = (
+        topk.alias("fw")
+        .join(
+            topk.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).alias("bw"),
+            ["src", "dst"],
+        )
+        .where(F.col("src") < F.col("dst"))
+    )
+    edges = mutual.join(
+        pairs.select(
+            F.col("s1").alias("src"), F.col("s2").alias("dst"), "t"
+        ),
+        ["src", "dst"],
+    ).select(F.col("src").alias("lo"), F.col("dst").alias("hi"), "t")
+    e1 = edges.select(
+        F.col("lo").alias("na"), F.col("hi").alias("nb"),
+        F.col("t").alias("t_ab"),
+    )
+    e2 = edges.select(
+        F.col("lo").alias("nb"), F.col("hi").alias("nc"),
+        F.col("t").alias("t_bc"),
+    )
+    e3 = edges.select(
+        F.col("lo").alias("na"), F.col("hi").alias("nc"),
+        F.col("t").alias("t_ac"),
+    )
+    tri = e1.join(e2, ["nb"]).join(e3, ["na", "nc"]).select(
+        "t_ab", "t_bc", "t_ac"
+    )
+    closing = (
+        F.when(
+            (F.col("t_ab") > F.col("t_bc"))
+            & (F.col("t_ab") > F.col("t_ac")),
+            F.lit("ab"),
+        )
+        .when(
+            (F.col("t_bc") > F.col("t_ab"))
+            & (F.col("t_bc") > F.col("t_ac")),
+            F.lit("bc"),
+        )
+        .when(
+            (F.col("t_ac") > F.col("t_ab"))
+            & (F.col("t_ac") > F.col("t_bc")),
+            F.lit("ac"),
+        )
+        .otherwise(F.lit("tie"))
+    )
+    mid = F.least(
+        F.greatest("t_ab", "t_bc"),
+        F.greatest("t_ab", "t_ac"),
+        F.greatest("t_bc", "t_ac"),
+    )
+    cls = tri.select(
+        closing.alias("closing_edge"),
+        F.datediff(F.greatest("t_ab", "t_bc", "t_ac"), mid)
+        .cast("bigint")
+        .alias("delay_days"),
+    )
+    return cls.groupBy("closing_edge").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles"),
+        F.sum("delay_days").cast("bigint").alias("sum_delay_days"),
+        F.round(
+            F.sum("delay_days").cast("double") / F.count(F.lit(1)), 4
+        ).alias("avg_close_delay"),
+    )
