@@ -14284,3 +14284,120 @@ def q_agg_gk_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("lambda_sym"),
     )
+
+
+# ==== wave 175a: Krippendorff's alpha (nominal, variable raters) ====
+
+
+@register(
+    "q_agg_krippendorff_alpha",
+    oracle="""
+        WITH ratings AS (
+            SELECT l_orderkey AS unit,
+                   (CAST(l_quantity AS INT) - 1) // 10 AS c
+            FROM lineitem
+        ),
+        uc AS (
+            SELECT unit, c, CAST(COUNT(*) AS BIGINT) AS n_uc
+            FROM ratings GROUP BY unit, c
+        ),
+        per_unit AS (
+            SELECT unit,
+                   CAST(SUM(n_uc) AS BIGINT) AS m,
+                   CAST(SUM(n_uc * n_uc) AS BIGINT) AS sq
+            FROM uc GROUP BY unit
+            HAVING SUM(n_uc) >= 2
+        ),
+        do_sum AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_units,
+                   CAST(SUM((60 // (m - 1)) * (m * m - sq)) AS BIGINT)
+                       AS do60
+            FROM per_unit
+        ),
+        marg AS (
+            SELECT CAST(SUM(n_uc) AS BIGINT) AS n,
+                   CAST(SUM(nc * nc) AS BIGINT) AS sncsq
+            FROM (
+                SELECT CAST(SUM(u.n_uc) AS BIGINT) AS nc,
+                       CAST(SUM(u.n_uc) AS BIGINT) AS n_uc
+                FROM uc u JOIN per_unit p ON p.unit = u.unit
+                GROUP BY u.c
+            )
+        )
+        SELECT d.n_units, m.n AS n_ratings, d.do60,
+               ROUND(1.0 - CAST(d.do60 AS DOUBLE) * (m.n - 1)
+                     / (60.0 * (m.n * m.n - m.sncsq)), 6) AS alpha,
+               ROUND(CAST(d.do60 AS DOUBLE) / (60.0 * m.n), 6)
+                   AS pct_disagree
+        FROM do_sum d CROSS JOIN marg m
+    """,
+    section="A151",
+    doc="Krippendorff's alpha (nominal metric, variable raters per "
+    "unit) treating each order as a unit and its lineitems' quantity "
+    "deciles as independent 'ratings' — THE chance-corrected "
+    "agreement coefficient that, unlike Cohen/Fleiss kappa, handles "
+    "2..7 raters per unit and missing raters natively via the "
+    "coincidence matrix. The per-unit disagreement 60*(m^2 - "
+    "sum_c n_uc^2)/(m-1) is made EXACTLY integer by the LCM device: "
+    "m-1 <= 6 always divides 60, so (60 div (m-1)) * (...) never "
+    "leaves int64 (same trick as the distance-2 betweenness "
+    "credits). Coincidence marginals collapse to plain per-category "
+    "rating counts over pairable units, so alpha = 1 - do60*(n-1) / "
+    "(60*(n^2 - sum nc^2)) is ONE double division over five exact "
+    "integers. Scale: two keyed aggs (unit-grain, category-grain) "
+    "plus a scalar join — no pair enumeration ever happens.",
+)
+def q_agg_krippendorff_alpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    ratings = li.select(
+        F.col("l_orderkey").alias("unit"),
+        F.expr("(CAST(l_quantity AS INT) - 1) div 10").alias("c"),
+    )
+    uc = ratings.groupBy("unit", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_uc")
+    )
+    per_unit = (
+        uc.groupBy("unit")
+        .agg(
+            F.sum("n_uc").cast("bigint").alias("m"),
+            F.sum(F.col("n_uc") * F.col("n_uc"))
+            .cast("bigint")
+            .alias("sq"),
+        )
+        .where(F.col("m") >= 2)
+    )
+    do_sum = per_unit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_units"),
+        F.sum(
+            F.expr("60 div (m - 1)")
+            * (F.col("m") * F.col("m") - F.col("sq"))
+        )
+        .cast("bigint")
+        .alias("do60"),
+    )
+    marg = (
+        uc.join(per_unit.select("unit"), "unit")
+        .groupBy("c")
+        .agg(F.sum("n_uc").cast("bigint").alias("nc"))
+        .agg(
+            F.sum("nc").cast("bigint").alias("n"),
+            F.sum(F.col("nc") * F.col("nc")).cast("bigint").alias("sncsq"),
+        )
+    )
+    out = do_sum.crossJoin(F.broadcast(marg))
+    return out.select(
+        "n_units",
+        F.col("n").alias("n_ratings"),
+        "do60",
+        F.round(
+            F.lit(1.0)
+            - F.col("do60").cast("double") * (F.col("n") - 1)
+            / (F.lit(60.0) * (F.col("n") * F.col("n") - F.col("sncsq"))),
+            6,
+        ).alias("alpha"),
+        F.round(
+            F.col("do60").cast("double") / (F.lit(60.0) * F.col("n")), 6
+        ).alias("pct_disagree"),
+    )

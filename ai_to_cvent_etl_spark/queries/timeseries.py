@@ -6798,3 +6798,197 @@ def q_ts_underwater_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("days_underwater"),
     )
+
+
+# ==== wave 175b: Durbin-Watson autocorrelation test (TS44) ==========
+
+
+@register(
+    "q_ts_durbin_watson",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT nation, cents,
+                   CAST(row_number() OVER (PARTITION BY nation ORDER BY d)
+                        AS BIGINT) AS t
+            FROM daily
+        ),
+        mom AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(cents) AS BIGINT) AS sy,
+                   CAST(SUM(t * t) AS BIGINT) AS stt,
+                   CAST(SUM(t * cents) AS BIGINT) AS sty
+            FROM idx GROUP BY nation
+            HAVING COUNT(*) > 3
+        ),
+        sc AS (
+            SELECT nation, n, st, sy,
+                   CAST(n AS HUGEINT) * stt
+                   - CAST(st AS HUGEINT) * st AS dd,
+                   CAST(n AS HUGEINT) * sty
+                   - CAST(st AS HUGEINT) * sy AS bb,
+                   GREATEST(CAST(1 AS HUGEINT),
+                            (CAST(n AS HUGEINT)
+                             * (CAST(n AS HUGEINT) * stt
+                                - CAST(st AS HUGEINT) * st)) // 16)
+                       AS dv
+            FROM mom
+        ),
+        resid AS (
+            SELECT i.nation, i.t,
+                   (CAST(s.n AS HUGEINT) * s.dd * i.cents
+                    - s.dd * s.sy
+                    + s.bb * s.st
+                    - CAST(s.n AS HUGEINT) * s.bb * i.t)
+                   // s.dv AS u
+            FROM idx i JOIN sc s ON s.nation = i.nation
+        ),
+        lagd AS (
+            SELECT nation,
+                   CAST(u AS BIGINT) AS u,
+                   CAST(u - LAG(u) OVER (PARTITION BY nation ORDER BY t)
+                        AS BIGINT) AS du
+            FROM resid
+        ),
+        sums AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(u AS HUGEINT) * u) AS su2,
+                   SUM(CAST(du AS HUGEINT) * du) AS sd2
+            FROM lagd GROUP BY nation
+        )
+        SELECT nation, n,
+               ROUND((CAST(sd2 // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(sd2 % 4294967296 AS DOUBLE))
+                     / (CAST(su2 // 4294967296 AS DOUBLE) * 4294967296.0
+                        + CAST(su2 % 4294967296 AS DOUBLE)), 6) AS dw,
+               ROUND(1.0 - (CAST(sd2 // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(sd2 % 4294967296 AS DOUBLE))
+                     / (CAST(su2 // 4294967296 AS DOUBLE) * 4294967296.0
+                        + CAST(su2 % 4294967296 AS DOUBLE)) / 2.0, 6)
+                   AS rho_hat
+        FROM sums
+        ORDER BY nation
+    """,
+    section="TS44",
+    doc="Durbin-Watson statistic per nation on the OLS-detrended "
+    "daily-revenue series: DW = sum(e_t - e_(t-1))^2 / sum(e_t^2), "
+    "~2 means no serial correlation, ->0 positive, ->4 negative; "
+    "THE post-regression residual diagnostic (TS22's Dickey-Fuller "
+    "asks about unit roots, DW asks whether the trend fit left "
+    "correlated errors). Determinism device: the residual is scaled "
+    "by n*D (D = n*stt - st^2) so u_t = nD*y_t - D*sy + bb*st - "
+    "n*bb*t is EXACT integer algebra (HUGEINT / DECIMAL(38,0)); the "
+    "scale cancels in the DW ratio. u quantizes by div "
+    "greatest(1, nD div 16) — ADAPTIVE, so u' ~ 16*residual at "
+    "every SF (a fixed divisor zeroes residuals at small SF; "
+    "truncation toward zero matches Spark div / DuckDB // on "
+    "negatives — the TS22 sign-safe note), squares accumulate in "
+    "int128/DECIMAL(38,0), and the ratio rebuilds through the A26 "
+    "hi/lo 32-bit device. Scale: one (nation,day) agg, one moment "
+    "agg, a 25-row broadcast back, one lag window per nation.",
+)
+def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    idx = daily.select(
+        "nation",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("nation").orderBy("d"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    mom = (
+        idx.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("t").cast("bigint").alias("st"),
+            F.sum("cents").cast("bigint").alias("sy"),
+            F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+            F.sum(F.col("t") * F.col("cents"))
+            .cast("bigint")
+            .alias("sty"),
+        )
+        .where(F.col("n") > 3)
+    )
+    d38 = lambda c: F.col(c).cast(DecimalType(38, 0))  # noqa: E731
+    sc = mom.select(
+        "nation",
+        "n",
+        "st",
+        "sy",
+        (d38("n") * F.col("stt") - d38("st") * F.col("st")).alias("dd"),
+        (d38("n") * F.col("sty") - d38("st") * F.col("sy")).alias("bb"),
+        F.expr(
+            "greatest(cast(1 as bigint),"
+            " (cast(n as decimal(38,0))"
+            "  * (cast(n as decimal(38,0)) * stt"
+            "     - cast(st as decimal(38,0)) * st)) div 16)"
+        ).alias("dv"),
+    )
+    resid = idx.join(F.broadcast(sc), "nation").select(
+        "nation",
+        "t",
+        F.expr(
+            "(CAST(n AS DECIMAL(38,0)) * dd * cents"
+            " - dd * sy + bb * st"
+            " - CAST(n AS DECIMAL(38,0)) * bb * t)"
+            " div dv"
+        ).alias("u"),
+    )
+    w = Window.partitionBy("nation").orderBy("t")
+    lagd = resid.select(
+        "nation",
+        F.col("u").cast("bigint").alias("u"),
+        (F.col("u") - F.lag("u").over(w)).cast("bigint").alias("du"),
+    )
+    sums = lagd.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("u").cast(DecimalType(38, 0)) * F.col("u")).alias(
+            "su2"
+        ),
+        F.sum(F.col("du").cast(DecimalType(38, 0)) * F.col("du")).alias(
+            "sd2"
+        ),
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    dw = F.expr(hi_lo.format("sd2")) / F.expr(hi_lo.format("su2"))
+    return sums.select(
+        "nation",
+        "n",
+        F.round(dw, 6).alias("dw"),
+        F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
+    )
