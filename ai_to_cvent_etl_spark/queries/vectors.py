@@ -4749,3 +4749,143 @@ def q_vec_lof(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lof"),
         )
     )
+
+
+# ==== wave 176a: Schilling-Henze kNN label test (V40) ===============
+
+_SH_CAP = 400   # corpus slice for the exact all-pairs kNN build
+_SH_K = 5
+
+
+@register(
+    "q_vec_knn_label_test",
+    oracle=f"""
+        WITH base AS MATERIALIZED (
+            SELECT vec_id, label, embedding FROM embeddings
+            WHERE vec_id < {_SH_CAP}
+        ),
+        dist AS MATERIALIZED (
+            SELECT a.vec_id AS u, a.label AS ul, b.label AS vl,
+                   CAST(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12))) AS BIGINT) AS qd,
+                   b.vec_id AS v
+            FROM base a JOIN base b ON a.vec_id <> b.vec_id
+        ),
+        knn AS (
+            SELECT ul, vl FROM (
+                SELECT ul, vl,
+                       ROW_NUMBER() OVER (PARTITION BY u
+                                          ORDER BY qd, v) AS rk
+                FROM dist
+            ) WHERE rk <= {_SH_K}
+        ),
+        obs AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+                   CAST(SUM(CASE WHEN ul = vl THEN 1 ELSE 0 END)
+                        AS BIGINT) AS s_same
+            FROM knn
+        ),
+        marg AS (
+            SELECT CAST(SUM(ng) AS BIGINT) AS n,
+                   CAST(SUM(ng * (ng - 1)) AS BIGINT) AS same_pairs
+            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS ng
+                  FROM base GROUP BY label)
+        )
+        SELECT m.n, o.n_edges, o.s_same,
+               ROUND(CAST(o.s_same AS DOUBLE) / o.n_edges, 6) AS t_obs,
+               ROUND(CAST(m.same_pairs AS DOUBLE)
+                     / (CAST(m.n AS DOUBLE) * (m.n - 1)), 6) AS t_null,
+               ROUND(CAST(o.s_same AS DOUBLE) / o.n_edges
+                     / (CAST(m.same_pairs AS DOUBLE)
+                        / (CAST(m.n AS DOUBLE) * (m.n - 1))), 6)
+                   AS clustering_ratio
+        FROM obs o CROSS JOIN marg m
+    """,
+    section="V40",
+    doc=f"Schilling-Henze kNN multisample test (k={_SH_K}, slice "
+    f"vec_id < {_SH_CAP}): the fraction of kNN edges whose endpoints "
+    "share a label, against its exact permutation-null expectation "
+    "sum_g n_g(n_g-1) / (n(n-1)) — clustering_ratio >> 1 means the "
+    "label classes occupy separated regions of embedding space "
+    "(labels are learnable from geometry); ~1 means the labels are "
+    "geometrically random. This is THE nonparametric check that an "
+    "embedding model actually separates a taxonomy, and the "
+    "closed-form null is what V29's raw nn-label-error lacks. "
+    "Same quantized-int64 distance fold as V39 (ranks exact), "
+    "observed and null are pure integer counts, three divisions at "
+    "the end. Scale: all-pairs capped to the slice as oracle; the "
+    "full-corpus statistic rides any blocked kNN (D4/D7) since only "
+    "label pairs per edge aggregate — one global sum.",
+)
+def q_vec_knn_label_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < _SH_CAP
+    )
+    base = emb.select("vec_id", "label", "embedding")
+    a = fan_out(
+        base.select(
+            F.col("vec_id").alias("u"),
+            F.col("label").alias("ul"),
+            F.col("embedding").alias("a_emb"),
+        )
+    )
+    b = base.select(
+        F.col("vec_id").alias("v"),
+        F.col("label").alias("vl"),
+        F.col("embedding").alias("b_emb"),
+    )
+    qd = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).cast("bigint")
+    dist = a.join(F.broadcast(b), F.col("u") != F.col("v")).select(
+        "u", "ul", "vl", qd.alias("qd"), "v"
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("u").orderBy(F.asc("qd"), F.asc("v"))
+    )
+    knn = dist.withColumn("rk", rk).where(F.col("rk") <= _SH_K)
+    obs = knn.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.when(F.col("ul") == F.col("vl"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("s_same"),
+    )
+    marg = (
+        base.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ng"))
+        .agg(
+            F.sum("ng").cast("bigint").alias("n"),
+            F.sum(F.col("ng") * (F.col("ng") - 1))
+            .cast("bigint")
+            .alias("same_pairs"),
+        )
+    )
+    t_obs = F.col("s_same").cast("double") / F.col("n_edges")
+    t_null = F.col("same_pairs").cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    return obs.crossJoin(F.broadcast(marg)).select(
+        "n",
+        "n_edges",
+        "s_same",
+        F.round(t_obs, 6).alias("t_obs"),
+        F.round(t_null, 6).alias("t_null"),
+        F.round(t_obs / t_null, 6).alias("clustering_ratio"),
+    )

@@ -2778,3 +2778,130 @@ def q_win_max_subarray(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gain_scaled").cast("double") / F.col("n") / F.lit(100.0), 2
         ).alias("gain_dollars"),
     )
+
+
+# ==== wave 176b: trace conformance vs modal variant (W40) ===========
+
+
+@register(
+    "q_win_conformance",
+    oracle="""
+        WITH codes AS (
+            SELECT event_type,
+                   chr(CAST(64 + row_number() OVER (ORDER BY event_type)
+                            AS INT)) AS code
+            FROM (SELECT DISTINCT event_type FROM events)
+        ),
+        traces AS (
+            SELECT e.user_id,
+                   string_agg(c.code, '' ORDER BY e.ts, e.event_id)
+                       AS trace
+            FROM events e JOIN codes c ON c.event_type = e.event_type
+            GROUP BY e.user_id
+        ),
+        variants AS (
+            SELECT trace, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM traces GROUP BY trace
+        ),
+        modal AS (
+            SELECT trace AS m_trace,
+                   CAST(length(trace) AS BIGINT) AS m_len
+            FROM variants ORDER BY cnt DESC, trace LIMIT 1
+        ),
+        fit AS (
+            SELECT CAST(levenshtein(t.trace, m.m_trace) AS BIGINT)
+                       AS dist,
+                   GREATEST(CAST(length(t.trace) AS BIGINT), m.m_len)
+                       AS l,
+                   m.m_len
+            FROM traces t CROSS JOIN modal m
+        )
+        SELECT dist,
+               CAST(COUNT(*) AS BIGINT) AS n_traces,
+               CAST(SUM(((l - dist) * 1000000) // l) AS BIGINT)
+                   AS sum_fit_q,
+               ROUND(CAST(SUM(((l - dist) * 1000000) // l) AS DOUBLE)
+                     / (COUNT(*) * 1000000.0), 6) AS avg_fitness,
+               MAX(m_len) AS modal_len
+        FROM fit GROUP BY dist
+    """,
+    section="W40",
+    doc="Process-conformance fitness: encode each user's event "
+    "sequence as a trace string (per-type single chars, dictionary "
+    "= row_number over the sorted distinct types so the coding is "
+    "engine-independent), pick the modal variant (max count, "
+    "lexicographic tie-break), and score every trace by Levenshtein "
+    "distance to it — the alignment-lite conformance check process "
+    "mining runs after W37's variant explorer: fitness = "
+    "1 - d/max(|t|,|modal|), how far real behavior strays from the "
+    "canonical path. Both engines implement unit-cost levenshtein "
+    "identically on ASCII codes; per-trace fitness quantizes to "
+    "((l-d)*1e6) div l EXACT integers before the group sum, so the "
+    "per-distance average is one division. Scale: traces build with "
+    "one groupBy(user) holding ordered structs (bounded per-user "
+    "event counts), the modal row broadcasts, and levenshtein is "
+    "row-local O(|t|*|modal|) — no pairwise trace comparison, only "
+    "n_traces distance computations.",
+)
+def q_win_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    codes = (
+        ev.select("event_type")
+        .distinct()
+        .select(
+            "event_type",
+            F.chr(
+                F.lit(64)
+                + F.row_number().over(Window.orderBy("event_type"))
+            ).alias("code"),
+        )
+    )
+    traces = (
+        ev.join(F.broadcast(codes), "event_type")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "code")
+                        )
+                    ),
+                    lambda s: s.getField("code"),
+                ),
+                "",
+            ).alias("trace")
+        )
+    )
+    variants = traces.groupBy("trace").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    modal = (
+        variants.orderBy(F.desc("cnt"), F.asc("trace"))
+        .limit(1)
+        .select(
+            F.col("trace").alias("m_trace"),
+            F.length("trace").cast("bigint").alias("m_len"),
+        )
+    )
+    fit = traces.crossJoin(F.broadcast(modal)).select(
+        F.levenshtein("trace", "m_trace").cast("bigint").alias("dist"),
+        F.greatest(
+            F.length("trace").cast("bigint"), F.col("m_len")
+        ).alias("l"),
+        "m_len",
+    )
+    return fit.groupBy("dist").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_traces"),
+        F.sum(
+            F.expr("((l - dist) * 1000000) div l")
+        )
+        .cast("bigint")
+        .alias("sum_fit_q"),
+        F.round(
+            F.sum(F.expr("((l - dist) * 1000000) div l")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1000000.0)),
+            6,
+        ).alias("avg_fitness"),
+        F.max("m_len").alias("modal_len"),
+    )
