@@ -14401,3 +14401,137 @@ def q_agg_krippendorff_alpha(
             F.col("do60").cast("double") / (F.lit(60.0) * F.col("n")), 6
         ).alias("pct_disagree"),
     )
+
+
+# ==== wave 177a: covariate balance audit (SMD) ======================
+
+
+@register(
+    "q_agg_covariate_balance",
+    oracle="""
+        WITH lagg AS (
+            SELECT l_orderkey,
+                   CAST(COUNT(*) AS BIGINT) AS nl,
+                   CAST(SUM(CAST(l_quantity AS INT)) AS BIGINT) AS sq
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        frame AS (
+            SELECT CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS treated,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS dollars,
+                   l.nl, l.sq
+            FROM orders o JOIN lagg l ON l.l_orderkey = o.o_orderkey
+        ),
+        long AS (
+            SELECT treated, 'dollars' AS covariate, dollars AS v
+            FROM frame
+            UNION ALL
+            SELECT treated, 'n_lines', nl FROM frame
+            UNION ALL
+            SELECT treated, 'sum_qty', sq FROM frame
+        ),
+        mom AS (
+            SELECT covariate,
+                   CAST(SUM(treated) AS BIGINT) AS n1,
+                   CAST(SUM(1 - treated) AS BIGINT) AS n0,
+                   CAST(SUM(treated * v) AS BIGINT) AS s1,
+                   CAST(SUM((1 - treated) * v) AS BIGINT) AS s0,
+                   CAST(SUM(treated * v * v) AS BIGINT) AS q1,
+                   CAST(SUM((1 - treated) * v * v) AS BIGINT) AS q0
+            FROM long GROUP BY covariate
+        ),
+        stats AS (
+            SELECT covariate, n1, n0,
+                   CAST(s1 AS DOUBLE) / n1 AS m1,
+                   CAST(s0 AS DOUBLE) / n0 AS m0,
+                   (CAST(q1 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * s1 / n1) / (n1 - 1) AS v1,
+                   (CAST(q0 AS DOUBLE)
+                    - CAST(s0 AS DOUBLE) * s0 / n0) / (n0 - 1) AS v0
+            FROM mom
+        )
+        SELECT covariate, n1, n0,
+               ROUND(m1, 4) AS mean_t,
+               ROUND(m0, 4) AS mean_c,
+               ROUND((m1 - m0) / sqrt((v1 + v0) / 2.0), 6) AS smd,
+               ROUND(v1 / v0, 6) AS var_ratio
+        FROM stats
+    """,
+    section="A152",
+    doc="Covariate-balance audit for the urgent/high-priority "
+    "'treatment': standardized mean difference (m1-m0)/"
+    "sqrt((v1+v0)/2) and variance ratio per covariate (whole-dollar "
+    "total, line count, quantity sum) — THE table every "
+    "observational-causal analysis prints before trusting an effect "
+    "estimate (|SMD| < 0.1 is the conventional balance bar, and "
+    "A71's stratified ATE / A45's CUPED assume it was checked). "
+    "One-pass conditional moments per covariate: every n/s/q is an "
+    "exact int64 (treated flag multiplies values, the A66 ANOVA "
+    "device), means/variances rebuild with one pinned IEEE "
+    "expression. Scale: lineitem pre-aggregates to order grain, the "
+    "long unpivot triples rows but map-side combines into 6 "
+    "integers per covariate — a constant-size reduction.",
+)
+def q_agg_covariate_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lagg = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nl"),
+        F.sum(F.col("l_quantity").cast("int"))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    frame = od.join(lagg, od.o_orderkey == lagg.l_orderkey).select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("treated"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("dollars"),
+        "nl",
+        "sq",
+    )
+    long = frame.select(
+        "treated",
+        F.expr(
+            "stack(3, 'dollars', dollars, 'n_lines', nl,"
+            " 'sum_qty', sq) as (covariate, v)"
+        ),
+    )
+    t = F.col("treated")
+    v = F.col("v")
+    mom = long.groupBy("covariate").agg(
+        F.sum(t).cast("bigint").alias("n1"),
+        F.sum(1 - t).cast("bigint").alias("n0"),
+        F.sum(t * v).cast("bigint").alias("s1"),
+        F.sum((1 - t) * v).cast("bigint").alias("s0"),
+        F.sum(t * v * v).cast("bigint").alias("q1"),
+        F.sum((1 - t) * v * v).cast("bigint").alias("q0"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n1")
+    m0 = F.col("s0").cast("double") / F.col("n0")
+    v1 = (
+        F.col("q1").cast("double")
+        - F.col("s1").cast("double") * F.col("s1") / F.col("n1")
+    ) / (F.col("n1") - 1)
+    v0 = (
+        F.col("q0").cast("double")
+        - F.col("s0").cast("double") * F.col("s0") / F.col("n0")
+    ) / (F.col("n0") - 1)
+    return mom.select(
+        "covariate",
+        "n1",
+        "n0",
+        F.round(m1, 4).alias("mean_t"),
+        F.round(m0, 4).alias("mean_c"),
+        F.round((m1 - m0) / F.sqrt((v1 + v0) / F.lit(2.0)), 6).alias(
+            "smd"
+        ),
+        F.round(v1 / v0, 6).alias("var_ratio"),
+    )

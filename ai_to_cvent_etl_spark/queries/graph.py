@@ -2686,3 +2686,99 @@ def q_graph_temporal_triangles(
             F.sum("delay_days").cast("double") / F.count(F.lit(1)), 4
         ).alias("avg_close_delay"),
     )
+
+
+# ==== wave 177b: configuration-model triangle expectation (G24) =====
+
+
+@register(
+    "q_graph_config_triangles",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        nodes AS (
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (
+                SELECT lo AS node FROM edges
+                UNION ALL SELECT hi FROM edges
+            ) GROUP BY node
+        ),
+        deg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d) AS BIGINT) AS m2,
+                   CAST(SUM(d * (d - 1)) AS BIGINT) AS sdd1
+            FROM nodes
+        ),
+        tri AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS t_actual
+            FROM edges e1
+            JOIN edges e2 ON e2.lo = e1.hi
+            JOIN edges e3 ON e3.lo = e1.lo AND e3.hi = e2.hi
+        )
+        SELECT d.n_nodes, CAST(d.m2 // 2 AS BIGINT) AS n_edges,
+               d.sdd1, t.t_actual,
+               ROUND(CAST(d.sdd1 AS DOUBLE) * d.sdd1 * d.sdd1
+                     / (6.0 * CAST(d.m2 AS DOUBLE) * d.m2 * d.m2), 6)
+                   AS t_expected,
+               ROUND(CAST(t.t_actual AS DOUBLE)
+                     / (CAST(d.sdd1 AS DOUBLE) * d.sdd1 * d.sdd1
+                        / (6.0 * CAST(d.m2 AS DOUBLE) * d.m2 * d.m2)),
+                     6) AS closure_ratio
+        FROM deg d CROSS JOIN tri t
+    """,
+    section="G24",
+    doc="Triangle count vs its configuration-model expectation on the "
+    "mutual top-8 trade-affinity graph: E[T] = (sum d(d-1))^3 / "
+    "(6 (sum d)^3), the Newman degree-preserving null — "
+    "closure_ratio >> 1 says the observed triangles are genuine "
+    "community structure, not an artifact of the degree sequence, "
+    "which the raw G2 counts and G16 transitivity cannot "
+    "distinguish (a hub-heavy graph closes many triangles by "
+    "chance). Both T and the three degree moments are exact int64 "
+    "(degree <= 8 by construction), so expectation and ratio are "
+    "one pinned double expression. Scale: degree table is one agg "
+    "over the edge list, the wedge join is bounded by the top-k "
+    "cap, and the null needs NO sampling or rewiring — the "
+    "closed form replaces the usual 1000-rewire Monte Carlo.",
+)
+def q_graph_config_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    nodes = (
+        edges.select(F.col("lo").alias("node"))
+        .unionAll(edges.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    deg = nodes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("m2"),
+        F.sum(F.col("d") * (F.col("d") - 1))
+        .cast("bigint")
+        .alias("sdd1"),
+    )
+    e1 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = edges.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    e3 = edges.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = (
+        e1.join(e2, ["b"])
+        .join(e3, ["a", "c"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t_actual"))
+    )
+    t_exp = (
+        F.col("sdd1").cast("double") * F.col("sdd1") * F.col("sdd1")
+        / (
+            F.lit(6.0)
+            * F.col("m2").cast("double") * F.col("m2") * F.col("m2")
+        )
+    )
+    return deg.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        (F.col("m2") / 2).cast("bigint").alias("n_edges"),
+        "sdd1",
+        "t_actual",
+        F.round(t_exp, 6).alias("t_expected"),
+        F.round(F.col("t_actual").cast("double") / t_exp, 6).alias(
+            "closure_ratio"
+        ),
+    )
