@@ -4423,3 +4423,167 @@ def q_etl_partition_overwrite_plan(
         .otherwise("partial_rewrite")
         .alias("action"),
     )
+
+
+# ==== wave 178b: join-strategy advisor (E50) ========================
+
+# (dim table, string columns, fixed numeric bytes/row) — widths follow
+# Spark's in-memory estimates: int 4, bigint/double 8, plus 4 bytes of
+# offset overhead per string. Facts only need row counts.
+_JSA_DIMS = {
+    "region": (["r_name"], 4),
+    "nation": (["n_name"], 8),
+    "customer": (["c_name", "c_mktsegment"], 20),
+    "supplier": (["s_name"], 20),
+    "part": (["p_name", "p_brand", "p_type"], 20),
+}
+_JSA_RELS = [
+    ("lineitem", "part"),
+    ("lineitem", "supplier"),
+    ("orders", "customer"),
+    ("customer", "nation"),
+    ("supplier", "nation"),
+    ("nation", "region"),
+]
+_JSA_BROADCAST_BYTES = 10 * 1024 * 1024   # spark.sql.autoBroadcastJoinThreshold
+_JSA_HASH_RATIO = 16                      # build side must be 16x smaller
+
+
+def _jsa_dim_sql(table: str) -> str:
+    cols, fixed = _JSA_DIMS[table]
+    lens = " + ".join(f"SUM(length({c}))" for c in cols)
+    n_str = len(cols)
+    return (
+        f"SELECT '{table}' AS tname, CAST(COUNT(*) AS BIGINT) AS rows_,"
+        f" CAST(({fixed} + {4 * n_str}) * COUNT(*) + {lens} AS BIGINT)"
+        f" AS est_bytes FROM {table}"
+    )
+
+
+@register(
+    "q_etl_join_strategy_advisor",
+    oracle=f"""
+        WITH dims AS (
+            {" UNION ALL ".join(_jsa_dim_sql(t) for t in _JSA_DIMS)}
+        ),
+        facts AS (
+            SELECT 'lineitem' AS tname,
+                   CAST(COUNT(*) AS BIGINT) AS rows_ FROM lineitem
+            UNION ALL
+            SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+            UNION ALL
+            SELECT 'customer', CAST(COUNT(*) AS BIGINT) FROM customer
+            UNION ALL
+            SELECT 'supplier', CAST(COUNT(*) AS BIGINT) FROM supplier
+            UNION ALL
+            SELECT 'nation', CAST(COUNT(*) AS BIGINT) FROM nation
+        ),
+        rels AS (
+            {" UNION ALL ".join(
+                f"SELECT '{f}' AS fact_table, '{d}' AS dim_table"
+                for f, d in _JSA_RELS)}
+        )
+        SELECT r.fact_table, r.dim_table,
+               f.rows_ AS fact_rows, d.rows_ AS dim_rows,
+               d.est_bytes AS dim_est_bytes,
+               CASE
+                 WHEN d.est_bytes <= {_JSA_BROADCAST_BYTES}
+                     THEN 'broadcast'
+                 WHEN d.rows_ * {_JSA_HASH_RATIO} <= f.rows_
+                     THEN 'shuffle_hash'
+                 ELSE 'sort_merge'
+               END AS strategy
+        FROM rels r
+        JOIN facts f ON f.tname = r.fact_table
+        JOIN dims d ON d.tname = r.dim_table
+    """,
+    section="E50",
+    doc="Cost-based join-strategy advisor over the schema's FK "
+    "relationships: per dim table estimate in-memory bytes (fixed "
+    "per-type widths + exact string-length sums — the same shape of "
+    "estimate Catalyst's SizeInBytes statistics produce), then "
+    "recommend broadcast (fits under "
+    "spark.sql.autoBroadcastJoinThreshold's 10 MiB default), "
+    "shuffle_hash (build side 16x smaller than probe), or "
+    "sort_merge per relationship. This is the advisory readout a "
+    "100 TB migration runs BEFORE submitting: it tells you which "
+    "dims to pin as broadcast hints and which joins will shuffle "
+    "both sides. All inputs are exact int64 (COUNT + SUM(length)); "
+    "the CASE thresholds are integer compares. Scale: one "
+    "map-side-combinable agg per table (count + length sums), "
+    "union of 5+5 scalar rows, constant-size join after.",
+)
+def q_etl_join_strategy_advisor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    dim_frames = []
+    for t, (cols, fixed) in _JSA_DIMS.items():
+        df = load_table(spark, sf_dir, t)
+        lens = None
+        for c in cols:
+            term = F.sum(F.length(c))
+            lens = term if lens is None else lens + term
+        dim_frames.append(
+            df.agg(
+                F.count(F.lit(1)).alias("cnt"), lens.alias("slen")
+            ).select(
+                F.lit(t).alias("tname"),
+                F.col("cnt").cast("bigint").alias("rows_"),
+                (
+                    (F.lit(fixed + 4 * len(cols)) * F.col("cnt"))
+                    + F.col("slen")
+                )
+                .cast("bigint")
+                .alias("est_bytes"),
+            )
+        )
+    dims = dim_frames[0]
+    for f_ in dim_frames[1:]:
+        dims = dims.unionAll(f_)
+    fact_frames = []
+    for t in ["lineitem", "orders", "customer", "supplier", "nation"]:
+        fact_frames.append(
+            load_table(spark, sf_dir, t).agg(
+                F.count(F.lit(1)).cast("bigint").alias("rows_")
+            ).select(F.lit(t).alias("tname"), "rows_")
+        )
+    facts = fact_frames[0]
+    for f_ in fact_frames[1:]:
+        facts = facts.unionAll(f_)
+    rels = spark.createDataFrame(
+        _JSA_RELS, ["fact_table", "dim_table"]
+    )
+    out = (
+        rels.join(
+            F.broadcast(facts.select(F.col("tname").alias("fact_table"),
+                                     F.col("rows_").alias("fact_rows"))),
+            "fact_table",
+        )
+        .join(
+            F.broadcast(
+                dims.select(
+                    F.col("tname").alias("dim_table"),
+                    F.col("rows_").alias("dim_rows"),
+                    F.col("est_bytes").alias("dim_est_bytes"),
+                )
+            ),
+            "dim_table",
+        )
+    )
+    return out.select(
+        "fact_table",
+        "dim_table",
+        "fact_rows",
+        "dim_rows",
+        "dim_est_bytes",
+        F.when(
+            F.col("dim_est_bytes") <= _JSA_BROADCAST_BYTES,
+            F.lit("broadcast"),
+        )
+        .when(
+            F.col("dim_rows") * _JSA_HASH_RATIO <= F.col("fact_rows"),
+            F.lit("shuffle_hash"),
+        )
+        .otherwise(F.lit("sort_merge"))
+        .alias("strategy"),
+    )

@@ -6992,3 +6992,143 @@ def q_ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dw, 6).alias("dw"),
         F.round(F.lit(1.0) - dw / F.lit(2.0), 6).alias("rho_hat"),
     )
+
+
+# ==== wave 178a: Pettitt change-point test (TS45) ===================
+
+
+@register(
+    "q_ts_pettitt",
+    oracle="""
+        WITH daily AS (
+            SELECT n.n_name AS nation,
+                   CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT nation, d, cents,
+                   CAST(RANK() OVER (PARTITION BY nation ORDER BY cents)
+                        - RANK() OVER (PARTITION BY nation
+                                       ORDER BY cents DESC)
+                        AS BIGINT) AS r,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY nation
+                                           ORDER BY d) AS BIGINT) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT)
+                       AS n
+            FROM daily
+        ),
+        pref AS (
+            SELECT nation, d, n,
+                   CAST(SUM(r) OVER (PARTITION BY nation ORDER BY d
+                                     ROWS UNBOUNDED PRECEDING)
+                        AS BIGINT) AS u
+            FROM ranked
+            QUALIFY rn <= n - 1
+        ),
+        best AS (
+            SELECT nation, d, n, u, ABS(u) AS k
+            FROM (
+                SELECT nation, d, n, u,
+                       ROW_NUMBER() OVER (PARTITION BY nation
+                                          ORDER BY ABS(u) DESC, d)
+                           AS pick
+                FROM pref
+            ) WHERE pick = 1
+        )
+        SELECT nation, n, k AS k_stat, u AS u_signed,
+               d AS change_date,
+               ROUND(2.0 * exp(-6.0 * CAST(k AS DOUBLE) * k
+                     / (CAST(n AS DOUBLE) * n * n
+                        + CAST(n AS DOUBLE) * n)), 8) AS p_approx
+        FROM best
+        ORDER BY nation
+    """,
+    section="TS45",
+    doc="Pettitt change-point test per nation on daily revenue: "
+    "K = max_t |U_t| with U_t = sum_(i<=t) sum_(j>t) sgn(x_i - x_j), "
+    "the rank-based single-breakpoint detector (nonparametric twin "
+    "of TS10's CUSUM — no variance estimate, robust to outliers). "
+    "The O(n^2) double sum collapses to a CUMSUM via antisymmetry: "
+    "R_i = #(x_j < x_i) - #(x_j > x_i) = rank_asc - rank_desc (ties "
+    "contribute 0 automatically), and U_t = running sum of R_i — "
+    "two rank windows + one frame window, all exact int64. The "
+    "argmax is fully tie-broken (earliest date), and the classic "
+    "approximate p-value 2 exp(-6K^2/(n^3+n^2)) is one pinned "
+    "double expression. Scale: per-nation windows keep series state "
+    "executor-local; output is |nations| rows.",
+)
+def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    daily = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("o_orderdate").cast("date").alias("d"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("cents")
+        )
+    )
+    wn = Window.partitionBy("nation")
+    ranked = daily.select(
+        "nation",
+        "d",
+        (
+            F.rank().over(wn.orderBy(F.asc("cents")))
+            - F.rank().over(wn.orderBy(F.desc("cents")))
+        )
+        .cast("bigint")
+        .alias("r"),
+        F.row_number().over(wn.orderBy("d")).cast("bigint").alias("rn"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    pref = ranked.select(
+        "nation",
+        "d",
+        "n",
+        "rn",
+        F.sum("r")
+        .over(wn.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("u"),
+    ).where(F.col("rn") <= F.col("n") - 1)
+    pick = F.row_number().over(
+        wn.orderBy(F.desc(F.abs(F.col("u"))), F.asc("d"))
+    )
+    best = (
+        pref.withColumn("pick", pick)
+        .where(F.col("pick") == 1)
+        .select(
+            "nation", "n", F.abs(F.col("u")).alias("k"),
+            F.col("u").alias("u_signed"), F.col("d").alias("change_date"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    return best.select(
+        "nation",
+        "n",
+        F.col("k").alias("k_stat"),
+        "u_signed",
+        "change_date",
+        F.round(
+            F.lit(2.0)
+            * F.exp(
+                F.lit(-6.0) * F.col("k").cast("double") * F.col("k")
+                / (nd * F.col("n") * F.col("n") + nd * F.col("n"))
+            ),
+            8,
+        ).alias("p_approx"),
+    )
