@@ -14535,3 +14535,140 @@ def q_agg_covariate_balance(
         ),
         F.round(v1 / v0, 6).alias("var_ratio"),
     )
+
+
+# ==== wave 179a: Cramer-von Mises two-sample test ===================
+
+
+@register(
+    "q_agg_cramer_von_mises",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'x' ELSE 'y' END AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        ranked AS (
+            SELECT grp,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+                        AS BIGINT) AS r,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                           ORDER BY cents, o_orderkey)
+                        AS BIGINT) AS i
+            FROM vals
+        ),
+        sums AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 'x' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN grp = 'y' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS m,
+                CAST(SUM(CASE WHEN grp = 'x'
+                              THEN (r - i) * (r - i) ELSE 0 END)
+                     AS BIGINT) AS sx,
+                CAST(SUM(CASE WHEN grp = 'y'
+                              THEN (r - i) * (r - i) ELSE 0 END)
+                     AS BIGINT) AS sy
+            FROM ranked
+        ),
+        u AS (
+            SELECT n, m, sx, sy,
+                   CAST(n AS HUGEINT) * sx + CAST(m AS HUGEINT) * sy
+                       AS uu
+            FROM sums
+        )
+        SELECT n AS n_x, m AS n_y, sx, sy,
+               ROUND((CAST(uu // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(uu % 4294967296 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * m * (n + m))
+                     - (4.0 * CAST(n AS DOUBLE) * m - 1.0)
+                       / (6.0 * (n + m)), 6) AS t_cvm
+        FROM u
+    """,
+    section="A153",
+    doc="Cramer-von Mises two-sample statistic between urgent/high "
+    "and other order totals: T = U/(nmN) - (4nm-1)/(6N) with "
+    "U = n*sum_x(r_i - i)^2 + m*sum_y(s_j - j)^2 — the "
+    "integrated-squared-ECDF-difference test that weights the WHOLE "
+    "distribution (A36's KS sees only the single largest gap; CvM "
+    "catches spread/shape differences KS misses). Combined and "
+    "within-group ranks are fully tie-broken by (cents, orderkey) — "
+    "deterministic on both engines and documented in place of the "
+    "midrank convention — so sx/sy are exact int64; U needs "
+    "int128/DECIMAL(38,0) (n*sx ~ 1e20 at sf0.1) and rebuilds "
+    "through the A26 hi/lo device. Scale: two rank windows (one "
+    "global sort — at 100 TB use a range-partitioned sort) and one "
+    "scalar reduction.",
+)
+def q_agg_cramer_von_mises(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    vals = od.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "x"
+        )
+        .otherwise("y")
+        .alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    ranked = vals.select(
+        "grp",
+        F.row_number()
+        .over(Window.orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("r"),
+        F.row_number()
+        .over(Window.partitionBy("grp").orderBy("cents", "o_orderkey"))
+        .cast("bigint")
+        .alias("i"),
+    )
+    d = F.col("r") - F.col("i")
+    sums = ranked.agg(
+        F.sum(F.when(F.col("grp") == "x", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n"),
+        F.sum(F.when(F.col("grp") == "y", 1).otherwise(0))
+        .cast("bigint")
+        .alias("m"),
+        F.sum(F.when(F.col("grp") == "x", d * d).otherwise(0))
+        .cast("bigint")
+        .alias("sx"),
+        F.sum(F.when(F.col("grp") == "y", d * d).otherwise(0))
+        .cast("bigint")
+        .alias("sy"),
+    )
+    u = sums.select(
+        "n",
+        "m",
+        "sx",
+        "sy",
+        (
+            F.col("n").cast(DecimalType(38, 0)) * F.col("sx")
+            + F.col("m").cast(DecimalType(38, 0)) * F.col("sy")
+        ).alias("uu"),
+    )
+    hi_lo = (
+        "cast(uu div 4294967296 as double) * 4294967296.0d"
+        " + cast(uu % 4294967296 as double)"
+    )
+    nd = F.col("n").cast("double")
+    return u.select(
+        F.col("n").alias("n_x"),
+        F.col("m").alias("n_y"),
+        "sx",
+        "sy",
+        F.round(
+            F.expr(hi_lo)
+            / (nd * F.col("m") * (F.col("n") + F.col("m")))
+            - (F.lit(4.0) * nd * F.col("m") - F.lit(1.0))
+            / (F.lit(6.0) * (F.col("n") + F.col("m"))),
+            6,
+        ).alias("t_cvm"),
+    )

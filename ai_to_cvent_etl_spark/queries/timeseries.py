@@ -7132,3 +7132,145 @@ def q_ts_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
             8,
         ).alias("p_approx"),
     )
+
+
+# ==== wave 179b: ATR / Keltner-channel breakout audit (TS46) ========
+
+
+@register(
+    "q_ts_atr_keltner",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS h,
+                   CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS l,
+                   CAST(arg_max(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                     * 100 AS BIGINT), o_orderkey)
+                        AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        tr AS (
+            SELECT d, h, l, c,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS rn,
+                   GREATEST(h - l,
+                            ABS(h - LAG(c) OVER (ORDER BY d)),
+                            ABS(l - LAG(c) OVER (ORDER BY d))) AS tru
+            FROM daily
+        ),
+        roll AS (
+            SELECT d, c, rn,
+                   CAST(SUM(tru) OVER (ORDER BY rn
+                        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS sum_tr,
+                   CAST(SUM(h + l + c) OVER (ORDER BY rn
+                        ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS mid3
+            FROM tr
+        ),
+        flags AS (
+            SELECT CAST(year(d) AS INT) AS yr, sum_tr,
+                   CASE WHEN 420 * c > 7 * mid3 + 60 * sum_tr
+                        THEN 1 ELSE 0 END AS up,
+                   CASE WHEN 420 * c < 7 * mid3 - 60 * sum_tr
+                        THEN 1 ELSE 0 END AS dn
+            FROM roll WHERE rn >= 21
+        )
+        SELECT yr,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(up) AS BIGINT) AS n_breakout_up,
+               CAST(SUM(dn) AS BIGINT) AS n_breakout_down,
+               ROUND(CAST(SUM(sum_tr) AS DOUBLE)
+                     / (14.0 * COUNT(*)), 4) AS avg_atr_cents,
+               ROUND(CAST(MAX(sum_tr) AS DOUBLE) / 14.0, 4)
+                   AS max_atr_cents
+        FROM flags GROUP BY yr
+    """,
+    section="TS46",
+    doc="ATR(14) and Keltner-channel breakout audit on the daily "
+    "order-price bar series (h/l = day's extreme order, c = last "
+    "order by key via arg_max — an integer total-order key, so "
+    "open/close need no padded-string device): true range = "
+    "max(h-l, |h-c_prev|, |l-c_prev|), the volatility unit behind "
+    "every channel/stop system, completing the TS indicator family "
+    "(Bollinger measures sigma of closes; ATR measures the traded "
+    "RANGE including gaps). Breakout tests clear fractions by the "
+    "LCM: c > mid + 2*ATR becomes 420c > 7*mid3 + 60*sum_tr where "
+    "mid3 is the 20-day sum of (h+l+c) — every comparison is exact "
+    "int64, no float band edges. Simple-MA ATR (not Wilder's "
+    "recursive EWMA) keeps the window a fixed 14-row frame. Scale: "
+    "one day-grain agg and one global-sort window (range-partition "
+    "the sort at 100 TB), per-year summary out.",
+)
+def q_ts_atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    )
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.max(cents).cast("bigint").alias("h"),
+        F.min(cents).cast("bigint").alias("l"),
+        F.expr(
+            "CAST(max_by(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT), o_orderkey) AS BIGINT)"
+        ).alias("c"),
+    )
+    w = Window.orderBy("d")
+    tr = daily.select(
+        "d",
+        "h",
+        "l",
+        "c",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.greatest(
+            F.col("h") - F.col("l"),
+            F.abs(F.col("h") - F.lag("c").over(w)),
+            F.abs(F.col("l") - F.lag("c").over(w)),
+        ).alias("tru"),
+    )
+    wrn = Window.orderBy("rn")
+    roll = tr.select(
+        "d",
+        "c",
+        "rn",
+        F.sum("tru")
+        .over(wrn.rowsBetween(-13, 0))
+        .cast("bigint")
+        .alias("sum_tr"),
+        F.sum(F.col("h") + F.col("l") + F.col("c"))
+        .over(wrn.rowsBetween(-19, 0))
+        .cast("bigint")
+        .alias("mid3"),
+    )
+    flags = roll.where(F.col("rn") >= 21).select(
+        F.year("d").cast("int").alias("yr"),
+        "sum_tr",
+        F.when(
+            420 * F.col("c") > 7 * F.col("mid3") + 60 * F.col("sum_tr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("up"),
+        F.when(
+            420 * F.col("c") < 7 * F.col("mid3") - 60 * F.col("sum_tr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("dn"),
+    )
+    return flags.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("up").cast("bigint").alias("n_breakout_up"),
+        F.sum("dn").cast("bigint").alias("n_breakout_down"),
+        F.round(
+            F.sum("sum_tr").cast("double")
+            / (F.lit(14.0) * F.count(F.lit(1))),
+            4,
+        ).alias("avg_atr_cents"),
+        F.round(F.max("sum_tr").cast("double") / F.lit(14.0), 4).alias(
+            "max_atr_cents"
+        ),
+    )
