@@ -328,6 +328,42 @@ RISKY = [
     "q_vec_rrf_fusion",
     "q_agg_airport_shapley",
     "q_agg_smr",
+    # r5 waves 166-172: prefix struct-min subarrays, profile indexes,
+    # Bradley-Terry MM folds, CDC chunk manifests, LCM betweenness
+    # credits, Cramer closed forms, trough re-joins, NTILE kappa
+    # quantization, gaps-and-islands BPE merges.
+    "q_win_max_subarray",
+    "q_agg_h_index",
+    "q_agg_bradley_terry",
+    "q_ts_cointegration_eg",
+    "q_multimodal_cdc_chunks",
+    "q_sketch_chebyshev_tail",
+    "q_graph_betweenness_2hop",
+    "q_sketch_aqp_error",
+    "q_agg_bass_diffusion",
+    "q_ts_underwater_recovery",
+    "q_join_closest_pair_1d",
+    "q_etl_partition_overwrite_plan",
+    "q_agg_weighted_kappa",
+    "q_text_bpe_round2",
+    # r5 waves 173-179: scalar-row broadcasts, ratio floors before
+    # k-sums, adaptive residual quantizers, LCM-60 coincidence sums,
+    # modal-variant levenshtein, rank-cumsum change points, int128
+    # rank statistics, LCM-420 channel bands.
+    "q_agg_james_stein",
+    "q_vec_lof",
+    "q_agg_gk_lambda",
+    "q_graph_temporal_triangles",
+    "q_agg_krippendorff_alpha",
+    "q_ts_durbin_watson",
+    "q_vec_knn_label_test",
+    "q_win_conformance",
+    "q_agg_covariate_balance",
+    "q_graph_config_triangles",
+    "q_ts_pettitt",
+    "q_etl_join_strategy_advisor",
+    "q_agg_cramer_von_mises",
+    "q_ts_atr_keltner",
 ]
 
 
