@@ -14672,3 +14672,112 @@ def q_agg_cramer_von_mises(
             6,
         ).alias("t_cvm"),
     )
+
+
+# ==== wave 180a: Lin's concordance correlation coefficient ==========
+
+
+@register(
+    "q_agg_lin_ccc",
+    oracle="""
+        WITH pairs AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS x,
+                   CAST(CAST(SUM(CAST(l.l_extendedprice
+                                      AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100 AS BIGINT) AS y
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pairs
+        ),
+        stats AS (
+            SELECT n,
+                   CAST(sx AS DOUBLE) / n AS mx,
+                   CAST(sy AS DOUBLE) / n AS my,
+                   CAST(sxx AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sx AS DOUBLE) / n) AS vx,
+                   CAST(syy AS DOUBLE) / n
+                   - (CAST(sy AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n) AS vy,
+                   CAST(sxy AS DOUBLE) / n
+                   - (CAST(sx AS DOUBLE) / n)
+                     * (CAST(sy AS DOUBLE) / n) AS cxy
+            FROM mom
+        )
+        SELECT n,
+               ROUND(mx, 4) AS mean_header,
+               ROUND(my, 4) AS mean_lines,
+               ROUND(2.0 * cxy
+                     / (vx + vy + (mx - my) * (mx - my)), 6) AS ccc,
+               ROUND(cxy / sqrt(vx * vy), 6) AS pearson_r,
+               ROUND(2.0 * cxy / (vx + vy + (mx - my) * (mx - my))
+                     / (cxy / sqrt(vx * vy)), 6) AS c_b
+        FROM stats
+    """,
+    section="A154",
+    doc="Lin's concordance correlation coefficient between the order "
+    "header total and the sum of its line extended prices (both in "
+    "whole dollars): CCC = 2*s_xy / (s_x^2 + s_y^2 + (mx-my)^2), "
+    "the agreement metric that punishes BOTH scatter and location/"
+    "scale shift — Pearson r (reported alongside, with the bias "
+    "factor C_b = CCC/r) would call y = 2x perfect agreement; CCC "
+    "does not, which is why method-comparison studies (A95 Deming, "
+    "A96 Bland-Altman are its siblings) report it. Header vs line "
+    "sums differ by tax/discount composition, so agreement < 1 by "
+    "construction. All six moments are exact int64 one-pass sums; "
+    "every double rebuilds with one pinned expression. Scale: one "
+    "order-grain agg then a scalar reduction — map-side all the "
+    "way.",
+)
+def q_agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        od.join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.expr(
+                "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))"
+                " * 100 AS BIGINT) div 100 AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) div 100"
+            ).alias("x"),
+            "y",
+        )
+    )
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    mx = F.col("sx").cast("double") / F.col("n")
+    my = F.col("sy").cast("double") / F.col("n")
+    vx = F.col("sxx").cast("double") / F.col("n") - mx * mx
+    vy = F.col("syy").cast("double") / F.col("n") - my * my
+    cxy = F.col("sxy").cast("double") / F.col("n") - mx * my
+    ccc = F.lit(2.0) * cxy / (vx + vy + (mx - my) * (mx - my))
+    r = cxy / F.sqrt(vx * vy)
+    return mom.select(
+        "n",
+        F.round(mx, 4).alias("mean_header"),
+        F.round(my, 4).alias("mean_lines"),
+        F.round(ccc, 6).alias("ccc"),
+        F.round(r, 6).alias("pearson_r"),
+        F.round(ccc / r, 6).alias("c_b"),
+    )

@@ -7274,3 +7274,100 @@ def q_ts_atr_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_atr_cents"
         ),
     )
+
+
+# ==== wave 180b: Foster-Stuart records trend test (TS47) ============
+
+
+@register(
+    "q_ts_foster_stuart",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        recs AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                   CASE WHEN cents > MAX(cents) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) THEN 1 ELSE 0 END AS u,
+                   CASE WHEN cents < MIN(cents) OVER (ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) THEN 1 ELSE 0 END AS l
+            FROM daily
+        ),
+        sums AS (
+            SELECT CAST(MAX(t) AS BIGINT) AS n,
+                   CAST(SUM(u) AS BIGINT) AS n_high,
+                   CAST(SUM(l) AS BIGINT) AS n_low,
+                   CAST(SUM(u - l) AS BIGINT) AS d_stat,
+                   CAST(SUM(u + l) AS BIGINT) AS s_stat,
+                   CAST(SUM(1000000000000 // t) AS BIGINT) AS vq
+            FROM recs WHERE t >= 2
+        )
+        SELECT n, n_high, n_low, d_stat, s_stat,
+               ROUND(CAST(d_stat AS DOUBLE)
+                     / sqrt(2.0 * CAST(vq AS DOUBLE) / 1e12), 6)
+                   AS z_trend
+        FROM sums
+    """,
+    section="TS47",
+    doc="Foster-Stuart records test on daily revenue: D = #(record "
+    "highs) - #(record lows) detects trend, S = their sum detects "
+    "variance change — the records-only test that needs NO "
+    "distributional assumption and survives any monotone transform "
+    "of the data (W22 lists record highs; this turns records into "
+    "an inference). Records use strict > / < against the "
+    "UNBOUNDED..1 PRECEDING running extreme (ties are not records, "
+    "t=1 excluded — both engines agree exactly). Var(D) = 2*sum_"
+    "(t>=2) 1/t; the harmonic sum quantizes per row as "
+    "floor(1e12/t) so the variance is an exact integer sum, and "
+    "z = D/sqrt(var) is one pinned expression. Scale: one day-grain "
+    "agg and one global-order window (range-partition at 100 TB); "
+    "output is a single scalar row.",
+)
+def q_ts_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    recs = daily.select(
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.when(F.col("cents") > F.max("cents").over(wprev), 1)
+        .otherwise(0)
+        .alias("u"),
+        F.when(F.col("cents") < F.min("cents").over(wprev), 1)
+        .otherwise(0)
+        .alias("l"),
+    )
+    sums = recs.where(F.col("t") >= 2).agg(
+        F.max("t").cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("n_high"),
+        F.sum("l").cast("bigint").alias("n_low"),
+        F.sum(F.col("u") - F.col("l")).cast("bigint").alias("d_stat"),
+        F.sum(F.col("u") + F.col("l")).cast("bigint").alias("s_stat"),
+        F.sum(F.expr("1000000000000 div t")).cast("bigint").alias("vq"),
+    )
+    return sums.select(
+        "n",
+        "n_high",
+        "n_low",
+        "d_stat",
+        "s_stat",
+        F.round(
+            F.col("d_stat").cast("double")
+            / F.sqrt(
+                F.lit(2.0) * F.col("vq").cast("double") / F.lit(1e12)
+            ),
+            6,
+        ).alias("z_trend"),
+    )
