@@ -14781,3 +14781,155 @@ def q_agg_lin_ccc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r, 6).alias("pearson_r"),
         F.round(ccc / r, 6).alias("c_b"),
     )
+
+
+# ==== wave 181a: Quade test (weighted rank blocked ANOVA) ===========
+
+
+@register(
+    "q_agg_quade",
+    oracle="""
+        WITH cells AS (
+            SELECT n.n_name AS blk, o.o_orderpriority AS trt,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        full_blocks AS (
+            SELECT blk FROM cells GROUP BY blk HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.blk, c.trt, c.v,
+                   CAST(RANK() OVER (PARTITION BY c.blk
+                                     ORDER BY c.v, c.trt) AS BIGINT)
+                       AS r,
+                   CAST(MAX(c.v) OVER (PARTITION BY c.blk)
+                        - MIN(c.v) OVER (PARTITION BY c.blk)
+                        AS BIGINT) AS rng
+            FROM cells c JOIN full_blocks f ON f.blk = c.blk
+        ),
+        weighted AS (
+            SELECT blk, trt,
+                   CAST(DENSE_RANK() OVER (ORDER BY rng, blk)
+                        AS BIGINT) * (r - 3) AS s
+            FROM ranked
+        ),
+        tj AS (
+            SELECT trt, CAST(SUM(s) AS BIGINT) AS t
+            FROM weighted GROUP BY trt
+        ),
+        scal AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM full_blocks) AS b,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM tj) AS k,
+                (SELECT CAST(SUM(s * s) AS BIGINT) FROM weighted)
+                    AS a_stat,
+                (SELECT CAST(SUM(t * t) AS BIGINT) FROM tj) AS sum_tj2
+        )
+        SELECT b, k, a_stat, sum_tj2,
+               ROUND((b - 1.0) * sum_tj2
+                     / (CAST(b AS DOUBLE) * a_stat - sum_tj2), 6)
+                   AS f_quade
+        FROM scal
+    """,
+    section="A155",
+    doc="Quade test across the 5 priority 'treatments' blocked by "
+    "nation (25 complete blocks of revenue cells): Friedman's "
+    "blocked rank test (A65 sibling) weights every block equally — "
+    "Quade weights blocks by the DENSE_RANK of their within-block "
+    "range, so nations where priority actually moves revenue count "
+    "more; with k=5, (k+1)/2 = 3 keeps S = Q*(r-3) exactly integer "
+    "(no half-rank doubling needed). Ranks are fully tie-broken "
+    "((v, trt) within block, (range, blk) across blocks) and "
+    "incomplete blocks are excluded by an explicit COUNT(*)=5 gate, "
+    "so A and sum(T_j^2) are exact int64 and F = (b-1)B/(bA - B) is "
+    "one double expression. Scale: one (nation, priority) agg, two "
+    "block-partition windows, 125-cell algebra after.",
+)
+def q_agg_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    full_blocks = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") == 5)
+        .select("blk")
+    )
+    wb = Window.partitionBy("blk")
+    ranked = cells.join(full_blocks, "blk").select(
+        "blk",
+        "trt",
+        F.rank().over(wb.orderBy("v", "trt")).cast("bigint").alias("r"),
+        (F.max("v").over(wb) - F.min("v").over(wb))
+        .cast("bigint")
+        .alias("rng"),
+    )
+    weighted = ranked.select(
+        "blk",
+        "trt",
+        (
+            F.dense_rank()
+            .over(Window.orderBy("rng", "blk"))
+            .cast("bigint")
+            * (F.col("r") - 3)
+        ).alias("s"),
+    )
+    tj = weighted.groupBy("trt").agg(
+        F.sum("s").cast("bigint").alias("t")
+    )
+    scal = (
+        weighted.agg(
+            F.sum(F.col("s") * F.col("s")).cast("bigint").alias("a_stat")
+        )
+        .crossJoin(
+            F.broadcast(
+                full_blocks.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("b")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                tj.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("k"),
+                    F.sum(F.col("t") * F.col("t"))
+                    .cast("bigint")
+                    .alias("sum_tj2"),
+                )
+            )
+        )
+    )
+    return scal.select(
+        "b",
+        "k",
+        "a_stat",
+        "sum_tj2",
+        F.round(
+            (F.col("b") - F.lit(1.0)) * F.col("sum_tj2")
+            / (
+                F.col("b").cast("double") * F.col("a_stat")
+                - F.col("sum_tj2")
+            ),
+            6,
+        ).alias("f_quade"),
+    )

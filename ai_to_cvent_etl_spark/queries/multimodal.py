@@ -402,3 +402,78 @@ def q_multimodal_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(F.encode("text", "utf-8")) > 0
     )
     return cdc_chunk_bytes(attach_payload(docs))
+
+
+# ==== wave 181b: payload shard packing plan (M8) ====================
+
+_SHARD_CAP = 65536   # 64 KiB target shard size for the packing plan
+
+
+@register(
+    "q_multimodal_shard_packing",
+    oracle=f"""
+        WITH sizes AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS b
+            FROM documents
+        ),
+        placed AS (
+            SELECT doc_id, b,
+                   CAST(COALESCE(SUM(b) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS BIGINT) AS off
+            FROM sizes
+        )
+        SELECT CAST(off // {_SHARD_CAP} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(b) AS BIGINT) AS shard_bytes,
+               CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+               CAST(MAX(doc_id) AS BIGINT) AS last_doc,
+               ROUND(CAST(SUM(b) AS DOUBLE) / {_SHARD_CAP}, 6)
+                   AS fill_ratio
+        FROM placed GROUP BY 1
+    """,
+    section="M8",
+    doc=f"Shard-packing plan for binary payloads (target "
+    f"{_SHARD_CAP} bytes): assign each payload to shard "
+    "floor(byte_offset / cap) where byte_offset is the running sum "
+    "of payload sizes in doc_id order — the linear-packing rule "
+    "behind WebDataset tar shards / parquet row-group sizing, where "
+    "a shard may overrun by at most one payload tail but assignment "
+    "is a pure window function (true bin packing is sequential; "
+    "this is the relational contract every distributed writer "
+    "actually implements). Payload bytes themselves NEVER shuffle — "
+    "only (doc_id, size) pairs move; the plan is joined back to "
+    "payloads at write time as a map-only stage. All offsets/sizes "
+    "exact int64; fill_ratio is the only double. Scale: one "
+    "ordered-prefix window over sizes (range-partition the sort at "
+    "100 TB) and a shard-grain agg; output is n_bytes/cap rows.",
+)
+def q_multimodal_shard_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sizes = attach_payload(docs).select(
+        "doc_id", F.octet_length("payload").cast("bigint").alias("b")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    placed = sizes.select(
+        "doc_id",
+        "b",
+        F.coalesce(F.sum("b").over(w), F.lit(0))
+        .cast("bigint")
+        .alias("off"),
+    )
+    return placed.groupBy(
+        F.expr(f"off div {_SHARD_CAP}").cast("bigint").alias("shard_id")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("b").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+        F.round(
+            F.sum("b").cast("double") / F.lit(float(_SHARD_CAP)), 6
+        ).alias("fill_ratio"),
+    )
