@@ -14933,3 +14933,111 @@ def q_agg_quade(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("f_quade"),
     )
+
+
+# ==== wave 182a: stratification design effect =======================
+
+
+@register(
+    "q_agg_design_effect",
+    oracle="""
+        WITH strata AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS nh,
+                   CAST(SUM(n_chars) AS BIGINT) AS sh,
+                   CAST(SUM(n_chars * n_chars) AS BIGINT) AS qh
+            FROM documents GROUP BY source
+        ),
+        quant AS (
+            SELECT nh, sh, qh,
+                   CAST(floor(1000000.0 * nh
+                        * ((CAST(qh AS DOUBLE)
+                            - CAST(sh AS DOUBLE) * sh / nh)
+                           / (nh - 1))) AS BIGINT) AS th
+            FROM strata
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+                   CAST(SUM(nh) AS BIGINT) AS n,
+                   CAST(SUM(sh) AS BIGINT) AS s,
+                   CAST(SUM(qh) AS BIGINT) AS q,
+                   CAST(SUM(th) AS BIGINT) AS tq
+            FROM quant
+        )
+        SELECT n, n_strata,
+               ROUND(CAST(s AS DOUBLE) / n, 4) AS mean_chars,
+               ROUND((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                     / (n - 1) / n, 6) AS v_srs,
+               ROUND(CAST(tq AS DOUBLE) / 1000000.0
+                     / (CAST(n AS DOUBLE) * n), 6) AS v_strat,
+               ROUND(CAST(tq AS DOUBLE) / 1000000.0
+                     / (CAST(n AS DOUBLE) * n)
+                     / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                        / (n - 1) / n), 6) AS deff
+        FROM scal
+    """,
+    section="A156",
+    doc="Design effect of stratifying the document corpus by source "
+    "when estimating mean document length: DEFF = "
+    "Var_strat(mean)/Var_srs(mean) with proportional allocation "
+    "Var_strat = sum_h n_h S_h^2 / n^2 — the survey-sampling number "
+    "that says how many SRS samples one stratified sample is worth "
+    "(DEFF < 1 = stratification gain; ~1 here because the synthetic "
+    "sources are homogeneous, which is itself the audit's finding). "
+    "Per-stratum variances rebuild from exact int64 (n, s, q) "
+    "moments; the cross-stratum sum quantizes each n_h*S_h^2 with "
+    "floor(1e6 * x) BEFORE summing so no double accumulation order "
+    "leaks (20 strata, same device as V39's ratio sums). Scale: one "
+    "groupBy(source) + a 20-row reduction — trivially map-side.",
+)
+def q_agg_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    strata = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nh"),
+        F.sum("n_chars").cast("bigint").alias("sh"),
+        F.sum(F.col("n_chars") * F.col("n_chars"))
+        .cast("bigint")
+        .alias("qh"),
+    )
+    sh2 = (
+        F.col("qh").cast("double")
+        - F.col("sh").cast("double") * F.col("sh") / F.col("nh")
+    ) / (F.col("nh") - 1)
+    quant = strata.select(
+        "nh",
+        "sh",
+        "qh",
+        F.floor(F.lit(1000000.0) * F.col("nh") * sh2)
+        .cast("bigint")
+        .alias("th"),
+    )
+    scal = quant.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum("nh").cast("bigint").alias("n"),
+        F.sum("sh").cast("bigint").alias("s"),
+        F.sum("qh").cast("bigint").alias("q"),
+        F.sum("th").cast("bigint").alias("tq"),
+    )
+    v_srs = (
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    v_strat = (
+        F.col("tq").cast("double")
+        / F.lit(1000000.0)
+        / (F.col("n").cast("double") * F.col("n"))
+    )
+    return scal.select(
+        "n",
+        "n_strata",
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias(
+            "mean_chars"
+        ),
+        F.round(v_srs, 6).alias("v_srs"),
+        F.round(v_strat, 6).alias("v_strat"),
+        F.round(v_strat / v_srs, 6).alias("deff"),
+    )

@@ -2905,3 +2905,123 @@ def q_win_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_fitness"),
         F.max("m_len").alias("modal_len"),
     )
+
+
+# ==== wave 182b: OEE from event logs (W41) ==========================
+
+_OEE_RATE = 2   # benchmark events per hour for the performance term
+
+
+@register(
+    "q_win_oee",
+    oracle=f"""
+        WITH md AS (
+            SELECT user_id,
+                   CAST(date_trunc('day', ts) AS DATE) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'error'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_err,
+                   CAST(MAX(epoch_us(ts)) - MIN(epoch_us(ts))
+                        AS BIGINT) AS span
+            FROM events GROUP BY 1, 2
+        ),
+        comp AS (
+            SELECT d,
+                   CAST(span AS DOUBLE) / 86400000000.0 AS avail,
+                   LEAST(1.0, CAST(n AS DOUBLE) * 1800000000.0 / span)
+                       AS perf,
+                   CAST(n - n_err AS DOUBLE) / n AS qual
+            FROM md WHERE n >= 2 AND span > 0
+        ),
+        quant AS (
+            SELECT d,
+                   CAST(floor(1e9 * avail) AS BIGINT) AS qa,
+                   CAST(floor(1e9 * perf) AS BIGINT) AS qp,
+                   CAST(floor(1e9 * qual) AS BIGINT) AS qq,
+                   CAST(floor(1e9 * (avail * perf * qual)) AS BIGINT)
+                       AS qo
+            FROM comp
+        )
+        SELECT d,
+               CAST(COUNT(*) AS BIGINT) AS n_machines,
+               ROUND(CAST(SUM(qa) AS DOUBLE) / (COUNT(*) * 1e9), 6)
+                   AS avg_availability,
+               ROUND(CAST(SUM(qp) AS DOUBLE) / (COUNT(*) * 1e9), 6)
+                   AS avg_performance,
+               ROUND(CAST(SUM(qq) AS DOUBLE) / (COUNT(*) * 1e9), 6)
+                   AS avg_quality,
+               ROUND(CAST(SUM(qo) AS DOUBLE) / (COUNT(*) * 1e9), 6)
+                   AS avg_oee
+        FROM quant GROUP BY d
+    """,
+    section="W41",
+    doc="Overall Equipment Effectiveness from raw event logs, "
+    "treating each user as a 'machine' and each day as a shift: "
+    "availability = active span / 24 h, performance = event rate vs "
+    f"a {_OEE_RATE}/hour benchmark capped at 1, quality = 1 - error "
+    "fraction, OEE = A*P*Q — the manufacturing KPI triple (and the "
+    "reason OEE is reported as components: a 60% OEE from low A vs "
+    "low Q demands opposite fixes). Per-machine-day components are "
+    "single pinned double expressions over exact int64 counts and "
+    "epoch-microsecond spans; each quantizes floor(1e9 * x) BEFORE "
+    "the per-day average so the cross-machine sum is exact integer "
+    "(V39 device). Machines with one event (span 0) are excluded by "
+    "an explicit gate, not a silent NULL. Scale: one "
+    "(user, day)-grain agg then a day-grain agg — two map-side-"
+    "combinable shuffles, no windows at all despite the family "
+    "name.",
+)
+def q_win_oee(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    md = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+        (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts")))
+        .cast("bigint")
+        .alias("span"),
+    )
+    comp = md.where((F.col("n") >= 2) & (F.col("span") > 0)).select(
+        "d",
+        (F.col("span").cast("double") / F.lit(86400000000.0)).alias(
+            "avail"
+        ),
+        F.least(
+            F.lit(1.0),
+            F.col("n").cast("double") * F.lit(1800000000.0)
+            / F.col("span"),
+        ).alias("perf"),
+        ((F.col("n") - F.col("n_err")).cast("double") / F.col("n")).alias(
+            "qual"
+        ),
+    )
+    quant = comp.select(
+        "d",
+        F.floor(F.lit(1e9) * F.col("avail")).cast("bigint").alias("qa"),
+        F.floor(F.lit(1e9) * F.col("perf")).cast("bigint").alias("qp"),
+        F.floor(F.lit(1e9) * F.col("qual")).cast("bigint").alias("qq"),
+        F.floor(
+            F.lit(1e9) * (F.col("avail") * F.col("perf") * F.col("qual"))
+        )
+        .cast("bigint")
+        .alias("qo"),
+    )
+    cnt = F.count(F.lit(1))
+    return quant.groupBy("d").agg(
+        cnt.cast("bigint").alias("n_machines"),
+        F.round(
+            F.sum("qa").cast("double") / (cnt * F.lit(1e9)), 6
+        ).alias("avg_availability"),
+        F.round(
+            F.sum("qp").cast("double") / (cnt * F.lit(1e9)), 6
+        ).alias("avg_performance"),
+        F.round(
+            F.sum("qq").cast("double") / (cnt * F.lit(1e9)), 6
+        ).alias("avg_quality"),
+        F.round(
+            F.sum("qo").cast("double") / (cnt * F.lit(1e9)), 6
+        ).alias("avg_oee"),
+    )
