@@ -15041,3 +15041,298 @@ def q_agg_design_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(v_strat, 6).alias("v_strat"),
         F.round(v_strat / v_srs, 6).alias("deff"),
     )
+
+
+# ==== wave 183a: GPD tail fit via probability-weighted moments ======
+
+
+@register(
+    "q_agg_gpd_pwm",
+    oracle="""
+        WITH cents AS (
+            SELECT o_orderkey,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v
+            FROM orders
+        ),
+        sized AS (
+            SELECT o_orderkey, v,
+                   ROW_NUMBER() OVER (ORDER BY v DESC, o_orderkey)
+                       AS rd,
+                   COUNT(*) OVER () AS n
+            FROM cents
+        ),
+        tail AS (
+            SELECT o_orderkey, v FROM sized WHERE rd <= n // 10
+        ),
+        thresh AS (
+            SELECT CAST(MIN(v) AS BIGINT) AS u FROM tail
+        ),
+        exc AS (
+            SELECT CAST(t.v - th.u AS BIGINT) AS y,
+                   CAST(ROW_NUMBER() OVER (ORDER BY t.v, t.o_orderkey)
+                        AS BIGINT) AS r
+            FROM tail t CROSS JOIN thresh th
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(y) AS BIGINT) AS s0,
+                   CAST(SUM((r - 1) * y) AS BIGINT) AS s1
+            FROM exc
+        )
+        SELECT m, (SELECT u FROM thresh) AS u_cents,
+               ROUND(CAST(s0 AS DOUBLE) / m, 4) AS b0,
+               ROUND(CAST(s1 AS DOUBLE) / (CAST(m AS DOUBLE) * (m - 1)),
+                     4) AS b1,
+               ROUND(CAST(s0 AS DOUBLE) / m
+                     / (CAST(s0 AS DOUBLE) / m
+                        - 2.0 * CAST(s1 AS DOUBLE)
+                          / (CAST(m AS DOUBLE) * (m - 1))) - 2.0, 6)
+                   AS k_shape,
+               ROUND(2.0 * (CAST(s0 AS DOUBLE) / m)
+                     * (CAST(s1 AS DOUBLE)
+                        / (CAST(m AS DOUBLE) * (m - 1)))
+                     / (CAST(s0 AS DOUBLE) / m
+                        - 2.0 * CAST(s1 AS DOUBLE)
+                          / (CAST(m AS DOUBLE) * (m - 1))), 4)
+                   AS sigma
+        FROM mom
+    """,
+    section="A157",
+    doc="Generalized-Pareto tail fit by probability-weighted moments "
+    "(Hosking-Wallis) on order-total excesses over the nearest-rank "
+    "P90 threshold: b0 = mean excess, b1 = E[Y F(Y)] estimated by "
+    "the rank-weighted sum sum((r-1) y)/(m(m-1)); then k = "
+    "b0/(b0-2b1) - 2 and sigma = 2 b0 b1/(b0-2b1) in the "
+    "F(y) = 1-(1-ky/sigma)^(1/k) convention (k < 0 = heavy tail). "
+    "This closes the tail-risk pair with A127's Hill estimator — "
+    "PWM is the closed-form fit practitioners use when MLE won't "
+    "converge on small tails, and unlike Hill it also yields the "
+    "scale. Ranks fully tie-broken by (value, orderkey); both "
+    "moment sums exact int64 (rank*cents ~ 1e16 at sf0.1, within "
+    "int64). Scale: one global sort for the threshold + one for "
+    "tail ranks (range-partitioned at 100 TB), then a scalar "
+    "reduction.",
+)
+def q_agg_gpd_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cents = od.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("v"),
+    )
+    sized = cents.select(
+        "o_orderkey",
+        "v",
+        F.row_number()
+        .over(Window.orderBy(F.desc("v"), F.asc("o_orderkey")))
+        .alias("rd"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    tail = sized.where(F.col("rd") <= F.expr("n div 10")).select(
+        "o_orderkey", "v"
+    )
+    thresh = tail.agg(F.min("v").cast("bigint").alias("u"))
+    exc = tail.crossJoin(F.broadcast(thresh)).select(
+        (F.col("v") - F.col("u")).cast("bigint").alias("y"),
+        F.row_number()
+        .over(Window.orderBy("v", "o_orderkey"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    mom = exc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("y").cast("bigint").alias("s0"),
+        F.sum((F.col("r") - 1) * F.col("y")).cast("bigint").alias("s1"),
+    ).crossJoin(F.broadcast(thresh))
+    b0 = F.col("s0").cast("double") / F.col("m")
+    b1 = F.col("s1").cast("double") / (
+        F.col("m").cast("double") * (F.col("m") - 1)
+    )
+    denom = b0 - F.lit(2.0) * b1
+    return mom.select(
+        "m",
+        F.col("u").alias("u_cents"),
+        F.round(b0, 4).alias("b0"),
+        F.round(b1, 4).alias("b1"),
+        F.round(b0 / denom - F.lit(2.0), 6).alias("k_shape"),
+        F.round(F.lit(2.0) * b0 * b1 / denom, 4).alias("sigma"),
+    )
+
+
+# ==== wave 183b: geometric median (unrolled Weiszfeld) ==============
+
+_GM_D = (
+    "sqrt((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)"
+    " + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my))"
+)
+_GM_STEP = f"""(
+            SELECT CAST(SUM(CAST(floor(1000000.0 * x
+                        / GREATEST({_GM_D}, 1e-9)) AS BIGINT))
+                        AS BIGINT) AS sxw,
+                   CAST(SUM(CAST(floor(1000000.0 * y
+                        / GREATEST({_GM_D}, 1e-9)) AS BIGINT))
+                        AS BIGINT) AS syw,
+                   CAST(SUM(CAST(floor(1e12
+                        / GREATEST({_GM_D}, 1e-9)) AS BIGINT))
+                        AS BIGINT) AS sw,
+                   CAST(SUM(CAST(floor({_GM_D}) AS BIGINT)) AS BIGINT)
+                       AS sd
+            FROM pts CROSS JOIN {{c}}
+        )"""
+
+
+@register(
+    "q_agg_geometric_median",
+    oracle=f"""
+        WITH pts AS (
+            SELECT CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS x,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS y
+            FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_acctbal
+        ),
+        c0 AS (
+            SELECT CAST(SUM(x) AS DOUBLE) / COUNT(*) AS mx,
+                   CAST(SUM(y) AS DOUBLE) / COUNT(*) AS my,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM pts
+        ),
+        a1 AS {_GM_STEP.format(c="c0")},
+        c1 AS (
+            SELECT CAST(sxw AS DOUBLE) * 1e6 / sw AS mx,
+                   CAST(syw AS DOUBLE) * 1e6 / sw AS my,
+                   sd AS sd0
+            FROM a1
+        ),
+        a2 AS {_GM_STEP.format(c="c1")},
+        c2 AS (
+            SELECT CAST(sxw AS DOUBLE) * 1e6 / sw AS mx,
+                   CAST(syw AS DOUBLE) * 1e6 / sw AS my
+            FROM a2
+        ),
+        final AS {_GM_STEP.format(c="c2")}
+        SELECT c0.n,
+               ROUND(c0.mx, 2) AS centroid_x,
+               ROUND(c0.my, 2) AS centroid_y,
+               ROUND(c2.mx, 2) AS gmedian_x,
+               ROUND(c2.my, 2) AS gmedian_y,
+               c1.sd0 AS sum_dist_centroid,
+               f.sd AS sum_dist_gmedian,
+               ROUND(100.0 * (c1.sd0 - f.sd) / c1.sd0, 4)
+                   AS improvement_pct
+        FROM c0 CROSS JOIN c1 CROSS JOIN c2 CROSS JOIN final f
+    """,
+    section="A158",
+    doc="Geometric median (L1 facility-location center) of customers "
+    "in the (account balance, lifetime spend) plane via TWO unrolled "
+    "Weiszfeld iterations from the centroid: m <- sum(x/d)/sum(1/d), "
+    "the point minimizing total Euclidean distance — robust to the "
+    "outliers that drag the centroid (the mean is the L2 answer, "
+    "A100's medians are per-axis; the geometric median is the true "
+    "2-D robust center). Determinism: each iteration's weights "
+    "quantize per row (floor(1e6 x/d), floor(1e12/d), floor toward "
+    "-inf on both engines even for negative balances) so the "
+    "re-estimation ratio divides two exact int64 sums; d guards "
+    "GREATEST(d, 1e-9) against an exact hit. Total distance is "
+    "re-measured at the start and after round 2 (floor(d) cents). "
+    "Scale: each iteration is ONE broadcast of a scalar row + one "
+    "map-side-combinable reduction — no driver loop, the V16 "
+    "pca_power pattern in 2-D.",
+)
+def q_agg_geometric_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    pts = (
+        cust.join(od, od.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_acctbal")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("y")
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)"
+            ).alias("x"),
+            "y",
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def step(c):
+        d = (
+            "sqrt((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx)"
+            " + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my))"
+        )
+        return pts.crossJoin(F.broadcast(c)).agg(
+            F.expr(
+                f"CAST(SUM(CAST(floor(1000000.0 * x"
+                f" / GREATEST({d}, 1e-9)) AS BIGINT)) AS BIGINT)"
+            ).alias("sxw"),
+            F.expr(
+                f"CAST(SUM(CAST(floor(1000000.0 * y"
+                f" / GREATEST({d}, 1e-9)) AS BIGINT)) AS BIGINT)"
+            ).alias("syw"),
+            F.expr(
+                f"CAST(SUM(CAST(floor(1e12"
+                f" / GREATEST({d}, 1e-9)) AS BIGINT)) AS BIGINT)"
+            ).alias("sw"),
+            F.expr(
+                f"CAST(SUM(CAST(floor({d}) AS BIGINT)) AS BIGINT)"
+            ).alias("sd"),
+        )
+
+    c0 = pts.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("mx"),
+        (F.sum("y").cast("double") / F.count(F.lit(1))).alias("my"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    ).localCheckpoint(eager=False)
+    a1 = step(c0.select("mx", "my"))
+    c1 = a1.select(
+        (F.col("sxw").cast("double") * F.lit(1e6) / F.col("sw")).alias(
+            "mx"
+        ),
+        (F.col("syw").cast("double") * F.lit(1e6) / F.col("sw")).alias(
+            "my"
+        ),
+        F.col("sd").alias("sd0"),
+    ).localCheckpoint(eager=False)
+    a2 = step(c1.select("mx", "my"))
+    c2 = a2.select(
+        (F.col("sxw").cast("double") * F.lit(1e6) / F.col("sw")).alias(
+            "mx2"
+        ),
+        (F.col("syw").cast("double") * F.lit(1e6) / F.col("sw")).alias(
+            "my2"
+        ),
+    ).localCheckpoint(eager=False)
+    final = step(
+        c2.select(F.col("mx2").alias("mx"), F.col("my2").alias("my"))
+    )
+    return (
+        c0.crossJoin(F.broadcast(c1.select("sd0")))
+        .crossJoin(F.broadcast(c2))
+        .crossJoin(F.broadcast(final.select("sd")))
+        .select(
+            "n",
+            F.round("mx", 2).alias("centroid_x"),
+            F.round("my", 2).alias("centroid_y"),
+            F.round("mx2", 2).alias("gmedian_x"),
+            F.round("my2", 2).alias("gmedian_y"),
+            F.col("sd0").alias("sum_dist_centroid"),
+            F.col("sd").alias("sum_dist_gmedian"),
+            F.round(
+                F.lit(100.0) * (F.col("sd0") - F.col("sd"))
+                / F.col("sd0"),
+                4,
+            ).alias("improvement_pct"),
+        )
+    )
