@@ -1416,3 +1416,66 @@ def q_win_distinct_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "day", "cum_users")
     )
+
+
+# ==== wave 184a: IVF cell-imbalance factor (V41) ====================
+
+
+@register(
+    "q_vec_ivf_imbalance",
+    oracle=f"""
+        WITH {_KM_CTES},
+        cells AS (
+            SELECT cluster, CAST(COUNT(*) AS BIGINT) AS s
+            FROM a2 GROUP BY cluster
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(s) AS BIGINT) AS n,
+               CAST(MAX(s) AS BIGINT) AS max_cell,
+               CAST(MIN(s) AS BIGINT) AS min_cell,
+               ROUND(CAST(COUNT(*) AS DOUBLE) * SUM(s * s)
+                     / (CAST(SUM(s) AS DOUBLE) * SUM(s)), 6)
+                   AS imbalance_factor,
+               ROUND(CAST(SUM(s * s) AS DOUBLE) / SUM(s), 4)
+                   AS exp_probe_candidates
+        FROM cells
+    """,
+    section="V41",
+    doc="IVF index imbalance factor over the V6 learned coarse "
+    "quantizer's cells: k * sum(s^2) / (sum s)^2 — FAISS's own "
+    "index-health metric (1.0 = perfectly balanced cells; 2.0 means "
+    "queries hitting cells proportionally to data scan 2x the "
+    "balanced candidate count). exp_probe_candidates = sum(s^2)/n "
+    "is the expected short-list size for a data-distributed query "
+    "at nprobe=1 — THE number that decides whether the V6/V7 "
+    "serving path meets latency at 100 TB, and the trigger for "
+    "re-training with more centroids or splitting hot cells. Cell "
+    "sizes are exact int64 counts off the bit-reproducible Lloyd "
+    "assignment (memoized model, map-only assign); the two ratios "
+    "are pinned double expressions. Scale: one groupBy(cluster) "
+    "over the assignment — k rows of state.",
+)
+def q_vec_ivf_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = kmeans_fit_assign(emb, k=8, iters=2, cache_key=sf_dir)
+    cells = out.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("s")
+    )
+    return cells.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s").cast("bigint").alias("n"),
+        F.max("s").cast("bigint").alias("max_cell"),
+        F.min("s").cast("bigint").alias("min_cell"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            * F.sum(F.col("s") * F.col("s"))
+            / (F.sum("s").cast("double") * F.sum("s")),
+            6,
+        ).alias("imbalance_factor"),
+        F.round(
+            F.sum(F.col("s") * F.col("s")).cast("double") / F.sum("s"),
+            4,
+        ).alias("exp_probe_candidates"),
+    )

@@ -7371,3 +7371,146 @@ def q_ts_foster_stuart(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_trend"),
     )
+
+
+# ==== wave 184b: X-bar/R control chart (TS48) =======================
+
+# Shewhart constants for subgroup size n = 5 (A2, D3, D4)
+_XBR_A2 = 0.577
+_XBR_D4 = 2.114
+
+
+@register(
+    "q_ts_xbar_r_chart",
+    oracle=f"""
+        WITH sub AS (
+            SELECT d, s5, r5 FROM (
+                SELECT CAST(o_orderdate AS DATE) AS d,
+                       CAST(SUM(c) OVER w AS BIGINT) AS s5,
+                       CAST(MAX(c) OVER w - MIN(c) OVER w AS BIGINT)
+                           AS r5,
+                       ROW_NUMBER() OVER (PARTITION BY CAST(o_orderdate
+                           AS DATE) ORDER BY o_orderkey) AS rn
+                FROM (
+                    SELECT o_orderdate, o_orderkey,
+                           CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                * 100 AS BIGINT) AS c
+                    FROM orders
+                )
+                WINDOW w AS (PARTITION BY CAST(o_orderdate AS DATE)
+                             ORDER BY o_orderkey
+                             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+            ) WHERE rn = 5
+        ),
+        grand AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS dgroups,
+                   CAST(SUM(s5) AS DOUBLE) / (5.0 * COUNT(*)) AS xbar,
+                   CAST(SUM(r5) AS DOUBLE) / COUNT(*) AS rbar
+            FROM sub
+        )
+        SELECT g.dgroups,
+               ROUND(g.xbar, 4) AS xbar_grand,
+               ROUND(g.rbar, 4) AS rbar,
+               ROUND(g.xbar + {_XBR_A2} * g.rbar, 4) AS ucl_x,
+               ROUND(g.xbar - {_XBR_A2} * g.rbar, 4) AS lcl_x,
+               ROUND({_XBR_D4} * g.rbar, 4) AS ucl_r,
+               CAST(SUM(CASE WHEN s.s5 / 5.0 > g.xbar
+                                  + {_XBR_A2} * g.rbar
+                             OR s.s5 / 5.0 < g.xbar
+                                  - {_XBR_A2} * g.rbar
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_xbar_violations,
+               CAST(SUM(CASE WHEN CAST(s.r5 AS DOUBLE)
+                                  > {_XBR_D4} * g.rbar
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_r_violations
+        FROM sub s CROSS JOIN grand g
+        GROUP BY g.dgroups, g.xbar, g.rbar
+    """,
+    section="TS48",
+    doc="Shewhart X-bar/R control chart over daily rational "
+    "subgroups (the first 5 orders of each day by orderkey — a "
+    "FIXED subgroup size so the classic n=5 constants A2=0.577, "
+    "D4=2.114 apply): per-day mean and range, grand X-double-bar "
+    "and R-bar, control limits, and violation counts on both "
+    "charts — the subgroup-based SPC pair that TS31's individual-"
+    "value Nelson rules cannot replace (the R chart separates "
+    "within-day dispersion shifts from level shifts). Subgroup "
+    "sums/ranges are exact int64 cents (5-row frame, rn=5 gate "
+    "drops short days); limits and flags are pinned double "
+    "expressions shared by both engines, so the violation counts "
+    "are deterministic integers. Scale: one bounded 5-row window "
+    "per day partition, then a day-grain reduction — no global "
+    "sort.",
+)
+def q_ts_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    base = od.select(
+        F.col("o_orderdate").cast("date").alias("d"),
+        "o_orderkey",
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("c"),
+    )
+    w5 = (
+        Window.partitionBy("d")
+        .orderBy("o_orderkey")
+        .rowsBetween(-4, 0)
+    )
+    wrn = Window.partitionBy("d").orderBy("o_orderkey")
+    sub = (
+        base.select(
+            "d",
+            F.sum("c").over(w5).cast("bigint").alias("s5"),
+            (F.max("c").over(w5) - F.min("c").over(w5))
+            .cast("bigint")
+            .alias("r5"),
+            F.row_number().over(wrn).alias("rn"),
+        )
+        .where(F.col("rn") == 5)
+        .select("d", "s5", "r5")
+    )
+    grand = sub.agg(
+        F.count(F.lit(1)).cast("bigint").alias("dgroups"),
+        (
+            F.sum("s5").cast("double")
+            / (F.lit(5.0) * F.count(F.lit(1)))
+        ).alias("xbar"),
+        (F.sum("r5").cast("double") / F.count(F.lit(1))).alias("rbar"),
+    )
+    joined = sub.crossJoin(F.broadcast(grand))
+    ucl_x = F.col("xbar") + F.lit(_XBR_A2) * F.col("rbar")
+    lcl_x = F.col("xbar") - F.lit(_XBR_A2) * F.col("rbar")
+    return joined.groupBy("dgroups", "xbar", "rbar").agg(
+        F.sum(
+            F.when(
+                (F.col("s5") / F.lit(5.0) > ucl_x)
+                | (F.col("s5") / F.lit(5.0) < lcl_x),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_xbar_violations"),
+        F.sum(
+            F.when(
+                F.col("r5").cast("double")
+                > F.lit(_XBR_D4) * F.col("rbar"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_r_violations"),
+    ).select(
+        "dgroups",
+        F.round("xbar", 4).alias("xbar_grand"),
+        F.round("rbar", 4).alias("rbar"),
+        F.round(F.col("xbar") + F.lit(_XBR_A2) * F.col("rbar"), 4).alias(
+            "ucl_x"
+        ),
+        F.round(F.col("xbar") - F.lit(_XBR_A2) * F.col("rbar"), 4).alias(
+            "lcl_x"
+        ),
+        F.round(F.lit(_XBR_D4) * F.col("rbar"), 4).alias("ucl_r"),
+        "n_xbar_violations",
+        "n_r_violations",
+    )
