@@ -15336,3 +15336,131 @@ def q_agg_geometric_median(
             ).alias("improvement_pct"),
         )
     )
+
+
+# ==== wave 185a: Bowker symmetry test (paired k x k) ================
+
+
+@register(
+    "q_agg_bowker_symmetry",
+    oracle="""
+        WITH firstlast AS (
+            SELECT o_custkey,
+                   arg_min(o_orderpriority,
+                           CAST(o_orderdate AS DATE)::VARCHAR
+                           || '|' || lpad(CAST(o_orderkey AS VARCHAR),
+                                          12, '0')) AS p_first,
+                   arg_max(o_orderpriority,
+                           CAST(o_orderdate AS DATE)::VARCHAR
+                           || '|' || lpad(CAST(o_orderkey AS VARCHAR),
+                                          12, '0')) AS p_last
+            FROM orders
+            GROUP BY o_custkey
+            HAVING COUNT(*) >= 2
+        ),
+        cells AS (
+            SELECT p_first AS i, p_last AS j,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM firstlast GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.i, a.j,
+                   a.c AS nij,
+                   COALESCE(b.c, 0) AS nji
+            FROM cells a
+            LEFT JOIN cells b ON b.i = a.j AND b.j = a.i
+            WHERE a.i < a.j
+        ),
+        terms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(CAST(floor(1e9
+                        * CAST((nij - nji) * (nij - nji) AS DOUBLE)
+                        / (nij + nji)) AS BIGINT)) AS BIGINT) AS sq,
+                   CAST(SUM(nij + nji) AS BIGINT) AS n_off
+            FROM pairs WHERE nij + nji > 0
+        )
+        SELECT df, n_off,
+               ROUND(CAST(sq AS DOUBLE) / 1e9, 6) AS bowker_chi2
+        FROM terms
+    """,
+    section="A159",
+    doc="Bowker symmetry test on the paired (first-order priority, "
+    "last-order priority) table of multi-order customers: chi2 = "
+    "sum_(i<j) (n_ij - n_ji)^2/(n_ij + n_ji), the k-level "
+    "generalization of A88's 2x2 McNemar — it asks whether customer "
+    "priority MIGRATION is symmetric (upgrades balance downgrades) "
+    "rather than whether the marginals differ, which is what a "
+    "plain chi-square would test. First/last orders are picked by "
+    "arg_min/arg_max over a zero-padded (date|orderkey) string key "
+    "(the TS1 total-order device, since ties on date are real). "
+    "Each off-diagonal term quantizes floor(1e9 * term) BEFORE the "
+    "sum over <= 10 cell pairs, so no double accumulation order "
+    "leaks; df = #pairs with n_ij + n_ji > 0. Scale: one customer-"
+    "grain agg, one 25-cell pairing — constant-size tail.",
+)
+def q_agg_bowker_symmetry(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    key = F.concat(
+        F.col("o_orderdate").cast("date").cast("string"),
+        F.lit("|"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    firstlast = (
+        od.groupBy("o_custkey")
+        .agg(
+            F.expr(
+                "min_by(o_orderpriority,"
+                " CAST(CAST(o_orderdate AS DATE) AS STRING) || '|'"
+                " || lpad(CAST(o_orderkey AS STRING), 12, '0'))"
+            ).alias("p_first"),
+            F.expr(
+                "max_by(o_orderpriority,"
+                " CAST(CAST(o_orderdate AS DATE) AS STRING) || '|'"
+                " || lpad(CAST(o_orderkey AS STRING), 12, '0'))"
+            ).alias("p_last"),
+            F.count(F.lit(1)).alias("n_ord"),
+        )
+        .where(F.col("n_ord") >= 2)
+    )
+    cells = firstlast.groupBy(
+        F.col("p_first").alias("i"), F.col("p_last").alias("j")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    rev = cells.select(
+        F.col("j").alias("i"), F.col("i").alias("j"),
+        F.col("c").alias("c_rev"),
+    )
+    pairs = (
+        cells.join(rev, ["i", "j"], "left")
+        .where(F.col("i") < F.col("j"))
+        .select(
+            F.col("c").alias("nij"),
+            F.coalesce(F.col("c_rev"), F.lit(0)).alias("nji"),
+        )
+    )
+    terms = pairs.where(F.col("nij") + F.col("nji") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum(
+            F.floor(
+                F.lit(1e9)
+                * (
+                    (F.col("nij") - F.col("nji"))
+                    * (F.col("nij") - F.col("nji"))
+                ).cast("double")
+                / (F.col("nij") + F.col("nji"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sq"),
+        F.sum(F.col("nij") + F.col("nji"))
+        .cast("bigint")
+        .alias("n_off"),
+    )
+    return terms.select(
+        "df",
+        "n_off",
+        F.round(F.col("sq").cast("double") / F.lit(1e9), 6).alias(
+            "bowker_chi2"
+        ),
+    )

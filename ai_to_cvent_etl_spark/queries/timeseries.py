@@ -7514,3 +7514,111 @@ def q_ts_xbar_r_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_xbar_violations",
         "n_r_violations",
     )
+
+
+# ==== wave 185b: POT declustering / extremal index (TS49) ===========
+
+
+@register(
+    "q_ts_pot_declustering",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        ranked AS (
+            SELECT d, cents,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, d)
+                        AS BIGINT) AS rd,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t
+            FROM daily
+        ),
+        exceed AS (
+            SELECT t FROM ranked WHERE rd <= n // 20
+        ),
+        runs AS (
+            SELECT t,
+                   CASE WHEN t - LAG(t) OVER (ORDER BY t) = 1
+                        THEN 0 ELSE 1 END AS new_cluster
+            FROM exceed
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_exceed,
+                   CAST(SUM(COALESCE(new_cluster, 1)) AS BIGINT)
+                       AS n_clusters
+            FROM runs
+        )
+        SELECT n_exceed, n_clusters,
+               ROUND(CAST(n_exceed AS DOUBLE) / n_clusters, 4)
+                   AS mean_cluster_len,
+               ROUND(CAST(n_clusters AS DOUBLE) / n_exceed, 6)
+                   AS extremal_index
+        FROM agg
+    """,
+    section="TS49",
+    doc="Peaks-over-threshold runs declustering on daily revenue: "
+    "exceedances = top 5% days (nearest-rank threshold, tie-broken), "
+    "a cluster = a maximal run of CONSECUTIVE exceedance days, and "
+    "the runs estimator of the extremal index theta = n_clusters / "
+    "n_exceedances — theta = 1 means extremes arrive independently, "
+    "theta << 1 means they cluster, which is exactly the dependence "
+    "that breaks the iid assumption behind A157's GPD fit (the "
+    "standard practice is: decluster with THIS estimator, then fit "
+    "GPD to cluster maxima). Gaps-and-islands via LAG(t) = t-1 — "
+    "all integer day indexes, the first exceedance COALESCEs to a "
+    "new cluster. Scale: one day-grain agg, one global-order window "
+    "pair, a scalar reduction; the exceedance set is 5% of days.",
+)
+def q_ts_pot_declustering(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    ranked = daily.select(
+        "d",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("d")))
+        .cast("bigint")
+        .alias("rd"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+        F.row_number()
+        .over(Window.orderBy("d"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    exceed = ranked.where(F.col("rd") <= F.expr("n div 20")).select("t")
+    w = Window.orderBy("t")
+    runs = exceed.select(
+        F.when(F.col("t") - F.lag("t").over(w) == 1, 0)
+        .otherwise(1)
+        .alias("new_cluster")
+    )
+    agg = runs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exceed"),
+        F.sum(F.coalesce(F.col("new_cluster"), F.lit(1)))
+        .cast("bigint")
+        .alias("n_clusters"),
+    )
+    return agg.select(
+        "n_exceed",
+        "n_clusters",
+        F.round(
+            F.col("n_exceed").cast("double") / F.col("n_clusters"), 4
+        ).alias("mean_cluster_len"),
+        F.round(
+            F.col("n_clusters").cast("double") / F.col("n_exceed"), 6
+        ).alias("extremal_index"),
+    )
