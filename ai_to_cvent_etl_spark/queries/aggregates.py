@@ -15464,3 +15464,173 @@ def q_agg_bowker_symmetry(
             "bowker_chi2"
         ),
     )
+
+
+# ==== wave 186a: ridge regression path (closed form, 2 predictors) ==
+
+
+@register(
+    "q_agg_ridge_path",
+    oracle="""
+        WITH frame AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS y,
+                   CAST(SUM(CAST(l.l_quantity AS INT)) AS BIGINT) AS x1,
+                   CAST(COUNT(*) AS BIGINT) AS x2
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x1) AS BIGINT) AS s1,
+                   CAST(SUM(x2) AS BIGINT) AS s2,
+                   CAST(SUM(x1 * x1) AS BIGINT) AS q11,
+                   CAST(SUM(x2 * x2) AS BIGINT) AS q22,
+                   CAST(SUM(x1 * x2) AS BIGINT) AS q12,
+                   CAST(SUM(x1 * y) AS BIGINT) AS c1,
+                   CAST(SUM(x2 * y) AS BIGINT) AS c2
+            FROM frame
+        ),
+        cen AS (
+            SELECT n,
+                   CAST(sy AS DOUBLE) / n AS my,
+                   CAST(s1 AS DOUBLE) / n AS m1,
+                   CAST(s2 AS DOUBLE) / n AS m2,
+                   CAST(q11 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s1 / n AS a11,
+                   CAST(q22 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * s2 / n AS a22,
+                   CAST(q12 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * s2 / n AS a12,
+                   CAST(c1 AS DOUBLE)
+                   - CAST(s1 AS DOUBLE) * sy / n AS b1v,
+                   CAST(c2 AS DOUBLE)
+                   - CAST(s2 AS DOUBLE) * sy / n AS b2v
+            FROM mom
+        ),
+        lams AS (SELECT CAST(unnest([0.0, 0.1, 1.0]) AS DOUBLE)
+                     AS lam_frac),
+        solved AS (
+            SELECT c.n, l.lam_frac,
+                   l.lam_frac * (c.a11 + c.a22) / 2.0 AS lam,
+                   ((c.a22 + l.lam_frac * (c.a11 + c.a22) / 2.0) * c.b1v
+                    - c.a12 * c.b2v)
+                   / ((c.a11 + l.lam_frac * (c.a11 + c.a22) / 2.0)
+                      * (c.a22 + l.lam_frac * (c.a11 + c.a22) / 2.0)
+                      - c.a12 * c.a12) AS beta1,
+                   ((c.a11 + l.lam_frac * (c.a11 + c.a22) / 2.0) * c.b2v
+                    - c.a12 * c.b1v)
+                   / ((c.a11 + l.lam_frac * (c.a11 + c.a22) / 2.0)
+                      * (c.a22 + l.lam_frac * (c.a11 + c.a22) / 2.0)
+                      - c.a12 * c.a12) AS beta2,
+                   c.my, c.m1, c.m2
+            FROM cen c CROSS JOIN lams l
+        )
+        SELECT n, lam_frac,
+               ROUND(beta1, 6) AS beta_qty,
+               ROUND(beta2, 6) AS beta_lines,
+               ROUND(my - beta1 * m1 - beta2 * m2, 4) AS intercept,
+               ROUND(sqrt(beta1 * beta1 + beta2 * beta2), 6)
+                   AS coef_norm
+        FROM solved
+    """,
+    section="A160",
+    doc="Ridge regression path (closed form, 2 predictors) of order "
+    "dollars on quantity sum and line count: solve (C + lambda I) "
+    "beta = c by 2x2 Cramer on CENTERED co-moments, for lambda = "
+    "{0, 0.1, 1.0} x trace(C)/2 — a scale-free regularization grid, "
+    "so the output is the coefficient SHRINKAGE PATH (lam_frac = 0 "
+    "reproduces A61's OLS; coef_norm strictly decreases), the "
+    "standard diagnostic for collinearity between qty and lines. "
+    "All nine moments are exact int64 one-pass sums; centering and "
+    "the Cramer solve are pinned double expressions duplicated per "
+    "lambda row (3-row unnest/explode — no iteration, the path is "
+    "data-parallel). Scale: one order-grain agg + a scalar-row "
+    "cross join with a 3-element literal array.",
+)
+def q_agg_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    frame = (
+        od.join(li, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(F.col("l_quantity").cast("int"))
+            .cast("bigint")
+            .alias("x1"),
+            F.count(F.lit(1)).cast("bigint").alias("x2"),
+        )
+        .select(
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) div 100"
+            ).alias("y"),
+            "x1",
+            "x2",
+        )
+    )
+    mom = frame.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("q11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("q22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("q12"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("c1"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("c2"),
+    )
+    cen = mom.select(
+        "n",
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("m2"),
+        (
+            F.col("q11").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        ).alias("a11"),
+        (
+            F.col("q22").cast("double")
+            - F.col("s2").cast("double") * F.col("s2") / F.col("n")
+        ).alias("a22"),
+        (
+            F.col("q12").cast("double")
+            - F.col("s1").cast("double") * F.col("s2") / F.col("n")
+        ).alias("a12"),
+        (
+            F.col("c1").cast("double")
+            - F.col("s1").cast("double") * F.col("sy") / F.col("n")
+        ).alias("b1v"),
+        (
+            F.col("c2").cast("double")
+            - F.col("s2").cast("double") * F.col("sy") / F.col("n")
+        ).alias("b2v"),
+    )
+    lams = cen.select(
+        "*",
+        F.explode(
+            F.array(F.lit(0.0), F.lit(0.1), F.lit(1.0))
+        ).alias("lam_frac"),
+    )
+    lam = F.col("lam_frac") * (F.col("a11") + F.col("a22")) / F.lit(2.0)
+    det = (
+        (F.col("a11") + lam) * (F.col("a22") + lam)
+        - F.col("a12") * F.col("a12")
+    )
+    beta1 = ((F.col("a22") + lam) * F.col("b1v")
+             - F.col("a12") * F.col("b2v")) / det
+    beta2 = ((F.col("a11") + lam) * F.col("b2v")
+             - F.col("a12") * F.col("b1v")) / det
+    return lams.select(
+        "n",
+        "lam_frac",
+        F.round(beta1, 6).alias("beta_qty"),
+        F.round(beta2, 6).alias("beta_lines"),
+        F.round(
+            F.col("my") - beta1 * F.col("m1") - beta2 * F.col("m2"), 4
+        ).alias("intercept"),
+        F.round(F.sqrt(beta1 * beta1 + beta2 * beta2), 6).alias(
+            "coef_norm"
+        ),
+    )

@@ -4587,3 +4587,110 @@ def q_etl_join_strategy_advisor(
         .otherwise(F.lit("sort_merge"))
         .alias("strategy"),
     )
+
+
+# ==== wave 186b: partition-grain evolution plan (E51) ===============
+
+_PGE_GRAINS = ["day", "week", "month"]
+
+
+def _pge_sql(grain: str) -> str:
+    return f"""
+        SELECT '{grain}' AS grain,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               CAST(SUM(r) AS BIGINT) AS total_rows,
+               CAST(MAX(r) AS BIGINT) AS max_part_rows,
+               CAST(SUM(CASE WHEN 4 * r * (SELECT COUNT(*) FROM g_{grain})
+                                  < (SELECT SUM(r) FROM g_{grain})
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+               CASE
+                 WHEN MAX(r) * COUNT(*) > 10 * SUM(r) THEN 'skewed'
+                 WHEN 2 * SUM(CASE WHEN 4 * r * (SELECT COUNT(*)
+                                       FROM g_{grain})
+                                  < (SELECT SUM(r) FROM g_{grain})
+                              THEN 1 ELSE 0 END) > COUNT(*)
+                     THEN 'too_fine'
+                 ELSE 'ok'
+               END AS verdict
+        FROM g_{grain}"""
+
+
+@register(
+    "q_etl_partition_evolution_plan",
+    oracle=f"""
+        WITH {", ".join(
+            f"g_{g} AS (SELECT date_trunc('{g}', CAST(o_orderdate AS "
+            f"DATE)) AS p, CAST(COUNT(*) AS BIGINT) AS r FROM orders "
+            f"GROUP BY 1)" for g in _PGE_GRAINS)}
+        {" UNION ALL ".join(_pge_sql(g) for g in _PGE_GRAINS)}
+    """,
+    section="E51",
+    doc="Partition-grain evolution plan (Iceberg-style partition-spec "
+    "evolution, evaluated BEFORE rewriting): for candidate grains "
+    "day/week/month over the order-date column, report partition "
+    "count, max-partition rows, and the count of small partitions "
+    "(< 1/4 of the mean), then verdict 'skewed' (max > 10x mean — "
+    "coarsen or add a second key), 'too_fine' (majority small — the "
+    "small-file problem at the metadata layer), or 'ok'. Every "
+    "comparison clears fractions by cross-multiplication "
+    "(4*r*P < total, max*P > 10*total) so the verdicts are exact "
+    "int64 compares, no float thresholds. date_trunc('week') is "
+    "ISO-Monday on both engines. Scale: three independent "
+    "low-cardinality aggregations (map-side combinable) — the plan "
+    "costs three passes over ONE int column, vs the full-table "
+    "rewrite it gates.",
+)
+def q_etl_partition_evolution_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    outs = []
+    for g in _PGE_GRAINS:
+        parts = od.groupBy(
+            F.date_trunc(g, F.col("o_orderdate").cast("date")).alias(
+                "p"
+            )
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+        scal = parts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.sum("r").cast("bigint").alias("total_rows"),
+            F.max("r").cast("bigint").alias("max_part_rows"),
+        )
+        small = (
+            parts.crossJoin(F.broadcast(scal))
+            .agg(
+                F.sum(
+                    F.when(
+                        4 * F.col("r") * F.col("n_parts")
+                        < F.col("total_rows"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_small")
+            )
+        )
+        outs.append(
+            scal.crossJoin(F.broadcast(small)).select(
+                F.lit(g).alias("grain"),
+                "n_parts",
+                "total_rows",
+                "max_part_rows",
+                "n_small",
+                F.when(
+                    F.col("max_part_rows") * F.col("n_parts")
+                    > 10 * F.col("total_rows"),
+                    F.lit("skewed"),
+                )
+                .when(
+                    2 * F.col("n_small") > F.col("n_parts"),
+                    F.lit("too_fine"),
+                )
+                .otherwise(F.lit("ok"))
+                .alias("verdict"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
