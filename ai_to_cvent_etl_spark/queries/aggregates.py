@@ -15634,3 +15634,151 @@ def q_agg_ridge_path(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coef_norm"
         ),
     )
+
+
+# ==== wave 187b: Kupiec proportion-of-failures VaR backtest =========
+
+
+@register(
+    "q_agg_kupiec_pof",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT d,
+                   CAST(cents - LAG(cents) OVER (ORDER BY d) AS BIGINT)
+                       AS r,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM daily
+            QUALIFY r IS NOT NULL
+        ),
+        train AS (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, d) AS rk,
+                   COUNT(*) OVER () AS nt
+            FROM diffs WHERE 2 * t <= n
+        ),
+        var95 AS (
+            SELECT CAST(r AS BIGINT) AS v,
+                   CAST(nt AS BIGINT) AS n_train
+            FROM train
+            WHERE rk = CAST(ceil(0.05 * nt) AS BIGINT)
+        ),
+        test AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN df.r < v.v THEN 1 ELSE 0 END)
+                        AS BIGINT) AS x
+            FROM (SELECT r FROM diffs WHERE 2 * t > n) df
+            CROSS JOIN var95 v
+        )
+        SELECT v.n_train, t.n_test, v.v AS var95_cents, t.x
+                   AS n_violations,
+               ROUND(CAST(t.x AS DOUBLE) / t.n_test, 6) AS viol_rate,
+               ROUND(-2.0 * ((t.n_test - t.x) * ln(0.95)
+                     + t.x * ln(0.05)
+                     - CASE WHEN t.x = 0 OR t.x = t.n_test THEN 0.0
+                            ELSE (t.n_test - t.x)
+                                 * ln(1.0 - CAST(t.x AS DOUBLE)
+                                            / t.n_test)
+                                 + t.x * ln(CAST(t.x AS DOUBLE)
+                                            / t.n_test) END), 4)
+                   AS kupiec_lr,
+               CASE WHEN -2.0 * ((t.n_test - t.x) * ln(0.95)
+                     + t.x * ln(0.05)
+                     - CASE WHEN t.x = 0 OR t.x = t.n_test THEN 0.0
+                            ELSE (t.n_test - t.x)
+                                 * ln(1.0 - CAST(t.x AS DOUBLE)
+                                            / t.n_test)
+                                 + t.x * ln(CAST(t.x AS DOUBLE)
+                                            / t.n_test) END) > 3.841
+                    THEN 1 ELSE 0 END AS reject_95
+        FROM var95 v CROSS JOIN test t
+    """,
+    section="A161",
+    doc="Kupiec proportion-of-failures backtest of a historical "
+    "VaR(95): train on the first half of daily revenue changes "
+    "(nearest-rank 5th percentile, tie-broken by date), count "
+    "strict violations in the held-out second half, and test "
+    "x/n = 5% with the likelihood ratio LR = -2[ (n-x)ln(1-p) + "
+    "x ln p - (n-x)ln(1-x/n) - x ln(x/n) ] ~ chi2(1) — the Basel "
+    "coverage test that A145's VaR/ES computation (same family) is "
+    "audited WITH in practice: a VaR that never trips is as wrong "
+    "as one tripping constantly, and LR catches both sides. "
+    "Violations/threshold are exact integer work; ln() runs only in "
+    "the final scalar row (x=0 / x=n limits handled by an explicit "
+    "CASE, not NaN), rounded 4dp. Scale: one day-grain agg, one lag "
+    "window, one rank window over half the days, scalar algebra.",
+)
+def q_agg_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    diffs = daily.select(
+        "d",
+        (F.col("cents") - F.lag("cents").over(w))
+        .cast("bigint")
+        .alias("r"),
+        F.row_number().over(w).cast("bigint").alias("t"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    ).where(F.col("r").isNotNull())
+    train = diffs.where(2 * F.col("t") <= F.col("n")).select(
+        "r",
+        "d",
+        F.row_number().over(Window.orderBy("r", "d")).alias("rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("nt"),
+    )
+    var95 = train.where(
+        F.col("rk") == F.ceil(F.lit(0.05) * F.col("nt")).cast("bigint")
+    ).select(
+        F.col("r").cast("bigint").alias("v"),
+        F.col("nt").alias("n_train"),
+    )
+    test = (
+        diffs.where(2 * F.col("t") > F.col("n"))
+        .crossJoin(F.broadcast(var95))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("r") < F.col("v"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    out = var95.crossJoin(F.broadcast(test))
+    xr = F.col("x").cast("double") / F.col("n_test")
+    lr = F.lit(-2.0) * (
+        (F.col("n_test") - F.col("x")) * F.log(F.lit(0.95))
+        + F.col("x") * F.log(F.lit(0.05))
+        - F.when(
+            (F.col("x") == 0) | (F.col("x") == F.col("n_test")),
+            F.lit(0.0),
+        ).otherwise(
+            (F.col("n_test") - F.col("x")) * F.log(F.lit(1.0) - xr)
+            + F.col("x") * F.log(xr)
+        )
+    )
+    return out.select(
+        "n_train",
+        "n_test",
+        F.col("v").alias("var95_cents"),
+        F.col("x").alias("n_violations"),
+        F.round(xr, 6).alias("viol_rate"),
+        F.round(lr, 4).alias("kupiec_lr"),
+        F.when(lr > F.lit(3.841), 1).otherwise(0).alias("reject_95"),
+    )

@@ -7622,3 +7622,115 @@ def q_ts_pot_declustering(
             F.col("n_clusters").cast("double") / F.col("n_exceed"), 6
         ).alias("extremal_index"),
     )
+
+
+# ==== wave 187a: Rayleigh circular seasonality test (TS50) ==========
+
+# cos/sin(2*pi*(m-1)/12) for month m = 1..12, written as shared literal
+# constants so NO libm trig runs on either engine (last-ulp cos()
+# differences between JVM and C would leak into the resultant).
+_RAY_COS = [1.0, 0.8660254037844387, 0.5, 0.0, -0.5,
+            -0.8660254037844387, -1.0, -0.8660254037844387, -0.5,
+            0.0, 0.5, 0.8660254037844387]
+_RAY_SIN = [0.0, 0.5, 0.8660254037844387, 1.0, 0.8660254037844387,
+            0.5, 0.0, -0.5, -0.8660254037844387, -1.0,
+            -0.8660254037844387, -0.5]
+_RAY_COS_SQL = "[" + ", ".join(repr(v) for v in _RAY_COS) + "]"
+_RAY_SIN_SQL = "[" + ", ".join(repr(v) for v in _RAY_SIN) + "]"
+
+
+@register(
+    "q_ts_rayleigh_seasonality",
+    oracle=f"""
+        WITH months AS (
+            SELECT CAST(month(CAST(o_orderdate AS DATE)) AS INT) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1
+        ),
+        res AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(1e6 * c
+                        * CAST(({_RAY_COS_SQL})[m] AS DOUBLE))
+                        AS BIGINT)) AS BIGINT) / 1e6 AS cx,
+                   CAST(SUM(CAST(floor(1e6 * c
+                        * CAST(({_RAY_SIN_SQL})[m] AS DOUBLE))
+                        AS BIGINT)) AS BIGINT) / 1e6 AS sy
+            FROM months
+        )
+        SELECT n,
+               ROUND(sqrt(cx * cx + sy * sy) / n, 6) AS r_bar,
+               ROUND(CAST(n AS DOUBLE)
+                     * (cx * cx + sy * sy) / (CAST(n AS DOUBLE) * n),
+                     4) AS rayleigh_z,
+               ROUND(cx / n, 6) AS mean_cos,
+               ROUND(sy / n, 6) AS mean_sin
+        FROM res
+    """,
+    section="TS50",
+    doc="Rayleigh test for circular uniformity of order dates around "
+    "the year: map each month to the unit circle, mean resultant "
+    "length R-bar = |sum of unit vectors|/n, z = n R-bar^2 — the "
+    "circular-statistics answer to 'is there an annual season at "
+    "all', which TS12's day-of-week profile and TS16's seasonal "
+    "strength assume rather than test (and unlike a month-bucket "
+    "chi-square, Rayleigh is sensitive to the CONCENTRATION "
+    "direction, not any deviation). Trig is eliminated: the 12 "
+    "cos/sin values are shared literal constants (exact halves and "
+    "0.8660254037844387), so no libm cos whose last ulp differs "
+    "between JVM and C ever runs; each month's count-weighted term "
+    "quantizes floor(1e6 * c * lit) to int64 BEFORE the 12-term sum "
+    "(order-insensitive — and the explicit DOUBLE cast matters: "
+    "DuckDB types bare decimal array literals as DECIMAL and the "
+    "resultant square then overflows DECIMAL(38)). "
+    "Scale: one 12-cell agg — the cheapest possible shape.",
+)
+def q_ts_rayleigh_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    months = od.groupBy(
+        F.month(F.col("o_orderdate").cast("date"))
+        .cast("int")
+        .alias("m")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    cos_arr = F.array(*[F.lit(v) for v in _RAY_COS])
+    sin_arr = F.array(*[F.lit(v) for v in _RAY_SIN])
+    res = months.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        (
+            F.sum(
+                F.floor(
+                    F.lit(1e6)
+                    * F.col("c")
+                    * F.element_at(cos_arr, F.col("m"))
+                ).cast("bigint")
+            ).cast("bigint")
+            / F.lit(1e6)
+        ).alias("cx"),
+        (
+            F.sum(
+                F.floor(
+                    F.lit(1e6)
+                    * F.col("c")
+                    * F.element_at(sin_arr, F.col("m"))
+                ).cast("bigint")
+            ).cast("bigint")
+            / F.lit(1e6)
+        ).alias("sy"),
+    )
+    return res.select(
+        "n",
+        F.round(
+            F.sqrt(F.col("cx") * F.col("cx") + F.col("sy") * F.col("sy"))
+            / F.col("n"),
+            6,
+        ).alias("r_bar"),
+        F.round(
+            F.col("n").cast("double")
+            * (F.col("cx") * F.col("cx") + F.col("sy") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("n")),
+            4,
+        ).alias("rayleigh_z"),
+        F.round(F.col("cx") / F.col("n"), 6).alias("mean_cos"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("mean_sin"),
+    )
