@@ -15782,3 +15782,117 @@ def q_agg_kupiec_pof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(lr, 4).alias("kupiec_lr"),
         F.when(lr > F.lit(3.841), 1).otherwise(0).alias("reject_95"),
     )
+
+
+# ==== wave 188a: exact 1-D Wasserstein distance =====================
+
+
+@register(
+    "q_agg_wasserstein_1d",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS gx,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        walk AS (
+            SELECT cents, gx,
+                   CAST(SUM(gx) OVER w AS BIGINT) AS cx,
+                   CAST(SUM(1 - gx) OVER w AS BIGINT) AS cy,
+                   CAST(LEAD(cents) OVER (ORDER BY cents, o_orderkey)
+                        - cents AS BIGINT) AS gap
+            FROM vals
+            WINDOW w AS (ORDER BY cents, o_orderkey
+                         ROWS UNBOUNDED PRECEDING)
+        ),
+        sums AS (
+            SELECT
+                (SELECT CAST(SUM(gx) AS BIGINT) FROM vals) AS n,
+                (SELECT CAST(SUM(1 - gx) AS BIGINT) FROM vals) AS m,
+                SUM(ABS(CAST((SELECT SUM(1 - gx) FROM vals) AS HUGEINT)
+                        * cx
+                        - CAST((SELECT SUM(gx) FROM vals) AS HUGEINT)
+                          * cy) * gap) AS acc
+            FROM walk WHERE gap IS NOT NULL
+        )
+        SELECT n AS n_x, m AS n_y,
+               ROUND((CAST(acc // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(acc % 4294967296 AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * m), 4) AS w1_cents
+        FROM sums
+    """,
+    section="A162",
+    doc="Exact 1-D Wasserstein-1 (earth mover's) distance between "
+    "urgent/high and other order-total distributions: W1 = "
+    "integral |F - G| dz computed as the sorted-merge sum of "
+    "|m*cx - n*cy| * gap over consecutive distinct values — the "
+    "optimal-transport metric that reports HOW FAR mass must move "
+    "(in cents), where A153's CvM and A36's KS report only "
+    "unit-free discrepancy; this is the number behind 'distribution "
+    "shift cost' in drift monitoring. Cross-multiplying by n*m "
+    "keeps every ECDF difference an exact integer (ties contribute "
+    "gap = 0 automatically under the tie-broken sort); the "
+    "accumulator crosses 2^63 (|m*cx|*gap ~ 1e17 per row) so it "
+    "runs in int128/DECIMAL(38,0) and rebuilds through the A26 "
+    "hi/lo device. Scale: ONE global sort + one prefix window — "
+    "the same shape as a percentile, range-partition the sort at "
+    "100 TB.",
+)
+def q_agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    vals = od.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("gx"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    w = Window.orderBy("cents", "o_orderkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wl = Window.orderBy("cents", "o_orderkey")
+    walk = vals.select(
+        "cents",
+        F.sum("gx").over(w).cast("bigint").alias("cx"),
+        F.sum(1 - F.col("gx")).over(w).cast("bigint").alias("cy"),
+        (F.lead("cents").over(wl) - F.col("cents"))
+        .cast("bigint")
+        .alias("gap"),
+    )
+    tot = vals.agg(
+        F.sum("gx").cast("bigint").alias("n"),
+        F.sum(1 - F.col("gx")).cast("bigint").alias("m"),
+    )
+    sums = (
+        walk.where(F.col("gap").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("m").cast(DecimalType(38, 0)) * F.col("cx")
+                    - F.col("n").cast(DecimalType(38, 0)) * F.col("cy")
+                )
+                * F.col("gap")
+            ).alias("acc"),
+            F.max("n").alias("n"),
+            F.max("m").alias("m"),
+        )
+    )
+    hi_lo = (
+        "cast(acc div 4294967296 as double) * 4294967296.0d"
+        " + cast(acc % 4294967296 as double)"
+    )
+    return sums.select(
+        F.col("n").alias("n_x"),
+        F.col("m").alias("n_y"),
+        F.round(
+            F.expr(hi_lo) / (F.col("n").cast("double") * F.col("m")), 4
+        ).alias("w1_cents"),
+    )

@@ -2328,3 +2328,164 @@ def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+# ==== wave 188b: idf-weighted Jaccard on adjacent pairs (D27) =======
+
+
+@register(
+    "q_dedup_weighted_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY doc_id, tok
+        ),
+        idf AS (
+            SELECT tok,
+                   CAST((SELECT COUNT(*) FROM documents) AS BIGINT)
+                   // CAST(COUNT(*) AS BIGINT) AS w
+            FROM toks GROUP BY tok
+        ),
+        pairs AS (
+            SELECT doc_id AS a,
+                   LEAD(doc_id) OVER (ORDER BY doc_id) AS b
+            FROM documents
+            QUALIFY b IS NOT NULL
+        ),
+        pa AS (
+            SELECT p.a, p.b, t.tok, t.tf AS tfa
+            FROM pairs p JOIN toks t ON t.doc_id = p.a
+        ),
+        pb AS (
+            SELECT p.a, p.b, t.tok, t.tf AS tfb
+            FROM pairs p JOIN toks t ON t.doc_id = p.b
+        ),
+        merged AS (
+            SELECT COALESCE(pa.a, pb.a) AS a,
+                   COALESCE(pa.b, pb.b) AS b,
+                   i.w,
+                   COALESCE(pa.tfa, 0) AS tfa,
+                   COALESCE(pb.tfb, 0) AS tfb
+            FROM pa FULL JOIN pb
+              ON pa.a = pb.a AND pa.b = pb.b AND pa.tok = pb.tok
+            JOIN idf i ON i.tok = COALESCE(pa.tok, pb.tok)
+        ),
+        scored AS (
+            SELECT a, b,
+                   CAST(SUM(w * LEAST(tfa, tfb)) AS BIGINT) AS num_w,
+                   CAST(SUM(w * GREATEST(tfa, tfb)) AS BIGINT) AS den_w,
+                   CAST(SUM(LEAST(tfa, tfb)) AS BIGINT) AS num_u,
+                   CAST(SUM(GREATEST(tfa, tfb)) AS BIGINT) AS den_u
+            FROM merged GROUP BY a, b
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               ROUND(CAST(SUM(1000000 * num_w // den_w) AS DOUBLE)
+                     / (COUNT(*) * 1e6), 6) AS mean_weighted_jaccard,
+               ROUND(CAST(SUM(1000000 * num_u // den_u) AS DOUBLE)
+                     / (COUNT(*) * 1e6), 6) AS mean_unweighted_jaccard,
+               CAST(SUM(CASE WHEN 5 * num_w >= 3 * den_w
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dups_06
+        FROM scored
+    """,
+    section="D27",
+    doc="Idf-weighted Jaccard over the sorted-neighborhood pairs "
+    "(each doc vs its doc_id successor): J_w = sum_tok w*min(tf_a, "
+    "tf_b) / sum_tok w*max(tf_a,tf_b) with INTEGER idf w = N div df "
+    "— rare tokens dominate the verdict, so boilerplate stopwords "
+    "can't fake similarity the way they do in D22's unweighted "
+    "adjacent Jaccard (reported alongside for the contrast, same "
+    "pass). The pair token union materializes via a FULL JOIN on "
+    "token within pair; every numerator/denominator is an exact "
+    "int64, per-pair scores quantize 1e6*num div den before the "
+    "mean, and the 0.6 dup gate cross-multiplies (5*num >= 3*den). "
+    "Scale: token lists shuffle once on (doc, tok), idf is a "
+    "token-grain agg joined back; the pair set is O(n) by "
+    "construction — the sorted-neighborhood contract — not O(n^2).",
+)
+def q_dedup_weighted_jaccard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.col("text"), " ")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    n_docs = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    idf = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("tok", F.expr("nd div df").alias("w"))
+    )
+    pairs = (
+        docs.select(
+            F.col("doc_id").alias("a"),
+            F.lead("doc_id")
+            .over(Window.orderBy("doc_id"))
+            .alias("b"),
+        )
+        .where(F.col("b").isNotNull())
+    )
+    ta = toks.select(
+        F.col("doc_id").alias("a"), F.col("tok").alias("tok"),
+        F.col("tf").alias("tfa"),
+    )
+    tb = toks.select(
+        F.col("doc_id").alias("b"), F.col("tok").alias("tok"),
+        F.col("tf").alias("tfb"),
+    )
+    pa = pairs.join(ta, "a").select("a", "b", "tok", "tfa")
+    pb = pairs.join(tb, "b").select("a", "b", "tok", "tfb")
+    merged = (
+        pa.join(pb, ["a", "b", "tok"], "full")
+        .select(
+            "a",
+            "b",
+            "tok",
+            F.coalesce(F.col("tfa"), F.lit(0)).alias("tfa"),
+            F.coalesce(F.col("tfb"), F.lit(0)).alias("tfb"),
+        )
+        .join(idf, "tok")
+    )
+    scored = merged.groupBy("a", "b").agg(
+        F.sum(F.col("w") * F.least("tfa", "tfb"))
+        .cast("bigint")
+        .alias("num_w"),
+        F.sum(F.col("w") * F.greatest("tfa", "tfb"))
+        .cast("bigint")
+        .alias("den_w"),
+        F.sum(F.least("tfa", "tfb")).cast("bigint").alias("num_u"),
+        F.sum(F.greatest("tfa", "tfb")).cast("bigint").alias("den_u"),
+    )
+    return scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(
+            F.sum(F.expr("1000000 * num_w div den_w")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            6,
+        ).alias("mean_weighted_jaccard"),
+        F.round(
+            F.sum(F.expr("1000000 * num_u div den_u")).cast("double")
+            / (F.count(F.lit(1)) * F.lit(1e6)),
+            6,
+        ).alias("mean_unweighted_jaccard"),
+        F.sum(
+            F.when(5 * F.col("num_w") >= 3 * F.col("den_w"), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_dups_06"),
+    )
