@@ -15896,3 +15896,126 @@ def q_agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(hi_lo) / (F.col("n").cast("double") * F.col("m")), 4
         ).alias("w1_cents"),
     )
+
+
+# ==== wave 189b: 3-way mutual-independence G-test ===================
+
+
+@register(
+    "q_agg_g_test_3way",
+    oracle="""
+        WITH base AS (
+            SELECT o.o_orderpriority AS p, o.o_orderstatus AS s,
+                   r.r_name AS g
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        cells AS (
+            SELECT p, s, g, CAST(COUNT(*) AS BIGINT) AS o
+            FROM base GROUP BY 1, 2, 3
+        ),
+        margs AS (
+            SELECT c.p, c.s, c.g, c.o,
+                   SUM(c.o) OVER (PARTITION BY c.p) AS np,
+                   SUM(c.o) OVER (PARTITION BY c.s) AS ns,
+                   SUM(c.o) OVER (PARTITION BY c.g) AS ng,
+                   SUM(c.o) OVER () AS n
+            FROM cells c
+        ),
+        terms AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                   CAST(MAX(n) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(1e6 * 2.0 * o
+                        * ln(CAST(o AS DOUBLE)
+                             * CAST(n AS DOUBLE) * n
+                             / (CAST(np AS DOUBLE) * ns * ng)))
+                        AS BIGINT)) AS BIGINT) AS gq
+            FROM margs
+        )
+        SELECT n, n_cells,
+               ROUND(CAST(gq AS DOUBLE) / 1e6, 4) AS g_stat,
+               CAST((5 - 1) * (3 - 1) + (5 - 1) * (5 - 1)
+                    + (3 - 1) * (5 - 1)
+                    + (5 - 1) * (3 - 1) * (5 - 1) AS BIGINT) AS df
+        FROM terms
+    """,
+    section="A163",
+    doc="Three-way mutual-independence G-test over (priority, "
+    "status, region): G = 2 sum o*ln(o n^2/(n_p n_s n_g)) — the "
+    "log-likelihood-ratio generalization of A23's 2-way chi-square "
+    "to the full 5x3x5 cube, testing whether the THREE margins "
+    "jointly explain the cell counts (the saturated-vs-independence "
+    "contrast that starts every log-linear model selection). "
+    "Marginals ride window sums over the 75-cell frame; each cell's "
+    "G term quantizes floor(1e6 * term) BEFORE the sum so ln()'s "
+    "possible last-ulp engine difference can't reorder-accumulate "
+    "(75 bounded terms, V39 device); df = rc + rt + ct + rct for "
+    "mutual independence = 46. Empty cells never appear (GROUP BY "
+    "emits observed cells only; o*ln(o..) -> o >= 1 always). "
+    "Scale: one 3-key agg (75 cells max), window marginals over a "
+    "constant-size frame.",
+)
+def q_agg_g_test_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    base = (
+        od.join(cust, od.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select(
+            F.col("o_orderpriority").alias("p"),
+            F.col("o_orderstatus").alias("s"),
+            F.col("r_name").alias("g"),
+        )
+    )
+    cells = base.groupBy("p", "s", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    margs = cells.select(
+        "o",
+        F.sum("o").over(Window.partitionBy("p")).alias("np"),
+        F.sum("o").over(Window.partitionBy("s")).alias("ns"),
+        F.sum("o").over(Window.partitionBy("g")).alias("ng"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    term = F.floor(
+        F.lit(1e6)
+        * F.lit(2.0)
+        * F.col("o")
+        * F.log(
+            F.col("o").cast("double")
+            * F.col("n").cast("double")
+            * F.col("n")
+            / (
+                F.col("np").cast("double") * F.col("ns") * F.col("ng")
+            )
+        )
+    ).cast("bigint")
+    terms = margs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+        F.max("n").cast("bigint").alias("n"),
+        F.sum(term).cast("bigint").alias("gq"),
+    )
+    return terms.select(
+        "n",
+        "n_cells",
+        F.round(F.col("gq").cast("double") / F.lit(1e6), 4).alias(
+            "g_stat"
+        ),
+        F.lit(
+            (5 - 1) * (3 - 1)
+            + (5 - 1) * (5 - 1)
+            + (3 - 1) * (5 - 1)
+            + (5 - 1) * (3 - 1) * (5 - 1)
+        )
+        .cast("bigint")
+        .alias("df"),
+    )

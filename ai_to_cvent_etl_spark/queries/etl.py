@@ -4694,3 +4694,92 @@ def q_etl_partition_evolution_plan(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# ==== wave 189a: tamper-evident partition hash chain (E52) ==========
+
+
+@register(
+    "q_etl_partition_hash_chain",
+    oracle="""
+        WITH rowh AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                   md5(CAST(o_orderkey AS VARCHAR) || '|'
+                       || CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                               * 100 AS BIGINT) AS VARCHAR)) AS h
+            FROM orders
+        ),
+        parth AS (
+            SELECT m, md5(string_agg(h, ',' ORDER BY h)) AS ph
+            FROM rowh GROUP BY m
+        ),
+        chain AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_partitions,
+                   CAST(MIN(m) AS DATE) AS first_month,
+                   CAST(MAX(m) AS DATE) AS last_month,
+                   list_reduce(
+                       list_prepend('genesis',
+                           list(ph ORDER BY m)),
+                       (acc, x) -> md5(acc || '|' || x)) AS chain_hash
+            FROM parth
+        )
+        SELECT n_partitions, first_month, last_month, chain_hash
+        FROM chain
+    """,
+    section="E52",
+    doc="Tamper-evident partition hash chain over monthly order "
+    "partitions: per-row md5 of the canonical (key|cents) string, "
+    "per-partition md5 of the ORDER-BY-sorted row-hash "
+    "concatenation (order-insensitive within the partition by "
+    "construction), then a blockchain-style left fold "
+    "chain = md5(chain || '|' || part_hash) in month order from a "
+    "'genesis' seed — change ONE row in ANY month and the final "
+    "chain hash differs, and unlike E8's flat checksum the chain "
+    "also detects partition reordering/omission. The fold is the "
+    "E-family's only sequential dependency and it runs over "
+    "|months| scalar hashes (84 rows), not data: Spark "
+    "F.aggregate over sort_array(collect_list), DuckDB list_reduce "
+    "over list(ORDER BY) — identical left-to-right semantics. "
+    "Scale: row hashing is map-only, partition hashes are one "
+    "keyed agg; only 16-byte digests reach the driver-side fold.",
+)
+def q_etl_partition_hash_chain(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rowh = od.select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "m"
+        ),
+        F.md5(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.expr(
+                    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))"
+                    " * 100 AS BIGINT) AS STRING)"
+                ),
+            )
+        ).alias("h"),
+    )
+    parth = rowh.groupBy("m").agg(
+        F.md5(
+            F.array_join(F.sort_array(F.collect_list("h")), ",")
+        ).alias("ph")
+    )
+    chain = parth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.min("m").cast("date").alias("first_month"),
+        F.max("m").cast("date").alias("last_month"),
+        F.aggregate(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct("m", "ph"))
+                ),
+                lambda s: s.getField("ph"),
+            ),
+            F.lit("genesis"),
+            lambda acc, x: F.md5(F.concat(acc, F.lit("|"), x)),
+        ).alias("chain_hash"),
+    )
+    return chain
