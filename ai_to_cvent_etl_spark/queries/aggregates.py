@@ -16019,3 +16019,135 @@ def q_agg_g_test_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("df"),
     )
+
+
+# ==== wave 190b: Nemenyi post-hoc critical differences ==============
+
+# studentized range q(0.05, k=5, inf df) / sqrt(2)
+_NEM_Q5 = 3.858 / 1.4142135623730951
+
+
+@register(
+    "q_agg_nemenyi_posthoc",
+    oracle=f"""
+        WITH cells AS (
+            SELECT n.n_name AS blk, o.o_orderpriority AS trt,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        full_blocks AS (
+            SELECT blk FROM cells GROUP BY blk HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.trt,
+                   CAST(RANK() OVER (PARTITION BY c.blk
+                                     ORDER BY c.v, c.trt) AS BIGINT)
+                       AS r
+            FROM cells c JOIN full_blocks f ON f.blk = c.blk
+        ),
+        rs AS (
+            SELECT trt, CAST(SUM(r) AS BIGINT) AS rsum,
+                   CAST((SELECT COUNT(*) FROM full_blocks) AS BIGINT)
+                       AS b
+            FROM ranked GROUP BY trt
+        )
+        SELECT a.trt AS trt_a, c.trt AS trt_b,
+               a.rsum AS rank_sum_a, c.rsum AS rank_sum_b,
+               ROUND(ABS(CAST(a.rsum - c.rsum AS DOUBLE)) / a.b, 4)
+                   AS mean_rank_diff,
+               ROUND({_NEM_Q5} * sqrt(5.0 * 6.0
+                     / (6.0 * a.b)), 4) AS critical_difference,
+               CASE WHEN ABS(CAST(a.rsum - c.rsum AS DOUBLE)) / a.b
+                         > {_NEM_Q5} * sqrt(5.0 * 6.0 / (6.0 * a.b))
+                    THEN 1 ELSE 0 END AS significant
+        FROM rs a JOIN rs c ON a.trt < c.trt
+    """,
+    section="A164",
+    doc="Nemenyi post-hoc critical-difference table after a Friedman "
+    "test (nation blocks x priority treatments): pairwise mean-rank "
+    "differences vs CD = q(0.05, k)/sqrt(2) * sqrt(k(k+1)/(6b)) — "
+    "the multiple-comparison step A65/A155 require before claiming "
+    "WHICH treatments differ (reporting a significant omnibus "
+    "without a CD-controlled pairwise table is the classic "
+    "rank-test misuse; this is also THE standard diagram for "
+    "comparing classifiers across datasets, Demsar 2006). Per-block "
+    "ranks are fully tie-broken, rank sums exact int64; the only "
+    "constants are the studentized-range literal and k=5, so CD is "
+    "one pinned expression and the 10 significance flags are "
+    "deterministic compares. Scale: one (nation,priority) agg, one "
+    "5-row self-join.",
+)
+def q_agg_nemenyi_posthoc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    cells = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("blk"),
+            F.col("o_orderpriority").alias("trt"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    full_blocks = (
+        cells.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .where(F.col("nc") == 5)
+        .select("blk")
+    )
+    ranked = cells.join(full_blocks, "blk").select(
+        "trt",
+        F.rank()
+        .over(Window.partitionBy("blk").orderBy("v", "trt"))
+        .cast("bigint")
+        .alias("r"),
+    )
+    b_cnt = full_blocks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("b")
+    )
+    rs = (
+        ranked.groupBy("trt")
+        .agg(F.sum("r").cast("bigint").alias("rsum"))
+        .crossJoin(F.broadcast(b_cnt))
+    )
+    a = rs.select(
+        F.col("trt").alias("trt_a"),
+        F.col("rsum").alias("rank_sum_a"),
+        "b",
+    )
+    c = rs.select(
+        F.col("trt").alias("trt_b"), F.col("rsum").alias("rank_sum_b")
+    )
+    pairs = a.join(c, F.col("trt_a") < F.col("trt_b"))
+    diff = (
+        F.abs(
+            (F.col("rank_sum_a") - F.col("rank_sum_b")).cast("double")
+        )
+        / F.col("b")
+    )
+    cd = F.lit(_NEM_Q5) * F.sqrt(
+        F.lit(5.0) * F.lit(6.0) / (F.lit(6.0) * F.col("b"))
+    )
+    return pairs.select(
+        "trt_a",
+        "trt_b",
+        "rank_sum_a",
+        "rank_sum_b",
+        F.round(diff, 4).alias("mean_rank_diff"),
+        F.round(cd, 4).alias("critical_difference"),
+        F.when(diff > cd, 1).otherwise(0).alias("significant"),
+    )

@@ -2782,3 +2782,174 @@ def q_graph_config_triangles(
             "closure_ratio"
         ),
     )
+
+
+# ==== wave 190a: bond percolation profile (G26) =====================
+
+_PERC_MULTS = [1, 2, 4]
+
+
+@register(
+    "q_graph_percolation_profile",
+    oracle="""
+        WITH flow AS (
+            SELECT LEAST(c.c_nationkey, s.s_nationkey) AS lo,
+                   GREATEST(c.c_nationkey, s.s_nationkey) AS hi,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM flow
+        ),
+        ks AS (SELECT unnest([1, 2, 4]) AS k),
+        kept AS (
+            SELECT k.k, f.lo, f.hi
+            FROM flow f CROSS JOIN tot CROSS JOIN ks k
+            WHERE f.cents * tot.np > k.k * tot.t
+        ),
+        sym AS (
+            SELECT k, lo AS src, hi AS dst FROM kept
+            UNION ALL SELECT k, hi, lo FROM kept
+        ),
+        nodes AS (SELECT DISTINCT k, src AS v FROM sym),
+        reach AS (
+            WITH RECURSIVE r(k, src, dst) AS (
+                SELECT k, v, v FROM nodes
+                UNION
+                SELECT r.k, r.src, e.dst
+                FROM r JOIN sym e ON r.k = e.k AND r.dst = e.src
+            ) SELECT k, src, dst FROM r
+        ),
+        comp AS (
+            SELECT k, src AS v, CAST(MIN(dst) AS BIGINT) AS cid
+            FROM reach GROUP BY k, src
+        ),
+        sizes AS (
+            SELECT k, cid, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM comp GROUP BY k, cid
+        )
+        SELECT CAST(s.k AS BIGINT) AS k_mult,
+               CAST(COUNT(*) AS BIGINT) AS n_components,
+               CAST(SUM(sz) AS BIGINT) AS n_nodes,
+               CAST(MAX(sz) AS BIGINT) AS giant_size,
+               ROUND(CAST(MAX(sz) AS DOUBLE) / SUM(sz), 6)
+                   AS giant_frac
+        FROM sizes s GROUP BY s.k
+    """,
+    section="G26",
+    doc="Bond percolation profile of the undirected nation trade "
+    "graph: keep edges whose exact cent weight exceeds {1, 2, 4}x "
+    "the mean pair weight (integer cross-multiplication, no float "
+    "threshold), and for each retained graph report component "
+    "count, giant-component size and fraction — the percolation "
+    "curve that locates the connectivity phase transition: where "
+    "giant_frac collapses between multipliers is where the trade "
+    "backbone lives, a question single-threshold components (D5, "
+    "G19) cannot answer. Closure is exact transitive reachability "
+    "on the <= 25-node nation quotient (unrolled pointer-doubling "
+    "in Spark, 5 rounds >= diameter; RECURSIVE fixpoint in the "
+    "oracle — identical results since both reach closure). Scale: "
+    "the fact join collapses to nation grain FIRST (<= 300 "
+    "undirected edges at any SF), then all three thresholds share "
+    "one tiny frame — the 100 TB cost is the first join, not the "
+    "graph algebra.",
+)
+def q_graph_percolation_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    flow = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").alias("hi"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * 100 AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = flow.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    outs = []
+    for k in _PERC_MULTS:
+        kept = (
+            flow.crossJoin(F.broadcast(tot))
+            .where(F.col("cents") * F.col("np") > k * F.col("t"))
+            .select("lo", "hi")
+        )
+        sym = kept.select(
+            F.col("lo").alias("src"), F.col("hi").alias("dst")
+        ).unionAll(
+            kept.select(
+                F.col("hi").alias("src"), F.col("lo").alias("dst")
+            )
+        )
+        nodes = sym.select(F.col("src").alias("v")).distinct()
+        # pointer-doubling closure: reach_0 = self + edges; square 5x
+        reach = nodes.select(
+            F.col("v").alias("src"), F.col("v").alias("dst")
+        ).unionAll(sym).distinct()
+        for _ in range(5):
+            hop = (
+                reach.alias("a")
+                .join(
+                    reach.alias("b"),
+                    F.col("a.dst") == F.col("b.src"),
+                )
+                .select(
+                    F.col("a.src").alias("src"),
+                    F.col("b.dst").alias("dst"),
+                )
+            )
+            reach = reach.unionAll(hop).distinct().localCheckpoint(
+                eager=False
+            )
+        comp = reach.groupBy("src").agg(
+            F.min("dst").cast("bigint").alias("cid")
+        )
+        sizes = comp.groupBy("cid").agg(
+            F.count(F.lit(1)).cast("bigint").alias("sz")
+        )
+        outs.append(
+            sizes.agg(
+                F.lit(k).cast("bigint").alias("k_mult"),
+                F.count(F.lit(1)).cast("bigint").alias("n_components"),
+                F.sum("sz").cast("bigint").alias("n_nodes"),
+                F.max("sz").cast("bigint").alias("giant_size"),
+                F.round(
+                    F.max("sz").cast("double") / F.sum("sz"), 6
+                ).alias("giant_frac"),
+            ).select(
+                "k_mult", "n_components", "n_nodes", "giant_size",
+                "giant_frac",
+            )
+            # a threshold that empties the graph yields a NULL global-agg
+            # row in Spark but NO group row in the oracle's GROUP BY k —
+            # drop it so both engines agree that the row set is "non-empty
+            # retained graphs only"
+            .where(F.col("n_nodes").isNotNull())
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
