@@ -7734,3 +7734,150 @@ def q_ts_rayleigh_seasonality(
         F.round(F.col("cx") / F.col("n"), 6).alias("mean_cos"),
         F.round(F.col("sy") / F.col("n"), 6).alias("mean_sin"),
     )
+
+
+# ==== wave 191b: dyadic SES grid search (TS51) ======================
+
+_SES_K = 12   # truncated-SES window (tail weight <= 2^-12 per alpha)
+
+
+def _ses_fc_expr(m: int) -> str:
+    """Truncated-SES forecast for dyadic alpha = (2^m - 1)/2^m.
+
+    alpha*(1-alpha)^j = (2^m - 1) / 2^(m*(j+1)) — every weight is an
+    integer over a power of two, so each term y*c/2^e is EXACT in
+    IEEE doubles, and the fixed left-to-right chain (identical text
+    on both engines) pins the remaining rounding order bit-for-bit.
+    """
+    # integer literals only: Spark parses a bare `3.0` as DECIMAL(2,1)
+    # and would run the whole chain in decimal arithmetic while DuckDB
+    # runs doubles — CAST(l AS DOUBLE) * int / int keeps both engines
+    # in IEEE doubles with exact power-of-two divisions.
+    c = 2 ** m - 1
+    terms = [
+        f"(CAST(l{j} AS DOUBLE) * {c} / {2 ** (m * (j + 1))})"
+        for j in range(_SES_K)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@register(
+    "q_ts_ses_grid",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        lags AS (
+            SELECT cents,
+                   {", ".join(
+                       f"LAG(cents, {j + 1}) OVER (ORDER BY d) AS l{j}"
+                       for j in range(_SES_K))}
+            FROM daily
+            QUALIFY l{_SES_K - 1} IS NOT NULL
+        ),
+        errs AS (
+            SELECT
+                {", ".join(
+                    f"CAST(SUM(CAST(floor((cents - {_ses_fc_expr(m)})"
+                    f" * (cents - {_ses_fc_expr(m)}) / 256)"
+                    f" AS BIGINT)) AS BIGINT) AS sse_{m}"
+                    for m in (1, 2, 3))},
+                CAST(COUNT(*) AS BIGINT) AS n
+            FROM lags
+        ),
+        long AS (
+            SELECT n, CAST(0.5 AS DOUBLE) AS alpha, sse_1 AS sse_q
+            FROM errs
+            UNION ALL SELECT n, CAST(0.75 AS DOUBLE), sse_2 FROM errs
+            UNION ALL SELECT n, CAST(0.875 AS DOUBLE), sse_3 FROM errs
+        )
+        SELECT alpha, n AS n_days, sse_q,
+               ROUND(sqrt(CAST(sse_q AS DOUBLE) * 256.0 / n), 4)
+                   AS rmse_cents,
+               CASE WHEN RANK() OVER (ORDER BY sse_q, alpha) = 1
+                    THEN 1 ELSE 0 END AS is_best
+        FROM long
+    """,
+    section="TS51",
+    doc="Simple-exponential-smoothing hyperparameter grid on daily "
+    "revenue, alphas restricted to the DYADIC grid {1/2, 3/4, 7/8} "
+    "so every smoothing weight alpha(1-alpha)^j = (2^m-1)/2^(m(j+1)) "
+    "is an integer over a power of two: y*c/2^e is exact in IEEE "
+    "doubles, and the forecast is a fixed left-to-right 12-term "
+    "chain whose TEXT is shared verbatim by both engines — the TS2 "
+    "power-of-two device extended from one alpha to a backtesting "
+    "grid (this is how you pick alpha in production: one pass, all "
+    "candidates, SSE per candidate, no refit loop). Truncation at "
+    "12 lags is part of the operator contract (tail weight < 2^-12)."
+    " Squared errors quantize floor(err^2/256) per row before the "
+    "int64 sum; the winner flag is a rank over 3 scalar rows. "
+    "Scale: one day-grain agg, 12 LAGs in ONE window pass, all "
+    "three alphas share the same lag columns — the grid costs no "
+    "extra shuffles.",
+)
+def q_ts_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    lags = daily.select(
+        "cents",
+        *[
+            F.lag("cents", j + 1).over(w).alias(f"l{j}")
+            for j in range(_SES_K)
+        ],
+    ).where(F.col(f"l{_SES_K - 1}").isNotNull())
+    errs = lags.agg(
+        *[
+            F.expr(
+                f"CAST(SUM(CAST(floor((cents - {_ses_fc_expr(m)})"
+                f" * (cents - {_ses_fc_expr(m)}) / 256)"
+                f" AS BIGINT)) AS BIGINT)"
+            ).alias(f"sse_{m}")
+            for m in (1, 2, 3)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    long = (
+        errs.select(
+            "n", F.lit(0.5).alias("alpha"),
+            F.col("sse_1").alias("sse_q"),
+        )
+        .unionAll(
+            errs.select(
+                "n", F.lit(0.75).alias("alpha"),
+                F.col("sse_2").alias("sse_q"),
+            )
+        )
+        .unionAll(
+            errs.select(
+                "n", F.lit(0.875).alias("alpha"),
+                F.col("sse_3").alias("sse_q"),
+            )
+        )
+    )
+    rk = F.rank().over(Window.orderBy("sse_q", "alpha"))
+    return long.select(
+        "alpha",
+        F.col("n").alias("n_days"),
+        "sse_q",
+        F.round(
+            F.sqrt(
+                F.col("sse_q").cast("double") * F.lit(256.0) / F.col("n")
+            ),
+            4,
+        ).alias("rmse_cents"),
+        F.when(rk == 1, 1).otherwise(0).alias("is_best"),
+    )

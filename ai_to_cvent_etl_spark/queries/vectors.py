@@ -4889,3 +4889,122 @@ def q_vec_knn_label_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_null, 6).alias("t_null"),
         F.round(t_obs / t_null, 6).alias("clustering_ratio"),
     )
+
+
+# ==== wave 191a: Dunn index (V42) ===================================
+
+_DUNN_CAP = 400   # corpus slice for the exact all-pairs distances
+
+from ai_to_cvent_etl_spark.queries.analytics_r2 import (  # noqa: E402
+    _KM_CTES as _DUNN_KM_CTES,
+)
+
+
+@register(
+    "q_vec_dunn_index",
+    oracle=f"""
+        WITH {{km}},
+        pts AS (
+            SELECT a2.vec_id, a2.cluster, e.embedding
+            FROM a2 JOIN embeddings e USING (vec_id)
+            WHERE a2.vec_id < {_DUNN_CAP}
+        ),
+        pd AS (
+            SELECT a.cluster AS ca, b.cluster AS cb,
+                   CAST(list_sum(list_transform(
+                        list_zip(a.embedding, b.embedding),
+                        p -> floor((CAST(p[1] AS DOUBLE)
+                                    - CAST(p[2] AS DOUBLE))
+                                   * (CAST(p[1] AS DOUBLE)
+                                      - CAST(p[2] AS DOUBLE))
+                                   * 1e12))) AS BIGINT) AS qd
+            FROM pts a JOIN pts b ON a.vec_id < b.vec_id
+        ),
+        agg AS (
+            SELECT CAST(MIN(CASE WHEN ca <> cb THEN qd END) AS BIGINT)
+                       AS min_inter,
+                   CAST(MAX(CASE WHEN ca = cb THEN qd END) AS BIGINT)
+                       AS max_intra,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM pd
+        )
+        SELECT n_pairs, min_inter, max_intra,
+               ROUND(sqrt(CAST(min_inter AS DOUBLE))
+                     / sqrt(CAST(max_intra AS DOUBLE)), 6)
+                   AS dunn_index
+        FROM agg
+    """.format(km=_DUNN_KM_CTES),
+    section="V42",
+    doc=f"Dunn index of the V6 k-means clustering (slice vec_id < "
+    f"{_DUNN_CAP}): min inter-cluster point distance / max "
+    "intra-cluster diameter — the worst-case cluster-validity "
+    "index that complements the averaged views (V23 silhouette, "
+    "V33 Calinski-Harabasz, V34 Davies-Bouldin): one pair of "
+    "touching clusters tanks Dunn even when every average looks "
+    "healthy, which is exactly the failure mode that matters for "
+    "IVF routing (V41's imbalance says cells are even; Dunn says "
+    "whether their BOUNDARIES are clean). Both extremes are exact "
+    "int64 quantized distances (V26 fold), so the index is one "
+    "sqrt ratio. Scale: all-pairs on the slice as oracle; the "
+    "full-corpus path takes min/max over IVF candidate pairs only "
+    "— extremes are trivially mergeable map-side.",
+)
+def q_vec_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.operators.kmeans import kmeans_fit_assign
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit_assign(emb, k=8, iters=2, cache_key=sf_dir)
+    pts = (
+        assigned.select("vec_id", "cluster")
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .where(F.col("vec_id") < _DUNN_CAP)
+        .select("vec_id", "cluster", "embedding")
+    )
+    a = fan_out(
+        pts.select(
+            F.col("vec_id").alias("ua"),
+            F.col("cluster").alias("ca"),
+            F.col("embedding").alias("a_emb"),
+        )
+    )
+    b = pts.select(
+        F.col("vec_id").alias("ub"),
+        F.col("cluster").alias("cb"),
+        F.col("embedding").alias("b_emb"),
+    )
+    qd = F.aggregate(
+        F.zip_with(
+            F.col("a_emb"),
+            F.col("b_emb"),
+            lambda x, y: F.floor(
+                (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double"))
+                * F.lit(1e12)
+            ).cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    ).cast("bigint")
+    pd_ = a.join(F.broadcast(b), F.col("ua") < F.col("ub")).select(
+        "ca", "cb", qd.alias("qd")
+    )
+    agg = pd_.agg(
+        F.min(F.when(F.col("ca") != F.col("cb"), F.col("qd")))
+        .cast("bigint")
+        .alias("min_inter"),
+        F.max(F.when(F.col("ca") == F.col("cb"), F.col("qd")))
+        .cast("bigint")
+        .alias("max_intra"),
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    )
+    return agg.select(
+        "n_pairs",
+        "min_inter",
+        "max_intra",
+        F.round(
+            F.sqrt(F.col("min_inter").cast("double"))
+            / F.sqrt(F.col("max_intra").cast("double")),
+            6,
+        ).alias("dunn_index"),
+    )
