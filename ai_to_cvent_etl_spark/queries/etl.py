@@ -4783,3 +4783,125 @@ def q_etl_partition_hash_chain(
         ).alias("chain_hash"),
     )
     return chain
+
+
+# ==== wave 192a: generalization utility trade-off (E53) =============
+
+
+@register(
+    "q_etl_generalization_tradeoff",
+    oracle="""
+        WITH base AS (
+            SELECT n.n_name AS nat, r.r_name AS reg, c.c_mktsegment AS seg
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        l0 AS (
+            SELECT 'L0_nation_segment' AS lvl,
+                   CAST(COUNT(*) AS BIGINT) AS s
+            FROM base GROUP BY nat, seg
+        ),
+        l1 AS (
+            SELECT 'L1_region_segment' AS lvl,
+                   CAST(COUNT(*) AS BIGINT) AS s
+            FROM base GROUP BY reg, seg
+        ),
+        l2 AS (
+            SELECT 'L2_region' AS lvl, CAST(COUNT(*) AS BIGINT) AS s
+            FROM base GROUP BY reg
+        ),
+        classes AS (
+            SELECT * FROM l0 UNION ALL
+            SELECT * FROM l1 UNION ALL
+            SELECT * FROM l2
+        ),
+        per_lvl AS (
+            SELECT lvl,
+                   CAST(COUNT(*) AS BIGINT) AS n_classes,
+                   CAST(MIN(s) AS BIGINT) AS k_min,
+                   CAST(SUM(s * s) AS BIGINT) AS discernibility,
+                   CAST(SUM(s) AS BIGINT) AS n
+            FROM classes GROUP BY lvl
+        ),
+        base_classes AS (
+            SELECT n_classes AS nc0 FROM per_lvl
+            WHERE lvl = 'L0_nation_segment'
+        )
+        SELECT p.lvl, p.n_classes, p.k_min, p.discernibility,
+               ROUND(CAST(p.n AS DOUBLE) / p.n_classes, 4)
+                   AS avg_class_size,
+               ROUND(CAST(p.n_classes AS DOUBLE) / b.nc0, 6)
+                   AS class_retention
+        FROM per_lvl p CROSS JOIN base_classes b
+    """,
+    section="E53",
+    doc="Privacy-utility trade-off of quasi-identifier "
+    "generalization: for three generalization levels of the "
+    "customer QI — (nation, segment) -> (region, segment) -> "
+    "(region) — report k_min (the k-anonymity actually achieved, "
+    "E21's metric), the discernibility cost sum(|class|^2) (the "
+    "standard re-identification risk proxy: smaller classes = more "
+    "discernible records), and class retention (how much analytic "
+    "resolution survives). This is the table a privacy review "
+    "reads to pick the COARSEST level meeting k: E21/E26/E27 "
+    "measure one scheme, this ranks the ladder. Class sizes and "
+    "sum-of-squares are exact int64; the two ratios are single "
+    "divisions. Scale: three low-cardinality aggs over one joined "
+    "frame — map-side combinable, 125-class ceiling.",
+)
+def q_etl_generalization_tradeoff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    base = (
+        cu.join(
+            F.broadcast(na), cu.c_nationkey == na.n_nationkey
+        )
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select(
+            F.col("n_name").alias("nat"),
+            F.col("r_name").alias("reg"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    lvls = [
+        ("L0_nation_segment", ["nat", "seg"]),
+        ("L1_region_segment", ["reg", "seg"]),
+        ("L2_region", ["reg"]),
+    ]
+    frames = []
+    for name, keys in lvls:
+        frames.append(
+            base.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("s"))
+            .select(F.lit(name).alias("lvl"), "s")
+        )
+    classes = frames[0]
+    for f_ in frames[1:]:
+        classes = classes.unionAll(f_)
+    per_lvl = classes.groupBy("lvl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("s").cast("bigint").alias("k_min"),
+        F.sum(F.col("s") * F.col("s"))
+        .cast("bigint")
+        .alias("discernibility"),
+        F.sum("s").cast("bigint").alias("n"),
+    )
+    base_classes = per_lvl.where(
+        F.col("lvl") == "L0_nation_segment"
+    ).select(F.col("n_classes").alias("nc0"))
+    return per_lvl.crossJoin(F.broadcast(base_classes)).select(
+        "lvl",
+        "n_classes",
+        "k_min",
+        "discernibility",
+        F.round(
+            F.col("n").cast("double") / F.col("n_classes"), 4
+        ).alias("avg_class_size"),
+        F.round(
+            F.col("n_classes").cast("double") / F.col("nc0"), 6
+        ).alias("class_retention"),
+    )

@@ -2953,3 +2953,142 @@ def q_graph_percolation_profile(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# ==== wave 192b: snowball sampling bias audit (G27) =================
+
+_SNOW_MOD = 17   # seed set: suppliers with suppkey % 17 == 0
+
+
+@register(
+    "q_graph_snowball_bias",
+    oracle=f"""
+        WITH {_EDGE_CTES},
+        sym AS (
+            SELECT lo AS src, hi AS dst FROM edges
+            UNION ALL SELECT hi, lo FROM edges
+        ),
+        nodes AS (SELECT DISTINCT src AS v FROM sym),
+        deg AS (
+            SELECT src AS v, CAST(COUNT(*) AS BIGINT) AS d
+            FROM sym GROUP BY src
+        ),
+        seeds AS (SELECT v FROM nodes WHERE v % {_SNOW_MOD} = 0),
+        hop1 AS (
+            SELECT DISTINCT e.dst AS v
+            FROM sym e JOIN seeds s ON e.src = s.v
+        ),
+        hop2 AS (
+            SELECT DISTINCT e.dst AS v
+            FROM sym e JOIN hop1 h ON e.src = h.v
+        ),
+        sample_v AS (
+            SELECT v FROM seeds UNION
+            SELECT v FROM hop1 UNION
+            SELECT v FROM hop2
+        ),
+        ind AS (
+            SELECT e.lo, e.hi FROM edges e
+            JOIN sample_v a ON a.v = e.lo
+            JOIN sample_v b ON b.v = e.hi
+        ),
+        stats AS (
+            SELECT
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_pop,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_seed,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM sample_v)
+                    AS n_sample,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM edges)
+                    AS m_pop,
+                (SELECT CAST(COUNT(*) AS BIGINT) FROM ind) AS m_sample,
+                (SELECT CAST(SUM(d.d) AS BIGINT) FROM deg d
+                 JOIN sample_v s ON s.v = d.v) AS deg_sample_pop
+        )
+        SELECT n_pop, n_seed, n_sample, m_pop, m_sample,
+               ROUND(2.0 * m_pop / n_pop, 4) AS mean_deg_pop,
+               ROUND(CAST(deg_sample_pop AS DOUBLE) / n_sample, 4)
+                   AS mean_deg_sampled_nodes,
+               ROUND(CAST(deg_sample_pop AS DOUBLE) / n_sample
+                     / (2.0 * m_pop / n_pop), 4) AS degree_bias_factor
+        FROM stats
+    """,
+    section="G27",
+    doc="Snowball-sampling bias audit on the mutual top-8 supplier "
+    "graph: take hash-deterministic seeds (suppkey % 17 = 0), "
+    "expand two BFS hops, and compare the TRUE degree of sampled "
+    "nodes against the population mean degree — the "
+    "degree_bias_factor > 1 quantifies the textbook failure of "
+    "snowball/BFS crawls (they reach high-degree nodes "
+    "preferentially), which is exactly the bias a 100 TB graph "
+    "pipeline inherits when it samples by crawling instead of "
+    "uniformly (E-family's hash sampling). All counts and degree "
+    "sums are exact int64; the two hops are two joins against the "
+    "symmetric edge list, and DISTINCT-by-node keeps frontier "
+    "growth bounded by |V|. Scale: the sample is node-keyed "
+    "(16-byte rows), never the payload; bias math is scalar.",
+)
+def q_graph_snowball_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _mutual_affinity_edges(spark, sf_dir)
+    sym = edges.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(
+        edges.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    deg = sym.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    seeds = nodes.where(F.col("v") % _SNOW_MOD == 0)
+    hop1 = (
+        sym.join(seeds.select(F.col("v").alias("src")), "src")
+        .select(F.col("dst").alias("v"))
+        .distinct()
+    )
+    hop2 = (
+        sym.join(
+            hop1.select(F.col("v").alias("src")), "src"
+        )
+        .select(F.col("dst").alias("v"))
+        .distinct()
+    )
+    sample_v = seeds.union(hop1).union(hop2).distinct()
+    ind = (
+        edges.join(sample_v.select(F.col("v").alias("lo")), "lo")
+        .join(sample_v.select(F.col("v").alias("hi")), "hi")
+    )
+    n_pop = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n_pop"))
+    n_seed = seeds.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_seed")
+    )
+    n_sample = sample_v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample")
+    )
+    m_pop = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m_pop"))
+    m_sample = ind.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m_sample")
+    )
+    deg_samp = (
+        deg.join(sample_v, "v")
+        .agg(F.sum("d").cast("bigint").alias("deg_sample_pop"))
+    )
+    out = (
+        n_pop.crossJoin(F.broadcast(n_seed))
+        .crossJoin(F.broadcast(n_sample))
+        .crossJoin(F.broadcast(m_pop))
+        .crossJoin(F.broadcast(m_sample))
+        .crossJoin(F.broadcast(deg_samp))
+    )
+    mean_pop = F.lit(2.0) * F.col("m_pop") / F.col("n_pop")
+    mean_samp = (
+        F.col("deg_sample_pop").cast("double") / F.col("n_sample")
+    )
+    return out.select(
+        "n_pop",
+        "n_seed",
+        "n_sample",
+        "m_pop",
+        "m_sample",
+        F.round(mean_pop, 4).alias("mean_deg_pop"),
+        F.round(mean_samp, 4).alias("mean_deg_sampled_nodes"),
+        F.round(mean_samp / mean_pop, 4).alias("degree_bias_factor"),
+    )
