@@ -2708,3 +2708,93 @@ def q_text_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chao1, 4).alias("chao1"),
         F.round(unseen / chao1, 6).alias("unseen_share"),
     )
+
+
+# ==== wave 193a: Hill diversity profile of the source mix (L33) =====
+
+
+@register(
+    "q_text_hill_diversity",
+    oracle="""
+        WITH mass AS (
+            SELECT source,
+                   CAST(SUM(len(list_filter(string_split(text, ' '),
+                                t -> t <> ''))) AS BIGINT) AS m
+            FROM documents GROUP BY source
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS s,
+                   CAST(SUM(m) AS BIGINT) AS mm,
+                   CAST(SUM(m * m) AS BIGINT) AS m2,
+                   CAST(SUM(CAST(floor(1e6 * m * ln(CAST(m AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS mlnm
+            FROM mass
+        )
+        SELECT s AS n_sources, mm AS total_tokens,
+               CAST(s AS DOUBLE) AS hill_q0,
+               ROUND(exp(ln(CAST(mm AS DOUBLE))
+                     - CAST(mlnm AS DOUBLE) / 1e6 / mm), 4) AS hill_q1,
+               ROUND(CAST(mm AS DOUBLE) * mm / m2, 4) AS hill_q2,
+               ROUND(exp(ln(CAST(mm AS DOUBLE))
+                     - CAST(mlnm AS DOUBLE) / 1e6 / mm)
+                     / s, 6) AS evenness
+        FROM agg
+    """,
+    section="L33",
+    doc="Hill-number diversity profile of the pretraining source mix "
+    "by token mass: q=0 source richness, q=1 exp(Shannon) = the "
+    "'effective number of sources' under proportional weighting, "
+    "q=2 inverse Simpson = effective sources under "
+    "dominance-sensitive weighting — THE data-mixture diversity "
+    "readout (a 20-source corpus where one source holds 80% of "
+    "tokens has hill_q2 ~ 1.5, and mixture papers report exactly "
+    "this collapse); L16 plans a target mix, this measures the mix "
+    "you actually have, and evenness = q1/q0 is the single scalar "
+    "to alert on. Token masses are exact int64; the Shannon sum "
+    "quantizes floor(1e6 * m ln m) per source BEFORE summing "
+    "(20 bounded terms, V39 device), and q2 is pure integer "
+    "algebra. Scale: one source-grain agg over token counts — "
+    "map-side combinable, 20 rows of state.",
+)
+def q_text_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(
+        F.sum(
+            F.size(
+                F.filter(
+                    F.split(F.col("text"), " "),
+                    lambda t: t != "",
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("m")
+    )
+    agg = mass.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s"),
+        F.sum("m").cast("bigint").alias("mm"),
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("m2"),
+        F.sum(
+            F.floor(
+                F.lit(1e6)
+                * F.col("m")
+                * F.log(F.col("m").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("mlnm"),
+    )
+    h1 = F.exp(
+        F.log(F.col("mm").cast("double"))
+        - F.col("mlnm").cast("double") / F.lit(1e6) / F.col("mm")
+    )
+    return agg.select(
+        F.col("s").alias("n_sources"),
+        F.col("mm").alias("total_tokens"),
+        F.col("s").cast("double").alias("hill_q0"),
+        F.round(h1, 4).alias("hill_q1"),
+        F.round(
+            F.col("mm").cast("double") * F.col("mm") / F.col("m2"), 4
+        ).alias("hill_q2"),
+        F.round(h1 / F.col("s"), 6).alias("evenness"),
+    )

@@ -5008,3 +5008,120 @@ def q_vec_dunn_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dunn_index"),
     )
+
+
+# ==== wave 193b: participation ratio of per-dim variances (V43) =====
+
+
+@register(
+    "q_vec_participation_ratio",
+    oracle="""
+        WITH comps AS (
+            SELECT u.pos AS dim,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(u.q) AS BIGINT) AS s,
+                   CAST(SUM(u.q * u.q) AS BIGINT) AS qq
+            FROM (
+                SELECT unnest(list_transform(embedding,
+                       (x, i) -> struct_pack(
+                           q := CAST(floor(CAST(x AS DOUBLE) * 1000000.0)
+                                     AS BIGINT),
+                           pos := i))) AS u
+                FROM embeddings
+            )
+            GROUP BY u.pos
+        ),
+        vars AS (
+            SELECT dim,
+                   (CAST(qq AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / n) / n AS v
+            FROM comps
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS d,
+                   CAST(SUM(CAST(floor(v) AS BIGINT)) AS BIGINT) AS sv,
+                   CAST(SUM(CAST(floor(v / 1e6) AS BIGINT)
+                            * CAST(floor(v / 1e6) AS BIGINT))
+                        AS BIGINT) AS sv2
+            FROM vars
+        )
+        SELECT d AS n_dims,
+               ROUND(CAST(sv AS DOUBLE) / 1e12, 6) AS total_var,
+               ROUND(CAST(sv AS DOUBLE) / 1e12 * (CAST(sv AS DOUBLE)
+                     / 1e12) / (CAST(sv2 AS DOUBLE) / 1e12), 4)
+                   AS participation_ratio,
+               ROUND(CAST(sv AS DOUBLE) * sv / sv2 / 1e12 / d, 6)
+                   AS pr_fraction
+        FROM agg
+    """,
+    section="V43",
+    doc="Participation ratio of per-dimension variances: PR = "
+    "(sum v_d)^2 / sum v_d^2 — the effective number of dimensions "
+    "the embedding actually uses (isotropic Gaussian -> PR = d; a "
+    "collapsed representation -> PR << d), the cheap anisotropy "
+    "diagnostic representation-learning papers report next to the "
+    "eigen-spectrum, and unlike V16/V22's power-iteration PCA it "
+    "needs NO iteration: only the per-dimension second moments. "
+    "Embedding components quantize floor(x*1e6) to int64 first, so "
+    "per-dim sums and sums-of-squares are exact; per-dim variances "
+    "re-quantize (floor(v) for the sum, floor(v/1e6) for the "
+    "squares, keeping sv2 within int64 at any corpus size) before "
+    "the 64-term reduction — no double accumulation order anywhere. "
+    "Scale: one (dim)-keyed agg after a map-side explode — 64 rows "
+    "of state; at 100 TB this is the cheapest representation-health "
+    "probe there is.",
+)
+def q_vec_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = (
+        emb.select(
+            F.posexplode(
+                F.transform(
+                    F.col("embedding"),
+                    lambda x: F.floor(
+                        x.cast("double") * F.lit(1000000.0)
+                    ).cast("bigint"),
+                )
+            ).alias("pos0", "q")
+        )
+        .select((F.col("pos0") + 1).alias("dim"), "q")
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("q").cast("bigint").alias("s"),
+            F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qq"),
+        )
+    )
+    v = (
+        F.col("qq").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.col("n")
+    vars_ = comps.select("dim", v.alias("v"))
+    agg = vars_.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d"),
+        F.sum(F.floor(F.col("v")).cast("bigint"))
+        .cast("bigint")
+        .alias("sv"),
+        F.sum(
+            F.floor(F.col("v") / F.lit(1e6)).cast("bigint")
+            * F.floor(F.col("v") / F.lit(1e6)).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sv2"),
+    )
+    sv_d = F.col("sv").cast("double")
+    return agg.select(
+        F.col("d").alias("n_dims"),
+        F.round(sv_d / F.lit(1e12), 6).alias("total_var"),
+        F.round(
+            sv_d / F.lit(1e12) * (sv_d / F.lit(1e12))
+            / (F.col("sv2").cast("double") / F.lit(1e12)),
+            4,
+        ).alias("participation_ratio"),
+        F.round(
+            sv_d * F.col("sv") / F.col("sv2") / F.lit(1e12) / F.col("d"),
+            6,
+        ).alias("pr_fraction"),
+    )
