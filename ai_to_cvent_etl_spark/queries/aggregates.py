@@ -16151,3 +16151,135 @@ def q_agg_nemenyi_posthoc(
         F.round(cd, 4).alias("critical_difference"),
         F.when(diff > cd, 1).otherwise(0).alias("significant"),
     )
+
+
+# ==== wave 194a: Moran's I spatial autocorrelation ==================
+
+
+@register(
+    "q_agg_morans_i",
+    oracle="""
+        WITH natrev AS (
+            SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM natrev
+        ),
+        cent AS (
+            SELECT nk, rk,
+                   CAST(sc.n AS HUGEINT) * x - sc.s AS u
+            FROM natrev CROSS JOIN scal sc
+        ),
+        cross_terms AS (
+            SELECT SUM(a.u * b.u) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS w0
+            FROM cent a JOIN cent b
+              ON a.rk = b.rk AND a.nk <> b.nk
+        ),
+        selfsq AS (
+            SELECT SUM(u * u) AS den FROM cent
+        )
+        SELECT sc.n, ct.w0,
+               ROUND(CAST(sc.n AS DOUBLE) / ct.w0
+                     * (CAST(ct.num // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(ct.num % 4294967296 AS DOUBLE))
+                     / (CAST(ss.den // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(ss.den % 4294967296 AS DOUBLE)), 6)
+                   AS morans_i,
+               ROUND(-1.0 / (sc.n - 1), 6) AS e_null
+        FROM cross_terms ct CROSS JOIN selfsq ss CROSS JOIN scal sc
+    """,
+    section="A166",
+    doc="Moran's I spatial autocorrelation of nation revenue with "
+    "same-region contiguity weights: I = (n/W0) * sum_ij w_ij z_i "
+    "z_j / sum z_i^2 — THE spatial-clustering statistic (do "
+    "neighboring economies move together?), with null expectation "
+    "-1/(n-1), a question A20-style grouped means can't pose "
+    "because it's about the CROSS terms. Determinism: center by "
+    "u_i = n*x_i - S (exact int128 — the n-scaling cancels in the "
+    "ratio), cross products u_i u_j ~ 1e24 accumulate in "
+    "HUGEINT/DECIMAL(38,0), both sums rebuild through the A26 hi/lo "
+    "device, and the weight matrix never materializes — the "
+    "same-region self-join IS w_ij = 1. Scale: facts collapse to "
+    "25 nation rows first; the spatial join is 25x25 within region "
+    "blocks.",
+)
+def q_agg_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    natrev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    scal = natrev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cent = natrev.crossJoin(F.broadcast(scal)).select(
+        "nk",
+        "rk",
+        "n",
+        (
+            F.col("n").cast(DecimalType(38, 0)) * F.col("x")
+            - F.col("s")
+        ).alias("u"),
+    )
+    a = cent.select(
+        F.col("rk").alias("rk"), F.col("nk").alias("nka"),
+        F.col("u").alias("ua"),
+    )
+    b = cent.select(
+        F.col("rk").alias("rk"), F.col("nk").alias("nkb"),
+        F.col("u").alias("ub"),
+    )
+    cross_terms = (
+        a.join(b, "rk")
+        .where(F.col("nka") != F.col("nkb"))
+        .agg(
+            F.sum(F.col("ua") * F.col("ub")).alias("num"),
+            F.count(F.lit(1)).cast("bigint").alias("w0"),
+        )
+    )
+    selfsq = cent.agg(F.sum(F.col("u") * F.col("u")).alias("den"))
+    out = (
+        cross_terms.crossJoin(F.broadcast(selfsq))
+        .crossJoin(F.broadcast(scal))
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    return out.select(
+        "n",
+        "w0",
+        F.round(
+            F.col("n").cast("double") / F.col("w0")
+            * F.expr(hi_lo.format("num"))
+            / F.expr(hi_lo.format("den")),
+            6,
+        ).alias("morans_i"),
+        F.round(F.lit(-1.0) / (F.col("n") - 1), 6).alias("e_null"),
+    )
