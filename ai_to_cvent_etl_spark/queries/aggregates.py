@@ -16283,3 +16283,83 @@ def q_agg_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("morans_i"),
         F.round(F.lit(-1.0) / (F.col("n") - 1), 6).alias("e_null"),
     )
+
+
+# ==== wave 195a: Hoover (Robin Hood) index ==========================
+
+
+@register(
+    "q_agg_hoover_index",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS x
+            FROM orders GROUP BY o_custkey
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS t
+            FROM rev
+        ),
+        dev AS (
+            SELECT SUM(ABS(CAST(s.n AS HUGEINT) * r.x - s.t)) AS sad,
+                   CAST(MAX(s.n) AS BIGINT) AS n,
+                   CAST(MAX(s.t) AS BIGINT) AS t
+            FROM rev r CROSS JOIN scal s
+        )
+        SELECT n, t AS total_cents,
+               ROUND((CAST(sad // 4294967296 AS DOUBLE) * 4294967296.0
+                      + CAST(sad % 4294967296 AS DOUBLE))
+                     / (2.0 * CAST(n AS DOUBLE) * t), 6)
+                   AS hoover_index
+        FROM dev
+    """,
+    section="A167",
+    doc="Hoover (Robin Hood) index of customer revenue "
+    "concentration: H = (1/2) sum |x_i/T - 1/n| — the fraction of "
+    "total revenue that would have to be REDISTRIBUTED for "
+    "perfect equality, the operational reading A29's Gini lacks "
+    "(Gini is a rank-area abstraction; Hoover is 'move 23% of the "
+    "dollars'), and equals the maximum vertical Lorenz-diagonal "
+    "gap. Cross-multiplying clears every fraction: sum |n*x_i - T| "
+    "runs in int128 (n*x ~ 1e16 at sf0.1) and rebuilds via the A26 "
+    "hi/lo device into ONE division by 2nT. Scale: one customer "
+    "agg, one scalar broadcast, one map-side absolute-deviation "
+    "reduction.",
+)
+def q_agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rev = od.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+            " AS BIGINT)"
+        ).alias("x")
+    )
+    scal = rev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("t"),
+    )
+    dev = rev.crossJoin(F.broadcast(scal)).agg(
+        F.sum(
+            F.abs(
+                F.col("n").cast(DecimalType(38, 0)) * F.col("x")
+                - F.col("t")
+            )
+        ).alias("sad"),
+        F.max("n").cast("bigint").alias("n"),
+        F.max("t").cast("bigint").alias("t"),
+    )
+    hi_lo = (
+        "cast(sad div 4294967296 as double) * 4294967296.0d"
+        " + cast(sad % 4294967296 as double)"
+    )
+    return dev.select(
+        "n",
+        F.col("t").alias("total_cents"),
+        F.round(
+            F.expr(hi_lo)
+            / (F.lit(2.0) * F.col("n").cast("double") * F.col("t")),
+            6,
+        ).alias("hoover_index"),
+    )

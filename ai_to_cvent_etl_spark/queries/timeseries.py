@@ -8012,3 +8012,118 @@ def q_ts_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("poisson_like"))
         .alias("verdict"),
     )
+
+
+# ==== wave 195b: Allan variance curve (TS53) ========================
+
+
+@register(
+    "q_ts_allan_variance",
+    oracle=f"""
+        WITH hrs AS (
+            SELECT CAST(date_diff('hour', TIMESTAMP '2024-01-01',
+                        ts) AS BIGINT) AS hr
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01'
+              AND date_diff('hour', TIMESTAMP '2024-01-01', ts) < 720
+        ),
+        ws AS (SELECT unnest([1, 4, 24]) AS w),
+        blocks AS (
+            SELECT w.w, t.i AS b
+            FROM ws w, range(0, 720) t(i)
+            WHERE t.i < 720 // w.w
+        ),
+        counts AS (
+            SELECT b.w, b.b, CAST(COUNT(h.hr) AS BIGINT) AS c
+            FROM blocks b
+            LEFT JOIN hrs h ON h.hr // b.w = b.b
+            GROUP BY b.w, b.b
+        ),
+        diffs AS (
+            SELECT w,
+                   CAST(c - LAG(c) OVER (PARTITION BY w ORDER BY b)
+                        AS BIGINT) AS d
+            FROM counts
+            QUALIFY d IS NOT NULL
+        ),
+        mom AS (
+            SELECT w,
+                   CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(d * d) AS BIGINT) AS sdd
+            FROM diffs GROUP BY w
+        )
+        SELECT CAST(w AS BIGINT) AS tau_hours, m AS n_diffs,
+               ROUND(CAST(sdd AS DOUBLE) / (2.0 * m), 6) AS allan_var,
+               ROUND(sqrt(CAST(sdd AS DOUBLE) / (2.0 * m)), 6)
+                   AS allan_dev
+        FROM mom
+    """,
+    section="TS53",
+    doc="Allan variance curve of hourly event counts at tau = "
+    "{1, 4, 24} hours: AVAR(tau) = E[(c_(k+1) - c_k)^2]/2 over "
+    "adjacent non-overlapping windows — the metrology-standard "
+    "drift-vs-noise separator (white noise: AVAR ~ mean, flat "
+    "Allan deviation in relative terms; rate DRIFT makes AVAR grow "
+    "with tau — the slope distinguishes failure modes where plain "
+    "variance cannot, because Allan differencing cancels any "
+    "constant level exactly). Shares TS52's generated-zero-block "
+    "device (empty hours are real zeros), adjacent diffs are exact "
+    "int64 via one LAG per tau, and the only doubles are the final "
+    "two divisions. Scale: hour-grain map + per-tau lag windows "
+    "over at most 720 rows of state.",
+)
+def q_ts_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hrs = ev.select(
+        (
+            (
+                F.unix_micros("ts")
+                - F.unix_micros(
+                    F.lit("2024-01-01 00:00:00").cast("timestamp")
+                )
+            )
+            / F.lit(3600000000)
+        )
+        .cast("bigint")
+        .alias("hr")
+    ).where((F.col("hr") >= 0) & (F.col("hr") < 720))
+    outs = []
+    for w in [1, 4, 24]:
+        nb = 720 // w
+        blocks = spark.range(nb).select(F.col("id").alias("b"))
+        counts = blocks.join(
+            hrs.select(F.expr(f"hr div {w}").alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c0")),
+            "b",
+            "left",
+        ).select(
+            "b", F.coalesce(F.col("c0"), F.lit(0)).alias("c")
+        )
+        wd = Window.orderBy("b")
+        diffs = counts.select(
+            (F.col("c") - F.lag("c").over(wd))
+            .cast("bigint")
+            .alias("d")
+        ).where(F.col("d").isNotNull())
+        outs.append(
+            diffs.agg(
+                F.lit(w).cast("bigint").alias("tau_hours"),
+                F.count(F.lit(1)).cast("bigint").alias("n_diffs"),
+                F.sum(F.col("d") * F.col("d"))
+                .cast("bigint")
+                .alias("sdd"),
+            )
+        )
+    mom = outs[0]
+    for o in outs[1:]:
+        mom = mom.unionAll(o)
+    avar = F.col("sdd").cast("double") / (
+        F.lit(2.0) * F.col("n_diffs")
+    )
+    return mom.select(
+        "tau_hours",
+        "n_diffs",
+        F.round(avar, 6).alias("allan_var"),
+        F.round(F.sqrt(avar), 6).alias("allan_dev"),
+    )
