@@ -16363,3 +16363,134 @@ def q_agg_hoover_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("hoover_index"),
     )
+
+
+# ==== wave 196a: Geary's C spatial contiguity ratio =================
+
+
+@register(
+    "q_agg_geary_c",
+    oracle="""
+        WITH natrev AS (
+            SELECT n.n_nationkey AS nk, n.n_regionkey AS rk,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM natrev
+        ),
+        num AS (
+            SELECT SUM(CAST(a.x - b.x AS HUGEINT) * (a.x - b.x))
+                       AS sqd,
+                   CAST(COUNT(*) AS BIGINT) AS w0
+            FROM natrev a JOIN natrev b
+              ON a.rk = b.rk AND a.nk <> b.nk
+        ),
+        den AS (
+            SELECT SUM((CAST(sc.n AS HUGEINT) * r.x - sc.s)
+                       * (CAST(sc.n AS HUGEINT) * r.x - sc.s)) AS ssq
+            FROM natrev r CROSS JOIN scal sc
+        )
+        SELECT sc.n, nu.w0,
+               ROUND((sc.n - 1.0) * CAST(sc.n AS DOUBLE) * sc.n
+                     * (CAST(nu.sqd // 4294967296 AS DOUBLE)
+                        * 4294967296.0
+                        + CAST(nu.sqd % 4294967296 AS DOUBLE))
+                     / (2.0 * nu.w0
+                        * (CAST(de.ssq // 4294967296 AS DOUBLE)
+                           * 4294967296.0
+                           + CAST(de.ssq % 4294967296 AS DOUBLE))), 6)
+                   AS geary_c
+        FROM num nu CROSS JOIN den de CROSS JOIN scal sc
+    """,
+    section="A168",
+    doc="Geary's C contiguity ratio on nation revenue with "
+    "same-region weights: C = (n-1) sum w_ij (x_i - x_j)^2 / "
+    "(2 W0 sum (x_i - xbar)^2) — Moran's I (A166) measures "
+    "covariance-style clustering, Geary measures PAIRWISE "
+    "difference and is more sensitive to local structure; "
+    "reporting both (I high + C low = global cluster; I ~ 0 + "
+    "C < 1 = local pockets) is standard spatial-stats practice. "
+    "The numerator needs NO centering ((x_i - x_j)^2 is "
+    "translation-invariant, exact int128); the denominator reuses "
+    "A166's u = n*x - S integer centering (the n^2 it introduces "
+    "is multiplied back in the C expression). Both sums rebuild "
+    "via A26 hi/lo. Scale: same 25-row nation quotient + "
+    "region-block self-join as A166.",
+)
+def q_agg_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    natrev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    scal = natrev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    a = natrev.select(
+        F.col("rk"), F.col("nk").alias("nka"), F.col("x").alias("xa")
+    )
+    b = natrev.select(
+        F.col("rk"), F.col("nk").alias("nkb"), F.col("x").alias("xb")
+    )
+    num = (
+        a.join(b, "rk")
+        .where(F.col("nka") != F.col("nkb"))
+        .agg(
+            F.sum(
+                (F.col("xa") - F.col("xb")).cast(DecimalType(38, 0))
+                * (F.col("xa") - F.col("xb"))
+            ).alias("sqd"),
+            F.count(F.lit(1)).cast("bigint").alias("w0"),
+        )
+    )
+    u = (
+        F.col("n").cast(DecimalType(38, 0)) * F.col("x") - F.col("s")
+    )
+    den = natrev.crossJoin(F.broadcast(scal)).agg(
+        F.sum(u * u).alias("ssq")
+    )
+    out = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(scal))
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    return out.select(
+        "n",
+        "w0",
+        F.round(
+            (F.col("n") - F.lit(1.0))
+            * F.col("n").cast("double") * F.col("n")
+            * F.expr(hi_lo.format("sqd"))
+            / (
+                F.lit(2.0) * F.col("w0")
+                * F.expr(hi_lo.format("ssq"))
+            ),
+            6,
+        ).alias("geary_c"),
+    )

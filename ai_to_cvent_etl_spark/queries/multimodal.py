@@ -477,3 +477,104 @@ def q_multimodal_shard_packing(
             F.sum("b").cast("double") / F.lit(float(_SHARD_CAP)), 6
         ).alias("fill_ratio"),
     )
+
+
+# ==== wave 196b: payload byte-entropy sniffing (M9) =================
+
+
+@register(
+    "q_multimodal_byte_entropy",
+    oracle="""
+        WITH hx AS (
+            SELECT source, upper(hex(encode(text))) AS h
+            FROM documents
+        ),
+        bytes AS (
+            SELECT source, unnest(regexp_extract_all(h, '..')) AS byt
+            FROM hx
+        ),
+        hist AS (
+            SELECT source, byt, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bytes GROUP BY source, byt
+        ),
+        ent AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_distinct_bytes,
+                   CAST(SUM(c) AS BIGINT) AS n_bytes,
+                   CAST(SUM(CAST(floor(1e6 * c * ln(CAST(c AS DOUBLE)))
+                        AS BIGINT)) AS BIGINT) AS clnc
+            FROM hist GROUP BY source
+        )
+        SELECT source, n_bytes, n_distinct_bytes,
+               ROUND((ln(CAST(n_bytes AS DOUBLE))
+                      - CAST(clnc AS DOUBLE) / 1e6 / n_bytes)
+                     / ln(2.0), 4) AS byte_entropy_bits,
+               CASE WHEN (ln(CAST(n_bytes AS DOUBLE))
+                          - CAST(clnc AS DOUBLE) / 1e6 / n_bytes)
+                         / ln(2.0) > 7.0
+                    THEN 'compressed_or_encrypted'
+                    WHEN (ln(CAST(n_bytes AS DOUBLE))
+                          - CAST(clnc AS DOUBLE) / 1e6 / n_bytes)
+                         / ln(2.0) > 4.5
+                    THEN 'binary_like'
+                    ELSE 'text_like' END AS media_guess
+        FROM ent
+    """,
+    section="M9",
+    doc="Byte-level Shannon entropy of binary payloads per source: "
+    "hex-encode the payload, histogram the 256 byte values, and "
+    "report entropy in bits/byte — the standard content-sniffing "
+    "signal a multimodal router applies BEFORE attempting a decode "
+    "(>7 bits ~ compressed/encrypted, 4.5-7 general binary, below 4.5 text; "
+    "plain English sits near 4.1), complementing M5's magic-byte "
+    "routing for payloads with no recognizable header. The "
+    "histogram is exact int64 counts; the entropy sum quantizes "
+    "floor(1e6 * c ln c) per byte value (<= 256 bounded terms, "
+    "V39 device) and rebuilds as (ln N - sum/(1e6 N))/ln 2. "
+    "Payload bytes explode to (source, byte) pairs ONCE — 2 "
+    "hex chars per byte, map-side — and never shuffle again after "
+    "the 256-cell histogram. Scale: histogram state is 20x256 "
+    "cells regardless of corpus size.",
+)
+def q_multimodal_byte_entropy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hx = attach_payload(docs).select(
+        "doc_id",
+        F.upper(F.hex(F.col("payload"))).alias("h"),
+    ).join(docs.select("doc_id", "source"), "doc_id")
+    bytes_ = hx.select(
+        "source",
+        F.explode(F.expr("regexp_extract_all(h, '..', 0)")).alias(
+            "byt"
+        ),
+    )
+    hist = bytes_.groupBy("source", "byt").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    ent = hist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_bytes"),
+        F.sum("c").cast("bigint").alias("n_bytes"),
+        F.sum(
+            F.floor(
+                F.lit(1e6) * F.col("c") * F.log(F.col("c").cast("double"))
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("clnc"),
+    )
+    h_bits = (
+        F.log(F.col("n_bytes").cast("double"))
+        - F.col("clnc").cast("double") / F.lit(1e6) / F.col("n_bytes")
+    ) / F.log(F.lit(2.0))
+    return ent.select(
+        "source",
+        "n_bytes",
+        "n_distinct_bytes",
+        F.round(h_bits, 4).alias("byte_entropy_bits"),
+        F.when(h_bits > F.lit(7.0), F.lit("compressed_or_encrypted"))
+        .when(h_bits > F.lit(4.5), F.lit("binary_like"))
+        .otherwise(F.lit("text_like"))
+        .alias("media_guess"),
+    )
