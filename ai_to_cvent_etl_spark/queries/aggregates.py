@@ -16494,3 +16494,237 @@ def q_agg_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("geary_c"),
     )
+
+
+# ==== wave 197a: local Moran's I hotspot map (LISA) =================
+
+
+@register(
+    "q_agg_local_moran_hotspots",
+    oracle="""
+        WITH natrev AS (
+            SELECT n.n_name AS nation, n.n_nationkey AS nk,
+                   n.n_regionkey AS rk,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS x
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2, 3
+        ),
+        scal AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s
+            FROM natrev
+        ),
+        cent AS (
+            SELECT nation, nk, rk,
+                   CAST(sc.n AS HUGEINT) * x - sc.s AS u
+            FROM natrev CROSS JOIN scal sc
+        ),
+        lagged AS (
+            SELECT a.nation, a.nk, a.u,
+                   SUM(b.u) AS lag_u,
+                   CAST(COUNT(b.nk) AS BIGINT) AS n_neigh
+            FROM cent a JOIN cent b
+              ON a.rk = b.rk AND a.nk <> b.nk
+            GROUP BY a.nation, a.nk, a.u
+        )
+        SELECT nation, n_neigh,
+               CASE WHEN u > 0 AND lag_u > 0 THEN 'HH'
+                    WHEN u < 0 AND lag_u < 0 THEN 'LL'
+                    WHEN u > 0 AND lag_u <= 0 THEN 'HL'
+                    ELSE 'LH' END AS quadrant,
+               CASE WHEN (u > 0 AND lag_u > 0)
+                      OR (u < 0 AND lag_u < 0) THEN 1 ELSE 0 END
+                   AS is_cluster
+        FROM lagged
+    """,
+    section="A169",
+    doc="Local Moran (LISA) hotspot map per nation with same-region "
+    "neighbors: classify each nation by the sign pair of its own "
+    "centered revenue u and its neighbors' sum — HH (hot spot), LL "
+    "(cold spot), HL/LH (spatial outliers) — the per-unit "
+    "decomposition of A166's global I, and the map an analyst "
+    "actually acts on ('WHICH markets cluster', not 'is there "
+    "clustering'). The u = n*x - S integer centering makes both "
+    "signs exact int128 comparisons — no variance normalization "
+    "is needed for the quadrant, so the whole classification is "
+    "integer arithmetic (the magnitude-normalized I_i would add "
+    "nothing to the labels). Scale: 25-row quotient, region-block "
+    "self-join, group back to the unit.",
+)
+def q_agg_local_moran_hotspots(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    natrev = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("n_nationkey").alias("nk"),
+            F.col("n_regionkey").alias("rk"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("x")
+        )
+    )
+    scal = natrev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+    )
+    cent = natrev.crossJoin(F.broadcast(scal)).select(
+        "nation",
+        "nk",
+        "rk",
+        (
+            F.col("n").cast(DecimalType(38, 0)) * F.col("x")
+            - F.col("s")
+        ).alias("u"),
+    )
+    b = cent.select(
+        F.col("rk"), F.col("nk").alias("nkb"), F.col("u").alias("ub")
+    )
+    lagged = (
+        cent.join(b, "rk")
+        .where(F.col("nk") != F.col("nkb"))
+        .groupBy("nation", "nk", "u")
+        .agg(
+            F.sum("ub").alias("lag_u"),
+            F.count("nkb").cast("bigint").alias("n_neigh"),
+        )
+    )
+    return lagged.select(
+        "nation",
+        "n_neigh",
+        F.when(
+            (F.col("u") > 0) & (F.col("lag_u") > 0), F.lit("HH")
+        )
+        .when((F.col("u") < 0) & (F.col("lag_u") < 0), F.lit("LL"))
+        .when((F.col("u") > 0) & (F.col("lag_u") <= 0), F.lit("HL"))
+        .otherwise(F.lit("LH"))
+        .alias("quadrant"),
+        F.when(
+            ((F.col("u") > 0) & (F.col("lag_u") > 0))
+            | ((F.col("u") < 0) & (F.col("lag_u") < 0)),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_cluster"),
+    )
+
+
+# ==== wave 197b: Gallagher disproportionality index =================
+
+
+@register(
+    "q_agg_gallagher_index",
+    oracle="""
+        WITH per_nation AS (
+            SELECT n.n_nationkey AS nk,
+                   CAST(COUNT(*) AS BIGINT) AS orders_n,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(orders_n) AS BIGINT) AS tn,
+                   CAST(SUM(cents) AS BIGINT) AS tc,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM per_nation
+        ),
+        gaps AS (
+            SELECT p.nk,
+                   CAST(p.orders_n AS DOUBLE) / t.tn
+                   - CAST(p.cents AS DOUBLE) / t.tc AS gap
+            FROM per_nation p CROSS JOIN tot t
+        ),
+        agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(floor(1e12 * gap * gap) AS BIGINT))
+                        AS BIGINT) AS sq
+            FROM gaps
+        )
+        SELECT k AS n_nations,
+               ROUND(100.0 * sqrt(CAST(sq AS DOUBLE) / 1e12 / 2.0), 6)
+                   AS gallagher_pct,
+               ROUND(CAST(sq AS DOUBLE) / 1e12, 8) AS sum_sq_gap
+        FROM agg
+    """,
+    section="A170",
+    doc="Gallagher (least-squares) disproportionality index between "
+    "each nation's ORDER-COUNT share and its REVENUE share: LSq = "
+    "sqrt(sum (v_i - s_i)^2 / 2) * 100 — the political-science "
+    "seats-vs-votes index repurposed as a volume-vs-value "
+    "misalignment audit (a nation with 10% of orders but 20% of "
+    "revenue is a 'over-represented' premium market; A24's HHI "
+    "sees concentration, not MISALIGNMENT between two share "
+    "vectors). Shares are single divisions of exact int64 totals; "
+    "each squared gap quantizes floor(1e12 * gap^2) BEFORE the "
+    "25-term sum (V39 device), then one sqrt. Scale: one nation "
+    "agg + scalar broadcast — constant state.",
+)
+def q_agg_gallagher_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_nationkey").alias("nk"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("orders_n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    tot = per_nation.agg(
+        F.sum("orders_n").cast("bigint").alias("tn"),
+        F.sum("cents").cast("bigint").alias("tc"),
+    )
+    gaps = per_nation.crossJoin(F.broadcast(tot)).select(
+        (
+            F.col("orders_n").cast("double") / F.col("tn")
+            - F.col("cents").cast("double") / F.col("tc")
+        ).alias("gap")
+    )
+    agg = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(
+            F.floor(
+                F.lit(1e12) * F.col("gap") * F.col("gap")
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    return agg.select(
+        F.col("k").alias("n_nations"),
+        F.round(
+            F.lit(100.0)
+            * F.sqrt(
+                F.col("sq").cast("double") / F.lit(1e12) / F.lit(2.0)
+            ),
+            6,
+        ).alias("gallagher_pct"),
+        F.round(F.col("sq").cast("double") / F.lit(1e12), 8).alias(
+            "sum_sq_gap"
+        ),
+    )
