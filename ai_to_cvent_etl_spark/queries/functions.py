@@ -1231,3 +1231,114 @@ def q_graph_distance_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             s="f31_supplier",
         )
     )
+
+
+# ==== wave 198b: messy-timestamp coercion waterfall (F33) ===========
+
+
+@register(
+    "q_func_timestamp_waterfall",
+    oracle="""
+        WITH messy AS (
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS truth,
+                   CASE o_orderkey % 3
+                     WHEN 0 THEN strftime(CAST(o_orderdate AS DATE),
+                                          '%Y-%m-%d')
+                     WHEN 1 THEN strftime(CAST(o_orderdate AS DATE),
+                                          '%d/%m/%Y')
+                     ELSE strftime(CAST(o_orderdate AS DATE),
+                                   '%Y%m%d')
+                   END AS raw
+            FROM orders
+        ),
+        parsed AS (
+            SELECT o_orderkey, truth,
+                   COALESCE(
+                       TRY_CAST(try_strptime(raw, '%Y-%m-%d') AS DATE),
+                       TRY_CAST(try_strptime(raw, '%d/%m/%Y') AS DATE),
+                       TRY_CAST(try_strptime(raw, '%Y%m%d') AS DATE)
+                   ) AS parsed,
+                   CASE
+                     WHEN try_strptime(raw, '%Y-%m-%d') IS NOT NULL
+                         THEN 'iso'
+                     WHEN try_strptime(raw, '%d/%m/%Y') IS NOT NULL
+                         THEN 'eu_slash'
+                     WHEN try_strptime(raw, '%Y%m%d') IS NOT NULL
+                         THEN 'compact'
+                     ELSE 'unparsed'
+                   END AS matched_format
+            FROM messy
+        )
+        SELECT matched_format,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN parsed = truth THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_roundtrip_ok,
+               CAST(SUM(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_unparsed
+        FROM parsed GROUP BY matched_format
+    """,
+    section="F33",
+    doc="Messy-timestamp ingestion waterfall: order dates serialized "
+    "into three real-world formats (ISO, EU slash, compact) by a "
+    "deterministic key rule, then re-parsed with a COALESCE "
+    "waterfall of per-format TRY parsers — the canonical dirty-"
+    "date ingestion pattern (try the strict format first, fall "
+    "through, never throw), with round-trip equality against the "
+    "original date as the correctness gate per format. The "
+    "waterfall ORDER matters and is part of the contract: a "
+    "compact '20240115' must not be eaten by a lax parser first — "
+    "which is why each branch is a format-pinned try_to_timestamp/"
+    "try_strptime, not one permissive cast. Spark uses Java "
+    "datetime patterns, DuckDB strptime codes; the FORMATS are "
+    "semantically paired, outputs compared as DATE. Counts are "
+    "exact; 'unparsed' pins that zero rows fall through. Scale: "
+    "row-local map + one 3-row agg.",
+)
+def q_func_timestamp_waterfall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    messy = od.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("truth"),
+        F.when(
+            F.col("o_orderkey") % 3 == 0,
+            F.date_format(F.col("o_orderdate").cast("date"),
+                          "yyyy-MM-dd"),
+        )
+        .when(
+            F.col("o_orderkey") % 3 == 1,
+            F.date_format(F.col("o_orderdate").cast("date"),
+                          "dd/MM/yyyy"),
+        )
+        .otherwise(
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyyMMdd")
+        )
+        .alias("raw"),
+    )
+    p_iso = F.expr("try_to_timestamp(raw, 'yyyy-MM-dd')")
+    p_eu = F.expr("try_to_timestamp(raw, 'dd/MM/yyyy')")
+    p_cp = F.expr("try_to_timestamp(raw, 'yyyyMMdd')")
+    parsed = messy.select(
+        "truth",
+        F.coalesce(
+            p_iso.cast("date"), p_eu.cast("date"), p_cp.cast("date")
+        ).alias("parsed"),
+        F.when(p_iso.isNotNull(), F.lit("iso"))
+        .when(p_eu.isNotNull(), F.lit("eu_slash"))
+        .when(p_cp.isNotNull(), F.lit("compact"))
+        .otherwise(F.lit("unparsed"))
+        .alias("matched_format"),
+    )
+    return parsed.groupBy("matched_format").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            F.when(F.col("parsed") == F.col("truth"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_roundtrip_ok"),
+        F.sum(F.when(F.col("parsed").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unparsed"),
+    )

@@ -2798,3 +2798,114 @@ def q_text_hill_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hill_q2"),
         F.round(h1 / F.col("s"), 6).alias("evenness"),
     )
+
+
+# ==== wave 198a: dedup impact on mixture diversity (L34) ============
+
+
+@register(
+    "q_text_dedup_diversity_impact",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(list_filter(string_split(text, ' '),
+                            t -> t <> '')) AS BIGINT) AS m,
+                   md5(lower(trim(text))) AS h
+            FROM documents
+        ),
+        keep AS (
+            SELECT * FROM (
+                SELECT doc_id, source, m,
+                       ROW_NUMBER() OVER (PARTITION BY h
+                                          ORDER BY doc_id) AS rn
+                FROM toks
+            ) WHERE rn = 1
+        ),
+        stage_mass AS (
+            SELECT 'raw' AS stage, source,
+                   CAST(SUM(m) AS BIGINT) AS mass
+            FROM toks GROUP BY source
+            UNION ALL
+            SELECT 'deduped', source, CAST(SUM(m) AS BIGINT)
+            FROM keep GROUP BY source
+        ),
+        hill AS (
+            SELECT stage,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources,
+                   CAST(SUM(mass) AS BIGINT) AS tokens,
+                   CAST(SUM(mass * mass) AS BIGINT) AS m2
+            FROM stage_mass GROUP BY stage
+        )
+        SELECT stage, n_sources, tokens,
+               ROUND(CAST(tokens AS DOUBLE) * tokens / m2, 4)
+                   AS hill_q2,
+               ROUND(CAST(tokens AS DOUBLE) * tokens / m2
+                     / n_sources, 6) AS evenness_q2
+        FROM hill
+    """,
+    section="L34",
+    doc="Dedup impact on mixture diversity: the effective number of "
+    "sources (Hill q=2, inverse Simpson over token mass) BEFORE and "
+    "AFTER exact normalized-text dedup — the curation audit L33's "
+    "single-shot profile can't answer: dedup preferentially removes "
+    "mass from mirror-heavy sources, so the mix you TRAIN on is not "
+    "the mix you measured pre-dedup (a diversity DROP after dedup "
+    "means the apparent variety was duplicates all along). Dedup is "
+    "the U6 device (md5 of lower/trim, min-doc_id winner, one hash "
+    "shuffle); per-stage masses and m^2 sums are exact int64, "
+    "hill_q2 is pure integer algebra. Scale: one dedup shuffle + "
+    "two source-grain aggs — the before/after rides one frame.",
+)
+def q_text_dedup_diversity_impact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+        )
+        .cast("bigint")
+        .alias("m"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    )
+    keep = (
+        toks.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("h").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("source", "m")
+    )
+    stage_mass = (
+        toks.groupBy("source")
+        .agg(F.sum("m").cast("bigint").alias("mass"))
+        .select(F.lit("raw").alias("stage"), "source", "mass")
+        .unionAll(
+            keep.groupBy("source")
+            .agg(F.sum("m").cast("bigint").alias("mass"))
+            .select(
+                F.lit("deduped").alias("stage"), "source", "mass"
+            )
+        )
+    )
+    hill = stage_mass.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.sum("mass").cast("bigint").alias("tokens"),
+        F.sum(F.col("mass") * F.col("mass"))
+        .cast("bigint")
+        .alias("m2"),
+    )
+    q2 = (
+        F.col("tokens").cast("double") * F.col("tokens") / F.col("m2")
+    )
+    return hill.select(
+        "stage",
+        "n_sources",
+        "tokens",
+        F.round(q2, 4).alias("hill_q2"),
+        F.round(q2 / F.col("n_sources"), 6).alias("evenness_q2"),
+    )
