@@ -16728,3 +16728,328 @@ def q_agg_gallagher_index(
             "sum_sq_gap"
         ),
     )
+
+
+# ==== wave 199a: competing-risks cumulative incidence (A171) ========
+
+
+@register(
+    "q_agg_competing_risks_cif",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'purchase'
+                       THEN CAST(date_diff('day',
+                            TIMESTAMP '2024-01-01', ts) AS BIGINT)
+                       END) AS tp,
+                   MIN(CASE WHEN event_type = 'error'
+                       THEN CAST(date_diff('day',
+                            TIMESTAMP '2024-01-01', ts) AS BIGINT)
+                       END) AS te
+            FROM events GROUP BY user_id
+        ),
+        obs AS (
+            SELECT CASE
+                     WHEN tp IS NOT NULL AND (te IS NULL OR tp < te)
+                         THEN tp
+                     WHEN te IS NOT NULL THEN te
+                     ELSE 30 END AS t,
+                   CASE
+                     WHEN te IS NOT NULL AND (tp IS NULL OR te <= tp)
+                         THEN 'error'
+                     WHEN tp IS NOT NULL THEN 'purchase'
+                     ELSE 'censored' END AS cause
+            FROM firsts
+        ),
+        ev AS (
+            SELECT t,
+                   CAST(SUM(CASE WHEN cause = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS dp,
+                   CAST(SUM(CASE WHEN cause = 'error'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS de,
+                   CAST(COUNT(*) AS BIGINT) AS leaving
+            FROM obs GROUP BY t
+        ),
+        risk AS (
+            SELECT t, dp, de,
+                   CAST(SUM(leaving) OVER () AS BIGINT)
+                   - CAST(SUM(leaving) OVER w AS BIGINT) + leaving
+                       AS n_risk
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        surv AS (
+            SELECT t, dp, de, n_risk,
+                   exp(CAST(SUM(CAST(floor(1e12
+                       * ln(1.0 - CAST(dp + de AS DOUBLE) / n_risk))
+                       AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12)
+                       AS s_t,
+                   COALESCE(exp(CAST(SUM(CAST(floor(1e12
+                       * ln(1.0 - CAST(dp + de AS DOUBLE) / n_risk))
+                       AS DECIMAL(38,0))) OVER wp AS DOUBLE) / 1e12),
+                       1.0) AS s_prev
+            FROM risk
+            WHERE dp + de < n_risk
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW),
+                   wp AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING)
+        )
+        SELECT t, n_risk, dp AS d_purchase, de AS d_error,
+               ROUND(s_t, 6) AS survival,
+               ROUND(CAST(SUM(CAST(floor(1e12 * s_prev
+                     * (CAST(dp AS DOUBLE) / n_risk)) AS BIGINT))
+                     OVER w AS DOUBLE) / 1e12, 6) AS cif_purchase,
+               ROUND(CAST(SUM(CAST(floor(1e12 * s_prev
+                     * (CAST(de AS DOUBLE) / n_risk)) AS BIGINT))
+                     OVER w AS DOUBLE) / 1e12, 6) AS cif_error
+        FROM surv
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
+    section="A171",
+    doc="Aalen-Johansen cumulative incidence under COMPETING risks: "
+    "per user, first 'purchase' vs first 'error' compete (error "
+    "wins day ties by the documented precedence), others censor at "
+    "day 30; CIF_k(t) = sum S(u-) d_ku/n_u — the estimator that "
+    "replaces 1-KM when causes compete (naive per-cause KM treats "
+    "the other cause as censoring and OVERSTATES incidence — the "
+    "textbook competing-risks bias; A33's KM is the single-cause "
+    "ancestor). Determinism: the shared survival curve uses A33's "
+    "quantized ln-sum product device; each CIF increment "
+    "S(u-)*h_ku quantizes floor(1e12 * term) before its cumulative "
+    "window sum, so both monotone curves are exact-integer "
+    "accumulations of pinned per-row doubles. Scale: one user agg, "
+    "one day-grain agg (<= 31 rows of state), three windows.",
+)
+def q_agg_competing_risks_cif(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = (
+        (
+            F.unix_micros("ts")
+            - F.unix_micros(
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+            )
+        )
+        / F.lit(86400000000)
+    ).cast("bigint")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "purchase", day)
+        ).alias("tp"),
+        F.min(F.when(F.col("event_type") == "error", day)).alias("te"),
+    )
+    obs = firsts.select(
+        F.when(
+            F.col("tp").isNotNull()
+            & (F.col("te").isNull() | (F.col("tp") < F.col("te"))),
+            F.col("tp"),
+        )
+        .when(F.col("te").isNotNull(), F.col("te"))
+        .otherwise(F.lit(30))
+        .alias("t"),
+        F.when(
+            F.col("te").isNotNull()
+            & (F.col("tp").isNull() | (F.col("te") <= F.col("tp"))),
+            F.lit("error"),
+        )
+        .when(F.col("tp").isNotNull(), F.lit("purchase"))
+        .otherwise(F.lit("censored"))
+        .alias("cause"),
+    )
+    evt = obs.groupBy("t").agg(
+        F.sum(F.when(F.col("cause") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("dp"),
+        F.sum(F.when(F.col("cause") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("de"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    wp = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    risk = evt.select(
+        "t",
+        "dp",
+        "de",
+        (
+            F.sum("leaving").over(Window.partitionBy())
+            - F.sum("leaving").over(w)
+            + F.col("leaving")
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    lnterm = F.floor(
+        F.lit(1e12)
+        * F.log(
+            F.lit(1.0)
+            - (F.col("dp") + F.col("de")).cast("double")
+            / F.col("n_risk")
+        )
+    ).cast(DecimalType(38, 0))
+    surv = risk.where(
+        F.col("dp") + F.col("de") < F.col("n_risk")
+    ).select(
+        "t",
+        "dp",
+        "de",
+        "n_risk",
+        F.exp(
+            F.sum(lnterm).over(w).cast("double") / F.lit(1e12)
+        ).alias("s_t"),
+        F.coalesce(
+            F.exp(
+                F.sum(lnterm).over(wp).cast("double") / F.lit(1e12)
+            ),
+            F.lit(1.0),
+        ).alias("s_prev"),
+    )
+    cif_p = (
+        F.sum(
+            F.floor(
+                F.lit(1e12)
+                * F.col("s_prev")
+                * (F.col("dp").cast("double") / F.col("n_risk"))
+            ).cast("bigint")
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(1e12)
+    )
+    cif_e = (
+        F.sum(
+            F.floor(
+                F.lit(1e12)
+                * F.col("s_prev")
+                * (F.col("de").cast("double") / F.col("n_risk"))
+            ).cast("bigint")
+        )
+        .over(w)
+        .cast("double")
+        / F.lit(1e12)
+    )
+    return surv.select(
+        "t",
+        "n_risk",
+        F.col("dp").alias("d_purchase"),
+        F.col("de").alias("d_error"),
+        F.round("s_t", 6).alias("survival"),
+        F.round(cif_p, 6).alias("cif_purchase"),
+        F.round(cif_e, 6).alias("cif_error"),
+    )
+
+
+# ==== wave 199b: Kendall's W coefficient of concordance =============
+
+
+@register(
+    "q_agg_kendall_w",
+    oracle="""
+        WITH cells AS (
+            SELECT r.r_name AS rater, o.o_orderpriority AS item,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT rater, item,
+                   CAST(RANK() OVER (PARTITION BY rater
+                                     ORDER BY v, item) AS BIGINT) AS rk
+            FROM cells
+        ),
+        rsums AS (
+            SELECT item, CAST(SUM(rk) AS BIGINT) AS r
+            FROM ranked GROUP BY item
+        ),
+        stat AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM((r - 15) * (r - 15)) AS BIGINT) AS s
+            FROM rsums
+        )
+        SELECT n, 5 AS m, s,
+               ROUND(12.0 * s / (25.0 * (n * n * n - n)), 6)
+                   AS kendall_w,
+               ROUND(5.0 * (n - 1)
+                     * (12.0 * s / (25.0 * (n * n * n - n))), 4)
+                   AS chi2_approx
+        FROM stat
+    """,
+    section="A172",
+    doc="Kendall's W coefficient of concordance: 5 region 'raters' "
+    "each rank the 5 priority 'items' by revenue; W = 12S / "
+    "(m^2(n^3 - n)) with S = sum (R_j - m(n+1)/2)^2 — the 0..1 "
+    "agreement scale for m>2 rankers that A150-era pairwise "
+    "correlations can't give (W = 1 means every region orders the "
+    "priorities identically; the chi2 = m(n-1)W approximation "
+    "rides along). m = n = 5 makes the mean rank sum m(n+1)/2 = 15 "
+    "exactly integer, so S is an exact int64 over fully tie-broken "
+    "within-rater ranks ((v, item) total order). Scale: one "
+    "(region, priority) agg, one 5-row rank window per rater, "
+    "25-cell algebra.",
+)
+def q_agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    cells = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .groupBy(
+            F.col("r_name").alias("rater"),
+            F.col("o_orderpriority").alias("item"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+                "AS BIGINT)"
+            ).alias("v")
+        )
+    )
+    ranked = cells.select(
+        "item",
+        F.rank()
+        .over(Window.partitionBy("rater").orderBy("v", "item"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+    rsums = ranked.groupBy("item").agg(
+        F.sum("rk").cast("bigint").alias("r")
+    )
+    stat = rsums.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum((F.col("r") - 15) * (F.col("r") - 15))
+        .cast("bigint")
+        .alias("s"),
+    )
+    w_expr = (
+        F.lit(12.0) * F.col("s")
+        / (
+            F.lit(25.0)
+            * (F.col("n") * F.col("n") * F.col("n") - F.col("n"))
+        )
+    )
+    return stat.select(
+        "n",
+        F.lit(5).cast("int").alias("m"),
+        "s",
+        F.round(w_expr, 6).alias("kendall_w"),
+        F.round(F.lit(5.0) * (F.col("n") - 1) * w_expr, 4).alias(
+            "chi2_approx"
+        ),
+    )
