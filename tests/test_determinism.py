@@ -364,6 +364,50 @@ RISKY = [
     "q_etl_join_strategy_advisor",
     "q_agg_cramer_von_mises",
     "q_ts_atr_keltner",
+    # r5 waves 180-199: PWM rank weights, Weiszfeld floor weights,
+    # literal-trig resultants, int128 Wasserstein walks, md5 fold
+    # chains, quantized ln terms, dyadic SES chains, LISA sign maps,
+    # generated zero blocks, Aalen-Johansen increments.
+    "q_agg_lin_ccc",
+    "q_ts_foster_stuart",
+    "q_agg_quade",
+    "q_multimodal_shard_packing",
+    "q_agg_design_effect",
+    "q_win_oee",
+    "q_agg_gpd_pwm",
+    "q_agg_geometric_median",
+    "q_vec_ivf_imbalance",
+    "q_ts_xbar_r_chart",
+    "q_agg_bowker_symmetry",
+    "q_ts_pot_declustering",
+    "q_agg_ridge_path",
+    "q_etl_partition_evolution_plan",
+    "q_ts_rayleigh_seasonality",
+    "q_agg_kupiec_pof",
+    "q_agg_wasserstein_1d",
+    "q_dedup_weighted_jaccard",
+    "q_etl_partition_hash_chain",
+    "q_agg_g_test_3way",
+    "q_graph_percolation_profile",
+    "q_agg_nemenyi_posthoc",
+    "q_vec_dunn_index",
+    "q_ts_ses_grid",
+    "q_etl_generalization_tradeoff",
+    "q_graph_snowball_bias",
+    "q_text_hill_diversity",
+    "q_vec_participation_ratio",
+    "q_agg_morans_i",
+    "q_ts_fano_factor",
+    "q_agg_hoover_index",
+    "q_ts_allan_variance",
+    "q_agg_geary_c",
+    "q_multimodal_byte_entropy",
+    "q_agg_local_moran_hotspots",
+    "q_agg_gallagher_index",
+    "q_text_dedup_diversity_impact",
+    "q_func_timestamp_waterfall",
+    "q_agg_competing_risks_cif",
+    "q_agg_kendall_w",
 ]
 
 
