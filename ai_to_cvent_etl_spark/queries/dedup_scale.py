@@ -1506,20 +1506,39 @@ def q_dedup_yield_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
     )
-    a = tok.select(
-        F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a")
+    # Inverted-index candidate generation (same device as D23's
+    # rewrite): the pair's intersection size is an integer count off
+    # one token equi-join, so j = inter/(sa+sb-inter) needs NO array
+    # intersect and pairs sharing zero tokens never materialize at
+    # all. j from integer counts is bit-identical to the array form,
+    # and every candidate has j > 0 >= nothing below _YIELD_CAND.
+    ex = tok.select(
+        "doc_id",
+        F.size("ts").alias("sz"),
+        F.explode("ts").alias("t"),
     )
-    b = tok.select(
-        F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b")
+    ea = ex.select(
+        F.col("doc_id").alias("lo"), F.col("sz").alias("sa"), "t"
     )
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
+    eb = ex.select(
+        F.col("doc_id").alias("hi"), F.col("sz").alias("sb"), "t"
+    )
     pairs = (
-        a.join(b, F.col("lo") < F.col("hi"))
+        ea.join(eb, "t")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
         .select(
             "lo",
             "hi",
-            (inter.cast("double") / union).alias("j"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("j"),
         )
     )
     cand = pairs.where(F.col("j") >= _YIELD_CAND)
@@ -1925,17 +1944,36 @@ def q_dedup_shingle_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sh(2).alias("s2"),
         _sh(3).alias("s3"),
     )
-    a = sets.select(
-        F.col("doc_id").alias("lo"),
-        F.col("s1").alias("a1"),
-        F.col("s2").alias("a2"),
-        F.col("s3").alias("a3"),
+    # Candidate generation via the token inverted index instead of the
+    # nested-loop pair join: the w=1 intersection size is an integer
+    # count per co-occurring pair (one equi-join + one keyed agg), and
+    # the >=0.5 gate becomes 3*inter >= |a|+|b| (exact cross-multiplied
+    # integers, identical pair set). The heavy s2/s3 array intersects
+    # then run ONLY on survivors — the same survivor-side plan the
+    # 100 TB path (D1 banding -> verify) uses. j1 = inter/(sa+sb-inter)
+    # from the integer counts is bit-identical to the array form.
+    sets = sets.localCheckpoint(eager=False)
+    ex = sets.select(
+        "doc_id",
+        F.size("s1").alias("sz"),
+        F.explode("s1").alias("t"),
     )
-    b = sets.select(
-        F.col("doc_id").alias("hi"),
-        F.col("s1").alias("b1"),
-        F.col("s2").alias("b2"),
-        F.col("s3").alias("b3"),
+    ea = ex.select(
+        F.col("doc_id").alias("lo"), F.col("sz").alias("sa"), "t"
+    )
+    eb = ex.select(
+        F.col("doc_id").alias("hi"), F.col("sz").alias("sb"), "t"
+    )
+    inter1 = (
+        ea.join(eb, "t")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
+        .where(3 * F.col("inter") >= F.col("sa") + F.col("sb"))
     )
 
     def _j(x, y):
@@ -1945,10 +1983,27 @@ def q_dedup_shingle_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cand = (
-        a.join(b, F.col("lo") < F.col("hi"))
-        .where(_j("a1", "b1") >= 0.5)
+        inter1.join(
+            sets.select(
+                F.col("doc_id").alias("lo"),
+                F.col("s2").alias("a2"),
+                F.col("s3").alias("a3"),
+            ),
+            "lo",
+        )
+        .join(
+            sets.select(
+                F.col("doc_id").alias("hi"),
+                F.col("s2").alias("b2"),
+                F.col("s3").alias("b3"),
+            ),
+            "hi",
+        )
         .select(
-            _j("a1", "b1").alias("j1"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("inter"))
+            ).alias("j1"),
             _j("a2", "b2").alias("j2"),
             _j("a3", "b3").alias("j3"),
         )
@@ -2041,16 +2096,32 @@ def q_dedup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
     )
-    a = tok.select(
-        F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a")
+    # Inverted-index pair generation (D23/D24 rewrite device): the
+    # 0.8 Jaccard gate cross-multiplies to 9*inter >= 4*(sa+sb) on
+    # exact integer counts — identical pair set, no per-pair arrays.
+    ex = tok.select(
+        "doc_id",
+        F.size("ts").alias("sz"),
+        F.explode("ts").alias("t"),
     )
-    b = tok.select(
-        F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b")
+    ea = ex.select(
+        F.col("doc_id").alias("lo"), F.col("sz").alias("sa"), "t"
     )
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    pairs = a.join(b, F.col("lo") < F.col("hi")).where(
-        inter.cast("double") / union >= 0.8
+    eb = ex.select(
+        F.col("doc_id").alias("hi"), F.col("sz").alias("sb"), "t"
+    )
+    pairs = (
+        ea.join(eb, "t")
+        .where(F.col("lo") < F.col("hi"))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("inter"),
+            F.max("sa").alias("sa"),
+            F.max("sb").alias("sb"),
+        )
+        .where(
+            9 * F.col("inter") >= 4 * (F.col("sa") + F.col("sb"))
+        )
     )
     dup_docs = (
         pairs.select(F.col("lo").alias("d"))

@@ -148,6 +148,9 @@ def test_no_python_udfs_in_hot_queries(spark, registry):
         "q_multimodal_features",
         "q_multimodal_frame_sample",
         "q_multimodal_feature_dedup",
+        # wave 166: content-defined chunking is a declared mapInPandas
+        # surface (payload bytes never leave the map task)
+        "q_multimodal_cdc_chunks",
     }
     offenders = []
     for key, spec in registry.items():
