@@ -17053,3 +17053,145 @@ def q_agg_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_approx"
         ),
     )
+
+
+# ==== wave 201b: permutation distance audit (A173) ==================
+
+
+@register(
+    "q_agg_rank_distance_audit",
+    oracle="""
+        WITH per_nation AS (
+            SELECT n.n_name AS nation,
+                   CAST(COUNT(*) AS BIGINT) AS orders_n,
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT nation,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents DESC, nation)
+                        AS BIGINT) AS r_rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY orders_n DESC,
+                                           nation) AS BIGINT) AS r_vol
+            FROM per_nation
+        ),
+        foot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(ABS(r_rev - r_vol)) AS BIGINT) AS footrule
+            FROM ranked
+        ),
+        kd AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS discordant
+            FROM ranked a JOIN ranked b
+              ON a.nation < b.nation
+            WHERE (a.r_rev - b.r_rev) * (a.r_vol - b.r_vol) < 0
+        )
+        SELECT f.n, f.footrule, k.discordant,
+               ROUND(CAST(f.footrule AS DOUBLE)
+                     / ((CAST(f.n AS DOUBLE) * f.n - f.n % 2) / 2.0),
+                     6) AS footrule_norm,
+               ROUND(CAST(k.discordant AS DOUBLE)
+                     / (CAST(f.n AS DOUBLE) * (f.n - 1) / 2.0), 6)
+                   AS kendall_distance_norm,
+               ROUND(1.0 - 4.0 * CAST(k.discordant AS DOUBLE)
+                     / (CAST(f.n AS DOUBLE) * (f.n - 1)), 6)
+                   AS kendall_tau
+        FROM foot f CROSS JOIN kd k
+    """,
+    section="A173",
+    doc="Permutation-distance audit between the revenue ranking and "
+    "the order-volume ranking of nations: Spearman footrule "
+    "sum|r1 - r2|, Kendall distance (discordant pairs via the sign "
+    "of the cross product — 300 pairs, exact), and the implied "
+    "Kendall tau — the ranking-stability readout for 'does the "
+    "league table change if we rank by volume instead of value', "
+    "which V-family's RBO answers only for top-k retrieval lists "
+    "(full-permutation distances are the leaderboard-governance "
+    "version). Both rankings are fully tie-broken by nation name; "
+    "footrule_norm divides by the maximum n^2/2 for even n. All "
+    "distances exact int64; normalizations are pinned expressions. "
+    "Scale: one nation agg, two 25-row rank windows, one 300-pair "
+    "self-join.",
+)
+def q_agg_rank_distance_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("orders_n"),
+            F.expr(
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100)"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+    )
+    ranked = per_nation.select(
+        "nation",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("nation")))
+        .cast("bigint")
+        .alias("r_rev"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("orders_n"), F.asc("nation")))
+        .cast("bigint")
+        .alias("r_vol"),
+    ).localCheckpoint(eager=False)
+    foot = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.abs(F.col("r_rev") - F.col("r_vol")))
+        .cast("bigint")
+        .alias("footrule"),
+    )
+    a = ranked.select(
+        F.col("nation").alias("na"),
+        F.col("r_rev").alias("ra"),
+        F.col("r_vol").alias("va"),
+    )
+    b = ranked.select(
+        F.col("nation").alias("nb"),
+        F.col("r_rev").alias("rb"),
+        F.col("r_vol").alias("vb"),
+    )
+    kd = (
+        a.join(b, F.col("na") < F.col("nb"))
+        .where(
+            (F.col("ra") - F.col("rb")) * (F.col("va") - F.col("vb"))
+            < 0
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("discordant"))
+    )
+    out = foot.crossJoin(F.broadcast(kd))
+    nd = F.col("n").cast("double")
+    return out.select(
+        "n",
+        "footrule",
+        "discordant",
+        F.round(
+            F.col("footrule").cast("double")
+            / ((nd * F.col("n") - F.col("n") % 2) / F.lit(2.0)),
+            6,
+        ).alias("footrule_norm"),
+        F.round(
+            F.col("discordant").cast("double")
+            / (nd * (F.col("n") - 1) / F.lit(2.0)),
+            6,
+        ).alias("kendall_distance_norm"),
+        F.round(
+            F.lit(1.0)
+            - F.lit(4.0) * F.col("discordant").cast("double")
+            / (nd * (F.col("n") - 1)),
+            6,
+        ).alias("kendall_tau"),
+    )

@@ -8127,3 +8127,140 @@ def q_ts_allan_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(avar, 6).alias("allan_var"),
         F.round(F.sqrt(avar), 6).alias("allan_dev"),
     )
+
+
+# ==== wave 201a: dyadic MACD crossover census (TS54) ================
+
+_MACD_K = 12   # truncation depth for both EMAs
+
+
+def _macd_ema_expr(kind: str) -> str:
+    """Truncated EMA as an exact fixed chain (TS51 device).
+
+    fast:  alpha = 1/2  -> weight_j = 1/2^(j+1)
+    slow:  alpha = 1/4  -> weight_j = 3^j/4^(j+1) (3^j exact int64)
+    """
+    terms = []
+    for j in range(_MACD_K):
+        if kind == "fast":
+            terms.append(f"(CAST(l{j} AS DOUBLE) / {2 ** (j + 1)})")
+        else:
+            terms.append(
+                f"(CAST(l{j} AS DOUBLE) * {3 ** j}"
+                f" / {4 ** (j + 1)})"
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = f"({out} + {t})"
+    return out
+
+
+@register(
+    "q_ts_macd_crossover",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        lags AS (
+            SELECT d,
+                   {", ".join(
+                       f"LAG(cents, {j}) OVER (ORDER BY d) AS l{j}"
+                       for j in range(_MACD_K))}
+            FROM daily
+            QUALIFY l{_MACD_K - 1} IS NOT NULL
+        ),
+        macd AS (
+            SELECT d,
+                   CASE WHEN {_macd_ema_expr("fast")}
+                             > {_macd_ema_expr("slow")}
+                        THEN 1 ELSE 0 END AS above
+            FROM lags
+        ),
+        flips AS (
+            SELECT d, above,
+                   CASE WHEN above
+                             <> LAG(above) OVER (ORDER BY d)
+                        THEN 1 ELSE 0 END AS flip,
+                   CASE WHEN above = 1
+                             AND LAG(above) OVER (ORDER BY d) = 0
+                        THEN 1 ELSE 0 END AS golden
+            FROM macd
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(above) AS BIGINT) AS n_days_above,
+               CAST(SUM(flip) AS BIGINT) AS n_crossovers,
+               CAST(SUM(golden) AS BIGINT) AS n_golden_crosses,
+               CAST(MAX(CASE WHEN above = 1 THEN d END) AS DATE)
+                   AS last_day_above
+        FROM flips
+    """,
+    section="TS54",
+    doc="MACD crossover census on dyadic EMAs: fast alpha = 1/2 "
+    "(weights 1/2^(j+1)), slow alpha = 1/4 (weights 3^j/4^(j+1), "
+    "3^j exact int64) — the momentum-crossing indicator completing "
+    "the TS technical family, with every EMA term exact in IEEE "
+    "doubles and both truncated chains shared VERBATIM between "
+    "engines (TS51 device; the above/below flag is therefore a "
+    "deterministic compare, and crossover counts are exact "
+    "integers). Golden crosses (fast rising through slow) are the "
+    "entry signal trading systems count; n_crossovers >> "
+    "n_days/10 means the two horizons see only noise. Scale: one "
+    "day-grain agg, 12 LAGs in one window pass, one lag on the "
+    "flag — no state beyond the window frames.",
+)
+def q_ts_macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    daily = od.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("d")
+    lags = daily.select(
+        "d",
+        *[
+            F.lag("cents", j).over(w).alias(f"l{j}")
+            for j in range(_MACD_K)
+        ],
+    ).where(F.col(f"l{_MACD_K - 1}").isNotNull())
+    macd = lags.select(
+        "d",
+        F.when(
+            F.expr(_macd_ema_expr("fast"))
+            > F.expr(_macd_ema_expr("slow")),
+            1,
+        )
+        .otherwise(0)
+        .alias("above"),
+    )
+    flips = macd.select(
+        "d",
+        "above",
+        F.when(
+            F.col("above") != F.lag("above").over(w), 1
+        )
+        .otherwise(0)
+        .alias("flip"),
+        F.when(
+            (F.col("above") == 1)
+            & (F.lag("above").over(w) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("golden"),
+    )
+    return flips.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("above").cast("bigint").alias("n_days_above"),
+        F.sum("flip").cast("bigint").alias("n_crossovers"),
+        F.sum("golden").cast("bigint").alias("n_golden_crosses"),
+        F.max(F.when(F.col("above") == 1, F.col("d")))
+        .cast("date")
+        .alias("last_day_above"),
+    )
