@@ -17195,3 +17195,168 @@ def q_agg_rank_distance_audit(
             6,
         ).alias("kendall_tau"),
     )
+
+
+# ==== wave 202b: Weibull fit by median-rank regression ==============
+
+
+@register(
+    "q_agg_weibull_mrr",
+    oracle="""
+        WITH gaps AS (
+            SELECT date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap,
+                   o_orderkey
+            FROM orders
+            QUALIFY gap IS NOT NULL AND gap >= 1
+        ),
+        ranked AS (
+            SELECT CAST(gap AS BIGINT) AS gap,
+                   CAST(ROW_NUMBER() OVER (ORDER BY gap, o_orderkey)
+                        AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM gaps
+        ),
+        pts AS (
+            SELECT CAST(floor(1e9 * ln(CAST(gap AS DOUBLE)))
+                        AS BIGINT) AS xq,
+                   CAST(floor(1e9 * ln(-ln(1.0 - (i - 0.3)
+                        / (n + 0.4)))) AS BIGINT) AS yq
+            FROM ranked
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xq) AS BIGINT) AS sx,
+                   CAST(SUM(yq) AS BIGINT) AS sy,
+                   SUM(CAST(xq AS HUGEINT) * xq) AS sxx,
+                   SUM(CAST(xq AS HUGEINT) * yq) AS sxy
+            FROM pts
+        )
+        SELECT n,
+               ROUND((CAST(n AS DOUBLE)
+                      * (CAST(sxy // 4294967296 AS DOUBLE)
+                         * 4294967296.0
+                         + CAST(sxy % 4294967296 AS DOUBLE))
+                      - CAST(sx AS DOUBLE) * sy)
+                     / (CAST(n AS DOUBLE)
+                        * (CAST(sxx // 4294967296 AS DOUBLE)
+                           * 4294967296.0
+                           + CAST(sxx % 4294967296 AS DOUBLE))
+                        - CAST(sx AS DOUBLE) * sx), 4) AS k_shape,
+               ROUND(exp(-(((CAST(sy AS DOUBLE) / n)
+                     - ((CAST(n AS DOUBLE)
+                         * (CAST(sxy // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(sxy % 4294967296 AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(sxx // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(sxx % 4294967296 AS DOUBLE))
+                           - CAST(sx AS DOUBLE) * sx))
+                       * (CAST(sx AS DOUBLE) / n)) / 1e9)
+                     / ((CAST(n AS DOUBLE)
+                         * (CAST(sxy // 4294967296 AS DOUBLE)
+                            * 4294967296.0
+                            + CAST(sxy % 4294967296 AS DOUBLE))
+                         - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE)
+                           * (CAST(sxx // 4294967296 AS DOUBLE)
+                              * 4294967296.0
+                              + CAST(sxx % 4294967296 AS DOUBLE))
+                           - CAST(sx AS DOUBLE) * sx))), 4)
+                   AS lambda_scale_days
+        FROM mom
+    """,
+    section="A174",
+    doc="Weibull reliability fit by median-rank regression on "
+    "customer inter-order gaps: plot ln(-ln(1 - F_i)) against "
+    "ln(t_(i)) with Bernard's approximation F_i = (i-0.3)/(n+0.4) "
+    "and read shape k = slope, scale lambda = exp(-intercept/k) — "
+    "the Weibull-paper method reliability engineers use when MLE "
+    "is overkill (k < 1 infant mortality, k ~ 1 memoryless like "
+    "A58's exponential fit, k > 1 wear-out; for re-order gaps k "
+    "says whether reorder propensity ages). Ranks fully tie-broken "
+    "by (gap, orderkey); both log coordinates quantize floor(1e9 * "
+    "ln) per row so the OLS moments are exact int64/int128 (the "
+    "1e9 scale cancels in the slope; the intercept carries it, "
+    "divided back at the end), rebuilt via A26 hi/lo. Scale: one "
+    "lag window, one global rank (range-partition at 100 TB), one "
+    "moment reduction.",
+)
+def q_agg_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = od.select(
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("gap"),
+        "o_orderkey",
+    ).where(F.col("gap").isNotNull() & (F.col("gap") >= 1))
+    ranked = gaps.select(
+        F.col("gap").cast("bigint").alias("gap"),
+        F.row_number()
+        .over(Window.orderBy("gap", "o_orderkey"))
+        .cast("bigint")
+        .alias("i"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("n"),
+    )
+    pts = ranked.select(
+        F.floor(F.lit(1e9) * F.log(F.col("gap").cast("double")))
+        .cast("bigint")
+        .alias("xq"),
+        F.floor(
+            F.lit(1e9)
+            * F.log(
+                -F.log(
+                    F.lit(1.0)
+                    - (F.col("i") - F.lit(0.3))
+                    / (F.col("n") + F.lit(0.4))
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("yq"),
+    )
+    mom = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("sx"),
+        F.sum("yq").cast("bigint").alias("sy"),
+        F.sum(F.col("xq").cast(DecimalType(38, 0)) * F.col("xq")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("xq").cast(DecimalType(38, 0)) * F.col("yq")).alias(
+            "sxy"
+        ),
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    nd = F.col("n").cast("double")
+    slope = (
+        nd * F.expr(hi_lo.format("sxy"))
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        nd * F.expr(hi_lo.format("sxx"))
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    intercept = (
+        F.col("sy").cast("double") / F.col("n")
+        - slope * (F.col("sx").cast("double") / F.col("n"))
+    )
+    return mom.select(
+        "n",
+        F.round(slope, 4).alias("k_shape"),
+        F.round(
+            F.exp(-(intercept / F.lit(1e9)) / slope), 4
+        ).alias("lambda_scale_days"),
+    )

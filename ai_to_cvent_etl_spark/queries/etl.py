@@ -4905,3 +4905,113 @@ def q_etl_generalization_tradeoff(
             F.col("n_classes").cast("double") / F.col("nc0"), 6
         ).alias("class_retention"),
     )
+
+
+# ==== wave 202a: watermark completeness curve (E55) =================
+
+_WM_DELAYS_MIN = [15, 60, 360]   # candidate watermark delays (minutes)
+
+
+@register(
+    "q_etl_watermark_completeness",
+    oracle=f"""
+        WITH arr AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS event_day,
+                   ts,
+                   ts + to_minutes(
+                       CAST(('0x' || substr(md5(
+                            CAST(event_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 120
+                       + CASE WHEN CAST(('0x' || substr(md5(
+                            CAST(event_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) % 20 = 0
+                         THEN 600 ELSE 0 END) AS arrival
+            FROM events
+        ),
+        policies AS (SELECT unnest({_WM_DELAYS_MIN}) AS delay_min),
+        flags AS (
+            SELECT p.delay_min, a.event_day,
+                   CASE WHEN a.arrival <= CAST(a.event_day AS TIMESTAMP)
+                        + INTERVAL 1 DAY
+                        + to_minutes(p.delay_min)
+                        THEN 1 ELSE 0 END AS on_time
+            FROM arr a CROSS JOIN policies p
+        )
+        SELECT CAST(delay_min AS BIGINT) AS watermark_delay_min,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(on_time) AS BIGINT) AS n_complete,
+               ROUND(CAST(SUM(on_time) AS DOUBLE) / COUNT(*), 6)
+                   AS completeness,
+               CAST(COUNT(DISTINCT CASE WHEN on_time = 0
+                          THEN event_day END) AS BIGINT)
+                   AS days_with_late_data
+        FROM flags GROUP BY delay_min
+    """,
+    section="E55",
+    doc="Watermark completeness curve: simulate per-event arrival "
+    "delay deterministically (md5-hex of the event id -> 0-119 "
+    "minutes, with a 1-in-20 heavy tail of +10 h — the bimodal "
+    "delay shape real pipelines see), then for candidate watermark "
+    "delays {15, 60, 360} minutes past day close, report what "
+    "fraction of each day's events would have arrived before the "
+    "day's partition seals. THIS is how you choose "
+    "withWatermark()'s delay: the curve's knee trades completeness "
+    "against freshness, and days_with_late_data counts the "
+    "partitions a backfill (E30) would still have to reopen. "
+    "Hash-deterministic delays make the curve exact integer counts "
+    "on both engines. Scale: row-local delay synthesis, one "
+    "(policy x day-flag) aggregation — the 3x fan-out is counts, "
+    "not payloads.",
+)
+def q_etl_watermark_completeness(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.expr(
+        "cast(conv(substr(md5(cast(event_id as string)), 1, 8),"
+        " 16, 10) as bigint)"
+    )
+    arr = ev.select(
+        F.date_trunc("day", "ts").cast("date").alias("event_day"),
+        (
+            F.unix_micros("ts")
+            + (h % 120) * F.lit(60000000)
+            + F.when(h % 20 == 0, F.lit(36000000000))
+            .otherwise(F.lit(0).cast("bigint"))
+        ).alias("arrival_us"),
+    )
+    outs = []
+    for d in _WM_DELAYS_MIN:
+        cutoff = (
+            F.unix_micros(
+                F.col("event_day").cast("timestamp")
+            )
+            + F.lit((1440 + d) * 60000000)
+        )
+        flags = arr.select(
+            "event_day",
+            F.when(F.col("arrival_us") <= cutoff, 1)
+            .otherwise(0)
+            .alias("on_time"),
+        )
+        outs.append(
+            flags.agg(
+                F.lit(d).cast("bigint").alias("watermark_delay_min"),
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum("on_time").cast("bigint").alias("n_complete"),
+                F.round(
+                    F.sum("on_time").cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("completeness"),
+                F.countDistinct(
+                    F.when(F.col("on_time") == 0, F.col("event_day"))
+                )
+                .cast("bigint")
+                .alias("days_with_late_data"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
