@@ -17360,3 +17360,146 @@ def q_agg_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(-(intercept / F.lit(1e9)) / slope), 4
         ).alias("lambda_scale_days"),
     )
+
+
+# ==== wave 203a: minimum-variance two-asset portfolio ===============
+
+
+@register(
+    "q_agg_min_variance_portfolio",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CASE WHEN r.r_name = 'AMERICA'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS xa,
+                   CAST(SUM(CASE WHEN r.r_name = 'EUROPE'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS xe
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('AMERICA', 'EUROPE')
+            GROUP BY 1
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xa) AS BIGINT) AS sa,
+                   CAST(SUM(xe) AS BIGINT) AS se,
+                   SUM(CAST(xa AS HUGEINT) * xa) AS qaa,
+                   SUM(CAST(xe AS HUGEINT) * xe) AS qee,
+                   SUM(CAST(xa AS HUGEINT) * xe) AS qae
+            FROM daily
+        ),
+        cov AS (
+            SELECT n,
+                   (CAST(qaa // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(qaa % 4294967296 AS DOUBLE)) / n
+                   - (CAST(sa AS DOUBLE) / n)
+                     * (CAST(sa AS DOUBLE) / n) AS va,
+                   (CAST(qee // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(qee % 4294967296 AS DOUBLE)) / n
+                   - (CAST(se AS DOUBLE) / n)
+                     * (CAST(se AS DOUBLE) / n) AS ve,
+                   (CAST(qae // 4294967296 AS DOUBLE) * 4294967296.0
+                    + CAST(qae % 4294967296 AS DOUBLE)) / n
+                   - (CAST(sa AS DOUBLE) / n)
+                     * (CAST(se AS DOUBLE) / n) AS cae
+            FROM mom
+        )
+        SELECT n,
+               ROUND((ve - cae) / (va + ve - 2.0 * cae), 6)
+                   AS w_america,
+               ROUND(1.0 - (ve - cae) / (va + ve - 2.0 * cae), 6)
+                   AS w_europe,
+               ROUND(cae / sqrt(va * ve), 6) AS corr,
+               ROUND(sqrt((va * ve - cae * cae)
+                     / (va + ve - 2.0 * cae))
+                     / sqrt(LEAST(va, ve)), 6) AS vol_vs_best_single
+        FROM cov
+    """,
+    section="A175",
+    doc="Minimum-variance two-asset portfolio between AMERICA and "
+    "EUROPE daily revenue streams: w* = (s_e^2 - s_ae)/(s_a^2 + "
+    "s_e^2 - 2 s_ae), the Markowitz closed form — the "
+    "diversification readout (vol_vs_best_single < 1 quantifies "
+    "how much combining the two streams beats holding the less "
+    "volatile one; A143's market beta prices one stream against "
+    "the market, this ALLOCATES between two). Per-day region cents "
+    "are exact int64 (absent-region days contribute real zeros via "
+    "the conditional sum, not dropped rows); second moments run in "
+    "int128 and rebuild via A26 hi/lo; the weight, correlation, "
+    "and min-variance vol (va*ve - cae^2)/(va+ve-2cae) are pinned "
+    "expressions. Scale: one day-grain conditional agg — the whole "
+    "frontier needs six integers.",
+)
+def q_agg_min_variance_portfolio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    daily = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .where(F.col("r_name").isin("AMERICA", "EUROPE"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN r_name = 'AMERICA'"
+                " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("xa"),
+            F.expr(
+                "CAST(SUM(CASE WHEN r_name = 'EUROPE'"
+                " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " ELSE 0 END) AS BIGINT)"
+            ).alias("xe"),
+        )
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xa").cast("bigint").alias("sa"),
+        F.sum("xe").cast("bigint").alias("se"),
+        F.sum(F.col("xa").cast(DecimalType(38, 0)) * F.col("xa")).alias(
+            "qaa"
+        ),
+        F.sum(F.col("xe").cast(DecimalType(38, 0)) * F.col("xe")).alias(
+            "qee"
+        ),
+        F.sum(F.col("xa").cast(DecimalType(38, 0)) * F.col("xe")).alias(
+            "qae"
+        ),
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    nd = F.col("n").cast("double")
+    ma = F.col("sa").cast("double") / F.col("n")
+    me = F.col("se").cast("double") / F.col("n")
+    va = F.expr(hi_lo.format("qaa")) / F.col("n") - ma * ma
+    ve = F.expr(hi_lo.format("qee")) / F.col("n") - me * me
+    cae = F.expr(hi_lo.format("qae")) / F.col("n") - ma * me
+    w_a = (ve - cae) / (va + ve - F.lit(2.0) * cae)
+    return mom.select(
+        "n",
+        F.round(w_a, 6).alias("w_america"),
+        F.round(F.lit(1.0) - w_a, 6).alias("w_europe"),
+        F.round(cae / F.sqrt(va * ve), 6).alias("corr"),
+        F.round(
+            F.sqrt(
+                (va * ve - cae * cae)
+                / (va + ve - F.lit(2.0) * cae)
+            )
+            / F.sqrt(F.least(va, ve)),
+            6,
+        ).alias("vol_vs_best_single"),
+    )

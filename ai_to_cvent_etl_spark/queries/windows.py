@@ -3025,3 +3025,99 @@ def q_win_oee(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("qo").cast("double") / (cnt * F.lit(1e9)), 6
         ).alias("avg_oee"),
     )
+
+
+# ==== wave 203b: renewal curve (W45) ================================
+
+_RENEWAL_HORIZONS = [30, 90, 180]   # days after first order
+
+
+@register(
+    "q_win_renewal_curve",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT o_custkey,
+                   MIN(CAST(o_orderdate AS DATE)) AS d0
+            FROM orders GROUP BY o_custkey
+        ),
+        horizons AS (SELECT unnest({_RENEWAL_HORIZONS}) AS h),
+        counted AS (
+            SELECT h.h, f.o_custkey,
+                   CAST(COUNT(CASE WHEN CAST(o.o_orderdate AS DATE)
+                              > f.d0
+                              AND date_diff('day', f.d0,
+                                  CAST(o.o_orderdate AS DATE)) <= h.h
+                              THEN 1 END) AS BIGINT) AS renewals
+            FROM firsts f
+            JOIN orders o ON o.o_custkey = f.o_custkey
+            CROSS JOIN horizons h
+            GROUP BY h.h, f.o_custkey
+        )
+        SELECT CAST(h AS BIGINT) AS horizon_days,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(renewals) AS BIGINT) AS total_renewals,
+               ROUND(CAST(SUM(renewals) AS DOUBLE) / COUNT(*), 6)
+                   AS renewal_fn,
+               ROUND(CAST(SUM(CASE WHEN renewals > 0 THEN 1 ELSE 0 END)
+                     AS DOUBLE) / COUNT(*), 6) AS p_any_renewal
+        FROM counted GROUP BY h
+    """,
+    section="W45",
+    doc="Empirical renewal function of customer re-ordering: for "
+    "horizons {30, 90, 180} days after each customer's FIRST "
+    "order, the mean number of subsequent orders (renewal_fn = "
+    "m(t), the renewal-theory object behind warranty/repeat-"
+    "purchase forecasting: its slope is the long-run re-order "
+    "rate 1/mean-gap, and comparing m(180) with 6x m(30) reveals "
+    "front-loading) plus the probability of any renewal — the "
+    "count-based lifecycle complement to A42's money-based cohort "
+    "LTV. Strictly-later orders only (same-day repeats of the "
+    "first day are excluded by the > d0 gate, documented). All "
+    "counts exact int64; two divisions per horizon. Scale: one "
+    "customer-grain min, one fact re-join keyed on customer, 3x "
+    "horizon fan-out of counts — payloads never widen.",
+)
+def q_win_renewal_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    firsts = od.groupBy("o_custkey").agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("d0")
+    )
+    joined = od.select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("d")
+    ).join(firsts, "o_custkey")
+    outs = []
+    for h in _RENEWAL_HORIZONS:
+        counted = joined.groupBy("o_custkey").agg(
+            F.count(
+                F.when(
+                    (F.col("d") > F.col("d0"))
+                    & (F.datediff(F.col("d"), F.col("d0")) <= h),
+                    1,
+                )
+            )
+            .cast("bigint")
+            .alias("renewals")
+        )
+        outs.append(
+            counted.agg(
+                F.lit(h).cast("bigint").alias("horizon_days"),
+                F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+                F.sum("renewals").cast("bigint").alias("total_renewals"),
+                F.round(
+                    F.sum("renewals").cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("renewal_fn"),
+                F.round(
+                    F.sum(
+                        F.when(F.col("renewals") > 0, 1).otherwise(0)
+                    ).cast("double")
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias("p_any_renewal"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
