@@ -17503,3 +17503,133 @@ def q_agg_min_variance_portfolio(
             6,
         ).alias("vol_vs_best_single"),
     )
+
+
+# ==== wave 204b: Simpson's paradox detector =========================
+
+
+@register(
+    "q_agg_simpson_paradox",
+    oracle="""
+        WITH base AS (
+            SELECT r.r_name AS region,
+                   CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS t,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+        ),
+        strata AS (
+            SELECT region,
+                   CAST(SUM(t) AS BIGINT) AS n1,
+                   CAST(SUM(1 - t) AS BIGINT) AS n0,
+                   CAST(SUM(t * v) AS BIGINT) AS s1,
+                   CAST(SUM((1 - t) * v) AS BIGINT) AS s0
+            FROM base GROUP BY region
+        ),
+        pooled AS (
+            SELECT CAST(SUM(n1) AS BIGINT) AS n1,
+                   CAST(SUM(n0) AS BIGINT) AS n0,
+                   CAST(SUM(s1) AS BIGINT) AS s1,
+                   CAST(SUM(s0) AS BIGINT) AS s0
+            FROM strata
+        )
+        SELECT s.region, s.n1, s.n0,
+               ROUND(CAST(s.s1 AS DOUBLE) / s.n1
+                     - CAST(s.s0 AS DOUBLE) / s.n0, 4) AS diff_local,
+               ROUND(CAST(g.s1 AS DOUBLE) / g.n1
+                     - CAST(g.s0 AS DOUBLE) / g.n0, 4) AS diff_global,
+               CASE WHEN (CAST(s.s1 AS HUGEINT) * s.n0
+                          - CAST(s.s0 AS HUGEINT) * s.n1 > 0)
+                         <> (CAST(g.s1 AS HUGEINT) * g.n0
+                             - CAST(g.s0 AS HUGEINT) * g.n1 > 0)
+                    THEN 1 ELSE 0 END AS sign_flip
+        FROM strata s CROSS JOIN pooled g
+    """,
+    section="A176",
+    doc="Simpson's-paradox detector for the priority 'treatment' "
+    "effect on whole-dollar order value, stratified by region: "
+    "per-stratum mean difference vs the pooled difference, with "
+    "sign_flip = 1 where a stratum's effect direction CONTRADICTS "
+    "the aggregate — the reporting hazard every dashboard rollup "
+    "carries (A71's stratified ATE fixes the estimate; this audit "
+    "tells you the fix MATTERS because the raw rollup would "
+    "mislead). The flip test never touches doubles: mean1 > mean0 "
+    "cross-multiplies to s1*n0 > s0*n1 in int128, so the flag is "
+    "exact; the reported differences are single divisions. Scale: "
+    "one pass of conditional integer moments per stratum, global "
+    "row = the strata re-summed, 5-row output.",
+)
+def q_agg_simpson_paradox(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    base = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("t"),
+            F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT) div 100"
+            ).alias("v"),
+        )
+    )
+    t = F.col("t")
+    strata = base.groupBy("region").agg(
+        F.sum(t).cast("bigint").alias("n1"),
+        F.sum(1 - t).cast("bigint").alias("n0"),
+        F.sum(t * F.col("v")).cast("bigint").alias("s1"),
+        F.sum((1 - t) * F.col("v")).cast("bigint").alias("s0"),
+    )
+    glob = strata.agg(
+        F.sum("n1").cast("bigint").alias("gn1"),
+        F.sum("n0").cast("bigint").alias("gn0"),
+        F.sum("s1").cast("bigint").alias("gs1"),
+        F.sum("s0").cast("bigint").alias("gs0"),
+    )
+    out = strata.crossJoin(F.broadcast(glob))
+    local_pos = (
+        F.col("s1").cast(DecimalType(38, 0)) * F.col("n0")
+        - F.col("s0").cast(DecimalType(38, 0)) * F.col("n1")
+        > 0
+    )
+    glob_pos = (
+        F.col("gs1").cast(DecimalType(38, 0)) * F.col("gn0")
+        - F.col("gs0").cast(DecimalType(38, 0)) * F.col("gn1")
+        > 0
+    )
+    return out.select(
+        "region",
+        "n1",
+        "n0",
+        F.round(
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s0").cast("double") / F.col("n0"),
+            4,
+        ).alias("diff_local"),
+        F.round(
+            F.col("gs1").cast("double") / F.col("gn1")
+            - F.col("gs0").cast("double") / F.col("gn0"),
+            4,
+        ).alias("diff_global"),
+        F.when(local_pos != glob_pos, 1).otherwise(0).alias(
+            "sign_flip"
+        ),
+    )

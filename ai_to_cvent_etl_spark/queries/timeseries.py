@@ -8264,3 +8264,149 @@ def q_ts_macd_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("date")
         .alias("last_day_above"),
     )
+
+
+# ==== wave 204a: mean-reversion half-life of a spread (TS55) ========
+
+
+@register(
+    "q_ts_spread_halflife",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o.o_orderdate AS DATE) AS d,
+                   CAST(SUM(CASE WHEN r.r_name = 'AMERICA'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT)
+                   - CAST(SUM(CASE WHEN r.r_name = 'EUROPE'
+                        THEN CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        ELSE 0 END) AS BIGINT) AS s
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE r.r_name IN ('AMERICA', 'EUROPE')
+            GROUP BY 1
+        ),
+        pairs AS (
+            SELECT LAG(s) OVER (ORDER BY d) AS x,
+                   s - LAG(s) OVER (ORDER BY d) AS dy
+            FROM daily
+            QUALIFY x IS NOT NULL
+        ),
+        mom AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sdy,
+                   SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                   SUM(CAST(x AS HUGEINT) * dy) AS sxdy
+            FROM pairs
+        ),
+        beta AS (
+            SELECT n,
+                   (CAST(n AS DOUBLE)
+                    * (CAST(sxdy // 4294967296 AS DOUBLE)
+                       * 4294967296.0
+                       + CAST(sxdy % 4294967296 AS DOUBLE))
+                    - CAST(sx AS DOUBLE) * sdy)
+                   / (CAST(n AS DOUBLE)
+                      * (CAST(sxx // 4294967296 AS DOUBLE)
+                         * 4294967296.0
+                         + CAST(sxx % 4294967296 AS DOUBLE))
+                      - CAST(sx AS DOUBLE) * sx) AS b
+            FROM mom
+        )
+        SELECT n, ROUND(b, 8) AS beta,
+               ROUND(CASE WHEN b > -1.0 AND b < 0.0
+                     THEN -ln(2.0) / ln(1.0 + b) END, 4)
+                   AS halflife_days,
+               CASE WHEN b <= -1.0 THEN 'overshooting'
+                    WHEN b >= 0.0 THEN 'non_reverting'
+                    ELSE 'mean_reverting' END AS regime
+        FROM beta
+    """,
+    section="TS55",
+    doc="Mean-reversion half-life of the AMERICA-EUROPE revenue "
+    "spread: fit ds_t = alpha + beta*s_(t-1) (the TS22 "
+    "Dickey-Fuller regression on the SPREAD) and report halflife = "
+    "-ln2 / ln(1+beta) — the pairs-trading number that converts a "
+    "cointegration verdict (TS38) into a holding period: a 12-day "
+    "half-life is tradeable, a 200-day one is not. Same integer-"
+    "moment OLS device as TS22 (int128 cross moments, hi/lo "
+    "rebuild); the half-life is defined only for -1 < beta < 0 — "
+    "the regime CASE makes non-reverting and overshooting spreads "
+    "explicit instead of NaN. Scale: day-grain conditional agg, "
+    "one lag window, scalar algebra.",
+)
+def q_ts_spread_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    daily = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey")
+        )
+        .where(F.col("r_name").isin("AMERICA", "EUROPE"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            (
+                F.expr(
+                    "CAST(SUM(CASE WHEN r_name = 'AMERICA'"
+                    " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " ELSE 0 END) AS BIGINT)"
+                )
+                - F.expr(
+                    "CAST(SUM(CASE WHEN r_name = 'EUROPE'"
+                    " THEN CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+                    " ELSE 0 END) AS BIGINT)"
+                )
+            ).alias("s")
+        )
+    )
+    w = Window.orderBy("d")
+    pairs = daily.select(
+        F.lag("s").over(w).alias("x"),
+        (F.col("s") - F.lag("s").over(w)).alias("dy"),
+    ).where(F.col("x").isNotNull())
+    mom = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sdy"),
+        F.sum(F.col("x").cast(DecimalType(38, 0)) * F.col("x")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("x").cast(DecimalType(38, 0)) * F.col("dy")).alias(
+            "sxdy"
+        ),
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    nd = F.col("n").cast("double")
+    b = (
+        nd * F.expr(hi_lo.format("sxdy"))
+        - F.col("sx").cast("double") * F.col("sdy")
+    ) / (
+        nd * F.expr(hi_lo.format("sxx"))
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return mom.select(
+        "n",
+        F.round(b, 8).alias("beta"),
+        F.round(
+            F.when(
+                (b > F.lit(-1.0)) & (b < F.lit(0.0)),
+                -F.log(F.lit(2.0)) / F.log(F.lit(1.0) + b),
+            ),
+            4,
+        ).alias("halflife_days"),
+        F.when(b <= F.lit(-1.0), F.lit("overshooting"))
+        .when(b >= F.lit(0.0), F.lit("non_reverting"))
+        .otherwise(F.lit("mean_reverting"))
+        .alias("regime"),
+    )
