@@ -17633,3 +17633,153 @@ def q_agg_simpson_paradox(
             "sign_flip"
         ),
     )
+
+
+# ==== wave 205b: Youden-optimal cutpoint ============================
+
+
+@register(
+    "q_agg_youden_cutpoint",
+    oracle="""
+        WITH scored AS (
+            SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END AS y,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS s
+            FROM orders
+        ),
+        cuts AS (
+            SELECT s AS cut FROM (
+                SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rk,
+                       COUNT(*) OVER () AS n
+                FROM scored
+            ) WHERE rk = CAST(ceil(n * 0.1) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.2) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.3) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.4) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.5) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.6) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.7) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.8) AS BIGINT)
+               OR rk = CAST(ceil(n * 0.9) AS BIGINT)
+        ),
+        conf AS (
+            SELECT c.cut,
+                   CAST(SUM(CASE WHEN sc.s >= c.cut AND sc.y = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(SUM(CASE WHEN sc.s >= c.cut AND sc.y = 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(SUM(sc.y) AS BIGINT) AS pos,
+                   CAST(SUM(1 - sc.y) AS BIGINT) AS neg
+            FROM cuts c CROSS JOIN scored sc
+            GROUP BY c.cut
+        ),
+        j AS (
+            SELECT cut, tp, fp, pos, neg,
+                   CAST(tp AS DOUBLE) / pos
+                   + CAST(neg - fp AS DOUBLE) / neg - 1.0 AS youden_j,
+                   ROW_NUMBER() OVER (
+                       ORDER BY CAST(tp AS HUGEINT) * neg
+                                - CAST(fp AS HUGEINT) * pos DESC,
+                                cut) AS pick
+            FROM conf
+        )
+        SELECT cut AS best_cut_cents, tp, fp, pos, neg,
+               ROUND(CAST(tp AS DOUBLE) / pos, 6) AS sensitivity,
+               ROUND(CAST(neg - fp AS DOUBLE) / neg, 6) AS specificity,
+               ROUND(youden_j, 6) AS youden_j
+        FROM j WHERE pick = 1
+    """,
+    section="A177",
+    doc="Youden-optimal decision cutpoint: sweep nine decile "
+    "thresholds of the order-value 'score' against the urgent/high "
+    "label and pick the cut maximizing J = sensitivity + "
+    "specificity - 1 — the threshold-selection step that turns "
+    "A30's AUC into an OPERATING POINT (AUC says the score ranks; "
+    "Youden says where to cut when FP and FN cost the same). The "
+    "argmax is decided on EXACT integers: J1 > J2 iff tp1*neg - "
+    "fp1*pos > tp2*neg - fp2*pos (same pos/neg across cuts, int128 "
+    "cross-multiplication), tie-broken by the cut value, so the "
+    "winner is deterministic even when J's are equal to the last "
+    "ulp. Scale: one rank pass for the cuts, one 9x conditional "
+    "count agg — the ROC never materializes per-row.",
+)
+def q_agg_youden_cutpoint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    scored = od.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    ranked = scored.select(
+        "s",
+        F.row_number().over(Window.orderBy("s")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    cond = None
+    for q in range(1, 10):
+        c = F.col("rk") == F.ceil(
+            F.col("n") * F.lit(q / 10.0)
+        ).cast("bigint")
+        cond = c if cond is None else (cond | c)
+    cuts = ranked.where(cond).select(F.col("s").alias("cut"))
+    conf = (
+        F.broadcast(cuts)
+        .crossJoin(scored)
+        .groupBy("cut")
+        .agg(
+            F.sum(
+                F.when((F.col("s") >= F.col("cut"))
+                       & (F.col("y") == 1), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("tp"),
+            F.sum(
+                F.when((F.col("s") >= F.col("cut"))
+                       & (F.col("y") == 0), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("fp"),
+            F.sum("y").cast("bigint").alias("pos"),
+            F.sum(1 - F.col("y")).cast("bigint").alias("neg"),
+        )
+    )
+    key = (
+        F.col("tp").cast(DecimalType(38, 0)) * F.col("neg")
+        - F.col("fp").cast(DecimalType(38, 0)) * F.col("pos")
+    )
+    pick = F.row_number().over(Window.orderBy(F.desc_nulls_last(
+        "jkey"), F.asc("cut")))
+    best = (
+        conf.withColumn("jkey", key)
+        .withColumn("pick", pick)
+        .where(F.col("pick") == 1)
+    )
+    return best.select(
+        F.col("cut").alias("best_cut_cents"),
+        "tp",
+        "fp",
+        "pos",
+        "neg",
+        F.round(F.col("tp").cast("double") / F.col("pos"), 6).alias(
+            "sensitivity"
+        ),
+        F.round(
+            (F.col("neg") - F.col("fp")).cast("double") / F.col("neg"),
+            6,
+        ).alias("specificity"),
+        F.round(
+            F.col("tp").cast("double") / F.col("pos")
+            + (F.col("neg") - F.col("fp")).cast("double")
+            / F.col("neg")
+            - F.lit(1.0),
+            6,
+        ).alias("youden_j"),
+    )

@@ -578,3 +578,102 @@ def q_multimodal_byte_entropy(
         .otherwise(F.lit("text_like"))
         .alias("media_guess"),
     )
+
+
+# ==== wave 205a: CDC chunk-dedup storage savings (M10) ==============
+
+
+@register(
+    "q_multimodal_chunk_dedup_savings",
+    oracle="""
+        WITH chars AS (
+            SELECT doc_id, text,
+                   list_transform(string_split(text, ''),
+                                  c -> CAST(ascii(c) AS BIGINT)) AS cs,
+                   octet_length(encode(text)) AS n
+            FROM documents
+            WHERE octet_length(encode(text)) > 0
+        ),
+        bnd AS (
+            SELECT doc_id, text, n,
+                   list_filter(range(8, n),
+                       i -> (cs[i] * 1 + cs[i-1] * 33 + cs[i-2] * 1089
+                             + cs[i-3] * 35937 + cs[i-4] * 1185921
+                             + cs[i-5] * 39135393 + cs[i-6] * 1291467969
+                             + cs[i-7] * 42618442977) % 64 = 0) AS bs
+            FROM chars
+        ),
+        seg AS (
+            SELECT doc_id, text, n,
+                   list_prepend(1, list_transform(bs, b -> b + 1))
+                       AS starts,
+                   list_append(bs, n) AS ends
+            FROM bnd
+        ),
+        manifest AS (
+            SELECT CAST(s.ends[t.k + 1] - s.starts[t.k + 1] + 1
+                        AS BIGINT) AS length,
+                   md5(substr(s.text,
+                       CAST(s.starts[t.k + 1] AS INTEGER),
+                       CAST(s.ends[t.k + 1] - s.starts[t.k + 1] + 1
+                            AS INTEGER))) AS chunk_md5
+            FROM seg s
+            CROSS JOIN unnest(range(0, len(s.starts))) AS t(k)
+        ),
+        uniq AS (
+            SELECT chunk_md5, CAST(MIN(length) AS BIGINT) AS length,
+                   CAST(COUNT(*) AS BIGINT) AS refs
+            FROM manifest GROUP BY chunk_md5
+        )
+        SELECT CAST(SUM(refs) AS BIGINT) AS total_chunks,
+               CAST(COUNT(*) AS BIGINT) AS unique_chunks,
+               CAST(SUM(refs * length) AS BIGINT) AS logical_bytes,
+               CAST(SUM(length) AS BIGINT) AS stored_bytes,
+               ROUND(1.0 - CAST(SUM(length) AS DOUBLE)
+                     / SUM(refs * length), 6) AS dedup_savings,
+               CAST(MAX(refs) AS BIGINT) AS hottest_chunk_refs
+        FROM uniq
+    """,
+    section="M10",
+    doc="CDC chunk-dedup storage accounting — the payoff step of "
+    "M7's manifest: group chunk digests across ALL payloads, count "
+    "references, and report logical vs stored bytes and the dedup "
+    "savings ratio — the number a content-addressed store "
+    "(restic/borg/artifact cache) quotes, and the reason CDC beats "
+    "fixed blocks (shared shingled near-dup regions land on "
+    "IDENTICAL chunk digests despite different offsets; this "
+    "corpus's token-shuffled near-dups produce real cross-doc "
+    "chunk hits). Digest grouping keys are 16-byte md5s (MIN(length)"
+    " per digest is well-defined: same content => same length); all "
+    "byte accounting exact int64. Scale: map-only chunking "
+    "(payloads never shuffle) + ONE digest-keyed agg — the dedup "
+    "index shuffle is digests, not content.",
+)
+def q_multimodal_chunk_dedup_savings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.octet_length(F.encode("text", "utf-8")) > 0
+    )
+    manifest = cdc_chunk_bytes(attach_payload(docs)).select(
+        "length", "chunk_md5"
+    )
+    uniq = manifest.groupBy("chunk_md5").agg(
+        F.min("length").cast("bigint").alias("length"),
+        F.count(F.lit(1)).cast("bigint").alias("refs"),
+    )
+    return uniq.agg(
+        F.sum("refs").cast("bigint").alias("total_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("unique_chunks"),
+        F.sum(F.col("refs") * F.col("length"))
+        .cast("bigint")
+        .alias("logical_bytes"),
+        F.sum("length").cast("bigint").alias("stored_bytes"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("length").cast("double")
+            / F.sum(F.col("refs") * F.col("length")),
+            6,
+        ).alias("dedup_savings"),
+        F.max("refs").cast("bigint").alias("hottest_chunk_refs"),
+    )
