@@ -5015,3 +5015,104 @@ def q_etl_watermark_completeness(
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# ==== wave 206a: storage tiering plan (E56) =========================
+
+# $/GiB-month literals (S3 Standard / IA / Glacier-Instant shaped)
+_TIER_RATES = {"hot": 0.023, "warm": 0.0125, "cold": 0.004}
+
+
+@register(
+    "q_etl_storage_tiering_plan",
+    oracle=f"""
+        WITH parts AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                   CAST(COUNT(*) AS BIGINT) AS rows_,
+                   CAST(COUNT(*) * 128 AS BIGINT) AS bytes_est,
+                   CAST(date_diff('month',
+                        date_trunc('month', CAST(o_orderdate AS DATE)),
+                        (SELECT MAX(date_trunc('month',
+                             CAST(o_orderdate AS DATE))) FROM orders))
+                        AS BIGINT) AS age_months
+            FROM orders
+            GROUP BY date_trunc('month', CAST(o_orderdate AS DATE))
+        ),
+        tiered AS (
+            SELECT CASE WHEN age_months <= 3 THEN 'hot'
+                        WHEN age_months <= 12 THEN 'warm'
+                        ELSE 'cold' END AS tier,
+                   rows_, bytes_est
+            FROM parts
+        )
+        SELECT tier,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(rows_) AS BIGINT) AS total_rows,
+               CAST(SUM(bytes_est) AS BIGINT) AS bytes_est,
+               ROUND(CAST(SUM(bytes_est) AS DOUBLE) / 1073741824.0
+                     * CASE tier WHEN 'hot' THEN {_TIER_RATES["hot"]}
+                                 WHEN 'warm' THEN {_TIER_RATES["warm"]}
+                                 ELSE {_TIER_RATES["cold"]} END, 8)
+                   AS monthly_cost_usd
+        FROM tiered GROUP BY tier
+    """,
+    section="E56",
+    doc="Storage tiering plan over monthly order partitions: age "
+    "since the newest partition buckets each month into hot "
+    "(<= 3 mo), warm (<= 12 mo), cold, with byte estimates (fixed "
+    "128 B/row, the E-family width convention) and projected "
+    "monthly cost at S3-shaped literal rates — the lifecycle "
+    "policy a lakehouse admin writes as an actual rule "
+    "(transition-after-N-days), evaluated BEFORE flipping it on; "
+    "complements E33's version pruning (reclaims) and E51's grain "
+    "choice (layout) with the third lever: placement. Ages are "
+    "integer month diffs against MAX(month) — data-relative, so "
+    "the plan is deterministic at every SF; costs are single "
+    "pinned multiplications by literals. Scale: one month-grain "
+    "agg + a scalar max — trivially map-side.",
+)
+def q_etl_storage_tiering_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    parts = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "m"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("rows_"),
+        (F.count(F.lit(1)) * 128).cast("bigint").alias("bytes_est"),
+    )
+    mx = parts.agg(F.max("m").alias("mx"))
+    tiered = parts.crossJoin(F.broadcast(mx)).select(
+        F.when(
+            F.months_between(F.col("mx"), F.col("m")).cast("bigint")
+            <= 3,
+            F.lit("hot"),
+        )
+        .when(
+            F.months_between(F.col("mx"), F.col("m")).cast("bigint")
+            <= 12,
+            F.lit("warm"),
+        )
+        .otherwise(F.lit("cold"))
+        .alias("tier"),
+        "rows_",
+        "bytes_est",
+    )
+    rate = (
+        F.when(F.col("tier") == "hot", F.lit(_TIER_RATES["hot"]))
+        .when(F.col("tier") == "warm", F.lit(_TIER_RATES["warm"]))
+        .otherwise(F.lit(_TIER_RATES["cold"]))
+    )
+    return tiered.groupBy("tier").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+        F.sum("rows_").cast("bigint").alias("total_rows"),
+        F.sum("bytes_est").cast("bigint").alias("bytes_est"),
+        F.round(
+            F.sum("bytes_est").cast("double")
+            / F.lit(1073741824.0)
+            * F.max(rate),
+            8,
+        ).alias("monthly_cost_usd"),
+    )

@@ -5125,3 +5125,104 @@ def q_vec_participation_ratio(
             6,
         ).alias("pr_fraction"),
     )
+
+
+# ==== wave 206b: ANN index memory budget (V45) ======================
+
+# sizing constants: float32 vectors, int64 ids, k=8 coarse centroids,
+# PQ with 4 subquantizers x 1-byte codes (the V6/V8 configurations)
+_IMB_DIM = 64
+_IMB_K = 8
+_IMB_M = 4
+
+
+@register(
+    "q_vec_index_memory_budget",
+    oracle=f"""
+        WITH stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+        ),
+        plans AS (
+            SELECT 'flat' AS index_type,
+                   n * {_IMB_DIM} * 4 + n * 8 AS bytes
+            FROM stats
+            UNION ALL
+            SELECT 'ivf_flat',
+                   n * {_IMB_DIM} * 4 + n * 8
+                   + {_IMB_K} * {_IMB_DIM} * 4 + n * 8
+            FROM stats
+            UNION ALL
+            SELECT 'ivf_pq',
+                   n * {_IMB_M} + n * 8
+                   + {_IMB_K} * {_IMB_DIM} * 4
+                   + {_IMB_M} * 256 * ({_IMB_DIM} // {_IMB_M}) * 4
+            FROM stats
+        )
+        SELECT p.index_type,
+               (SELECT n FROM stats) AS n_vectors,
+               CAST(p.bytes AS BIGINT) AS bytes_est,
+               ROUND(CAST(p.bytes AS DOUBLE)
+                     / ((SELECT n FROM stats) * {_IMB_DIM} * 4), 6)
+                   AS ratio_vs_raw,
+               CASE WHEN p.bytes <= 134217728 THEN 'fits_128mb_exec'
+                    ELSE 'needs_sharding' END AS placement
+        FROM plans p
+    """,
+    section="V45",
+    doc=f"ANN index memory budget from corpus stats — the FAISS "
+    "sizing table as a query: flat (n*d*4 + ids), IVF-flat (+ "
+    f"{_IMB_K} coarse centroids + inverted-list ids), IVF-PQ "
+    f"(n*{_IMB_M}-byte codes + codebooks) for the exact V6/V8 "
+    "configurations this engine trains — capacity planning BEFORE "
+    "building (ratio_vs_raw is the compression the PQ path buys: "
+    "~16x here, 64x with production dims; placement says whether "
+    "the serving index fits a 128 MiB executor slice or must "
+    "shard). Every size is exact integer arithmetic off ONE "
+    "count; the only doubles are the ratio and nothing else. "
+    "Scale: one COUNT — the cheapest query in the registry, and "
+    "the one you run first at 100 TB.",
+)
+def q_vec_index_memory_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    d4 = _IMB_DIM * 4
+    rows = [
+        ("flat", lambda n: n * d4 + n * 8),
+        (
+            "ivf_flat",
+            lambda n: n * d4 + n * 8 + _IMB_K * d4 + n * 8,
+        ),
+        (
+            "ivf_pq",
+            lambda n: n * _IMB_M
+            + n * 8
+            + _IMB_K * d4
+            + _IMB_M * 256 * (_IMB_DIM // _IMB_M) * 4,
+        ),
+    ]
+    outs = []
+    for name, fn in rows:
+        b = fn(F.col("n"))
+        outs.append(
+            stats.select(
+                F.lit(name).alias("index_type"),
+                F.col("n").alias("n_vectors"),
+                b.cast("bigint").alias("bytes_est"),
+                F.round(
+                    b.cast("double")
+                    / (F.col("n") * F.lit(d4)),
+                    6,
+                ).alias("ratio_vs_raw"),
+                F.when(
+                    b <= F.lit(134217728), F.lit("fits_128mb_exec")
+                )
+                .otherwise(F.lit("needs_sharding"))
+                .alias("placement"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
