@@ -408,6 +408,22 @@ RISKY = [
     "q_func_timestamp_waterfall",
     "q_agg_competing_risks_cif",
     "q_agg_kendall_w",
+    # r5 waves 201-206: verbatim EMA chains, permutation distances,
+    # md5-delay synthesis, quantized log-log OLS, int128 mean
+    # cross-multiplications, digest-keyed chunk accounting, integer
+    # argmax operating points, data-relative tiering.
+    "q_ts_macd_crossover",
+    "q_agg_rank_distance_audit",
+    "q_etl_watermark_completeness",
+    "q_agg_weibull_mrr",
+    "q_agg_min_variance_portfolio",
+    "q_win_renewal_curve",
+    "q_ts_spread_halflife",
+    "q_agg_simpson_paradox",
+    "q_multimodal_chunk_dedup_savings",
+    "q_agg_youden_cutpoint",
+    "q_etl_storage_tiering_plan",
+    "q_vec_index_memory_budget",
 ]
 
 
