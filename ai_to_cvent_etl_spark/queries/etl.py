@@ -3973,27 +3973,80 @@ def q_etl_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     def ring_assign(nshards, alias):
+        # The whole ring fits in ONE sorted array literal (640 vnodes),
+        # so the successor lookup is a row-local filter+head instead of
+        # a broadcast nested-loop join (the BNL materialized ~320
+        # matching vnodes PER KEY before the min_by agg — 50M rows at
+        # sf0.1, 20s; this plan is one crossJoin of a 1-row frame and
+        # an in-codegen array scan, same results bit-for-bit: the
+        # sorted struct order (vh, shard) reproduces the tie-broken
+        # successor, and element 1 of the full ring is the wraparound).
+        # parallel PRIMITIVE arrays (sorted by (vh, shard)): the
+        # successor index is just the count of vh < h — a primitive
+        # filter stays inside codegen where a struct-array getField
+        # scan does not; ties keep the smaller shard because the
+        # struct sort ordered them before the split.
         vn = vnodes(nshards)
-        succ = (
-            keys.join(F.broadcast(vn), F.col("vh") >= F.col("h"), "left")
-            .groupBy("k", "h")
-            .agg(
-                F.min_by("shard", F.struct("vh", "shard")).alias("succ")
+        ring = vn.agg(
+            F.sort_array(
+                F.collect_list(F.struct("vh", "shard"))
+            ).alias("r0")
+        ).select(
+            F.expr("transform(r0, x -> x.vh)").alias("vhs"),
+            F.expr("transform(r0, x -> x.shard)").alias("shards"),
+        )
+        idx = (
+            F.size(
+                F.filter(F.col("vhs"), lambda v: v < F.col("h"))
             )
+            + 1
         )
-        first = vn.orderBy("vh", "shard").limit(1).select(
-            F.col("shard").alias("wrap")
-        )
-        return succ.crossJoin(F.broadcast(first)).select(
+        return keys.crossJoin(F.broadcast(ring)).select(
             "k",
             "h",
-            F.coalesce(F.col("succ"), F.col("wrap")).alias(alias),
+            F.coalesce(
+                F.try_element_at(F.col("shards"), idx),
+                F.element_at(F.col("shards"), 1),
+            ).alias(alias),
         )
 
-    ra = ring_assign(_RB_FROM, "sa")
-    rb = ring_assign(_RB_TO, "sb")
+    # both rings ride ONE pass over keys: two 1-row ring literals
+    # cross-joined in, no re-join on k (the old plan recomputed the
+    # md5 key hash twice and shuffled 150k rows to re-pair them)
+    ring_a = ring_assign(_RB_FROM, "sa").select("k", "h", "sa")
     ring = (
-        ra.join(rb.select("k", "sb"), "k")
+        ring_a
+        .crossJoin(
+            F.broadcast(
+                vnodes(_RB_TO)
+                .agg(
+                    F.sort_array(
+                        F.collect_list(F.struct("vh", "shard"))
+                    ).alias("r0")
+                )
+                .select(
+                    F.expr("transform(r0, x -> x.vh)").alias("vhs_b"),
+                    F.expr("transform(r0, x -> x.shard)").alias(
+                        "shards_b"
+                    ),
+                )
+            )
+        )
+        .select(
+            "sa",
+            F.coalesce(
+                F.try_element_at(
+                    F.col("shards_b"),
+                    F.size(
+                        F.filter(
+                            F.col("vhs_b"), lambda v: v < F.col("h")
+                        )
+                    )
+                    + 1,
+                ),
+                F.element_at(F.col("shards_b"), 1),
+            ).alias("sb"),
+        )
         .agg(
             F.sum(
                 F.when(F.col("sa") != F.col("sb"), 1).otherwise(0)
