@@ -17783,3 +17783,162 @@ def q_agg_youden_cutpoint(
             6,
         ).alias("youden_j"),
     )
+
+
+# ==== wave 207: Brunner-Munzel heteroscedastic rank test ============
+
+
+@register(
+    "q_agg_brunner_munzel",
+    oracle="""
+        WITH vals AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 'x' ELSE 'y' END AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents
+            FROM orders
+        ),
+        ranked AS (
+            SELECT grp,
+                   CAST(ROW_NUMBER() OVER (ORDER BY cents, o_orderkey)
+                        AS BIGINT)
+                   - CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                          ORDER BY cents, o_orderkey) AS BIGINT) AS p
+            FROM vals
+        ),
+        mom AS (
+            SELECT
+                CAST(SUM(CASE WHEN grp = 'x' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n,
+                CAST(SUM(CASE WHEN grp = 'y' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS m,
+                CAST(SUM(CASE WHEN grp = 'x' THEN p ELSE 0 END)
+                     AS BIGINT) AS sx,
+                CAST(SUM(CASE WHEN grp = 'y' THEN p ELSE 0 END)
+                     AS BIGINT) AS sy,
+                SUM(CASE WHEN grp = 'x'
+                    THEN CAST(p AS HUGEINT) * p ELSE 0 END) AS qx,
+                SUM(CASE WHEN grp = 'y'
+                    THEN CAST(p AS HUGEINT) * p ELSE 0 END) AS qy
+            FROM ranked
+        ),
+        vr AS (
+            SELECT n, m,
+                   CAST(sx AS DOUBLE) / (CAST(n AS DOUBLE) * m)
+                       AS p_hat,
+                   ((CAST(qx // 4294967296 AS DOUBLE) * 4294967296.0
+                     + CAST(qx % 4294967296 AS DOUBLE))
+                    - CAST(sx AS DOUBLE) * sx / n) / (n - 1) AS s2x,
+                   ((CAST(qy // 4294967296 AS DOUBLE) * 4294967296.0
+                     + CAST(qy % 4294967296 AS DOUBLE))
+                    - CAST(sy AS DOUBLE) * sy / m) / (m - 1) AS s2y
+            FROM mom
+        )
+        SELECT n AS n_x, m AS n_y,
+               ROUND(p_hat, 6) AS p_hat,
+               ROUND(s2x, 4) AS s2x,
+               ROUND(s2y, 4) AS s2y,
+               ROUND((p_hat - 0.5)
+                     / sqrt(s2x / (CAST(n AS DOUBLE) * m * m)
+                            + s2y / (CAST(m AS DOUBLE) * n * n)), 6)
+                   AS w_bm
+        FROM vr
+    """,
+    section="A178",
+    doc="Brunner-Munzel heteroscedastic rank test between urgent/"
+    "high and other order totals: p_hat = P(Y < X) from placements "
+    "p_i = combined_rank - within_rank (exact integer counts of "
+    "cross-group wins under the tie-broken total order), "
+    "studentized by per-group placement variances — the test to "
+    "reach for when A87's Mann-Whitney assumption of equal shapes "
+    "fails (MW conflates location with variance; BM estimates "
+    "P(Y<X) directly and lets the two groups have DIFFERENT "
+    "variances, the Behrens-Fisher situation in ranks). W = "
+    "(p_hat - 1/2) / sqrt(S2x/(n m^2) + S2y/(m n^2)), the BM "
+    "studentization over tie-broken placements (documented "
+    "convention, same device as A153). Placement squares run in "
+    "int128 and rebuild via A26 hi/lo; everything else is one-pass "
+    "conditional integer moments. Scale: two rank windows over one "
+    "global sort + a scalar reduction.",
+)
+def q_agg_brunner_munzel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    vals = od.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "x"
+        )
+        .otherwise("y")
+        .alias("grp"),
+        F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+        ).alias("cents"),
+    )
+    ranked = vals.select(
+        "grp",
+        (
+            F.row_number()
+            .over(Window.orderBy("cents", "o_orderkey"))
+            .cast("bigint")
+            - F.row_number()
+            .over(
+                Window.partitionBy("grp").orderBy("cents", "o_orderkey")
+            )
+            .cast("bigint")
+        ).alias("p"),
+    )
+    gx = F.col("grp") == "x"
+    gy = F.col("grp") == "y"
+    mom = ranked.agg(
+        F.sum(F.when(gx, 1).otherwise(0)).cast("bigint").alias("n"),
+        F.sum(F.when(gy, 1).otherwise(0)).cast("bigint").alias("m"),
+        F.sum(F.when(gx, F.col("p")).otherwise(0))
+        .cast("bigint")
+        .alias("sx"),
+        F.sum(F.when(gy, F.col("p")).otherwise(0))
+        .cast("bigint")
+        .alias("sy"),
+        F.sum(
+            F.when(
+                gx, F.col("p").cast(DecimalType(38, 0)) * F.col("p")
+            ).otherwise(F.lit(0).cast(DecimalType(38, 0)))
+        ).alias("qx"),
+        F.sum(
+            F.when(
+                gy, F.col("p").cast(DecimalType(38, 0)) * F.col("p")
+            ).otherwise(F.lit(0).cast(DecimalType(38, 0)))
+        ).alias("qy"),
+    )
+    hi_lo = (
+        "cast({0} div 4294967296 as double) * 4294967296.0d"
+        " + cast({0} % 4294967296 as double)"
+    )
+    nd = F.col("n").cast("double")
+    md = F.col("m").cast("double")
+    p_hat = F.col("sx").cast("double") / (nd * F.col("m"))
+    s2x = (
+        F.expr(hi_lo.format("qx"))
+        - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    ) / (F.col("n") - 1)
+    s2y = (
+        F.expr(hi_lo.format("qy"))
+        - F.col("sy").cast("double") * F.col("sy") / F.col("m")
+    ) / (F.col("m") - 1)
+    return mom.select(
+        F.col("n").alias("n_x"),
+        F.col("m").alias("n_y"),
+        F.round(p_hat, 6).alias("p_hat"),
+        F.round(s2x, 4).alias("s2x"),
+        F.round(s2y, 4).alias("s2y"),
+        F.round(
+            (p_hat - F.lit(0.5))
+            / F.sqrt(
+                s2x / (nd * F.col("m") * F.col("m"))
+                + s2y / (md * F.col("n") * F.col("n"))
+            ),
+            6,
+        ).alias("w_bm"),
+    )
