@@ -424,6 +424,8 @@ RISKY = [
     "q_agg_youden_cutpoint",
     "q_etl_storage_tiering_plan",
     "q_vec_index_memory_budget",
+    # r5 wave 207: int128 placement variances over tie-broken ranks
+    "q_agg_brunner_munzel",
 ]
 
 
