@@ -17942,3 +17942,81 @@ def q_agg_brunner_munzel(
             6,
         ).alias("w_bm"),
     )
+
+
+# ==== wave 208b: paired sign test ===================================
+
+
+@register(
+    "q_agg_sign_test",
+    oracle="""
+        WITH monthly AS (
+            SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS m,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS cents
+            FROM orders GROUP BY 1
+        ),
+        diffs AS (
+            SELECT cents - LAG(cents) OVER (ORDER BY m) AS d
+            FROM monthly
+            QUALIFY d IS NOT NULL AND d <> 0
+        ),
+        counts AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM diffs
+        )
+        SELECT n, n_pos, n - n_pos AS n_neg,
+               ROUND((2.0 * n_pos - n) / sqrt(CAST(n AS DOUBLE)), 6)
+                   AS z_sign,
+               ROUND(CAST(n_pos AS DOUBLE) / n, 6) AS p_pos
+        FROM counts
+    """,
+    section="A179",
+    doc="Paired sign test on month-over-month revenue changes: count "
+    "strictly positive vs negative deltas (exact zeros excluded, "
+    "the standard convention) and z = (2*pos - n)/sqrt(n) against "
+    "the p = 1/2 null — the assumption-free floor of the paired-"
+    "test ladder (A91's Wilcoxon signed-rank adds magnitude ranks "
+    "and assumes symmetry; the sign test assumes NOTHING but "
+    "independent signs, which is why it's the referee when Wilcoxon "
+    "and the t-test disagree). Everything is integer counting off "
+    "one lag window; z is one pinned expression. Scale: month-grain "
+    "agg, ~84-row window, scalar out.",
+)
+def q_agg_sign_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    monthly = od.groupBy(
+        F.date_trunc("month", F.col("o_orderdate").cast("date")).alias(
+            "m"
+        )
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("cents")
+    )
+    w = Window.orderBy("m")
+    diffs = monthly.select(
+        (F.col("cents") - F.lag("cents").over(w)).alias("d")
+    ).where(F.col("d").isNotNull() & (F.col("d") != 0))
+    counts = diffs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("d") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    return counts.select(
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(
+            (F.lit(2.0) * F.col("n_pos") - F.col("n"))
+            / F.sqrt(F.col("n").cast("double")),
+            6,
+        ).alias("z_sign"),
+        F.round(
+            F.col("n_pos").cast("double") / F.col("n"), 6
+        ).alias("p_pos"),
+    )

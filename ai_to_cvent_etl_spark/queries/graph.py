@@ -3092,3 +3092,172 @@ def q_graph_snowball_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean_samp, 4).alias("mean_deg_sampled_nodes"),
         F.round(mean_samp / mean_pop, 4).alias("degree_bias_factor"),
     )
+
+
+# ==== wave 208a: global network efficiency (G29) ====================
+
+
+@register(
+    "q_graph_global_efficiency",
+    oracle="""
+        WITH flow AS (
+            SELECT LEAST(c.c_nationkey, s.s_nationkey) AS lo,
+                   GREATEST(c.c_nationkey, s.s_nationkey) AS hi,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders o
+            JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE c.c_nationkey <> s.s_nationkey
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(SUM(cents) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS np
+            FROM flow
+        ),
+        sym AS (
+            SELECT lo AS src, hi AS dst FROM flow CROSS JOIN tot
+            WHERE cents * np > t
+            UNION ALL
+            SELECT hi, lo FROM flow CROSS JOIN tot
+            WHERE cents * np > t
+        ),
+        nodes AS (SELECT DISTINCT src AS v FROM sym),
+        walk AS (
+            WITH RECURSIVE r(src, dst, d) AS (
+                SELECT v, v, 0 FROM nodes
+                UNION
+                SELECT r.src, e.dst, r.d + 1
+                FROM r JOIN sym e ON r.dst = e.src
+                WHERE r.d < 25
+            ) SELECT src, dst, CAST(MIN(d) AS BIGINT) AS d
+              FROM r GROUP BY src, dst
+        ),
+        pairs AS (
+            SELECT d FROM walk WHERE src <> dst
+        ),
+        scal AS (
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n,
+                   CAST(COUNT(*) AS BIGINT) AS n_connected,
+                   CAST(MAX(d) AS BIGINT) AS diameter,
+                   CAST(SUM(d) AS BIGINT) AS sum_d,
+                   CAST(SUM(1000000000 // d) AS BIGINT) AS inv_q
+            FROM pairs
+        )
+        SELECT n, n_connected, diameter,
+               ROUND(CAST(sum_d AS DOUBLE) / n_connected, 4)
+                   AS avg_path_connected,
+               ROUND(CAST(inv_q AS DOUBLE) / 1e9
+                     / (CAST(n AS DOUBLE) * (n - 1)), 6)
+                   AS global_efficiency
+        FROM scal
+    """,
+    section="G29",
+    doc="Global efficiency of the above-mean-weight nation trade "
+    "graph: E = mean over ordered pairs of 1/d(i,j), with "
+    "disconnected pairs contributing 0 — the connectivity summary "
+    "that stays DEFINED when the graph fragments (average path "
+    "length goes infinite, which is why efficiency is the "
+    "small-world literature's denominator of choice; G26's "
+    "percolation profile shows WHERE this graph fragments, this "
+    "scores the fragments). Distances are exact BFS levels (oracle: "
+    "depth-bounded recursive closure + MIN(d); Spark: 5 unrolled "
+    "min-plus doubling rounds, 2^5 > any 25-node diameter); each "
+    "1/d quantizes to 1e9 div d (exact integer — d is an integer "
+    "level) before the pair sum. Scale: the fact join collapses to "
+    "the nation quotient FIRST; all graph algebra runs on <= 625 "
+    "pair rows.",
+)
+def q_graph_global_efficiency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    flow = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .where(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.least("c_nationkey", "s_nationkey").alias("lo"),
+            F.greatest("c_nationkey", "s_nationkey").alias("hi"),
+        )
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * 100 AS BIGINT)) AS BIGINT)"
+            ).alias("cents")
+        )
+        .localCheckpoint(eager=False)
+    )
+    tot = flow.agg(
+        F.sum("cents").cast("bigint").alias("t"),
+        F.count(F.lit(1)).cast("bigint").alias("np"),
+    )
+    kept = (
+        flow.crossJoin(F.broadcast(tot))
+        .where(F.col("cents") * F.col("np") > F.col("t"))
+        .select("lo", "hi")
+    )
+    sym = kept.select(
+        F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(
+        kept.select(F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    nodes = sym.select(F.col("src").alias("v")).distinct()
+    # min-plus doubling: dist_0 = self(0) + edges(1); 5 squarings
+    dist = (
+        nodes.select(
+            F.col("v").alias("src"), F.col("v").alias("dst"),
+            F.lit(0).cast("bigint").alias("d"),
+        )
+        .unionAll(
+            sym.select("src", "dst", F.lit(1).cast("bigint").alias("d"))
+        )
+        .groupBy("src", "dst")
+        .agg(F.min("d").alias("d"))
+    )
+    for _ in range(5):
+        hop = (
+            dist.alias("a")
+            .join(
+                dist.alias("b"), F.col("a.dst") == F.col("b.src")
+            )
+            .select(
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
+                (F.col("a.d") + F.col("b.d")).alias("d"),
+            )
+        )
+        dist = (
+            dist.unionAll(hop)
+            .groupBy("src", "dst")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    pairs = dist.where(F.col("src") != F.col("dst")).select("d")
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    scal = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_connected"),
+        F.max("d").cast("bigint").alias("diameter"),
+        F.sum("d").cast("bigint").alias("sum_d"),
+        F.sum(F.expr("1000000000 div d")).cast("bigint").alias("inv_q"),
+    ).crossJoin(F.broadcast(n_nodes))
+    return scal.select(
+        "n",
+        "n_connected",
+        "diameter",
+        F.round(
+            F.col("sum_d").cast("double") / F.col("n_connected"), 4
+        ).alias("avg_path_connected"),
+        F.round(
+            F.col("inv_q").cast("double")
+            / F.lit(1e9)
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("global_efficiency"),
+    )
