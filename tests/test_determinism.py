@@ -426,6 +426,9 @@ RISKY = [
     "q_vec_index_memory_budget",
     # r5 wave 207: int128 placement variances over tie-broken ranks
     "q_agg_brunner_munzel",
+    # r5 wave 208: min-plus closure distances, lag-window sign counts
+    "q_graph_global_efficiency",
+    "q_agg_sign_test",
 ]
 
 
