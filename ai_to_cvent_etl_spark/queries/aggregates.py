@@ -17649,7 +17649,7 @@ def q_agg_simpson_paradox(
             FROM orders
         ),
         cuts AS (
-            SELECT s AS cut FROM (
+            SELECT DISTINCT s AS cut FROM (
                 SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rk,
                        COUNT(*) OVER () AS n
                 FROM scored
@@ -17729,7 +17729,10 @@ def q_agg_youden_cutpoint(
             F.col("n") * F.lit(q / 10.0)
         ).cast("bigint")
         cond = c if cond is None else (cond | c)
-    cuts = ranked.where(cond).select(F.col("s").alias("cut"))
+    # DISTINCT: ties spanning a decile boundary would otherwise emit the
+    # same cut value twice, doubling every conf count for that cut (and
+    # quadrupling the argmax key) — data-dependent, so pinned on both sides.
+    cuts = ranked.where(cond).select(F.col("s").alias("cut")).distinct()
     conf = (
         F.broadcast(cuts)
         .crossJoin(scored)

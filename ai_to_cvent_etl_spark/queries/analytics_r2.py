@@ -768,6 +768,7 @@ def q_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_udf_arrow",
+    tags=("python_boundary",),
     oracle="""
         SELECT doc_id,
                regexp_replace(lower(text), '[aeiou]', '', 'g') AS fp,

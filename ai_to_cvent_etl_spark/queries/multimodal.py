@@ -54,6 +54,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_features",
+    tags=("python_boundary",),
     oracle="""
         WITH chars AS (
             SELECT doc_id,
@@ -104,6 +105,7 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_frame_sample",
+    tags=("python_boundary",),
     oracle="""
         SELECT d.doc_id,
                CAST(t.i AS BIGINT) AS frame_no,
@@ -132,6 +134,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_feature_dedup",
+    tags=("python_boundary",),
     oracle="""
         WITH chars AS (
             SELECT doc_id,
@@ -348,6 +351,7 @@ def q_multimodal_aspect_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_multimodal_cdc_chunks",
+    tags=("python_boundary",),
     oracle="""
         WITH chars AS (
             SELECT doc_id, text,
@@ -585,6 +589,7 @@ def q_multimodal_byte_entropy(
 
 @register(
     "q_multimodal_chunk_dedup_savings",
+    tags=("python_boundary",),
     oracle="""
         WITH chars AS (
             SELECT doc_id, text,

@@ -39,6 +39,7 @@ _FINGERPRINT_ORACLE = """
 
 @register(
     "q_udf_python",
+    tags=("python_boundary",),
     oracle=_FINGERPRINT_ORACLE,
     section="X1",
     doc="Row-at-a-time Python UDF (pickle boundary): vowel-strip fingerprint.",
@@ -55,6 +56,7 @@ def _vowel_strip_vec(texts: pd.Series) -> pd.Series:
 
 @register(
     "q_pandas_udf",
+    tags=("python_boundary",),
     oracle=_FINGERPRINT_ORACLE,
     section="X2",
     doc="Vectorized pandas UDF (Arrow boundary): same fingerprint, batched.",
@@ -74,6 +76,7 @@ def _gmean(values: pd.Series) -> float:
 
 @register(
     "q_udaf_gmean",
+    tags=("python_boundary",),
     oracle="""
         SELECT event_type,
                ROUND(exp(AVG(ln(value))), 4) AS gmean_value
@@ -105,6 +108,7 @@ class _SplitTokens:
 
 @register(
     "q_udtf_split",
+    tags=("python_boundary",),
     oracle="""
         SELECT doc_id, u.tok AS token, u.pos FROM (
             SELECT doc_id,
@@ -179,6 +183,7 @@ def _merge_bucket(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "q_cogroup_pandas",
+    tags=("python_boundary",),
     oracle="""
         WITH e AS (
             SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -248,6 +253,7 @@ def _arrow_reverse_batches(it):
 
 @register(
     "q_map_in_arrow",
+    tags=("python_boundary",),
     oracle="""
         SELECT doc_id,
                CAST(length(text) AS INT) AS n_chars_arrow,
@@ -300,6 +306,7 @@ def _make_status_summary_udtf():
 
 @register(
     "q_udtf_table_arg",
+    tags=("python_boundary",),
     oracle="""
         SELECT o_orderstatus,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -354,6 +361,7 @@ def _make_arrow_split_udtf():
 
 @register(
     "q_udtf_arrow",
+    tags=("python_boundary",),
     oracle=f"""
         SELECT doc_id, u.tok AS tok, u.pos AS pos
         FROM (
@@ -404,6 +412,7 @@ def _center_on_median(pdf: pd.DataFrame) -> pd.DataFrame:
 
 @register(
     "q_apply_in_pandas",
+    tags=("python_boundary",),
     oracle="""
         WITH med AS (
             SELECT o_orderstatus,
@@ -534,6 +543,7 @@ class _TopWordsUdtf:
 
 @register(
     "q_udtf_analyze",
+    tags=("python_boundary",),
     oracle="""
         WITH toks AS (
             SELECT doc_id, t.tok AS tok
@@ -587,6 +597,7 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pandas_udf_iterator",
+    tags=("python_boundary",),
     oracle="""
         SELECT doc_id,
                CAST(length(text) - length(replace(text, ' ', '')) + 1

@@ -131,27 +131,17 @@ def test_whole_stage_codegen_covers_flagship(spark, registry):
 
 def test_no_python_udfs_in_hot_queries(spark, registry):
     """Python evaluation nodes (BatchEvalPython / ArrowEvalPython / FlatMap*)
-    may only appear in the declared UD*F/multimodal surface."""
-    allowed = {
-        "q_udf_python",
-        "q_pandas_udf",
-        "q_udf_arrow",
-        "q_udaf_gmean",
-        "q_udtf_split",
-        "q_udtf_table_arg",
-        "q_udtf_arrow",
-        "q_udtf_analyze",
-        "q_pandas_udf_iterator",
-        "q_cogroup_pandas",
-        "q_apply_in_pandas",
-        "q_map_in_arrow",
-        "q_multimodal_features",
-        "q_multimodal_frame_sample",
-        "q_multimodal_feature_dedup",
-        # wave 166: content-defined chunking is a declared mapInPandas
-        # surface (payload bytes never leave the map task)
-        "q_multimodal_cdc_chunks",
-    }
+    may only appear in the declared UD*F/multimodal surface. The allowlist is
+    registry-driven: a spec that legitimately crosses the Python boundary
+    declares tags=("python_boundary",) at registration, so a new wave cannot
+    rot a hand-maintained list here."""
+    allowed = {k for k, s in registry.items() if "python_boundary" in s.tags}
+    # the declared surface is exactly the UD*F + multimodal-decode families;
+    # anything else claiming the tag is itself an offence
+    for key in allowed:
+        assert key.startswith(("q_udf", "q_udaf", "q_udtf", "q_pandas_udf",
+                               "q_cogroup", "q_apply_in", "q_map_in",
+                               "q_multimodal")), key
     offenders = []
     for key, spec in registry.items():
         if key in allowed:
