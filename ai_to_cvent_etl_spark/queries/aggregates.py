@@ -1683,16 +1683,24 @@ def q_agg_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "metrics. One ranked window + two bounded reductions.",
 )
 def q_agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (r6): rank(v) over an unpartitioned window single-tasks
+    # the corpus. rank(v) = min(global_rn) within each tie group and the
+    # tie count is a keyed window — both parallel once the global row
+    # number comes from the distributed two-pass operator.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+        "o_orderkey",
     )
-    r = s.select(
+    wv = Window.partitionBy("v")
+    r = global_row_number(s, ["v", "o_orderkey"], out_col="_grn").select(
         "v",
         "g",
-        F.rank().over(Window.orderBy("v")).alias("rk"),
-        F.count("*").over(Window.partitionBy("v")).alias("tc"),
+        F.min("_grn").over(wv).alias("rk"),
+        F.count("*").over(wv).alias("tc"),
     )
     avg_rank = (
         F.col("rk").cast("decimal(38,1)")
@@ -6698,16 +6706,22 @@ def q_agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exact moments. Scale: one ranked window + one reduction.",
 )
 def q_agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (r6): same distributed-rank device as q_agg_mann_whitney —
+    # rank(v) = min(global_rn) per tie group, both windows keyed by v.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
     orders = load_table(spark, sf_dir, "orders")
     s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
         F.col("o_totalprice").alias("v"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+        "o_orderkey",
     )
-    r = s.select(
+    wv = Window.partitionBy("v")
+    r = global_row_number(s, ["v", "o_orderkey"], out_col="_grn").select(
         "v",
         "g",
-        F.rank().over(Window.orderBy("v")).alias("rk"),
-        F.count("*").over(Window.partitionBy("v")).alias("tc"),
+        F.min("_grn").over(wv).alias("rk"),
+        F.count("*").over(wv).alias("tc"),
     )
     avg_rank = (
         F.col("rk").cast("decimal(38,1)")
@@ -13998,7 +14012,9 @@ def q_agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     cj = obs.groupBy(F.col("r2").alias("j")).agg(
         F.sum("o").cast("bigint").alias("cj")
     )
-    marg = ri.crossJoin(cj)
+    # both marginals are <=5-row aggregates; broadcast so the k x k outer
+    # product plans as BroadcastNestedLoopJoin, never CartesianProduct
+    marg = ri.crossJoin(F.broadcast(cj))
     d = F.col("r1") - F.col("r2")
     so = obs.agg(
         F.sum("o").cast("bigint").alias("n"),
@@ -16132,7 +16148,9 @@ def q_agg_nemenyi_posthoc(
     c = rs.select(
         F.col("trt").alias("trt_b"), F.col("rsum").alias("rank_sum_b")
     )
-    pairs = a.join(c, F.col("trt_a") < F.col("trt_b"))
+    # 5x5 treatment pairs: broadcast the right side so the theta join plans
+    # as BroadcastNestedLoopJoin, never CartesianProduct
+    pairs = a.join(F.broadcast(c), F.col("trt_a") < F.col("trt_b"))
     diff = (
         F.abs(
             (F.col("rank_sum_a") - F.col("rank_sum_b")).cast("double")
@@ -17165,7 +17183,9 @@ def q_agg_rank_distance_audit(
         F.col("r_vol").alias("vb"),
     )
     kd = (
-        a.join(b, F.col("na") < F.col("nb"))
+        # 25x25 nation pairs: broadcast the right side (theta join ->
+        # BroadcastNestedLoopJoin, never CartesianProduct)
+        a.join(F.broadcast(b), F.col("na") < F.col("nb"))
         .where(
             (F.col("ra") - F.col("rb")) * (F.col("va") - F.col("vb"))
             < 0
@@ -17880,12 +17900,17 @@ def q_agg_brunner_munzel(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
-    ranked = vals.select(
+    # Scale note (r6): the global placement rank comes from the
+    # distributed two-pass row-number operator (range shuffle, never a
+    # single-partition window); the within-group rank stays a keyed window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        vals, ["cents", "o_orderkey"], out_col="_grn"
+    ).select(
         "grp",
         (
-            F.row_number()
-            .over(Window.orderBy("cents", "o_orderkey"))
-            .cast("bigint")
+            F.col("_grn")
             - F.row_number()
             .over(
                 Window.partitionBy("grp").orderBy("cents", "o_orderkey")

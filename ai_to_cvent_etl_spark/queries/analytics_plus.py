@@ -63,12 +63,25 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "noise.",
 )
 def q_win_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (r6): an unpartitioned percent_rank window is an Exchange
+    # SinglePartition of the corpus. With the unique (price, partkey)
+    # ordering there are no peer groups, so percent_rank = (rn-1)/(n-1) and
+    # cume_dist = rn/n on the distributed global row number — every stage
+    # parallel (range shuffle + P-row offset join + scalar broadcast).
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy("p_retailprice", "p_partkey")
-    return part.select(
+    rn = global_row_number(
+        part.select("p_partkey", "p_retailprice"),
+        ["p_retailprice", "p_partkey"],
+    )
+    n = part.agg(F.count(F.lit(1)).alias("__n"))
+    return rn.crossJoin(F.broadcast(n)).select(
         "p_partkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.round(
+            (F.col("rn") - 1).cast("double") / (F.col("__n") - 1), 6
+        ).alias("pct_rank"),
+        F.round(F.col("rn").cast("double") / F.col("__n"), 6).alias("cume"),
     )
 
 

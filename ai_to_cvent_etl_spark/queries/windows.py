@@ -62,14 +62,33 @@ def q_win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     section="W2",
 )
 def q_win_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (r6): the W2 ordering (price DESC, partkey) is a total
+    # order, so there are no peer groups and RANK = DENSE_RANK = the global
+    # row number; NTILE(4) is arithmetic on rn given n (first n%4 buckets
+    # get one extra row). Computed on the distributed global row number —
+    # no single-partition window over the corpus.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
     part = load_table(spark, sf_dir, "part")
-    w = Window.orderBy(F.col("p_retailprice").desc(), F.col("p_partkey").asc())
-    return part.select(
+    rn = global_row_number(
+        part.select("p_partkey", "p_retailprice"),
+        [F.col("p_retailprice").desc(), F.col("p_partkey").asc()],
+    )
+    n = part.agg(F.count(F.lit(1)).alias("__n"))
+    q = F.col("__n") / 4  # integral div applied below with explicit floor
+    base = F.floor(q).cast("bigint")
+    rem = (F.col("__n") % 4).cast("bigint")
+    big_span = rem * (base + 1)  # rows covered by the (base+1)-sized buckets
+    quartile = F.when(
+        F.col("rn") <= big_span,
+        (F.col("rn") - 1) / (base + 1),
+    ).otherwise(rem + F.floor((F.col("rn") - big_span - 1) / base))
+    return rn.crossJoin(F.broadcast(n)).select(
         "p_partkey",
         "p_retailprice",
-        F.rank().over(w).cast("bigint").alias("rnk"),
-        F.dense_rank().over(w).cast("bigint").alias("drnk"),
-        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.col("rn").alias("rnk"),
+        F.col("rn").alias("drnk"),
+        (F.floor(quartile) + 1).cast("bigint").alias("quartile"),
     )
 
 

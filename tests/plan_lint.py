@@ -1,0 +1,131 @@
+"""Physical-plan linter: structural scale rules applied to EVERY registered
+query (VERDICT r5 task 3).
+
+The plan string prints as an indented tree (`+- ` / `:- ` markers, 3 columns
+per level). ``parse_tree`` recovers (depth, operator-line) pairs;
+``lint_plan`` walks the tree and reports violations of the rules every plan
+must satisfy regardless of which wave added it:
+
+  R1  no CartesianProduct, ever (a broadcast scalar join plans as
+      BroadcastNestedLoopJoin with a 1-row side, never CartesianProduct);
+  R2  no SCAN-SCALE single-partition exchange: an ``Exchange
+      SinglePartition`` is only legal when every path from it down to a
+      FileScan passes through a bounding operator first (an aggregate, a
+      limit, a TakeOrdered, or a broadcast build side) — i.e. the data
+      entering the single partition is post-collapse, constant-bounded
+      cardinality, not the corpus;
+  R3  shuffle budget: at most MAX_EXCHANGES data exchanges
+      (hash/range/single-partition) per plan — a wave that composes its way
+      past that has a stage-graph problem a driver would feel at 100 TB.
+
+Per-key exemptions live in tests/test_plan_lint.py WITH one-line
+justifications; this module is policy-free parsing + rules.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Node:
+    depth: int
+    text: str
+    children: list = field(default_factory=list)
+
+    @property
+    def op(self) -> str:
+        m = re.match(r"[*\(\)0-9]*\s*([A-Za-z][A-Za-z0-9_.]*)", self.text)
+        return m.group(1) if m else self.text[:40]
+
+
+_MARKER = re.compile(r"^(?P<indent>[:\s+|-]*)(?:\+- |:- )(?P<text>.*)$")
+
+
+def parse_tree(plan: str) -> Node | None:
+    """Parse Spark's plan-tree string into a Node tree.
+
+    Depth = marker column / 3 (Spark indents 3 cols per level). Lines that
+    are expression continuations (no `+- `/`:- ` marker) are ignored.
+    WholeStageCodegen star prefixes (`*(3) `) stay inside ``text``.
+    """
+    lines = [ln for ln in plan.split("\n") if ln.strip()]
+    if not lines:
+        return None
+    root = Node(depth=-1, text=lines[0].strip())
+    stack = [root]
+    for ln in lines[1:]:
+        m = _MARKER.match(ln)
+        if not m:
+            continue
+        depth = len(m.group("indent")) // 3
+        node = Node(depth=depth, text=m.group("text").strip())
+        while stack and stack[-1].depth >= depth:
+            stack.pop()
+        (stack[-1] if stack else root).children.append(node)
+        stack.append(node)
+    return root
+
+
+# Operators that BOUND the cardinality flowing up from beneath them: any
+# keyed/global aggregate (output = |groups|), explicit limits/top-k, and
+# broadcast builds (capped by the broadcast threshold by construction).
+_BOUNDING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "TakeOrderedAndProject",
+    "CollectLimit",
+    "GlobalLimit",
+    "LocalLimit",
+    "BroadcastExchange",
+    "BroadcastQueryStage",
+    "AggregateInPandas",
+    "FlatMapGroupsInPandas",  # group-collapsing Arrow aggregates
+)
+
+# (LocalTableScan / Range / OneRowRelation leaves are bounded implicitly:
+# they are not FileScans, so _scan_reachable_unbounded never fires on them.)
+
+
+def _scan_reachable_unbounded(node: Node) -> bool:
+    """True iff some FileScan is reachable from ``node`` without passing
+    through a bounding operator."""
+    if node.op.startswith(_BOUNDING):
+        return False
+    if node.op.startswith("FileScan"):
+        return True
+    return any(_scan_reachable_unbounded(c) for c in node.children)
+
+
+def _walk(node: Node):
+    yield node
+    for c in node.children:
+        yield from _walk(c)
+
+
+MAX_EXCHANGES = 8
+
+
+def lint_plan(plan: str) -> list[str]:
+    """Return a list of violation strings (empty = clean)."""
+    root = parse_tree(plan)
+    if root is None:
+        return []
+    violations: list[str] = []
+    n_exchanges = 0
+    for node in _walk(root):
+        if node.op == "CartesianProduct":
+            violations.append("R1:CartesianProduct")
+        if node.op == "Exchange":
+            if "SinglePartition" in node.text:
+                n_exchanges += 1
+                if any(_scan_reachable_unbounded(c) for c in node.children):
+                    violations.append("R2:scan-scale-single-partition-exchange")
+            elif "hashpartitioning" in node.text or "rangepartitioning" in node.text:
+                n_exchanges += 1
+            # round-robin re-spreads are free repartitions, not data shuffles
+    if n_exchanges > MAX_EXCHANGES:
+        violations.append(f"R3:exchanges={n_exchanges}")
+    return violations
