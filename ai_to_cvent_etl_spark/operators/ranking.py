@@ -99,6 +99,93 @@ def global_row_number(
     )
 
 
+def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
+    """SQL NTILE(k) computed arithmetically from a 1-based global row
+    number ``rn`` and total count ``n`` (first ``n % k`` buckets get one
+    extra row) — lets NTILE ride the distributed global rank instead of a
+    single-partition window. Returns a bigint bucket in [1, k]."""
+    base = F.floor(n / k).cast("bigint")
+    rem = (n % k).cast("bigint")
+    big_span = rem * (base + 1)
+    bucket = F.when(
+        rn <= big_span, F.floor((rn - 1) / (base + 1))
+    ).otherwise(rem + F.floor((rn - big_span - 1) / base))
+    return (F.floor(bucket) + 1).cast("bigint")
+
+
+def global_cumulative(
+    df: DataFrame,
+    order_cols: list,
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Append cumulative sums ``SUM(expr) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING..CURRENT ROW)`` for each ``name -> expr`` in
+    ``aggs`` — WITHOUT the single-partition exchange an unpartitioned
+    cumulative window plans.
+
+    Two-pass design: range-repartition on the order keys (parallel global
+    sort), per-partition cumulative windows keyed by the physical partition
+    id (a parallel hash-partitioned window), plus a broadcast P-row prefix
+    of per-partition totals. Cost: two parallel shuffles of the corpus
+    versus one serial single-task sort — the trade that wins from the
+    second executor onward.
+
+    ``order_cols`` must form a total order (unique tie-break) for ROWS
+    frames to be well-defined — the same precondition the unpartitioned
+    window formulation already carries.
+
+    Result column types are cast back to the plain window-sum types so the
+    rewrite is schema-transparent to downstream code.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = ranged.select(
+        "*",
+        *[
+            F.sum(expr).over(w_in).alias(f"__gc_{name}_in")
+            for name, expr in aggs.items()
+        ],
+    )
+    totals = ranged.groupBy(_PID).agg(
+        *[
+            F.sum(expr).alias(f"__gc_{name}_tot")
+            for name, expr in aggs.items()
+        ]
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID,
+        *[
+            F.coalesce(F.sum(f"__gc_{name}_tot").over(w_off), F.lit(0)).alias(
+                f"__gc_{name}_off"
+            )
+            for name in aggs
+        ],
+    )
+    joined = within.join(F.broadcast(offsets), _PID)
+    out_cols = [c for c in df.columns]
+    in_types = {f.name: f.dataType for f in within.schema.fields}
+    result = joined.select(
+        *out_cols,
+        *[
+            (F.col(f"__gc_{name}_in") + F.col(f"__gc_{name}_off"))
+            .cast(in_types[f"__gc_{name}_in"])
+            .alias(name)
+            for name in aggs
+        ],
+    )
+    return result
+
+
 def global_ranks(
     df: DataFrame,
     value_col,

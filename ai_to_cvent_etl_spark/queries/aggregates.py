@@ -2825,12 +2825,28 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_lift_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("positive"),
-        F.ntile(10)
-        .over(Window.orderBy(F.desc("n_chars"), F.asc("doc_id")))
-        .alias("decile"),
+    # Scale note (r6): NTILE(10) from the distributed global row number —
+    # no single-partition window over the corpus.
+    from ai_to_cvent_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    nd_ = docs.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        global_row_number(
+            docs.select("doc_id", "lang", "n_chars"),
+            [F.desc("n_chars"), F.asc("doc_id")],
+            out_col="_grn",
+        )
+        .crossJoin(F.broadcast(nd_))
+        .select(
+            "doc_id",
+            F.when(F.col("lang") == "en", 1).otherwise(0).alias("positive"),
+            ntile_from_rn(F.col("_grn"), F.col("__n"), 10)
+            .cast("int")
+            .alias("decile"),
+        )
     )
     d = scored.groupBy("decile").agg(
         F.count("*").alias("n"), F.sum("positive").alias("pos")
@@ -7760,13 +7776,16 @@ def q_agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("o_orderkey").cast("string")).alias("arrival"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
     )
-    w = Window.orderBy("arrival")
-    run = obs.select(
-        F.row_number().over(w).cast("bigint").alias("t"),
-        F.sum("conv")
-        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-        .cast("bigint")
-        .alias("k"),
+    # Scale note (r6): both the arrival index t and the running conversion
+    # count k are prefix sums over the (unique) md5 arrival order — one
+    # distributed two-pass cumulative, no single-partition window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    run = global_cumulative(
+        obs, ["arrival"], {"t": F.lit(1), "k": F.col("conv")}
+    ).select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("k").cast("bigint").alias("k"),
     )
     c1 = F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0))
     c2 = F.log((1 - F.lit(_SPRT_P1)) / (1 - F.lit(_SPRT_P0)))
@@ -8414,10 +8433,14 @@ def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_calib"),
         F.expr("(9 * (COUNT(*) + 1) + 9) div 10").alias("kk"),
     )
+    # Scale note (r6): the k-th order statistic of the calibration
+    # residuals comes from the distributed global rank (ties on r make the
+    # rank assignment among equals arbitrary, but the SELECTED value at
+    # position kk is the order statistic either way).
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
     qh = (
-        cal.withColumn(
-            "rn", F.row_number().over(Window.orderBy("r"))
-        )
+        global_row_number(cal, ["r"], out_col="rn")
         .crossJoin(F.broadcast(kq))
         .where(F.col("rn") == F.least(F.col("kk"), F.col("n_calib")))
         .select(F.col("r").alias("qhat_cents"))
@@ -9613,16 +9636,25 @@ def q_agg_crps_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = xg.agg(
         F.sum("c").alias("n"), F.sum(F.col("v") * F.col("c")).alias("st")
     )
-    w = Window.orderBy("v")
-    xc = xg.select(
-        "v",
-        "c",
-        (F.sum("c").over(w) - F.col("c")).alias("b"),
-        (
-            F.sum(F.col("v") * F.col("c")).over(w)
-            - F.col("v") * F.col("c")
-        ).alias("sb"),
-    ).crossJoin(F.broadcast(tot))
+    # Scale note (r6): both corpus-wide cumulative walks run on the
+    # distributed two-pass prefix-sum operator (range shuffle + keyed
+    # windows + broadcast partition offsets) — no single-partition window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    xc = (
+        global_cumulative(
+            xg,
+            ["v"],
+            {"cum_c": F.col("c"), "cum_vc": F.col("v") * F.col("c")},
+        )
+        .select(
+            "v",
+            "c",
+            (F.col("cum_c") - F.col("c")).alias("b"),
+            (F.col("cum_vc") - F.col("v") * F.col("c")).alias("sb"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
     exx = xc.agg(
         (
             2.0
@@ -9648,13 +9680,16 @@ def q_agg_crps_empirical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1).alias("is_obs"),
         )
     )
-    wm = Window.orderBy("val", "is_obs")
-    walked = merged.select(
-        "val",
-        "y",
-        "is_obs",
-        F.sum("xc_").over(wm).alias("below_cnt"),
-        F.sum(F.col("val") * F.col("xc_")).over(wm).alias("below_sum"),
+    # (val, is_obs) is not a total order — duplicate observations tie —
+    # but tied rows all carry xc_ = 0, so every tie order yields the same
+    # prefix sums (and matches the original RANGE-frame window exactly).
+    walked = global_cumulative(
+        merged,
+        ["val", "is_obs"],
+        {
+            "below_cnt": F.col("xc_"),
+            "below_sum": F.col("val") * F.col("xc_"),
+        },
     ).crossJoin(F.broadcast(tot))
     exy = walked.where(F.col("is_obs") == 1).agg(
         (
@@ -9742,9 +9777,16 @@ def q_agg_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec2(F.col("value")).alias("y")
     )
     nfx = fx.agg(F.count(F.lit(1)).cast("bigint").alias("nfx"))
-    w = Window.orderBy("v")
-    cum = fx.select(
-        "v", F.sum(F.lit(1)).over(w).cast("bigint").alias("cc")
+    # Scale note (r6): the RANGE-frame cumulative count #{v' <= v} is the
+    # same per distinct value, so collapse to value counts first and run
+    # the distributed prefix-sum operator over distinct values — the
+    # single-partition window (and the per-row walk) disappear, and the
+    # min-over-threshold quantile selection is unchanged.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    vg = fx.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_cumulative(vg, ["v"], {"cc": F.col("c")}).select(
+        "v", F.col("cc").cast("bigint").alias("cc")
     )
     taus = spark.createDataFrame(
         [(float(t),) for t in _PINBALL_TAUS], "tau double"
@@ -11720,16 +11762,21 @@ def q_agg_chatterjee_xi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
         F.col("o_orderkey").alias("k"),
     )
-    ranked = pts.select(
-        "x",
-        "k",
-        F.row_number().over(Window.orderBy("y", "k")).cast("bigint").alias(
-            "ry"
-        ),
+    # Scale note (r6): both global orderings run on the distributed
+    # two-pass rank operator; the lead() over the x-order becomes an
+    # rx -> rx+1 self-join on the dense global rank (hash join, parallel)
+    # instead of a second single-partition window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        global_row_number(pts, ["y", "k"], out_col="ry"),
+        ["x", "k"],
+        out_col="rx",
+    ).localCheckpoint(eager=False)
+    nxt = ranked.select(
+        (F.col("rx") - 1).alias("rx"), F.col("ry").alias("ry_next")
     )
-    seq = ranked.select(
-        "ry", F.lead("ry").over(Window.orderBy("x", "k")).alias("ry_next")
-    )
+    seq = ranked.select("rx", "ry").join(nxt, "rx", "left")
     s = seq.where(F.col("ry_next").isNotNull()).agg(
         F.sum(F.abs(F.col("ry_next") - F.col("ry")))
         .cast("bigint")
@@ -12601,12 +12648,27 @@ def q_agg_qini_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("score"),
         "event_id",
     )
-    ranked = pts.select(
-        "treat",
-        "resp",
-        F.ntile(10)
-        .over(Window.orderBy(F.col("score").desc(), F.col("event_id")))
-        .alias("decile"),
+    # Scale note (r6): NTILE(10) over a global order single-tasks the
+    # corpus; compute it arithmetically from the distributed global row
+    # number instead.
+    from ai_to_cvent_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    npts = pts.agg(F.count(F.lit(1)).alias("__n"))
+    ranked = (
+        global_row_number(
+            pts, [F.col("score").desc(), F.col("event_id")], out_col="_grn"
+        )
+        .crossJoin(F.broadcast(npts))
+        .select(
+            "treat",
+            "resp",
+            ntile_from_rn(F.col("_grn"), F.col("__n"), 10)
+            .cast("int")
+            .alias("decile"),
+        )
     )
     cells = ranked.groupBy("decile").agg(
         F.sum("treat").cast("bigint").alias("nt"),
@@ -14634,12 +14696,15 @@ def q_agg_cramer_von_mises(
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
-    ranked = vals.select(
+    # Scale note (r6): global rank via the distributed two-pass operator;
+    # the within-group rank stays a keyed (parallel) window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        vals, ["cents", "o_orderkey"], out_col="r"
+    ).select(
         "grp",
-        F.row_number()
-        .over(Window.orderBy("cents", "o_orderkey"))
-        .cast("bigint")
-        .alias("r"),
+        "r",
         F.row_number()
         .over(Window.partitionBy("grp").orderBy("cents", "o_orderkey"))
         .cast("bigint")
@@ -15138,26 +15203,26 @@ def q_agg_gpd_pwm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("v"),
     )
-    sized = cents.select(
-        "o_orderkey",
-        "v",
-        F.row_number()
-        .over(Window.orderBy(F.desc("v"), F.asc("o_orderkey")))
-        .alias("rd"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
+    # Scale note (r6): both global ranks (top-decile tail selection and
+    # the PWM order weights) run on the distributed two-pass rank
+    # operator; the count-all window becomes a broadcast scalar.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    nn = cents.agg(F.count(F.lit(1)).alias("n"))
+    sized = global_row_number(
+        cents, [F.desc("v"), F.asc("o_orderkey")], out_col="rd"
+    ).crossJoin(F.broadcast(nn))
     tail = sized.where(F.col("rd") <= F.expr("n div 10")).select(
         "o_orderkey", "v"
     )
     thresh = tail.agg(F.min("v").cast("bigint").alias("u"))
-    exc = tail.crossJoin(F.broadcast(thresh)).select(
-        (F.col("v") - F.col("u")).cast("bigint").alias("y"),
-        F.row_number()
-        .over(Window.orderBy("v", "o_orderkey"))
-        .cast("bigint")
-        .alias("r"),
+    exc = (
+        global_row_number(tail, ["v", "o_orderkey"], out_col="r")
+        .crossJoin(F.broadcast(thresh))
+        .select(
+            (F.col("v") - F.col("u")).cast("bigint").alias("y"),
+            F.col("r"),
+        )
     )
     mom = exc.agg(
         F.count(F.lit(1)).cast("bigint").alias("m"),
