@@ -15935,17 +15935,30 @@ def q_agg_wasserstein_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
         ).alias("cents"),
     )
-    w = Window.orderBy("cents", "o_orderkey").rowsBetween(
-        Window.unboundedPreceding, 0
+    # Scale note (r6): one distributed prefix-sum pass yields the global
+    # index t and both empirical CDF counts; lead(cents) becomes a t -> t+1
+    # self-join on the dense index (hash join, parallel) — no
+    # single-partition window anywhere.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    cum = global_cumulative(
+        vals,
+        ["cents", "o_orderkey"],
+        {"t": F.lit(1), "cx": F.col("gx"), "cy": 1 - F.col("gx")},
+    ).localCheckpoint(eager=False)
+    nxt = cum.select(
+        (F.col("t") - 1).alias("t"), F.col("cents").alias("next_cents")
     )
-    wl = Window.orderBy("cents", "o_orderkey")
-    walk = vals.select(
-        "cents",
-        F.sum("gx").over(w).cast("bigint").alias("cx"),
-        F.sum(1 - F.col("gx")).over(w).cast("bigint").alias("cy"),
-        (F.lead("cents").over(wl) - F.col("cents"))
-        .cast("bigint")
-        .alias("gap"),
+    walk = (
+        cum.join(nxt, "t", "left")
+        .select(
+            "cents",
+            F.col("cx").cast("bigint").alias("cx"),
+            F.col("cy").cast("bigint").alias("cy"),
+            (F.col("next_cents") - F.col("cents"))
+            .cast("bigint")
+            .alias("gap"),
+        )
     )
     tot = vals.agg(
         F.sum("gx").cast("bigint").alias("n"),
@@ -17383,16 +17396,19 @@ def q_agg_weibull_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("gap"),
         "o_orderkey",
     ).where(F.col("gap").isNotNull() & (F.col("gap") >= 1))
-    ranked = gaps.select(
-        F.col("gap").cast("bigint").alias("gap"),
-        F.row_number()
-        .over(Window.orderBy("gap", "o_orderkey"))
-        .cast("bigint")
-        .alias("i"),
-        F.count(F.lit(1))
-        .over(Window.partitionBy())
-        .cast("bigint")
-        .alias("n"),
+    # Scale note (r6): median-rank index i via the distributed global rank;
+    # the count-all window becomes a broadcast scalar.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ng = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        global_row_number(gaps, ["gap", "o_orderkey"], out_col="i")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            F.col("gap").cast("bigint").alias("gap"),
+            F.col("i"),
+            F.col("n"),
+        )
     )
     pts = ranked.select(
         F.floor(F.lit(1e9) * F.log(F.col("gap").cast("double")))

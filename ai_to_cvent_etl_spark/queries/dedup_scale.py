@@ -2135,9 +2135,20 @@ def q_dedup_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_chars",
             F.when(F.col("d").isNotNull(), 1).otherwise(0).alias("is_dup"),
         )
+    )
+    # Scale note (r6): NTILE(4) computed arithmetically from the
+    # distributed global row number — no single-partition window.
+    from ai_to_cvent_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    nb = binned.agg(F.count(F.lit(1)).alias("__n"))
+    binned = (
+        global_row_number(binned, ["n_chars", "doc_id"], out_col="_grn")
+        .crossJoin(F.broadcast(nb))
         .select(
-            F.ntile(4)
-            .over(Window.orderBy("n_chars", "doc_id"))
+            ntile_from_rn(F.col("_grn"), F.col("__n"), 4)
             .cast("int")
             .alias("len_quartile"),
             "is_dup",
@@ -2208,13 +2219,20 @@ def q_dedup_adjacent_similarity(
     tok = docs.select(
         "doc_id", F.array_distinct(F.split(F.col("text"), " ")).alias("ts")
     )
-    w = Window.orderBy("doc_id")
-    seq = tok.select(
-        "doc_id",
-        "ts",
-        F.lead("doc_id").over(w).alias("next_id"),
-        F.lead("ts").over(w).alias("next_ts"),
-    ).where(F.col("next_id").isNotNull())
+    # Scale note (r6): lead() over the global doc_id order single-tasks
+    # the corpus; the adjacent pair comes from the distributed global rank
+    # and a t -> t+1 self-join instead (hash join on the dense index).
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    r = global_row_number(tok, ["doc_id"], out_col="_t").localCheckpoint(
+        eager=False
+    )
+    nxt = r.select(
+        (F.col("_t") - 1).alias("_t"),
+        F.col("doc_id").alias("next_id"),
+        F.col("ts").alias("next_ts"),
+    )
+    seq = r.join(nxt, "_t").select("doc_id", "ts", "next_id", "next_ts")
     inter = F.size(F.array_intersect("ts", "next_ts"))
     union = F.size("ts") + F.size("next_ts") - inter
     pairs = seq.select((inter.cast("double") / union).alias("j"))
@@ -2501,15 +2519,18 @@ def q_dedup_weighted_jaccard(
         .crossJoin(F.broadcast(n_docs))
         .select("tok", F.expr("nd div df").alias("w"))
     )
-    pairs = (
-        docs.select(
-            F.col("doc_id").alias("a"),
-            F.lead("doc_id")
-            .over(Window.orderBy("doc_id"))
-            .alias("b"),
-        )
-        .where(F.col("b").isNotNull())
-    )
+    # Scale note (r6): the adjacent (a, b) pair list comes from the
+    # distributed global rank + t -> t+1 self-join, not a lead() over an
+    # unpartitioned window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ids = global_row_number(
+        docs.select("doc_id"), ["doc_id"], out_col="_t"
+    ).localCheckpoint(eager=False)
+    pairs = ids.select(F.col("_t"), F.col("doc_id").alias("a")).join(
+        ids.select((F.col("_t") - 1).alias("_t"), F.col("doc_id").alias("b")),
+        "_t",
+    ).select("a", "b")
     ta = toks.select(
         F.col("doc_id").alias("a"), F.col("tok").alias("tok"),
         F.col("tf").alias("tfa"),

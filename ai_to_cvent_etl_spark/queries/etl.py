@@ -1035,9 +1035,18 @@ def q_etl_key_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = orders.where(F.col("o_orderkey") % 7 != 3).select(
         F.col("o_orderkey").alias("k")
     )
-    nxt = keys.select(
-        "k", F.lead("k").over(Window.orderBy("k")).alias("nk")
+    # Scale note (r6): successor lookup via the distributed global rank +
+    # t -> t+1 self-join — no single-partition lead() window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    r = global_row_number(keys, ["k"], out_col="_t").localCheckpoint(
+        eager=False
     )
+    nxt = r.join(
+        r.select((F.col("_t") - 1).alias("_t"), F.col("k").alias("nk")),
+        "_t",
+        "left",
+    ).select("k", "nk")
     return nxt.where(F.col("nk") - F.col("k") > 1).select(
         (F.col("k") + 1).alias("gap_lo"),
         (F.col("nk") - 1).alias("gap_hi"),
