@@ -113,6 +113,85 @@ def ntile_from_rn(rn: Column, n: Column, k: int) -> Column:
     return (F.floor(bucket) + 1).cast("bigint")
 
 
+_RUNNING_FNS = {"sum": F.sum, "max": F.max, "min": F.min}
+
+
+def global_running(
+    df: DataFrame,
+    order_cols: list,
+    specs: dict[str, tuple],
+    exclusive: bool = False,
+) -> DataFrame:
+    """Append running aggregates ``fn(expr) OVER (ORDER BY order_cols ROWS
+    UNBOUNDED PRECEDING .. {CURRENT ROW | 1 PRECEDING})`` for each
+    ``name -> (fn, expr)`` in ``specs`` (fn in {'sum', 'max', 'min'}) —
+    WITHOUT the single-partition exchange an unpartitioned window plans.
+
+    Same two-pass design as :func:`global_cumulative` (which is the
+    sum/inclusive special case): range-repartition, per-partition running
+    windows keyed by physical partition id, then combine with a broadcast
+    P-row prefix of per-partition totals (sum -> add, max -> greatest,
+    min -> least). ``exclusive=True`` gives the 1-PRECEDING frame with SQL
+    null semantics preserved (first global row -> NULL).
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
+    ranged = (
+        df.repartitionByRange(*cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    upper = -1 if exclusive else Window.currentRow
+    w_in = (
+        Window.partitionBy(_PID)
+        .orderBy(*cols)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    within = ranged.select(
+        "*",
+        *[
+            _RUNNING_FNS[fn](expr).over(w_in).alias(f"__gc_{name}_in")
+            for name, (fn, expr) in specs.items()
+        ],
+    )
+    # per-partition INCLUSIVE totals (the offset for partition p is the
+    # combine of all partitions before p, so the frame bound only affects
+    # the within-partition leg)
+    totals = ranged.groupBy(_PID).agg(
+        *[
+            _RUNNING_FNS[fn](expr).alias(f"__gc_{name}_tot")
+            for name, (fn, expr) in specs.items()
+        ]
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID,
+        *[
+            _RUNNING_FNS[fn](f"__gc_{name}_tot").over(w_off).alias(
+                f"__gc_{name}_off"
+            )
+            for name, (fn, _) in specs.items()
+        ],
+    )
+    joined = within.join(F.broadcast(offsets), _PID)
+    in_types = {f.name: f.dataType for f in within.schema.fields}
+    combined = []
+    for name, (fn, _) in specs.items():
+        iv = F.col(f"__gc_{name}_in")
+        ov = F.col(f"__gc_{name}_off")
+        t = in_types[f"__gc_{name}_in"]
+        if fn == "sum":
+            zero = F.lit(0).cast(t)
+            c = F.when(iv.isNull() & ov.isNull(), F.lit(None).cast(t)).otherwise(
+                F.coalesce(iv, zero) + F.coalesce(ov, zero)
+            )
+        elif fn == "max":
+            c = F.greatest(iv, ov)  # greatest/least skip NULLs
+        else:
+            c = F.least(iv, ov)
+        combined.append(c.cast(t).alias(name))
+    return joined.select(*df.columns, *combined)
+
+
 def global_cumulative(
     df: DataFrame,
     order_cols: list,
@@ -137,53 +216,9 @@ def global_cumulative(
     Result column types are cast back to the plain window-sum types so the
     rewrite is schema-transparent to downstream code.
     """
-    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
-    ranged = (
-        df.repartitionByRange(*cols)
-        .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    return global_running(
+        df, order_cols, {name: ("sum", expr) for name, expr in aggs.items()}
     )
-    w_in = (
-        Window.partitionBy(_PID)
-        .orderBy(*cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    within = ranged.select(
-        "*",
-        *[
-            F.sum(expr).over(w_in).alias(f"__gc_{name}_in")
-            for name, expr in aggs.items()
-        ],
-    )
-    totals = ranged.groupBy(_PID).agg(
-        *[
-            F.sum(expr).alias(f"__gc_{name}_tot")
-            for name, expr in aggs.items()
-        ]
-    )
-    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        _PID,
-        *[
-            F.coalesce(F.sum(f"__gc_{name}_tot").over(w_off), F.lit(0)).alias(
-                f"__gc_{name}_off"
-            )
-            for name in aggs
-        ],
-    )
-    joined = within.join(F.broadcast(offsets), _PID)
-    out_cols = [c for c in df.columns]
-    in_types = {f.name: f.dataType for f in within.schema.fields}
-    result = joined.select(
-        *out_cols,
-        *[
-            (F.col(f"__gc_{name}_in") + F.col(f"__gc_{name}_off"))
-            .cast(in_types[f"__gc_{name}_in"])
-            .alias(name)
-            for name in aggs
-        ],
-    )
-    return result
 
 
 def global_ranks(

@@ -1382,12 +1382,17 @@ def q_etl_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arr_us"
         ),
     )
-    w = Window.orderBy("arr_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    wm = arr.select(
-        "ev_us", F.max("ev_us").over(w).alias("max_seen_us")
-    )
+    # Scale note (r6): the exclusive running watermark max runs on the
+    # distributed two-pass running-aggregate operator — no
+    # single-partition window over the event stream.
+    from ai_to_cvent_etl_spark.operators.ranking import global_running
+
+    wm = global_running(
+        arr,
+        ["arr_us", "event_id"],
+        {"max_seen_us": ("max", F.col("ev_us"))},
+        exclusive=True,
+    ).select("ev_us", "max_seen_us")
     win_start = (F.col("ev_us") / _WIN_US).cast("long") * _WIN_US
     late = (
         F.col("max_seen_us") - _WM_DELAY_US > win_start + _WIN_US
@@ -1513,9 +1518,15 @@ _SHARD_BYTES = 20_000
 )
 def q_etl_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = docs.select(
-        "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    # Scale note (r6): the byte prefix-sum that assigns shards runs on the
+    # distributed two-pass cumulative operator — no single-partition
+    # window over the corpus.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    c = global_cumulative(
+        docs.select("doc_id", "n_chars"),
+        ["doc_id"],
+        {"cum": F.col("n_chars")},
     )
     assigned = c.select(
         "doc_id",
@@ -2419,8 +2430,25 @@ def q_etl_range_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
         ).alias("cents")
     )
-    b = v.select(
-        "cents", F.ntile(_RANGE_BINS).over(Window.orderBy("cents")).alias("bin")
+    # Scale note (r6): NTILE over the global cents order computed
+    # arithmetically from the distributed global row number (tie placement
+    # across a bin boundary is arbitrary in ANY ntile implementation and
+    # cannot change per-bin counts or min/max, so the output is identical).
+    from ai_to_cvent_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    nv = v.agg(F.count(F.lit(1)).alias("__n"))
+    b = (
+        global_row_number(v, ["cents"], out_col="_grn")
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "cents",
+            ntile_from_rn(F.col("_grn"), F.col("__n"), _RANGE_BINS).alias(
+                "bin"
+            ),
+        )
     )
     return b.groupBy(F.col("bin").cast("int").alias("bin")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
