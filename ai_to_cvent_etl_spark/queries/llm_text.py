@@ -946,8 +946,11 @@ def q_text_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split("text", " ")).cast("long").alias("n_tok"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    c = t.select("doc_id", "n_tok", F.sum("n_tok").over(w).alias("cum"))
+    # Scale note (r6): the token prefix-sum that assigns pack chunks runs
+    # on the distributed two-pass cumulative operator.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    c = global_cumulative(t, ["doc_id"], {"cum": F.col("n_tok")})
     start = F.expr(f"(cum - n_tok) DIV {_PACK_BUDGET}")
     end = F.expr(f"(cum - 1) DIV {_PACK_BUDGET}")
     return c.select(
@@ -1607,13 +1610,21 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_to_cvent_etl_spark.queries._util import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    wrk = Window.orderBy("doc_id")
-    ranked = docs.select(
-        "doc_id",
-        F.row_number().over(wrk).alias("rk"),
-        F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
-        "text",
-    )
+    # Scale note (r6): the corpus-order index comes from the distributed
+    # two-pass rank operator, checkpointed once — the old unpartitioned
+    # row_number window was single-task AND re-planned by every one of the
+    # six consumers (12 copies in the executed plan).
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        docs.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_toks"),
+            "text",
+        ),
+        ["doc_id"],
+        out_col="rk",
+    ).localCheckpoint(eager=False)
     nn = ranked.agg(F.max("rk").cast("bigint").alias("n_docs"))
     firsts = (
         fan_out(ranked)

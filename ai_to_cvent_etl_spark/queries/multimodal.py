@@ -460,15 +460,20 @@ def q_multimodal_shard_packing(
     sizes = attach_payload(docs).select(
         "doc_id", F.octet_length("payload").cast("bigint").alias("b")
     )
-    w = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    placed = sizes.select(
+    # Scale note (r6): the exclusive byte-offset prefix sum runs on the
+    # distributed two-pass running-aggregate operator (payload bytes were
+    # already dropped — only (doc_id, b) shuffles).
+    from ai_to_cvent_etl_spark.operators.ranking import global_running
+
+    placed = global_running(
+        sizes,
+        ["doc_id"],
+        {"off_raw": ("sum", F.col("b"))},
+        exclusive=True,
+    ).select(
         "doc_id",
         "b",
-        F.coalesce(F.sum("b").over(w), F.lit(0))
-        .cast("bigint")
-        .alias("off"),
+        F.coalesce(F.col("off_raw"), F.lit(0)).cast("bigint").alias("off"),
     )
     return placed.groupBy(
         F.expr(f"off div {_SHARD_CAP}").cast("bigint").alias("shard_id")

@@ -177,15 +177,20 @@ _WM_WINDOW_MIN = 10
 )
 def q_stream_watermark_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w_arr = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    flagged = ev.select(
+    # Scale note (r6): the running watermark max over arrival order runs
+    # on the distributed two-pass running-aggregate operator — no
+    # single-partition window over the stream history.
+    from ai_to_cvent_etl_spark.operators.ranking import global_running
+
+    flagged = global_running(
+        ev.select("ts", "event_id"),
+        ["event_id"],
+        {"wm_max": ("max", F.col("ts"))},
+    ).select(
         "ts",
         (
             F.col("ts")
-            < F.max("ts").over(w_arr)
-            - F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTE")
+            < F.col("wm_max") - F.expr(f"INTERVAL {_WM_DELAY_MIN} MINUTE")
         ).alias("is_late"),
     )
     return (

@@ -1531,13 +1531,24 @@ def q_ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     b = starts.unionAll(ends)
-    order = Window.orderBy("t", "delta", "event_id")
-    sweep = b.select(
-        "t",
-        F.sum("delta")
-        .over(order.rowsBetween(Window.unboundedPreceding, 0))
-        .alias("level"),
-        F.lead("t").over(order).alias("t_next"),
+    # Scale note (r6): the sweep-line level is a distributed prefix sum;
+    # lead(t) becomes an idx -> idx+1 self-join on the dense global index.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    cum = global_cumulative(
+        b,
+        ["t", "delta", "event_id"],
+        {"idx": F.lit(1), "level": F.col("delta")},
+    ).localCheckpoint(eager=False)
+    sweep = (
+        cum.join(
+            cum.select(
+                (F.col("idx") - 1).alias("idx"), F.col("t").alias("t_next")
+            ),
+            "idx",
+            "left",
+        )
+        .select("t", "level", "t_next")
     )
     seg = sweep.where(F.col("t_next").isNotNull()).select(
         "level", (F.col("t_next") - F.col("t")).alias("dur")

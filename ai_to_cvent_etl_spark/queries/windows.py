@@ -992,10 +992,13 @@ def q_win_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
     )
     b = starts.unionAll(ends)
-    w = Window.orderBy("t", "delta", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sweep = b.select("t", F.sum("delta").over(w).alias("conc"))
+    # Scale note (r6): the concurrency sweep-line level is a distributed
+    # prefix sum — no single-partition window; the argmax stays TakeOrdered.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    sweep = global_cumulative(
+        b, ["t", "delta", "event_id"], {"conc": F.col("delta")}
+    ).select("t", "conc")
     return (
         sweep.orderBy(F.desc("conc"), F.asc("t"))
         .limit(1)
