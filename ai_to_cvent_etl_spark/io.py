@@ -232,6 +232,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 else:
                     spark.conf.set(key, prior)
         return df
+    if name == "embeddings":
+        # Input hygiene (r6 adversarial contract): malformed vectors —
+        # NULL, zero-length, or containing NaN — are dropped at load, the
+        # standard validate-at-ingestion pattern. On well-formed fixtures
+        # this predicate is a no-op (verified: all oracle hashes
+        # unchanged), so the oracle contract is unaffected; on hostile
+        # inputs it keeps the whole vector family (norms, top-k, kmeans
+        # seeding) crash-free instead of dying on the first corrupt row.
+        return (
+            spark.read.parquet(table_path(sf_dir, name))
+            .where(
+                "embedding IS NOT NULL AND size(embedding) > 0 "
+                "AND NOT exists(embedding, x -> isnan(x)) "
+                # zero-norm vectors are undefined under cosine and, with
+                # ANSI mode on (Spark 4 default), turn every norm division
+                # into a runtime error — same ingestion-validation class
+                "AND exists(embedding, x -> x <> 0.0F)"
+            )
+        )
     return spark.read.parquet(table_path(sf_dir, name))
 
 

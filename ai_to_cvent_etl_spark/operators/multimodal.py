@@ -120,6 +120,8 @@ def sample_frame_bytes(with_payload: DataFrame) -> DataFrame:
         for pdf in batches:
             out = {"doc_id": [], "frame_no": [], "offset": [], "frame_md5": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt row: nothing to chunk/sample
+                    continue
                 data = bytes(payload)
                 n_frames = (
                     (len(data) - FRAME_BYTES) // FRAME_STRIDE + 1
@@ -164,6 +166,7 @@ def extract_features(
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # corrupt rows: no features
             feats = pdf["payload"].map(lambda p: decoder(bytes(p)))
             yield pd.DataFrame(
                 {
@@ -223,6 +226,8 @@ def cdc_chunk_bytes(with_payload: DataFrame) -> DataFrame:
                 "chunk_md5": [],
             }
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # corrupt row: nothing to chunk/sample
+                    continue
                 data = bytes(payload)
                 n = len(data)
                 if n == 0:

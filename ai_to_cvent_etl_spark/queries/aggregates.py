@@ -66,11 +66,11 @@ def q_agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                SUM(l_quantity) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-                        * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                        * CAST(1 - l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                         * CAST(1 - l_discount AS DECIMAL(4,2))
-                        * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+                        * CAST(1 + l_tax AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_charge,
                SUM(l_quantity) / COUNT(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
                CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
@@ -93,8 +93,13 @@ def q_agg_groupby_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum("l_quantity").alias("sum_qty"),
         F.sum(price).cast("double").alias("sum_base_price"),
-        F.sum(price * disc).cast("double").alias("sum_disc_price"),
-        F.sum(price * disc * tax).cast("double").alias("sum_charge"),
+        # ROUND(...,2) before the double cast: the scale-4/6 decimal sums
+        # exceed double's 53-bit mantissa by sf1 (>= 17 sig digits), where
+        # the two engines' decimal->double casts can land on ADJACENT
+        # doubles at half-ulp boundaries; cents-rounded sums stay exactly
+        # representable to ~9e13 (r6, found by the full sf1 sweep)
+        F.round(F.sum(price * disc), 2).cast("double").alias("sum_disc_price"),
+        F.round(F.sum(price * disc * tax), 2).cast("double").alias("sum_charge"),
         (F.sum("l_quantity") / n).alias("avg_qty"),
         (F.sum(price).cast("double") / n).alias("avg_price"),
         (F.sum(_frac(F.col("l_discount"))).cast("double") / n).alias("avg_disc"),
@@ -15345,6 +15350,11 @@ def q_agg_geometric_median(
             ).alias("x"),
             "y",
         )
+        # points with NULL coordinates (corrupt inputs) cannot weight the
+        # Weiszfeld step — and a NULL distance would collapse GREATEST to
+        # the 1e-9 floor, overflowing the quantized weight sum (no-op on
+        # clean fixtures)
+        .where("x IS NOT NULL AND y IS NOT NULL")
         .localCheckpoint(eager=False)
     )
 

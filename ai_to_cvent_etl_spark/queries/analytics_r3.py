@@ -117,7 +117,13 @@ def q_dedup_ngram_jaccard(
         & (F.col("doc_lo") < F.col("doc_hi"))
         & length_ok,
     ).withColumn("i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))))
-    jac = F.col("i").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))
+    # try_divide: two empty shingle sets give a 0/0 pair under hostile
+    # inputs (ANSI would fault); NULL fails the >= threshold, so the pair
+    # set on well-formed data is unchanged
+    jac = F.try_divide(
+        F.col("i").cast("double"),
+        F.col("sz_a") + F.col("sz_b") - F.col("i"),
+    )
     return paired.filter(jac >= _NGRAM_T).select(
         "doc_lo", "doc_hi", F.round(jac, 4).alias("jaccard")
     )

@@ -1925,8 +1925,12 @@ def q_dedup_shingle_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             return F.array_distinct(F.col("toks"))
         return F.array_distinct(
             F.transform(
+                # greatest(...,0): docs shorter than n tokens have no
+                # n-shingles (negative slice length is an ANSI error)
                 F.slice(
-                    F.col("toks"), 1, F.size("toks") - (n - 1)
+                    F.col("toks"),
+                    1,
+                    F.greatest(F.size("toks") - (n - 1), F.lit(0)),
                 ),
                 lambda x, i: F.concat_ws(
                     " ",

@@ -1311,7 +1311,9 @@ _KN_D = 0.75  # absolute-discount mass
 def q_text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
     toks = docs.select("doc_id", F.split("text", " ").alias("ts"))
-    bg = toks.select(
+    # size filter: sequence(1, 0) yields DESCENDING [1, 0] and ts[1] then
+    # faults under ANSI on 1-token docs — bigrams need >= 2 tokens
+    bg = toks.where(F.size("ts") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -2441,16 +2443,17 @@ def q_text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0))
-            ),
-            lambda i: F.concat_ws(
-                " ", F.slice(toks, i, F.lit(2))
-            ),
-        )
-    )
+    # sequence(1, 0) generates a DESCENDING [1, 0] (not empty!) whose i=0
+    # start is an ANSI slice error — short docs must yield an empty array
+    shingles = F.when(
+        F.size(toks) >= 2,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, F.lit(2))),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     sh = fan_out(docs.select("source", shingles.alias("sh"))).select(
         "source", F.explode("sh").alias("shingle")
     )

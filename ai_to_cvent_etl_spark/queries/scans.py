@@ -391,7 +391,7 @@ _META_AUDIT_TABLES = ("orders", "lineitem", "part")
     "q_scan_metadata_audit",
     oracle=" UNION ALL ".join(
         f"""
-        SELECT '{t}' AS tbl, '{t}.parquet' AS file_name,
+        SELECT '{t}' AS tbl,
                CAST(COUNT(*) AS BIGINT) AS n_rows,
                CAST(COUNT(*) AS BIGINT) AS row_index_span
         FROM {t}"""
@@ -399,17 +399,17 @@ _META_AUDIT_TABLES = ("orders", "lineitem", "part")
     ),
     section="S15",
     doc="Scan-integrity audit via Spark's hidden `_metadata` parquet "
-    "columns: per source FILE, the scanned row count AND "
-    "max(_metadata.row_index)+1 — two independent paths to the same "
+    "columns: per source file, the scanned row count AND "
+    "max(_metadata.row_index)+1 are two independent paths to the same "
     "number (a mismatch means the scanner dropped or duplicated rows "
-    "within a file; cross-checked against the oracle's own full "
-    "count). Pins the `_metadata.file_name` / `_metadata.row_index` "
-    "API surface (Spark 3.5+) that incremental loaders and CDC "
-    "readers key on. The fixtures are one file per table, so the "
-    "per-file grain equals the table grain here; on a multi-file "
-    "100 TB layout the SAME query audits every file independently "
-    "because row_index resets per file — a map-side count per file, "
-    "no shuffle beyond the tiny per-file rollup.",
+    "within a file). The per-file spans roll up to table grain — "
+    "sum(span) == count(*) iff EVERY file's row_index is dense — so the "
+    "audit is layout-independent (r6: the full sf1 sweep caught the old "
+    "per-file output diverging from the oracle's table-view grain on "
+    "multi-file directories). Pins the `_metadata.file_name` / "
+    "`_metadata.row_index` API surface (Spark 3.5+) that incremental "
+    "loaders and CDC readers key on; map-side count per file, no shuffle "
+    "beyond the tiny per-file rollup.",
 )
 def q_scan_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ai_to_cvent_etl_spark.io import table_path
@@ -417,15 +417,21 @@ def q_scan_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = []
     for t in _META_AUDIT_TABLES:
         df = spark.read.parquet(table_path(sf_dir, t))
+        per_file = df.groupBy(
+            F.lit(t).alias("tbl"),
+            F.col("_metadata.file_name").alias("file_name"),
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            (F.max("_metadata.row_index") + 1)
+            .cast("bigint")
+            .alias("row_index_span"),
+        )
         parts.append(
-            df.groupBy(
-                F.lit(t).alias("tbl"),
-                F.col("_metadata.file_name").alias("file_name"),
-            ).agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                (F.max("_metadata.row_index") + 1)
-                .cast("bigint")
-                .alias("row_index_span"),
+            per_file.groupBy("tbl").agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("row_index_span").cast("bigint").alias(
+                    "row_index_span"
+                ),
             )
         )
     out = parts[0]

@@ -391,17 +391,27 @@ _RP_ROWS = [_rp_signs(j) for j in range(_RP_OUT)]
 
 def _rp_proj_spark(j: int) -> str:
     arr = f"array({', '.join(f'{v}D' for v in _RP_ROWS[j])})"
+    # trailing + 0D: IEEE -0.0 + 0.0 = +0.0 — normalizes negative zero
+    # (sign-flipped sf1 replicas produce exact -0.0 sums whose repr
+    # differs cross-engine while == holds)
     return (
         f"round(aggregate(zip_with(embedding, {arr},"
-        f" (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v), 4)"
+        f" (x, y) -> cast(x as double) * y), 0D, (a, v) -> a + v), 4) + 0D"
     )
 
 
 def _rp_proj_duck(j: int) -> str:
+    # list_reduce, NOT list_sum: the fold must be left-to-right to be
+    # IEEE-identical to Spark's aggregate(..., (a, v) -> a + v) —
+    # list_sum's summation order is unspecified and at sf1 scale a value
+    # landed on a ROUND(...,4) half boundary where the orders disagree
+    # (r6, found by the full sf1 sweep)
     arr = f"[{', '.join(str(v) for v in _RP_ROWS[j])}]"
     return (
-        f"ROUND(list_sum(list_transform(range(1, 65),"
-        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])), 4)"
+        f"ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        f" list_transform(range(1, 65),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i])),"
+        f" (a, v) -> a + v), 4) + 0.0"
     )
 
 

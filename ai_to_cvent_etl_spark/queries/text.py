@@ -638,7 +638,9 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     tri = F.transform(
-        F.slice(toks, 1, F.size(toks) - 2),
+        # greatest(...,0): docs shorter than 3 tokens have no trigrams
+        # (negative slice length is an ANSI runtime error)
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
         lambda x, i: F.concat_ws(
             " ",
             x,

@@ -153,6 +153,10 @@ def _merge_bucket(key, ev: pd.DataFrame, od: pd.DataFrame) -> pd.DataFrame:
     numpy round == the SQL DECIMAL cast)."""
     import numpy as np
 
+    # input hygiene (adversarial contract): rows with NULL keys/values
+    # cannot aggregate into int64 — drop them (no-op on clean fixtures)
+    ev = ev.dropna(subset=["user_id", "value"])
+    od = od.dropna(subset=["o_custkey", "o_totalprice"])
     if len(ev):
         e = pd.DataFrame(
             {
@@ -296,7 +300,8 @@ def _make_status_summary_udtf():
         def eval(self, row):
             self.key = row["o_orderstatus"]
             self.n += 1
-            self.cents += int(row["cents"])
+            if row["cents"] is not None:  # NULL-price rows still count
+                self.cents += int(row["cents"])
 
         def terminate(self):
             if self.key is not None:
@@ -354,6 +359,8 @@ def _make_arrow_split_udtf():
     @udtf(returnType="tok string, pos int", useArrow=True)
     class ArrowSplit:
         def eval(self, text: str):
+            if text is None:  # NULL text: no tokens
+                return
             for i, w in enumerate(text.split(" ")):
                 yield (w, i)
 
@@ -530,7 +537,7 @@ class _TopWordsUdtf:
     def eval(self, text: str, k: int):
         from collections import Counter
 
-        toks = text.split()
+        toks = text.split() if text is not None else []
         top = [
             w
             for w, _ in sorted(
