@@ -1,0 +1,4540 @@
+"""Registered queries q_agg_brier_decomp..q_agg_mutual_information (chunk 2 of 4 split from aggregates.py — see aggregates_shared.py for shared helpers)."""
+
+from __future__ import annotations
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DecimalType
+from ai_to_cvent_etl_spark.io import load_table, table_path
+from ai_to_cvent_etl_spark.registry import register
+from pyspark.sql import DataFrame, SparkSession, Window
+from ai_to_cvent_etl_spark.io import load_table
+from ai_to_cvent_etl_spark.queries._util import dec2
+from ai_to_cvent_etl_spark.queries._util import ORACLE_MONEY_SUM
+from ai_to_cvent_etl_spark.queries._util import ORACLE_DISC_PRICE, disc_price
+
+from ai_to_cvent_etl_spark.queries.aggregates_shared import (  # noqa: F401
+    _CHOW_SPLIT,
+    _CHOW_SSR_DUCK,
+    _CRON_ITEMS_DUCK,
+    _DH_SEATS,
+    _ECE_CAP,
+    _H48_USER,
+    _H48_USER_DUCK,
+    _HILL_K,
+    _KW_PRIORITIES,
+    _MH_CUTS,
+    _Q_BAL_DUCK,
+    _Q_BAL_SPARK,
+    _SPRT_CHECK,
+    _SPRT_P0,
+    _SPRT_P1,
+    _TUKEY_Q_CRIT,
+    _T_A,
+    _T_B,
+    _bartlett_fold,
+    _bf_fold_duck,
+    _chow_moments_duck,
+    _dl_fold,
+    _mh_tier_sql,
+)
+
+@register(
+    "q_agg_brier_decomp",
+    oracle=f"""
+        WITH p AS (
+            SELECT LEAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+                         {_ECE_CAP}) AS c,
+                   CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(c // {_ECE_CAP // 10}, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_b,
+                   CAST(SUM(y) AS BIGINT) AS pos_b,
+                   CAST(SUM(c) AS BIGINT) AS conf_sum,
+                   CAST(SUM((c - y * {_ECE_CAP})
+                            * (c - y * {_ECE_CAP})) AS BIGINT) AS sq_sum
+            FROM p GROUP BY 1
+        ),
+        g AS (
+            SELECT bin, n_b, pos_b, conf_sum, sq_sum,
+                   CAST(SUM(n_b) OVER () AS BIGINT) AS nn,
+                   CAST(SUM(pos_b) OVER () AS BIGINT) AS pos,
+                   CAST(SUM(sq_sum) OVER () AS BIGINT) AS sq
+            FROM b
+        ),
+        t AS (
+            SELECT nn, pos, sq,
+                   CAST(FLOOR(1e9 * n_b
+                        * ((conf_sum / ({_ECE_CAP}.0 * n_b))
+                           - pos_b / (1.0 * n_b))
+                        * ((conf_sum / ({_ECE_CAP}.0 * n_b))
+                           - pos_b / (1.0 * n_b)) / nn) AS BIGINT)
+                       AS rel_term,
+                   CAST(FLOOR(1e9 * n_b
+                        * (pos_b / (1.0 * n_b) - pos / (1.0 * nn))
+                        * (pos_b / (1.0 * n_b) - pos / (1.0 * nn)) / nn)
+                        AS BIGINT) AS res_term
+            FROM g
+        )
+        SELECT nn AS n,
+               ROUND(MAX(sq) / ({_ECE_CAP}.0 * {_ECE_CAP} * nn), 6)
+                   AS brier,
+               ROUND(SUM(rel_term) / 1e9, 6) AS reliability,
+               ROUND(SUM(res_term) / 1e9, 6) AS resolution,
+               ROUND((MAX(pos) / (1.0 * nn))
+                     * (1.0 - MAX(pos) / (1.0 * nn)), 6) AS uncertainty
+        FROM t GROUP BY nn
+    """,
+    section="A69",
+    doc="Brier score with the Murphy decomposition (reliability / "
+    "resolution / uncertainty over the A59 decile bins) for the same "
+    "purchase-probability score ECE audits: brier = mean((p-y)^2) "
+    "computed as the EXACT integer sum of (c - y*CAP)^2 over capped "
+    "cents (one division at the end — exact to ~3.6M rows in int64; "
+    "widen to DECIMAL beyond), reliability/resolution as per-bin "
+    "rational terms quantized floor(1e9*x) before the exact cross-bin "
+    "sum (A59 device). Identity note: brier = unc - res + rel + "
+    "within-bin conf variance — the within-bin term is NOT emitted, "
+    "so the components are reported, not the identity. ONE pass, one "
+    "10-row bin table, map-side-combinable.",
+)
+def q_agg_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cap = _ECE_CAP
+    p = ev.select(
+        F.least(
+            F.expr("cast(cast(value as decimal(12,2)) * 100 as bigint)"),
+            F.lit(cap),
+        ).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = p.groupBy(
+        F.least(F.expr(f"c div {cap // 10}"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos_b"),
+        F.sum("c").cast("bigint").alias("conf_sum"),
+        F.sum(
+            (F.col("c") - F.col("y") * cap)
+            * (F.col("c") - F.col("y") * cap)
+        ).cast("bigint").alias("sq_sum"),
+    )
+    wall = Window.partitionBy()
+    g = b.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        "conf_sum",
+        "sq_sum",
+        F.sum("n_b").over(wall).cast("bigint").alias("nn"),
+        F.sum("pos_b").over(wall).cast("bigint").alias("pos"),
+        F.sum("sq_sum").over(wall).cast("bigint").alias("sq"),
+    )
+    conf_b = F.col("conf_sum") / (float(cap) * F.col("n_b"))
+    acc_b = F.col("pos_b") / (1.0 * F.col("n_b"))
+    ybar = F.col("pos") / (1.0 * F.col("nn"))
+    t = g.select(
+        "nn",
+        "pos",
+        "sq",
+        F.floor(
+            1e9 * F.col("n_b") * (conf_b - acc_b) * (conf_b - acc_b)
+            / F.col("nn")
+        ).cast("bigint").alias("rel_term"),
+        F.floor(
+            1e9 * F.col("n_b") * (acc_b - ybar) * (acc_b - ybar)
+            / F.col("nn")
+        ).cast("bigint").alias("res_term"),
+    )
+    return t.groupBy("nn").agg(
+        F.round(
+            F.max("sq") / (float(cap) * cap * F.col("nn")), 6
+        ).alias("brier"),
+        F.round(F.sum("rel_term") / 1e9, 6).alias("reliability"),
+        F.round(F.sum("res_term") / 1e9, 6).alias("resolution"),
+        F.round(
+            (F.max("pos") / (1.0 * F.col("nn")))
+            * (1.0 - F.max("pos") / (1.0 * F.col("nn"))),
+            6,
+        ).alias("uncertainty"),
+    ).select(
+        F.col("nn").alias("n"),
+        "brier",
+        "reliability",
+        "resolution",
+        "uncertainty",
+    )
+
+@register(
+    "q_agg_tukey_hsd",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}}
+            FROM rows_kv
+        ),
+        msw AS (
+            SELECT n,
+                   (((((CAST(q_0 AS DOUBLE)
+                        - CAST(s_0 AS DOUBLE) * s_0 / n_0)
+                      + (CAST(q_1 AS DOUBLE)
+                         - CAST(s_1 AS DOUBLE) * s_1 / n_1))
+                      + (CAST(q_2 AS DOUBLE)
+                         - CAST(s_2 AS DOUBLE) * s_2 / n_2))
+                      + (CAST(q_3 AS DOUBLE)
+                         - CAST(s_3 AS DOUBLE) * s_3 / n_3))
+                      + (CAST(q_4 AS DOUBLE)
+                         - CAST(s_4 AS DOUBLE) * s_4 / n_4))
+                   / (n - 5) AS msw
+            FROM piv
+        ),
+        groups AS (
+            SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_j,
+                   CAST(SUM(v) AS BIGINT) AS s_j
+            FROM rows_kv GROUP BY grp
+        )
+        SELECT a.grp AS grp_a, b.grp AS grp_b,
+               ROUND(CAST(a.s_j AS DOUBLE) / a.n_j
+                     - CAST(b.s_j AS DOUBLE) / b.n_j, 4) AS mean_diff,
+               ROUND(abs(CAST(a.s_j AS DOUBLE) / a.n_j
+                         - CAST(b.s_j AS DOUBLE) / b.n_j)
+                     / sqrt(msw / 2 * (1.0 / a.n_j + 1.0 / b.n_j)), 4)
+                   AS q_stat,
+               abs(CAST(a.s_j AS DOUBLE) / a.n_j
+                   - CAST(b.s_j AS DOUBLE) / b.n_j)
+               / sqrt(msw / 2 * (1.0 / a.n_j + 1.0 / b.n_j))
+                   > {_TUKEY_Q_CRIT} AS significant
+        FROM groups a JOIN groups b ON a.grp < b.grp
+        CROSS JOIN msw
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v * v ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A70",
+    doc="Tukey HSD post-hoc: all 10 pairwise priority-class contrasts "
+    "after A66's ANOVA, studentized (q = |mean_i - mean_j| / "
+    "sqrt(MSW/2 * (1/n_i + 1/n_j)), Tukey-Kramer unequal-n form) "
+    "against the fixed q(5, inf, .05) = 3.86 critical — the "
+    "which-groups-differ step an omnibus F can't answer, with the "
+    "familywise error control that 10 naive t-tests forfeit. MSW "
+    "comes from the SAME one-row integer-moment pivot as A66 (whole-"
+    "dollar grid, fixed fold over the explicit class list); group "
+    "means are exact-integer ratios; every pair row is arithmetic "
+    "over broadcast scalars. Scale: one conditional-aggregation "
+    "pass + a 5x5 self-join on a 5-row table.",
+)
+def q_agg_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    piv = rows_kv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint").alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
+                .cast("bigint").alias(f"s_{i}"),
+                F.sum(
+                    F.when(F.col("grp") == p, F.col("v") * F.col("v"))
+                    .otherwise(0)
+                ).cast("bigint").alias(f"q_{i}"),
+            )
+        ],
+    )
+    ssw = None
+    for i in range(5):
+        t_i = F.col(f"q_{i}").cast("double") - F.col(f"s_{i}").cast(
+            "double"
+        ) * F.col(f"s_{i}") / F.col(f"n_{i}")
+        ssw = t_i if ssw is None else ssw + t_i
+    msw = piv.select((ssw / (F.col("n") - 5)).alias("msw"))
+    groups = rows_kv.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_j"),
+        F.sum("v").cast("bigint").alias("s_j"),
+    )
+    a = groups.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n_j").alias("na"),
+        F.col("s_j").alias("sa"),
+    )
+    b = groups.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n_j").alias("nb"),
+        F.col("s_j").alias("sb"),
+    )
+    diff = F.col("sa").cast("double") / F.col("na") - F.col("sb").cast(
+        "double"
+    ) / F.col("nb")
+    qs = F.abs(diff) / F.sqrt(
+        F.col("msw") / 2 * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+    )
+    return (
+        a.join(b, F.col("grp_a") < F.col("grp_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "grp_a",
+            "grp_b",
+            F.round(diff, 4).alias("mean_diff"),
+            F.round(qs, 4).alias("q_stat"),
+            (qs > _TUKEY_Q_CRIT).alias("significant"),
+        )
+    )
+
+@register(
+    "q_agg_mantel_haenszel",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   {_H48_USER_DUCK} % 2 AS arm,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv,
+                   {_mh_tier_sql("COUNT(*)")} AS tier
+            FROM events GROUP BY user_id
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 0"
+                       f" AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS a_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 0"
+                       f" AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS b_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 1"
+                       f" AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS c_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} AND arm = 1"
+                       f" AND conv = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+                       f" AS d_{t}"
+                       for t in (0, 1, 2)
+                   )}
+            FROM u
+        )
+        SELECT n_users,
+               ROUND(((CAST(a_0 + a_1 + a_2 AS DOUBLE) + 0.5)
+                      * (CAST(d_0 + d_1 + d_2 AS DOUBLE) + 0.5))
+                     / ((CAST(b_0 + b_1 + b_2 AS DOUBLE) + 0.5)
+                        * (CAST(c_0 + c_1 + c_2 AS DOUBLE) + 0.5)), 4)
+                   AS crude_or,
+               ROUND(CASE WHEN ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(b_0 AS DOUBLE) * c_0 / (a_0 + b_0 + c_0 + d_0) END
+                        + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(b_1 AS DOUBLE) * c_1 / (a_1 + b_1 + c_1 + d_1) END)
+                        + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(b_2 AS DOUBLE) * c_2 / (a_2 + b_2 + c_2 + d_2) END) > 0 THEN
+                     ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(a_0 AS DOUBLE) * d_0 / (a_0 + b_0 + c_0 + d_0) END
+                      + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(a_1 AS DOUBLE) * d_1 / (a_1 + b_1 + c_1 + d_1) END)
+                      + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(a_2 AS DOUBLE) * d_2 / (a_2 + b_2 + c_2 + d_2) END)
+                     / ((CASE WHEN (a_0 + b_0 + c_0 + d_0) = 0 THEN 0.0 ELSE CAST(b_0 AS DOUBLE) * c_0 / (a_0 + b_0 + c_0 + d_0) END
+                        + CASE WHEN (a_1 + b_1 + c_1 + d_1) = 0 THEN 0.0 ELSE CAST(b_1 AS DOUBLE) * c_1 / (a_1 + b_1 + c_1 + d_1) END)
+                        + CASE WHEN (a_2 + b_2 + c_2 + d_2) = 0 THEN 0.0 ELSE CAST(b_2 AS DOUBLE) * c_2 / (a_2 + b_2 + c_2 + d_2) END) END, 4) AS mh_or
+        FROM piv
+    """,
+    section="A71",
+    doc="Mantel-Haenszel pooled odds ratio across activity-tier strata "
+    "for the A47 hash-split A/A arms: the stratified effect estimate "
+    "that defuses Simpson's paradox — a crude OR pools strata with "
+    "different base rates and arm mixes and can point the WRONG WAY; "
+    "MH weights each stratum's OR by b*c/n. Both ORs reported side "
+    "by side (their gap IS the confounding readout; on the A/A "
+    "split both ~1 by construction). All 12 cell counts pivot into "
+    "ONE row over the explicit tier list (A9 device) in a single "
+    "pass; MH numerator/denominator are fixed 3-term folds of exact-"
+    "integer rationals with empty strata contributing 0 (the MH "
+    "convention) and a NULL guard at a zero denominator; "
+    "integer rationals; crude OR Haldane-corrected (A53 rule). "
+    "Scale: one user-collapse + one 13-column global reduction.",
+)
+def q_agg_mantel_haenszel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        (F.expr(_H48_USER) % 2).alias("arm"),
+        "conv",
+        F.when(F.col("cnt") < _MH_CUTS[0], 0)
+        .when(F.col("cnt") <= _MH_CUTS[1], 1)
+        .otherwise(2)
+        .alias("tier"),
+    )
+    cells = []
+    for t in (0, 1, 2):
+        for name, arm, conv in (
+            ("a", 0, 1), ("b", 0, 0), ("c", 1, 1), ("d", 1, 0)
+        ):
+            cells.append(
+                F.sum(
+                    F.when(
+                        (F.col("tier") == t)
+                        & (F.col("arm") == arm)
+                        & (F.col("conv") == conv),
+                        1,
+                    ).otherwise(0)
+                ).cast("bigint").alias(f"{name}_{t}")
+            )
+    piv = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"), *cells
+    )
+    asum = F.col("a_0") + F.col("a_1") + F.col("a_2")
+    bsum = F.col("b_0") + F.col("b_1") + F.col("b_2")
+    csum = F.col("c_0") + F.col("c_1") + F.col("c_2")
+    dsum = F.col("d_0") + F.col("d_1") + F.col("d_2")
+    crude = ((asum.cast("double") + 0.5) * (dsum.cast("double") + 0.5)) / (
+        (bsum.cast("double") + 0.5) * (csum.cast("double") + 0.5)
+    )
+
+    def term(x, y, t):
+        n_t = (
+            F.col(f"a_{t}") + F.col(f"b_{t}") + F.col(f"c_{t}")
+            + F.col(f"d_{t}")
+        )
+        return F.when(n_t == 0, 0.0).otherwise(
+            F.col(f"{x}_{t}").cast("double") * F.col(f"{y}_{t}") / n_t
+        )
+
+    num = (term("a", "d", 0) + term("a", "d", 1)) + term("a", "d", 2)
+    den = (term("b", "c", 0) + term("b", "c", 1)) + term("b", "c", 2)
+    return piv.select(
+        "n_users",
+        F.round(crude, 4).alias("crude_or"),
+        F.round(F.when(den > 0, num / den), 4).alias("mh_or"),
+    )
+
+@register(
+    "q_agg_cochran_armitage",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   MAX(CASE WHEN event_type = 'purchase' AND value > 150
+                            THEN 1 ELSE 0 END) AS conv,
+                   {_mh_tier_sql("COUNT(*)")} AS tier
+            FROM events GROUP BY user_id
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(conv) AS BIGINT) AS k,
+                   {", ".join(
+                       f"CAST(SUM(CASE WHEN tier = {t} THEN 1 ELSE 0 END)"
+                       f" AS BIGINT) AS n_{t}, "
+                       f"CAST(SUM(CASE WHEN tier = {t} THEN conv ELSE 0 END)"
+                       f" AS BIGINT) AS k_{t}"
+                       for t in (0, 1, 2)
+                   )}
+            FROM u
+        )
+        SELECT n, k,
+               ROUND(((CAST(k_0 AS DOUBLE) * 0 + CAST(k_1 AS DOUBLE) * 1)
+                      + CAST(k_2 AS DOUBLE) * 2)
+                     - (CAST(k AS DOUBLE) / n)
+                       * ((CAST(n_0 AS DOUBLE) * 0
+                          + CAST(n_1 AS DOUBLE) * 1)
+                          + CAST(n_2 AS DOUBLE) * 2), 4) AS trend_num,
+               ROUND(CASE WHEN (CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n)
+                            * (((CAST(n_0 AS DOUBLE) * 0 * 0
+                                + CAST(n_1 AS DOUBLE) * 1 * 1)
+                                + CAST(n_2 AS DOUBLE) * 2 * 2)
+                               - ((CAST(n_0 AS DOUBLE) * 0
+                                  + CAST(n_1 AS DOUBLE) * 1
+                                  + CAST(n_2 AS DOUBLE) * 2)
+                                  * (CAST(n_0 AS DOUBLE) * 0
+                                     + CAST(n_1 AS DOUBLE) * 1
+                                     + CAST(n_2 AS DOUBLE) * 2)) / n) > 0
+                     THEN (((CAST(k_0 AS DOUBLE) * 0
+                            + CAST(k_1 AS DOUBLE) * 1)
+                       + CAST(k_2 AS DOUBLE) * 2)
+                      - (CAST(k AS DOUBLE) / n)
+                        * ((CAST(n_0 AS DOUBLE) * 0
+                           + CAST(n_1 AS DOUBLE) * 1)
+                           + CAST(n_2 AS DOUBLE) * 2))
+                     / sqrt((CAST(k AS DOUBLE) / n)
+                            * (1.0 - CAST(k AS DOUBLE) / n)
+                            * (((CAST(n_0 AS DOUBLE) * 0 * 0
+                                + CAST(n_1 AS DOUBLE) * 1 * 1)
+                                + CAST(n_2 AS DOUBLE) * 2 * 2)
+                               - ((CAST(n_0 AS DOUBLE) * 0
+                                  + CAST(n_1 AS DOUBLE) * 1
+                                  + CAST(n_2 AS DOUBLE) * 2)
+                                  * (CAST(n_0 AS DOUBLE) * 0
+                                     + CAST(n_1 AS DOUBLE) * 1
+                                     + CAST(n_2 AS DOUBLE) * 2)) / n))
+                     END, 4) AS z
+        FROM piv
+    """,
+    section="A72",
+    doc="Cochran-Armitage trend test: does conversion rate rise "
+    "MONOTONICALLY with activity tier (scores 0,1,2)? The dose-"
+    "response sibling of the A26 chi-square — chi-square asks 'any "
+    "difference', CA asks 'ordered difference' and buys power "
+    "exactly when tiers are ordinal (engagement bands, price tiers, "
+    "dosage). Same one-pass pivot as A71 (explicit tier list, exact "
+    "BIGINT n_t/k_t); trend numerator and the variance-normalized z "
+    "are row-local fixed folds with the tier scores written out "
+    "literally so both engines fold identically; z NULL-guarded "
+    "at zero variance (single-tier or zero/full conversion "
+    "degeneracy — hit at sf0.001). Scale: one user "
+    "collapse + one 8-column global reduction.",
+)
+def q_agg_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") > 150),
+                1,
+            ).otherwise(0)
+        ).alias("conv"),
+        F.count(F.lit(1)).alias("cnt"),
+    ).select(
+        "conv",
+        F.when(F.col("cnt") < _MH_CUTS[0], 0)
+        .when(F.col("cnt") <= _MH_CUTS[1], 1)
+        .otherwise(2)
+        .alias("tier"),
+    )
+    piv = u.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("k"),
+        *[
+            agg
+            for t in (0, 1, 2)
+            for agg in (
+                F.sum(F.when(F.col("tier") == t, 1).otherwise(0))
+                .cast("bigint").alias(f"n_{t}"),
+                F.sum(F.when(F.col("tier") == t, F.col("conv")).otherwise(0))
+                .cast("bigint").alias(f"k_{t}"),
+            )
+        ],
+    )
+    kd = lambda t: F.col(f"k_{t}").cast("double")
+    ndt = lambda t: F.col(f"n_{t}").cast("double")
+    pbar = F.col("k").cast("double") / F.col("n")
+    sk = (kd(0) * 0 + kd(1) * 1) + kd(2) * 2
+    sn = (ndt(0) * 0 + ndt(1) * 1) + ndt(2) * 2
+    sn2 = (ndt(0) * 0 * 0 + ndt(1) * 1 * 1) + ndt(2) * 2 * 2
+    sn_for_var = ndt(0) * 0 + ndt(1) * 1 + ndt(2) * 2
+    num = sk - pbar * sn
+    var = pbar * (1.0 - pbar) * (sn2 - (sn_for_var * sn_for_var) / F.col("n"))
+    return piv.select(
+        "n",
+        "k",
+        F.round(num, 4).alias("trend_num"),
+        F.round(F.when(var > 0, num / F.sqrt(var)), 4).alias("z"),
+    )
+
+@register(
+    "q_agg_brown_forsythe",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        med AS (
+            SELECT grp, CAST(2 * median(v) AS BIGINT) AS m2
+            FROM rows_kv GROUP BY grp
+        ),
+        dev AS (
+            SELECT r.grp, abs(2 * r.v - m.m2) AS a2
+            FROM rows_kv r JOIN med m ON r.grp = m.grp
+        ),
+        piv AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {{pivot}},
+                   CAST(SUM(a2) AS BIGINT) AS s_all,
+                   CAST(SUM(a2 * a2) AS BIGINT) AS q_all
+            FROM dev
+        )
+        SELECT n, 4 AS df_between, n - 5 AS df_within,
+               ROUND(((t - grand) / 4) / ((qd - t) / (n - 5)), 4)
+                   AS bf_stat,
+               ROUND((t - grand) / (qd - grand), 6) AS eta_sq
+        FROM (
+            SELECT n, {_bf_fold_duck()} AS t,
+                   CAST(s_all AS DOUBLE) * s_all / n AS grand,
+                   CAST(q_all AS DOUBLE) AS qd
+            FROM piv
+        )
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN a2 ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN a2 * a2 ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A73",
+    doc="Brown-Forsythe variance-homogeneity test across the 5 priority "
+    "classes on whole-dollar order totals: one-way ANOVA F on absolute "
+    "deviations from the GROUP MEDIAN — the assumption check that "
+    "must pass before trusting A66's ANOVA F (unequal spreads inflate "
+    "its false-positive rate; BF is the robust form of Levene). "
+    "Exactness device: deviations are kept as the exact integer "
+    "|2v - 2*median| (twice the deviation — medians interpolate at "
+    ".5, doubling restores integrality; the factor cancels in F), so "
+    "every moment is an exact BIGINT (a2<=1.2e6, q_all<9.2e18 to "
+    "~4e6 rows; widen to DECIMAL(38,0) past that). The s_i^2/n_i "
+    "fold uses A66's explicit left-nesting so both engines share the "
+    "IEEE op order. Scale: one 5-row median pass (exact percentile "
+    "per group), one broadcast join back, one map-side-combinable "
+    "global reduction.",
+)
+def q_agg_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    med = rows_kv.groupBy("grp").agg(
+        F.expr("cast(2 * percentile(v, 0.5) as bigint)").alias("m2")
+    )
+    dev = rows_kv.join(F.broadcast(med), "grp").select(
+        "grp", F.abs(2 * F.col("v") - F.col("m2")).alias("a2")
+    )
+    piv = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("a2")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+                F.sum(
+                    F.when(
+                        F.col("grp") == p, F.col("a2") * F.col("a2")
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"q_{i}"),
+            )
+        ],
+        F.sum("a2").cast("bigint").alias("s_all"),
+        F.sum(F.col("a2") * F.col("a2")).cast("bigint").alias("q_all"),
+    )
+    t = None
+    for i in range(5):
+        term = (
+            F.col(f"s_{i}").cast("double")
+            * F.col(f"s_{i}")
+            / F.col(f"n_{i}")
+        )
+        t = term if t is None else t + term
+    mid = piv.select(
+        "n",
+        t.alias("t"),
+        (F.col("s_all").cast("double") * F.col("s_all") / F.col("n")).alias(
+            "grand"
+        ),
+        F.col("q_all").cast("double").alias("qd"),
+    )
+    return mid.select(
+        "n",
+        F.lit(4).cast("int").alias("df_between"),
+        (F.col("n") - 5).alias("df_within"),
+        F.round(
+            ((F.col("t") - F.col("grand")) / 4)
+            / ((F.col("qd") - F.col("t")) / (F.col("n") - 5)),
+            4,
+        ).alias("bf_stat"),
+        F.round(
+            (F.col("t") - F.col("grand")) / (F.col("qd") - F.col("grand")),
+            6,
+        ).alias("eta_sq"),
+    )
+
+@register(
+    "q_agg_cronbach_alpha",
+    oracle=f"""
+        WITH items AS (
+            SELECT {_CRON_ITEMS_DUCK},
+                   CAST(l_quantity AS BIGINT)
+                   + CAST(round(l_discount * 100) AS BIGINT)
+                   + CAST(round(l_tax * 100) AS BIGINT)
+                   + CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                          AS BIGINT) // 100000 AS t
+            FROM lineitem
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(i1) AS BIGINT) AS s1,
+                   CAST(SUM(i2) AS BIGINT) AS s2,
+                   CAST(SUM(i3) AS BIGINT) AS s3,
+                   CAST(SUM(i4) AS BIGINT) AS s4,
+                   CAST(SUM(i1 * i1) AS BIGINT) AS q1,
+                   CAST(SUM(i2 * i2) AS BIGINT) AS q2,
+                   CAST(SUM(i3 * i3) AS BIGINT) AS q3,
+                   CAST(SUM(i4 * i4) AS BIGINT) AS q4,
+                   CAST(SUM(t) AS BIGINT) AS st,
+                   CAST(SUM(t * t) AS BIGINT) AS qt
+            FROM items
+        )
+        SELECT n, 4 AS k_items,
+               ROUND((4.0 / 3.0)
+                     * (1 - CAST((((n * q1 - s1 * s1)
+                                   + (n * q2 - s2 * s2))
+                                   + (n * q3 - s3 * s3))
+                                   + (n * q4 - s4 * s4) AS DOUBLE)
+                         / (n * qt - st * st)), 4) AS cronbach_alpha
+        FROM m
+    """,
+    section="A74",
+    doc="Cronbach's alpha internal-consistency coefficient over 4 "
+    "integer-quantized lineitem 'items' (quantity, discount bp, tax "
+    "bp, price thousands) — the reliability gate for any composite "
+    "score (quality scores, rubric sums) before averaging its "
+    "components into one number. Item variances and the total-score "
+    "variance all reduce from exact BIGINT moments in ONE pass; the "
+    "n(n-1) variance denominators cancel in the ratio, so the only "
+    "float op is the final division (rule 10, explicit fold "
+    "nesting). Scale: a single map-side-combinable global reduction "
+    "over 11 int64 moments — A66's shape.",
+)
+def q_agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    i4 = F.expr(
+        "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+        " div 100000"
+    )
+    items = li.select(
+        F.col("l_quantity").cast("bigint").alias("i1"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("i2"),
+        F.round(F.col("l_tax") * 100).cast("bigint").alias("i3"),
+        i4.alias("i4"),
+    ).withColumn(
+        "t", F.col("i1") + F.col("i2") + F.col("i3") + F.col("i4")
+    )
+    m = items.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            agg
+            for i in (1, 2, 3, 4)
+            for agg in (
+                F.sum(f"i{i}").cast("bigint").alias(f"s{i}"),
+                F.sum(F.col(f"i{i}") * F.col(f"i{i}"))
+                .cast("bigint")
+                .alias(f"q{i}"),
+            )
+        ],
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("qt"),
+    )
+    v = None
+    for i in (1, 2, 3, 4):
+        vi = F.col("n") * F.col(f"q{i}") - F.col(f"s{i}") * F.col(f"s{i}")
+        v = vi if v is None else v + vi
+    vt = F.col("n") * F.col("qt") - F.col("st") * F.col("st")
+    return m.select(
+        "n",
+        F.lit(4).cast("int").alias("k_items"),
+        F.round(
+            (F.lit(4.0) / 3.0) * (1 - v.cast("double") / vt), 4
+        ).alias("cronbach_alpha"),
+    )
+
+@register(
+    "q_agg_kendall_tau",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS y
+            FROM events GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.x - b.x) * (a.y - b.y) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.x = b.x AND a.y <> b.y
+                        THEN 1 ELSE 0 END AS tx,
+                   CASE WHEN a.y = b.y AND a.x <> b.x
+                        THEN 1 ELSE 0 END AS ty
+            FROM d a JOIN d b ON a.day < b.day
+        ),
+        m AS (
+            SELECT CAST(SUM(conc) AS BIGINT) AS c,
+                   CAST(SUM(disc) AS BIGINT) AS dd,
+                   CAST(SUM(tx) AS BIGINT) AS tx,
+                   CAST(SUM(ty) AS BIGINT) AS ty
+            FROM pairs
+        )
+        SELECT c AS concordant, dd AS discordant,
+               tx AS ties_x_only, ty AS ties_y_only,
+               ROUND(CAST(c - dd AS DOUBLE)
+                     / sqrt(CAST((c + dd + tx) AS DOUBLE)
+                            * (c + dd + ty)), 4) AS tau_b
+        FROM m
+    """,
+    section="A75",
+    doc="Kendall tau-b rank correlation between daily view and purchase "
+    "counts — the third correlation beside Pearson (A22) and Spearman "
+    "(A64): tau's pair-concordance form is robust to outliers AND "
+    "handles ties exactly (tau-b's denominator corrects for them), "
+    "which Spearman's midrank device approximates. Computed on the "
+    "DAY-GRAIN collapse first (TS7's rule), then the O(days^2) "
+    "pair join runs on the |days| table — concordant/discordant/tie "
+    "counts are exact integers; one sqrt at the end (rule 10). "
+    "Scale: pair enumeration is bounded by the COLLECTION WINDOW "
+    "(60 days = 1.7k pairs) at any event volume; for year-long "
+    "windows the O(n log n) merge-sort tau applies, documented not "
+    "implemented.",
+)
+def q_agg_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    a = d.select(
+        F.col("day").alias("day_a"), F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+    )
+    b = d.select(
+        F.col("day").alias("day_b"), F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    pairs = a.join(b, F.col("day_a") < F.col("day_b")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("conc"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("disc"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+    )
+    m = pairs.agg(
+        F.sum("conc").cast("bigint").alias("c"),
+        F.sum("disc").cast("bigint").alias("dd"),
+        F.sum("tx").cast("bigint").alias("tx"),
+        F.sum("ty").cast("bigint").alias("ty"),
+    )
+    return m.select(
+        F.col("c").alias("concordant"),
+        F.col("dd").alias("discordant"),
+        F.col("tx").alias("ties_x_only"),
+        F.col("ty").alias("ties_y_only"),
+        F.round(
+            (F.col("c") - F.col("dd")).cast("double")
+            / F.sqrt(
+                (F.col("c") + F.col("dd") + F.col("tx")).cast("double")
+                * (F.col("c") + F.col("dd") + F.col("ty"))
+            ),
+            4,
+        ).alias("tau_b"),
+    )
+
+@register(
+    "q_agg_runs_test",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ),
+        sgn AS (
+            SELECT day,
+                   CASE WHEN x > lag(x) OVER (ORDER BY day) THEN 1
+                        WHEN x < lag(x) OVER (ORDER BY day) THEN -1
+                        ELSE 0 END AS s
+            FROM d
+        ),
+        steps AS (
+            SELECT day, s,
+                   lag(s) OVER (ORDER BY day) AS prev_s
+            FROM sgn WHERE s <> 0
+        ),
+        m AS (
+            SELECT CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_up,
+                   CAST(SUM(CASE WHEN s = -1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_down,
+                   CAST(SUM(CASE WHEN prev_s IS NULL OR s <> prev_s
+                            THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM steps
+        )
+        SELECT n_up, n_down, runs,
+               ROUND((runs - (2.0 * n_up * n_down
+                              / (n_up + n_down) + 1))
+                     / sqrt(2.0 * n_up * n_down
+                            * (2.0 * n_up * n_down - n_up - n_down)
+                            / ((CAST(n_up + n_down AS DOUBLE))
+                               * (n_up + n_down)
+                               * (n_up + n_down - 1))), 4) AS z
+        FROM m
+    """,
+    section="A76",
+    doc="Wald-Wolfowitz runs test on the daily event-count UP/DOWN "
+    "direction sequence: counts runs of consecutive same-direction "
+    "moves and standardizes against the exchangeable null — the "
+    "randomness check that catches serial dependence TS6's "
+    "autocorrelation misses when the magnitude is noisy but the "
+    "SIGN streaks aren't (too few runs = trending, too many = "
+    "oscillating feedback). Zero-change days are dropped (the "
+    "standard tie handling, identical both engines); run boundaries "
+    "come from one ordered lag over the day-grain sign sequence, so "
+    "n_up/n_down/runs are exact integers and the z-score is one "
+    "IEEE formula (rule 10). Scale: all windows run on the |days| "
+    "spine after the TS7 collapse.",
+)
+def q_agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    w = Window.orderBy("day")
+    sgn = d.select(
+        "day",
+        F.when(F.col("x") > F.lag("x").over(w), 1)
+        .when(F.col("x") < F.lag("x").over(w), -1)
+        .otherwise(0)
+        .alias("s"),
+    )
+    steps = sgn.where(F.col("s") != 0).select(
+        "day", "s", F.lag("s").over(w).alias("prev_s")
+    )
+    m = steps.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        F.sum(
+            F.when(
+                F.col("prev_s").isNull()
+                | (F.col("s") != F.col("prev_s")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    nu = F.col("n_up")
+    nd = F.col("n_down")
+    mu = 2.0 * nu * nd / (nu + nd) + 1
+    var = (
+        2.0
+        * nu
+        * nd
+        * (2.0 * nu * nd - nu - nd)
+        / (
+            (nu + nd).cast("double")
+            * (nu + nd)
+            * (nu + nd - 1)
+        )
+    )
+    return m.select(
+        "n_up",
+        "n_down",
+        "runs",
+        F.round((F.col("runs") - mu) / F.sqrt(var), 4).alias("z"),
+    )
+
+@register(
+    "q_agg_dispersion",
+    oracle="""
+        WITH d AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_days,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q
+            FROM d GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               ROUND(CAST(s AS DOUBLE) / n_days, 4) AS mean_daily,
+               ROUND(CAST(n_days * q - s * s AS DOUBLE)
+                     / (CAST(n_days AS DOUBLE) * (n_days - 1))
+                     / (CAST(s AS DOUBLE) / n_days), 4)
+                   AS dispersion_index,
+               CAST(CAST(n_days * q - s * s AS DOUBLE)
+                    / (CAST(n_days AS DOUBLE) * (n_days - 1))
+                    > 1.5 * (CAST(s AS DOUBLE) / n_days)
+                    AS BOOLEAN) AS overdispersed
+        FROM m
+    """,
+    section="A77",
+    doc="Variance-to-mean dispersion index of daily counts per event "
+    "type — THE model-choice gate for count data: index ~1 means "
+    "Poisson assumptions (and Poisson-based alert thresholds like "
+    "E38's) are safe; >1.5 flags overdispersion, where a negative-"
+    "binomial model or wider control bands are required and Poisson "
+    "confidence intervals silently over-alert. Sample variance and "
+    "mean rebuilt from exact BIGINT day-grain moments (n*q - s^2 "
+    "device); the 1.5 verdict threshold is applied to the same "
+    "exact-moment expressions on both engines. Scale: one day-grain "
+    "collapse then a 5-row reduction — TS7's rule.",
+)
+def q_agg_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    m = d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        F.col("n_days") * F.col("q") - F.col("s") * F.col("s")
+    ).cast("double") / (
+        F.col("n_days").cast("double") * (F.col("n_days") - 1)
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 4).alias("mean_daily"),
+        F.round(var / mean, 4).alias("dispersion_index"),
+        (var > 1.5 * mean).alias("overdispersed"),
+    )
+
+@register(
+    "q_agg_mad_robust",
+    oracle="""
+        WITH v AS (
+            SELECT l_returnflag AS grp,
+                   CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS x
+            FROM lineitem
+        ),
+        med AS (
+            SELECT grp, CAST(2 * median(x) AS BIGINT) AS m2
+            FROM v GROUP BY grp
+        ),
+        dev AS (
+            SELECT v.grp, v.x, abs(2 * v.x - m.m2) AS d2, m.m2
+            FROM v JOIN med m ON v.grp = m.grp
+        )
+        SELECT grp AS l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               ROUND(CAST(MIN(m2) AS DOUBLE) / 2, 1) AS median_dollars,
+               ROUND(CAST(2 * median(d2) AS BIGINT) / 4.0, 2)
+                   AS mad_dollars,
+               ROUND((CAST(2 * median(d2) AS BIGINT) / 4.0)
+                     / (CAST(MIN(m2) AS DOUBLE) / 2), 6) AS robust_cv
+        FROM dev GROUP BY grp
+    """,
+    section="A78",
+    doc="Median absolute deviation (MAD) robust scale per return-flag "
+    "group on whole-dollar prices, with the robust coefficient of "
+    "variation MAD/median — the outlier-immune spread estimate that "
+    "A14's winsorized moments and W-family IQR approximate from "
+    "different angles; MAD is the 50% breakdown-point gold standard "
+    "and what robust z-scores (x-med)/(1.4826*MAD) divide by. "
+    "Exactness: the DOUBLED-value device twice over — group median "
+    "as exact integer 2*median, deviations as exact |2x - m2|, then "
+    "the MAD itself as exact 2*median(d2), so the only floats are "
+    "final display divisions (the .5-interpolated halves are exact "
+    "binary fractions at every doubling level). Scale: two median "
+    "passes (exact percentile per group) + one broadcast join — "
+    "at 100 TB swap exact percentile for the t-digest twin (A20) "
+    "per SCALE.md's quantile rule.",
+)
+def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "cast(cast(l_extendedprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("x"),
+    )
+    med = v.groupBy("grp").agg(
+        F.expr("cast(2 * percentile(x, 0.5) as bigint)").alias("m2")
+    )
+    dev = v.join(F.broadcast(med), "grp").select(
+        "grp",
+        F.abs(2 * F.col("x") - F.col("m2")).alias("d2"),
+        "m2",
+    )
+    mad2 = F.expr("cast(2 * percentile(d2, 0.5) as bigint)")
+    return dev.groupBy(F.col("grp").alias("l_returnflag")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.min("m2").cast("double") / 2, 1).alias("median_dollars"),
+        F.round(mad2 / 4.0, 2).alias("mad_dollars"),
+        F.round(
+            (mad2 / 4.0) / (F.min("m2").cast("double") / 2), 6
+        ).alias("robust_cv"),
+    )
+
+@register(
+    "q_agg_group_jackknife",
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS s_g
+            FROM orders GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM g
+        ),
+        pseudo AS (
+            SELECT g.grp,
+                   CAST(t.s - g.s_g AS DOUBLE) / (t.n - g.n_g) / 100
+                       AS theta_minus,
+                   t.k,
+                   CAST(t.s AS DOUBLE) / t.n / 100 AS theta_hat
+            FROM g CROSS JOIN tot t
+        ),
+        jk AS (
+            SELECT k, theta_hat,
+                   CAST(SUM(CAST(floor(theta_minus * 1e6)
+                            AS DECIMAL(38,0))) AS DOUBLE) / 1e6 / k
+                       AS theta_dot
+            FROM pseudo GROUP BY k, theta_hat
+        )
+        SELECT CAST(p.k AS BIGINT) AS k_groups,
+               ROUND(p.theta_hat, 4) AS mean_price,
+               ROUND((CAST(p.k AS DOUBLE) - 1) / p.k
+                     * (CAST(SUM(CAST(floor((p.theta_minus - j.theta_dot)
+                                      * (p.theta_minus - j.theta_dot)
+                                      * 1e6) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e6), 4) AS jk_variance
+        FROM pseudo p CROSS JOIN jk j
+        GROUP BY p.k, p.theta_hat, j.theta_dot
+    """,
+    section="A79",
+    doc="Delete-one-GROUP jackknife variance of the mean order price "
+    "over the 5 priority strata — the resampling-free uncertainty "
+    "estimate for CLUSTERED data, where A49's Poisson bootstrap "
+    "and IID formulas both understate error because rows within a "
+    "stratum co-vary; delete-a-group is also exactly the recipe "
+    "production pipelines use for error bars over data SHARDS "
+    "(drop shard i, recompute, spread of the k leave-outs). Each "
+    "leave-out mean comes from exact global-minus-group BIGINT cent "
+    "sums (no recomputation pass per group); the two float folds "
+    "(pseudo-value mean, squared deviations) quantize at 1e6 into "
+    "DECIMAL so fold order can't flip the hash (rule 10). Scale: "
+    "one group collapse + k-row arithmetic — adding shards adds "
+    "rows to a 5-row table.",
+)
+def q_agg_group_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cents = F.expr(
+        "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+    )
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(cents).cast("bigint").alias("s_g"),
+    )
+    tot = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pseudo = g.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        (
+            (F.col("s") - F.col("s_g")).cast("double")
+            / (F.col("n") - F.col("n_g"))
+            / 100
+        ).alias("theta_minus"),
+        "k",
+        (F.col("s").cast("double") / F.col("n") / 100).alias("theta_hat"),
+    )
+    jk = pseudo.groupBy("k", "theta_hat").agg(
+        (
+            F.sum(
+                F.floor(F.col("theta_minus") * 1e6).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+            / F.col("k")
+        ).alias("theta_dot")
+    )
+    dev = F.col("theta_minus") - F.col("theta_dot")
+    return (
+        pseudo.crossJoin(F.broadcast(jk.select("theta_dot")))
+        .groupBy(
+            F.col("k").cast("bigint").alias("k_groups"),
+            F.round("theta_hat", 4).alias("mean_price"),
+            "theta_dot",
+        )
+        .agg(
+            F.round(
+                (F.col("k_groups").cast("double") - 1)
+                / F.col("k_groups")
+                * (
+                    F.sum(
+                        F.floor(dev * dev * 1e6).cast("decimal(38,0)")
+                    ).cast("double")
+                    / 1e6
+                ),
+                4,
+            ).alias("jk_variance")
+        )
+        .select("k_groups", "mean_price", "jk_variance")
+    )
+
+@register(
+    "q_agg_cohens_d",
+    oracle=f"""
+        WITH q AS (
+            SELECT c_mktsegment AS seg, {_Q_BAL_DUCK} AS qb FROM customer
+            WHERE c_mktsegment IN ('{_T_A}', '{_T_B}')
+        ),
+        m AS (
+            SELECT
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS na,
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN qb ELSE 0 END)
+                     AS BIGINT) AS sa,
+                CAST(SUM(CASE WHEN seg = '{_T_A}' THEN qb * qb ELSE 0 END)
+                     AS BIGINT) AS sa2,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN 1 ELSE 0 END)
+                     AS BIGINT) AS nb,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN qb ELSE 0 END)
+                     AS BIGINT) AS sb,
+                CAST(SUM(CASE WHEN seg = '{_T_B}' THEN qb * qb ELSE 0 END)
+                     AS BIGINT) AS sb2
+            FROM q
+        ),
+        d AS (
+            SELECT na, nb,
+                   (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+                       AS mean_diff,
+                   ((CAST(sa2 AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / na)
+                    + (CAST(sb2 AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / nb))
+                       / (na + nb - 2) AS sp2
+            FROM m
+        )
+        SELECT na, nb,
+               ROUND(mean_diff / sqrt(sp2), 4) AS cohens_d,
+               ROUND(mean_diff / sqrt(sp2)
+                     * (1 - 3.0 / (4 * (na + nb) - 9)), 4) AS hedges_g
+        FROM d
+    """,
+    section="A80",
+    doc=f"Cohen's d (pooled-SD standardized mean difference) + the "
+    f"small-sample Hedges' g correction for account balances, {_T_A} "
+    f"vs {_T_B} — the EFFECT SIZE companion to A28's Welch t: t tells "
+    "you a difference exists, d tells you whether it's big enough to "
+    "act on (the gap between 'significant' and 'matters' that every "
+    "large-n A/B test hits, where t explodes while d stays "
+    "negligible). The pooled sum-of-squares (na-1)va + (nb-1)vb "
+    "simplifies to exact (sa2 - sa^2/na) + (sb2 - sb^2/nb) cent "
+    "moments from A28's ONE conditional pass; d and g are single "
+    "IEEE expression trees over them, rounded 4dp. Scale: one "
+    "map-side-combinable reduction — A66's shape.",
+)
+def q_agg_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment").isin(_T_A, _T_B)
+    )
+    qb = F.expr(_Q_BAL_SPARK)
+    is_a = F.col("c_mktsegment") == _T_A
+    is_b = F.col("c_mktsegment") == _T_B
+    m = cu.select(qb.alias("qb"), is_a.alias("ia"), is_b.alias("ib")).agg(
+        F.sum(F.when(F.col("ia"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("na"),
+        F.sum(F.when(F.col("ia"), F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sa"),
+        F.sum(F.when(F.col("ia"), F.col("qb") * F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sa2"),
+        F.sum(F.when(F.col("ib"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nb"),
+        F.sum(F.when(F.col("ib"), F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sb"),
+        F.sum(F.when(F.col("ib"), F.col("qb") * F.col("qb")).otherwise(0))
+        .cast("bigint")
+        .alias("sb2"),
+    )
+    na, nb = F.col("na"), F.col("nb")
+    mean_diff = F.col("sa").cast("double") / na - F.col(
+        "sb"
+    ).cast("double") / nb
+    ssa = (
+        F.col("sa2").cast("double")
+        - F.col("sa").cast("double") * F.col("sa").cast("double") / na
+    )
+    ssb = (
+        F.col("sb2").cast("double")
+        - F.col("sb").cast("double") * F.col("sb").cast("double") / nb
+    )
+    d = m.select(
+        "na",
+        "nb",
+        mean_diff.alias("mean_diff"),
+        ((ssa + ssb) / (na + nb - 2)).alias("sp2"),
+    )
+    dd = F.col("mean_diff") / F.sqrt(F.col("sp2"))
+    return d.select(
+        "na",
+        "nb",
+        F.round(dd, 4).alias("cohens_d"),
+        F.round(
+            dd * (1 - 3.0 / (4 * (F.col("na") + F.col("nb")) - 9)), 4
+        ).alias("hedges_g"),
+    )
+
+@register(
+    "q_agg_meta_dl",
+    oracle=f"""
+        WITH piv AS (
+            SELECT {{pivot}}
+            FROM orders
+        ),
+        pv AS (
+            SELECT *,
+                   {", ".join(
+                       f"CAST(k_{i} AS DOUBLE) / n_{i} AS p_{i}, "
+                       f"CAST(k_{i} AS DOUBLE) / n_{i}"
+                       f" * (1 - CAST(k_{i} AS DOUBLE) / n_{i}) / n_{i}"
+                       f" AS v_{i}"
+                       for i in range(5)
+                   )}
+            FROM piv
+        ),
+        wv AS (
+            SELECT *, {", ".join(f"1 / v_{i} AS w_{i}" for i in range(5))}
+            FROM pv
+        ),
+        s1 AS (
+            SELECT *,
+                   {_dl_fold("w_{i}")} AS sw,
+                   {_dl_fold("w_{i} * p_{i}")} AS swp,
+                   {_dl_fold("w_{i} * w_{i}")} AS sw2
+            FROM wv
+        ),
+        s2 AS (
+            SELECT *, swp / sw AS pf, sw - sw2 / sw AS c
+            FROM s1
+        ),
+        s3 AS (
+            SELECT *,
+                   {_dl_fold("w_{i} * (p_{i} - pf) * (p_{i} - pf)")} AS q
+            FROM s2
+        ),
+        s4 AS (
+            SELECT *, greatest(0, (q - 4) / c) AS tau2
+            FROM s3
+        ),
+        s5 AS (
+            SELECT *,
+                   {_dl_fold("1 / (v_{i} + tau2)")} AS sws,
+                   {_dl_fold("p_{i} / (v_{i} + tau2)")} AS swsp
+            FROM s4
+        )
+        SELECT 5 AS k_strata,
+               ROUND(q, 4) AS q_stat,
+               ROUND(tau2, 8) AS tau2,
+               ROUND(pf, 6) AS pooled_fixed,
+               ROUND(swsp / sws, 6) AS pooled_random,
+               ROUND(swsp / sws - 1.96 * sqrt(1 / sws), 6) AS ci_low,
+               ROUND(swsp / sws + 1.96 * sqrt(1 / sws), 6) AS ci_high
+        FROM s5
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{i}, "
+        f"CAST(SUM(CASE WHEN o_orderpriority = '{p}'"
+        f" AND o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS k_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A81",
+    doc="DerSimonian-Laird random-effects meta-analysis of the "
+    "fulfilled-order rate across the 5 priority strata: fixed-effect "
+    "pooled rate, Cochran's Q heterogeneity, the DL between-stratum "
+    "variance tau^2, and the random-effects pooled rate with 95% CI "
+    "— the stratified-pooling operator that A71's Mantel-Haenszel "
+    "deliberately is NOT (MH assumes one common effect; DL models "
+    "strata drawn from a DISTRIBUTION of effects, and tau^2 > 0 is "
+    "the evidence the common-effect assumption failed — run both, "
+    "report DL when they disagree). All stratum rates come from one "
+    "conditional-aggregation pass of exact integer counts; every "
+    "weighted fold is the explicit left-nested A66 device so both "
+    "engines share the IEEE op order through seven formula layers "
+    "(rule 10). Scale: a single map-side-combinable reduction to a "
+    "1-row table; adding strata widens the pivot, not the data "
+    "path.",
+)
+def q_agg_meta_dl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    piv = od.agg(
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(
+                    F.when(F.col("o_orderpriority") == p, 1).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(
+                    F.when(
+                        (F.col("o_orderpriority") == p)
+                        & (F.col("o_orderstatus") == "F"),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"k_{i}"),
+            )
+        ]
+    )
+    pv = piv.select(
+        "*",
+        *[
+            c
+            for i in range(5)
+            for c in (
+                (F.col(f"k_{i}").cast("double") / F.col(f"n_{i}")).alias(
+                    f"p_{i}"
+                ),
+                (
+                    F.col(f"k_{i}").cast("double")
+                    / F.col(f"n_{i}")
+                    * (
+                        1
+                        - F.col(f"k_{i}").cast("double") / F.col(f"n_{i}")
+                    )
+                    / F.col(f"n_{i}")
+                ).alias(f"v_{i}"),
+            )
+        ],
+    )
+    wv = pv.select(
+        "*", *[(1 / F.col(f"v_{i}")).alias(f"w_{i}") for i in range(5)]
+    )
+
+    def _fold(make):
+        t = make(0)
+        for i in range(1, 5):
+            t = t + make(i)
+        return t
+
+    s1 = wv.select(
+        "*",
+        _fold(lambda i: F.col(f"w_{i}")).alias("sw"),
+        _fold(lambda i: F.col(f"w_{i}") * F.col(f"p_{i}")).alias("swp"),
+        _fold(lambda i: F.col(f"w_{i}") * F.col(f"w_{i}")).alias("sw2"),
+    )
+    s2 = s1.select(
+        "*",
+        (F.col("swp") / F.col("sw")).alias("pf"),
+        (F.col("sw") - F.col("sw2") / F.col("sw")).alias("c"),
+    )
+    s3 = s2.select(
+        "*",
+        _fold(
+            lambda i: F.col(f"w_{i}")
+            * (F.col(f"p_{i}") - F.col("pf"))
+            * (F.col(f"p_{i}") - F.col("pf"))
+        ).alias("q"),
+    )
+    s4 = s3.select(
+        "*",
+        F.greatest(F.lit(0.0), (F.col("q") - 4) / F.col("c")).alias("tau2"),
+    )
+    s5 = s4.select(
+        "*",
+        _fold(lambda i: 1 / (F.col(f"v_{i}") + F.col("tau2"))).alias("sws"),
+        _fold(
+            lambda i: F.col(f"p_{i}") / (F.col(f"v_{i}") + F.col("tau2"))
+        ).alias("swsp"),
+    )
+    pr = F.col("swsp") / F.col("sws")
+    half = 1.96 * F.sqrt(1 / F.col("sws"))
+    return s5.select(
+        F.lit(5).cast("int").alias("k_strata"),
+        F.round("q", 4).alias("q_stat"),
+        F.round("tau2", 8).alias("tau2"),
+        F.round("pf", 6).alias("pooled_fixed"),
+        F.round(pr, 6).alias("pooled_random"),
+        F.round(pr - half, 6).alias("ci_low"),
+        F.round(pr + half, 6).alias("ci_high"),
+    )
+
+@register(
+    "q_agg_bland_altman",
+    oracle="""
+        WITH pair AS (
+            SELECT o.o_orderkey,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS header_cents,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS line_cents
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        d AS (
+            SELECT header_cents - line_cents AS diff FROM pair
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(diff) AS BIGINT) AS s,
+                   CAST(SUM(diff * diff) AS DECIMAL(38,0)) AS q
+            FROM d
+        )
+        SELECT n,
+               ROUND(CAST(s AS DOUBLE) / n / 100, 4) AS bias_dollars,
+               ROUND(sqrt((CAST(q AS DOUBLE)
+                           - CAST(s AS DOUBLE) * s / n) / (n - 1))
+                     / 100, 4) AS sd_dollars,
+               ROUND((CAST(s AS DOUBLE) / n
+                      - 1.96 * sqrt((CAST(q AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * s / n)
+                                    / (n - 1))) / 100, 4) AS loa_low,
+               ROUND((CAST(s AS DOUBLE) / n
+                      + 1.96 * sqrt((CAST(q AS DOUBLE)
+                                     - CAST(s AS DOUBLE) * s / n)
+                                    / (n - 1))) / 100, 4) AS loa_high
+        FROM m
+    """,
+    section="A82",
+    doc="Bland-Altman agreement analysis between the two 'measurements' "
+    "of an order's value — the header o_totalprice vs the summed "
+    "line prices: mean bias and the 95% limits of agreement "
+    "(bias +/- 1.96 SD of the per-order differences). E34 CLASSIFIES "
+    "individual gaps into tolerance bands; Bland-Altman is the "
+    "STATISTICAL summary regulators and method-comparison studies "
+    "expect — a tight LoA band certifies the two pipelines agree "
+    "within noise, a wide one quantifies exactly how much slack a "
+    "reconciliation tolerance needs. Per-order cent diffs are exact "
+    "integers from one co-keyed collapse (J23's shape); the diff "
+    "moments use a DECIMAL(38,0) square sum (cent-squares overflow "
+    "int64 past ~2.5k-cent diffs x 1e5 rows); bias/SD/LoA are "
+    "single IEEE trees (rule 10). Scale: one fact-key join + one "
+    "global reduction.",
+)
+def q_agg_bland_altman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(cast(l_extendedprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("line_cents")
+        )
+        .select(
+            (
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+                - F.col("line_cents")
+            ).alias("diff")
+        )
+    )
+    m = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("diff").cast("bigint").alias("s"),
+        F.sum(F.col("diff").cast("decimal(19,0)") * F.col("diff"))
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("q").cast("double")
+            - F.col("s").cast("double") * F.col("s") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    bias = F.col("s").cast("double") / F.col("n")
+    return m.select(
+        "n",
+        F.round(bias / 100, 4).alias("bias_dollars"),
+        F.round(sd / 100, 4).alias("sd_dollars"),
+        F.round((bias - 1.96 * sd) / 100, 4).alias("loa_low"),
+        F.round((bias + 1.96 * sd) / 100, 4).alias("loa_high"),
+    )
+
+@register(
+    "q_agg_friedman",
+    oracle="""
+        WITH cell AS (
+            SELECT c.c_nationkey AS blk, o.o_orderpriority AS cond,
+                   CAST(SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        full_blk AS (
+            SELECT blk FROM cell GROUP BY blk HAVING COUNT(*) = 5
+        ),
+        ranked AS (
+            SELECT c.blk, c.cond,
+                   CAST(ROW_NUMBER() OVER (
+                        PARTITION BY c.blk
+                        ORDER BY CAST(c.cents AS DOUBLE) / c.n, c.cond
+                   ) AS BIGINT) AS rk
+            FROM cell c JOIN full_blk f ON c.blk = f.blk
+        ),
+        rsum AS (
+            SELECT cond, CAST(SUM(rk) AS BIGINT) AS r_j,
+                   CAST(COUNT(*) AS BIGINT) AS n_blocks
+            FROM ranked GROUP BY cond
+        ),
+        m AS (
+            SELECT CAST(MAX(n_blocks) AS BIGINT) AS nb,
+                   CAST(SUM(r_j * r_j) AS BIGINT) AS sr2
+            FROM rsum
+        )
+        SELECT nb AS n_blocks, 5 AS k_conditions,
+               ROUND(12.0 * sr2 / (nb * 5 * 6) - 3.0 * nb * 6, 4)
+                   AS friedman_chi2
+        FROM m
+    """,
+    section="A83",
+    doc="Friedman blocked rank test: does mean order price differ "
+    "across the 5 priorities when RANKED WITHIN each nation block — "
+    "the repeated-measures completion of the rank-test family (A65 "
+    "Kruskal-Wallis assumes independent groups; Friedman removes "
+    "the between-nation level shift by ranking within block, which "
+    "is exactly the paired design any per-tenant / per-region "
+    "comparison needs). Per-cell means compared as one double "
+    "division over exact cent sums with a condition tie-break, so "
+    "within-block ranks (1..5, no ties by construction) are "
+    "deterministic; rank sums and the chi-square are then pure "
+    "integer arithmetic to one final expression. Blocks missing a "
+    "condition are excluded (the balanced-design contract, "
+    "identical both engines). Scale: one fact collapse to the "
+    "(nation x priority) grain, one 5-row window per block — "
+    "domain-bounded everywhere.",
+)
+def q_agg_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    cell = (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("blk"),
+            F.col("o_orderpriority").alias("cond"),
+        )
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                    " as bigint)"
+                )
+            )
+            .cast("bigint")
+            .alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    full_blk = cell.groupBy("blk").agg(
+        F.count(F.lit(1)).alias("nc")
+    ).where(F.col("nc") == 5).select("blk")
+    w = Window.partitionBy("blk").orderBy(
+        F.col("cents").cast("double") / F.col("n"), F.col("cond")
+    )
+    ranked = (
+        cell.join(F.broadcast(full_blk), "blk")
+        .select(
+            "blk", "cond", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+    )
+    rsum = ranked.groupBy("cond").agg(
+        F.sum("rk").cast("bigint").alias("r_j"),
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+    )
+    m = rsum.agg(
+        F.max("n_blocks").cast("bigint").alias("nb"),
+        F.sum(F.col("r_j") * F.col("r_j")).cast("bigint").alias("sr2"),
+    )
+    return m.select(
+        F.col("nb").alias("n_blocks"),
+        F.lit(5).cast("int").alias("k_conditions"),
+        F.round(
+            12.0 * F.col("sr2") / (F.col("nb") * 5 * 6)
+            - 3.0 * F.col("nb") * 6,
+            4,
+        ).alias("friedman_chi2"),
+    )
+
+@register(
+    "q_agg_wilcoxon_signed_rank",
+    oracle="""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                   - CAST(SUM(CASE WHEN event_type = 'purchase'
+                              THEN 1 ELSE 0 END) AS BIGINT) AS diff
+            FROM events GROUP BY 1
+        ),
+        nz AS (SELECT diff, abs(diff) AS ad FROM d WHERE diff <> 0),
+        grp AS (
+            SELECT ad,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CASE WHEN diff > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_pos
+            FROM nz GROUP BY ad
+        ),
+        mr AS (
+            SELECT ad, cnt, n_pos,
+                   2 * (CAST(SUM(cnt) OVER (ORDER BY ad
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS BIGINT) - cnt)
+                   + cnt + 1 AS midrank2
+            FROM grp
+        ),
+        m AS (
+            SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+                   CAST(SUM(n_pos * midrank2) AS BIGINT) AS w2_plus,
+                   CAST(SUM(cnt * midrank2 * midrank2) AS BIGINT) AS sr2
+            FROM mr
+        )
+        SELECT n,
+               CAST(w2_plus AS DOUBLE) / 2 AS w_plus,
+               ROUND((CAST(w2_plus AS DOUBLE) / 2
+                      - CAST(n AS DOUBLE) * (n + 1) / 4)
+                     / sqrt(CAST(sr2 AS DOUBLE) / 16), 4) AS z
+        FROM m
+    """,
+    section="A84",
+    doc="Wilcoxon signed-rank test on paired daily view-vs-purchase "
+    "counts: midranks of |diff| with exact tie handling, W+ = rank "
+    "sum of the positive side, z standardized with the TIE-EXACT "
+    "variance sum(r_i^2)/4 — the paired-sample completion of the "
+    "rank family (A42 Mann-Whitney = independent two-sample, A65 "
+    "KW = k-sample, A83 Friedman = blocked k-sample; signed rank is "
+    "the workhorse for before/after comparisons where a sign test "
+    "wastes magnitude information). Exactness device: midranks are "
+    "computed on the |diff|-GROUPED table (one row per distinct "
+    "magnitude, so the cumulative window has no within-tie order "
+    "ambiguity — a row-grain cumulative would make each tied row's "
+    "rank depend on physical position), carried as exact DOUBLED "
+    "integers 2*(below) + cnt + 1 (the A64 device); W+ and the "
+    "variance are exact integer sums to the final z. Zero diffs "
+    "dropped (standard Wilcoxon). Scale: day-grain collapse, then "
+    "one window over the MAGNITUDE-domain table.",
+)
+def q_agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            - F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("diff")
+    )
+    nz = d.where(F.col("diff") != 0).select(
+        "diff", F.abs(F.col("diff")).alias("ad")
+    )
+    grp = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(F.when(F.col("diff") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pos"),
+    )
+    w = Window.orderBy("ad").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mr = grp.select(
+        "cnt",
+        "n_pos",
+        (
+            2 * (F.sum("cnt").over(w).cast("bigint") - F.col("cnt"))
+            + F.col("cnt")
+            + 1
+        ).alias("midrank2"),
+    )
+    m = mr.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("n_pos") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("w2_plus"),
+        F.sum(F.col("cnt") * F.col("midrank2") * F.col("midrank2"))
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    wp = F.col("w2_plus").cast("double") / 2
+    return m.select(
+        "n",
+        wp.alias("w_plus"),
+        F.round(
+            (wp - F.col("n").cast("double") * (F.col("n") + 1) / 4)
+            / F.sqrt(F.col("sr2").cast("double") / 16),
+            4,
+        ).alias("z"),
+    )
+
+@register(
+    "q_agg_rank_biserial",
+    oracle="""
+        WITH s AS (
+            SELECT o_totalprice AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        r AS (
+            SELECT v, g,
+                   rank() OVER (ORDER BY v) AS rk,
+                   COUNT(*) OVER (PARTITION BY v) AS tc
+            FROM s
+        ),
+        m AS (
+            SELECT CAST(SUM(g) AS BIGINT) AS n1,
+                   CAST(SUM(1 - g) AS BIGINT) AS n2,
+                   CAST(SUM(CASE WHEN g = 1 THEN
+                       CAST(rk AS DECIMAL(38,1))
+                       + CAST(tc - 1 AS DECIMAL(38,1)) / 2 END)
+                       AS DOUBLE) AS r1
+            FROM r
+        )
+        SELECT n1, n2,
+               ROUND((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                     / (CAST(n1 AS DOUBLE) * n2), 6) AS cles,
+               ROUND(2.0 * (r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                     / (CAST(n1 AS DOUBLE) * n2) - 1, 6)
+                   AS rank_biserial_r
+        FROM m
+    """,
+    section="A85",
+    doc="Rank-biserial correlation + the common-language effect size "
+    "(CLES = U/(n1*n2) = P(random F order exceeds random O order)) "
+    "for A37's Mann-Whitney comparison — the effect-size member of "
+    "the rank family, closing the significance-vs-magnitude gap the "
+    "same way A80's Cohen's d does for A28's t: at large n the MW z "
+    "is always 'significant' while CLES ~ 0.5 says the dominance is "
+    "practically nil. Same tie-averaged DECIMAL rank sum as A37 "
+    "(exact .0/.5 halves); both outputs are single divisions over "
+    "exact moments. Scale: one ranked window + one reduction.",
+)
+def q_agg_rank_biserial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note (r6): same distributed-rank device as q_agg_mann_whitney —
+    # rank(v) = min(global_rn) per tie group, both windows keyed by v.
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.col("o_totalprice").alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+        "o_orderkey",
+    )
+    wv = Window.partitionBy("v")
+    r = global_row_number(s, ["v", "o_orderkey"], out_col="_grn").select(
+        "v",
+        "g",
+        F.min("_grn").over(wv).alias("rk"),
+        F.count("*").over(wv).alias("tc"),
+    )
+    avg_rank = (
+        F.col("rk").cast("decimal(38,1)")
+        + (F.col("tc") - 1).cast("decimal(38,1)") / 2
+    )
+    m = r.agg(
+        F.sum("g").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, avg_rank))
+        .cast("double")
+        .alias("r1"),
+    )
+    u = F.col("r1") - F.col("n1").cast("double") * (F.col("n1") + 1) / 2.0
+    denom = F.col("n1").cast("double") * F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        F.round(u / denom, 6).alias("cles"),
+        F.round(2.0 * u / denom - 1, 6).alias("rank_biserial_r"),
+    )
+
+@register(
+    "q_agg_ks_exact",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS v,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS g
+            FROM orders WHERE o_orderstatus IN ('F', 'O')
+        ),
+        grp AS (
+            SELECT v,
+                   CAST(SUM(g) AS BIGINT) AS c1,
+                   CAST(SUM(1 - g) AS BIGINT) AS c2
+            FROM s GROUP BY v
+        ),
+        cum AS (
+            SELECT v,
+                   CAST(SUM(c1) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS f1,
+                   CAST(SUM(c2) OVER (ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS f2
+            FROM grp
+        ),
+        tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c2) AS BIGINT) AS n2
+            FROM grp
+        ),
+        dmax AS (
+            SELECT CAST(MAX(abs(f1 * t.n2 - f2 * t.n1)) AS BIGINT)
+                       AS d_num,
+                   CAST(MAX(t.n1) AS BIGINT) AS n1,
+                   CAST(MAX(t.n2) AS BIGINT) AS n2
+            FROM cum CROSS JOIN tot t
+        )
+        SELECT n1, n2, d_num,
+               ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2), 6)
+                   AS ks_d,
+               ROUND(CAST(d_num AS DOUBLE) / (CAST(n1 AS DOUBLE) * n2)
+                     * sqrt(CAST(n1 AS DOUBLE) * n2 / (n1 + n2)), 4)
+                   AS ks_stat_scaled
+        FROM dmax
+    """,
+    section="A86",
+    doc="EXACT two-sample Kolmogorov-Smirnov D on order values (status "
+    "F vs O): the supremum ECDF gap evaluated at EVERY distinct "
+    "value, not A27's fixed bins — the binned D is a lower bound "
+    "that can miss a sharp distributional divergence falling inside "
+    "one bin, so this is the certifying form (report binned for "
+    "speed, exact when the verdict is close to the threshold). "
+    "Exactness device: the gap is maximized as the INTEGER "
+    "|F1*n2 - F2*n1| over cent-grain cumulative counts (value-"
+    "grouped first, so the ECDF step points are unambiguous and no "
+    "float division happens until the reported D) — argmax-free, "
+    "tie-free, bit-exact. sqrt(n1*n2/(n1+n2))*D is the asymptotic "
+    "KS statistic. Scale: one value-grain collapse + one ordered "
+    "window over the VALUE DOMAIN (A27's rank-table contract), two "
+    "scalar reductions.",
+)
+def q_agg_ks_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.where(F.col("o_orderstatus").isin("F", "O")).select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("v"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("g"),
+    )
+    grp = s.groupBy("v").agg(
+        F.sum("g").cast("bigint").alias("c1"),
+        F.sum(1 - F.col("g")).cast("bigint").alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grp.select(
+        F.sum("c1").over(w).cast("bigint").alias("f1"),
+        F.sum("c2").over(w).cast("bigint").alias("f2"),
+    )
+    tot = grp.agg(
+        F.sum("c1").cast("bigint").alias("n1"),
+        F.sum("c2").cast("bigint").alias("n2"),
+    )
+    dmax = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max(
+            F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("d_num"),
+        F.max("n1").cast("bigint").alias("n1"),
+        F.max("n2").cast("bigint").alias("n2"),
+    )
+    d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n2")
+    )
+    return dmax.select(
+        "n1",
+        "n2",
+        "d_num",
+        F.round(d, 6).alias("ks_d"),
+        F.round(
+            d
+            * F.sqrt(
+                F.col("n1").cast("double")
+                * F.col("n2")
+                / (F.col("n1") + F.col("n2"))
+            ),
+            4,
+        ).alias("ks_stat_scaled"),
+    )
+
+@register(
+    "q_agg_prop_posthoc",
+    oracle=f"""
+        WITH g AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS k
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT a.grp AS grp_a, b.grp AS grp_b,
+                   a.n AS na, a.k AS ka, b.n AS nb, b.k AS kb
+            FROM g a JOIN g b ON a.grp < b.grp
+        ),
+        z AS (
+            SELECT grp_a, grp_b,
+                   (CAST(ka AS DOUBLE) / na - CAST(kb AS DOUBLE) / nb)
+                   / sqrt((CAST(ka + kb AS DOUBLE) / (na + nb))
+                          * (1 - CAST(ka + kb AS DOUBLE) / (na + nb))
+                          * (1.0 / na + 1.0 / nb)) AS z
+            FROM pairs
+        ),
+        ranked AS (
+            SELECT grp_a, grp_b, z, abs(z) AS az,
+                   CAST(ROW_NUMBER() OVER (ORDER BY abs(z) DESC,
+                                           grp_a, grp_b) AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM z
+        )
+        SELECT grp_a, grp_b,
+               ROUND(z, 4) AS z,
+               rk AS severity_rank,
+               CAST(az > 2.807 AS BOOLEAN) AS flagged_bonferroni
+        FROM ranked
+    """,
+    section="A87",
+    doc="Pairwise post-hoc z tests on fulfilled-order PROPORTIONS after "
+    "an omnibus chi-square (A23): all 10 priority pairs' pooled-"
+    "variance two-proportion z, severity-ranked, with a Bonferroni "
+    "flag at the family-wise critical value z_{{0.05/(2*10)}} = 2.807 "
+    "(the fixed constant is part of the contract) — A69's Tukey HSD does this for MEANS; "
+    "proportions need their own post-hoc, and 'which pair drives "
+    "the chi-square' is the actionable half of every segmentation "
+    "readout. Counts exact, each z one IEEE tree, ranking fully "
+    "tie-broken by the pair key. Scale: 5-row collapse, 10-row "
+    "arithmetic.",
+)
+def q_agg_prop_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    g = od.groupBy(F.col("o_orderpriority").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    a = g.select(
+        F.col("grp").alias("grp_a"),
+        F.col("n").alias("na"),
+        F.col("k").alias("ka"),
+    )
+    b = g.select(
+        F.col("grp").alias("grp_b"),
+        F.col("n").alias("nb"),
+        F.col("k").alias("kb"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("grp_a") < F.col("grp_b"))
+    pp = (F.col("ka") + F.col("kb")).cast("double") / (
+        F.col("na") + F.col("nb")
+    )
+    zc = (
+        F.col("ka").cast("double") / F.col("na")
+        - F.col("kb").cast("double") / F.col("nb")
+    ) / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb")))
+    z = pairs.select("grp_a", "grp_b", zc.alias("z"))
+    wrk = Window.orderBy(F.desc(F.abs(F.col("z"))), "grp_a", "grp_b")
+    ranked = z.select(
+        "grp_a",
+        "grp_b",
+        "z",
+        F.abs(F.col("z")).alias("az"),
+        F.row_number().over(wrk).cast("bigint").alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).cast("bigint").alias("m"),
+    )
+    return ranked.select(
+        "grp_a",
+        "grp_b",
+        F.round("z", 4).alias("z"),
+        F.col("rk").alias("severity_rank"),
+        (F.col("az") > 2.807).alias("flagged_bonferroni"),
+    )
+
+@register(
+    "q_agg_chow_test",
+    oracle=f"""
+        WITH d AS MATERIALIZED (
+            SELECT CAST(date_diff('day', DATE '1995-01-01',
+                                  CAST(o_orderdate AS DATE))
+                        AS BIGINT) AS t,
+                   CAST(o_orderdate < TIMESTAMP '{_CHOW_SPLIT}'
+                        AS BOOLEAN) AS pre,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) // 100000
+                       AS y
+            FROM orders GROUP BY 1, 2
+        ),
+        mp AS ({_chow_moments_duck("TRUE", "p")}),
+        m1 AS ({_chow_moments_duck("pre", "1")}),
+        m2 AS ({_chow_moments_duck("NOT pre", "2")}),
+        ssr AS (
+            SELECT {_CHOW_SSR_DUCK.format(s="p")} AS ssr_p,
+                   {_CHOW_SSR_DUCK.format(s="1")} AS ssr_1,
+                   {_CHOW_SSR_DUCK.format(s="2")} AS ssr_2,
+                   mp.n_p AS n
+            FROM mp CROSS JOIN m1 CROSS JOIN m2
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               ROUND(ssr_p, 2) AS ssr_pooled,
+               ROUND(ssr_1 + ssr_2, 2) AS ssr_split,
+               ROUND(((ssr_p - (ssr_1 + ssr_2)) / 2)
+                     / ((ssr_1 + ssr_2) / (n - 4)), 4) AS chow_f
+        FROM ssr
+    """,
+    section="A88",
+    doc=f"Chow structural-break test of the daily-revenue linear trend "
+    f"at {_CHOW_SPLIT}: pooled-vs-segmented OLS residual sums, "
+    "F = ((SSR_p - SSR_1 - SSR_2)/k) / ((SSR_1+SSR_2)/(n-2k)) with "
+    "k=2 — TS11's changepoint DETECTS where a break might be; Chow "
+    "TESTS a hypothesized break (a launch date, a pipeline "
+    "migration) with an F verdict, the difference between "
+    "exploration and certification. Each segment's SSR reduces "
+    "from six exact moments (daily revenue quantized to exact "
+    "THOUSANDS of dollars so every moment — including n*syy — stays "
+    "under 2^53: raw cent squares overflow int64 AND their "
+    "DECIMAL(38,0) sums round differently when cast to double "
+    "cross-engine, both observed) with the identical centered-"
+    "moment expression tree "
+    "(rule 10); t is a calendar day index, no window needed. "
+    "Scale: one day-grain collapse + three 6-moment reductions — "
+    "map-side-combinable everywhere.",
+)
+def q_agg_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    d = od.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("bigint")
+        .alias("t"),
+        (
+            F.col("o_orderdate") < F.lit(_CHOW_SPLIT).cast("timestamp")
+        ).alias("pre"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(cast(o_totalprice as decimal(18,2)) * 100"
+            " as bigint)) as bigint) div 100000"
+        ).alias("y")
+    )
+
+    def _moments(df, sfx):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{sfx}"),
+            F.sum("t").cast("bigint").alias(f"st_{sfx}"),
+            F.sum("y").cast("bigint").alias(f"sy_{sfx}"),
+            F.sum(F.col("t") * F.col("t")).cast("bigint").alias(f"stt_{sfx}"),
+            F.sum(F.col("t") * F.col("y")).cast("bigint").alias(f"sty_{sfx}"),
+            F.sum(F.col("y") * F.col("y")).cast("bigint").alias(f"syy_{sfx}"),
+        )
+
+    mp = _moments(d, "p")
+    m1 = _moments(d.where(F.col("pre")), "1")
+    m2 = _moments(d.where(~F.col("pre")), "2")
+
+    def _ssr(s):
+        n = F.col(f"n_{s}").cast("double")
+        syy_c = n * F.col(f"syy_{s}").cast("double") - F.col(
+            f"sy_{s}"
+        ).cast("double") * F.col(f"sy_{s}")
+        sty_c = n * F.col(f"sty_{s}") - F.col(f"st_{s}").cast(
+            "double"
+        ) * F.col(f"sy_{s}")
+        stt_c = n * F.col(f"stt_{s}") - F.col(f"st_{s}").cast(
+            "double"
+        ) * F.col(f"st_{s}")
+        return (syy_c - sty_c * sty_c / stt_c) / F.col(f"n_{s}")
+
+    ssr = (
+        mp.crossJoin(F.broadcast(m1))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            _ssr("p").alias("ssr_p"),
+            _ssr("1").alias("ssr_1"),
+            _ssr("2").alias("ssr_2"),
+            F.col("n_p").alias("n"),
+        )
+    )
+    return ssr.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round("ssr_p", 2).alias("ssr_pooled"),
+        F.round(F.col("ssr_1") + F.col("ssr_2"), 2).alias("ssr_split"),
+        F.round(
+            ((F.col("ssr_p") - (F.col("ssr_1") + F.col("ssr_2"))) / 2)
+            / ((F.col("ssr_1") + F.col("ssr_2")) / (F.col("n") - 4)),
+            4,
+        ).alias("chow_f"),
+    )
+
+@register(
+    "q_agg_bartlett",
+    oracle=f"""
+        WITH rows_kv AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS v
+            FROM orders
+        ),
+        piv AS (
+            SELECT {{pivot}}
+            FROM rows_kv
+        ),
+        vr AS (
+            SELECT *,
+                   {", ".join(
+                       f"(CAST(n_{i} AS DOUBLE) * q_{i}"
+                       f" - CAST(s_{i} AS DOUBLE) * s_{i})"
+                       f" / (CAST(n_{i} AS DOUBLE) * (n_{i} - 1))"
+                       f" AS v_{i}"
+                       for i in range(5)
+                   )},
+                   {_bartlett_fold("CAST(n_{i} AS BIGINT)")} AS n
+            FROM piv
+        ),
+        sp AS (
+            SELECT *,
+                   {_bartlett_fold("(n_{i} - 1) * v_{i}")}
+                       / (n - 5) AS s2p
+            FROM vr
+        ),
+        chi AS (
+            SELECT n, s2p,
+                   (CAST(n - 5 AS DOUBLE) * ln(s2p)
+                    - {_bartlett_fold("(n_{i} - 1) * ln(v_{i})")})
+                   / (1 + ({_bartlett_fold("1.0 / (n_{i} - 1)")}
+                           - 1.0 / (n - 5)) / 12.0) AS stat
+            FROM sp
+        )
+        SELECT CAST(n AS BIGINT) AS n, 4 AS df,
+               ROUND(stat, 4) AS bartlett_chi2
+        FROM chi
+    """.replace("{pivot}", ", ".join(
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS n_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v ELSE 0 END) AS BIGINT)"
+        f" AS s_{i}, "
+        f"CAST(SUM(CASE WHEN grp = '{p}' THEN v * v ELSE 0 END) AS BIGINT)"
+        f" AS q_{i}"
+        for i, p in enumerate(_KW_PRIORITIES)
+    )),
+    section="A89",
+    doc="Bartlett's variance-homogeneity chi-square across the 5 "
+    "priority classes on whole-dollar totals — the PARAMETRIC "
+    "sibling of A73's Brown-Forsythe (Bartlett is more powerful "
+    "under normality but famously fragile to heavy tails; report "
+    "both, and BF-pass + Bartlett-reject is itself a kurtosis "
+    "signal). Group variances rebuild from the A66 one-pass exact "
+    "BIGINT moments; the ln() terms and harmonic correction fold "
+    "through the explicit left-nested device so both engines share "
+    "one IEEE tree (rule 10 — ln on bit-identical inputs, 4dp "
+    "output absorbs the libm ulp tail). Scale: one map-side "
+    "reduction to a 1-row statistic.",
+)
+def q_agg_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    rows_kv = od.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("v"),
+    )
+    piv = rows_kv.agg(
+        *[
+            agg
+            for i, p in enumerate(_KW_PRIORITIES)
+            for agg in (
+                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"n_{i}"),
+                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
+                .cast("bigint")
+                .alias(f"s_{i}"),
+                F.sum(
+                    F.when(F.col("grp") == p, F.col("v") * F.col("v"))
+                    .otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"q_{i}"),
+            )
+        ]
+    )
+
+    def _fold(make):
+        t = make(0)
+        for i in range(1, 5):
+            t = t + make(i)
+        return t
+
+    vr = piv.select(
+        "*",
+        *[
+            (
+                (
+                    F.col(f"n_{i}").cast("double") * F.col(f"q_{i}")
+                    - F.col(f"s_{i}").cast("double") * F.col(f"s_{i}")
+                )
+                / (F.col(f"n_{i}").cast("double") * (F.col(f"n_{i}") - 1))
+            ).alias(f"v_{i}")
+            for i in range(5)
+        ],
+        _fold(lambda i: F.col(f"n_{i}").cast("bigint")).alias("n"),
+    )
+    sp = vr.select(
+        "*",
+        (
+            _fold(lambda i: (F.col(f"n_{i}") - 1) * F.col(f"v_{i}"))
+            / (F.col("n") - 5)
+        ).alias("s2p"),
+    )
+    stat = (
+        (F.col("n") - 5).cast("double") * F.log(F.col("s2p"))
+        - _fold(lambda i: (F.col(f"n_{i}") - 1) * F.log(F.col(f"v_{i}")))
+    ) / (
+        1
+        + (
+            _fold(lambda i: 1.0 / (F.col(f"n_{i}") - 1))
+            - 1.0 / (F.col("n") - 5)
+        )
+        / 12.0
+    )
+    return sp.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.lit(4).cast("int").alias("df"),
+        F.round(stat, 4).alias("bartlett_chi2"),
+    )
+
+@register(
+    "q_agg_dist_fit",
+    oracle="""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100 AS x
+            FROM orders
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS s,
+                   CAST(SUM(x * x) AS BIGINT) AS q,
+                   CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE)) * 1e9)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                       AS sl,
+                   CAST(SUM(CAST(floor(ln(CAST(x AS DOUBLE))
+                                       * ln(CAST(x AS DOUBLE)) * 1e9)
+                                 AS DECIMAL(38,0))) AS DOUBLE) / 1e9
+                       AS ql
+            FROM v
+        ),
+        p AS (
+            SELECT n,
+                   CAST(s AS DOUBLE) / n AS mu,
+                   (CAST(q AS DOUBLE)
+                    - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var,
+                   sl / n AS mu_ln,
+                   (ql - sl * sl / n) / (n - 1) AS var_ln
+            FROM m
+        )
+        SELECT n,
+               ROUND(mu, 4) AS normal_mu,
+               ROUND(sqrt(var), 4) AS normal_sigma,
+               ROUND(mu_ln, 6) AS lognormal_mu,
+               ROUND(sqrt(var_ln), 6) AS lognormal_sigma,
+               ROUND(mu * mu / var, 4) AS gamma_shape,
+               ROUND(var / mu, 4) AS gamma_scale
+        FROM p
+    """,
+    section="A90",
+    doc="Distribution moment-fit panel on whole-dollar order totals: "
+    "normal (mu, sigma), lognormal (mean/sd of ln x), and gamma "
+    "(method-of-moments shape mu^2/var, scale var/mu) parameter "
+    "estimates in one pass — the parametric-modeling on-ramp every "
+    "pricing/latency/LTV model starts from (fit all three, then "
+    "A27/A86's KS against each fitted form picks the family; gamma "
+    "shape >> 1 also certifies the CLT-normality A28 leans on). "
+    "Integer moments exact; the ln and ln^2 terms fold through "
+    "floor-1e9 DECIMAL sums (rule 10 — ln on bit-identical integer-"
+    "valued doubles); every output is a single IEEE tree over the "
+    "folded moments. Scale: ONE map-side-combinable reduction.",
+)
+def q_agg_dist_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = od.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100"
+        ).alias("x")
+    )
+    lnx = F.log(F.col("x").cast("double"))
+    m = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("q"),
+        (
+            F.sum(F.floor(lnx * 1e9).cast("decimal(38,0)")).cast("double")
+            / 1e9
+        ).alias("sl"),
+        (
+            F.sum(
+                F.floor(lnx * lnx * 1e9).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e9
+        ).alias("ql"),
+    )
+    p = m.select(
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mu"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            )
+            / (F.col("n") - 1)
+        ).alias("var"),
+        (F.col("sl") / F.col("n")).alias("mu_ln"),
+        (
+            (F.col("ql") - F.col("sl") * F.col("sl") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("var_ln"),
+    )
+    return p.select(
+        "n",
+        F.round("mu", 4).alias("normal_mu"),
+        F.round(F.sqrt("var"), 4).alias("normal_sigma"),
+        F.round("mu_ln", 6).alias("lognormal_mu"),
+        F.round(F.sqrt("var_ln"), 6).alias("lognormal_sigma"),
+        F.round(F.col("mu") * F.col("mu") / F.col("var"), 4).alias(
+            "gamma_shape"
+        ),
+        F.round(F.col("var") / F.col("mu"), 4).alias("gamma_scale"),
+    )
+
+@register(
+    "q_agg_deming",
+    oracle="""
+        WITH pair AS (
+            SELECT CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100000 AS x,
+                   CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) // 100000
+                       AS y
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM pair
+        ),
+        c AS (
+            SELECT n,
+                   CAST(n AS DOUBLE) * sxx
+                   - CAST(sx AS DOUBLE) * sx AS cxx,
+                   CAST(n AS DOUBLE) * syy
+                   - CAST(sy AS DOUBLE) * sy AS cyy,
+                   CAST(n AS DOUBLE) * sxy
+                   - CAST(sx AS DOUBLE) * sy AS cxy,
+                   CAST(sx AS DOUBLE) / n AS mx,
+                   CAST(sy AS DOUBLE) / n AS my
+            FROM m
+        )
+        SELECT n,
+               ROUND((cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                       + 4 * cxy * cxy))
+                     / (2 * cxy), 6) AS deming_slope,
+               ROUND(my - (cyy - cxx + sqrt((cyy - cxx) * (cyy - cxx)
+                                            + 4 * cxy * cxy))
+                          / (2 * cxy) * mx, 4) AS deming_intercept,
+               ROUND(cxy / sqrt(cxx * cyy), 6) AS pearson_r
+        FROM c
+    """,
+    section="A91",
+    doc="Deming (errors-in-both-variables, lambda=1) regression of "
+    "summed line value on header value per order, in exact whole "
+    "thousands — the METHOD-COMPARISON fit that belongs beside "
+    "A82's Bland-Altman: OLS assumes x is error-free and so biases "
+    "the slope toward 0 when both measurements carry noise; the "
+    "Deming slope's departure from 1 is the PROPORTIONAL bias "
+    "(large orders drifting) that BA's constant limits of "
+    "agreement can't represent. Closed form from six exact integer "
+    "moments (k$ quantization keeps n*syy under 2^53 — A88's "
+    "lesson); slope/intercept/r are single IEEE trees (rule 10). "
+    "Scale: one co-keyed collapse + one reduction.",
+)
+def q_agg_deming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pair = (
+        od.join(li, od.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.expr(
+                "cast(sum(cast(cast(l_extendedprice as decimal(18,2))"
+                " * 100 as bigint)) as bigint) div 100000"
+            ).alias("y")
+        )
+        .select(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100"
+                " as bigint) div 100000"
+            ).alias("x"),
+            "y",
+        )
+    )
+    m = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = nd * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    cyy = nd * F.col("syy") - F.col("sy").cast("double") * F.col("sy")
+    cxy = nd * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")
+    c = m.select(
+        "n",
+        cxx.alias("cxx"),
+        cyy.alias("cyy"),
+        cxy.alias("cxy"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+    )
+    slope = (
+        F.col("cyy")
+        - F.col("cxx")
+        + F.sqrt(
+            (F.col("cyy") - F.col("cxx")) * (F.col("cyy") - F.col("cxx"))
+            + 4 * F.col("cxy") * F.col("cxy")
+        )
+    ) / (2 * F.col("cxy"))
+    return c.select(
+        "n",
+        F.round(slope, 6).alias("deming_slope"),
+        F.round(F.col("my") - slope * F.col("mx"), 4).alias(
+            "deming_intercept"
+        ),
+        F.round(
+            F.col("cxy") / F.sqrt(F.col("cxx") * F.col("cyy")), 6
+        ).alias("pearson_r"),
+    )
+
+@register(
+    "q_agg_icc",
+    oracle="""
+        WITH v AS (
+            SELECT c.c_nationkey AS blk,
+                   CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) // 100000 AS x
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ),
+        g AS (
+            SELECT blk,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   CAST(SUM(x) AS BIGINT) AS s_g
+            FROM v GROUP BY blk
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                   CAST(SUM(s_g) AS BIGINT) AS s,
+                   CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(CAST(floor(CAST(s_g AS DOUBLE) * s_g / n_g
+                                       * 1e6) AS DECIMAL(38,0)))
+                        AS DOUBLE) / 1e6 AS ssb_terms
+            FROM g
+        ),
+        q AS (
+            SELECT CAST(SUM(x * x) AS BIGINT) AS sq FROM v
+        ),
+        anova AS (
+            SELECT t.n, t.k,
+                   t.ssb_terms
+                   - CAST(t.s AS DOUBLE) * t.s / t.n AS ssb,
+                   CAST(q.sq AS DOUBLE) - t.ssb_terms AS ssw,
+                   (CAST(t.n AS DOUBLE)
+                    - CAST(SUM(CAST(floor(CAST(g.n_g AS DOUBLE) * g.n_g
+                                          / t.n * 1e6)
+                                    AS DECIMAL(38,0))) AS DOUBLE) / 1e6)
+                   / (t.k - 1) AS n0
+            FROM tot t CROSS JOIN q CROSS JOIN g
+            GROUP BY t.n, t.k, t.ssb_terms, t.s, q.sq
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS k_blocks,
+               ROUND(n0, 4) AS n0_effective,
+               ROUND((ssb / (k - 1) - ssw / (n - k))
+                     / (ssb / (k - 1) + (n0 - 1) * (ssw / (n - k))), 6)
+                   AS icc1
+        FROM anova
+    """,
+    section="A92",
+    doc="Intraclass correlation ICC(1) of order values within nation "
+    "blocks (one-way random-effects ANOVA estimator with the "
+    "unbalanced-design n0 correction): how much of total variance "
+    "is BETWEEN-nation — the design-effect input that justifies "
+    "A79's group jackknife (ICC ~ 0 means rows are exchangeable "
+    "and IID error bars are fine; ICC > 0 inflates the effective-"
+    "sample-size penalty 1+(m-1)*ICC that clustered pipelines "
+    "must apply). MSB/MSW rebuild from exact BIGINT group sums "
+    "over values quantized to whole THOUSANDS — Spark's "
+    "floor(double) returns BIGINT and silently CLAMPS at "
+    "Long.MAX, so a dollar-grain s_g^2/n_g*1e6 term (~4e19) "
+    "corrupts the fold on one engine only (observed; DuckDB's "
+    "floor stays double) — and the two variable-count folds over "
+    "the 25-node block table (sum of s_g^2/n_g, sum of n_g^2/n) "
+    "go through floor-1e6 DECIMAL quantization since the block "
+    "domain isn't a fixed unrollable list (rule 10). Scale: one group collapse + "
+    "25-row arithmetic.",
+)
+def q_agg_icc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    v = od.join(cu, od.o_custkey == cu.c_custkey).select(
+        F.col("c_nationkey").alias("blk"),
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            " div 100000"
+        ).alias("x"),
+    )
+    g = v.groupBy("blk").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum("x").cast("bigint").alias("s_g"),
+    )
+    tot_scalars = g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum("s_g").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (
+            F.sum(
+                F.floor(
+                    F.col("s_g").cast("double")
+                    * F.col("s_g")
+                    / F.col("n_g")
+                    * 1e6
+                ).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("ssb_terms"),
+    )
+    sq = v.agg(F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sq"))
+    n0df = (
+        g.crossJoin(F.broadcast(tot_scalars))
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("n_g").cast("double")
+                        * F.col("n_g")
+                        / F.col("n")
+                        * 1e6
+                    ).cast("decimal(38,0)")
+                ).cast("double")
+                / 1e6
+            ).alias("sum_ng2_over_n")
+        )
+    )
+    anova = (
+        tot_scalars.crossJoin(F.broadcast(sq))
+        .crossJoin(F.broadcast(n0df))
+        .select(
+            "n",
+            "k",
+            (
+                F.col("ssb_terms")
+                - F.col("s").cast("double") * F.col("s") / F.col("n")
+            ).alias("ssb"),
+            (F.col("sq").cast("double") - F.col("ssb_terms")).alias("ssw"),
+            (
+                (F.col("n").cast("double") - F.col("sum_ng2_over_n"))
+                / (F.col("k") - 1)
+            ).alias("n0"),
+        )
+    )
+    msb = F.col("ssb") / (F.col("k") - 1)
+    msw = F.col("ssw") / (F.col("n") - F.col("k"))
+    return anova.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("k_blocks"),
+        F.round("n0", 4).alias("n0_effective"),
+        F.round(
+            (msb - msw) / (msb + (F.col("n0") - 1) * msw), 6
+        ).alias("icc1"),
+    )
+
+@register(
+    "q_agg_lorenz_points",
+    oracle="""
+        WITH cust AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                 * 100 AS BIGINT)) AS BIGINT) AS cents
+            FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+            SELECT cents,
+                   ntile(10) OVER (ORDER BY cents, o_custkey) AS decile
+            FROM cust
+        ),
+        per_dec AS (
+            SELECT decile,
+                   CAST(COUNT(*) AS BIGINT) AS n_d,
+                   CAST(SUM(cents) AS BIGINT) AS c_d
+            FROM ranked GROUP BY decile
+        ),
+        tot AS (
+            SELECT CAST(SUM(n_d) AS BIGINT) AS n,
+                   CAST(SUM(c_d) AS BIGINT) AS c
+            FROM per_dec
+        )
+        SELECT CAST(p.decile AS INTEGER) AS decile,
+               CAST(SUM(p2.n_d) AS BIGINT) AS cum_customers,
+               CAST(SUM(p2.c_d) AS BIGINT) AS cum_cents,
+               ROUND(CAST(SUM(p2.n_d) AS DOUBLE) / MAX(t.n), 6)
+                   AS pop_share,
+               ROUND(CAST(SUM(p2.c_d) AS DOUBLE) / MAX(t.c), 6)
+                   AS revenue_share
+        FROM per_dec p
+        JOIN per_dec p2 ON p2.decile <= p.decile
+        CROSS JOIN tot t
+        GROUP BY p.decile
+    """,
+    section="A93",
+    doc="Lorenz curve coordinates at customer-revenue deciles: "
+    "cumulative population share vs cumulative revenue share, "
+    "poorest decile first — the CURVE whose enclosed area A19's "
+    "Gini scalar integrates, and the actionable form ('bottom 50% "
+    "of customers hold 9% of revenue') that concentration policies "
+    "and HHI thresholds (A35) are argued from. Deciles via ntile "
+    "over the totally-ordered exact cent totals (E42's remainder "
+    "contract); the cumulative join runs on the 10-row decile "
+    "table; every share is one division over exact BIGINTs. Scale: "
+    "one customer collapse + a 10-row triangular self-join.",
+)
+def q_agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    cust = od.groupBy("o_custkey").agg(
+        F.sum(
+            F.expr(
+                "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    ranked = cust.select(
+        "cents",
+        F.ntile(10)
+        .over(Window.orderBy("cents", "o_custkey"))
+        .alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_d"),
+        F.sum("cents").cast("bigint").alias("c_d"),
+    )
+    tot = per_dec.agg(
+        F.sum("n_d").cast("bigint").alias("n"),
+        F.sum("c_d").cast("bigint").alias("c"),
+    )
+    p2 = per_dec.select(
+        F.col("decile").alias("d2"),
+        F.col("n_d").alias("n2"),
+        F.col("c_d").alias("c2"),
+    )
+    return (
+        per_dec.join(F.broadcast(p2), F.col("d2") <= F.col("decile"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy(F.col("decile").cast("int").alias("decile"))
+        .agg(
+            F.sum("n2").cast("bigint").alias("cum_customers"),
+            F.sum("c2").cast("bigint").alias("cum_cents"),
+            F.round(
+                F.sum("n2").cast("double") / F.max("n"), 6
+            ).alias("pop_share"),
+            F.round(
+                F.sum("c2").cast("double") / F.max("c"), 6
+            ).alias("revenue_share"),
+        )
+    )
+
+@register(
+    "q_agg_sprt",
+    oracle=f"""
+        WITH obs AS (
+            SELECT md5(CAST(o_orderkey AS VARCHAR)) AS arrival,
+                   CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END
+                       AS conv
+            FROM orders
+        ),
+        run AS (
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY arrival) AS BIGINT)
+                       AS t,
+                   CAST(SUM(conv) OVER (ORDER BY arrival
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS k
+            FROM obs
+        )
+        SELECT t AS n_obs, k AS n_conv,
+               ROUND(k * ln({_SPRT_P1} / {_SPRT_P0})
+                     + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0})),
+                     4) AS llr,
+               CASE
+                 WHEN k * ln({_SPRT_P1} / {_SPRT_P0})
+                      + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                      >= ln(0.95 / 0.05) THEN 'reject_h0'
+                 WHEN k * ln({_SPRT_P1} / {_SPRT_P0})
+                      + (t - k) * ln((1 - {_SPRT_P1}) / (1 - {_SPRT_P0}))
+                      <= ln(0.05 / 0.95) THEN 'accept_h0'
+                 ELSE 'continue'
+               END AS decision
+        FROM run
+        WHERE t % {_SPRT_CHECK} = 0
+    """,
+    section="A94",
+    doc=f"Wald SPRT (sequential probability ratio test) trajectory for "
+    f"the fulfilled-order rate, H0 p={_SPRT_P0} vs H1 p={_SPRT_P1}, "
+    f"alpha=beta=0.05, checkpointed every {_SPRT_CHECK} observations "
+    "in deterministic md5 arrival order — the ALWAYS-VALID "
+    "sequential decision rule that fixed-n tests (A28/A31) cannot "
+    "give: peeking at a fixed-n test inflates false positives, "
+    "while the SPRT's Wald boundaries license stopping THE MOMENT "
+    "the log-likelihood ratio exits (ln B, ln A) — the "
+    "earliest-possible-decision property every ramp/holdback "
+    "wants. The LLR is integer counts times two LITERAL log "
+    "constants (k·c1 + (n-k)·c2 — constant-folded identically to "
+    "within an ulp whose k-scaled effect the 4dp rounding "
+    "absorbs); the boundary comparison constants are literals too "
+    "(rule 10). Scale: one hash-ordered running count — the "
+    "day-spine window shape on the observation stream.",
+)
+def q_agg_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    obs = od.select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("arrival"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("conv"),
+    )
+    # Scale note (r6): both the arrival index t and the running conversion
+    # count k are prefix sums over the (unique) md5 arrival order — one
+    # distributed two-pass cumulative, no single-partition window.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+    run = global_cumulative(
+        obs, ["arrival"], {"t": F.lit(1), "k": F.col("conv")}
+    ).select(
+        F.col("t").cast("bigint").alias("t"),
+        F.col("k").cast("bigint").alias("k"),
+    )
+    c1 = F.log(F.lit(_SPRT_P1) / F.lit(_SPRT_P0))
+    c2 = F.log((1 - F.lit(_SPRT_P1)) / (1 - F.lit(_SPRT_P0)))
+    llr = F.col("k") * c1 + (F.col("t") - F.col("k")) * c2
+    hi = F.log(F.lit(0.95) / F.lit(0.05))
+    lo = F.log(F.lit(0.05) / F.lit(0.95))
+    return run.where(F.col("t") % _SPRT_CHECK == 0).select(
+        F.col("t").alias("n_obs"),
+        F.col("k").alias("n_conv"),
+        F.round(llr, 4).alias("llr"),
+        F.when(llr >= hi, "reject_h0")
+        .when(llr <= lo, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )
+
+@register(
+    "q_agg_grubbs",
+    oracle="""
+        WITH d AS (
+            SELECT o_orderdate AS day,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) // 100000 AS v
+            FROM orders GROUP BY o_orderdate
+        ),
+        m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) AS s,
+                   CAST(SUM(v * v) AS BIGINT) AS q
+            FROM d
+        ),
+        dev AS (
+            SELECT d.day, d.v,
+                   abs(d.v * m.n - m.s) AS dev_num, m.n, m.s, m.q
+            FROM d CROSS JOIN m
+        ),
+        top AS (
+            SELECT day, v, dev_num, n, s, q
+            FROM dev
+            ORDER BY dev_num DESC, day
+            LIMIT 1
+        )
+        SELECT CAST(n AS BIGINT) AS n_days,
+               day AS flagged_day,
+               CAST(v AS BIGINT) AS flagged_value_kd,
+               ROUND((CAST(dev_num AS DOUBLE) / n)
+                     / sqrt((CAST(q AS DOUBLE) * n - CAST(s AS DOUBLE) * s)
+                            / (CAST(n AS DOUBLE) * (n - 1))), 4)
+                   AS grubbs_g
+        FROM top
+    """,
+    section="A95",
+    doc="Grubbs' statistic with the flagged observation: the day whose "
+    "revenue deviates most from the mean in standard-deviation "
+    "units, G = max|x - mean|/s — the single-outlier TEST that "
+    "names its suspect, where A14's winsorizing silently clips and "
+    "W13's IQR fence flags in bulk (Grubbs is what incident review "
+    "wants: ONE day, a defensible score, and n for the critical-"
+    "value lookup). Exactness: deviations are compared as the "
+    "integer |v*n - s| (mean denominator deferred — the A73/TS36 "
+    "numerator device), so the argmax is exact and tie-broken by "
+    "day; G itself is one IEEE tree over k$ moments (rule 10). "
+    "Scale: day-grain collapse, one reduction + one bounded "
+    "ORDER BY 1.",
+)
+def q_agg_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    d = od.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.expr(
+            "cast(sum(cast(o_totalprice as decimal(18,2))) * 100"
+            " as bigint) div 100000"
+        ).alias("v")
+    )
+    m = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").cast("bigint").alias("s"),
+        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q"),
+    )
+    dev = d.crossJoin(F.broadcast(m)).select(
+        "day",
+        "v",
+        F.abs(F.col("v") * F.col("n") - F.col("s")).alias("dev_num"),
+        "n",
+        "s",
+        "q",
+    )
+    top = dev.orderBy(F.desc("dev_num"), F.asc("day")).limit(1)
+    g = (F.col("dev_num").cast("double") / F.col("n")) / F.sqrt(
+        (
+            F.col("q").cast("double") * F.col("n")
+            - F.col("s").cast("double") * F.col("s")
+        )
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return top.select(
+        F.col("n").alias("n_days"),
+        F.col("day").alias("flagged_day"),
+        F.col("v").cast("bigint").alias("flagged_value_kd"),
+        F.round(g, 4).alias("grubbs_g"),
+    )
+
+@register(
+    "q_agg_hill_tail",
+    oracle=f"""
+        WITH v AS (
+            SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS BIGINT) AS cents,
+                   o_orderkey
+            FROM orders
+        ),
+        top AS (
+            SELECT cents,
+                   ROW_NUMBER() OVER (ORDER BY cents DESC, o_orderkey)
+                       AS rk
+            FROM v
+        ),
+        kth AS (
+            SELECT cents AS x_k FROM top WHERE rk = {_HILL_K} + 1
+        ),
+        terms AS (
+            SELECT ln(CAST(t.cents AS DOUBLE) / k.x_k) AS lr
+            FROM top t CROSS JOIN kth k
+            WHERE t.rk <= {_HILL_K}
+        )
+        SELECT {_HILL_K} AS k_order_stats,
+               ROUND(CAST(SUM(CAST(floor(lr * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9 / {_HILL_K}, 6) AS mean_log_ratio,
+               ROUND({_HILL_K}
+                     / (CAST(SUM(CAST(floor(lr * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9), 4) AS hill_alpha
+        FROM terms
+    """,
+    section="A96",
+    doc=f"Hill tail-index estimator over the top {_HILL_K} order values: "
+    "alpha = k / sum(ln(x_(i)/x_(k+1))) — the extreme-value-theory "
+    "number that says WHETHER moments exist (alpha < 2 = infinite "
+    "variance, and every A-family mean/variance readout on that "
+    "column is formally meaningless; alpha < 1 = infinite MEAN), "
+    "which is the question A51's skew/kurtosis and A90's gamma fit "
+    "quietly assume away. Order statistics via a fully tie-broken "
+    "rank on exact cents; the log-ratio terms fold through floor-"
+    "1e9 DECIMAL sums (rule 10 — ln on bit-identical rationals). "
+    "Scale: a top-(k+1) selection (rank pushdown shape) then k-row "
+    "arithmetic — the scan dominates, as it should.",
+)
+def q_agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    v = od.select(
+        F.expr(
+            "cast(cast(o_totalprice as decimal(18,2)) * 100 as bigint)"
+        ).alias("cents"),
+        "o_orderkey",
+    )
+    top = v.select(
+        "cents",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cents"), F.asc("o_orderkey")))
+        .alias("rk"),
+    )
+    kth = top.where(F.col("rk") == _HILL_K + 1).select(
+        F.col("cents").alias("x_k")
+    )
+    terms = (
+        top.where(F.col("rk") <= _HILL_K)
+        .crossJoin(F.broadcast(kth))
+        .select(
+            F.log(F.col("cents").cast("double") / F.col("x_k")).alias("lr")
+        )
+    )
+    qs = (
+        F.sum(F.floor(F.col("lr") * 1e9).cast("decimal(38,0)")).cast(
+            "double"
+        )
+        / 1e9
+    )
+    return terms.agg(
+        F.lit(_HILL_K).cast("int").alias("k_order_stats"),
+        F.round(qs / _HILL_K, 6).alias("mean_log_ratio"),
+        F.round(F.lit(_HILL_K) / qs, 4).alias("hill_alpha"),
+    )
+
+@register(
+    "q_agg_log_rank",
+    oracle="""
+        WITH gaps AS (
+            SELECT CAST(CAST('0x' || substr(md5(CAST(o_custkey
+                                 AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                        AS INTEGER) AS arm,
+                   date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap
+            FROM orders
+        ),
+        ev AS (
+            SELECT gap AS t,
+                   CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d1,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS d2
+            FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+        ),
+        risk AS (
+            SELECT t, d1, d2,
+                   CAST(SUM(d1) OVER () AS BIGINT)
+                   - CAST(SUM(d1) OVER w AS BIGINT) + d1 AS n1,
+                   CAST(SUM(d2) OVER () AS BIGINT)
+                   - CAST(SUM(d2) OVER w AS BIGINT) + d2 AS n2
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ),
+        terms AS (
+            SELECT d1,
+                   CAST(d1 + d2 AS DOUBLE) * n1 / (n1 + n2) AS e1,
+                   CASE WHEN n1 + n2 > 1 THEN
+                       CAST(d1 + d2 AS DOUBLE)
+                       * (n1 + n2 - d1 - d2)
+                       * n1 * n2
+                       / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2)
+                          * (n1 + n2 - 1)) ELSE 0 END AS v
+            FROM risk
+        )
+        SELECT CAST(SUM(d1) AS BIGINT) AS observed_arm0,
+               ROUND(CAST(SUM(CAST(floor(e1 * 1e9) AS DECIMAL(38,0)))
+                          AS DOUBLE) / 1e9, 4) AS expected_arm0,
+               ROUND((SUM(d1) - CAST(SUM(CAST(floor(e1 * 1e9)
+                                      AS DECIMAL(38,0))) AS DOUBLE) / 1e9)
+                     * (SUM(d1) - CAST(SUM(CAST(floor(e1 * 1e9)
+                                        AS DECIMAL(38,0))) AS DOUBLE) / 1e9)
+                     / (CAST(SUM(CAST(floor(v * 1e9) AS DECIMAL(38,0)))
+                             AS DOUBLE) / 1e9), 4) AS log_rank_chi2
+        FROM terms
+    """,
+    section="A97",
+    doc="Log-rank test between two hash-split arms on the A33 "
+    "inter-order-gap survival times: observed vs expected arm-0 "
+    "events under the shared-hazard null, chi-square(1) with the "
+    "hypergeometric variance — the two-GROUP completion of A33's "
+    "Kaplan-Meier (KM describes one curve; the log-rank is THE "
+    "test for 'does segment A repurchase faster', weighting every "
+    "event time by its risk sets, which a naive median-gap compare "
+    "throws away). The arm split is E9's md5-prefix device (A/A "
+    "here, so chi2 ~ 1 is itself a calibration check); risk sets "
+    "are exact reverse-cumulative integers; the e1 and variance "
+    "terms fold through floor-1e9 DECIMAL sums (rule 10). Scale: "
+    "one gap window + event-time-grain arithmetic (A33's shape).",
+)
+def q_agg_log_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = od.select(
+        F.expr(
+            "cast(cast(conv(substr(md5(cast(o_custkey as string)), 1, 8),"
+            " 16, 10) as bigint) % 2 as int)"
+        ).alias("arm"),
+        F.datediff(
+            F.lead("o_orderdate").over(w), F.col("o_orderdate")
+        ).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    ev = gaps.groupBy(F.col("gap").alias("t")).agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    wcum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    risk = ev.select(
+        "t",
+        "d1",
+        "d2",
+        (
+            F.sum("d1").over(wall) - F.sum("d1").over(wcum) + F.col("d1")
+        )
+        .cast("bigint")
+        .alias("n1"),
+        (
+            F.sum("d2").over(wall) - F.sum("d2").over(wcum) + F.col("d2")
+        )
+        .cast("bigint")
+        .alias("n2"),
+    )
+    ntot = F.col("n1") + F.col("n2")
+    dtot = F.col("d1") + F.col("d2")
+    terms = risk.select(
+        "d1",
+        (dtot.cast("double") * F.col("n1") / ntot).alias("e1"),
+        F.when(
+            ntot > 1,
+            dtot.cast("double")
+            * (ntot - dtot)
+            * F.col("n1")
+            * F.col("n2")
+            / (ntot.cast("double") * ntot * (ntot - 1)),
+        )
+        .otherwise(0.0)
+        .alias("v"),
+    )
+
+    def _q9(c):
+        return (
+            F.sum(F.floor(F.col(c) * 1e9).cast("decimal(38,0)")).cast(
+                "double"
+            )
+            / 1e9
+        )
+
+    o1 = F.sum("d1")
+    e1 = _q9("e1")
+    return terms.agg(
+        o1.cast("bigint").alias("observed_arm0"),
+        F.round(e1, 4).alias("expected_arm0"),
+        F.round((o1 - e1) * (o1 - e1) / _q9("v"), 4).alias(
+            "log_rank_chi2"
+        ),
+    )
+
+# --- A98: Goodman-Kruskal gamma + Somers' D (ordinal association trio) ------
+
+
+@register(
+    "q_agg_gamma_somers",
+    oracle="""
+        WITH cells AS (
+            SELECT CAST(floor(o_totalprice / 50000.0) AS BIGINT) AS x,
+                   CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS y,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y > a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS c,
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y < a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS d,
+                CAST(SUM(CASE WHEN b.x = a.x AND b.y > a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS t_x,
+                CAST(SUM(CASE WHEN b.x > a.x AND b.y = a.y
+                              THEN a.n * b.n ELSE 0 END) AS BIGINT) AS t_y
+            FROM cells a CROSS JOIN cells b
+        )
+        SELECT c, d, t_x, t_y,
+               ROUND((c - d) / CAST(c + d AS DOUBLE), 6) AS gamma,
+               ROUND((c - d) / CAST(c + d + t_y AS DOUBLE), 6)
+                   AS somers_d_yx,
+               ROUND((c - d) / CAST(c + d + t_x AS DOUBLE), 6)
+                   AS somers_d_xy
+        FROM pairs
+    """,
+    section="A98",
+    doc="Goodman-Kruskal gamma and both Somers' D asymmetries between "
+    "order size band (50k totalprice buckets) and order priority rank "
+    "— the ordinal-association trio completing Kendall tau-b (A40): "
+    "gamma ignores ties entirely, D(Y|X) penalizes Y-ties only (the "
+    "form credit scoring reports as Gini when Y is binary), D(X|Y) "
+    "the reverse. All three come from ONE concordant/discordant/tied "
+    "pair census computed on the r x c CONTINGENCY TABLE, not row "
+    "pairs: C = sum n_ij * n_i'j' over cell pairs with i'>i, j'>j — "
+    "exact BIGINT counts, each unordered row pair counted once via "
+    "the orientation constraint, three single divisions at the end. "
+    "Scale: one map-combinable count agg on (band, priority) then a "
+    "constant cells^2 (~50x50) local cross join — row count never "
+    "enters a join; the device that makes rank association O(n) at "
+    "100 TB.",
+)
+def q_agg_gamma_somers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("x"),
+        F.substring("o_orderpriority", 1, 1).cast("bigint").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = cells.select(
+        F.col("x").alias("ax"), F.col("y").alias("ay"), F.col("n").alias("an")
+    )
+    b = cells.select(
+        F.col("x").alias("bx"), F.col("y").alias("by"), F.col("n").alias("bn")
+    )
+    prod = F.col("an") * F.col("bn")
+    pairs = a.crossJoin(F.broadcast(b)).agg(
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") > F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("c"),
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") < F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("d"),
+        F.sum(
+            F.when((F.col("bx") == F.col("ax")) & (F.col("by") > F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("t_x"),
+        F.sum(
+            F.when((F.col("bx") > F.col("ax")) & (F.col("by") == F.col("ay")), prod).otherwise(0)
+        ).cast("bigint").alias("t_y"),
+    )
+    cd = F.col("c") - F.col("d")
+    return pairs.select(
+        "c",
+        "d",
+        "t_x",
+        "t_y",
+        F.round(cd / (F.col("c") + F.col("d")).cast("double"), 6).alias(
+            "gamma"
+        ),
+        F.round(
+            cd / (F.col("c") + F.col("d") + F.col("t_y")).cast("double"), 6
+        ).alias("somers_d_yx"),
+        F.round(
+            cd / (F.col("c") + F.col("d") + F.col("t_x")).cast("double"), 6
+        ).alias("somers_d_xy"),
+    )
+
+# --- A99: isotonic calibration via the closed-form min-max identity ---------
+
+
+@register(
+    "q_agg_isotonic_calibration",
+    oracle="""
+        WITH bins AS (
+            SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_pos
+            FROM events GROUP BY 1
+        ),
+        idx AS (
+            SELECT bin, n, n_pos,
+                   ROW_NUMBER() OVER (ORDER BY bin) AS i,
+                   SUM(n) OVER (ORDER BY bin) AS cn,
+                   SUM(n_pos) OVER (ORDER BY bin) AS cp
+            FROM bins
+        ),
+        seg AS (
+            SELECT j.i AS j, k.i AS k,
+                   (k.cp - j.cp + j.n_pos) /
+                       CAST(k.cn - j.cn + j.n AS DOUBLE) AS seg_avg
+            FROM idx j JOIN idx k ON j.i <= k.i
+        ),
+        fit AS (
+            SELECT b.i,
+                   MAX(inner_min) AS iso
+            FROM idx b
+            JOIN (
+                SELECT s.j, b2.i AS i, MIN(s.seg_avg) AS inner_min
+                FROM seg s JOIN idx b2 ON s.j <= b2.i AND s.k >= b2.i
+                GROUP BY s.j, b2.i
+            ) m ON m.i = b.i AND m.j <= b.i
+            GROUP BY b.i
+        )
+        SELECT idx.bin, idx.n, idx.n_pos,
+               ROUND(idx.n_pos / CAST(idx.n AS DOUBLE), 6) AS raw_rate,
+               ROUND(fit.iso, 6) AS isotonic_rate
+        FROM idx JOIN fit ON fit.i = idx.i
+    """,
+    section="A99",
+    doc="Isotonic (PAVA) calibration of purchase rate against the value "
+    "score, computed DISTRIBUTED via the closed-form min-max identity "
+    "fit(i) = max_{j<=i} min_{k>=i} weightedavg(j..k) on the binned "
+    "score — the calibration step every scorer/filter pipeline runs "
+    "before thresholding (A44's ECE MEASURES miscalibration; this "
+    "FIXES it), and the sequential pool-adjacent-violators loop "
+    "re-expressed as three joins over the bin-prefix table so no "
+    "driver-side iteration exists. Exactness: bin counts are exact "
+    "BIGINTs, every segment average is ONE division of integers "
+    "(deterministic IEEE), min/max over exact doubles — the fit is "
+    "bit-stable without rounding tricks. Scale: rows collapse to "
+    "score bins first (map-combinable), the m^3 segment lattice runs "
+    "on m ~ tens of bins — constant work after the reduction, "
+    "regardless of corpus size.",
+)
+def q_agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = ev.groupBy(
+        F.floor(F.col("value") / 25.0).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("bigint").alias("n_pos"),
+    )
+    w = Window.orderBy("bin")
+    idx = bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        F.row_number().over(w).alias("i"),
+        F.sum("n").over(w).alias("cn"),
+        F.sum("n_pos").over(w).alias("cp"),
+    ).localCheckpoint(eager=False)
+    j = idx.select(
+        F.col("i").alias("j"),
+        F.col("cn").alias("jcn"),
+        F.col("cp").alias("jcp"),
+        F.col("n").alias("jn"),
+        F.col("n_pos").alias("jnp"),
+    )
+    k = idx.select(
+        F.col("i").alias("k"),
+        F.col("cn").alias("kcn"),
+        F.col("cp").alias("kcp"),
+    )
+    seg = j.join(F.broadcast(k), F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("kcp") - F.col("jcp") + F.col("jnp"))
+            / (F.col("kcn") - F.col("jcn") + F.col("jn")).cast("double")
+        ).alias("seg_avg"),
+    )
+    b2 = idx.select(F.col("i").alias("mid"))
+    inner = (
+        seg.join(
+            F.broadcast(b2),
+            (F.col("j") <= F.col("mid")) & (F.col("k") >= F.col("mid")),
+        )
+        .groupBy("j", "mid")
+        .agg(F.min("seg_avg").alias("inner_min"))
+    )
+    fit = (
+        inner.groupBy(F.col("mid").alias("i"))
+        .agg(F.max("inner_min").alias("iso"))
+    )
+    return idx.join(fit, "i").select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.col("n_pos") / F.col("n").cast("double"), 6).alias(
+            "raw_rate"
+        ),
+        F.round("iso", 6).alias("isotonic_rate"),
+    )
+
+# --- A100: split-conformal prediction interval -------------------------------
+
+
+@register(
+    "q_agg_conformal_interval",
+    oracle="""
+        WITH o AS (
+            SELECT o_orderkey AS k, o_orderpriority AS g,
+                   CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                        AS BIGINT) AS cents,
+                   o_orderkey % 3 AS split
+            FROM orders
+        ),
+        tr AS (
+            SELECT g, cents,
+                   row_number() OVER (
+                       PARTITION BY g ORDER BY cents, k) AS rn,
+                   COUNT(*) OVER (PARTITION BY g) AS n
+            FROM o WHERE split = 0
+        ),
+        pred AS (
+            SELECT g, cents AS pred FROM tr WHERE rn = (n + 1) // 2
+        ),
+        cal AS (
+            SELECT abs(o.cents - p.pred) AS r
+            FROM o JOIN pred p USING (g) WHERE o.split = 1
+        ),
+        kq AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_calib,
+                   (9 * (COUNT(*) + 1) + 9) // 10 AS kk
+            FROM cal
+        ),
+        qh AS (
+            SELECT c.r AS qhat_cents
+            FROM (SELECT r, row_number() OVER (ORDER BY r) AS rn
+                  FROM cal) c CROSS JOIN kq
+            WHERE c.rn = LEAST(kq.kk, kq.n_calib)
+        ),
+        te AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+                   CAST(SUM(CASE WHEN abs(o.cents - p.pred)
+                                      <= qh.qhat_cents
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM o JOIN pred p USING (g) CROSS JOIN qh
+            WHERE o.split = 2
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM o WHERE split = 0)
+                   AS n_train,
+               kq.n_calib,
+               te.n_test,
+               CAST(qh.qhat_cents AS BIGINT) AS qhat_cents,
+               te.n_covered,
+               ROUND(CAST(te.n_covered AS DOUBLE) / te.n_test, 6)
+                   AS coverage
+        FROM kq CROSS JOIN qh CROSS JOIN te
+    """,
+    section="A100",
+    doc="Split-conformal prediction interval with finite-sample coverage: "
+    "orders split 3 ways by key (train/calibration/test), a per-"
+    "priority train MEDIAN is the point predictor, the 90% conformal "
+    "radius qhat is the ceil(0.9*(n+1))-th smallest absolute "
+    "calibration residual, and test coverage verifies the "
+    "distribution-free >=90% guarantee — the modern UQ wrapper every "
+    "model-eval pipeline bolts onto a black-box predictor (isotonic "
+    "A99 calibrates probabilities; this calibrates INTERVALS). "
+    "Exactness: cents are exact BIGINT, the median and qhat are "
+    "ORDER STATISTICS (row_number picks, duplicate-safe — the k-th "
+    "smallest VALUE is tie-order invariant), the rank index "
+    "ceil(9(n+1)/10) is pure integer arithmetic, every residual "
+    "comparison is BIGINT; ONE division at the end. Scale: one "
+    "5-group median window over the train split, one global rank "
+    "over calibration residuals (at 100 TB: replace with a 2-pass "
+    "count-then-select on the residual histogram), map-side "
+    "coverage count; the 1-row pred/qhat relations broadcast.",
+)
+def q_agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderpriority").alias("g"),
+        (F.col("o_totalprice").cast(DecimalType(12, 2)) * 100)
+        .cast("bigint")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("split"),
+    )
+    wtr = Window.partitionBy("g").orderBy("cents", "k")
+    tr = (
+        o.where(F.col("split") == 0)
+        .withColumn("rn", F.row_number().over(wtr))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("g")))
+    )
+    pred = tr.where(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "g", F.col("cents").alias("pred")
+    )
+    cal = (
+        o.where(F.col("split") == 1)
+        .join(F.broadcast(pred), "g")
+        .select(F.abs(F.col("cents") - F.col("pred")).alias("r"))
+    )
+    kq = cal.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_calib"),
+        F.expr("(9 * (COUNT(*) + 1) + 9) div 10").alias("kk"),
+    )
+    # Scale note (r6): the k-th order statistic of the calibration
+    # residuals comes from the distributed global rank (ties on r make the
+    # rank assignment among equals arbitrary, but the SELECTED value at
+    # position kk is the order statistic either way).
+    from ai_to_cvent_etl_spark.operators.ranking import global_row_number
+
+    qh = (
+        global_row_number(cal, ["r"], out_col="rn")
+        .crossJoin(F.broadcast(kq))
+        .where(F.col("rn") == F.least(F.col("kk"), F.col("n_calib")))
+        .select(F.col("r").alias("qhat_cents"))
+    )
+    te = (
+        o.where(F.col("split") == 2)
+        .join(F.broadcast(pred), "g")
+        .crossJoin(F.broadcast(qh))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("cents") - F.col("pred"))
+                    <= F.col("qhat_cents"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_covered"),
+        )
+    )
+    ntr = o.where(F.col("split") == 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_train")
+    )
+    return (
+        ntr.crossJoin(kq)
+        .crossJoin(qh.select(F.col("qhat_cents").cast("bigint").alias("qhat_cents")))
+        .crossJoin(te)
+        .select(
+            "n_train",
+            "n_calib",
+            "n_test",
+            "qhat_cents",
+            "n_covered",
+            F.round(
+                F.col("n_covered").cast("double") / F.col("n_test"), 6
+            ).alias("coverage"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# Wave 118 (r5): classical ML as relational algebra — Naive Bayes,
+# multi-feature OLS, one Newton step of logistic regression.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_agg_naive_bayes",
+    oracle="""
+        WITH train AS (
+            SELECT * FROM documents WHERE doc_id % 5 <> 0
+        ),
+        test AS (
+            SELECT * FROM documents WHERE doc_id % 5 = 0
+        ),
+        tr_toks AS (
+            SELECT lang, unnest(string_split(text, ' ')) AS tok
+            FROM train
+        ),
+        ct AS (
+            SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM tr_toks GROUP BY lang, tok
+        ),
+        cls AS (
+            SELECT lang,
+                   CAST(SUM(c) AS DOUBLE) AS t_c,
+                   (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE)
+                    FROM tr_toks) AS v
+            FROM ct GROUP BY lang
+        ),
+        prior AS (
+            SELECT lang,
+                   CAST(COUNT(*) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM train) AS p
+            FROM train GROUP BY lang
+        ),
+        te_toks AS (
+            SELECT doc_id, lang AS true_lang,
+                   unnest(string_split(text, ' ')) AS tok
+            FROM test
+        ),
+        scored AS (
+            SELECT t.doc_id, t.true_lang, cls.lang AS cand,
+                   ln((SELECT p FROM prior WHERE prior.lang = cls.lang))
+                   + SUM(ln((COALESCE(ct.c, 0) + 1)
+                            / (cls.t_c + cls.v))) AS score
+            FROM te_toks t
+            CROSS JOIN cls
+            LEFT JOIN ct ON ct.lang = cls.lang AND ct.tok = t.tok
+            GROUP BY t.doc_id, t.true_lang, cls.lang, cls.t_c, cls.v
+        ),
+        pred AS (
+            SELECT doc_id, true_lang, cand AS pred_lang FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, cand) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM pred GROUP BY true_lang, pred_lang
+    """,
+    section="A101",
+    doc="Multinomial Naive Bayes, trained and evaluated entirely in "
+    "relational algebra: add-one-smoothed per-language token "
+    "likelihoods from the doc_id%5 train split, log-posterior "
+    "scoring of the held-out split, argmax prediction, and the "
+    "confusion matrix as output — the canonical baseline text "
+    "classifier as ONE declarative plan (train and inference are "
+    "the same DAG, no driver loop, no model file). Log-likelihood "
+    "sums are float with deterministic per-class tie-break on the "
+    "language code; the output counts are exact BIGINT (the L7 "
+    "rule: irrational arithmetic may order RANKS only where gaps "
+    "are macroscopic — class scores differ by whole nats in this "
+    "corpus). Scale: the model (lang x vocab counts, class totals, "
+    "priors) is vocabulary-sized and broadcasts; test tokens fan "
+    "out 5x (once per class) then collapse to doc grain — the "
+    "shuffle carries (doc, class) partial log-sums, never raw "
+    "text; at 100 TB this is the evaluate-a-quality-classifier "
+    "pass every curation pipeline runs.",
+)
+def q_agg_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    test = docs.where(F.col("doc_id") % 5 == 0)
+    tr_toks = fan_out(train).select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    ct = tr_toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    v = tr_toks.agg(
+        F.countDistinct("tok").cast("double").alias("v")
+    )
+    cls = (
+        ct.groupBy("lang")
+        .agg(F.sum("c").cast("double").alias("t_c"))
+        .crossJoin(F.broadcast(v))
+    )
+    n_train = train.agg(F.count(F.lit(1)).alias("n_tr"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_c"))
+        .crossJoin(F.broadcast(n_train))
+        .select("lang", (F.col("n_c") / F.col("n_tr")).alias("p"))
+    )
+    te_toks = fan_out(test).select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    )
+    cand = cls.select(
+        F.col("lang").alias("cand"), "t_c", "v"
+    ).join(prior.select(F.col("lang").alias("cand"), "p"), "cand")
+    scored = (
+        te_toks.crossJoin(F.broadcast(cand))
+        .join(
+            F.broadcast(
+                ct.select(
+                    F.col("lang").alias("cand"),
+                    "tok",
+                    F.col("c").alias("ct_c"),
+                )
+            ),
+            ["cand", "tok"],
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", "cand", "t_c", "v", "p")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("ct_c"), F.lit(0)) + 1)
+                    / (F.col("t_c") + F.col("v"))
+                )
+            ).alias("ll")
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.log("p") + F.col("ll")).alias("score"),
+        )
+    )
+    pred = (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(
+                    F.col("score").desc(), "cand"
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+
+@register(
+    "q_agg_ols_normal_eq",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y
+            FROM lineitem
+        )
+        SELECT ROUND((
+                 sy * (s11 * s22 - s12 * s12)
+               - s1y * (s1 * s22 - s12 * s2)
+               + s2y * (s1 * s12 - s11 * s2)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b0,
+               ROUND((
+                 n * (s1y * s22 - s12 * s2y)
+               - s1 * (sy * s22 - s2 * s2y)
+               + s2 * (sy * s12 - s2 * s1y)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b1,
+               ROUND((
+                 n * (s11 * s2y - s1y * s12)
+               - s1 * (s1 * s2y - s2 * s1y)
+               + sy * (s1 * s12 - s11 * s2)
+               ) / (
+                 n * (s11 * s22 - s12 * s12)
+               - s1 * (s1 * s22 - s12 * s2)
+               + s2 * (s1 * s12 - s11 * s2)
+               ), 6) AS b2
+        FROM m
+    """,
+    section="A102",
+    doc="Two-feature OLS (price ~ quantity + discount) solved by "
+    "Cramer's rule on the 3x3 normal equations — distributed "
+    "multi-feature linear regression as ONE aggregation: the nine "
+    "sufficient moments (n, sums, cross-products) are EXACT "
+    "DECIMAL sums of exact 2dp-decimal products, so the only float "
+    "arithmetic is the final determinant expressions on nine "
+    "identical scalars — bit-identical cross-engine, ROUND(6)-"
+    "pinned. Extends A?-linear_fit (1 feature) the way every MPP "
+    "warehouse implements REGR_*: sufficient statistics "
+    "map-combine; the model solve is O(p^3) on the driver-sized "
+    "1-row result, here inlined relationally. Scale: one "
+    "map-combinable scan at any SF; at 100 TB the same nine "
+    "moments stream through partial aggregation unchanged.",
+)
+def q_agg_ols_normal_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec2(F.col("l_quantity"))
+    d = dec2(F.col("l_discount"))
+    y = dec2(F.col("l_extendedprice"))
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y = F.col("s1y"), F.col("s2y")
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        sy * (s11 * s22 - s12 * s12)
+        - s1y * (s1 * s22 - s12 * s2)
+        + s2y * (s1 * s12 - s11 * s2)
+    ) / det
+    b1 = (
+        n * (s1y * s22 - s12 * s2y)
+        - s1 * (sy * s22 - s2 * s2y)
+        + s2 * (sy * s12 - s2 * s1y)
+    ) / det
+    b2 = (
+        n * (s11 * s2y - s1y * s12)
+        - s1 * (s1 * s2y - s2 * s1y)
+        + sy * (s1 * s12 - s11 * s2)
+    ) / det
+    return m.select(
+        F.round(b0, 6).alias("b0"),
+        F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"),
+    )
+
+@register(
+    "q_agg_logistic_newton",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CASE WHEN l_returnflag = 'R'
+                                 THEN CAST(1 AS DECIMAL(18,2))
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END
+                            - CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS g0,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * (CASE WHEN l_returnflag = 'R'
+                                    THEN CAST(1 AS DECIMAL(18,2))
+                                    ELSE CAST(0 AS DECIMAL(18,2)) END
+                               - CAST(0.5 AS DECIMAL(18,2))))
+                        AS DOUBLE) AS g1
+            FROM lineitem
+        )
+        SELECT ROUND((sxx * g0 - sx * g1)
+                     / ((n * sxx - sx * sx) / 4), 6) AS w0,
+               ROUND((n * g1 - sx * g0)
+                     / ((n * sxx - sx * sx) / 4), 6) AS w1,
+               CAST(n AS BIGINT) AS n_rows
+        FROM m
+    """,
+    section="A103",
+    doc="One Newton-Raphson step of logistic regression "
+    "(P[returnflag='R'] ~ discount) from w=0: at the zero weight "
+    "vector every p_i = 1/2, so the gradient is sum(x_i (y_i - "
+    "1/2)) and the Hessian is (1/4) X'X — both EXACT decimal sums "
+    "(y is 0/1, x is 2dp, 0.5 is exact decimal), making the "
+    "textbook IRLS iteration a pure relational aggregate with a "
+    "closed-form 2x2 solve on identical scalars (ROUND 6). This "
+    "pins the pattern every distributed GLM implements: sufficient "
+    "statistics map-combine per step, the tiny solve happens on "
+    "the 1-row result; further steps would chain the same shape "
+    "with p_i re-evaluated row-locally (the V16 unrolled-iteration "
+    "device). Scale: one map-combinable scan per step, 5 scalars "
+    "of state.",
+)
+def q_agg_logistic_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    x = dec2(F.col("l_discount"))
+    ymh = F.when(
+        F.col("l_returnflag") == "R", F.lit(1).cast("decimal(18,2)")
+    ).otherwise(F.lit(0).cast("decimal(18,2)")) - F.lit(0.5).cast(
+        "decimal(18,2)"
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(ymh).cast("double").alias("g0"),
+        F.sum(x * ymh).cast("double").alias("g1"),
+    )
+    det4 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) / 4
+    return m.select(
+        F.round(
+            (F.col("sxx") * F.col("g0") - F.col("sx") * F.col("g1"))
+            / det4,
+            6,
+        ).alias("w0"),
+        F.round(
+            (F.col("n") * F.col("g1") - F.col("sx") * F.col("g0"))
+            / det4,
+            6,
+        ).alias("w1"),
+        F.col("n").cast("bigint").alias("n_rows"),
+    )
+
+@register(
+    "q_agg_decision_stump",
+    oracle="""
+        WITH pts AS (
+            SELECT l_quantity AS x,
+                   CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+            FROM lineitem
+        ),
+        per_v AS (
+            SELECT x, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(y) AS BIGINT) AS pos
+            FROM pts GROUP BY x
+        ),
+        tot AS (
+            SELECT CAST(SUM(n) AS BIGINT) AS nt,
+                   CAST(SUM(pos) AS BIGINT) AS post
+            FROM per_v
+        ),
+        cand AS (
+            SELECT x AS thr,
+                   SUM(n) OVER (ORDER BY x) AS nl,
+                   SUM(pos) OVER (ORDER BY x) AS posl
+            FROM per_v
+        ),
+        scored AS (
+            SELECT c.thr,
+                   c.nl, t.nt - c.nl AS nr,
+                   -- weighted Gini * nt, all in exact integer-ratio
+                   -- form: nl*gini_l = nl - posl^2/nl - negl^2/nl
+                   (CAST(c.nl AS DOUBLE)
+                    - (CAST(c.posl AS DOUBLE) * c.posl
+                       + CAST(c.nl - c.posl AS DOUBLE) * (c.nl - c.posl))
+                      / c.nl)
+                   + (CAST(t.nt - c.nl AS DOUBLE)
+                      - (CAST(t.post - c.posl AS DOUBLE)
+                         * (t.post - c.posl)
+                         + CAST((t.nt - c.nl) - (t.post - c.posl)
+                                AS DOUBLE)
+                           * ((t.nt - c.nl) - (t.post - c.posl)))
+                        / (t.nt - c.nl)) AS wgini_nt
+            FROM cand c CROSS JOIN tot t
+            WHERE c.nl < t.nt
+        )
+        SELECT thr AS best_threshold,
+               CAST(nl AS BIGINT) AS n_left,
+               CAST(nr AS BIGINT) AS n_right,
+               ROUND(wgini_nt / (SELECT nt FROM tot), 6) AS weighted_gini
+        FROM (
+            SELECT *, row_number() OVER (
+                ORDER BY wgini_nt, thr) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    section="A104",
+    doc="Decision-tree stump: the best single split of "
+    "P[returnflag='R'] on l_quantity by weighted Gini impurity — "
+    "the NODE PRIMITIVE every distributed tree learner "
+    "(XGBoost/LightGBM's exact mode) evaluates: collapse to "
+    "per-value class histograms, prefix-sum them once, score every "
+    "threshold from the cumulative counts, argmin. The impurity "
+    "n_l*gini_l = n_l - (pos_l^2 + neg_l^2)/n_l is computed from "
+    "exact BIGINT cumulative counts with one division per "
+    "candidate — products of identical integers are exact doubles "
+    "(< 2^53), so the argmin comparison is deterministic, with a "
+    "threshold tie-break. Scale: the fact collapses to ~50 "
+    "per-value rows BEFORE any window; the threshold sweep runs on "
+    "that value-grain table — at 100 TB this is one map-combinable "
+    "histogram + a driver-sized scan, the exact split-finding "
+    "shape of a distributed GBDT.",
+)
+def q_agg_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    per_v = li.groupBy(F.col("l_quantity").alias("x")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("pos"),
+    )
+    tot = per_v.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("pos").cast("bigint").alias("post"),
+    )
+    w = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cand = per_v.select(
+        F.col("x").alias("thr"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("pos").over(w).alias("posl"),
+    )
+    j = cand.crossJoin(F.broadcast(tot)).where(
+        F.col("nl") < F.col("nt")
+    )
+    nl, posl = F.col("nl"), F.col("posl")
+    nt, post = F.col("nt"), F.col("post")
+    negl = nl - posl
+    nr = nt - nl
+    posr = post - posl
+    negr = nr - posr
+    wgini_nt = (
+        nl.cast("double")
+        - (posl.cast("double") * posl + negl.cast("double") * negl)
+        / nl
+    ) + (
+        nr.cast("double")
+        - (posr.cast("double") * posr + negr.cast("double") * negr)
+        / nr
+    )
+    scored = j.select(
+        "thr",
+        "nl",
+        nr.alias("nr"),
+        wgini_nt.alias("wgini_nt"),
+        "nt",
+    )
+    return (
+        scored.withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy("wgini_nt", "thr")),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("thr").alias("best_threshold"),
+            F.col("nl").cast("bigint").alias("n_left"),
+            F.col("nr").cast("bigint").alias("n_right"),
+            F.round(F.col("wgini_nt") / F.col("nt"), 6).alias(
+                "weighted_gini"
+            ),
+        )
+    )
+
+@register(
+    "q_agg_dhondt",
+    oracle=f"""
+        WITH votes AS (
+            SELECT c_nationkey AS party,
+                   CAST(COUNT(*) AS BIGINT) AS v
+            FROM customer GROUP BY 1
+        ),
+        quot AS (
+            SELECT party, v, d.d,
+                   CAST(v AS DOUBLE) / d.d AS q
+            FROM votes
+            CROSS JOIN (SELECT unnest(range(1, {_DH_SEATS + 1})) AS d) d
+        ),
+        winners AS (
+            SELECT party FROM (
+                SELECT party,
+                       row_number() OVER (
+                           ORDER BY q DESC, party, d) AS rn
+                FROM quot
+            ) WHERE rn <= {_DH_SEATS}
+        )
+        SELECT v.party, v.v AS votes,
+               CAST(COALESCE(w.seats, 0) AS BIGINT) AS seats
+        FROM votes v
+        LEFT JOIN (
+            SELECT party, COUNT(*) AS seats
+            FROM winners GROUP BY party
+        ) w ON v.party = w.party
+    """,
+    section="A105",
+    doc=f"D'Hondt divisor-method apportionment ({_DH_SEATS} seats by "
+    "customer count per nation): the classically SEQUENTIAL "
+    "seat-by-seat award has a closed form — party i wins as many "
+    "seats as it has quotients v_i/d (d=1..k) in the global top-k "
+    "— so the whole allocation is one cross join + one top-k "
+    "window, no iteration. Quotients are IEEE divisions of "
+    "identical integers (bit-identical cross-engine); ties break "
+    "on (party, divisor), matching statutory lowest-party-number "
+    "rules. Zero-seat parties are kept via the outer join (the "
+    "Q13 device). The same shape computes Sainte-Laguë with odd "
+    "divisors and any largest-quotient allocation — the "
+    "proportional-fairness primitive for quota assignment and "
+    "shard balancing. Scale: votes collapse to party grain first; "
+    f"the quotient table is parties x {_DH_SEATS} rows — "
+    "driver-sized at any corpus size.",
+)
+def q_agg_dhondt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    votes = cust.groupBy(F.col("c_nationkey").alias("party")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("v")
+    )
+    divisors = spark.range(1, _DH_SEATS + 1).select(
+        F.col("id").alias("d")
+    )
+    quot = votes.crossJoin(F.broadcast(divisors)).select(
+        "party",
+        "v",
+        "d",
+        (F.col("v").cast("double") / F.col("d")).alias("q"),
+    )
+    winners = (
+        quot.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("q").desc(), "party", "d")
+            ),
+        )
+        .where(F.col("rn") <= _DH_SEATS)
+        .groupBy("party")
+        .agg(F.count(F.lit(1)).alias("seats"))
+    )
+    return votes.join(F.broadcast(winners), "party", "left").select(
+        "party",
+        F.col("v").alias("votes"),
+        F.coalesce(F.col("seats"), F.lit(0))
+        .cast("bigint")
+        .alias("seats"),
+    )
+
+@register(
+    "q_agg_hodges_lehmann",
+    oracle="""
+        WITH vg AS (
+            SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+            FROM lineitem GROUP BY 1
+        ),
+        walsh AS (
+            SELECT (a.v + b.v) / 2 AS wavg,
+                   CASE WHEN a.v = b.v THEN a.c * (a.c + 1) / 2
+                        ELSE a.c * b.c END AS m
+            FROM vg a JOIN vg b ON a.v <= b.v
+        ),
+        grouped AS (
+            SELECT wavg, CAST(SUM(m) AS BIGINT) AS m
+            FROM walsh GROUP BY wavg
+        ),
+        cum AS (
+            SELECT wavg, m,
+                   SUM(m) OVER (ORDER BY wavg) AS cm,
+                   (SELECT SUM(m) FROM grouped) AS nt
+            FROM grouped
+        )
+        SELECT
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= (nt + 1) / 2) AS DOUBLE) AS hl_lo,
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= nt / 2 + 1) AS DOUBLE) AS hl_hi,
+            CAST((SELECT MIN(wavg) FROM cum
+                  WHERE cm >= (nt + 1) / 2) AS DOUBLE) / 2
+            + CAST((SELECT MIN(wavg) FROM cum
+                    WHERE cm >= nt / 2 + 1) AS DOUBLE) / 2 AS hl_estimate
+        FROM (SELECT 1)
+    """,
+    section="A107",
+    doc="Hodges-Lehmann location estimator of l_quantity: the median "
+    "of all Walsh averages (v_i+v_j)/2, i<=j — the robust "
+    "location estimate dual to the Wilcoxon signed-rank test "
+    "(~95% Gaussian efficiency, 29% breakdown, vs the mean's 0%). "
+    "The O(n^2) pair set collapses to VALUE-grain first: ~50 "
+    "distinct quantities make 1275 weighted Walsh cells, each "
+    "carrying its exact multiplicity (c_i*c_j off-diagonal, "
+    "c(c+1)/2 diagonal), and the median comes from the cumulative "
+    "multiplicity walk — low/high order statistics separately, "
+    "averaged, so even-N behavior is deterministic. Walsh "
+    "averages of 2dp values are exact binary halves; every count "
+    "is BIGINT; no rounding anywhere. Scale: the pair stage is "
+    "value-grain (distinct-value^2 / 2 cells, independent of fact "
+    "size) — the same collapse that made A104's stump sweep and "
+    "the W16 family scale-free.",
+)
+def q_agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    vg = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = vg.select(F.col("v").alias("va"), F.col("c").alias("ca"))
+    b = vg.select(F.col("v").alias("vb"), F.col("c").alias("cb"))
+    walsh = (
+        a.join(F.broadcast(b), F.col("va") <= F.col("vb"))
+        .select(
+            ((F.col("va") + F.col("vb")) / 2).alias("wavg"),
+            F.when(
+                F.col("va") == F.col("vb"),
+                F.col("ca") * (F.col("ca") + 1) / 2,
+            )
+            .otherwise(F.col("ca") * F.col("cb"))
+            .cast("bigint")
+            .alias("m"),
+        )
+        .groupBy("wavg")
+        .agg(F.sum("m").cast("bigint").alias("m"))
+    )
+    w = Window.orderBy("wavg").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = walsh.agg(F.sum("m").alias("nt"))
+    cum = walsh.select(
+        "wavg", F.sum("m").over(w).alias("cm")
+    ).crossJoin(F.broadcast(tot))
+    lo = cum.where(
+        F.col("cm") >= (F.col("nt") + 1) / 2
+    ).agg(F.min("wavg").alias("hl_lo"))
+    hi = cum.where(
+        F.col("cm") >= F.col("nt") / 2 + 1
+    ).agg(F.min("wavg").alias("hl_hi"))
+    return (
+        lo.crossJoin(F.broadcast(hi))
+        .select(
+            F.col("hl_lo").cast("double").alias("hl_lo"),
+            F.col("hl_hi").cast("double").alias("hl_hi"),
+            (
+                F.col("hl_lo").cast("double") / 2
+                + F.col("hl_hi").cast("double") / 2
+            ).alias("hl_estimate"),
+        )
+    )
+
+@register(
+    "q_agg_nelson_aalen",
+    oracle="""
+        WITH gaps AS (
+            SELECT date_diff('day', o_orderdate,
+                             lead(o_orderdate) OVER (
+                                 PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey
+                             )) AS gap
+            FROM orders
+        ),
+        ev AS (
+            SELECT gap AS t, CAST(COUNT(*) AS BIGINT) AS d
+            FROM gaps WHERE gap IS NOT NULL GROUP BY gap
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(SUM(d) OVER () AS BIGINT)
+                   - CAST(SUM(d) OVER w AS BIGINT) + d AS n_risk
+            FROM ev
+            WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT t, d, n_risk,
+               ROUND(CAST(SUM(CAST(floor(
+                         (CAST(d AS DOUBLE) / n_risk) * 1e12)
+                         AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12,
+                     6) AS cum_hazard,
+               ROUND(exp(-CAST(SUM(CAST(floor(
+                         (CAST(d AS DOUBLE) / n_risk) * 1e12)
+                         AS DECIMAL(38,0))) OVER w AS DOUBLE) / 1e12),
+                     6) AS breslow_survival
+        FROM risk
+        WINDOW w AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+    """,
+    section="A108",
+    doc="Nelson-Aalen cumulative-hazard estimator over customer "
+    "inter-order gaps, with the Breslow survival exp(-H(t)) — the "
+    "hazard-side dual of A33's Kaplan-Meier: H(t) = sum(d_i/n_i) "
+    "over event times up to t estimates the integrated hazard "
+    "directly (the quantity additive over time and therefore the "
+    "one to compare across strata or feed a Cox baseline). Same "
+    "at-risk construction as KM (total minus prior events); each "
+    "d/n increment is quantized through the floor-1e12 DECIMAL "
+    "fold so the RUNNING sum is order-free (rule 10 — a raw "
+    "double cumulative would drift between Spark's running frames "
+    "and DuckDB's segment trees); one exp at render. Scale: "
+    "collapses to gap-grain (~hundreds of rows) before any "
+    "window; the fact contributes one lead() pass per customer "
+    "partition.",
+)
+def q_agg_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w_cust = Window.partitionBy("o_custkey").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
+    gaps = orders.select(
+        F.datediff(
+            F.lead("o_orderdate").over(w_cust), F.col("o_orderdate")
+        )
+        .cast("bigint")
+        .alias("gap")
+    ).where(F.col("gap").isNotNull())
+    ev = gaps.groupBy(F.col("gap").alias("t")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    w = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = ev.agg(F.sum("d").cast("bigint").alias("dt"))
+    risk = ev.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("dt") - F.sum("d").over(w).cast("bigint") + F.col("d")
+        ).alias("n_risk"),
+    )
+    inc = F.floor(
+        (F.col("d").cast("double") / F.col("n_risk")) * 1e12
+    ).cast("decimal(38,0)")
+    cum = F.sum(inc).over(w).cast("double") / 1e12
+    return risk.select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(cum, 6).alias("cum_hazard"),
+        F.round(F.exp(-cum), 6).alias("breslow_survival"),
+    )
+
+@register(
+    "q_agg_shapley_r2",
+    oracle="""
+        WITH m AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s11,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s22,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS s12,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s1y,
+                   CAST(SUM(CAST(l_discount AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS s2y,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                            * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS syy
+            FROM lineitem
+        ),
+        c AS (
+            SELECT (n * s1y - s1 * sy)
+                   / sqrt((n * s11 - s1 * s1) * (n * syy - sy * sy))
+                       AS r1y,
+                   (n * s2y - s2 * sy)
+                   / sqrt((n * s22 - s2 * s2) * (n * syy - sy * sy))
+                       AS r2y,
+                   (n * s12 - s1 * s2)
+                   / sqrt((n * s11 - s1 * s1) * (n * s22 - s2 * s2))
+                       AS r12
+            FROM m
+        ),
+        v AS (
+            SELECT r1y * r1y AS v1,
+                   r2y * r2y AS v2,
+                   (r1y * r1y + r2y * r2y - 2 * r1y * r2y * r12)
+                   / (1 - r12 * r12) AS v12
+            FROM c
+        )
+        SELECT ROUND(0.5 * v1 + 0.5 * (v12 - v2), 6) AS shapley_x1,
+               ROUND(0.5 * v2 + 0.5 * (v12 - v1), 6) AS shapley_x2,
+               ROUND(v12, 6) AS r2_full
+        FROM v
+    """,
+    section="A109",
+    doc="Shapley decomposition of regression R^2 (LMG / dominance "
+    "analysis) for price ~ quantity + discount: each feature's "
+    "fair-attribution share of the full model's R^2, averaging its "
+    "marginal contribution over both entry orders — "
+    "phi_1 = (R2({1}) + R2({1,2}) - R2({2}))/2 — the 2-feature "
+    "closed form of the same game-theoretic attribution SHAP "
+    "applies per-prediction, here applied to the MODEL (variance "
+    "explained). Everything derives from the TEN exact-decimal "
+    "moments of A102 plus syy: correlations, sub-model R^2s via "
+    "the standard two-regressor identity, and the two Shapley "
+    "values — float arithmetic only on identical 1-row scalars, "
+    "ROUND(6). phi_1 + phi_2 = R2_full by construction "
+    "(efficiency axiom), which the oracle equality implicitly "
+    "verifies. Scale: one map-combinable scan; attribution is "
+    "free once the moment matrix exists — the same p-moment "
+    "pattern extends to p features with 2^p closed-form "
+    "sub-model R^2s from the same matrix.",
+)
+def q_agg_shapley_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import dec2
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = dec2(F.col("l_quantity"))
+    d = dec2(F.col("l_discount"))
+    y = dec2(F.col("l_extendedprice"))
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(q).cast("double").alias("s1"),
+        F.sum(d).cast("double").alias("s2"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(q * q).cast("double").alias("s11"),
+        F.sum(d * d).cast("double").alias("s22"),
+        F.sum(q * d).cast("double").alias("s12"),
+        F.sum(q * y).cast("double").alias("s1y"),
+        F.sum(d * y).cast("double").alias("s2y"),
+        F.sum(y * y).cast("double").alias("syy"),
+    )
+    n, s1, s2, sy = F.col("n"), F.col("s1"), F.col("s2"), F.col("sy")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    r1y = (n * s1y - s1 * sy) / F.sqrt(
+        (n * s11 - s1 * s1) * (n * syy - sy * sy)
+    )
+    r2y = (n * s2y - s2 * sy) / F.sqrt(
+        (n * s22 - s2 * s2) * (n * syy - sy * sy)
+    )
+    r12 = (n * s12 - s1 * s2) / F.sqrt(
+        (n * s11 - s1 * s1) * (n * s22 - s2 * s2)
+    )
+    c = m.select(
+        r1y.alias("r1y"), r2y.alias("r2y"), r12.alias("r12")
+    )
+    v1 = F.col("r1y") * F.col("r1y")
+    v2 = F.col("r2y") * F.col("r2y")
+    v12 = (
+        F.col("r1y") * F.col("r1y")
+        + F.col("r2y") * F.col("r2y")
+        - 2 * F.col("r1y") * F.col("r2y") * F.col("r12")
+    ) / (1 - F.col("r12") * F.col("r12"))
+    return c.select(
+        F.round(0.5 * v1 + 0.5 * (v12 - v2), 6).alias("shapley_x1"),
+        F.round(0.5 * v2 + 0.5 * (v12 - v1), 6).alias("shapley_x2"),
+        F.round(v12, 6).alias("r2_full"),
+    )
+
+@register(
+    "q_agg_mutual_information",
+    oracle="""
+        WITH joint AS (
+            SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS nij
+            FROM documents GROUP BY lang, source
+        ),
+        marg_l AS (
+            SELECT lang, CAST(SUM(nij) AS BIGINT) AS ni
+            FROM joint GROUP BY lang
+        ),
+        marg_s AS (
+            SELECT source, CAST(SUM(nij) AS BIGINT) AS nj
+            FROM joint GROUP BY source
+        ),
+        n AS (SELECT CAST(SUM(nij) AS BIGINT) AS nt FROM joint),
+        terms AS (
+            SELECT j.nij, l.ni, s.nj, n.nt,
+                   CAST(floor(
+                       (CAST(j.nij AS DOUBLE) / n.nt)
+                       * ln(CAST(j.nij AS DOUBLE) * n.nt
+                            / (CAST(l.ni AS DOUBLE) * s.nj))
+                       * 1e12) AS DECIMAL(38,0)) AS q
+            FROM joint j
+            JOIN marg_l l ON j.lang = l.lang
+            JOIN marg_s s ON j.source = s.source
+            CROSS JOIN n
+        ),
+        hx AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(ni AS DOUBLE) / n.nt)
+                       * ln(CAST(ni AS DOUBLE) / n.nt) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS h
+            FROM marg_l CROSS JOIN n
+        ),
+        hy AS (
+            SELECT CAST(SUM(CAST(floor(
+                       -(CAST(nj AS DOUBLE) / n.nt)
+                       * ln(CAST(nj AS DOUBLE) / n.nt) * 1e12)
+                       AS DECIMAL(38,0))) AS DOUBLE) / 1e12 AS h
+            FROM marg_s CROSS JOIN n
+        )
+        SELECT ROUND(CAST(SUM(q) AS DOUBLE) / 1e12, 6) AS mi_nats,
+               ROUND(CAST(SUM(q) AS DOUBLE) / 1e12
+                     / sqrt((SELECT h FROM hx)
+                            * (SELECT h FROM hy)), 6) AS nmi
+        FROM terms
+    """,
+    section="A110",
+    doc="Mutual information between the lang and source columns (in "
+    "nats) plus the sqrt-normalized NMI — the information-theoretic "
+    "association measure that complements A?-cramers_v (effect "
+    "size) and chisq (significance): MI answers 'how many nats "
+    "does knowing the source tell you about the language', the "
+    "quantity used to rank candidate partition/cluster columns and "
+    "to detect leaking features. Every p*ln(p-ratio) term is "
+    "quantized through the floor-1e12 DECIMAL fold (rule 10) so "
+    "the sums over the contingency cells are order-free; counts "
+    "and marginals are exact BIGINT. Scale: one map-combinable "
+    "groupBy to the (lang x source) contingency grain (~100 "
+    "cells); marginals and entropies derive from that table, "
+    "never rescanning the fact.",
+)
+def q_agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nij")
+    )
+    marg_l = joint.groupBy("lang").agg(
+        F.sum("nij").cast("bigint").alias("ni")
+    )
+    marg_s = joint.groupBy("source").agg(
+        F.sum("nij").cast("bigint").alias("nj")
+    )
+    n = joint.agg(F.sum("nij").cast("bigint").alias("nt"))
+
+    def fold12(expr):
+        return F.sum(F.floor(expr * 1e12).cast("decimal(38,0)")).cast(
+            "double"
+        ) / 1e12
+
+    terms = (
+        joint.join(F.broadcast(marg_l), "lang")
+        .join(F.broadcast(marg_s), "source")
+        .crossJoin(F.broadcast(n))
+    )
+    mi = terms.agg(
+        fold12(
+            (F.col("nij").cast("double") / F.col("nt"))
+            * F.log(
+                F.col("nij").cast("double")
+                * F.col("nt")
+                / (F.col("ni").cast("double") * F.col("nj"))
+            )
+        ).alias("mi_nats")
+    )
+    hx = marg_l.crossJoin(F.broadcast(n)).agg(
+        fold12(
+            -(F.col("ni").cast("double") / F.col("nt"))
+            * F.log(F.col("ni").cast("double") / F.col("nt"))
+        ).alias("hx")
+    )
+    hy = marg_s.crossJoin(F.broadcast(n)).agg(
+        fold12(
+            -(F.col("nj").cast("double") / F.col("nt"))
+            * F.log(F.col("nj").cast("double") / F.col("nt"))
+        ).alias("hy")
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            F.round("mi_nats", 6).alias("mi_nats"),
+            F.round(
+                F.col("mi_nats") / F.sqrt(F.col("hx") * F.col("hy")), 6
+            ).alias("nmi"),
+        )
+    )
