@@ -102,6 +102,86 @@ def read_sink_output(out_dir: str) -> list[dict]:
     return batches
 
 
+class IdempotentFileTransport:
+    """Restart-idempotent transport: every batch is its own file, named by
+    the RUN-SCOPED idempotency key ``(run_id, partition, attempt, batch)``
+    and written atomically (temp + rename).
+
+    ``LocalFileTransport`` is loss/duplicate-free across Spark TASK retries
+    (attempt in the name) but appends — a killed DRIVER process that reruns
+    the same load would append the same batches again. This transport is the
+    production restart story: a rerun with the same ``run_id`` recomputes
+    the same deterministic batches and renames over identical paths, so the
+    sink state after \"kill anywhere, rerun\" equals the clean one-shot
+    state. Server-side this maps to PUT-with-idempotency-key semantics.
+    """
+
+    def __init__(self, out_dir: str, run_id: str):
+        self.out_dir = out_dir
+        self.run_id = run_id
+
+    def send(
+        self,
+        partition_id: int,
+        batch_index: int,
+        records: list[dict],
+        attempt_number: int = 0,
+    ) -> None:
+        os.makedirs(self.out_dir, exist_ok=True)
+        name = (
+            f"run_{self.run_id}_p{partition_id:05d}"
+            f"_a{attempt_number:02d}_b{batch_index:04d}.jsonl"
+        )
+        path = os.path.join(self.out_dir, name)
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "partition_id": partition_id,
+                        "batch_index": batch_index,
+                        "attempt_number": attempt_number,
+                        "n_records": len(records),
+                        "records": records,
+                    },
+                    sort_keys=True,
+                    default=str,
+                )
+                + "\n"
+            )
+        os.replace(tmp, path)  # atomic: a kill mid-write leaves only .tmp
+
+
+def read_idempotent_output(out_dir: str, run_id: str) -> list[dict]:
+    """Read an ``IdempotentFileTransport`` dir for one run: keep, per
+    partition, only the highest attempt present (task-retry dedup), ignore
+    orphaned ``.tmp`` files (kill-mid-write debris), order by
+    (partition_id, batch_index)."""
+    import glob
+    import re
+
+    pat = re.compile(rf"run_{re.escape(run_id)}_p(\d+)_a(\d+)_b(\d+)\.jsonl$")
+    best_attempt: dict[int, int] = {}
+    files: list[tuple[int, int, int, str]] = []
+    for path in glob.glob(
+        os.path.join(out_dir, f"run_{run_id}_p*_a*_b*.jsonl")
+    ):
+        m = pat.search(path)
+        if not m:
+            continue
+        pid, att, bidx = (int(g) for g in m.groups())
+        files.append((pid, att, bidx, path))
+        best_attempt[pid] = max(best_attempt.get(pid, -1), att)
+    batches = []
+    for pid, att, bidx, path in sorted(files):
+        if att != best_attempt[pid]:
+            continue
+        with open(path, encoding="utf-8") as f:
+            batches.extend(json.loads(line) for line in f)
+    batches.sort(key=lambda b: (b["partition_id"], b["batch_index"]))
+    return batches
+
+
 class RestBatchSink:
     """Batched executor-side sink over an injectable transport."""
 

@@ -7,11 +7,11 @@ first so JVM/codegen startup is not attributed to the first query.
 
 The cold pass pays ~0.45 s/query of fixed planning/codegen overhead
 (BASELINE.md), which at sf0.1 dominates most queries and masks real
-round-over-round deltas. So queries whose cold time exceeds WARM_THRESHOLD
-get a second, warm run (plan + parquet footers cached); those times are
-reported under "warm_queries" and their median under "warm_median" — the
-number to compare across rounds for the expensive tail. The headline
-"value" stays the cold full-suite wall time for continuity with r1-r3.
+round-over-round deltas. So EVERY query gets a second, warm run (plan +
+parquet footers cached, r6); those times are reported under
+"warm_queries" and their median under "warm_median" — the numbers to
+compare across rounds. The headline "value" stays the cold full-suite
+wall time for continuity with r1-r3.
 """
 
 from __future__ import annotations
@@ -40,8 +40,6 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    WARM_THRESHOLD = 0.7  # s: cold times below this are ~all planning constant
-
     timings: dict[str, float] = {}
     t_suite = time.perf_counter()
     for key in sorted(registry):
@@ -55,11 +53,14 @@ def main() -> None:
             print(f"bench: {key} failed: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_suite, 3)
 
-    # Warm pass over the expensive tail only (~10% of keys): re-run with
-    # plans/footers hot so the data-dependent cost is visible.
+    # Warm pass over EVERY key (r6): re-run with plans/footers hot so the
+    # data-dependent cost is visible per query — round-over-round
+    # regression detection diffs these, not the noisy cold numbers whose
+    # ~0.45 s/query planning constant masks real deltas. Costs ~2 min on
+    # top of the cold suite; BASELINE.md carries the r5->r6 warm diff.
     warm: dict[str, float] = {}
     for key, cold in timings.items():
-        if cold < WARM_THRESHOLD:
+        if cold < 0:
             continue
         t0 = time.perf_counter()
         try:
