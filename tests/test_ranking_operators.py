@@ -1,0 +1,132 @@
+"""Unit/property tests for operators/ranking.py — the distributed
+replacements for unpartitioned windows (r6). Every operator is checked
+value-for-value against the single-partition window formulation it
+replaces, across partition counts and hostile shapes (ties, negatives,
+NULL-free preconditions, tiny/empty frames)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ai_to_cvent_etl_spark.operators.ranking import (
+    global_cumulative,
+    global_row_number,
+    global_running,
+    ntile_from_rn,
+)
+
+
+@pytest.fixture(scope="module")
+def skewed(spark):
+    """60%-skew on v (heavy ties), unique tie-break k, negatives, spread
+    over a deliberately awkward partitioning."""
+    rows = []
+    for k in range(1, 1001):
+        v = 7 if k % 10 < 6 else (k * 37) % 101 - 50
+        rows.append((k, v, k % 3))
+    return spark.createDataFrame(rows, "k long, v long, g int").repartition(7)
+
+
+def test_global_row_number_equals_window(spark, skewed):
+    w = Window.orderBy("v", "k")
+    expect = skewed.select(
+        "k", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    got = global_row_number(skewed, ["v", "k"], out_col="rn").select("k", "rn")
+    assert expect.exceptAll(got).count() == 0
+    assert got.count() == 1000
+
+
+def test_global_row_number_desc_and_partition_counts(spark, skewed):
+    w = Window.orderBy(F.desc("v"), F.asc("k"))
+    expect = skewed.select(
+        "k", F.row_number().over(w).cast("bigint").alias("rn")
+    )
+    for np in (1, 3, 64):
+        got = global_row_number(
+            skewed, [F.desc("v"), F.asc("k")], out_col="rn", num_partitions=np
+        ).select("k", "rn")
+        assert expect.exceptAll(got).count() == 0, np
+
+
+def test_global_row_number_single_row_and_empty(spark):
+    one = spark.createDataFrame([(1, 5)], "k long, v long")
+    assert global_row_number(one, ["v", "k"]).collect()[0]["rn"] == 1
+    empty = one.where("k < 0")
+    assert global_row_number(empty, ["v", "k"]).count() == 0
+
+
+def test_global_cumulative_matches_window_sums(spark, skewed):
+    w = (
+        Window.orderBy("v", "k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    expect = skewed.select(
+        "k",
+        F.sum("v").over(w).alias("cv"),
+        F.sum(F.lit(1)).over(w).alias("ci"),
+    )
+    got = global_cumulative(
+        skewed, ["v", "k"], {"cv": F.col("v"), "ci": F.lit(1)}
+    ).select("k", "cv", "ci")
+    assert expect.exceptAll(got).count() == 0
+    # dtypes transparent to the window formulation
+    assert dict((f.name, f.dataType.simpleString()) for f in got.schema) == \
+        dict((f.name, f.dataType.simpleString()) for f in expect.schema)
+
+
+@pytest.mark.parametrize("fn", ["max", "min"])
+@pytest.mark.parametrize("exclusive", [False, True])
+def test_global_running_max_min_frames(spark, skewed, fn, exclusive):
+    upper = -1 if exclusive else Window.currentRow
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, upper)
+    agg = getattr(F, fn)
+    expect = skewed.select("k", agg("g").over(w).alias("r"))
+    got = global_running(
+        skewed, ["v", "k"], {"r": (fn, F.col("g"))}, exclusive=exclusive
+    ).select("k", "r")
+    # NULL semantics: first global row must be NULL under exclusive frames
+    assert expect.where("r is null").count() == got.where("r is null").count()
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_global_running_exclusive_sum_null_first_row(spark, skewed):
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, -1)
+    expect = skewed.select("k", F.sum("g").over(w).alias("s"))
+    got = global_running(
+        skewed, ["v", "k"], {"s": ("sum", F.col("g"))}, exclusive=True
+    ).select("k", "s")
+    assert got.where("s is null").count() == 1
+    assert expect.exceptAll(got).count() == 0
+
+
+@pytest.mark.parametrize("n,k", [(1000, 4), (1000, 7), (5, 10), (13, 4), (3, 3)])
+def test_ntile_from_rn_matches_builtin(spark, n, k):
+    df = spark.createDataFrame([(i,) for i in range(1, n + 1)], "id long")
+    w = Window.orderBy("id")
+    expect = df.select(
+        "id", F.ntile(k).over(w).cast("bigint").alias("t")
+    )
+    nn = df.agg(F.count(F.lit(1)).alias("n"))
+    got = (
+        global_row_number(df, ["id"], out_col="rn")
+        .crossJoin(F.broadcast(nn))
+        .select("id", ntile_from_rn(F.col("rn"), F.col("n"), k).alias("t"))
+    )
+    assert expect.exceptAll(got).count() == 0, (n, k)
+
+
+def test_no_single_partition_exchange_in_operator_plans(spark, skewed):
+    """The operators' own plans must pass the R2 lint rule they exist to
+    satisfy."""
+    from tests.plan_lint import lint_plan
+
+    for df in (
+        global_row_number(skewed, ["v", "k"]),
+        global_cumulative(skewed, ["v", "k"], {"c": F.col("g")}),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert not [v for v in lint_plan(plan) if v.startswith("R2")], plan
