@@ -3854,8 +3854,12 @@ _SHAP_K = 5
                    CASE WHEN q.label = n.label THEN 1 ELSE 0 END AS m,
                    ROW_NUMBER() OVER (
                         PARTITION BY q.vec_id
-                        ORDER BY list_cosine_similarity(
-                                     q.embedding, n.embedding) DESC,
+                        -- ordered-fold cosine, bit-identical to the Spark
+                        -- side's aggregate() fold (r6: list_cosine_similarity
+                        -- uses a different summation order, and a single
+                        -- flipped rank poisons the whole suffix sum at sf1)
+                        ORDER BY list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (a, v) -> a + v)
+                                 / (sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), (a, v) -> a + v)) * sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> CAST(n.embedding[i] AS DOUBLE) * CAST(n.embedding[i] AS DOUBLE))), (a, v) -> a + v))) DESC,
                                  n.vec_id
                    ) AS rank,
                    COUNT(*) OVER (PARTITION BY q.vec_id) AS n_total
