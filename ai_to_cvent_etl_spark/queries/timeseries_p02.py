@@ -333,12 +333,7 @@ def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT t AS k, day AS kday, cs AS kcs, cq AS kcq, n, ts, tq
             FROM cum
             WHERE t >= {_CP_MINSEG} AND t <= n - {_CP_MINSEG}
-            ORDER BY CAST(cq AS DOUBLE)
-                     - CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / t
-                     + (CAST(tq AS DOUBLE) - CAST(cq AS DOUBLE))
-                     - (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
-                       * (CAST(ts AS DOUBLE) - CAST(cs AS DOUBLE))
-                       / (n - t),
+            ORDER BY (CAST((CAST(cq AS HUGEINT) * (t) - CAST(cs AS HUGEINT) * (cs)) * ((n - t)) + (CAST((tq - cq) AS HUGEINT) * ((n - t)) - CAST((ts - cs) AS HUGEINT) * ((ts - cs))) * (t) AS DOUBLE) / CAST((t) * ((n - t)) AS DOUBLE)),
                      day
             LIMIT 1
         ),
@@ -346,39 +341,19 @@ def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 'root' AS segment, b.kday AS split_day,
                    CAST(b.k AS BIGINT) AS n_left,
                    CAST(b.n - b.k AS BIGINT) AS n_right,
-                   ROUND(CAST(b.kcq AS DOUBLE)
-                         - CAST(b.kcs AS DOUBLE) * CAST(b.kcs AS DOUBLE)
-                           / b.k
-                         + (CAST(b.tq AS DOUBLE) - CAST(b.kcq AS DOUBLE))
-                         - (CAST(b.ts AS DOUBLE) - CAST(b.kcs AS DOUBLE))
-                           * (CAST(b.ts AS DOUBLE) - CAST(b.kcs AS DOUBLE))
-                           / (b.n - b.k), 4) AS sse_split,
-                   ROUND(CAST(b.tq AS DOUBLE)
-                         - CAST(b.ts AS DOUBLE) * CAST(b.ts AS DOUBLE)
-                           / b.n, 4) AS sse_single
+                   (CAST((CAST(b.kcq AS HUGEINT) * (b.k) - CAST(b.kcs AS HUGEINT) * (b.kcs)) * ((b.n - b.k)) + (CAST((b.tq - b.kcq) AS HUGEINT) * ((b.n - b.k)) - CAST((b.ts - b.kcs) AS HUGEINT) * ((b.ts - b.kcs))) * (b.k) AS DOUBLE) / CAST((b.k) * ((b.n - b.k)) AS DOUBLE)) AS sse_split,
+                   (CAST(CAST(b.tq AS HUGEINT) * (b.n) - CAST(b.ts AS HUGEINT) * (b.ts) AS DOUBLE) / (b.n)) AS sse_single
             FROM best1 b
         ),
         lft AS (
             SELECT 'left' AS segment, c.day AS split_day,
                    CAST(c.t AS BIGINT) AS n_left,
                    CAST(b.k - c.t AS BIGINT) AS n_right,
-                   ROUND(CAST(c.cq AS DOUBLE)
-                         - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE)
-                           / c.t
-                         + (CAST(b.kcq - c.cq AS DOUBLE))
-                         - CAST(b.kcs - c.cs AS DOUBLE)
-                           * CAST(b.kcs - c.cs AS DOUBLE)
-                           / (b.k - c.t), 4) AS sse_split,
-                   ROUND(CAST(b.kcq AS DOUBLE)
-                         - CAST(b.kcs AS DOUBLE) * CAST(b.kcs AS DOUBLE)
-                           / b.k, 4) AS sse_single
+                   (CAST((CAST(c.cq AS HUGEINT) * (c.t) - CAST(c.cs AS HUGEINT) * (c.cs)) * ((b.k - c.t)) + (CAST((b.kcq - c.cq) AS HUGEINT) * ((b.k - c.t)) - CAST((b.kcs - c.cs) AS HUGEINT) * ((b.kcs - c.cs))) * (c.t) AS DOUBLE) / CAST((c.t) * ((b.k - c.t)) AS DOUBLE)) AS sse_split,
+                   (CAST(CAST(b.kcq AS HUGEINT) * (b.k) - CAST(b.kcs AS HUGEINT) * (b.kcs) AS DOUBLE) / (b.k)) AS sse_single
             FROM cum c CROSS JOIN best1 b
             WHERE c.t >= {_CP_MINSEG} AND c.t <= b.k - {_CP_MINSEG}
-            ORDER BY CAST(c.cq AS DOUBLE)
-                     - CAST(c.cs AS DOUBLE) * CAST(c.cs AS DOUBLE) / c.t
-                     + (CAST(b.kcq - c.cq AS DOUBLE))
-                     - CAST(b.kcs - c.cs AS DOUBLE)
-                       * CAST(b.kcs - c.cs AS DOUBLE) / (b.k - c.t),
+            ORDER BY (CAST((CAST(c.cq AS HUGEINT) * (c.t) - CAST(c.cs AS HUGEINT) * (c.cs)) * ((b.k - c.t)) + (CAST((b.kcq - c.cq) AS HUGEINT) * ((b.k - c.t)) - CAST((b.kcs - c.cs) AS HUGEINT) * ((b.kcs - c.cs))) * (c.t) AS DOUBLE) / CAST((c.t) * ((b.k - c.t)) AS DOUBLE)),
                      c.day
             LIMIT 1
         ),
@@ -386,25 +361,11 @@ def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT 'right' AS segment, c.day AS split_day,
                    CAST(c.t - b.k AS BIGINT) AS n_left,
                    CAST(b.n - c.t AS BIGINT) AS n_right,
-                   ROUND(CAST(c.cq - b.kcq AS DOUBLE)
-                         - CAST(c.cs - b.kcs AS DOUBLE)
-                           * CAST(c.cs - b.kcs AS DOUBLE) / (c.t - b.k)
-                         + (CAST(b.tq - c.cq AS DOUBLE))
-                         - CAST(b.ts - c.cs AS DOUBLE)
-                           * CAST(b.ts - c.cs AS DOUBLE)
-                           / (b.n - c.t), 4) AS sse_split,
-                   ROUND(CAST(b.tq - b.kcq AS DOUBLE)
-                         - CAST(b.ts - b.kcs AS DOUBLE)
-                           * CAST(b.ts - b.kcs AS DOUBLE)
-                           / (b.n - b.k), 4) AS sse_single
+                   (CAST((CAST((c.cq - b.kcq) AS HUGEINT) * ((c.t - b.k)) - CAST((c.cs - b.kcs) AS HUGEINT) * ((c.cs - b.kcs))) * ((b.n - c.t)) + (CAST((b.tq - c.cq) AS HUGEINT) * ((b.n - c.t)) - CAST((b.ts - c.cs) AS HUGEINT) * ((b.ts - c.cs))) * ((c.t - b.k)) AS DOUBLE) / CAST(((c.t - b.k)) * ((b.n - c.t)) AS DOUBLE)) AS sse_split,
+                   (CAST(CAST((b.tq - b.kcq) AS HUGEINT) * ((b.n - b.k)) - CAST((b.ts - b.kcs) AS HUGEINT) * ((b.ts - b.kcs)) AS DOUBLE) / ((b.n - b.k))) AS sse_single
             FROM cum c CROSS JOIN best1 b
             WHERE c.t >= b.k + {_CP_MINSEG} AND c.t <= b.n - {_CP_MINSEG}
-            ORDER BY CAST(c.cq - b.kcq AS DOUBLE)
-                     - CAST(c.cs - b.kcs AS DOUBLE)
-                       * CAST(c.cs - b.kcs AS DOUBLE) / (c.t - b.k)
-                     + (CAST(b.tq - c.cq AS DOUBLE))
-                     - CAST(b.ts - c.cs AS DOUBLE)
-                       * CAST(b.ts - c.cs AS DOUBLE) / (b.n - c.t),
+            ORDER BY (CAST((CAST((c.cq - b.kcq) AS HUGEINT) * ((c.t - b.k)) - CAST((c.cs - b.kcs) AS HUGEINT) * ((c.cs - b.kcs))) * ((b.n - c.t)) + (CAST((b.tq - c.cq) AS HUGEINT) * ((b.n - c.t)) - CAST((b.ts - c.cs) AS HUGEINT) * ((b.ts - c.cs))) * ((c.t - b.k)) AS DOUBLE) / CAST(((c.t - b.k)) * ((b.n - c.t)) AS DOUBLE)),
                      c.day
             LIMIT 1
         )
@@ -447,10 +408,22 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("v") * F.col("v")).over(wall).alias("tq"),
     ).localCheckpoint(eager=False)
 
-    def _sse(cs, cq, nn):
-        return cq.cast("double") - cs.cast("double") * cs.cast(
-            "double"
-        ) / nn.cast("double")
+    # r6 exactness device (sf1 sweep): SSE = (b*nn - a*a)/nn with the
+    # NUMERATOR computed in exact DECIMAL(38,0)/HUGEINT integers and ONE
+    # double division at the end — bit-identical cross-engine at any SF.
+    # Float-association and ROUND(...,4)-at-16-sig-digits both diverged
+    # between engines once the values crossed ~1e12.
+    _D38 = DecimalType(38, 0)
+
+    def _sse_num(a, b, nn):
+        return b.cast(_D38) * nn - a.cast(_D38) * a
+
+    def _sse_exact(a, b, nn):
+        return _sse_num(a, b, nn).cast("double") / nn.cast("double")
+
+    def _split_exact(a1, b1, n1, a2, b2, n2):
+        num = _sse_num(a1, b1, n1) * n2 + _sse_num(a2, b2, n2) * n1
+        return num.cast("double") / (n1 * n2).cast("double")
 
     root_cost = cum.where(
         (F.col("t") >= _CP_MINSEG) & (F.col("t") <= F.col("n") - _CP_MINSEG)
@@ -462,13 +435,11 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cq",
         "ts",
         "tq",
-        (
-            _sse(F.col("cs"), F.col("cq"), F.col("t"))
-            + _sse(
-                F.col("ts") - F.col("cs"),
-                F.col("tq") - F.col("cq"),
-                F.col("n") - F.col("t"),
-            )
+        _split_exact(
+            F.col("cs"), F.col("cq"), F.col("t"),
+            F.col("ts") - F.col("cs"),
+            F.col("tq") - F.col("cq"),
+            F.col("n") - F.col("t"),
         ).alias("sse"),
     )
     best1 = (
@@ -490,8 +461,8 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("kday").alias("split_day"),
         F.col("k").cast("bigint").alias("n_left"),
         (F.col("bn") - F.col("k")).cast("bigint").alias("n_right"),
-        F.round(F.col("root_sse"), 4).alias("sse_split"),
-        F.round(_sse(F.col("bts"), F.col("btq"), F.col("bn")), 4).alias(
+        F.col("root_sse").alias("sse_split"),
+        _sse_exact(F.col("bts"), F.col("btq"), F.col("bn")).alias(
             "sse_single"
         ),
     )
@@ -504,13 +475,11 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "kcs",
         "kcq",
-        (
-            _sse(F.col("cs"), F.col("cq"), F.col("t"))
-            + _sse(
-                F.col("kcs") - F.col("cs"),
-                F.col("kcq") - F.col("cq"),
-                F.col("k") - F.col("t"),
-            )
+        _split_exact(
+            F.col("cs"), F.col("cq"), F.col("t"),
+            F.col("kcs") - F.col("cs"),
+            F.col("kcq") - F.col("cq"),
+            F.col("k") - F.col("t"),
         ).alias("sse2"),
     )
     lft = (
@@ -521,8 +490,8 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("split_day"),
             F.col("t").cast("bigint").alias("n_left"),
             (F.col("k") - F.col("t")).cast("bigint").alias("n_right"),
-            F.round(F.col("sse2"), 4).alias("sse_split"),
-            F.round(_sse(F.col("kcs"), F.col("kcq"), F.col("k")), 4).alias(
+            F.col("sse2").alias("sse_split"),
+            _sse_exact(F.col("kcs"), F.col("kcq"), F.col("k")).alias(
                 "sse_single"
             ),
         )
@@ -539,17 +508,13 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kcq",
         "bts",
         "btq",
-        (
-            _sse(
-                F.col("cs") - F.col("kcs"),
-                F.col("cq") - F.col("kcq"),
-                F.col("t") - F.col("k"),
-            )
-            + _sse(
-                F.col("bts") - F.col("cs"),
-                F.col("btq") - F.col("cq"),
-                F.col("bn") - F.col("t"),
-            )
+        _split_exact(
+            F.col("cs") - F.col("kcs"),
+            F.col("cq") - F.col("kcq"),
+            F.col("t") - F.col("k"),
+            F.col("bts") - F.col("cs"),
+            F.col("btq") - F.col("cq"),
+            F.col("bn") - F.col("t"),
         ).alias("sse2"),
     )
     rgt = (
@@ -560,14 +525,11 @@ def q_ts_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").alias("split_day"),
             (F.col("t") - F.col("k")).cast("bigint").alias("n_left"),
             (F.col("bn") - F.col("t")).cast("bigint").alias("n_right"),
-            F.round(F.col("sse2"), 4).alias("sse_split"),
-            F.round(
-                _sse(
-                    F.col("bts") - F.col("kcs"),
-                    F.col("btq") - F.col("kcq"),
-                    F.col("bn") - F.col("k"),
-                ),
-                4,
+            F.col("sse2").alias("sse_split"),
+            _sse_exact(
+                F.col("bts") - F.col("kcs"),
+                F.col("btq") - F.col("kcq"),
+                F.col("bn") - F.col("k"),
             ).alias("sse_single"),
         )
     )
@@ -2842,7 +2804,7 @@ def q_ts_rayleigh_seasonality(
             SELECT
                 {", ".join(
                     f"CAST(SUM(CAST(floor((cents - {_ses_fc_expr(m)})"
-                    f" * (cents - {_ses_fc_expr(m)}) / 256)"
+                    f" * (cents - {_ses_fc_expr(m)}) / 1048576)"
                     f" AS BIGINT)) AS BIGINT) AS sse_{m}"
                     for m in (1, 2, 3))},
                 CAST(COUNT(*) AS BIGINT) AS n
@@ -2855,7 +2817,7 @@ def q_ts_rayleigh_seasonality(
             UNION ALL SELECT n, CAST(0.875 AS DOUBLE), sse_3 FROM errs
         )
         SELECT alpha, n AS n_days, sse_q,
-               ROUND(sqrt(CAST(sse_q AS DOUBLE) * 256.0 / n), 4)
+               ROUND(sqrt(CAST(sse_q AS DOUBLE) * 1048576.0 / n), 4)
                    AS rmse_cents,
                CASE WHEN RANK() OVER (ORDER BY sse_q, alpha) = 1
                     THEN 1 ELSE 0 END AS is_best
@@ -2872,7 +2834,7 @@ def q_ts_rayleigh_seasonality(
     "grid (this is how you pick alpha in production: one pass, all "
     "candidates, SSE per candidate, no refit loop). Truncation at "
     "12 lags is part of the operator contract (tail weight < 2^-12)."
-    " Squared errors quantize floor(err^2/256) per row before the "
+    " Squared errors quantize floor(err^2/2^20) per row before the "
     "int64 sum; the winner flag is a rank over 3 scalar rows. "
     "Scale: one day-grain agg, 12 LAGs in ONE window pass, all "
     "three alphas share the same lag columns — the grid costs no "
@@ -2900,7 +2862,7 @@ def q_ts_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.expr(
                 f"CAST(SUM(CAST(floor((cents - {_ses_fc_expr(m)})"
-                f" * (cents - {_ses_fc_expr(m)}) / 256)"
+                f" * (cents - {_ses_fc_expr(m)}) / 1048576)"
                 f" AS BIGINT)) AS BIGINT)"
             ).alias(f"sse_{m}")
             for m in (1, 2, 3)
@@ -2932,7 +2894,7 @@ def q_ts_ses_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sse_q",
         F.round(
             F.sqrt(
-                F.col("sse_q").cast("double") * F.lit(256.0) / F.col("n")
+                F.col("sse_q").cast("double") * F.lit(1048576.0) / F.col("n")
             ),
             4,
         ).alias("rmse_cents"),
