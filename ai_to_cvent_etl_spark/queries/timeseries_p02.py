@@ -382,8 +382,11 @@ def q_ts_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algebra: a sub-segment's prefix moments are DIFFERENCES of the "
     "GLOBAL prefix moments (cs(t)-cs(k), cq(t)-cq(k)), so level 2 "
     "costs no new window pass — one cross join against the 1-row "
-    "level-1 winner. Inherits TS11's exactness device (whole-k$ "
-    "BIGINT moments, exact int->double casts, ties to earlier day); "
+    "level-1 winner. r6 exactness device: every SSE is an exact integer "
+    "numerator b*n - a*a (DECIMAL(38)/HUGEINT) with ONE double division "
+    "at the end — bit-identical cross-engine at any SF (float "
+    "association and 4dp rounds of 16-sig-digit values both diverged at "
+    "sf1); ties to earlier day; "
     "sub-segments shorter than the min length yield no row (pinned "
     "on both engines). Scale: the windows run once on the day-grain "
     "spine; both argmins are TakeOrdered(1), not full sorts.",
