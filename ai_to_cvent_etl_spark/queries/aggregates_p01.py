@@ -617,28 +617,29 @@ def q_agg_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH spend AS (
             SELECT o.o_custkey AS ck,
-                   SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS x
+                   CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                        AS BIGINT) AS xc
             FROM orders o GROUP BY o.o_custkey
         ),
         seg AS (
-            SELECT c.c_mktsegment AS segment, s.ck, s.x,
+            SELECT c.c_mktsegment AS segment, s.ck, s.xc,
                    CAST(row_number() OVER (
-                       PARTITION BY c.c_mktsegment ORDER BY s.x, s.ck
+                       PARTITION BY c.c_mktsegment ORDER BY s.xc, s.ck
                    ) AS BIGINT) AS i
             FROM spend s JOIN customer c ON s.ck = c.c_custkey
         ),
         m AS (
             SELECT segment,
                    CAST(COUNT(*) AS BIGINT) AS n_cust,
-                   SUM(x) AS sum_x,
-                   SUM(i * x) AS sum_ix
+                   CAST(SUM(xc) AS BIGINT) AS sum_xc,
+                   SUM(CAST(i AS HUGEINT) * xc) AS sum_ixc
             FROM seg GROUP BY segment
         )
         SELECT segment, n_cust,
-               CAST(sum_x AS DOUBLE) AS total_spend,
-               (2.0 * CAST(sum_ix AS DOUBLE)
-                - (CAST(n_cust AS DOUBLE) + 1.0) * CAST(sum_x AS DOUBLE))
-               / (CAST(n_cust AS DOUBLE) * CAST(sum_x AS DOUBLE)) AS gini
+               CAST(sum_xc AS DOUBLE) / 100 AS total_spend,
+               CAST(2 * sum_ixc - CAST(n_cust + 1 AS HUGEINT) * sum_xc
+                    AS DOUBLE)
+               / CAST(CAST(n_cust AS HUGEINT) * sum_xc AS DOUBLE) AS gini
         FROM m
     """,
     section="A25",
@@ -655,31 +656,41 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cu = load_table(spark, sf_dir, "customer")
     from pyspark.sql.types import DecimalType
 
+    # r6 exactness device: all moments in exact cents integers
+    # (bigint / DECIMAL(38,0)), ONE double division at the end — the old
+    # decimal(38,2)->double conversion of sum(i*x) exceeded double
+    # precision at sf1 and landed on adjacent doubles cross-engine.
     spend = od.groupBy(F.col("o_custkey").alias("ck")).agg(
-        F.sum(F.col("o_totalprice").cast(DecimalType(18, 2))).alias("x")
+        F.expr(
+            "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100 "
+            "AS BIGINT)"
+        ).alias("xc")
     )
     seg = spend.join(cu, spend.ck == cu.c_custkey).select(
         F.col("c_mktsegment").alias("segment"),
         "ck",
-        "x",
+        "xc",
         F.row_number()
-        .over(Window.partitionBy("c_mktsegment").orderBy("x", "ck"))
+        .over(Window.partitionBy("c_mktsegment").orderBy("xc", "ck"))
         .cast("bigint")
         .alias("i"),
     )
+    d38 = DecimalType(38, 0)
     m = seg.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.sum("x").alias("sum_x"),
-        F.sum(F.col("i") * F.col("x")).alias("sum_ix"),
+        F.sum("xc").cast("bigint").alias("sum_xc"),
+        F.sum(F.col("i").cast(d38) * F.col("xc")).alias("sum_ixc"),
     )
-    n_d = F.col("n_cust").cast("double")
-    sx = F.col("sum_x").cast("double")
-    six = F.col("sum_ix").cast("double")
+    num = (
+        F.lit(2).cast(d38) * F.col("sum_ixc")
+        - (F.col("n_cust") + 1).cast(d38) * F.col("sum_xc")
+    )
+    den = F.col("n_cust").cast(d38) * F.col("sum_xc")
     return m.select(
         "segment",
         "n_cust",
-        sx.alias("total_spend"),
-        ((F.lit(2.0) * six - (n_d + F.lit(1.0)) * sx) / (n_d * sx)).alias("gini"),
+        (F.col("sum_xc").cast("double") / 100).alias("total_spend"),
+        (num.cast("double") / den.cast("double")).alias("gini"),
     )
 
 @register(

@@ -3501,8 +3501,8 @@ def q_etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT month_start,
                CAST(COUNT(*) AS BIGINT) AS n_line_months,
                CAST(SUM(days_in) AS BIGINT) AS total_days,
-               ROUND(CAST(SUM((cents * days_in * 10000) // td)
-                          AS DOUBLE) / 10000, 4) AS recognized_cents
+               CAST((SUM((cents * days_in * 10000) // td) + 5000)
+                    // 10000 AS BIGINT) AS recognized_cents
         FROM alloc
         GROUP BY month_start
     """,
@@ -3515,7 +3515,8 @@ def q_etl_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     "because the allocation basis here is a CALENDAR INTERSECTION, "
     "not a share of a fixed budget. Per-(line, month) terms are the "
     "integer division (cents·days·1e4) DIV total_days — exact int64 "
-    "(<= 3e12), summed per month as BIGINTs with ONE final descale, "
+    "(<= 3e12), summed per month as BIGINTs with a half-up INTEGER "
+    "descale to whole cents (r6 — a float descale diverged at sf1), "
     "so the ragged per-line denominators never meet a float. Spans "
     "explode to their covering month sequence (bounded: <= 82 months "
     "in this data, a pure map-side fan-out); negative spans drop on "
@@ -3576,12 +3577,12 @@ def q_etl_calendarize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alloc.groupBy("month_start").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_line_months"),
         F.sum("days_in").cast("bigint").alias("total_days"),
-        F.round(
-            F.sum(
-                F.expr("(cents * days_in * 10000) DIV td")
-            ).cast("double")
-            / 10000,
-            4,
+        # r6: half-up integer descale to WHOLE cents — the 4dp round of a
+        # 16-sig-digit double diverged cross-engine at sf1; this stays in
+        # exact int64 end-to-end (terms <= 3e12, month sums <= ~3e15)
+        F.expr(
+            "CAST((SUM((cents * days_in * 10000) DIV td) + 5000) "
+            "DIV 10000 AS BIGINT)"
         ).alias("recognized_cents"),
     )
 
