@@ -644,12 +644,18 @@ def test_rls_policy_is_semi_join(spark, registry):
 
 
 def test_shard_manifest_prefix_only(spark, registry):
-    """E29: the manifest comes from ONE cumulative window + one
-    reduction — no join, no extra shuffle."""
+    """E29 (r6): the byte prefix-sum runs on the distributed two-pass
+    operator — a keyed per-partition window plus ONE broadcast hash join
+    of the P-row offsets; never a shuffle join, never a single-partition
+    exchange over the corpus."""
     plan = _plan(registry["q_etl_shard_manifest"].builder(spark, SF001))
-    for j in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
-        assert j not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
     assert "Window" in plan, plan
+    from tests.plan_lint import lint_plan
+
+    assert not [v for v in lint_plan(plan) if v.startswith("R2")], plan
 
 
 def test_allocate_collapses_before_rank(spark, registry):
