@@ -429,6 +429,18 @@ RISKY = [
     # r5 wave 208: min-plus closure distances, lag-window sign counts
     "q_graph_global_efficiency",
     "q_agg_sign_test",
+    # r6: the distributed global-rank/prefix-sum rewrites claim
+    # partition-BOUNDARY invariance (rank is a property of the total
+    # order, not of where RangePartitioner cuts) — pin it across very
+    # different shuffle-partition counts for one key per rewrite recipe
+    # (sprt/heaps-law/binseg were already pinned above).
+    "q_win_percent_rank",        # rank arithmetic on global rn
+    "q_win_rank_dense_ntile",    # ntile_from_rn
+    "q_agg_mann_whitney",        # tie-group min-rank windows
+    "q_agg_wasserstein_1d",      # prefix sums + dense-index self-join
+    "q_etl_shard_manifest",      # byte prefix-sum shard assignment
+    "q_etl_lateness_audit",      # exclusive running max
+    "q_ts_time_weighted_avg",    # sweep-line level + lead self-join
 ]
 
 
