@@ -262,3 +262,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register all tables as temp views (for spark.sql query builders)."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def clear_df_caches() -> None:
+    """Drop every memoized CHECKPOINTED DataFrame the engine holds
+    (the graph edge caches). A measurement harness that unpersists all
+    persistent RDDs between queries (bench.py, tools/stress_merge.py)
+    MUST call this first: the memoized frames reference localCheckpoint
+    blocks, and reusing them after an external unpersist fails with
+    CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (observed on the iterative graph
+    keys in the r6 sf10 sweep). Plain-Python memo caches (kmeans
+    centroid lists, parquet ts-unit sniffs) hold no RDD references and
+    are deliberately left alone."""
+    from ai_to_cvent_etl_spark.queries import graph
+
+    graph._TRADE_EDGE_CACHE.clear()
+    graph._EDGE_CACHE.clear()

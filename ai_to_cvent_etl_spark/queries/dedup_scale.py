@@ -1805,26 +1805,30 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("lang") == "de"
     )
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.array_distinct(F.split(F.col("text"), " ")).alias("ts"),
-    )
-    a = tok.select(
-        F.col("doc_id").alias("lo"),
-        F.col("source").alias("s_a"),
-        F.col("ts").alias("ts_a"),
-    )
-    b = tok.select(
-        F.col("doc_id").alias("hi"),
-        F.col("source").alias("s_b"),
-        F.col("ts").alias("ts_b"),
-    )
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
+    # Pair set via the lossless T5 SSJoin prefix filter (same r6 rewrite
+    # as q_dedup_blocking_quality: the literal all-pairs theta join is
+    # quadratic in the slice, which grows with the corpus). Provably the
+    # same pairs as the oracle's all-pairs scan; sources join back on
+    # doc_id keyed joins.
+    from ai_to_cvent_etl_spark.operators.dedup import near_dup_pairs
+
+    src = docs.select("doc_id", "source")
     pairs = (
-        a.join(b, F.col("lo") < F.col("hi"))
-        .where(inter.cast("double") / union >= 0.8)
+        near_dup_pairs(docs, threshold=0.8)
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_lo"),
+                F.col("source").alias("s_a"),
+            ),
+            "doc_lo",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_hi"),
+                F.col("source").alias("s_b"),
+            ),
+            "doc_hi",
+        )
         .select("s_a", "s_b")
     )
     return (
@@ -2330,15 +2334,18 @@ _BQ_TAU = 0.7   # ground-truth near-dup threshold (exact unigram Jaccard)
     "work the blocking saves), the two numbers every entity-"
     "resolution / near-dedup paper reports before trusting a blocker "
     "at scale: completeness bounds what the dedup CAN find, reduction "
-    "ratio is why it finishes. Ground truth is the exact all-pairs "
-    "Jaccard on the 'de' language slice (the D20 yield-curve device: "
+    "ratio is why it finishes. Ground truth is the exact Jaccard "
+    "pair set on the 'de' language slice (the D20 yield-curve device: "
     "at 100 TB you measure blocking quality on a bounded audit "
     "slice, never the full corpus — this IS that audit, not a "
-    "scale-path dedup). Exactness: md5 band keys and integer "
+    "scale-path dedup), computed with the T5 SSJoin prefix filter "
+    "(lossless — provably the same pairs the oracle's all-pairs scan "
+    "finds, r6 rewrite: the literal all-pairs theta join measured "
+    "quadratic at sf1). Exactness: md5 band keys and integer "
     "intersection sizes are engine-identical; both ratios are single "
     "IEEE divisions of exact BIGINTs (n_true=0 yields NULL "
-    "completeness identically). Scale: the slice bounds the pair "
-    "join; band candidates shuffle on 16-byte keys only; the "
+    "completeness identically). Scale: prefix-filter candidates and "
+    "band candidates both shuffle on token/16-byte keys only; the "
     "semi-join keys on (lo,hi) pairs of the small truth side.",
 )
 def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2376,14 +2383,16 @@ def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    a = tok.select(F.col("doc_id").alias("lo"), F.col("ts").alias("ts_a"))
-    b = tok.select(F.col("doc_id").alias("hi"), F.col("ts").alias("ts_b"))
-    inter = F.size(F.array_intersect("ts_a", "ts_b"))
-    union = F.size("ts_a") + F.size("ts_b") - inter
-    truth = (
-        a.join(b, F.col("lo") < F.col("hi"))
-        .where((inter.cast("double") / union) >= _BQ_TAU)
-        .select("lo", "hi")
+    # Truth side via the lossless SSJoin prefix filter (operators/dedup.py
+    # near_dup_pairs — the T5 device): provably the same pair set as the
+    # oracle's all-pairs scan, but candidates come from a prefix-token
+    # equi-join + size band instead of an n^2 theta join. The r6 sf1 sweep
+    # measured the old all-pairs form at 38.5 s warm (10x data -> ~100x
+    # pair work); this form tracks the true-pair output instead.
+    from ai_to_cvent_etl_spark.operators.dedup import near_dup_pairs
+
+    truth = near_dup_pairs(docs, threshold=_BQ_TAU).select(
+        F.col("doc_lo").alias("lo"), F.col("doc_hi").alias("hi")
     )
     nd = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     nt = truth.agg(
