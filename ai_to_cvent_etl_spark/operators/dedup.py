@@ -38,8 +38,17 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
             ).alias("hs"),
         )
     )
+    # ADVICE r6: ceil over the double product sz*t can round UP when sz*t
+    # is mathematically integral but its fp representation lands epsilon
+    # above the integer — shortening the prefix by one token and silently
+    # dropping a true pair. Subtracting 1e-9 before ceil makes the rounding
+    # exact for any threshold that is a short decimal; when sz*t is within
+    # 1e-9 above a non-integral value the prefix only LENGTHENS (adds
+    # candidates), which the exact verify step absorbs — still lossless.
     prefix_len = (
-        F.size("ts") - F.ceil(F.size("ts") * F.lit(threshold)).cast("int") + 1
+        F.size("ts")
+        - F.ceil(F.size("ts") * F.lit(threshold) - F.lit(1e-9)).cast("int")
+        + 1
     )
     pref = toks.select(
         "doc_id",
@@ -55,9 +64,15 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     # Compared raw (no ceil): ceil over a double product can round UP when
     # sz*t is exactly integral (fp representation error), pruning a pair
     # whose Jaccard equals the threshold exactly.
+    # ADVICE r6: no broadcast hints here — the exploded prefix table and
+    # the full token-array tables grow with the corpus, and pinning them
+    # broadcast would hit the broadcast size ceiling at large slices
+    # instead of degrading gracefully. AQE broadcasts them while they fit
+    # (verified: same BroadcastHashJoin plan at test SFs) and falls back to
+    # a keyed shuffle (token key for candidates, doc_id for verify) beyond.
     cand = (
         a.join(
-            F.broadcast(b),
+            b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("b.sz") >= F.col("a.sz") * F.lit(threshold))
@@ -77,8 +92,8 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         F.size("ts").alias("sz_b"),
     )
     verified = (
-        cand.join(F.broadcast(ta), "doc_lo")
-        .join(F.broadcast(tb), "doc_hi")
+        cand.join(ta, "doc_lo")
+        .join(tb, "doc_hi")
         .withColumn(
             "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
         )

@@ -12,9 +12,10 @@ members plus ETL reconciliation and LM-based quality scoring.
                                checksum (cross-system reconciliation)
 
 Scale notes:
-  * D6 shingles are computed row-locally once per doc; the pair join blocks
-    on `source` (an IVF/LSH bucket at 100 TB) and samples the probe side —
-    the same corpus_side() strategy switch as D1/D3 governs the join side.
+  * D6 shingles are computed row-locally once per doc; candidates come from
+    MinHash-LSH banding over the shingle sets (r7 — the within-source theta
+    join it replaced measured quadratic at sf3), so candidate volume is
+    output-bound, not block-size-bound; exact Jaccard verifies.
   * D7's hyperplane signatures are integer-exact (quantized embedding grid x
     integer plane vectors), so bucket assignment is bit-reproducible across
     engines — the same trick V6 uses for learned centroids. Buckets prune
@@ -41,6 +42,7 @@ from ai_to_cvent_etl_spark.registry import register
 _PFX = 120  # shingle the first 120 chars: bounds per-doc work, keeps near-dup
 #             prefixes discriminative (docs are space-separated words)
 _NGRAM_T = 0.45
+_NG_BANDS = 4  # MinHash-LSH bands of 2 rows over the shingle sets (r7)
 
 _SH_SPARK = (
     f"case when length(substr(text, 1, {_PFX})) >= 3 then "
@@ -55,68 +57,136 @@ _SH_DUCK = (
 )
 
 
+# r7 (VERDICT r6 task 3): the pre-r7 D6 was a theta join blocked only by
+# `source`, measured super-linear at sf3 (warm ratio 13.7 at 3x data) —
+# and the r6 prefix-filter attempt was honestly reverted (tau 0.45 over a
+# ~31-token vocabulary prunes nothing, WAVE_NOTES r6). The re-scoped
+# contract is the one production n-gram dedup actually ships: MinHash-LSH
+# banding over the SHINGLE sets generates candidates (docs sharing at
+# least one of 4 two-row band keys within a source), then the exact
+# 3-gram Jaccard verifies. Candidate volume is output-bound (band buckets
+# are near-dup clusters), not block-size-bound; the banding recall at the
+# threshold is the standard LSH trade (P(candidate) = 1-(1-J^2)^4, ~0.59
+# at J=0.45 rising to ~0.93 at J=0.7) and is part of the declared
+# semantics, exactly as in D1.
+_NG_MH = (
+    lambda i: f"array_min(transform(gs, g -> substr(md5(concat('{i}:', g)), 1, 16)))"
+)
+_NG_MH_DUCK = (
+    lambda i: f"list_min(list_transform(gs, g -> substr(md5('{i}:' || g), 1, 16)))"
+)
+
+
 @register(
     "q_dedup_ngram_jaccard",
     oracle=f"""
-        WITH sh AS (
+        WITH sh AS MATERIALIZED (
             SELECT doc_id, source, {_SH_DUCK} AS gs FROM documents
+        ),
+        sig AS MATERIALIZED (
+            SELECT doc_id, source, gs,
+                   {', '.join(f'md5({_NG_MH_DUCK(2 * b)} || {_NG_MH_DUCK(2 * b + 1)}) AS bk{b}' for b in range(_NG_BANDS))}
+            FROM sh
+        ),
+        bands AS (
+            {' UNION ALL '.join(f'SELECT doc_id, source, {b} AS band, bk{b} AS bkey FROM sig' for b in range(_NG_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_lo, b.doc_id AS doc_hi
+            FROM bands a JOIN bands b
+              ON a.source = b.source AND a.band = b.band AND a.bkey = b.bkey
+             AND a.doc_id < b.doc_id AND a.doc_id % 3 = 0
         )
-        SELECT a.doc_id AS doc_lo, b.doc_id AS doc_hi,
-               ROUND(CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS DOUBLE)
-                     / (len(a.gs) + len(b.gs)
-                        - len(list_filter(a.gs, x -> list_contains(b.gs, x)))), 4)
+        SELECT doc_lo, doc_hi,
+               ROUND(CAST(len(list_filter(ta.gs, x -> list_contains(tb.gs, x))) AS DOUBLE)
+                     / (len(ta.gs) + len(tb.gs)
+                        - len(list_filter(ta.gs, x -> list_contains(tb.gs, x)))), 4)
                    AS jaccard
-        FROM sh a JOIN sh b
-          ON a.source = b.source AND a.doc_id < b.doc_id AND a.doc_id % 3 = 0
-        WHERE CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x))) AS DOUBLE)
-              / (len(a.gs) + len(b.gs)
-                 - len(list_filter(a.gs, x -> list_contains(b.gs, x)))) >= {_NGRAM_T}
+        FROM cand
+        JOIN sh ta ON ta.doc_id = cand.doc_lo
+        JOIN sh tb ON tb.doc_id = cand.doc_hi
+        WHERE CAST(len(list_filter(ta.gs, x -> list_contains(tb.gs, x))) AS DOUBLE)
+              / (len(ta.gs) + len(tb.gs)
+                 - len(list_filter(ta.gs, x -> list_contains(tb.gs, x)))) >= {_NGRAM_T}
     """,
     section="D6",
     doc="Character-3-gram (shingle) Jaccard near-duplicate pairs — the "
     "n-gram dedup variant: robust to word-boundary edits that break "
-    "token-level Jaccard (T5) and the cheap precursor to MinHash over the "
-    "same shingle sets (D1). Shingles row-local over a 120-char prefix; "
-    "pair join blocked by source and probe-side sampled; verify "
-    "intersects xxhash64'd shingle arrays (collision-freedom pinned in "
-    "tests/test_invariants.py).",
+    "token-level Jaccard (T5). r7 re-scope: candidates come from "
+    f"MinHash-LSH banding over the shingle sets ({_NG_BANDS} bands x 2 "
+    "rows, md5 band keys — engine-identical), joined on (source, band, "
+    "bkey); the exact shingle Jaccard then verifies every candidate. "
+    "Banding recall at the threshold (P = 1-(1-J^2)^4) is part of the "
+    "declared semantics, as in D1 — the pre-r7 within-source theta join "
+    "measured quadratic at sf3 and cannot run at corpus scale. Shingles "
+    "row-local over a 120-char prefix; verify intersects xxhash64'd "
+    "shingle arrays (collision-freedom pinned in tests/test_invariants).",
 )
-def q_dedup_ngram_jaccard(
-    spark: SparkSession, sf_dir: str, strategy: str = "auto"
-) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries._util import corpus_side, fan_out
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
 
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.expr(f"transform({_SH_SPARK}, g -> xxhash64(g))").alias("hs"),
-        F.expr(f"size({_SH_SPARK})").alias("sz"),
-    )
-    a = fan_out(
-        sh.filter(F.col("doc_id") % 3 == 0).select(
-            F.col("doc_id").alias("doc_lo"),
-            F.col("source"),
-            F.col("hs").alias("hs_a"),
-            F.col("sz").alias("sz_a"),
+    # One pass per doc computes shingles, their xxhash64 array (verify),
+    # and the 4 md5 band keys (8 minhash perms x ~118 shingles of md5 is
+    # the dominant cost); localCheckpoint so the three consumers below
+    # (band explode + both verify sides) reuse it instead of recomputing
+    # the hash work 3x. Linear-size (one row/doc), the D1-family device.
+    per_doc = (
+        fan_out(docs.select("doc_id", "source", F.expr(_SH_SPARK).alias("gs")))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("transform(gs, g -> xxhash64(g))").alias("hs"),
+            F.size("gs").alias("sz"),
+            F.array(
+                *[
+                    F.md5(
+                        F.concat(
+                            F.expr(_NG_MH(2 * b)), F.expr(_NG_MH(2 * b + 1))
+                        )
+                    )
+                    for b in range(_NG_BANDS)
+                ]
+            ).alias("bks"),
         )
+        .localCheckpoint(eager=False)
     )
-    b = sh.select(
+    bands = per_doc.select(
+        "doc_id", "source", F.posexplode("bks").alias("band", "bkey")
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.doc_id") % 3 == 0),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_lo"),
+            F.col("b.doc_id").alias("doc_hi"),
+        )
+        .distinct()
+    )
+    ta = per_doc.select(
+        F.col("doc_id").alias("doc_lo"),
+        F.col("hs").alias("hs_a"),
+        F.col("sz").alias("sz_a"),
+    )
+    tb = per_doc.select(
         F.col("doc_id").alias("doc_hi"),
-        F.col("source").alias("source_b"),
         F.col("hs").alias("hs_b"),
         F.col("sz").alias("sz_b"),
     )
-    # lossless SSJoin size band: J >= t forces t*|a| <= |b| <= |a|/t
-    length_ok = (
-        F.col("sz_b") >= F.col("sz_a") * F.lit(_NGRAM_T)
-    ) & (F.col("sz_b") * F.lit(_NGRAM_T) <= F.col("sz_a"))
-    paired = a.join(
-        corpus_side(b, strategy),
-        (F.col("source") == F.col("source_b"))
-        & (F.col("doc_lo") < F.col("doc_hi"))
-        & length_ok,
-    ).withColumn("i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))))
+    paired = (
+        cand.join(ta, "doc_lo")
+        .join(tb, "doc_hi")
+        .withColumn(
+            "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        )
+    )
     # try_divide: two empty shingle sets give a 0/0 pair under hostile
     # inputs (ANSI would fault); NULL fails the >= threshold, so the pair
     # set on well-formed data is unchanged

@@ -2345,7 +2345,9 @@ _BQ_TAU = 0.7   # ground-truth near-dup threshold (exact unigram Jaccard)
     "intersection sizes are engine-identical; both ratios are single "
     "IEEE divisions of exact BIGINTs (n_true=0 yields NULL "
     "completeness identically). Scale: prefix-filter candidates and "
-    "band candidates both shuffle on token/16-byte keys only; the "
+    "band candidates both key on token/16-byte values — AQE broadcasts "
+    "the sides while they fit and falls back to keyed shuffles beyond "
+    "(no pinned broadcast hints, ADVICE r6); the "
     "semi-join keys on (lo,hi) pairs of the small truth side.",
 )
 def q_dedup_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

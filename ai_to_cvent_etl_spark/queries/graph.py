@@ -84,6 +84,115 @@ def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     _TRADE_EDGE_CACHE[cache_key] = und
     return und
 
+
+# --- r7: BIGINT node ids for the iterative keys -------------------------
+#
+# The r6 sf10 stress sweep measured q_graph_pagerank at 26.3x and
+# q_graph_label_prop at 15.4x warm for 10x data (STRESS_SF10.json): both
+# iterate 3 join+agg rounds over the undirected edge list, and with STRING
+# node ids every round shuffles (and hashes, and GC-churns) variable-length
+# 'c123…'/'s45…' UTF8Strings.  The fix is to iterate on 8-byte BIGINT ids
+# and map back to the contract's string ids only at output.
+#
+# The encoding must let numeric MIN reproduce the oracle's VARCHAR MIN
+# (label propagation's reduce is a lexicographic min over node-id strings),
+# so it is ORDER-PRESERVING: enc('c'||digits) < enc('s'||digits') iff the
+# strings compare < byte-wise.  Digits are coded base-11 LEFT-ALIGNED in a
+# 12-slot field (digit d -> d+1, pad -> 0), which makes numeric order equal
+# dictionary order over variable-length digit strings ('1' < '10' < '2'),
+# and the 's' prefix adds 11^12 — max value 2*11^12 ≈ 6.3e12 << 2^63.
+# Property verified in tests/test_graph_int_ids.py over random + adversarial
+# key sets.  Keys wider than 12 digits would break the encoding; guarded by
+# the generator contract (TPC-H keys ≤ 12 digits through sf ~10^6).
+_LEX11_S_OFFSET = 11**12  # 3_138_428_376_721
+
+
+def _lex11_expr(key_sql: str, is_supplier: bool) -> str:
+    """SQL expression: order-preserving BIGINT code of 'c{key}'/'s{key}'."""
+    off = f"{_LEX11_S_OFFSET}L + " if is_supplier else ""
+    return (
+        f"{off}aggregate(sequence(1, 12), 0L, (a, i) -> a * 11L + "
+        f"coalesce(ascii(nullif(substring(cast({key_sql} as string), i, 1),"
+        f" '')) - 47L, 0L))"
+    )
+
+
+def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (o_custkey, l_suppkey) trading pairs — shared edge seed."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+
+
+def trade_graph_edges_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected (src, dst) BIGINT-id edges of the trade graph.
+
+    Same graph as trade_graph_edges but with lex11-encoded 8-byte node ids,
+    so the per-round join+agg shuffles of G1/G10 move fixed-width longs
+    instead of strings.  localCheckpoint (MEMORY_AND_DISK) + memoized per
+    app+dataset, like the string variant.
+    """
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "int")
+    cached = _TRADE_EDGE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    e = _trade_pairs(spark, sf_dir).select(
+        F.expr(_lex11_expr("o_custkey", False)).alias("a"),
+        F.expr(_lex11_expr("l_suppkey", True)).alias("b"),
+    )
+    und = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    stale = [k for k in _TRADE_EDGE_CACHE if k[0] != cache_key[0]]
+    for k in stale:
+        del _TRADE_EDGE_CACHE[k]
+    while len(_TRADE_EDGE_CACHE) >= _TRADE_EDGE_CACHE_MAX:
+        del _TRADE_EDGE_CACHE[next(iter(_TRADE_EDGE_CACHE))]
+    _TRADE_EDGE_CACHE[cache_key] = und
+    return und
+
+
+def trade_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id BIGINT, node STRING) dimension of the trade graph — the decode
+    table that maps lex11 ids back to the contract's 'c…'/'s…' strings at
+    output time (one |V|-row join after the iterations; |V| << |E|)."""
+    cache_key = (spark.sparkContext.applicationId, sf_dir, "nodes")
+    cached = _TRADE_EDGE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
+    pairs = _trade_pairs(spark, sf_dir)
+    nodes = (
+        pairs.select(
+            F.expr(_lex11_expr("o_custkey", False)).alias("id"),
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "node"
+            ),
+        )
+        .unionByName(
+            pairs.select(
+                F.expr(_lex11_expr("l_suppkey", True)).alias("id"),
+                F.concat(
+                    F.lit("s"), F.col("l_suppkey").cast("string")
+                ).alias("node"),
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    stale = [k for k in _TRADE_EDGE_CACHE if k[0] != cache_key[0]]
+    for k in stale:
+        del _TRADE_EDGE_CACHE[k]
+    while len(_TRADE_EDGE_CACHE) >= _TRADE_EDGE_CACHE_MAX:
+        del _TRADE_EDGE_CACHE[next(iter(_TRADE_EDGE_CACHE))]
+    _TRADE_EDGE_CACHE[cache_key] = nodes
+    return nodes
+
 _IT_DUCK = """
         c{i} AS (
             SELECT u.dst AS node,
@@ -137,10 +246,19 @@ _IT_DUCK = """
     "partitioning), rank rebuilt with the identical IEEE double expression "
     "— three chained iterations stay bit-identical cross-engine, output "
     "needs no rounding. Relational Pregel round: join + keyed agg per "
-    "iteration, checkpointed edge list, zero per-round driver traffic.",
+    "iteration, checkpointed edge list, zero per-round driver traffic. "
+    "r7: rounds iterate on 8-byte lex11 BIGINT node ids (strings decoded "
+    "back by one |V|-row join at output) — fixed-width shuffle keys for "
+    "the third-decade scale path.",
 )
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = trade_graph_edges(spark, sf_dir)
+    # r7: iterate on BIGINT lex11 node ids (8-byte shuffle keys instead of
+    # variable-length strings — the measured sf10 super-linearity was
+    # string hash/GC churn in the 3 join+agg rounds, STRESS_SF10.json
+    # r6: 26.3x warm at 10x data); decode ids -> 'c…'/'s…' strings with one
+    # |V|-row join at output, so the result (and its oracle hash) is
+    # unchanged.
+    und = trade_graph_edges_int(spark, sf_dir)
     deg = (
         und.groupBy("src")
         .agg(F.count(F.lit(1)).cast("double").alias("deg"))
@@ -173,7 +291,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    return pr
+    nodes = trade_graph_nodes(spark, sf_dir)
+    return pr.join(nodes, pr.node == nodes.id).select(
+        nodes.node.alias("node"), "pr"
+    )
 
 
 @register(
@@ -918,12 +1039,23 @@ _LP_IT_DUCK = """
     "(probed), so the whole query is float-free. Per round: one "
     "edges⋈labels join co-keyed on node + one min-reduce — the Pregel "
     "message-passing shape; at 100 TB the edge list checkpoints once "
-    "and all rounds reuse its partitioning.",
+    "and all rounds reuse its partitioning. r7: rounds run on 8-byte "
+    "lex11 BIGINT ids whose numeric order equals the strings' VARCHAR "
+    "order (order-preserving encoding, property-tested), decoded back "
+    "at output — identical result, fixed-width shuffle keys.",
 )
 def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ai_to_cvent_etl_spark.queries.graph import trade_graph_edges
+    # r7: iterate on BIGINT lex11 node ids. The lex11 encoding is
+    # ORDER-PRESERVING vs the oracle's byte-wise VARCHAR comparison
+    # (tests/test_graph_int_ids.py), so numeric min over ids IS the
+    # lexicographic min over 'c…'/'s…' strings and the propagated labels
+    # decode to exactly the oracle's community representatives.
+    from ai_to_cvent_etl_spark.queries.graph import (
+        trade_graph_edges_int,
+        trade_graph_nodes,
+    )
 
-    und = trade_graph_edges(spark, sf_dir)
+    und = trade_graph_edges_int(spark, sf_dir)
     labels = und.select(F.col("dst").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -939,8 +1071,12 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node", F.least("label", F.col("nbr_label")).alias("label")
             )
         )
-    return labels.groupBy(F.col("label").alias("community")).agg(
+    comm = labels.groupBy(F.col("label").alias("cid")).agg(
         F.count("*").alias("n_nodes")
+    )
+    nodes = trade_graph_nodes(spark, sf_dir)
+    return comm.join(nodes, comm.cid == nodes.id).select(
+        nodes.node.alias("community"), "n_nodes"
     )
 
 # ==== from analytics_r3v ===========================================

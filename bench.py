@@ -62,16 +62,26 @@ def main() -> None:
     # clears the planning constant, keeping the driver's per-round run at
     # its historical cost.
     warm_all = os.environ.get("SPARK_GRAFT_WARM", "tail") == "all"
+    # r7 (VERDICT r6 task 5): the r6 driver tail drifted +31% median on
+    # untouched keys while the same-protocol self-bench measured 1.02 —
+    # single-shot warm numbers are noise-bound under machine load.
+    # SPARK_GRAFT_WARM_REPEATS=3 records the per-key MEDIAN of 3 warm runs
+    # (the committed BENCH_SELF artifacts use this); default 1 keeps the
+    # driver's per-round cost unchanged.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_WARM_REPEATS", "1")))
     warm: dict[str, float] = {}
     for key, cold in timings.items():
         if cold < 0 or (not warm_all and cold < 0.7):
             continue
-        t0 = time.perf_counter()
+        runs = []
         try:
-            registry[key].builder(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            warm[key] = round(time.perf_counter() - t0, 3)
+            for _ in range(repeats):
+                t0 = time.perf_counter()
+                registry[key].builder(spark, sf_dir).write.format(
+                    "noop"
+                ).mode("overwrite").save()
+                runs.append(time.perf_counter() - t0)
+            warm[key] = round(sorted(runs)[len(runs) // 2], 3)
         except Exception:
             warm[key] = -1.0
     warm_ok = sorted(v for v in warm.values() if v >= 0)
@@ -80,6 +90,13 @@ def main() -> None:
     )
 
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # machine-load marker (r7): 1/5/15-min load averages at exit, so a
+    # round-over-round delta can be attributed to background load instead
+    # of guessed at. A loaded box shows load1 >> cpu count here.
+    try:
+        load = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        load = None
     print(
         json.dumps(
             {
@@ -89,6 +106,8 @@ def main() -> None:
                 "queries": timings,
                 "warm_queries": warm,
                 "warm_median": warm_median,
+                "warm_repeats": repeats,
+                "loadavg": load,
                 "sf": sf,
                 "n_queries": len(timings),
             }

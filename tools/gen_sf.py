@@ -17,12 +17,17 @@ queries depend on is preserved exactly:
     density grows 10x — the realistic shape of a bigger corpus over the same
     collection window, and what keeps per-day/window state constant-factor
     comparable across SFs.
-  * documents: replica i>0 prefixes every token with `r{i}`, making replica
-    vocabularies DISJOINT. Within a replica, token-overlap structure (and
-    therefore the near-dup pair set) is identical to sf0.1; across replicas
-    every Jaccard is 0. The true output of every dedup operator therefore
-    scales EXACTLY 10x — the property that makes a linearity measurement
-    meaningful (tiling identical texts instead would square the pair count).
+  * documents: replica i>0 prefixes tokens with `r{i}` EXCEPT a small
+    deterministic shared slice (pmod(xxhash64(token), 16) == 0, ~1/16 of
+    the vocabulary — r7, VERDICT r6 task 4). Within a replica the map is
+    injective, so token-overlap structure (and therefore the near-dup pair
+    set) is identical to sf0.1. Across replicas docs share only the sliver
+    of shared tokens: for docs with n>=6 distinct tokens the cross-replica
+    Jaccard stays well under every declared dedup threshold (min 0.45), so
+    dedup outputs still scale ~linearly — while corpus-frequency keys
+    (stopword discovery: df > 30% of ALL docs) stay NON-VACUOUS at every
+    generated SF instead of having df capped at 1/R by fully-disjoint
+    vocabularies (the r6 fixture artifact).
   * embeddings: replica i multiplies each vector elementwise by a
     deterministic +/-1 sign pattern (seeded by xxhash64(i, dim)). A sign
     flip per coordinate is an ORTHOGONAL transform: all intra-replica
@@ -65,8 +70,11 @@ def main() -> None:
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default=os.path.join(REPO, ".data", "sf1"))
     ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset to (re)generate; default all")
     args = ap.parse_args()
     R = args.replicas
+    only = set(args.tables.split(",")) if args.tables else None
 
     spark = get_spark(app_name="gen_sf")
     spark.sparkContext.setLogLevel("ERROR")
@@ -152,8 +160,14 @@ def main() -> None:
     def doc_replica(df: DataFrame, i: int) -> DataFrame:
         if i == 0:
             return df.select("doc_id", "text", "lang", "source", "n_chars")
+        # r7: ~1/16 of the vocabulary stays UNPREFIXED (shared across
+        # replicas) so corpus-df keys stay non-vacuous at every SF; the
+        # remaining 15/16 get the replica prefix, keeping cross-replica
+        # Jaccard far below every dedup threshold (see module docstring).
         text = F.expr(
-            f"array_join(transform(split(text, ' '), t -> concat('r{i}', t)), ' ')"
+            f"array_join(transform(split(text, ' '), t -> "
+            f"CASE WHEN pmod(xxhash64(t), 16) = 0 THEN t "
+            f"ELSE concat('r{i}', t) END), ' ')"
         )
         return df.select(
             off("doc_id", "documents", i),
@@ -180,6 +194,8 @@ def main() -> None:
     plans["embeddings"] = _tile(base["embeddings"], R, emb_replica)
 
     for name, df in plans.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         path = os.path.join(args.out, f"{name}.parquet")
         df.write.mode("overwrite").parquet(path)

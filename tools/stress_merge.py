@@ -42,7 +42,22 @@ def _cleanup():
         it.next().getValue().unpersist(False)
 
 
+# SF-scaled shuffle partitions (r6 VERDICT task 1): a fixed 32/64 at sf10
+# makes each reduce partition 10x the sf1 bytes and pushes the single-JVM
+# stress runs into spill/GC — which is a protocol artifact, not a plan
+# property (a real cluster sizes partitions to the data). AQE coalesces
+# small partitions, so over-provisioning is safe.
+_SF_PARTITIONS = {"sf0.1": 32, "sf1": 64, "sf3": 96, "sf10": 256}
+
+
+def _partitions_for(sf_dir: str) -> int:
+    return _SF_PARTITIONS.get(
+        os.path.basename(os.path.normpath(sf_dir)), 64)
+
+
 def _run(queries, key, sf_dir):
+    _SPARK.conf.set(
+        "spark.sql.shuffle.partitions", str(_partitions_for(sf_dir)))
     rec = {}
     for label in ("cold", "warm"):
         _cleanup()
@@ -114,7 +129,11 @@ def main() -> int:
             big = _run(queries, key, args.sf_dir)
         except Exception as exc:
             print(f"{key} FAILED at {args.sf_dir}: {exc}", file=sys.stderr)
-            out[key] = {"error": str(exc)[:300]}
+            # ADVICE r6: merge the error alongside any previously recorded
+            # good measurements instead of clobbering them.
+            rec = out.get(key, {})
+            rec["error"] = str(exc)[:300]
+            out[key] = rec
             json.dump(out, open(args.out, "w"), indent=1, sort_keys=True)
             continue
         if args.label:
