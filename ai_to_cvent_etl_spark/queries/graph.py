@@ -108,13 +108,29 @@ _LEX11_S_OFFSET = 11**12  # 3_138_428_376_721
 
 
 def _lex11_expr(key_sql: str, is_supplier: bool) -> str:
-    """SQL expression: order-preserving BIGINT code of 'c{key}'/'s{key}'."""
-    off = f"{_LEX11_S_OFFSET}L + " if is_supplier else ""
-    return (
-        f"{off}aggregate(sequence(1, 12), 0L, (a, i) -> a * 11L + "
-        f"coalesce(ascii(nullif(substring(cast({key_sql} as string), i, 1),"
-        f" '')) - 47L, 0L))"
-    )
+    """SQL expression: order-preserving BIGINT code of 'c{key}'/'s{key}'.
+
+    PURE INTEGER ARITHMETIC — a CASE on the digit count L selecting a
+    closed-form base-11 polynomial Σ_j ((k div 10^j) % 10 + 1)·11^j scaled
+    by 11^(12-L). The first r7 formulation used
+    aggregate(sequence(1,12), …substring…) — a higher-order function that
+    Spark interprets OUTSIDE whole-stage codegen at ~150 µs/row (measured:
+    170 s for the sf0.1 edge projection, 40× the whole pre-rewrite query).
+    This form is plain int ops inside codegen: ~ns/row.
+    """
+    off = f"{_LEX11_S_OFFSET} + " if is_supplier else ""
+    k = f"cast({key_sql} as bigint)"
+    branches = []
+    for length in range(1, 13):
+        acc = " + ".join(
+            f"(({k} div {10 ** j}) % 10 + 1) * {11 ** j}"
+            for j in range(length)
+        )
+        scale = 11 ** (12 - length)
+        branches.append(
+            f"when {k} < {10 ** length} then ({acc}) * {scale}"
+        )
+    return f"{off}(case " + " ".join(branches) + " else null end)"
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
