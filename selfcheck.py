@@ -270,6 +270,10 @@ def main() -> int:
         report[name] = rec
         status = "ok" if rec["hash_match"] else (rec["err"] or "MISMATCH")
         print(f"{name}: {str(status)[:60]}", file=sys.stderr)
+        # r7: write incrementally — a 2-hour sweep killed by a timeout
+        # used to lose EVERYTHING (report was only dumped at the end)
+        with open(args.out + ".partial", "w") as f:
+            json.dump(report, f, sort_keys=True)
 
     n_ok = sum(
         1 for r in report.values() if r["hash_match"] and not r["vacuous"]
