@@ -76,7 +76,11 @@ def main() -> int:
         q.awaitTermination()
         wall = time.perf_counter() - t0
 
-        progress = [json.loads(p.json()) for p in q.recentProgress]
+        # recentProgress entries expose .json as a str property in PySpark 4
+        progress = [
+            json.loads(p.json if isinstance(p.json, str) else p.json())
+            for p in q.recentProgress
+        ]
         batch_ms = sorted(
             p["durationMs"].get("triggerExecution", 0)
             for p in progress
