@@ -51,7 +51,11 @@ _ROUNDS = 3
 # checkpointed blocks for retired SparkSessions / other SF dirs don't stay
 # pinned in executor storage for the process lifetime.
 _TRADE_EDGE_CACHE: dict = {}
-_TRADE_EDGE_CACHE_MAX = 4  # tests touch at most sf0.001/sf0.01/sf0.1 per app
+# Up to 3 entries per (app, sf_dir) since r7 — string edges, int edges and
+# the nodes dim — and suites/stress runs touch up to 4 SF dirs per app, so
+# a cap of 4 would thrash (evict + recompute checkpointed edge lists on
+# every alternation between two dirs; ADVICE r7). 12 = 3 entries x 4 dirs.
+_TRADE_EDGE_CACHE_MAX = 12
 
 
 def trade_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,6 +135,40 @@ def _lex11_expr(key_sql: str, is_supplier: bool) -> str:
             f"when {k} < {10 ** length} then ({acc}) * {scale}"
         )
     return f"{off}(case " + " ".join(branches) + " else null end)"
+
+
+def _lex11_decode_expr(code_sql: str) -> str:
+    """SQL expression: exact inverse of _lex11_expr — BIGINT code back to
+    the contract's 'c{key}'/'s{key}' string, row-locally.
+
+    Why this exists (r8): the first r7 shape decoded through a
+    trade_graph_nodes dimension join, which re-derived _trade_pairs — a
+    SECOND full orders⋈lineitem join+distinct per query (measured ~14 s of
+    a 21 s sf1 pagerank under the full-cost protocol). The encoding is
+    injective pure-integer arithmetic, so the inverse is too: digit count
+    L = 12 - (trailing base-11 zeros), digit j = (w div 11^(j+12-L)) % 11
+    - 1. A CASE ladder from L=1 down stays inside whole-stage codegen and
+    replaces an O(|E|)-scan + |V|-row shuffle join with O(|V|) row-local
+    int ops. Round-trip property-tested in tests/test_graph_int_ids.py.
+    """
+    c = f"cast({code_sql} as bigint)"
+    w = f"({c} % {_LEX11_S_OFFSET})"
+    branches = []
+    for length in range(1, 13):
+        t = 12 - length
+        digits = " + ".join(
+            f"((({w} div {11 ** (j + t)}) % 11) - 1) * {10 ** j}"
+            for j in range(length)
+        )
+        if length < 12:
+            branches.append(f"when {w} % {11 ** t} = 0 then ({digits})")
+        else:
+            branches.append(f"else ({digits})")
+    k = "(case " + " ".join(branches) + " end)"
+    return (
+        f"concat(case when {c} >= {_LEX11_S_OFFSET} then 's' else 'c' end, "
+        f"cast({k} as string))"
+    )
 
 
 def _trade_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,9 +345,10 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("pr"),
             )
         )
-    nodes = trade_graph_nodes(spark, sf_dir)
-    return pr.join(nodes, pr.node == nodes.id).select(
-        nodes.node.alias("node"), "pr"
+    # r8: row-local inverse decode instead of the nodes-dim join (which
+    # cost a second orders⋈lineitem scan per query — see _lex11_decode_expr)
+    return pr.select(
+        F.expr(_lex11_decode_expr("node")).alias("node"), "pr"
     )
 
 
@@ -1066,10 +1105,7 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (tests/test_graph_int_ids.py), so numeric min over ids IS the
     # lexicographic min over 'c…'/'s…' strings and the propagated labels
     # decode to exactly the oracle's community representatives.
-    from ai_to_cvent_etl_spark.queries.graph import (
-        trade_graph_edges_int,
-        trade_graph_nodes,
-    )
+    from ai_to_cvent_etl_spark.queries.graph import trade_graph_edges_int
 
     und = trade_graph_edges_int(spark, sf_dir)
     labels = und.select(F.col("dst").alias("node")).distinct().select(
@@ -1090,9 +1126,10 @@ def q_graph_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     comm = labels.groupBy(F.col("label").alias("cid")).agg(
         F.count("*").alias("n_nodes")
     )
-    nodes = trade_graph_nodes(spark, sf_dir)
-    return comm.join(nodes, comm.cid == nodes.id).select(
-        nodes.node.alias("community"), "n_nodes"
+    # r8: row-local inverse decode instead of the nodes-dim join (see
+    # _lex11_decode_expr — the dim cost a second orders⋈lineitem scan)
+    return comm.select(
+        F.expr(_lex11_decode_expr("cid")).alias("community"), "n_nodes"
     )
 
 # ==== from analytics_r3v ===========================================

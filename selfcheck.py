@@ -196,6 +196,16 @@ def main() -> int:
         if args.out == os.path.join(REPO, "CORRECTNESS_SELF.json"):
             args.out = "/tmp/correctness_only.json"
     report: dict[str, dict] = {}
+
+    def _dump_partial() -> None:
+        # write incrementally — a 2-hour sweep killed by a timeout used to
+        # lose EVERYTHING (report was only dumped at the end). Called from
+        # EVERY branch that finishes a key, including the hash-skipped
+        # early-continue (ADVICE r7: that branch used to skip the dump,
+        # so a kill right after it lost the completed key).
+        with open(args.out + ".partial", "w") as f:
+            json.dump(report, f, sort_keys=True)
+
     t0 = time.time()
     for name in sorted(queries):
         rec: dict = {
@@ -234,16 +244,33 @@ def main() -> int:
                         f"{name}: rows-only ({n_spark} rows)",
                         file=sys.stderr,
                     )
+                    _dump_partial()
                     continue
             srows = [tuple(r) for r in sdf.collect()]
             rec["spark_rows"] = len(srows)
             if name not in oracles:
                 rec["err"] = "no_oracle"
                 if name in _SKETCH_BOUNDS:
-                    errs, bound = _SKETCH_BOUNDS[name](con, srows, scols)
+                    # ADVICE r7: an empty result (no errs) or a 0-valued
+                    # exact count (ZeroDivision inside the bound fn) must
+                    # record an explicit unmeasurable marker, not fall
+                    # into the catch-all traceback — which would silently
+                    # degrade the bounded-error verdict to an error row.
+                    try:
+                        errs, bound = _SKETCH_BOUNDS[name](con, srows, scols)
+                    except ZeroDivisionError:
+                        errs, bound = [], None
                     rec["bound_rel_err"] = bound
-                    rec["measured_max_rel_err"] = round(max(errs), 6)
-                    rec["within_bound"] = max(errs) <= bound
+                    if errs:
+                        rec["measured_max_rel_err"] = round(max(errs), 6)
+                        rec["within_bound"] = max(errs) <= bound
+                    else:
+                        rec["measured_max_rel_err"] = None
+                        # an unmeasurable bound is a FAILURE of the check,
+                        # not a pass: within_bound=False keeps n_rows_only
+                        # from counting it (see the summary tally below)
+                        rec["within_bound"] = False
+                        rec["err"] = "no_oracle; bound_unmeasurable"
             else:
                 orel = con.sql(oracles[name])
                 ocols = orel.columns

@@ -108,6 +108,52 @@ def _walk(node: Node):
 MAX_EXCHANGES = 8
 
 
+_KEYS_RE = re.compile(r"keys=\[([^\]]*)\]")
+# strip '#123L' exprId suffixes and cast/alias wrappers to the base name
+_BASENAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
+
+
+def _window_is_unpartitioned(text: str) -> bool:
+    """True iff a Window node's spec has NO partition columns.
+
+    windowspecdefinition prints partition columns first (bare refs), then
+    order specs (carrying ASC/DESC): an unpartitioned window's first
+    argument is already an order spec.
+    """
+    m = re.search(r"windowspecdefinition\((.*?)specifiedwindowframe", text)
+    if not m:
+        return False
+    first = m.group(1).split(",")[0]
+    return " ASC" in first or " DESC" in first
+
+
+def _nearest_agg_keys(node: Node) -> list[str] | None:
+    """Grouping-key base names of the nearest bounding aggregates on every
+    path under ``node``, or None if any FileScan is reachable without
+    passing a bounding operator first (the unsafe case)."""
+    safe = True
+    keys: set[str] = set()
+
+    def visit(n: Node) -> None:
+        nonlocal safe
+        if n.op.startswith(("HashAggregate", "SortAggregate",
+                            "ObjectHashAggregate")):
+            m = _KEYS_RE.search(n.text)
+            keys.update(_BASENAME_RE.findall(m.group(1) if m else ""))
+            return  # bounded: stop descending this path
+        if n.op.startswith(_BOUNDING):  # limit/broadcast: bounded, keyless
+            return
+        if n.op.startswith("FileScan"):
+            safe = False
+            return
+        for c in n.children:
+            visit(c)
+
+    for c in node.children:
+        visit(c)
+    return sorted(keys) if safe else None
+
+
 def lint_plan(plan: str) -> list[str]:
     """Return a list of violation strings (empty = clean)."""
     root = parse_tree(plan)
@@ -126,6 +172,20 @@ def lint_plan(plan: str) -> list[str]:
             elif "hashpartitioning" in node.text or "rangepartitioning" in node.text:
                 n_exchanges += 1
             # round-robin re-spreads are free repartitions, not data shuffles
+        if node.op == "Window" and _window_is_unpartitioned(node.text):
+            # R4 (r8, VERDICT r7 item 5): an UNPARTITIONED window is only
+            # scale-safe when its input collapsed to a bounded grain first
+            # (the W34/W38 sweep-line family: day-level relations). Report
+            # the nearest bounding aggregate's grouping keys so the policy
+            # layer (tests/test_plan_lint.py) can assert they are calendar/
+            # level grains — "bounded by construction", machine-checked.
+            keys = _nearest_agg_keys(node)
+            if keys is None:
+                violations.append("R4:global-window-over-scan")
+            else:
+                violations.append(
+                    "R4:global-window-agg-keys=" + ",".join(sorted(keys))
+                )
     if n_exchanges > MAX_EXCHANGES:
         violations.append(f"R3:exchanges={n_exchanges}")
     return violations

@@ -84,3 +84,34 @@ def test_nodes_dim_decodes_int_edges(spark):
     n = nodes.count()
     assert nodes.select("id").distinct().count() == n
     assert nodes.select("node").distinct().count() == n
+
+
+def test_lex11_decode_expr_roundtrip(spark):
+    """r8: the row-local inverse (_lex11_decode_expr) exactly recovers
+    'c{key}'/'s{key}' for random + adversarial keys of every digit count —
+    the property the decode-join-free pagerank/label_prop outputs rely on."""
+    from ai_to_cvent_etl_spark.queries.graph import _lex11_decode_expr
+
+    rng = random.Random(13)
+    keys = (
+        rng.sample(range(1, 10**12), 300)
+        + ADVERSARIAL
+        + [10**j for j in range(12)]
+        + [10**j - 1 for j in range(1, 13)]
+    )
+    pairs = [(p, k) for k in keys for p in ("c", "s")]
+    df = spark.createDataFrame(pairs, "p string, k long")
+    out = df.select(
+        F.concat("p", F.col("k").cast("string")).alias("node"),
+        F.expr(
+            _lex11_decode_expr(
+                "CASE WHEN p = 's' THEN "
+                + _lex11_expr("k", True)
+                + " ELSE "
+                + _lex11_expr("k", False)
+                + " END"
+            )
+        ).alias("roundtrip"),
+    ).collect()
+    bad = [(r.node, r.roundtrip) for r in out if r.node != r.roundtrip]
+    assert not bad, bad[:5]

@@ -80,12 +80,26 @@ def main() -> None:
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset to (re)generate; default all")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="skip the post-generation document invariant "
+                    "checks (vocabulary injectivity + cross-replica "
+                    "near-dup absence)")
+    ap.add_argument("--verify-only", action="store_true",
+                    help="run ONLY the document invariant checks against "
+                    "an already-generated --out dir (no generation)")
     args = ap.parse_args()
     R = args.replicas
     only = set(args.tables.split(",")) if args.tables else None
 
     spark = get_spark(app_name="gen_sf")
     spark.sparkContext.setLogLevel("ERROR")
+    if args.verify_only:
+        base_docs = load_table(spark, args.base, "documents")
+        stride_docs = base_docs.agg(F.max("doc_id")).collect()[0][0] + 1
+        verify_doc_invariants(
+            spark, args.out, R, stride_docs, min_threshold=0.45
+        )
+        return
     os.makedirs(args.out, exist_ok=True)
 
     base = {
@@ -214,6 +228,86 @@ def main() -> None:
         df.write.mode("overwrite").parquet(path)
         n = spark.read.parquet(path).count()
         print(f"{name}: {n} rows -> {path} ({time.perf_counter() - t0:.1f}s)")
+
+    if not args.skip_verify and (only is None or "documents" in only):
+        verify_doc_invariants(
+            spark, args.out, R, stride["documents"], min_threshold=0.45
+        )
+
+
+def verify_doc_invariants(
+    spark, out_dir: str, replicas: int, doc_stride: int,
+    min_threshold: float = 0.45,
+) -> None:
+    """Fail loudly if the generated documents break the two invariants the
+    scale-linearity baselines REST on (ADVICE r7: the docstring's argument
+    for them is probabilistic — a base token literally starting with
+    'r1'/'r2'/… can collide with a prefixed token, and a short doc living
+    mostly in the shared 1/16 slice can exceed a dedup threshold across
+    replicas — so check the DATA, not the construction):
+
+    1. Vocabulary injectivity: a token string may span multiple replicas
+       only if it is a shared-slice token (pmod(xxhash64(t),16)=0) confined
+       to replicas 0..3, AND its per-replica doc count is IDENTICAL across
+       the replicas it spans (a prefix collision would inflate one side).
+    2. No cross-replica near-dup pair at the engine's minimum declared
+       dedup threshold: every near_dup_pairs(…, 0.45) pair must be
+       within-replica, otherwise "dedup output scales ~linearly with
+       replicas" is silently false.
+    """
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.operators.dedup import near_dup_pairs
+
+    docs = spark.read.parquet(os.path.join(out_dir, "documents.parquet"))
+    t0 = time.perf_counter()
+
+    tok = docs.select(
+        (F.col("doc_id") / doc_stride).cast("int").alias("rep"),
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    ).where(F.col("tok") != "")
+    per_rep = tok.groupBy("tok", "rep").agg(F.count(F.lit(1)).alias("n"))
+    spans = per_rep.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("n_reps"),
+        F.max("rep").alias("max_rep"),
+        F.count_distinct("n").alias("n_distinct_counts"),
+    )
+    bad_vocab = spans.where(
+        (F.col("n_reps") > 1)
+        & (
+            (F.pmod(F.xxhash64("tok"), F.lit(16)) != 0)
+            | (F.col("max_rep") > 3)
+            | (F.col("n_distinct_counts") > 1)
+        )
+    )
+    n_bad = bad_vocab.count()
+    if n_bad:
+        sample = [r.tok for r in bad_vocab.limit(5).collect()]
+        raise AssertionError(
+            f"replica-vocabulary collision: {n_bad} token(s) span replicas "
+            f"illegally (non-shared, beyond replica 3, or with unequal "
+            f"per-replica doc counts), e.g. {sample}"
+        )
+
+    pairs = near_dup_pairs(docs.select("doc_id", "text"), min_threshold)
+    cross = pairs.where(
+        (F.col("doc_lo") / doc_stride).cast("int")
+        != (F.col("doc_hi") / doc_stride).cast("int")
+    )
+    n_cross = cross.count()
+    if n_cross:
+        sample = [
+            (r.doc_lo, r.doc_hi, r.jaccard) for r in cross.limit(5).collect()
+        ]
+        raise AssertionError(
+            f"{n_cross} cross-replica near-dup pair(s) at threshold "
+            f">= {min_threshold} — dedup linearity baseline broken, "
+            f"e.g. {sample}"
+        )
+    print(
+        f"doc invariants OK: 0 vocabulary collisions, 0 cross-replica "
+        f"pairs >= {min_threshold} ({time.perf_counter() - t0:.1f}s)"
+    )
 
 
 if __name__ == "__main__":

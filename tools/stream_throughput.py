@@ -44,10 +44,20 @@ def main() -> int:
     ap.add_argument(
         "--out", default=os.path.join(REPO, "STREAM_THROUGHPUT.json")
     )
+    ap.add_argument(
+        "--shape", default="tumbling", choices=("tumbling", "dedup"),
+        help="r8 (VERDICT r7 item 7): 'tumbling' = ST1 production shape "
+        "(1h window + 1h watermark, update mode — the aggregation-state "
+        "path); 'dedup' = ST5 dropDuplicatesWithinWatermark on event_id "
+        "(append mode — the dedup-state path, which stresses per-KEY "
+        "state instead of per-window state). Results merge per-shape "
+        "into --out.",
+    )
     args = ap.parse_args()
 
     from ai_to_cvent_etl_spark.session import get_spark
     from ai_to_cvent_etl_spark.streaming.jobs import (
+        dedup_within_watermark,
         read_events_stream,
         replay_dir,
         tumbling_counts,
@@ -64,12 +74,22 @@ def main() -> int:
         stream = read_events_stream(
             spark, src, files_per_trigger=args.files_per_trigger
         )
-        agg = tumbling_counts(stream, watermark="1 hour")
+        if args.shape == "dedup":
+            # project to the dedup key + event time so the memory sink
+            # holds ~16 bytes/row, not the full payload — the measured
+            # path is the watermark-bounded dedup STATE, not the sink
+            agg = dedup_within_watermark(stream, watermark="1 hour").select(
+                "event_id", "ts"
+            )
+            output_mode = "append"
+        else:
+            agg = tumbling_counts(stream, watermark="1 hour")
+            output_mode = "update"
         t0 = time.perf_counter()
         q = (
             agg.writeStream.format("memory")
             .queryName("tput")
-            .outputMode("update")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -96,12 +116,38 @@ def main() -> int:
         if final_wm is not None and max_ts is not None:
             import datetime as dt
 
-            wm_ts = dt.datetime.strptime(
-                final_wm, "%Y-%m-%dT%H:%M:%S.%fZ"
+            # ADVICE r7: the progress JSON may omit fractional seconds, so
+            # a fixed '%...%fZ' strptime can crash post-run; and the
+            # watermark is UTC while max(ts) comes back naive in the
+            # session timezone — normalize both to UTC before differencing
+            # or the lag is skewed by the TZ offset.
+            wm_ts = dt.datetime.fromisoformat(
+                final_wm.replace("Z", "+00:00")
             )
-            lag_s = round((max_ts - wm_ts).total_seconds(), 1)
+            if max_ts.tzinfo is None:
+                # session tz (spark.sql.session.timeZone) is what Spark
+                # used to render the naive datetime
+                import zoneinfo
 
-        out = {
+                tz_name = spark.conf.get("spark.sql.session.timeZone")
+                try:
+                    tz = zoneinfo.ZoneInfo(tz_name)
+                except (KeyError, ValueError):  # offset-style ids
+                    tz = dt.timezone.utc if tz_name in (
+                        "UTC", "Z", "+00:00") else None
+                if tz is None:
+                    max_ts = None  # can't localize honestly -> no lag row
+                else:
+                    max_ts = max_ts.replace(tzinfo=tz)
+        if final_wm is not None and max_ts is not None:
+            lag_s = round(
+                (
+                    max_ts.astimezone(dt.timezone.utc) - wm_ts
+                ).total_seconds(),
+                1,
+            )
+
+        rec = {
             "sf_dir": args.sf_dir,
             "n_rows": n_rows,
             "chunks": args.chunks,
@@ -115,9 +161,18 @@ def main() -> int:
             "watermark_lag_s": lag_s,
             "loadavg": [round(x, 2) for x in os.getloadavg()],
         }
+        # r8: one artifact, one record per measured job shape (merge —
+        # re-running one shape must not clobber the other). A pre-r8
+        # flat-format file is treated as the tumbling record.
+        out = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                prev = json.load(f)
+            out = {"tumbling": prev} if "rows_per_sec" in prev else prev
+        out[args.shape] = rec
         with open(args.out, "w") as f:
             json.dump(out, f, indent=1, sort_keys=True)
-        print(json.dumps(out))
+        print(json.dumps(rec))
         n_sink = spark.sql("SELECT count(*) FROM tput").collect()[0][0]
         print(f"sink rows: {n_sink}")
         return 0 if n_sink > 0 else 1

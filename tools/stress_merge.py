@@ -58,7 +58,11 @@ def _partitions_for(sf_dir: str) -> int:
 def _run(queries, key, sf_dir):
     _SPARK.conf.set(
         "spark.sql.shuffle.partitions", str(_partitions_for(sf_dir)))
-    rec = {}
+    # loadavg sampled BEFORE the measurement: a warm ratio measured on a
+    # busy box is noise, not signal (r7's one attempted graph stress run
+    # was contention-poisoned and discarded) — the artifact must carry the
+    # evidence to tell the two apart.
+    rec = {"loadavg_1m_start": round(os.getloadavg()[0], 2)}
     for label in ("cold", "warm"):
         _cleanup()
         t0 = time.perf_counter()
