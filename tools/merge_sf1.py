@@ -25,16 +25,28 @@ def main() -> None:
         sf_dir = d.get("sf_dir", sf_dir)
         wall += d.get("wall_s", 0.0)
         merged.update(d.get("queries", {}))
-    n_hash = sum(1 for v in merged.values() if v.get("hash_match") is True)
-    n_rows_only = sum(
-        1 for v in merged.values() if v.get("err") == "no_oracle"
+    # Tally semantics mirror selfcheck.py (r8): a hash-skipped giant-output
+    # key (err=hash_skipped_rows_exceed_N) passes its weaker rows+schema
+    # gate as rows-only; a no-oracle sketch key passes only while its
+    # measured error stays within the published bound; vacuous exact keys
+    # never count as passes.
+    n_hash = sum(
+        1 for v in merged.values()
+        if v.get("hash_match") is True and not v.get("vacuous")
     )
-    n_fail = sum(
-        1
-        for v in merged.values()
-        if v.get("err") not in (None, "no_oracle")
-        or v.get("hash_match") is False
-    )
+
+    def _rows_only(v: dict) -> bool:
+        if v.get("err") == "no_oracle":
+            return v.get("within_bound") is not False
+        return (
+            str(v.get("err") or "").startswith("hash_skipped")
+            and v.get("rows_match") is True
+            and v.get("schema_match") is True
+            and not v.get("vacuous")
+        )
+
+    n_rows_only = sum(1 for v in merged.values() if _rows_only(v))
+    n_fail = len(merged) - n_hash - n_rows_only
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(merged),
