@@ -89,6 +89,26 @@ def main() -> None:
         round(warm_ok[len(warm_ok) // 2], 3) if warm_ok else None
     )
 
+    # Host-speed calibration (r8): the r8 self-bench measured a UNIFORM
+    # ~1.35x warm inflation on hundreds of untouched keys vs r6 — host
+    # drift, not an engine regression (trivial sub-second keys inflated
+    # identically, no positional growth across the pass, vmstat idle).
+    # These two fixed workloads give future rounds a code-independent
+    # anchor to separate host drift from real regressions: a pure-Python
+    # loop (interpreter+CPU) and a fixed JVM-side Spark job (codegen,
+    # shuffle, scheduler). Compare calib ratios before reading per-key
+    # deltas.
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(10_000_000):
+        acc = (acc + i * i) % 1_000_003
+    calib_py = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "id % 97 AS k", "id * 2654435761 % 1000003 AS v"
+    ).groupBy("k").sum("v").write.format("noop").mode("overwrite").save()
+    calib_spark = round(time.perf_counter() - t0, 3)
+
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     # machine-load marker (r7): 1/5/15-min load averages at exit, so a
     # round-over-round delta can be attributed to background load instead
@@ -110,6 +130,8 @@ def main() -> None:
                 "loadavg": load,
                 "sf": sf,
                 "n_queries": len(timings),
+                "calib_python_s": calib_py,
+                "calib_spark_s": calib_spark,
             }
         )
     )
