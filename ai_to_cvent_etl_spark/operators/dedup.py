@@ -50,16 +50,32 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
     )
     dtok = fan_out(base.select("doc_id", F.explode("tk").alias("tok")))
     df_tab = dtok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # r8 (guide §2.5/§2.6): fan the per-doc signature frame across cores
+    # BEFORE freezing it with localCheckpoint. The doc_id aggregation's
+    # output is only a few MB here, so AQE coalesces it to 1-3 post-shuffle
+    # partitions — and localCheckpoint PINS that layout, serializing the
+    # downstream prefix explode + candidate enumeration (work per byte is
+    # explosive: ~6.5M candidate pairs from 5000 docs at sf0.1) onto 1-3
+    # tasks. AQE sizes partitions by shuffle bytes and cannot see that cost;
+    # the explicit fan-out is the documented device for explode-heavy small
+    # frames. Measured: q_dedup_near_jaccard 20.2s -> ~6s warm at sf0.1.
+    # At 100 TB the aggregate output is already thousands of partitions and
+    # this round-robin repartition to total-core-count would SHRINK it, so
+    # it stays correct but the checkpoint would be re-tuned; candidate
+    # volume there is rare-token-driven (see above) and per-partition work
+    # stays bounded either way.
     toks = (
-        dtok.join(df_tab, "tok")
-        .groupBy("doc_id")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st")
-        )
-        .select(
-            "doc_id",
-            F.expr("transform(st, x -> x.tok)").alias("ts"),
-            F.expr("transform(st, x -> xxhash64(x.tok))").alias("hs"),
+        fan_out(
+            dtok.join(df_tab, "tok")
+            .groupBy("doc_id")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st")
+            )
+            .select(
+                "doc_id",
+                F.expr("transform(st, x -> x.tok)").alias("ts"),
+                F.expr("transform(st, x -> xxhash64(x.tok))").alias("hs"),
+            )
         )
         .localCheckpoint(eager=False)
     )
