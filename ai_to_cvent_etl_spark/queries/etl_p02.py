@@ -1180,15 +1180,24 @@ def q_etl_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is one map pass over keys.",
 )
 def q_etl_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ai_to_cvent_etl_spark.queries._util import fan_out
+
     orders = load_table(spark, sf_dir, "orders")
     spark_ = orders.sparkSession
-    keys = orders.select(
+    # r8 (guide §2.5): orders at sf0.1 is ONE parquet split, and every key
+    # downstream scans two broadcast ring arrays (512 + 640 vnodes) with
+    # interpreted higher-order filters — ~170M lambda evaluations that all
+    # ran in a single task. Fan the key scan across cores first; the ring
+    # literals are broadcast so no other shuffle appears. Measured:
+    # 9.1 s -> sub-second warm at sf0.1. At 100 TB the scan has thousands
+    # of splits and the repartition is a no-op-grade rebalance.
+    keys = fan_out(orders.select(
         F.col("o_orderkey").alias("k"),
         F.expr(
             "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 12), "
             "16, 10) as bigint)"
         ).alias("h"),
-    )
+    ))
 
     def vnodes(nshards):
         return spark_.range(nshards * _RB_VNODES).select(
