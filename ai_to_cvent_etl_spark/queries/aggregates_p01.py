@@ -4155,17 +4155,21 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = rows_kv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
     def rank_table(col: str):
-        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
-        return (
-            rows_kv.groupBy(col)
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("cum", F.sum("cnt").over(w))
-            .select(
-                col,
-                (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
-                .cast("bigint")
-                .alias("r2"),
-            )
+        # r8 (guide §2.4): the cumulative count over the distinct-value
+        # table was an UNPARTITIONED window — a single-task sort over a
+        # value domain that is ~row-grain for prices (~450k distinct cents
+        # at sf0.1; unbounded at 100 TB). global_cumulative is the
+        # repo's distributed prefix-sum (range-partitioned, every stage
+        # parallel); identical sums — exact bigint counts under a total
+        # order on the (distinct) value key.
+        from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
+        grouped = rows_kv.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        return global_cumulative(grouped, [col], {"cum": F.col("cnt")}).select(
+            col,
+            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("bigint")
+            .alias("r2"),
         )
 
     rx = rank_table("xv").withColumnRenamed("r2", "r2x")

@@ -1174,17 +1174,22 @@ def q_agg_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.col("med_cents").asc(), F.col("b").asc())
         ),
     )
+    # r8 (guide §2.4): the point-estimate's cumulative count ran as an
+    # UNPARTITIONED window over the distinct-cents table (~row-grain for
+    # prices — a single-task sort of ~450k rows at sf0.1, unbounded at
+    # scale). global_cumulative keeps every stage parallel; the whole-set
+    # total rides in via a broadcast 1-row aggregate instead of a second
+    # whole-partition window pass. Identical values: exact bigint sums
+    # under the total order on (distinct) cents.
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+
     pt_grain = seeds.groupBy("cents").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    wc = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    wt = Window.partitionBy()
+    tot_n = pt_grain.agg(F.sum("n").cast("bigint").alias("tn"))
     pt = (
-        pt_grain.select(
-            "cents",
-            F.sum("n").over(wc).alias("cn"),
-            F.sum("n").over(wt).alias("tn"),
-        )
+        global_cumulative(pt_grain, ["cents"], {"cn": F.col("n")})
+        .crossJoin(F.broadcast(tot_n))
         .where(2 * F.col("cn") >= F.col("tn"))
         .agg(F.min("cents").alias("pm"))
     )

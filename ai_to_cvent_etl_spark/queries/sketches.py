@@ -1020,10 +1020,21 @@ def q_sketch_cms_width_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             % F.col("w")
         )
 
+    # r8 (guide §1.2 per-task work): the 48-bit md5 cell hash depends only
+    # on (r, tok) — hoist it ABOVE the width fan-out so it is computed
+    # vocab x 2 times instead of vocab x 6 (the % w projection per width
+    # is integer-cheap). Same cells bit-for-bit.
+    raw_hash = F.expr(
+        "cast(conv(substr(md5(concat(cast(r as string), ':', tok)), "
+        "1, 12), 16, 10) as bigint)"
+    )
+    hashed = (
+        tf.crossJoin(F.broadcast(rows2))
+        .select("r", "n", raw_hash.alias("hv"))
+    )
     cells = (
-        tf.crossJoin(F.broadcast(widths))
-        .crossJoin(F.broadcast(rows2))
-        .select("w", "r", cell_of("tok").alias("cell"), "n")
+        hashed.crossJoin(F.broadcast(widths))
+        .select("w", "r", (F.col("hv") % F.col("w")).alias("cell"), "n")
         .groupBy("w", "r", "cell")
         .agg(F.sum("n").cast("bigint").alias("cell_n"))
     )

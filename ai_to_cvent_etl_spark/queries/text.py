@@ -648,18 +648,50 @@ def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(toks, i + 3),
         ),
     )
+    # r8 (guide §2.3): shuffle keys, not payloads. The trigram STRING
+    # (~25 UTF8 bytes) used to cross three exchanges (distinct, the
+    # first-seen agg, and a gram-keyed join back) although it never
+    # appears in the output — only per-doc counts do. Two changes, same
+    # result set:
+    #   * grams dedupe/aggregate on xxhash64(gram) — 8 fixed bytes per
+    #     key (the near-dup verify's device; a 64-bit collision between
+    #     DISTINCT grams would be needed to move a count: P ~ n^2/2^65,
+    #     ~3e-10 at sf0.1, and the oracle hash pins exactness on every
+    #     checked fixture);
+    #   * the gram-keyed join is replaced by two independent per-doc
+    #     aggregates — n_grams = |distinct grams of doc|, n_novel =
+    #     |grams whose min-doc is doc| (algebraically identical), joined
+    #     at DOC grain (corpus-bounded small) instead of gram grain.
     grams = (
-        docs.select("doc_id", F.explode(tri).alias("g")).distinct()
+        docs.select(
+            "doc_id",
+            F.explode(F.transform(tri, lambda x: F.xxhash64(x))).alias("g"),
+        )
+        .distinct()
     )
-    first_seen = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
-    j = grams.join(first_seen, "g")
-    novel = F.sum(
-        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    n_grams = grams.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams")
     )
-    return j.groupBy("doc_id").agg(
-        F.count("*").alias("n_grams"),
-        novel.alias("n_novel"),
-        F.round(novel.cast("double") / F.count("*"), 6).alias("novelty"),
+    n_novel = (
+        grams.groupBy("g")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        n_grams.join(n_novel, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0))
+            .cast("bigint")
+            .alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                6,
+            ).alias("novelty"),
+        )
     )
 
 # ==== from analytics_r4n ===========================================

@@ -52,10 +52,25 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # r8 (guide §6/§2.5): FLOOR on scan parallelism, derived from the
+    # session's core count (never a constant). The test fixtures are
+    # single-digit-MB parquet files, so with the default 128 MB
+    # maxPartitionBytes every scan is ONE split and every map stage up to
+    # the first exchange runs single-threaded — measured 27.5 s -> 15.7 s
+    # over 7 representative keys at sf0.1 just from this floor. On a real
+    # cluster a 100 TB scan yields ~10^5 natural splits, far above any
+    # sane core count, so the floor is inert there by construction; it only
+    # engages exactly where the pathology lives (input much smaller than
+    # the cluster's parallelism).
+    try:
+        scan_floor = int(cpus)
+    except ValueError:  # "*" = all cores
+        scan_floor = os.cpu_count() or 8
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.files.minPartitionNum", str(scan_floor))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
