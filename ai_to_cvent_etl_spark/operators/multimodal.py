@@ -145,11 +145,19 @@ def sample_frame_bytes(with_payload: DataFrame) -> DataFrame:
 
 def _byte_histogram(payload: bytes) -> list[int]:
     """Deterministic fake 'feature extractor': 8-bucket byte-value histogram.
-    Stands in for an embedding model; same shape (fixed-length vector)."""
-    counts = [0] * N_FEATURE_BUCKETS
-    for b in payload:
-        counts[b // 32] += 1
-    return counts
+    Stands in for an embedding model; same shape (fixed-length vector).
+    r8 (guide §4.2): vectorized — np.bincount over the byte array instead
+    of a per-byte Python loop (b // 32 == b >> 5; identical counts)."""
+    import numpy as np
+
+    return (
+        np.bincount(
+            np.frombuffer(payload, dtype=np.uint8) >> 5,
+            minlength=N_FEATURE_BUCKETS,
+        )
+        .astype(int)
+        .tolist()
+    )
 
 
 def extract_features(
@@ -214,6 +222,8 @@ def cdc_chunk_bytes(with_payload: DataFrame) -> DataFrame:
     """
     import hashlib
 
+    import numpy as np
+
     pows = [CDC_BASE**j for j in range(CDC_WINDOW)]
 
     def _chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,15 +242,26 @@ def cdc_chunk_bytes(with_payload: DataFrame) -> DataFrame:
                 n = len(data)
                 if n == 0:
                     continue
-                bounds = [
-                    i
-                    for i in range(CDC_WINDOW, n)  # i = 1-based window end
-                    if sum(
-                        data[i - 1 - j] * pows[j] for j in range(CDC_WINDOW)
+                # r8 (guide §4.2): the boundary scan was a per-byte Python
+                # loop with an inner 8-term sum — O(8n) interpreted ops per
+                # payload. Vectorized: 8 shifted int64 multiply-adds over
+                # the whole byte array (same polynomial, same modulus; max
+                # value 8*255*33^7 ≈ 8.7e13 << 2^63, so int64 arithmetic is
+                # exact and boundaries are bit-identical — pinned by the
+                # unchanged oracle hash).
+                if n > CDC_WINDOW:
+                    arr = np.frombuffer(data, dtype=np.uint8).astype(np.int64)
+                    s = np.zeros(n - CDC_WINDOW, dtype=np.int64)
+                    # window ENDING at 0-based pos i-1 for 1-based i in
+                    # [CDC_WINDOW, n): byte j-back is arr[i-1-j]
+                    for j in range(CDC_WINDOW):
+                        s += arr[CDC_WINDOW - 1 - j : n - 1 - j] * pows[j]
+                    bounds = (
+                        (np.nonzero(s % CDC_MASK_MOD == 0)[0] + CDC_WINDOW)
+                        .tolist()
                     )
-                    % CDC_MASK_MOD
-                    == 0
-                ]
+                else:
+                    bounds = []
                 starts = [1] + [b + 1 for b in bounds]
                 ends = bounds + [n]
                 for k, (s, e) in enumerate(zip(starts, ends)):

@@ -635,8 +635,14 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "accumulating state (ST5's dedup shape over grams).",
 )
 def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
+    # r8 (guide §1.2): pre-split tokenization into its own projection so
+    # the trigram lambda references a computed column instead of
+    # re-splitting text per element (HOF lambda bodies are not
+    # loop-invariant-hoisted). Same trigrams.
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("sp")
+    )
+    toks = F.col("sp")
     tri = F.transform(
         # greatest(...,0): docs shorter than 3 tokens have no trigrams
         # (negative slice length is an ANSI runtime error)

@@ -71,6 +71,26 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.files.minPartitionNum", str(scan_floor))
+        # r8 (guide §7.2, duplicated-subtree check): InferFiltersFromGenerate
+        # synthesizes `size(arr) > 0 AND isnotnull(arr)` above every
+        # explode and pushes it below the projection that BUILDS arr,
+        # inlining the whole array expression into the filter — evaluated
+        # twice there plus once in the project. This engine's exploded
+        # arrays are built by higher-order functions (transform/filter
+        # lambdas: shingles, minhash band keys, prefix slices) that run
+        # INTERPRETED, so the duplication tripled the dominant cost of
+        # every explode-of-computed-array plan (q_text_contamination
+        # 3.97 -> 1.02 s, q_text_boilerplate_ngrams 6.52 -> 1.50 s warm at
+        # sf0.1). The rule only adds redundant row-pruning (Generate
+        # drops empty arrays in the same stage anyway); excluding it never
+        # changes results, and plans that NEED early pruning state an
+        # explicit .where. Scale-neutral: the trade (2 extra interpreted
+        # evaluations vs skipping already-cheap empty rows) is the same at
+        # any data size.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

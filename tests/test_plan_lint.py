@@ -52,6 +52,10 @@ R3_EXEMPT = {
     "q_agg_basket_lift": "pair/item/total supports: 3 aggs + small joins",
     "q_agg_borda_copeland": "per-month ranks then pairwise tallies over |nations| rows",
     "q_agg_conformal_interval": "3 splits x (median/quantile/coverage) over disjoint slices",
+    "q_agg_bootstrap_median": "two-phase distributed median (histogram + "
+    "straddling-bucket refine) + r8's distributed prefix-sum point "
+    "estimate: every exchange is over a post-aggregation value/bucket/"
+    "replica-grain relation, never the raw corpus",
     "q_agg_crps_empirical": "two prefix-sum passes (2 shuffles each) + obs walk",
     "q_agg_gpd_pwm": "two global ranks (2 shuffles each) + moment agg",
     "q_agg_gk_lambda": "per-row/col modes + grand mode: 4 tiny aggs",
