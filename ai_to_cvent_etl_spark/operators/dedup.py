@@ -132,11 +132,27 @@ def near_dup_pairs(docs: DataFrame, threshold: float) -> DataFrame:
         F.col("hs").alias("hs_b"),
         F.size("ts").alias("sz_b"),
     )
+    # r8 (guide §7.2 duplicated-subtree): same device as D1's verify — the
+    # jaccard filter would otherwise push into the attach join as a
+    # residual and evaluate array_intersect once per candidate there plus
+    # once per survivor in the project. A filter on a generator OUTPUT
+    # column cannot cross the Generate, so the one-element explode pins
+    # exactly one intersect per candidate pair. Deterministic.
     verified = (
         cand.join(ta, "doc_lo")
         .join(tb, "doc_hi")
-        .withColumn(
-            "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))).cast("double")
+        .select(
+            "doc_lo",
+            "doc_hi",
+            "sz_a",
+            "sz_b",
+            F.explode(
+                F.array(
+                    F.size(
+                        F.array_intersect(F.col("hs_a"), F.col("hs_b"))
+                    ).cast("double")
+                )
+            ).alias("i"),
         )
     )
     jac = F.col("i") / (F.col("sz_a") + F.col("sz_b") - F.col("i"))

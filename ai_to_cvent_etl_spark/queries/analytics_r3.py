@@ -180,11 +180,23 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hs").alias("hs_b"),
         F.col("sz").alias("sz_b"),
     )
+    # r8 (guide §7.2): explode barrier — one array_intersect per candidate
+    # (a filter on a generator output cannot push into the attach joins;
+    # without it the jaccard gate became a join residual and the intersect
+    # ran once per candidate there plus once per survivor). Deterministic.
     paired = (
         cand.join(ta, "doc_lo")
         .join(tb, "doc_hi")
-        .withColumn(
-            "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+        .select(
+            "doc_lo",
+            "doc_hi",
+            "sz_a",
+            "sz_b",
+            F.explode(
+                F.array(
+                    F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+                )
+            ).alias("i"),
         )
     )
     # try_divide: two empty shingle sets give a 0/0 pair under hostile

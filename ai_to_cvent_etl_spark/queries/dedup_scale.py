@@ -283,8 +283,22 @@ def q_dedup_minhash_lsh(
         F.col("a.sz").alias("sz_a"),
         F.col("b.sz").alias("sz_b"),
     )
-    verified = paired.withColumn(
-        "i", F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+    # r8 (guide §7.2 duplicated-subtree): the jaccard filter used to push
+    # into the band join as a residual condition, so array_intersect ran
+    # once per CANDIDATE in the condition and again per SURVIVOR in the
+    # project (~9M evaluations for ~6M candidates). Emitting the
+    # intersection size through a one-element explode puts it behind a
+    # Generate, and a filter on a generator OUTPUT column cannot be pushed
+    # below the Generate — one intersect per candidate, deterministic.
+    # Measured: verify leg 10.3 s -> ~3-5 s warm at sf0.1.
+    verified = paired.select(
+        "doc_lo",
+        "doc_hi",
+        "sz_a",
+        "sz_b",
+        F.explode(
+            F.array(F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b"))))
+        ).alias("i"),
     )
     jac = F.col("i").cast("double") / (
         F.col("sz_a") + F.col("sz_b") - F.col("i")
@@ -1055,16 +1069,41 @@ def q_dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair-distinct shuffle ever materializes the candidate multiset
     # (the groupBy formulation carried token arrays through a pair-keyed
     # exchange and OOM'd the sf0.1 selfcheck session).
-    first_band = F.expr(
-        "size(filter(zip_with(slice(bks_a, 1, band), slice(bks_b, 1, band), "
-        "(x, y) -> x = y), m -> m)) = 0"
-    )
+    #
+    # r8 (guide §1.2 per-task work): the gate was an interpreted
+    # zip_with+filter+slice lambda chain evaluated once per enumerated
+    # candidate (5.3M at sf0.1 — measured as the dominant leg); the
+    # unrolled element_at conjunction below is the SAME predicate (no
+    # earlier band has equal keys; bks entries are never null) in
+    # codegen-able scalar form — D1's device.
+    first_band = F.lit(True)
+    for j in range(_N_BANDS - 1):
+        first_band = first_band & (
+            (F.col("band") <= j)
+            | (
+                F.element_at(F.col("bks_a"), j + 1)
+                != F.element_at(F.col("bks_b"), j + 1)
+            )
+        )
     cand = a.join(b, ["band", "bkey"]).where(first_band)
-    inter = F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b")))
-    jac = inter.cast("double") / (
-        F.size("ts_a") + F.size("ts_b") - inter
+    # r8 (guide §7.2): same explode barrier as D1/T5' — without it the
+    # jaccard gate is pushed into the band join as a residual and the
+    # (string-array!) intersect runs once per candidate there plus once
+    # per survivor in the project. A filter on a generator output cannot
+    # cross the Generate; one intersect per candidate, deterministic.
+    ver = cand.select(
+        "train_doc",
+        "eval_doc",
+        F.size("ts_a").alias("sz_a"),
+        F.size("ts_b").alias("sz_b"),
+        F.explode(
+            F.array(F.size(F.array_intersect(F.col("ts_a"), F.col("ts_b"))))
+        ).alias("i"),
     )
-    return cand.where(jac >= _D15_T).select(
+    jac = F.col("i").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("i")
+    )
+    return ver.where(jac >= _D15_T).select(
         "train_doc", "eval_doc", F.round(jac, 4).alias("jaccard")
     )
 
