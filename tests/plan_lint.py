@@ -17,6 +17,15 @@ must satisfy regardless of which wave added it:
   R3  shuffle budget: at most MAX_EXCHANGES data exchanges
       (hash/range/single-partition) per plan — a wave that composes its way
       past that has a stage-graph problem a driver would feel at 100 TB.
+  R5  (r9, VERDICT r8 item 7) explode-of-SOURCE-column pruning: the session
+      excludes InferFiltersFromGenerate (it inlines computed-array HOF
+      expressions into synthesized filters — the r8 double-eval fix), which
+      also suppresses the `isnotnull(arr)` the rule would have pushed to the
+      parquet scan when the exploded array is a DIRECT scan column. Every
+      Generate over a bare scan-column attribute must therefore see an
+      explicit IsNotNull(col) in that scan's PushedFilters (io.py's
+      ingestion guards provide it for embeddings) — machine-proof that the
+      exclusion is row-pruning-neutral across the registry.
 
 Per-key exemptions live in tests/test_plan_lint.py WITH one-line
 justifications; this module is policy-free parsing + rules.
@@ -108,6 +117,43 @@ def _walk(node: Node):
 MAX_EXCHANGES = 8
 
 
+# R5: `Generate explode(col#12)` / posexplode over a BARE attribute. A
+# computed array (explode(transform(...)), explode(split(...))) is out of
+# scope: its synthesized filter could never reach the scan anyway, so the
+# rule exclusion is pruning-neutral there by construction.
+_GENERATE_BARE_RE = re.compile(
+    r"Generate (?:pos)?explode(?:_outer)?\(([A-Za-z_][A-Za-z0-9_]*)#\d+\)"
+)
+_PUSHED_RE = re.compile(r"PushedFilters: \[([^\]]*)\]")
+
+
+def _scan_columns(text: str) -> set[str]:
+    """Column base names a FileScan outputs (the bracketed list after
+    'FileScan parquet')."""
+    m = re.search(r"FileScan[^\[]*\[([^\]]*)\]", text)
+    return set(_BASENAME_RE.findall(m.group(1))) if m else set()
+
+
+def _r5_check(node: Node) -> list[str]:
+    """For a Generate over a bare attribute, find FileScans beneath that
+    output the attribute; each must push IsNotNull(attr)."""
+    m = _GENERATE_BARE_RE.search(node.text)
+    if not m:
+        return []
+    col = m.group(1)
+    out: list[str] = []
+    for n in _walk(node):
+        if not n.op.startswith("FileScan"):
+            continue
+        if col not in _scan_columns(n.text):
+            continue
+        pm = _PUSHED_RE.search(n.text)
+        pushed = pm.group(1) if pm else ""
+        if f"IsNotNull({col})" not in pushed:
+            out.append(f"R5:unpruned-explode-of-scan-column={col}")
+    return out
+
+
 _KEYS_RE = re.compile(r"keys=\[([^\]]*)\]")
 # strip '#123L' exprId suffixes and cast/alias wrappers to the base name
 _BASENAME_RE = re.compile(r"([A-Za-z_][A-Za-z0-9_]*)#\d+")
@@ -172,6 +218,8 @@ def lint_plan(plan: str) -> list[str]:
             elif "hashpartitioning" in node.text or "rangepartitioning" in node.text:
                 n_exchanges += 1
             # round-robin re-spreads are free repartitions, not data shuffles
+        if node.op == "Generate":
+            violations.extend(_r5_check(node))
         if node.op == "Window" and _window_is_unpartitioned(node.text):
             # R4 (r8, VERDICT r7 item 5): an UNPARTITIONED window is only
             # scale-safe when its input collapsed to a bounded grain first

@@ -169,3 +169,37 @@ def test_approx_distinct_golden_values(spark, registry):
     assert got == [("F", 146), ("O", 150), ("P", 146)], got
     got01 = sorted(map(tuple, build(spark, "/root/testdata/sf0.01").collect()))
     assert got01 == [("F", 1361), ("O", 1369), ("P", 1367)], got01
+
+
+def test_novelty_hash_key_collision_bound(spark):
+    """q_text_novelty keys grams on xxhash64 (SCALE.md Text/LLM ops): the
+    rewrite is w.h.p.-exact, and the documented birthday bound must hold —
+    expected colliding pairs n^2/2^65 stays below 1e-6 through sf10-scale
+    gram inventories (so a collision-moved count is effectively impossible
+    at any driver SF), and the fixture's distinct-gram count actually is
+    the regime the doc claims. Arithmetic + fixture assertion, no Spark
+    shuffle beyond one distinct-count."""
+    from pyspark.sql import functions as F
+
+    from ai_to_cvent_etl_spark.io import load_table
+
+    docs = load_table(spark, SF0001, "documents").select(
+        F.split("text", " ").alias("sp")
+    )
+    toks = F.col("sp")
+    tri = F.transform(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda x, i: F.concat_ws(
+            " ", x, F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    n_distinct_grams = (
+        docs.select(F.explode(tri).alias("g")).distinct().count()
+    )
+    assert n_distinct_grams > 0
+    # the fixture sits ~9 orders of magnitude below the collision regime
+    expected_colliding_pairs = n_distinct_grams**2 / 2.0**65
+    assert expected_colliding_pairs < 1e-6
+    # the documented widen-the-key threshold: expectation reaches 1 only
+    # near n = 6e9 distinct grams
+    assert (6e9**2) / 2.0**65 > 0.97

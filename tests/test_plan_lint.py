@@ -216,3 +216,18 @@ def test_r4_enforced_family_members_flagged(spark, registry):
         assert r4, f"{key}: no unpartitioned window found — stale entry?"
         bad = [v for v in r4 if not _r4_ok(v)]
         assert not bad, f"{key}: {bad}"
+
+
+def test_r5_fires_on_unpruned_scan_explode():
+    """R5 must detect a Generate over a bare scan column whose scan lost
+    the IsNotNull pushdown (what InferFiltersFromGenerate used to add) —
+    exercised on a synthetic plan so the rule is provably not vacuous."""
+    bad = """AdaptiveSparkPlan isFinalPlan=false
++- Generate explode(embedding#1), [vec_id#0L], false, [e#9]
+   +- FileScan parquet [vec_id#0L,embedding#1] Batched: false, PushedFilters: [], ReadSchema: struct<vec_id:bigint,embedding:array<float>>
+"""
+    assert "R5:unpruned-explode-of-scan-column=embedding" in lint_plan(bad)
+    good = bad.replace(
+        "PushedFilters: []", "PushedFilters: [IsNotNull(embedding)]"
+    )
+    assert not [v for v in lint_plan(good) if v.startswith("R5")]
