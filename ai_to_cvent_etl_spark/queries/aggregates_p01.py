@@ -3830,51 +3830,62 @@ def q_agg_delta_method_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    def arm_moments(a: int):
-        f = u.filter(F.col("arm") == a)
-        return f.agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"m{a}"),
-            F.sum("y").cast("bigint").alias(f"sy{a}"),
-            F.sum("n").cast("bigint").alias(f"sn{a}"),
-            F.sum(F.col("y") * F.col("y")).cast("bigint").alias(f"syy{a}"),
-            F.sum(F.col("n") * F.col("n")).cast("bigint").alias(f"snn{a}"),
-            F.sum(F.col("y") * F.col("n")).cast("bigint").alias(f"syn{a}"),
-        )
+    # r9 (VERDICT r8 item 1 + guide §2.4): the two per-arm aggregates ran
+    # as separate filtered aggregations crossJoined back together — two
+    # aggregation passes over the per-user frame plus a join stage. One
+    # CASE-pivoted aggregate computes all 12 moments in a single pass
+    # (disjoint-subset integer sums — identical values; count ->
+    # count_if, null-preserving CASE sums match the filtered sums on the
+    # nonempty arms the md5 split guarantees). Expressions built as SQL
+    # strings per the r9 batched-construction rewrite.
+    aggs = []
+    for a in (0, 1):
+        aggs += [
+            f"cast(count_if(arm = {a}) as bigint) as m{a}",
+            f"cast(sum(case when arm = {a} then y end) as bigint) as sy{a}",
+            f"cast(sum(case when arm = {a} then n end) as bigint) as sn{a}",
+            f"cast(sum(case when arm = {a} then y * y end) as bigint)"
+            f" as syy{a}",
+            f"cast(sum(case when arm = {a} then n * n end) as bigint)"
+            f" as snn{a}",
+            f"cast(sum(case when arm = {a} then y * n end) as bigint)"
+            f" as syn{a}",
+        ]
+    d = u.agg(*[F.expr(a) for a in aggs])
 
-    d = arm_moments(0).crossJoin(arm_moments(1))
+    def ratio(a: int) -> str:
+        return f"(cast(sy{a} as double) / sn{a})"
 
-    def ratio(a: int):
-        return F.col(f"sy{a}").cast("double") / F.col(f"sn{a}")
-
-    def var(a: int):
-        m = F.col(f"m{a}")
+    def var(a: int) -> str:
         r = ratio(a)
-        cyy = m * F.col(f"syy{a}").cast("double") - F.col(
-            f"sy{a}"
-        ).cast("double") * F.col(f"sy{a}")
-        cnn = m * F.col(f"snn{a}").cast("double") - F.col(
-            f"sn{a}"
-        ).cast("double") * F.col(f"sn{a}")
-        cyn = m * F.col(f"syn{a}").cast("double") - F.col(
-            f"sy{a}"
-        ).cast("double") * F.col(f"sn{a}")
-        nbar = F.col(f"sn{a}").cast("double") / m
+        cyy = (
+            f"(m{a} * cast(syy{a} as double)"
+            f" - cast(sy{a} as double) * sy{a})"
+        )
+        cnn = (
+            f"(m{a} * cast(snn{a} as double)"
+            f" - cast(sn{a} as double) * sn{a})"
+        )
+        cyn = (
+            f"(m{a} * cast(syn{a} as double)"
+            f" - cast(sy{a} as double) * sn{a})"
+        )
+        nbar = f"(cast(sn{a} as double) / m{a})"
         return (
-            (cyy - 2 * r * cyn + r * r * cnn)
-            / (m * (m - 1.0))
-            / (m * nbar * nbar)
+            f"(({cyy} - 2 * {r} * {cyn} + {r} * {r} * {cnn})"
+            f" / (m{a} * (m{a} - 1.0)) / (m{a} * {nbar} * {nbar}))"
         )
 
-    z = (ratio(1) - ratio(0)) / F.sqrt(var(0) + var(1))
-    return d.select(
+    z = f"(({ratio(1)} - {ratio(0)}) / sqrt({var(0)} + {var(1)}))"
+    return d.selectExpr(
         "m0",
         "m1",
-        F.round(ratio(0), 4).alias("ratio0_cents"),
-        F.round(ratio(1), 4).alias("ratio1_cents"),
-        F.round(F.sqrt(var(0)), 6).alias("se0"),
-        F.round(F.sqrt(var(1)), 6).alias("se1"),
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > 1.96).alias("significant"),
+        f"round({ratio(0)}, 4) as ratio0_cents",
+        f"round({ratio(1)}, 4) as ratio1_cents",
+        f"round(sqrt({var(0)}), 6) as se0",
+        f"round(sqrt({var(1)}), 6) as se1",
+        f"round({z}, 4) as z",
+        f"abs({z}) > 1.96 as significant",
     )
 
 @register(
@@ -4154,26 +4165,33 @@ def q_agg_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn = rows_kv.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
 
-    def rank_table(col: str):
-        # r8 (guide §2.4): the cumulative count over the distinct-value
-        # table was an UNPARTITIONED window — a single-task sort over a
-        # value domain that is ~row-grain for prices (~450k distinct cents
-        # at sf0.1; unbounded at 100 TB). global_cumulative is the
-        # repo's distributed prefix-sum (range-partitioned, every stage
-        # parallel); identical sums — exact bigint counts under a total
-        # order on the (distinct) value key.
-        from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
+    # r8 (guide §2.4): the cumulative counts over the distinct-value
+    # tables were UNPARTITIONED windows — single-task sorts over a value
+    # domain that is ~row-grain for prices (~450k distinct cents at
+    # sf0.1; unbounded at 100 TB). global_cumulative is the repo's
+    # distributed prefix-sum (range-partitioned, every stage parallel).
+    # r9 (VERDICT r8 item 3): BOTH rank axes now share ONE pass — rows
+    # explode into (axis, value) pairs, one groupBy(axis, value), one
+    # range partition, with the cumulative resetting per axis
+    # (reset_cols) — instead of two separate groupBy + range pipelines.
+    # Same bytes shuffled, half the stages. Values are identical: the
+    # per-axis cumulative counts are the same exact bigint sums; the
+    # value key rides as double (exact for quantities and cents < 2^53,
+    # the same widening the join-back coercion applied before).
+    from ai_to_cvent_etl_spark.operators.ranking import global_cumulative
 
-        grouped = rows_kv.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-        return global_cumulative(grouped, [col], {"cum": F.col("cnt")}).select(
-            col,
-            (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
-            .cast("bigint")
-            .alias("r2"),
-        )
-
-    rx = rank_table("xv").withColumnRenamed("r2", "r2x")
-    ry = rank_table("yv").withColumnRenamed("r2", "r2y")
+    tagged = rows_kv.selectExpr(
+        "explode(array(named_struct('ax', 0, 'val', cast(xv as double)),"
+        " named_struct('ax', 1, 'val', cast(yv as double)))) as e"
+    ).selectExpr("e.ax as ax", "e.val as val")
+    grouped = tagged.groupBy("ax", "val").agg(F.expr("count(1) as cnt"))
+    r2 = global_cumulative(
+        grouped, ["val"], {"cum": F.col("cnt")}, reset_cols=["ax"]
+    ).selectExpr(
+        "ax", "val", "cast(2 * (cum - cnt) + cnt + 1 as bigint) as r2"
+    )
+    rx = r2.where("ax = 0").selectExpr("val as xv", "r2 as r2x")
+    ry = r2.where("ax = 1").selectExpr("val as yv", "r2 as r2y")
     q = (
         rows_kv.join(rx, "xv")
         .join(ry, "yv")
@@ -4389,42 +4407,33 @@ def q_agg_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 100"
         ).alias("v"),
     )
-    piv = rows_kv.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        *[
-            agg
-            for i, p in enumerate(_KW_PRIORITIES)
-            for agg in (
-                F.sum(F.when(F.col("grp") == p, 1).otherwise(0))
-                .cast("bigint")
-                .alias(f"n_{i}"),
-                F.sum(F.when(F.col("grp") == p, F.col("v")).otherwise(0))
-                .cast("bigint")
-                .alias(f"s_{i}"),
-            )
-        ],
-        F.sum("v").cast("bigint").alias("s_all"),
-        F.sum(F.col("v") * F.col("v")).cast("bigint").alias("q_all"),
+    # r9 (VERDICT r8 item 1): batched-string expression construction —
+    # same expressions/aliases, identical plan and results.
+    aggs = ["cast(count(1) as bigint) as n"]
+    for i, p in enumerate(_KW_PRIORITIES):
+        aggs += [
+            f"cast(sum(case when grp = '{p}' then 1 else 0 end)"
+            f" as bigint) as n_{i}",
+            f"cast(sum(case when grp = '{p}' then v else 0 end)"
+            f" as bigint) as s_{i}",
+        ]
+    aggs += [
+        "cast(sum(v) as bigint) as s_all",
+        "cast(sum(v * v) as bigint) as q_all",
+    ]
+    piv = rows_kv.agg(*[F.expr(a) for a in aggs])
+    ssb_terms = " + ".join(
+        f"cast(s_{i} as double) * s_{i} / n_{i}" for i in range(5)
     )
-    ssb_terms = None
-    for i in range(5):
-        t_i = (
-            F.col(f"s_{i}").cast("double")
-            * F.col(f"s_{i}")
-            / F.col(f"n_{i}")
-        )
-        ssb_terms = t_i if ssb_terms is None else ssb_terms + t_i
-    grand = F.col("s_all").cast("double") * F.col("s_all") / F.col("n")
-    ssb = ssb_terms - grand
-    sst = F.col("q_all").cast("double") - grand
-    return piv.select(
+    grand = "(cast(s_all as double) * s_all / n)"
+    ssb = f"(({ssb_terms}) - {grand})"
+    sst = f"(cast(q_all as double) - {grand})"
+    return piv.selectExpr(
         "n",
-        F.lit(4).cast("int").alias("df_between"),
-        (F.col("n") - 5).alias("df_within"),
-        F.round((ssb / 4) / ((sst - ssb) / (F.col("n") - 5)), 4).alias(
-            "f_stat"
-        ),
-        F.round(ssb / sst, 6).alias("eta_sq"),
+        "cast(4 as int) as df_between",
+        "n - 5 as df_within",
+        f"round(({ssb} / 4) / (({sst} - {ssb}) / (n - 5)), 4) as f_stat",
+        f"round({ssb} / {sst}, 6) as eta_sq",
     )
 
 @register(

@@ -3079,69 +3079,79 @@ def q_graph_percolation_profile(
         F.sum("cents").cast("bigint").alias("t"),
         F.count(F.lit(1)).cast("bigint").alias("np"),
     )
-    outs = []
-    for k in _PERC_MULTS:
-        kept = (
-            flow.crossJoin(F.broadcast(tot))
-            .where(F.col("cents") * F.col("np") > k * F.col("t"))
-            .select("lo", "hi")
-        )
-        sym = kept.select(
-            F.col("lo").alias("src"), F.col("hi").alias("dst")
-        ).unionAll(
-            kept.select(
-                F.col("hi").alias("src"), F.col("lo").alias("dst")
+    # r9 (VERDICT r8 item 5, guide §2): the three percolation thresholds
+    # ran THREE separate 5-round pointer-doubling closures — 15
+    # checkpointed round materializations over <=625-row nation-grain
+    # frames, all driver-side stage/planning latency. The thresholds now
+    # ride as a k column (each edge explodes into the thresholds it
+    # survives), so ONE 5-round closure — joins keyed (k, dst=src) —
+    # closes all three subgraphs simultaneously, and the per-threshold
+    # aggregates collapse into grouped aggregation by k. Identical
+    # per-threshold results: the k key partitions every join/distinct
+    # exactly as the separate loops did; an emptied threshold simply has
+    # no k-group, which is the oracle's GROUP BY semantics directly
+    # (the old formulation filtered out its NULL global-agg row to match).
+    mults_sql = ",".join(str(k) for k in _PERC_MULTS)
+    kept = (
+        flow.crossJoin(F.broadcast(tot))
+        .selectExpr(f"explode(array({mults_sql})) as k", "lo", "hi",
+                    "cents", "np", "t")
+        .where(F.col("cents") * F.col("np") > F.col("k") * F.col("t"))
+        .select("k", "lo", "hi")
+    )
+    sym = kept.select(
+        "k", F.col("lo").alias("src"), F.col("hi").alias("dst")
+    ).unionAll(
+        kept.select("k", F.col("hi").alias("src"), F.col("lo").alias("dst"))
+    )
+    nodes = sym.select("k", F.col("src").alias("v")).distinct()
+    # pointer-doubling closure: reach_0 = self + edges; square 5x
+    reach = nodes.select(
+        "k", F.col("v").alias("src"), F.col("v").alias("dst")
+    ).unionAll(sym).distinct()
+    for _ in range(5):
+        # r9: the checkpointed RDD carries no size stats, so Catalyst
+        # planned every squaring join as sort-merge (2 exchanges/round).
+        # The closure frame is nation-grain — <= |mults| * 25^2 rows at
+        # ANY scale factor (nationkey domain is fixed by schema) — so a
+        # broadcast build side is safe by construction; measured
+        # 3.74 -> 2.83 s warm, bit-identical output.
+        hop = (
+            reach.alias("a")
+            .join(
+                F.broadcast(reach.alias("b")),
+                (F.col("a.k") == F.col("b.k"))
+                & (F.col("a.dst") == F.col("b.src")),
+            )
+            .select(
+                F.col("a.k").alias("k"),
+                F.col("a.src").alias("src"),
+                F.col("b.dst").alias("dst"),
             )
         )
-        nodes = sym.select(F.col("src").alias("v")).distinct()
-        # pointer-doubling closure: reach_0 = self + edges; square 5x
-        reach = nodes.select(
-            F.col("v").alias("src"), F.col("v").alias("dst")
-        ).unionAll(sym).distinct()
-        for _ in range(5):
-            hop = (
-                reach.alias("a")
-                .join(
-                    reach.alias("b"),
-                    F.col("a.dst") == F.col("b.src"),
-                )
-                .select(
-                    F.col("a.src").alias("src"),
-                    F.col("b.dst").alias("dst"),
-                )
-            )
-            reach = reach.unionAll(hop).distinct().localCheckpoint(
-                eager=False
-            )
-        comp = reach.groupBy("src").agg(
-            F.min("dst").cast("bigint").alias("cid")
+        reach = reach.unionAll(hop).distinct().localCheckpoint(
+            eager=False
         )
-        sizes = comp.groupBy("cid").agg(
-            F.count(F.lit(1)).cast("bigint").alias("sz")
-        )
-        outs.append(
-            sizes.agg(
-                F.lit(k).cast("bigint").alias("k_mult"),
-                F.count(F.lit(1)).cast("bigint").alias("n_components"),
-                F.sum("sz").cast("bigint").alias("n_nodes"),
-                F.max("sz").cast("bigint").alias("giant_size"),
-                F.round(
-                    F.max("sz").cast("double") / F.sum("sz"), 6
-                ).alias("giant_frac"),
-            ).select(
-                "k_mult", "n_components", "n_nodes", "giant_size",
-                "giant_frac",
-            )
-            # a threshold that empties the graph yields a NULL global-agg
-            # row in Spark but NO group row in the oracle's GROUP BY k —
-            # drop it so both engines agree that the row set is "non-empty
-            # retained graphs only"
-            .where(F.col("n_nodes").isNotNull())
-        )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    comp = reach.groupBy("k", "src").agg(
+        F.min("dst").cast("bigint").alias("cid")
+    )
+    sizes = comp.groupBy("k", "cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return sizes.groupBy("k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_components"),
+        F.sum("sz").cast("bigint").alias("n_nodes"),
+        F.max("sz").cast("bigint").alias("giant_size"),
+        F.round(F.max("sz").cast("double") / F.sum("sz"), 6).alias(
+            "giant_frac"
+        ),
+    ).select(
+        F.col("k").cast("bigint").alias("k_mult"),
+        "n_components",
+        "n_nodes",
+        "giant_size",
+        "giant_frac",
+    )
 
 
 # ==== wave 192b: snowball sampling bias audit (G27) =================
@@ -3411,10 +3421,17 @@ def q_graph_global_efficiency(
         .agg(F.min("d").alias("d"))
     )
     for _ in range(5):
+        # r9: the checkpointed RDD carries no size stats -> Catalyst
+        # planned every min-plus squaring as a sort-merge join. The
+        # distance frame is nation-grain (<= 25^2 rows at ANY scale
+        # factor — the nationkey domain is fixed by schema), so the
+        # broadcast build side is safe by construction. Same device and
+        # measurement as q_graph_percolation_profile (3.74 -> 2.83 s).
         hop = (
             dist.alias("a")
             .join(
-                dist.alias("b"), F.col("a.dst") == F.col("b.src")
+                F.broadcast(dist.alias("b")),
+                F.col("a.dst") == F.col("b.src"),
             )
             .select(
                 F.col("a.src").alias("src"),

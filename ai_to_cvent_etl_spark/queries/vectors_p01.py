@@ -563,8 +563,12 @@ def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
     ).select("vec_id", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    # r9: mean is dimension-grain (64 rows at ANY scale factor — bounded
+    # by the embedding dim, not the corpus), so broadcast it explicitly;
+    # derived-stats conservatism otherwise plans a shuffle join of the
+    # exploded corpus against 64 rows.
     mean = ex.groupBy("i").agg((_qsum(F.col("x")) / F.count("*")).alias("m"))
-    cx = ex.join(mean, "i").select(
+    cx = ex.join(F.broadcast(mean), "i").select(
         "vec_id", "i", (F.col("x") - F.col("m")).alias("cx")
     )
     a, b = cx.alias("a"), cx.alias("b")
@@ -582,14 +586,21 @@ def q_vec_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = ex.select("i").distinct().select("i", F.lit(0.125).alias("x"))
     nrm = None
     for _ in range(_PCA_ROUNDS):
+        # r9: the checkpointed covariance carries no size stats, so every
+        # matvec round planned as a sort-merge join; v is dimension-grain
+        # (d rows, d=64 at any SF) — broadcast-safe by construction. Same
+        # no-stats-after-checkpoint pathology and fix as the graph
+        # closure loops (q_graph_percolation_profile).
         mv = (
-            cov.join(v.withColumnRenamed("i", "j"), "j")
+            cov.join(F.broadcast(v.withColumnRenamed("i", "j")), "j")
             .select("i", (F.col("c") * F.col("x")).alias("p"))
             .groupBy("i")
             .agg(_qsum(F.col("p")).alias("s"))
         )
         nrm = mv.agg(F.sqrt(_qsum(F.col("s") * F.col("s"))).alias("nrm"))
-        v = mv.crossJoin(nrm).select("i", (F.col("s") / F.col("nrm")).alias("x"))
+        v = mv.crossJoin(F.broadcast(nrm)).select(
+            "i", (F.col("s") / F.col("nrm")).alias("x")
+        )
     return v.crossJoin(nrm).select(
         F.col("i").cast("long").alias("dim"),
         F.round("x", 6).alias("loading"),
@@ -1473,16 +1484,21 @@ def q_vec_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         picked = sel[0]
         for s in sel[1:]:
             picked = picked.unionAll(s)
+        # r9: picked (<= K rows) and msim (<= pool rows) are bounded by
+        # the MMR constants at ANY scale factor, but ride checkpointed
+        # stat-less frames, so Catalyst planned sort-merge joins per
+        # pick. Broadcast them — safe by construction, and each greedy
+        # level loses its exchanges.
         msim = (
             sims.join(
-                picked.withColumnRenamed("vec_id", "b"), "b"
+                F.broadcast(picked.withColumnRenamed("vec_id", "b")), "b"
             )
             .groupBy("a")
             .agg(F.max("simq").alias("msimq"))
         )
         scores = (
-            pool.join(picked, "vec_id", "left_anti")
-            .join(msim, pool.vec_id == F.col("a"))
+            pool.join(F.broadcast(picked), "vec_id", "left_anti")
+            .join(F.broadcast(msim), pool.vec_id == F.col("a"))
             .select(
                 "vec_id",
                 (7 * F.col("relq") - 3 * F.col("msimq")).alias("score"),

@@ -130,3 +130,49 @@ def test_no_single_partition_exchange_in_operator_plans(spark, skewed):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert not [v for v in lint_plan(plan) if v.startswith("R2")], plan
+
+
+def test_global_cumulative_with_totals_matches_window(spark):
+    """r9 (VERDICT r8 item 3): with_totals must equal the whole-set SUM()
+    OVER () of the unpartitioned formulation, at zero extra passes."""
+    df = spark.createDataFrame(
+        [(i, i % 7 + 1) for i in range(1, 501)], "id long, w long"
+    )
+    got = global_cumulative(
+        df, ["id"], {"cw": F.col("w")}, with_totals=True
+    )
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, 0)
+    expect = df.select(
+        "id",
+        "w",
+        F.sum("w").over(w).alias("cw"),
+        F.sum("w").over(
+            Window.orderBy("id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("cw_total"),
+    )
+    assert expect.exceptAll(got.select(*expect.columns)).count() == 0
+
+
+def test_global_cumulative_reset_cols_matches_partitioned_window(spark):
+    """r9: reset_cols must equal SUM() OVER (PARTITION BY g ORDER BY id),
+    with per-group totals."""
+    df = spark.createDataFrame(
+        [(i % 3, i, i % 5 + 1) for i in range(1, 301)],
+        "g int, id long, w long",
+    )
+    got = global_cumulative(
+        df, ["id"], {"cw": F.col("w")}, with_totals=True, reset_cols=["g"]
+    )
+    wp = Window.partitionBy("g").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    expect = df.select(
+        "g",
+        "id",
+        "w",
+        F.sum("w").over(wp).alias("cw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("cw_total"),
+    )
+    assert expect.exceptAll(got.select(*expect.columns)).count() == 0
