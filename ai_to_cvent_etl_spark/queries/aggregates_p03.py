@@ -1118,19 +1118,32 @@ def q_agg_bootstrap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     # phase 1 — per-replica weight mass per coarse bucket (cents DIV
     # 1e4), A56's tiny-group map-combinable shape; find each replica's
     # straddling bucket and the cumulative mass BEFORE it.
-    drawn = seeds.select(
-        "cents",
-        "sa",
-        "sc",
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
-    ).select(
-        "b",
-        "cents",
-        F.expr("cents DIV 10000").alias("bucket"),
-        F.expr(w_expr).alias("w"),
+    # r9 (VERDICT r8 item 3, guide §2.3 aggregate-before-shuffle): the
+    # histogram pass used to EXPLODE every seed row into B=32 replica
+    # rows (19.2M generated rows at sf0.1, each paying generator + agg
+    # hash-probe overhead) before collapsing to (b, bucket). The replica
+    # axis now pivots into 32 aggregate COLUMNS over the un-exploded
+    # seeds (same 32 w-evaluations per row, zero row multiplication),
+    # and stack() unpivots the 26x32 bucket moments back to (b, bucket)
+    # grain. Identical integer sums — only the grouping route changed.
+    bucketed = seeds.select(
+        "sa", "sc", F.expr("cents DIV 10000").alias("bucket")
     )
-    hist = drawn.groupBy("b", "bucket").agg(
-        F.sum("w").cast("bigint").alias("bw")
+    hist_piv = bucketed.groupBy("bucket").agg(
+        *[
+            F.expr(
+                "cast(sum("
+                + _boot_w(f"((sa + {b} * sc) % {_POIS1_P})")
+                + f") as bigint) as bw{b}"
+            )
+            for b in range(_BOOT_B)
+        ]
+    )
+    hist = hist_piv.selectExpr(
+        "bucket",
+        f"stack({_BOOT_B}, "
+        + ", ".join(f"{b}, bw{b}" for b in range(_BOOT_B))
+        + ") as (b, bw)",
     )
     wb = Window.partitionBy("b").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, 0
@@ -1462,52 +1475,53 @@ def q_agg_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(len(cols))
         ]
     )
-    aggs = [F.count(F.lit(1)).alias("n")]
+    # r9 (VERDICT r8 item 1): batched-string expression construction —
+    # probe measured 0.89 s build vs 0.03 s exec; same expressions and
+    # aliases as SQL strings (one JVM parse each) with the 6-withColumn
+    # chain collapsed into one projection. Plan and results identical.
+    aggs = ["count(1) as n"]
     for i in range(len(cols)):
-        aggs.append(F.sum(f"q{i}").alias(f"s{i}"))
+        aggs.append(f"sum(q{i}) as s{i}")
         for j in range(i, len(cols)):
             aggs.append(
-                F.sum(
-                    (F.col(f"q{i}") * F.col(f"q{j}")).cast(DecimalType(38, 0))
-                ).alias(f"pd{i}{j}")
+                f"sum(cast(q{i} * q{j} as decimal(38,0))) as pd{i}{j}"
             )
-    m = q.agg(*aggs)
-    for i in range(len(cols)):
-        for j in range(i, len(cols)):
-            m = m.withColumn(
-                f"p{i}{j}",
-                F.expr(
-                    f"cast(pd{i}{j} div 4294967296 as double) * 4294967296.0d"
-                    f" + cast(pd{i}{j} % 4294967296 as double)"
-                ),
-            )
-    m = m.localCheckpoint(eager=False)
+    m = q.agg(*[F.expr(a) for a in aggs]).selectExpr(
+        "*",
+        *[
+            f"cast(pd{i}{j} div 4294967296 as double) * 4294967296.0d"
+            f" + cast(pd{i}{j} % 4294967296 as double) as p{i}{j}"
+            for i in range(len(cols))
+            for j in range(i, len(cols))
+        ],
+    ).localCheckpoint(eager=False)
 
-    def r(i, j):
+    def r(i: int, j: int) -> str:
         i, j = min(i, j), max(i, j)
-        nd = F.col("n").cast("double")
-        si = F.col(f"s{i}").cast("double")
-        sj = F.col(f"s{j}").cast("double")
-        return (nd * F.col(f"p{i}{j}") - si * sj) / (
-            F.sqrt(nd * F.col(f"p{i}{i}") - si * si)
-            * F.sqrt(nd * F.col(f"p{j}{j}") - sj * sj)
+        nd, si, sj = (
+            "cast(n as double)",
+            f"cast(s{i} as double)",
+            f"cast(s{j} as double)",
+        )
+        return (
+            f"(({nd} * p{i}{j} - {si} * {sj})"
+            f" / (sqrt({nd} * p{i}{i} - {si} * {si})"
+            f" * sqrt({nd} * p{j}{j} - {sj} * {sj})))"
         )
 
     outs = []
     for x, y, z in [(0, 1, 2), (0, 2, 1), (1, 2, 0)]:
         rxy, rxz, rzy = r(x, y), r(x, z), r(z, y)
         outs.append(
-            m.select(
-                F.lit(cols[x]).alias("col_x"),
-                F.lit(cols[y]).alias("col_y"),
-                F.lit(cols[z]).alias("control"),
+            m.selectExpr(
+                f"'{cols[x]}' as col_x",
+                f"'{cols[y]}' as col_y",
+                f"'{cols[z]}' as control",
                 "n",
-                F.round(rxy, 6).alias("r_xy"),
-                F.round(
-                    (rxy - rxz * rzy)
-                    / F.sqrt((1 - rxz * rxz) * (1 - rzy * rzy)),
-                    6,
-                ).alias("r_partial"),
+                f"round({rxy}, 6) as r_xy",
+                f"round(({rxy} - {rxz} * {rzy})"
+                f" / sqrt((1 - {rxz} * {rxz}) * (1 - {rzy} * {rzy})), 6)"
+                f" as r_partial",
             )
         )
     out = outs[0]
@@ -3959,11 +3973,15 @@ def q_agg_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    wins = duels.groupBy(F.col("w").alias("brand")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("wi")
-    )
     dir_counts = duels.groupBy("w", "l").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    # r9 (guide §2.3 aggregate-before-shuffle): wins used to be a SECOND
+    # full aggregation pass over the (order x brand-pair)-sized duels
+    # frame; it is exactly the w-marginal of dir_counts (<= |brands|^2
+    # rows) — same integer counts, one duel pass instead of two.
+    wins = dir_counts.groupBy(F.col("w").alias("brand")).agg(
+        F.sum("c").cast("bigint").alias("wi")
     )
     games = (
         dir_counts.select(F.col("w").alias("brand"), "c")
@@ -4423,12 +4441,27 @@ def q_agg_weighted_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    rated = lat.select(
-        "r1",
-        F.ntile(5)
-        .over(Window.orderBy("lat_days", "o_orderkey"))
-        .cast("bigint")
-        .alias("r2"),
+    # r9 (guide §2.4): the rater-2 quintile ran as ntile(5) OVER an
+    # UNPARTITIONED window — Exchange SinglePartition + one-task sort of
+    # the whole order grain (the classic scale killer; also the measured
+    # dominant leg locally). global_row_number + ntile_from_rn is the
+    # repo's distributed equivalent (range-partitioned two-pass rank;
+    # tests pin ntile_from_rn == F.ntile for any n, k).
+    from ai_to_cvent_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    nn = lat.agg(F.count(F.lit(1)).cast("bigint").alias("nr"))
+    rated = (
+        global_row_number(lat, ["lat_days", "o_orderkey"], out_col="rn")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "r1",
+            ntile_from_rn(F.col("rn"), F.col("nr"), 5)
+            .cast("bigint")
+            .alias("r2"),
+        )
     )
     obs = rated.groupBy("r1", "r2").agg(
         F.count(F.lit(1)).cast("bigint").alias("o")

@@ -3816,59 +3816,63 @@ def q_ts_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("x").isNotNull())
         .withColumn("i", F.row_number().over(wd) - 1)
     )
-    xdec = F.col("x").cast(DecimalType(19, 0))
-    stat1 = dd.agg(
-        F.sum(xdec * xdec).alias("sq1"),
-        F.sum(xdec).alias("sm1"),
-        F.count(F.lit(1)).alias("cnt1"),
-    ).select(
-        F.col("cnt1").cast("bigint").alias("n_diffs"),
-        (
-            (
-                F.col("sq1").cast("double")
-                - F.col("sm1").cast("double")
-                * F.col("sm1").cast("double")
-                / F.col("cnt1")
-            )
-            / (F.col("cnt1") - 1)
-        ).alias("var1"),
+    # r9 (guide §2.4 fewer passes): the per-k horizon sums ran one
+    # bounded window + one aggregate PER k, crossJoined against the
+    # diff-variance aggregate — 1 + 2|K| stages unioned. The k-window
+    # sum over integer diffs equals a prefix-sum difference EXACTLY
+    # (bigint arithmetic): y_k(i) = cs(i) - cs(i-k), defined for
+    # i >= k-1 (the old COUNT(*)==k full-window condition). One window
+    # pass computes the prefix sum and every lag (one WindowExec
+    # evaluates all lag offsets over the same sort), one pivoted
+    # aggregate computes every k's moments, and inline() emits the |K|
+    # result rows from the single moment row. Day-grain bounded, same
+    # values to the bit.
+    wi = Window.orderBy("i")
+    cums = dd.select(
+        "i",
+        "x",
+        F.sum("x")
+        .over(wi.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cs"),
     )
-    out = None
+    ys = cums.select(
+        "x",
+        *[
+            F.when(
+                F.col("i") >= k - 1,
+                F.col("cs")
+                - F.coalesce(F.lag("cs", k).over(wi), F.lit(0)),
+            ).alias(f"y{k}")
+            for k in _VR_KS
+        ],
+    )
+    aggs = [
+        "sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0))) as sq1",
+        "sum(cast(x as decimal(19,0))) as sm1",
+        "count(1) as cnt1",
+    ]
     for k in _VR_KS:
-        wk = Window.orderBy("i").rowsBetween(-(k - 1), 0)
-        ks = (
-            dd.select(
-                F.sum("x").over(wk).alias("y"),
-                F.count(F.lit(1)).over(wk).alias("w"),
-            )
-            .where(F.col("w") == k)
-        )
-        ydec = F.col("y").cast(DecimalType(19, 0))
-        kstat = ks.agg(
-            F.sum(ydec * ydec).alias("sq"),
-            F.sum(ydec).alias("sm"),
-            F.count(F.lit(1)).alias("cnt"),
-        )
-        row = kstat.crossJoin(stat1).select(
-            F.lit(k).cast("bigint").alias("k"),
-            "n_diffs",
-            F.col("cnt").cast("bigint").alias("n_windows"),
-            F.round(
-                (
-                    (
-                        F.col("sq").cast("double")
-                        - F.col("sm").cast("double")
-                        * F.col("sm").cast("double")
-                        / F.col("cnt")
-                    )
-                    / (F.col("cnt") - 1)
-                )
-                / (F.lit(float(k)) * F.col("var1")),
-                6,
-            ).alias("variance_ratio"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+        aggs += [
+            f"sum(cast(y{k} as decimal(19,0))"
+            f" * cast(y{k} as decimal(19,0))) as sq{k}",
+            f"sum(cast(y{k} as decimal(19,0))) as sm{k}",
+            f"count(y{k}) as cnt{k}",
+        ]
+    m = ys.agg(*[F.expr(a) for a in aggs])
+    var1 = (
+        "((cast(sq1 as double) - cast(sm1 as double)"
+        " * cast(sm1 as double) / cnt1) / (cnt1 - 1))"
+    )
+    structs = ", ".join(
+        f"named_struct('k', cast({k} as bigint),"
+        f" 'n_diffs', cast(cnt1 as bigint),"
+        f" 'n_windows', cast(cnt{k} as bigint),"
+        f" 'variance_ratio', round(((cast(sq{k} as double)"
+        f" - cast(sm{k} as double) * cast(sm{k} as double) / cnt{k})"
+        f" / (cnt{k} - 1)) / ({float(k)}d * {var1}), 6))"
+        for k in _VR_KS
+    )
+    return m.selectExpr(f"inline(array({structs}))")
 
 # --- TS43: turning-points randomness test -----------------------------------
 
